@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (SURVEY.md §7.1: the dashboard
+stats pipeline — native clean/risk enrichment + per-group aggregates)
+on sf0.001.  ``queries()`` / ``oracle_sql()`` re-export the registry in
+``mental_health_bigdata_project_spark.plans``.
 """
 
 from __future__ import annotations
@@ -13,26 +12,48 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF0001_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: enriched per-language dashboard stats over documents
+    (clean_text + risk_score natively, then count/avg/high-risk per
+    lang — SURVEY.md §7.1)."""
+    from mental_health_bigdata_project_spark.functions.text import (
+        HIGH_RISK_THRESHOLD, clean_text, risk_score)
+    from mental_health_bigdata_project_spark.session import ensure_runtime_confs
+    from mental_health_bigdata_project_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    ensure_runtime_confs(spark)
+    docs = load_table(spark, SF0001_DIR, "documents")
+    enriched = docs.select(
+        "doc_id", "lang",
+        clean_text(F.col("text")).alias("cleaned_text"),
+        risk_score(F.col("text")).alias("risk_score"),
+    )
+    return enriched.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.avg("risk_score").alias("avg_risk"),
+        F.sum(F.when(F.col("risk_score") >= HIGH_RISK_THRESHOLD, 1).otherwise(0))
+        .cast("bigint").alias("high_risk"),
+        F.avg(F.length("cleaned_text")).alias("avg_cleaned_len"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from mental_health_bigdata_project_spark.session import ensure_runtime_confs
+    from mental_health_bigdata_project_spark.plans import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_runtime_confs(spark)
+            return fn(spark, sf_dir)
+        return run
+
+    return {qid: wrap(fn) for qid, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from mental_health_bigdata_project_spark.plans import ORACLES
+    return dict(ORACLES)

@@ -1,0 +1,79 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {qid: sec}, "sf": ...}.
+
+Each query is executed to completion (count() materializes the full
+plan) after a warm-up of the session; per-query wall time is measured
+around the action.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: reference surface + relational + text/dedup/similarity +
+# streaming twins — the mix the engine must keep fast at scale.
+HEADLINE = [
+    "q1_pricing_summary",
+    "groupby_subreddit",
+    "project_processed",
+    "histogram_risk_buckets",
+    "join_inner_equi",
+    "join_broadcast_dim",
+    "join_range_theta",
+    "join_asof_events",
+    "agg_rollup_region_nation",
+    "win_running_sum",
+    "topk_recent",
+    "dedup_exact_docs",
+    "dedup_minhash_near",
+    "text_token_freq",
+    "text_tfidf",
+    "sim_cosine_topk",
+    "stream_window_tumbling",
+    "stream_window_session",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from mental_health_bigdata_project_spark.session import get_spark
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("bench", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+    qs = entry_mod.queries()
+
+    # Warm up the JVM/codegen paths once with a trivial action.
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for qid in HEADLINE:
+        fn = qs[qid]
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        timings[qid] = round(time.perf_counter() - t0, 3)
+        print(f"# {qid}: {timings[qid]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(json.dumps({
+        "metric": "headline_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""Multimodal (binary-column) operators.
+
+Treats media as opaque ``binary`` payloads + typed metadata, processed
+with Arrow-batched ``mapInPandas`` — the pattern for decode / resize /
+frame-sample at 100 TB (payload bytes never leave the executor, batches
+stream through Python via Arrow, output schema is explicit).
+
+The actual media decode is STUBBED: this container has no image/audio
+libraries, so ``decode_media`` raises NotImplementedError and the
+feature extractor uses a deterministic fake (byte statistics).  The
+Spark-side plumbing — schema, batch iteration, partitioning — is real
+and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+FEATURE_SCHEMA = "doc_id bigint, byte_len bigint, checksum bigint, mean_byte double"
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Attach a binary `payload` column (utf-8 bytes of the text — the
+    stand-in for real media bytes) plus media-style metadata."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.length("text").alias("n_chars"),
+        ).alias("media_meta"),
+    )
+
+
+def decode_media(payload: bytes, mime: str) -> object:
+    """Real decode hook (image/audio/video).  STUB: no media libraries
+    in this environment."""
+    raise NotImplementedError(
+        "media decode requires image/audio libraries not present in this "
+        "environment; extract_features uses a deterministic fake instead")
+
+
+def extract_features(payloads: DataFrame) -> DataFrame:
+    """Arrow-batched fake 'decode + featurize': byte length, a rolling
+    checksum over the first 64 bytes, and the mean byte value.  Shape
+    and plumbing match a real decoder (mapInPandas, explicit schema,
+    one pass, no shuffle)."""
+
+    def featurize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            payloads_b = pdf["payload"]
+            byte_len = payloads_b.apply(len)
+            checksum = payloads_b.apply(
+                lambda b: sum((i + 1) * x for i, x in enumerate(b[:64])) % 997)
+            mean_byte = payloads_b.apply(
+                lambda b: (sum(b) / len(b)) if len(b) else 0.0)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "byte_len": byte_len.astype("int64"),
+                "checksum": checksum.astype("int64"),
+                "mean_byte": mean_byte.astype("float64"),
+            })
+
+    return payloads.mapInPandas(featurize, FEATURE_SCHEMA)

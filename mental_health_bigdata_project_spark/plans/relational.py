@@ -1,0 +1,402 @@
+"""[EXT] Relational surface (SURVEY.md §2.3-§2.6) over the TPC-H-ish
+star schema.  No reference counterpart (the reference is single-stream,
+SURVEY.md §2.3); required by the 100 TB north star.
+
+Scale posture: dimension joins broadcast (region/nation/customer at
+real-TPC-H ratios: broadcast what fits, AQE re-plans the rest); fact-fact
+joins shuffle on their equi keys and AQE handles skew; every aggregate
+is a partial+final hash agg.  Double-typed measures aggregate through
+decimals for run-to-run determinism (see plans.registry docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load_table, register_temp_views
+from .common import davg, dsum
+from .registry import EVENTS_TS, davg_sql, dsum_sql, query
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# --- flagship: TPC-H Q1-style pricing summary ----------------------------
+
+@query("q1_pricing_summary", f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity', 'sum_qty')},
+           {dsum_sql('l_extendedprice', 'sum_base_price')},
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM((CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           {davg_sql('l_quantity', 'avg_qty')},
+           {davg_sql('l_extendedprice', 'avg_price')},
+           {davg_sql('l_discount', 'avg_disc', scale=4)},
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan -> pushed-down date filter -> 2-key hash agg.
+    The plan is one shuffle; at 100 TB the scan prunes to the 8 columns
+    referenced and the predicate reaches the parquet reader."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp_ntz"))
+    # Decimal-domain arithmetic: casting the *double product* to decimal
+    # is tie-sensitive across engines (Spark rounds the shortest decimal
+    # repr, DuckDB the binary value); casting the 2dp-valued inputs first
+    # keeps every multiply/sum exact and engine-agnostic.
+    price_d = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_price = price_d * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        davg("l_quantity").alias("avg_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        davg("l_discount", scale=4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# --- joins (§2.3) --------------------------------------------------------
+
+@query("join_inner_equi", f"""
+    SELECT c.c_mktsegment, count(*) AS n_orders,
+           {dsum_sql('o.o_totalprice', 'revenue')}
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+""")
+def join_inner_equi(spark, sf_dir):
+    """Fact-dim equi join; Catalyst broadcasts the customer side when it
+    fits, else AQE converts at runtime."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+    )
+
+
+@query("join_left_outer", """
+    SELECT c.c_custkey, count(o.o_orderkey) AS order_count,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+""")
+def join_left_outer(spark, sf_dir):
+    """Left outer keeps order-less customers (count 0, NULL spend)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_count"),
+             dsum("o_totalprice").alias("total_spent"))
+    )
+
+
+@query("join_full_outer", """
+    SELECT COALESCE(x.k, y.k) AS k, x.n_cust, y.n_supp FROM
+      (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1) x
+      FULL JOIN
+      (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1) y
+      ON x.k = y.k
+""")
+def join_full_outer(spark, sf_dir):
+    """Full outer over two pre-aggregated sides (nation coverage can
+    differ between customers and suppliers)."""
+    c = _t(spark, sf_dir, "customer").groupBy(F.col("c_nationkey").alias("k")).agg(
+        F.count("*").alias("n_cust"))
+    s = _t(spark, sf_dir, "supplier").groupBy(F.col("s_nationkey").alias("k")).agg(
+        F.count("*").alias("n_supp"))
+    return (
+        c.join(s, "k", "full")
+        .select(F.col("k"), "n_cust", "n_supp")
+    )
+
+
+@query("join_semi", """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+""")
+def join_semi(spark, sf_dir):
+    """Left-semi: customers with at least one open order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query("join_anti", """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""")
+def join_anti(spark, sf_dir):
+    """Left-anti: customers with no orders at all."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query("join_broadcast_dim", f"""
+    SELECT r.r_name, n.n_name, count(*) AS n_cust,
+           {dsum_sql('c.c_acctbal', 'sum_acctbal')}
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+""")
+def join_broadcast_dim(spark, sf_dir):
+    """Star-join through two explicitly broadcast dimensions — zero
+    shuffle until the final group-by."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_cust"), dsum("c_acctbal").alias("sum_acctbal"))
+    )
+
+
+@query("join_range_theta", """
+    SELECT o.o_orderpriority, count(*) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY o.o_orderpriority
+""")
+def join_range_theta(spark, sf_dir):
+    """Equi key + range predicate (ship within 90 days of order): the
+    equi part drives the shuffle/broadcast; the range rides along as a
+    post-join filter, so no nested-loop blowup."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cond = (
+        (l.l_orderkey == o.o_orderkey)
+        & (l.l_shipdate >= o.o_orderdate)
+        & (l.l_shipdate <= o.o_orderdate + F.expr("INTERVAL 90 DAY"))
+    )
+    return l.join(o, cond).groupBy("o_orderpriority").agg(F.count("*").alias("n_items"))
+
+
+@query("join_asof_events", f"""
+    WITH e AS (SELECT * FROM {EVENTS_TS}),
+    purchases AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+    views AS (SELECT user_id, ts AS view_ts, max(event_id) AS view_event_id
+              FROM e WHERE event_type = 'view' GROUP BY user_id, ts)
+    SELECT p.event_id, p.user_id, p.ts, v.view_event_id, v.view_ts
+    FROM purchases p ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND v.view_ts <= p.ts
+""")
+def join_asof_events(spark, sf_dir):
+    """As-of join (latest 'view' at-or-before each 'purchase', per user).
+
+    Spark has no ASOF primitive; instead of the naive join+row_number
+    (which materializes every candidate pair), this uses the scalable
+    union-then-window pattern: tag both sides, sort within user by
+    (ts, side), and carry the last view forward with last_value(ignore
+    nulls).  One shuffle on user_id, state is O(1) per row — the same
+    plan holds at 100 TB.  Views are pre-deduped to one per (user, ts)
+    (max event_id) so ties are deterministic, matching DuckDB ASOF.
+    """
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    tagged = (
+        views.select(
+            "user_id", "ts", F.lit(0).alias("side"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.struct(F.col("view_event_id"), F.col("ts").alias("view_ts")).alias("v"))
+        .unionByName(
+            purchases.select(
+                "user_id", "ts", F.lit(1).alias("side"), "event_id",
+                F.lit(None).cast("struct<view_event_id:bigint,view_ts:timestamp_ntz>").alias("v")))
+    )
+    # views sort before purchases at equal ts => v.ts <= p.ts is inclusive
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn("lv", F.last("v", ignorenulls=True).over(w))
+    return (
+        carried.filter(F.col("side") == 1)
+        .select(
+            "event_id", "user_id", "ts",
+            F.col("lv.view_event_id").alias("view_event_id"),
+            F.col("lv.view_ts").alias("view_ts"),
+        )
+    )
+
+
+# --- aggregate extensions (§2.4 [EXT]) -----------------------------------
+
+@query("agg_distinct_users", f"""
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           count(*) AS n_events
+    FROM {EVENTS_TS} GROUP BY event_type
+""")
+def agg_distinct_users(spark, sf_dir):
+    """Exact distinct per group (expands to a two-phase agg under AQE)."""
+    return _t(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.count("*").alias("n_events"))
+
+
+@query("agg_approx_distinct")  # no oracle: HLL sketches differ across engines
+def agg_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++): the 100 TB-scale path where
+    exact distinct's shuffle is the bottleneck.  Rows-only check — sketch
+    estimates are engine-specific."""
+    return _t(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("n_users_approx"))
+
+
+@query("agg_rollup_region_nation", f"""
+    SELECT r.r_name, n.n_name, count(*) AS n_cust,
+           {dsum_sql('c.c_acctbal', 'sum_acctbal')}
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+""")
+def agg_rollup_region_nation(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_cust"), dsum("c_acctbal").alias("sum_acctbal"))
+    )
+
+
+@query("agg_cube", f"""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           {dsum_sql('o_totalprice', 'revenue')}
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def agg_cube(spark, sf_dir):
+    return _t(spark, sf_dir, "orders").cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), dsum("o_totalprice").alias("revenue"))
+
+
+@query("agg_grouping_sets", f"""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           {dsum_sql('l_quantity', 'sum_qty')}
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""")
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit grouping sets via the SQL surface (views registered on
+    the fly; Catalyst expands to a single Expand + hash agg)."""
+    register_temp_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(f"""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+# --- window functions (§2.5 [EXT]) ---------------------------------------
+
+@query("win_rank_orders_by_price", """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk
+    FROM orders
+""")
+def win_rank_orders_by_price(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice", F.rank().over(w).alias("rnk"))
+
+
+@query("win_running_sum", """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+    FROM orders
+""")
+def win_running_sum(spark, sf_dir):
+    """Running per-customer spend; decimal accumulation keeps every
+    prefix sum deterministic, (date, orderkey) ordering pins ties."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+        .cast("double").alias("running_spend"))
+
+
+@query("win_lag_value", f"""
+    SELECT event_id, user_id, ts, value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+    FROM {EVENTS_TS}
+""")
+def win_lag_value(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"))
+
+
+# --- set operations (§2.6 [EXT]) -----------------------------------------
+
+@query("set_union_all", """
+    SELECT c_custkey, c_name, 'building' AS src FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT c_custkey, c_name, 'negative' AS src FROM customer WHERE c_acctbal < 0
+""")
+def set_union_all(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", "c_name", F.lit("building").alias("src"))
+    b = c.filter(F.col("c_acctbal") < 0).select(
+        "c_custkey", "c_name", F.lit("negative").alias("src"))
+    return a.unionByName(b)
+
+
+@query("set_intersect", """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""")
+def set_intersect(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+        .intersect(o.filter(F.col("o_orderstatus") == "F").select("o_custkey"))
+    )
+
+
+@query("set_except", """
+    SELECT c_custkey FROM customer
+    EXCEPT ALL
+    SELECT o_custkey AS c_custkey FROM orders
+""")
+def set_except(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.exceptAll(o)

@@ -1,0 +1,197 @@
+"""[EXT] Similarity search + near-dup detection over ``embeddings`` and
+``documents`` (SURVEY.md §2.10; the training-data-pipeline surface).
+
+Design:
+- Exact paths (brute-force cosine, pairwise cosine) are native array
+  math (functions.vectors: zip_with + aggregate folds — deterministic
+  float order, no Python).
+- Scale paths (MinHash LSH banding, sign-random-projection LSH) prune
+  the candidate space so the pairwise work is per-bucket, not O(n^2);
+  signatures are computed with built-in xxhash64 so everything stays
+  JVM-side (the SRP projection uses a seeded numpy mapInPandas — the
+  Arrow-batched escape hatch, not a row UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.vectors import cosine_similarity, to_double_array
+from ..sources import load_table
+from .registry import query
+from .textops import tokens_col
+
+_COS_SQL = ("list_dot_product({a}, {b}) / "
+            "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@query("sim_cosine_topk", f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 1)
+    SELECT vec_id, cosine FROM (
+        SELECT e.vec_id,
+               round({_COS_SQL.format(a='e.embedding::DOUBLE[]', b='q.qe')}, 6) AS cosine
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> 1
+    ) ORDER BY cosine DESC, vec_id LIMIT 10
+""")
+def sim_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k against a query vector (vec_id=1): the
+    exactness baseline.  The 1-row query side is broadcast; orderBy+limit
+    compiles to TakeOrderedAndProject (per-partition top-k, driver merge
+    of k rows) — at 100 TB this is a single scan, no shuffle of the
+    corpus.  Cosine rounded to 6dp to absorb fold-order ulps."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == 1).select(
+        to_double_array("embedding").alias("qe"))
+    return (
+        e.filter(F.col("vec_id") != 1)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine_similarity(to_double_array("embedding"), F.col("qe")), 6)
+            .alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )
+
+
+@query("dedup_embedding_cosine", f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_COS_SQL.format(a='a.embedding::DOUBLE[]', b='b.embedding::DOUBLE[]')}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 200 AND b.vec_id < 200
+      AND round({_COS_SQL.format(a='a.embedding::DOUBLE[]', b='b.embedding::DOUBLE[]')}, 6) >= 0.8
+""")
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact, bounded to vec_id < 200
+    for the oracle; the unbounded path is sim_ann_lsh below, which only
+    compares within LSH buckets)."""
+    e = _emb(spark, sf_dir).filter(F.col("vec_id") < 200).select(
+        "vec_id", to_double_array("embedding").alias("emb"))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    cos = F.round(cosine_similarity(F.col("ea"), F.col("eb")), 6)
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.8)
+    )
+
+
+@query("sim_ann_lsh")  # rows-only: bucket assignment depends on engine hash
+def sim_ann_lsh(spark, sf_dir):
+    """Approximate NN via sign-random-projection LSH: 16 fixed seeded
+    hyperplanes -> 16-bit signature -> candidates share a signature ->
+    exact cosine only within buckets.  The numpy projection runs in
+    mapInPandas (Arrow-batched; one pass, no shuffle until the bucket
+    group-by).  Returns (vec_id, bucket, cosine-to-query) for candidates
+    in the query vector's bucket."""
+    import numpy as np
+    import pandas as pd
+
+    e = _emb(spark, sf_dir)
+    dim = len(e.select("embedding").first()["embedding"])
+    planes = np.random.RandomState(42).randn(16, dim)
+
+    def signature(batches):
+        for pdf in batches:
+            mat = np.stack(pdf["embedding"].apply(np.asarray, args=(np.float64,)))
+            bits = (mat @ planes.T) > 0
+            sig = (bits * (1 << np.arange(16))).sum(axis=1).astype("int64")
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "bucket": sig})
+
+    sigs = e.select("vec_id", "embedding").mapInPandas(
+        signature, "vec_id bigint, bucket bigint")
+    q_bucket = sigs.filter(F.col("vec_id") == 1).select(
+        F.col("bucket").alias("qb"))
+    cands = (
+        sigs.join(F.broadcast(q_bucket), sigs.bucket == F.col("qb"))
+        .filter(F.col("vec_id") != 1).select("vec_id", "bucket")
+    )
+    q = _emb(spark, sf_dir).filter(F.col("vec_id") == 1).select(
+        to_double_array("embedding").alias("qe"))
+    return (
+        cands.join(_emb(spark, sf_dir), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", "bucket",
+            F.round(cosine_similarity(to_double_array("embedding"), F.col("qe")), 6)
+            .alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+    )
+
+
+N_MINHASH = 16
+BAND_SIZE = 4
+
+
+@query("dedup_minhash_near")  # rows-only: xxhash64 signatures are engine-specific
+def dedup_minhash_near(spark, sf_dir):
+    """MinHash + LSH banding near-dup candidates over token 3-gram
+    shingles: shingle -> 16 minhashes (xxhash64 with per-function salt)
+    -> 4 bands of 4 -> band-bucket join -> estimated Jaccard =
+    fraction of agreeing minhashes >= 0.5.
+
+    This is the scale path for dedup_ngram_jaccard: the only shuffle
+    keys are (band_idx, band_hash), so co-bucketed docs are compared
+    without the all-pairs co-shingle join."""
+    toks = tokens_col()
+    d = load_table(spark, sf_dir, "documents").select("doc_id", toks.alias("toks"))
+    shingles = F.when(
+        F.size("toks") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 2),
+            lambda i: F.concat_ws(" ", F.element_at("toks", i),
+                                  F.element_at("toks", i + 1),
+                                  F.element_at("toks", i + 2))),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = d.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+    mins = sh.groupBy("doc_id").agg(*[
+        F.min(F.xxhash64(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"h{s}")
+        for s in range(N_MINHASH)
+    ])
+    sig = mins.select("doc_id", F.array(*[f"h{s}" for s in range(N_MINHASH)]).alias("sig"))
+    bands = sig.select(
+        "doc_id", "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band_idx"),
+                     F.hash(F.slice("sig", i * BAND_SIZE + 1, BAND_SIZE)).alias("band_hash"))
+            for i in range(N_MINHASH // BAND_SIZE)
+        ])).alias("b"))
+    a = bands.select(F.col("b").alias("ba"), F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    b = bands.select(F.col("b").alias("bb"), F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    pairs = (
+        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+    )
+    est = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                          lambda z: z)) / F.lit(float(N_MINHASH))
+    return (
+        pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.5)
+    )
+
+
+@query("dedup_simhash")  # rows-only: xxhash64 is engine-specific
+def dedup_simhash(spark, sf_dir):
+    """32-bit SimHash signatures from token xxhash64s: per-bit majority
+    vote folded into 32 conditional sums (all codegen'd; one hash agg)."""
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens_col()).alias("token"))
+        .select("doc_id", F.xxhash64("token").alias("h"))
+    )
+    bit_sums = t.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
+        for b in range(32)
+    ])
+    simhash = sum(
+        (F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("bigint")
+         for b in range(32)),
+        F.lit(0).cast("bigint"),
+    )
+    return bit_sums.select("doc_id", simhash.alias("simhash"))

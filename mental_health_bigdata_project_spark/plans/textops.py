@@ -1,0 +1,304 @@
+"""[EXT] Text-analysis and deduplication operators over ``documents``
+(SURVEY.md §2.10 + the training-data-pipeline surface: tokenization,
+token frequencies, language ID, quality scoring, token counting,
+fingerprinting, exact + n-gram-Jaccard dedup, TF-IDF).
+
+All token-level ops are native higher-order functions (split/filter/
+transform/explode) — no Python in the hot path; at 100 TB these stay in
+whole-stage codegen and parallelize with the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import clean_text, clean_text_sql
+from ..sources import load_table
+from .registry import query
+
+_CLEAN = clean_text_sql("text")
+
+# Tokenizer twins (Spark split is Java-regex, DuckDB regexp_split_to_array
+# is RE2 — identical for this pattern).
+_TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+# Tiny per-language stopword profiles for the n-gram/stopword language-ID
+# heuristic (deliberately simple — deterministic and SQL-expressible).
+LANG_PROFILES = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "und", "die", "das", "ist"],
+    "fr": ["le", "et", "les", "des", "une"],
+    "es": ["el", "los", "las", "y", "una"],
+}
+
+BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def tokens_col(c: Column | str = "text") -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != "")
+
+
+def _hits(toks: Column, words: list[str]) -> Column:
+    return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+
+def _hits_sql(words: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(toks, x -> x IN ({lst})))"
+
+
+# --- tokenization / frequencies ------------------------------------------
+
+@query("arr_tokenize", f"""
+    SELECT doc_id, CAST(len({_TOKS_SQL}) AS INTEGER) AS n_tokens FROM documents
+""")
+def arr_tokenize(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.size(tokens_col()).alias("n_tokens"))
+
+
+@query("arr_explode_tokens", f"""
+    SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents
+""")
+def arr_explode_tokens(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.explode(tokens_col()).alias("token"))
+
+
+@query("text_token_freq", f"""
+    SELECT token, count(*) AS n FROM (
+        SELECT unnest({_TOKS_SQL}) AS token FROM documents
+    ) GROUP BY token
+""")
+def text_token_freq(spark, sf_dir):
+    """Corpus word frequency: explode + hash agg (two-phase, map-side
+    partials make the shuffle carry one row per (partition, token))."""
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(tokens_col()).alias("token"))
+        .groupBy("token").agg(F.count("*").alias("n"))
+    )
+
+
+@query("text_lang_dist", """
+    SELECT lang, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+""")
+def text_lang_dist(spark, sf_dir):
+    return _docs(spark, sf_dir).groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"))
+
+
+@query("text_token_count", f"""
+    SELECT doc_id,
+           CAST(len({_TOKS_SQL}) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '{BPE_ISH_PATTERN}')) AS INTEGER) AS bpe_tokens
+    FROM documents
+""")
+def text_token_count(spark, sf_dir):
+    """Whitespace token count + a BPE-ish regex token count (letter runs
+    / digit runs / single punctuation — a cheap proxy for subword
+    tokenizer budgeting over a training corpus)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(tokens_col()).alias("ws_tokens"),
+        F.regexp_count(F.lower("text"), F.lit(BPE_ISH_PATTERN)).cast("int").alias("bpe_tokens"),
+    )
+
+
+# --- quality / language ID ------------------------------------------------
+
+@query("text_quality_score", f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+               / CAST(length(text) AS DOUBLE) AS punct_ratio,
+           {_hits_sql(STOPWORDS)} / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+           (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+               / CAST(length(text) AS DOUBLE))
+             * LEAST(1.0, len(toks) / 50.0) AS quality
+    FROM t WHERE length(text) > 0 AND len(toks) > 0
+""")
+def text_quality_score(spark, sf_dir):
+    """Heuristic document-quality scoring (length/punctuation/stopword
+    signals — the standard pretraining-corpus filters)."""
+    toks = tokens_col()
+    df = _docs(spark, sf_dir).select("doc_id", "text", toks.alias("toks"))
+    punct = (F.length("text") - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))) \
+        / F.length("text").cast("double")
+    stop_ratio = _hits(F.col("toks"), STOPWORDS) / F.size("toks").cast("double")
+    quality = (F.lit(1.0) - punct) * F.least(F.lit(1.0), F.size("toks") / F.lit(50.0))
+    return (
+        df.filter((F.length("text") > 0) & (F.size("toks") > 0))
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            punct.alias("punct_ratio"),
+            stop_ratio.alias("stopword_ratio"),
+            quality.alias("quality"),
+        )
+    )
+
+
+@query("text_lang_id", f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    h AS (SELECT doc_id,
+                 {_hits_sql(LANG_PROFILES['en'])} AS en_h,
+                 {_hits_sql(LANG_PROFILES['de'])} AS de_h,
+                 {_hits_sql(LANG_PROFILES['fr'])} AS fr_h,
+                 {_hits_sql(LANG_PROFILES['es'])} AS es_h
+          FROM t)
+    SELECT doc_id,
+           CASE WHEN en_h + de_h + fr_h + es_h = 0 THEN 'unknown'
+                WHEN en_h >= de_h AND en_h >= fr_h AND en_h >= es_h THEN 'en'
+                WHEN de_h >= fr_h AND de_h >= es_h THEN 'de'
+                WHEN fr_h >= es_h THEN 'fr'
+                ELSE 'es' END AS lang_pred
+    FROM h
+""")
+def text_lang_id(spark, sf_dir):
+    """Stopword-profile language ID (deterministic argmax with a fixed
+    preference order on ties)."""
+    df = _docs(spark, sf_dir).select("doc_id", tokens_col().alias("toks"))
+    hs = {k: _hits(F.col("toks"), v) for k, v in LANG_PROFILES.items()}
+    total = hs["en"] + hs["de"] + hs["fr"] + hs["es"]
+    pred = (
+        F.when(total == 0, "unknown")
+        .when((hs["en"] >= hs["de"]) & (hs["en"] >= hs["fr"]) & (hs["en"] >= hs["es"]), "en")
+        .when((hs["de"] >= hs["fr"]) & (hs["de"] >= hs["es"]), "de")
+        .when(hs["fr"] >= hs["es"], "fr")
+        .otherwise("es")
+    )
+    return df.select("doc_id", pred.alias("lang_pred"))
+
+
+# --- fingerprinting / dedup ----------------------------------------------
+
+@query("doc_fingerprint", f"""
+    SELECT doc_id, md5({_CLEAN}) AS fingerprint FROM documents
+""")
+def doc_fingerprint(spark, sf_dir):
+    """Content fingerprint: md5 of the normalized (cleaned) text — both
+    engines emit identical lowercase hex."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.md5(clean_text(F.col("text"))).alias("fingerprint"))
+
+
+@query("dedup_exact_docs", f"""
+    SELECT doc_id, fingerprint FROM (
+        SELECT doc_id, md5({_CLEAN}) AS fingerprint,
+               row_number() OVER (PARTITION BY md5({_CLEAN}) ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn = 1
+""")
+def dedup_exact_docs(spark, sf_dir):
+    """Exact near-copy removal: hash-groupBy on the content fingerprint,
+    deterministic survivor (min doc_id).  At 100 TB this is the standard
+    first dedup pass — one shuffle on the 128-bit hash."""
+    df = _docs(spark, sf_dir).select(
+        "doc_id", F.md5(clean_text(F.col("text"))).alias("fingerprint"))
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1).drop("rn")
+    )
+
+
+@query("dedup_ngram_jaccard", f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE doc_id < 200),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(toks) >= 3 THEN
+                list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            ELSE [] END)) AS shingle
+        FROM d),
+    cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+    SELECT p.doc_a, p.doc_b,
+           CAST(p.inter AS DOUBLE) / (ca.c + cb.c - p.inter) AS jaccard
+    FROM pairs p
+    JOIN cnt ca ON p.doc_a = ca.doc_id
+    JOIN cnt cb ON p.doc_b = cb.doc_id
+    WHERE CAST(p.inter AS DOUBLE) / (ca.c + cb.c - p.inter) >= 0.5
+""")
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact token-3-gram Jaccard near-dup pairs (restricted to
+    doc_id < 200 to bound the pair space for the oracle; the unbounded
+    scale path is dedup_minhash_near, which prunes candidates by LSH
+    banding instead of joining every co-shingled pair)."""
+    toks = tokens_col()
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select(
+        "doc_id", toks.alias("toks"))
+    shingles = F.when(
+        F.size("toks") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 2),
+            lambda i: F.concat_ws(" ", F.element_at("toks", i),
+                                  F.element_at("toks", i + 1),
+                                  F.element_at("toks", i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = d.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("c").alias("cb"))
+    jac = F.col("inter").cast("double") / (F.col("ca") + F.col("cb") - F.col("inter"))
+    return (
+        pairs.join(ca, "doc_a").join(cb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+# --- TF-IDF ---------------------------------------------------------------
+
+@query("text_tfidf", f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+    dfreq AS (SELECT token, count(*) AS dfreq FROM tf GROUP BY token),
+    n AS (SELECT count(*) AS n FROM documents)
+    SELECT tf.doc_id, tf.token, tf.tf,
+           round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.dfreq), 6) AS tfidf
+    FROM tf CROSS JOIN n JOIN dfreq ON tf.token = dfreq.token
+""")
+def text_tfidf(spark, sf_dir):
+    """Exact TF-IDF (tf * ln(N/df)) without MLlib's hashing trick, so it
+    is oracle-checkable.  Two hash aggs + one broadcast-ish join on the
+    (small) vocabulary; rounded to 6dp to absorb libm ulp differences."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(tokens_col()).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("dfreq"))
+    n = _docs(spark, sf_dir).agg(F.count("*").alias("n"))
+    return (
+        tf.crossJoin(F.broadcast(n))
+        .join(dfreq, "token")
+        .select(
+            "doc_id", "token", "tf",
+            F.round(F.col("tf") * F.log(F.col("n").cast("double") / F.col("dfreq")), 6)
+            .alias("tfidf"),
+        )
+    )

@@ -1,0 +1,43 @@
+"""Parquet table loaders for the driver testdata star schema.
+
+The reference reads only JSON (SURVEY.md §2.1); parquet is the [EXT]
+columnar path this engine standardizes on: vectorized scans, predicate
+pushdown, and column pruning all come for free from the Spark parquet
+source once plans stay declarative.
+
+Scale notes (100 TB posture):
+- Loads are plain ``spark.read.parquet`` — no driver-side collects; at
+  cluster scale the same call reads a partitioned directory tree and
+  prunes partitions from pushed-down filters.
+- ``events.ts`` is parquet TIMESTAMP(NANOS); Spark maps it via
+  ``spark.sql.legacy.parquet.nanosAsLong`` and we normalize to
+  TIMESTAMP_NTZ with integer division (exact, no float rounding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# Columns written as TIMESTAMP(NANOS) that surface as bigint under
+# nanosAsLong and must be normalized to TIMESTAMP_NTZ.
+_NANOS_COLS = {"events": ["ts"]}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _NANOS_COLS.get(name, ()):
+        if dict(df.dtypes).get(c) == "bigint":
+            # ns -> us by integer division (floor; matches DuckDB's
+            # CAST(TIMESTAMP_NS AS TIMESTAMP) truncation).
+            df = df.withColumn(c, F.expr(f"CAST(timestamp_micros({c} div 1000) AS TIMESTAMP_NTZ)"))
+    return df
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
+    for name in tables or TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,120 @@
+"""Streaming parity tests (SURVEY.md §5.2.3): the same enrichment and
+window logic must produce identical results through the streaming path
+(file source + availableNow) as through the batch path."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from mental_health_bigdata_project_spark.pipeline import enrich_posts
+from mental_health_bigdata_project_spark.sources import load_table
+from mental_health_bigdata_project_spark.streaming import pipeline as sp
+from mental_health_bigdata_project_spark.streaming import windows as sw
+
+POSTS = [
+    {"id": "p1", "title": "feeling depressed", "text": "it is hopeless",
+     "author": "a", "subreddit": "depression", "created_utc": 1.0,
+     "score": 1, "num_comments": 0, "url": "", "timestamp": "2024-01-01T00:00:00"},
+    {"id": "p2", "title": "ok day", "text": "went for a walk",
+     "author": "b", "subreddit": "mentalhealth", "created_utc": 2.0,
+     "score": 2, "num_comments": 1, "url": "http://x", "timestamp": "2024-01-01T00:00:01"},
+    {"id": "p3", "title": "", "text": "I can't go on",
+     "author": "c", "subreddit": "Anxiety", "created_utc": 3.0,
+     "score": 0, "num_comments": 0, "url": "", "timestamp": "2024-01-01T00:00:02"},
+]
+
+
+def write_posts_json(tmp_path):
+    d = tmp_path / "in"
+    d.mkdir()
+    with open(d / "posts.json", "w") as f:
+        for p in POSTS:
+            f.write(json.dumps(p) + "\n")
+    return str(d)
+
+
+def test_stream_batch_parity_enrichment(spark, tmp_path):
+    in_dir = write_posts_json(tmp_path)
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = sp.read_posts_json_stream(spark, in_dir)
+    q = sp.run_to_parquet(sp.enriched_stream(stream), out_dir, ckpt, latest_n=2)
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(f"{out_dir}/all")
+    batch = enrich_posts(spark.read.json(in_dir, schema=stream.schema),
+                         with_processed_at=False)
+    cols = ["id", "risk_score", "cleaned_text", "subreddit"]
+    assert sorted(map(tuple, streamed.select(cols).collect())) == \
+           sorted(map(tuple, batch.select(cols).collect()))
+    scores = {r.id: r.risk_score for r in streamed.collect()}
+    assert scores == {"p1": 20, "p2": 0, "p3": 10}
+
+    latest = spark.read.parquet(f"{out_dir}/latest")
+    assert sorted(r.id for r in latest.collect()) == ["p2", "p3"]
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
+    """Feed the events table through a parquet file stream; the
+    watermarked tumbling agg must equal the batch twin (complete data,
+    so the watermark drops nothing)."""
+    # watermarks require TIMESTAMP (tz-aware instants); session tz is UTC
+    # so the NTZ values map 1:1
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "events_src")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = sw.tumbling_agg(stream)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory").queryName("tumbling_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # append mode emits only watermark-closed windows; with one batch the
+    # final watermark closes everything before max(ts) - 10min
+    got = spark.sql("SELECT * FROM tumbling_out")
+    from mental_health_bigdata_project_spark.plans.stream_windows import (
+        stream_window_tumbling)
+    batch = stream_window_tumbling(spark, sf_dir)
+    gset = {tuple(r) for r in got.collect()}
+    bset = {tuple(r) for r in batch.collect()}
+    assert gset <= bset  # every emitted window matches batch exactly
+    assert len(gset) >= len(bset) - 5  # only tail windows may be held back
+
+
+def test_watermarked_dedup_bounded_state(spark, tmp_path):
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1},
+        {"event_id": 1, "ts": "2024-01-01T00:00:30", "user_id": 1},  # dup id
+        {"event_id": 2, "ts": "2024-01-01T00:01:00", "user_id": 2},
+    ]
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = (
+        spark.readStream
+        .schema("event_id bigint, ts string, user_id bigint")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    deduped = sw.watermarked_dedup(stream, ["event_id"])
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory").queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.event_id for r in spark.sql("SELECT * FROM dedup_out").collect())
+    assert got == [1, 2]
