@@ -1,0 +1,36 @@
+"""Columnar sinks — the scale-path replacement for the reference's
+rewrite-the-world JSON sink (kafka_consumer_simple.py:49-61,146;
+SURVEY.md §4.1 anti-patterns).
+
+At 100 TB the retained table is a partitioned parquet (or Delta) layout
+written once per micro-batch/job; "latest N" is a *query* over it, not
+a file rewrite.  Partition columns are chosen low-cardinality (e.g.
+lang / date) so partition pruning works and small-file pressure stays
+bounded; writers repartition by the partition key first so each task
+writes one file per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def write_partitioned(df: DataFrame, out_dir: str, partition_by: list[str],
+                      mode: str = "overwrite") -> None:
+    """Partitioned parquet write; pre-repartition on the partition keys
+    so each partition directory gets one file per shuffle partition
+    instead of one per input task (the small-files fix)."""
+    (
+        df.repartition(*[F.col(c) for c in partition_by])
+        .write.mode(mode).partitionBy(*partition_by).parquet(out_dir)
+    )
+
+
+def read_partitioned(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(out_dir)
+
+
+def latest_n(df: DataFrame, order_col: str, tiebreak_col: str, n: int) -> DataFrame:
+    """'Most recent N' as a query (TakeOrderedAndProject — per-partition
+    top-N then driver merge of N rows) instead of a maintained file."""
+    return df.orderBy(F.desc(order_col), F.desc(tiebreak_col)).limit(n)

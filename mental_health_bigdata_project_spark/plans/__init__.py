@@ -10,6 +10,7 @@ from .registry import ORACLES, QUERIES, query  # noqa: F401
 
 # Side-effect imports: each module registers its queries.
 from . import core  # noqa: F401,E402
+from . import scalars  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 from . import textops  # noqa: F401,E402
 from . import similarity  # noqa: F401,E402

@@ -1,0 +1,159 @@
+"""Scalar-function surface (SURVEY.md §2.7) + the Kafka parse chain
+(§2.2 cast_value_string / json_parse_struct / flatten_struct) as
+oracle-checkable batch queries.
+
+The streaming originals live in streaming.kafka.read_posts_stream
+(CAST value AS STRING -> from_json -> data.*, mirroring reference
+preprocessing_streaming.py:102-104); here the same expressions run over
+the bounded ``events`` table so DuckDB can check them value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..schemas import EVENT_PROPS_SCHEMA
+from ..sources import load_table
+from .registry import query
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@query("cast_value_string", """
+    SELECT event_id, decode(encode(props)) AS value_str FROM events
+""")
+def cast_value_string(spark, sf_dir):
+    """binary -> string cast (the Kafka value decode,
+    preprocessing_streaming.py:102): round-trips props through bytes."""
+    return _events(spark, sf_dir).select(
+        "event_id",
+        F.encode("props", "utf-8").cast("string").alias("value_str"))
+
+
+@query("json_parse_struct", """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+""")
+def json_parse_struct(spark, sf_dir):
+    """from_json with a declared StructType
+    (preprocessing_streaming.py:103) — schema-checked JSON parse."""
+    return _events(spark, sf_dir).select(
+        "event_id",
+        F.from_json("props", EVENT_PROPS_SCHEMA).alias("data"),
+    ).select("event_id", F.col("data.k").alias("k"))
+
+
+@query("flatten_struct", """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           event_type
+    FROM events
+""")
+def flatten_struct(spark, sf_dir):
+    """select("data.*") struct flattening (preprocessing_streaming.py:104)."""
+    nested = _events(spark, sf_dir).select(
+        "event_id", "event_type",
+        F.from_json("props", EVENT_PROPS_SCHEMA).alias("data"))
+    return nested.select("event_id", "data.*", "event_type")
+
+
+@query("json_serialize", """
+    SELECT doc_id,
+           to_json(struct_pack(doc_id := doc_id, lang := lang, n_chars := n_chars))::VARCHAR AS payload
+    FROM documents
+""")
+def json_serialize(spark, sf_dir):
+    """dict -> JSON string (the producer's Kafka value serializer,
+    reddit_collector_kafka.py:18) — both engines emit identical compact
+    JSON for struct inputs."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("payload"))
+
+
+@query("scalar_string_ops", """
+    SELECT doc_id,
+           lower(substring(text, 1, 50)) AS head_lower,
+           upper(lang) AS lang_upper,
+           concat(source, ':', lang) AS src_lang,
+           CAST(length(text) AS INTEGER) AS text_len,
+           trim('  ' || lang || '  ') AS lang_trim
+    FROM documents
+""")
+def scalar_string_ops(spark, sf_dir):
+    """§2.7 string surface: substr_truncate / str_lower / concat /
+    length / trim as one projection."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.lower(F.substring("text", 1, 50)).alias("head_lower"),
+        F.upper("lang").alias("lang_upper"),
+        F.concat_ws(":", "source", "lang").alias("src_lang"),
+        F.length("text").cast("int").alias("text_len"),
+        F.trim(F.concat(F.lit("  "), F.col("lang"), F.lit("  "))).alias("lang_trim"),
+    )
+
+
+@query("scalar_math_ops", """
+    SELECT o_orderkey,
+           LEAST(CAST(o_totalprice AS DECIMAL(12,2)), 100000.00)::DOUBLE AS capped_price,
+           round(CAST(o_totalprice AS DECIMAL(12,2)), 0)::DOUBLE AS rounded_price,
+           GREATEST(CAST(o_totalprice AS DECIMAL(12,2)) - 50000.00, 0.00)::DOUBLE AS over_50k,
+           abs(CAST(o_totalprice AS DECIMAL(12,2)) - 100000.00)::DOUBLE AS dist_100k
+    FROM orders
+""")
+def scalar_math_ops(spark, sf_dir):
+    """§2.7 math surface: least/cap (math_min_cap), round (math_round2),
+    greatest, abs — in the decimal domain for cross-engine determinism."""
+    p = F.col("o_totalprice").cast("decimal(12,2)")
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.least(p, F.lit(100000.00).cast("decimal(12,2)")).cast("double").alias("capped_price"),
+        F.round(p, 0).cast("double").alias("rounded_price"),
+        F.greatest(p - F.lit(50000.00).cast("decimal(12,2)"),
+                   F.lit(0.00).cast("decimal(12,2)")).cast("double").alias("over_50k"),
+        F.abs(p - F.lit(100000.00).cast("decimal(12,2)")).cast("double").alias("dist_100k"),
+    )
+
+
+@query("scalar_date_ops", """
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           CAST(extract(year FROM o_orderdate) AS INTEGER) AS order_year,
+           CAST(extract(month FROM o_orderdate) AS INTEGER) AS order_mon,
+           o_orderdate + INTERVAL 30 DAY AS due_date,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INTEGER) AS days_since_epoch_95
+    FROM orders
+""")
+def scalar_date_ops(spark, sf_dir):
+    """§2.7 date/time surface: truncation, extraction, interval
+    arithmetic, day difference (ts_* ops minus the wall-clock ones,
+    which are nondeterministic by design — SURVEY.md §5.2)."""
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_mon"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+        F.datediff(F.col("o_orderdate"),
+                   F.lit("1995-01-01").cast("timestamp_ntz")).cast("int")
+        .alias("days_since_epoch_95"),
+    )
+
+
+@query("groupby_collect_posts", """
+    SELECT lang, array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+    FROM documents GROUP BY lang
+""")
+def groupby_collect_posts(spark, sf_dir):
+    """The reference embeds each group's member posts in its stats
+    payload (dashboard/app.py:50-55).  Sorted + serialized to one string
+    so the value-hash is order-insensitive and type-stable."""
+    sorted_ids = F.array_sort(F.collect_list("doc_id"))
+    return _docs(spark, sf_dir).groupBy("lang").agg(
+        F.array_join(F.transform(sorted_ids, lambda x: x.cast("string")), ",")
+        .alias("doc_ids"))

@@ -84,30 +84,38 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 @query("sim_ann_lsh")  # rows-only: bucket assignment depends on engine hash
 def sim_ann_lsh(spark, sf_dir):
-    """Approximate NN via sign-random-projection LSH: 16 fixed seeded
-    hyperplanes -> 16-bit signature -> candidates share a signature ->
-    exact cosine only within buckets.  The numpy projection runs in
-    mapInPandas (Arrow-batched; one pass, no shuffle until the bucket
-    group-by).  Returns (vec_id, bucket, cosine-to-query) for candidates
-    in the query vector's bucket."""
+    """Approximate NN via sign-random-projection LSH: 8 fixed seeded
+    hyperplanes -> 8-bit signature -> candidates share a bucket with the
+    query, probing the query bucket plus all hamming-1 neighbours
+    (multi-probe trades a 9x candidate fan-in for much higher recall).
+    The numpy projection runs in mapInPandas (Arrow-batched; one pass,
+    no shuffle until the bucket join).  Returns (vec_id, bucket,
+    cosine-to-query) for candidates, best first."""
     import numpy as np
     import pandas as pd
 
+    N_PLANES = 8
     e = _emb(spark, sf_dir)
     dim = len(e.select("embedding").first()["embedding"])
-    planes = np.random.RandomState(42).randn(16, dim)
+    planes = np.random.RandomState(42).randn(N_PLANES, dim)
 
     def signature(batches):
         for pdf in batches:
             mat = np.stack(pdf["embedding"].apply(np.asarray, args=(np.float64,)))
             bits = (mat @ planes.T) > 0
-            sig = (bits * (1 << np.arange(16))).sum(axis=1).astype("int64")
+            sig = (bits * (1 << np.arange(N_PLANES))).sum(axis=1).astype("int64")
             yield pd.DataFrame({"vec_id": pdf["vec_id"], "bucket": sig})
 
     sigs = e.select("vec_id", "embedding").mapInPandas(
         signature, "vec_id bigint, bucket bigint")
-    q_bucket = sigs.filter(F.col("vec_id") == 1).select(
-        F.col("bucket").alias("qb"))
+    # multi-probe: query bucket + every hamming-1 neighbour bucket
+    q_bucket = (
+        sigs.filter(F.col("vec_id") == 1)
+        .select(F.explode(F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(N_PLANES)],
+        )).alias("qb"))
+    )
     cands = (
         sigs.join(F.broadcast(q_bucket), sigs.bucket == F.col("qb"))
         .filter(F.col("vec_id") != 1).select("vec_id", "bucket")
@@ -162,11 +170,16 @@ def dedup_minhash_near(spark, sf_dir):
                      F.hash(F.slice("sig", i * BAND_SIZE + 1, BAND_SIZE)).alias("band_hash"))
             for i in range(N_MINHASH // BAND_SIZE)
         ])).alias("b"))
-    a = bands.select(F.col("b").alias("ba"), F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    b = bands.select(F.col("b").alias("bb"), F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    a = bands.select(F.col("b").alias("ba"), F.col("doc_id").alias("doc_a"))
+    b = bands.select(F.col("b").alias("bb"), F.col("doc_id").alias("doc_b"))
+    # distinct on the narrow (doc_a, doc_b) pair first, then join the
+    # signatures back — dedup shuffles 16 bytes/row instead of two
+    # 16-element arrays.
     pairs = (
         a.join(b, (F.col("ba") == F.col("bb")) & (F.col("doc_a") < F.col("doc_b")))
-        .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+        .select("doc_a", "doc_b").distinct()
+        .join(sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a")
+        .join(sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b")
     )
     est = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
                           lambda z: z)) / F.lit(float(N_MINHASH))

@@ -1,0 +1,58 @@
+"""Source/sink tests: JSON posts source (both layouts + missing file),
+partitioned parquet sink with pruning, latest-N query."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from mental_health_bigdata_project_spark.operators import io as mio
+from mental_health_bigdata_project_spark.sources import load_table
+from mental_health_bigdata_project_spark.sources.json_posts import read_posts_json
+
+POST = {"id": "p1", "title": "t", "text": "x", "author": "a",
+        "subreddit": "s", "created_utc": 1.0, "score": 1,
+        "num_comments": 0, "url": "", "timestamp": "2024-01-01T00:00:00"}
+
+
+def test_missing_file_empty_df(spark, tmp_path):
+    df = read_posts_json(spark, str(tmp_path / "nope.json"))
+    assert df.count() == 0
+    assert "risk_score" not in df.columns and "id" in df.columns
+
+
+def test_json_lines_and_array_layouts(spark, tmp_path):
+    jl = tmp_path / "posts.jsonl"
+    with open(jl, "w") as f:
+        f.write(json.dumps(POST) + "\n")
+    arr = tmp_path / "posts_array.json"
+    with open(arr, "w") as f:
+        json.dump([POST, {**POST, "id": "p2"}], f)
+    assert read_posts_json(spark, str(jl)).count() == 1
+    got = read_posts_json(spark, str(arr), multi_line=True)
+    assert sorted(r.id for r in got.collect()) == ["p1", "p2"]
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_part")
+    mio.write_partitioned(docs, out, ["lang"])
+    back = mio.read_partitioned(spark, out)
+    assert back.count() == docs.count()
+    # partition pruning: the lang filter must become a PartitionFilter
+    pruned = back.filter(F.col("lang") == "en")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    assert pruned.count() == docs.filter(F.col("lang") == "en").count()
+
+
+def test_latest_n_query(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    got = mio.latest_n(ev, "ts", "event_id", 5).collect()
+    assert len(got) == 5
+    expect = ev.orderBy(F.desc("ts"), F.desc("event_id")).limit(5).collect()
+    assert got == expect
+    plan = mio.latest_n(ev, "ts", "event_id", 5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

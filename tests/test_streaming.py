@@ -118,3 +118,30 @@ def test_watermarked_dedup_bounded_state(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r.event_id for r in spark.sql("SELECT * FROM dedup_out").collect())
     assert got == [1, 2]
+
+
+def test_streaming_session_matches_batch(spark, sf_dir, tmp_path):
+    """Session windows through the real streaming path must agree with
+    the batch twin on every closed session."""
+    from mental_health_bigdata_project_spark.plans.stream_windows import (
+        stream_window_session)
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "events_src_sess")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = sw.session_agg(stream)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory").queryName("session_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.sql(
+        "SELECT user_id, session_start, session_end, n_events FROM session_out").collect()}
+    batch = {tuple(r) for r in stream_window_session(spark, sf_dir)
+             .select("user_id", "session_start", "session_end", "n_events").collect()}
+    assert got <= batch
+    assert len(got) >= len(batch) - 30  # only watermark-open tail sessions held back
