@@ -16,3 +16,4 @@ from . import textops  # noqa: F401,E402
 from . import similarity  # noqa: F401,E402
 from . import stream_windows  # noqa: F401,E402
 from . import multimodal  # noqa: F401,E402
+from . import mllib  # noqa: F401,E402

@@ -1,0 +1,115 @@
+"""[EXT] MLlib surface — the "Machine Learning for pattern analysis"
+the reference *claims* but does not ship (README.md:13-14; SURVEY.md §0
+"Claimed but absent").  Implemented here as the north star's
+"DataFrame ops + MLlib + Spark SQL" prescribes.
+
+All entries are rows-only checks (model internals are engine-specific),
+but every pipeline is seeded/deterministic so row counts and schemas
+are stable run-to-run.  Exact, oracle-checked twins of the same ideas
+live in plans/textops.py (text_tfidf) and plans/textops.py
+(dedup_ngram_jaccard) — MLlib is the scale path (hashed features, LSH
+models, distributed training).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+from .textops import tokens_col
+
+
+@query("ml_tfidf_hashed")  # rows-only: hash-bucketed features are impl-specific
+def ml_tfidf_hashed(spark, sf_dir):
+    """HashingTF + IDF over documents: the fixed-width (no vocabulary
+    shuffle) TF-IDF used when the corpus is too big to build an exact
+    vocab.  Returns (doc_id, norm of the tf-idf vector, nnz)."""
+    from pyspark.ml.feature import IDF, HashingTF
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col().alias("tokens"))
+    tf = HashingTF(inputCol="tokens", outputCol="tf", numFeatures=1 << 12)
+    tfd = tf.transform(docs)
+    idf = IDF(inputCol="tf", outputCol="tfidf").fit(tfd)
+    out = idf.transform(tfd)
+
+    @F.udf("double")
+    def vnorm(v):
+        return float(v.norm(2))
+
+    @F.udf("int")
+    def nnz(v):
+        return int(v.numNonzeros())
+
+    return out.select("doc_id", vnorm("tfidf").alias("tfidf_norm"),
+                      nnz("tfidf").alias("n_nonzero"))
+
+
+@query("ml_minhash_lsh")  # rows-only: MLlib hash families are impl-specific
+def ml_minhash_lsh(spark, sf_dir):
+    """MLlib MinHashLSH near-dup join over hashed shingle vectors —
+    the library twin of plans/similarity.dedup_minhash_near (which is
+    the hand-rolled, dependency-free version).  Returns candidate pairs
+    with Jaccard distance <= 0.5."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col().alias("tokens"))
+    # 3-gram shingles (sequence-sensitive, like dedup_minhash_near —
+    # bare token *sets* are non-discriminative on a small vocabulary),
+    # then binary hashing for set-Jaccard semantics.
+    shingled = NGram(n=3, inputCol="tokens", outputCol="shingles").transform(docs)
+    tf = HashingTF(inputCol="shingles", outputCol="features",
+                   numFeatures=1 << 14, binary=True)
+    feat = tf.transform(shingled).filter(F.expr("size(shingles) > 0"))
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes",
+                     numHashTables=8, seed=42).fit(feat)
+    pairs = lsh.approxSimilarityJoin(feat, feat, 0.5, distCol="jaccard_dist")
+    return (
+        pairs.select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.col("jaccard_dist"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+
+
+@query("ml_kmeans_embeddings")  # rows-only: cluster ids are seed/impl-specific
+def ml_kmeans_embeddings(spark, sf_dir):
+    """Seeded KMeans over the embedding column: cluster sizes per
+    (cluster, majority-label) — the standard embedding-space structure
+    probe for a training corpus."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"))
+    model = KMeans(k=8, seed=42, featuresCol="features").fit(emb)
+    pred = model.transform(emb)
+    return pred.groupBy("prediction").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("label").alias("n_labels"))
+
+
+@query("ml_classify_embeddings")  # rows-only: coefficients impl-specific
+def ml_classify_embeddings(spark, sf_dir):
+    """Seeded logistic regression embedding -> label (train on vec_id
+    hash split, evaluate on holdout): returns per-label precision-ish
+    counts.  The 'pattern analysis' ML the reference README promises."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("double").alias("label"),
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"))
+    train = emb.filter(F.col("vec_id") % 5 != 0)
+    test = emb.filter(F.col("vec_id") % 5 == 0)
+    lr = LogisticRegression(maxIter=20, regParam=0.01)
+    model = lr.fit(train)
+    pred = model.transform(test)
+    return pred.groupBy("label").agg(
+        F.count("*").alias("n_test"),
+        F.sum(F.when(F.col("prediction") == F.col("label"), 1).otherwise(0))
+        .cast("bigint").alias("n_correct"))

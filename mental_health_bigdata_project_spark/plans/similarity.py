@@ -157,9 +157,16 @@ def dedup_minhash_near(spark, sf_dir):
                                   F.element_at("toks", i + 1),
                                   F.element_at("toks", i + 2))),
     ).otherwise(F.array().cast("array<string>"))
-    sh = d.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+    # hash each shingle string ONCE; derive the 16 minhash functions by
+    # re-hashing the resulting 8-byte long with a seed column — 16
+    # fixed-width hashes per shingle instead of 16 full string hashes
+    # (the dominant cost at scale), and no ANSI long-overflow risk.
+    sh = (
+        d.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+        .select("doc_id", F.xxhash64("shingle").alias("h"))
+    )
     mins = sh.groupBy("doc_id").agg(*[
-        F.min(F.xxhash64(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"h{s}")
+        F.min(F.xxhash64(F.col("h"), F.lit(s))).alias(f"h{s}")
         for s in range(N_MINHASH)
     ])
     sig = mins.select("doc_id", F.array(*[f"h{s}" for s in range(N_MINHASH)]).alias("sig"))
