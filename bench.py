@@ -21,6 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # streaming twins — the mix the engine must keep fast at scale.
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_revenue_forecast",
+    "q18_large_orders",
     "groupby_subreddit",
     "project_processed",
     "histogram_risk_buckets",

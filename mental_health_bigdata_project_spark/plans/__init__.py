@@ -17,3 +17,4 @@ from . import similarity  # noqa: F401,E402
 from . import stream_windows  # noqa: F401,E402
 from . import multimodal  # noqa: F401,E402
 from . import mllib  # noqa: F401,E402
+from . import grouped  # noqa: F401,E402

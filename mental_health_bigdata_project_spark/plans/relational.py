@@ -211,25 +211,27 @@ def join_asof_events(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts")
-    views = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("view_event_id"))
-    )
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"), "user_id", "ts")
     tagged = (
         views.select(
             "user_id", "ts", F.lit(0).alias("side"),
             F.lit(None).cast("long").alias("event_id"),
+            F.col("view_event_id").alias("order_id"),
             F.struct(F.col("view_event_id"), F.col("ts").alias("view_ts")).alias("v"))
         .unionByName(
             purchases.select(
                 "user_id", "ts", F.lit(1).alias("side"), "event_id",
+                F.col("event_id").alias("order_id"),
                 F.lit(None).cast("struct<view_event_id:bigint,view_ts:timestamp_ntz>").alias("v")))
     )
-    # views sort before purchases at equal ts => v.ts <= p.ts is inclusive
+    # views sort before purchases at equal ts => v.ts <= p.ts is inclusive;
+    # ordering by event_id within equal (ts, side) means the *last* view
+    # carried forward is the max event_id — same tie-break as a pre-dedup
+    # max() but without its extra shuffle (plan: ONE exchange on user_id).
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "side")
+        .orderBy("ts", "side", "order_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = tagged.withColumn("lv", F.last("v", ignorenulls=True).over(w))
@@ -524,4 +526,64 @@ def q18_large_orders(spark, sf_dir):
         .filter(F.col("qty_dec") > 250)
         .select("o_orderkey", "o_custkey", "o_orderdate",
                 F.col("qty_dec").cast("double").alias("sum_qty"))
+    )
+
+
+# --- skew mitigation (100 TB posture) ------------------------------------
+
+@query("agg_salted_skew", f"""
+    SELECT event_type, count(*) AS n, {dsum_sql('value', 'sum_value')}
+    FROM {EVENTS_TS} GROUP BY event_type
+""")
+def agg_salted_skew(spark, sf_dir):
+    """Two-phase salted aggregation for skewed group keys: event_type
+    has only 5 values, so a direct groupBy funnels ~1/5 of 100 TB into
+    each of 5 reducers.  Salting by pmod(event_id, 16) fans each hot key
+    across 16 partial groups (phase 1 shuffles evenly), then the tiny
+    (key, salt) partials merge in phase 2.  Decimal partials stay
+    decimal until the final cast so the result is bit-identical to the
+    unsalted oracle GROUP BY."""
+    ev = _t(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(16)))
+        .groupBy("event_type", "salt")
+        .agg(F.count("*").alias("pn"),
+             F.sum(F.col("value").cast("decimal(18,2)")).alias("psum"))
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.sum("psum").cast("double").alias("sum_value"))
+
+
+@query("q14_promo_share", """
+    SELECT (100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                   THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                   ELSE CAST(0.00 AS DECIMAL(19,4)) END) AS DOUBLE))
+           / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS promo_share,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+""")
+def q14_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape: fact x part dimension with a conditional revenue
+    share.  Part broadcasts; the decimal sums divide once at the end
+    (one double division -> engine-identical)."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz")))
+    p = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit("0.00").cast("decimal(19,4)"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        # exact decimal sums -> double ONCE each, then identical float
+        # arithmetic ((100*a)/b) on both engines
+        .agg(((F.lit(100.0) * F.sum(promo_rev).cast("double"))
+              / F.sum(rev).cast("double")).alias("promo_share"),
+             F.count("*").alias("n_items"))
     )

@@ -295,7 +295,7 @@ def text_tfidf(spark, sf_dir):
     n = _docs(spark, sf_dir).agg(F.count("*").alias("n"))
     return (
         tf.crossJoin(F.broadcast(n))
-        .join(dfreq, "token")
+        .join(F.broadcast(dfreq), "token")  # vocab << corpus: broadcast
         .select(
             "doc_id", "token", "tf",
             F.round(F.col("tf") * F.log(F.col("n").cast("double") / F.col("dfreq")), 6)

@@ -145,3 +145,25 @@ def test_streaming_session_matches_batch(spark, sf_dir, tmp_path):
              .select("user_id", "session_start", "session_end", "n_events").collect()}
     assert got <= batch
     assert len(got) >= len(batch) - 30  # only watermark-open tail sessions held back
+
+
+def test_streaming_sliding_matches_batch(spark, sf_dir, tmp_path):
+    from mental_health_bigdata_project_spark.plans.stream_windows import (
+        stream_window_sliding)
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "events_src_slide")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        sw.sliding_agg(stream).writeStream.outputMode("append")
+        .format("memory").queryName("sliding_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_slide"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM sliding_out").collect()}
+    batch = {tuple(r) for r in stream_window_sliding(spark, sf_dir).collect()}
+    assert got <= batch
+    assert len(got) >= len(batch) - 6  # watermark-open tail windows held back
