@@ -25,6 +25,9 @@ HEADLINE = [
     "q5_region_revenue",
     "q6_revenue_forecast",
     "q18_large_orders",
+    "q4_order_priority",
+    "q13_custdist",
+    "win_range_frame",
     "groupby_subreddit",
     "project_processed",
     "histogram_risk_buckets",

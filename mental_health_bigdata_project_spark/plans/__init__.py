@@ -18,3 +18,4 @@ from . import stream_windows  # noqa: F401,E402
 from . import multimodal  # noqa: F401,E402
 from . import mllib  # noqa: F401,E402
 from . import grouped  # noqa: F401,E402
+from . import tpch_more  # noqa: F401,E402

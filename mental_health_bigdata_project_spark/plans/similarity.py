@@ -133,6 +133,58 @@ def sim_ann_lsh(spark, sf_dir):
     )
 
 
+@query("sim_ann_ivf")  # rows-only: centroid training is engine-specific
+def sim_ann_ivf(spark, sf_dir):
+    """Approximate NN via an IVF (inverted-file) index: a seeded KMeans
+    coarse quantizer partitions the corpus into 16 cells; the query
+    probes its nprobe nearest cells and brute-forces cosine only
+    inside them.
+
+    This is the *partitioned* scale path that complements sim_ann_lsh's
+    hashed one: at 100 TB the cell id becomes the physical partition
+    key of the embedding store (write once, cluster by cell), so a
+    query touches nprobe/k of the data and the
+    candidate scan is a partition-pruned read, not a shuffle.  The
+    centroid table (k x dim doubles) is broadcast; candidate scoring is
+    the same native zip_with/aggregate cosine as the exact path."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    K_CELLS = 16
+    N_PROBE = 8  # synthetic embeddings are near-uniform (no cluster
+    # structure), so recall scales ~linearly with nprobe/k; real
+    # embedding corpora cluster and get away with nprobe/k ~ 1/16
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        to_double_array("embedding").alias("emb"),
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"))
+    model = KMeans(k=K_CELLS, seed=42, maxIter=10, featuresCol="features").fit(emb)
+    assigned = model.transform(emb).select(
+        "vec_id", "emb", F.col("prediction").alias("cell"))
+
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>")
+    q = assigned.filter(F.col("vec_id") == 1).select(F.col("emb").alias("qe"))
+    probe_cells = (
+        centroids.crossJoin(F.broadcast(q))
+        .select("cell", cosine_similarity(F.col("centroid"), F.col("qe")).alias("c_cos"))
+        .orderBy(F.desc("c_cos"), "cell")
+        .limit(N_PROBE)
+        .select("cell")
+    )
+    return (
+        assigned.join(F.broadcast(probe_cells), "cell")
+        .filter(F.col("vec_id") != 1)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", "cell",
+            F.round(cosine_similarity(F.col("emb"), F.col("qe")), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(50)
+    )
+
+
 N_MINHASH = 16
 BAND_SIZE = 4
 

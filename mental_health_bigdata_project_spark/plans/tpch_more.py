@@ -1,0 +1,431 @@
+"""[EXT] Deeper relational coverage over the star schema: the remaining
+classic TPC-H query shapes (existence/anti semantics, scalar-subquery
+rewrites, disjunctive pushdown, outer-join distributions), pivot/unpivot,
+window-frame depth, exact quantiles, and higher-order array functions.
+
+No reference counterpart (the reference is single-stream, SURVEY.md
+§2.3/§2.6); required by the 100 TB north star.  Same scale posture as
+plans.relational: dims and tiny aggregates broadcast, fact joins shuffle
+once on their equi keys, doubles aggregate through decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load_table
+from .common import davg, dsum
+from .registry import EVENTS_TS, dsum_sql, query
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+_REV_SQL = ("CAST(l.l_extendedprice AS DECIMAL(12,2)) "
+            "* (1 - CAST(l.l_discount AS DECIMAL(4,2)))")
+
+
+def _rev():
+    return (F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
+
+
+# --- TPC-H shapes --------------------------------------------------------
+
+@query("q4_order_priority", """
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+""")
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join.  The
+    semi join shuffles both sides on orderkey but emits each order at
+    most once (no fact-fact row explosion), then a tiny hash agg on the
+    5 priority values — partial map-side combine makes the final
+    exchange metadata-sized."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp_ntz")))
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(l, (o.o_orderkey == l.l_orderkey)
+               & (l.l_shipdate > o.o_orderdate), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query("q10_returned_items", f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+""")
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue by customer, top 20.
+    Filters push to both fact scans, nation broadcasts, and the top-20
+    runs as TakeOrderedAndProject (no global sort) with c_custkey as
+    the deterministic tiebreak."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz")))
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query("q13_custdist", """
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+""")
+def q13_custdist(spark, sf_dir):
+    """TPC-H Q13 shape: order-count distribution including zero-order
+    customers.  The join predicate (not a WHERE filter) must stay in the
+    ON clause or outer rows vanish; the second groupBy is tiny after the
+    first collapses to one row per customer."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@query("q17_small_qty_revenue", """
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             / 7.0 AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (SELECT l_partkey,
+                 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                        / COUNT(l_quantity)) AS qty_thresh
+          FROM lineitem GROUP BY l_partkey) t
+      ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23' AND l.l_quantity < t.qty_thresh
+""")
+def q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar subquery (per-part avg
+    quantity) decorrelated into an aggregate-then-join.  The per-part
+    aggregate is ~#parts rows — broadcast it so the fact side joins
+    without a shuffle; the brand filter prunes via the broadcast part
+    dim before the threshold comparison."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    thresh = (
+        l.groupBy(F.col("l_partkey").alias("t_partkey"))
+        .agg((F.lit(0.2) * davg("l_quantity")).alias("qty_thresh"))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(thresh), l.l_partkey == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg((dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+             F.count("*").alias("n_lines"))
+    )
+
+
+@query("q19_disjunctive", f"""
+    SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue, count(*) AS n
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+""")
+def q19_disjunctive(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides.  Catalyst
+    extracts the common l_quantity range ([1,30]) and the p_brand IN
+    set as pushable conjuncts to each scan, keeps the full disjunction
+    as the join filter, and broadcasts part."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
+           & q.between(20, 30))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(F.sum(_rev()).cast("double").alias("revenue"),
+             F.count("*").alias("n"))
+    )
+
+
+@query("q22_idle_customers", """
+    SELECT substring(c.c_name, 10, 1) AS cntrycode, count(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                                / COUNT(c_acctbal)
+                         FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY cntrycode
+""")
+def q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: global-average scalar subquery (one-row
+    broadcast cross join) + NOT EXISTS as a left-anti join on the
+    orders fact.  The anti join is the only real shuffle; the scalar
+    average never leaves the driver-side broadcast.  The anti side is
+    urgent orders only (every synthetic customer has *some* order, so
+    the literal TPC-H predicate selects nothing)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT")
+    avg_bal = (c.filter(F.col("c_acctbal") > 0.0)
+               .agg(davg("c_acctbal").alias("avg_bal")))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.substring("c_name", 10, 1).alias("cntrycode"))
+        .agg(F.count("*").alias("numcust"),
+             dsum("c_acctbal").alias("totacctbal"))
+    )
+
+
+# --- pivot / unpivot -----------------------------------------------------
+
+@query("pivot_priority_by_segment", """
+    SELECT c.c_mktsegment,
+           count(*) FILTER (WHERE o.o_orderpriority = '1-URGENT') AS urgent,
+           count(*) FILTER (WHERE o.o_orderpriority = '2-HIGH') AS high,
+           count(*) FILTER (WHERE o.o_orderpriority = '3-MEDIUM') AS medium,
+           count(*) FILTER (WHERE o.o_orderpriority = '4-NOT SPECIFIED') AS notspec,
+           count(*) FILTER (WHERE o.o_orderpriority = '5-LOW') AS low
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+""")
+def pivot_priority_by_segment(spark, sf_dir):
+    """Pivot: order-priority counts spread into columns per market
+    segment.  The pivot values are declared explicitly, so Spark skips
+    the extra distinct-values job and compiles straight to one hash agg
+    with five conditional counts — same single shuffle as a plain
+    groupBy."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    labels = {"1-URGENT": "urgent", "2-HIGH": "high", "3-MEDIUM": "medium",
+              "4-NOT SPECIFIED": "notspec", "5-LOW": "low"}
+    pivoted = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderpriority", list(labels))
+        .count()
+    )
+    renamed = pivoted.select(
+        "c_mktsegment",
+        *[F.coalesce(F.col(f"`{k}`"), F.lit(0)).alias(v)
+          for k, v in labels.items()])
+    return renamed
+
+
+@query("unpivot_lineitem_measures", f"""
+    SELECT measure, {dsum_sql('v', 'total', 2)}, count(*) AS n
+    FROM (
+      SELECT 'quantity' AS measure, l_quantity AS v FROM lineitem
+      UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'tax', l_tax FROM lineitem
+    ) GROUP BY measure
+""")
+def unpivot_lineitem_measures(spark, sf_dir):
+    """Unpivot (melt): three measure columns stacked into rows via the
+    native unpivot operator — a zero-shuffle Expand node that emits 3
+    rows per input row, vs the oracle's 3-scan UNION ALL.  At 100 TB
+    Expand reads the fact once; the UNION ALL form reads it three
+    times."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.unpivot(
+            ids=[], values=["l_quantity", "l_extendedprice", "l_tax"],
+            variableColumnName="measure", valueColumnName="v")
+        .withColumn("measure", F.expr("substring(measure, 3)"))
+        .groupBy("measure")
+        .agg(dsum("v").alias("total"), F.count("*").alias("n"))
+    )
+
+
+# --- window-function depth ----------------------------------------------
+
+@query("win_ntile_percentrank", """
+    SELECT o_orderkey, o_custkey,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           first_value(o_orderkey) OVER w AS cheapest_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+""")
+def win_ntile_percentrank(spark, sf_dir):
+    """Analytic-window depth: ntile / percent_rank / cume_dist /
+    first_value over one shared (partition, order) spec — Catalyst
+    collapses all four into a single Window node, so the plan is one
+    exchange + one sort regardless of function count.  o_orderkey in
+    the ORDER BY makes ranks deterministic under price ties."""
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+    )
+
+
+@query("win_range_frame", f"""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+                (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS rolling_1h
+    FROM {EVENTS_TS}
+""")
+def win_range_frame(spark, sf_dir):
+    """RANGE frame over event time: per-user rolling 1-hour sum — the
+    time-series primitive behind rate limits and rolling features.  One
+    exchange on user_id + one sort on ts; the frame scan is linear per
+    partition (no per-row re-aggregation).  Ordering key is microseconds
+    since epoch so the inclusive 1-hour bound lands on the same rows as
+    the oracle's INTERVAL arithmetic (events carry sub-second ts)."""
+    ev = _t(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ: timestampdiff from a fixed epoch is pure local
+    # arithmetic (no session-timezone reinterpretation like unix_micros).
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    w = (Window.partitionBy("user_id")
+         .orderBy(micros)
+         .rangeBetween(-3_600_000_000, Window.currentRow))
+    return ev.select(
+        "event_id", "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+        .cast("double").alias("rolling_1h"))
+
+
+# --- exact quantiles -----------------------------------------------------
+
+@query("agg_median_exact", """
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(value) AS median_value
+    FROM ranked
+    WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+    GROUP BY event_type
+""")
+def agg_median_exact(spark, sf_dir):
+    """Exact distributed median by rank selection: row_number the
+    partition, keep the middle element (or both middles for even n),
+    average them.  Identical integer index arithmetic on both engines —
+    no interpolation formula to drift.  At 100 TB this is one sort per
+    group key; for fixed-memory sketched quantiles see
+    approx_percentile (agg_approx_distinct covers the sketch posture)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type", "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"))
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("n") + 2) / 2)))
+    return mid.groupBy("event_type").agg(davg("value").alias("median_value"))
+
+
+# --- higher-order array functions ---------------------------------------
+
+@query("arr_higher_order", """
+    SELECT vec_id,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           round(CAST(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DOUBLE), 4)
+             AS sq_norm,
+           round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_comp
+    FROM embeddings
+""")
+def arr_higher_order(spark, sf_dir):
+    """Higher-order array functions on the embedding column: filter /
+    transform / aggregate / array_max — all JVM-side lambda expressions
+    (no Python).  This is the building block under the similarity
+    queries; sq_norm is the self-dot-product via transform+aggregate.
+    Floats widen to double before multiplying so both engines square
+    identical doubles, and the left-to-right sum order matches DuckDB's
+    list_sum."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.aggregate(
+                F.transform("embedding",
+                            lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x),
+            4).alias("sq_norm"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_comp"),
+    )
+
+
+# --- deterministic sampling ---------------------------------------------
+
+@query("sample_systematic", f"""
+    SELECT event_type, count(*) AS n, {dsum_sql('value', 'sum_value')}
+    FROM {EVENTS_TS} WHERE event_id % 20 = 0 GROUP BY event_type
+""")
+def sample_systematic(spark, sf_dir):
+    """Systematic 5% sample: deterministic key-modulus predicate instead
+    of TABLESAMPLE, so the sample is stable across engines, runs, and
+    partitionings (seeded Bernoulli sampling is engine-specific RNG and
+    would never hash-match an oracle).  The predicate pushes to the
+    scan, so the 95% skipped rows never leave parquet row-group
+    filters."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_id") % 20 == 0)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+    )

@@ -84,3 +84,14 @@ def test_broadcast_dim_join_is_broadcast(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ivf_recall_vs_exact_topk(spark, sf_dir):
+    """IVF with nprobe=4/16 cells must recover most of the exact top-10
+    (embedding clusters are coherent, so the true neighbours live in the
+    probed cells)."""
+    exact = {r.vec_id
+             for r in entry_mod.queries()["sim_cosine_topk"](spark, sf_dir).collect()}
+    ivf = {r.vec_id
+           for r in entry_mod.queries()["sim_ann_ivf"](spark, sf_dir).collect()}
+    assert len(exact & ivf) >= 6, sorted(exact - ivf)
