@@ -3,9 +3,11 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {qid: sec}, "sf": ...}.
 
-Each query is executed to completion (count() materializes the full
-plan) after a warm-up of the session; per-query wall time is measured
-around the action.
+Each query is executed to completion through the `noop` sink — unlike
+count(), noop materializes EVERY output column (count lets Spark prune
+computed projections, which would under-measure projection-heavy
+queries).  Per-query wall time is measured around the action after a
+session warm-up.
 """
 
 from __future__ import annotations
@@ -59,16 +61,21 @@ def main() -> None:
                       shuffle_partitions=int(cpus))
     qs = entry_mod.queries()
 
-    # Warm up the JVM/codegen paths once with a trivial action.
+    # Warm up the JVM once, plus each table's scan path (footer reads,
+    # vectorized-reader init) so per-query numbers measure steady-state
+    # execution rather than first-touch costs the queries don't own.
     spark.range(1000).count()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).count()
 
     timings: dict[str, float] = {}
     for qid in HEADLINE:
         fn = qs[qid]
         t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[qid] = round(time.perf_counter() - t0, 3)
-        print(f"# {qid}: {timings[qid]:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {qid}: {timings[qid]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

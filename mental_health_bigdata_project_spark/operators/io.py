@@ -34,3 +34,29 @@ def latest_n(df: DataFrame, order_col: str, tiebreak_col: str, n: int) -> DataFr
     """'Most recent N' as a query (TakeOrderedAndProject — per-partition
     top-N then driver merge of N rows) instead of a maintained file."""
     return df.orderBy(F.desc(order_col), F.desc(tiebreak_col)).limit(n)
+
+
+def write_bucketed(df: DataFrame, table_name: str, bucket_col: str,
+                   n_buckets: int = 16, sort_col: str | None = None,
+                   mode: str = "overwrite") -> None:
+    """Bucketed (hash-clustered) table write: rows are hash-partitioned
+    on ``bucket_col`` into ``n_buckets`` files per write task, and the
+    bucketing spec is recorded in the catalog.
+
+    This is the co-located-join primitive at 100 TB: two facts bucketed
+    on the same key with the same bucket count join WITHOUT either side
+    shuffling (SortMergeJoin reads bucket i against bucket i), and a
+    groupBy on the bucket key skips its exchange too.  The shuffle is
+    paid ONCE at write time instead of per query."""
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table_name)
+
+
+def join_bucketed(spark: SparkSession, left_table: str, right_table: str,
+                  on: str) -> DataFrame:
+    """Join two same-spec bucketed tables on their bucket key: with
+    bucketing aligned, the plan contains no Exchange on either side
+    (asserted in tests/test_sources_io.py)."""
+    return spark.table(left_table).join(spark.table(right_table), on)

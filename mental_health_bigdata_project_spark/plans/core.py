@@ -121,8 +121,15 @@ def filter_high_risk(spark, sf_dir):
 """)
 def filter_risk_bucket(spark, sf_dir):
     """Range-bucket labelling (dashboard/app.py:64-72)."""
-    return _docs(spark, sf_dir).select(
-        "doc_id", risk_bucket(risk_score(F.col("text"))).alias("bucket"))
+    # Two selects, not risk_bucket(risk_score(...)) inline: the bucket
+    # CASE references the score 3x, and inlining would triplicate the
+    # 16-term contains tree in codegen (~3x compile time; CollapseProject
+    # keeps the boundary because the expression is non-cheap and multiply
+    # referenced).
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", risk_score(F.col("text")).alias("risk"))
+        .select("doc_id", risk_bucket(F.col("risk")).alias("bucket")))
 
 
 # --- aggregations (§2.4) -------------------------------------------------
@@ -183,7 +190,9 @@ def histogram_risk_buckets(spark, sf_dir):
     """Fixed-edge histogram incl. zero buckets (dashboard/app.py:62-72);
     the 4-row bucket table is broadcast."""
     from ..operators.analytics import RISK_BUCKETS
-    df = _docs(spark, sf_dir).select(risk_bucket(risk_score(F.col("text"))).alias("bucket"))
+    df = (_docs(spark, sf_dir)
+          .select(risk_score(F.col("text")).alias("risk"))
+          .select(risk_bucket(F.col("risk")).alias("bucket")))  # split: see filter_risk_bucket
     counts = df.groupBy("bucket").agg(F.count("*").alias("c"))
     buckets = spark.createDataFrame([(b,) for b in RISK_BUCKETS], ["bucket"])
     return (

@@ -1,0 +1,57 @@
+"""[EXT] Custom stateful streaming operator via applyInPandasWithState
+(SURVEY.md §2.9): the escape hatch for per-key logic that built-in
+windowed aggregation can't express (running totals that must be emitted
+*every* micro-batch, per-key model state, custom eviction policies).
+
+The reference keeps its only state in an unbounded Python ``seen_ids``
+set and a 100-post ring buffer (kafka_consumer_simple.py:14,104);
+here state is per-key, Arrow-batched, checkpointed by the state store,
+and bounded by an idle-processing-timeout eviction policy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RUNNING_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double"
+RUNNING_STATE_SCHEMA = "n bigint, s double"
+
+
+def running_user_totals(events: DataFrame,
+                        idle_timeout_ms: int | None = None) -> DataFrame:
+    """Per-user running (count, sum(value)) emitted anew every
+    micro-batch the user appears in — a continuously-updated feature
+    the built-in aggs only provide per *window*, not per key-lifetime.
+
+    State is two scalars per user (16 bytes + key), merged with each
+    Arrow batch; with ``idle_timeout_ms`` set, users idle longer than
+    the timeout are evicted (bounded state at 100 TB key cardinality:
+    eviction is the difference between O(active users) and O(all users
+    ever seen))."""
+    import pandas as pd
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if idle_timeout_ms
+               else GroupStateTimeout.NoTimeout)
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        if idle_timeout_ms:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, RUNNING_OUTPUT_SCHEMA, RUNNING_STATE_SCHEMA,
+            "update", timeout)
+    )

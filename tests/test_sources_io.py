@@ -56,3 +56,27 @@ def test_latest_n_query(spark, sf_dir):
     plan = mio.latest_n(ev, "ts", "event_id", 5)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key must sort-merge join with no
+    Exchange in the plan — the write-once-shuffle-never contract."""
+    from mental_health_bigdata_project_spark.operators.io import (
+        join_bucketed, write_bucketed)
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = load_table(spark, sf_dir, "orders")
+        c = load_table(spark, sf_dir, "customer").withColumnRenamed(
+            "c_custkey", "o_custkey")
+        write_bucketed(o, "bkt_orders", "o_custkey", 8)
+        write_bucketed(c, "bkt_customer", "o_custkey", 8)
+        joined = join_bucketed(spark, "bkt_orders", "bkt_customer", "o_custkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() == o.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_customer")

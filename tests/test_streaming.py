@@ -167,3 +167,31 @@ def test_streaming_sliding_matches_batch(spark, sf_dir, tmp_path):
     batch = {tuple(r) for r in stream_window_sliding(spark, sf_dir).collect()}
     assert got <= batch
     assert len(got) >= len(batch) - 6  # watermark-open tail windows held back
+
+
+def test_stateful_running_totals_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState running totals: after one availableNow
+    pass the newest emitted row per user must equal the batch groupBy."""
+    from mental_health_bigdata_project_spark.streaming.stateful import (
+        running_user_totals)
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "events_src_state")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        running_user_totals(stream).writeStream.outputMode("update")
+        .format("memory").queryName("state_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r.user_id: (r.n_events, round(r.sum_value, 2))
+           for r in spark.sql("SELECT * FROM state_out").collect()}
+    batch = {r.user_id: (r.n, round(r.s, 2))
+             for r in events.groupBy("user_id")
+             .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+             .collect()}
+    assert got == batch
