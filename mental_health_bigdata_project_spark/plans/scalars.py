@@ -157,3 +157,101 @@ def groupby_collect_posts(spark, sf_dir):
     return _docs(spark, sf_dir).groupBy("lang").agg(
         F.array_join(F.transform(sorted_ids, lambda x: x.cast("string")), ",")
         .alias("doc_ids"))
+
+
+@query("scalar_string_breadth", """
+    SELECT doc_id,
+           COALESCE(regexp_extract(lower(text), '([a-z]{4,})', 1), '') AS first_long_word,
+           lpad(lang, 6, '_') AS lang_pad,
+           translate(lang, 'aeiou', '@3!0u') AS lang_translated,
+           CAST(levenshtein(lang, source) AS INTEGER) AS lang_src_dist,
+           reverse(lang) AS lang_rev,
+           repeat(lang, 2) AS lang_twice,
+           split_part(text, ' ', 1) AS first_token,
+           CAST(strpos(lower(text), 'the') AS INTEGER) AS the_pos
+    FROM documents
+""")
+def scalar_string_breadth(spark, sf_dir):
+    """§2.7 extended string surface: regexp_extract, pad, translate,
+    levenshtein (fuzzy-match primitive for entity dedup), reverse,
+    repeat, split_part, instr — each a direct JVM expression with an
+    exact DuckDB twin (no initcap: capitalization locales differ)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract(F.lower("text"), r"([a-z]{4,})", 1).alias("first_long_word"),
+        F.lpad("lang", 6, "_").alias("lang_pad"),
+        F.translate("lang", "aeiou", "@3!0u").alias("lang_translated"),
+        F.levenshtein("lang", "source").cast("int").alias("lang_src_dist"),
+        F.reverse("lang").alias("lang_rev"),
+        F.repeat("lang", 2).alias("lang_twice"),
+        F.split(F.col("text"), " ").getItem(0).alias("first_token"),
+        F.instr(F.lower("text"), "the").cast("int").alias("the_pos"),
+    )
+
+
+@query("scalar_date_breadth", """
+    SELECT o_orderkey,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           CAST(isodow(o_orderdate) AS INTEGER) AS iso_dow,
+           CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+           CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start
+    FROM orders
+""")
+def scalar_date_breadth(spark, sf_dir):
+    """§2.7 extended date surface: last_day, quarter, ISO day-of-week
+    (Spark weekday() is Mon=0, DuckDB isodow is Mon=1 — aligned by +1),
+    day-of-year, week truncation."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.last_day("o_orderdate").cast("timestamp_ntz").alias("month_end"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        (F.weekday("o_orderdate") + F.lit(1)).cast("int").alias("iso_dow"),
+        F.dayofyear("o_orderdate").cast("int").alias("doy"),
+        F.date_trunc("week", "o_orderdate").alias("week_start"),
+    )
+
+
+@query("arr_explode_pos", r"""
+    SELECT doc_id, u.pos, u.tok FROM (
+      SELECT doc_id,
+             unnest(list_transform(regexp_split_to_array(trim(lower(text)), '\s+'),
+                    (x, i) -> {'pos': i - 1, 'tok': x})) AS u
+      FROM documents WHERE length(trim(text)) > 0
+    )
+""")
+def arr_explode_pos(spark, sf_dir):
+    """posexplode: tokens with their 0-based position (the UDTF-shaped
+    lateral view).  One Generate node per row batch — no shuffle; the
+    DuckDB twin is unnest over an index-carrying struct list."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0)
+    return (
+        d.select("doc_id", F.posexplode(
+            F.split(F.trim(F.lower("text")), r"\s+")).alias("pos", "tok"))
+        .select("doc_id", F.col("pos").cast("bigint").alias("pos"), "tok")
+    )
+
+
+@query("arr_explode_outer", r"""
+    SELECT doc_id, u AS long_tok FROM (
+      SELECT doc_id,
+             unnest(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END) AS u
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                               x -> length(x) >= 12) AS l
+            FROM documents)
+    )
+""")
+def arr_explode_outer(spark, sf_dir):
+    """explode_outer: rows with an empty array survive with a NULL
+    element (plain explode would drop them — the left-join-shaped
+    generate).  The DuckDB twin pads empty lists with [NULL]."""
+    d = load_table(spark, sf_dir, "documents")
+    long_toks = F.filter(
+        F.split(F.trim(F.lower("text")), r"\s+"),
+        lambda x: F.length(x) >= 12)
+    return d.select(
+        "doc_id", F.explode_outer(long_toks).alias("long_tok"))
