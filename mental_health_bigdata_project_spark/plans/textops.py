@@ -302,3 +302,57 @@ def text_tfidf(spark, sf_dir):
             .alias("tfidf"),
         )
     )
+
+
+@query("pipeline_training_data", f"""
+    WITH t AS (
+      SELECT doc_id, lang, text, {_TOKS_SQL} AS toks, md5({_CLEAN}) AS fingerprint
+      FROM documents
+    ),
+    q AS (
+      SELECT *,
+             (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                 / CAST(length(text) AS DOUBLE))
+               * LEAST(1.0, len(toks) / 50.0) AS quality
+      FROM t WHERE length(text) > 0 AND len(toks) >= 5
+    ),
+    d AS (
+      SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+      FROM q WHERE quality >= 0.5
+    )
+    SELECT doc_id, lang, CAST(len(toks) AS INTEGER) AS n_tokens,
+           round(quality, 6) AS quality
+    FROM d WHERE rn = 1
+""")
+def pipeline_training_data(spark, sf_dir):
+    """The end-to-end pretraining-corpus cleaning pipeline as ONE plan:
+    tokenize -> quality score -> quality/length gate -> exact dedup
+    (min-doc_id survivor per content fingerprint) -> per-doc stats.
+
+    Plan shape at 100 TB: a single scan computes tokens/quality/
+    fingerprint in one projection (all codegen'd); the quality gate
+    filters BEFORE the dedup shuffle so only surviving docs are hashed
+    across the cluster; the one exchange is the fingerprint window.
+    Composes the same expressions as text_quality_score/dedup_exact_docs
+    — this query exists to prove they fuse into one pipeline without
+    materialization barriers."""
+    toks = tokens_col()
+    df = _docs(spark, sf_dir).select(
+        "doc_id", "lang", "text", toks.alias("toks"),
+        F.md5(clean_text(F.col("text"))).alias("fingerprint"))
+    punct = (F.length("text") - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))) \
+        / F.length("text").cast("double")
+    quality = (F.lit(1.0) - punct) * F.least(F.lit(1.0), F.size("toks") / F.lit(50.0))
+    gated = (
+        df.filter((F.length("text") > 0) & (F.size("toks") >= 5))
+        .withColumn("quality", quality)
+        .filter(F.col("quality") >= 0.5)
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang",
+                F.size("toks").cast("int").alias("n_tokens"),
+                F.round("quality", 6).alias("quality"))
+    )

@@ -95,3 +95,27 @@ def test_ivf_recall_vs_exact_topk(spark, sf_dir):
     ivf = {r.vec_id
            for r in entry_mod.queries()["sim_ann_ivf"](spark, sf_dir).collect()}
     assert len(exact & ivf) >= 6, sorted(exact - ivf)
+
+
+def test_pipeline_training_data_has_one_shuffle(spark, sf_dir):
+    """The composite cleaning pipeline must fuse into a single scan +
+    one exchange (the dedup window on fingerprint) — no materialization
+    barriers between quality gate and dedup."""
+    df = entry_mod.queries()["pipeline_training_data"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_q5_broadcasts_all_dims(spark, sf_dir):
+    """Q5's nation/region/supplier sides must broadcast (no shuffle for
+    dimension joins at these ratios)."""
+    df = entry_mod.queries()["q5_region_revenue"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_sample_systematic_pushes_predicate(spark, sf_dir):
+    """The modulus sample predicate must reach the parquet scan."""
+    df = entry_mod.queries()["sample_systematic"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(event_id)]" in plan, plan
