@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..sources import load_table
+from ..sources import load_table, register_temp_views
 from .common import davg, dsum
 from .registry import EVENTS_TS, dsum_sql, query
 
@@ -429,3 +429,69 @@ def sample_systematic(spark, sf_dir):
         .groupBy("event_type")
         .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
     )
+
+
+# --- null-safe equality / SQL-entry subqueries / sketches ----------------
+
+@query("join_null_safe", f"""
+    WITH keyed AS (
+      SELECT CASE WHEN value < 1.0 THEN NULL ELSE event_type END AS k,
+             count(*) AS n, {dsum_sql('value', 'sv')}
+      FROM {EVENTS_TS} GROUP BY 1
+    )
+    SELECT a.k AS k, a.n AS n_a, b.sv AS sv_b
+    FROM keyed a JOIN keyed b ON a.k IS NOT DISTINCT FROM b.k
+""")
+def join_null_safe(spark, sf_dir):
+    """Null-safe equality join (<=>): NULL keys match each other instead
+    of vanishing — the semantics behind joining on optional attributes.
+    Catalyst plans <=> as an ordinary hash-join key (null hashes to a
+    bucket like any value), so the cost model is identical to = ."""
+    ev = _t(spark, sf_dir, "events")
+    keyed = (
+        ev.withColumn("k", F.when(F.col("value") < 1.0, F.lit(None))
+                      .otherwise(F.col("event_type")))
+        .groupBy("k")
+        .agg(F.count("*").alias("n"), dsum("value").alias("sv"))
+    )
+    a = keyed.select(F.col("k"), F.col("n").alias("n_a"))
+    b = keyed.select(F.col("k").alias("kb"), F.col("sv").alias("sv_b"))
+    return (
+        a.join(b, a.k.eqNullSafe(b.kb))
+        .select("k", "n_a", "sv_b")
+    )
+
+
+@query("sql_in_subquery", """
+    SELECT o.o_orderpriority, count(*) AS n
+    FROM orders o
+    WHERE o.o_custkey IN (SELECT c_custkey FROM customer
+                          WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o.o_orderpriority
+""")
+def sql_in_subquery(spark, sf_dir):
+    """The SQL entry path end-to-end: spark.sql over registered views
+    with an IN subquery — Catalyst decorrelates it to a left-semi join
+    (same physical plan as q4's API form; this query pins the SQL-text
+    surface a reference user would migrate to)."""
+    register_temp_views(spark, sf_dir, ["orders", "customer"])
+    return spark.sql("""
+        SELECT o.o_orderpriority, count(*) AS n
+        FROM orders o
+        WHERE o.o_custkey IN (SELECT c_custkey FROM customer
+                              WHERE c_mktsegment = 'BUILDING')
+        GROUP BY o.o_orderpriority
+    """)
+
+
+@query("agg_approx_percentile")  # rows-only: t-digest/GK sketches are engine-specific
+def agg_approx_percentile(spark, sf_dir):
+    """Fixed-memory quantile sketch (percentile_approx, accuracy 10k)
+    per event_type — the scale path beside agg_median_exact's sort:
+    the sketch merges associatively, so 100 TB costs one map-side pass
+    + a tiny merge, no per-group sort.  Rows-only check: sketch
+    boundaries are engine-specific by construction."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
+        .alias("p50_p90_p99"))

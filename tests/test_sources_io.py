@@ -80,3 +80,27 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_customer")
+
+
+def test_corrupt_json_quarantined_not_fatal(spark, tmp_path):
+    """A malformed line must surface in _corrupt_record while good rows
+    parse normally (dead-letter routing, not job failure)."""
+    from mental_health_bigdata_project_spark.sources.json_posts import (
+        read_posts_json_strict)
+
+    p = tmp_path / "posts.json"
+    p.write_text(
+        '{"id": "ok1", "title": "fine", "score": 3}\n'
+        '{"id": "bad1", "title": THIS-IS-NOT-JSON}\n'
+        '{"id": "ok2", "title": "also fine", "score": 7}\n')
+    # cache() first: Spark refuses queries whose referenced columns are
+    # only the internal corrupt-record column on a raw file scan.
+    df = read_posts_json_strict(spark, str(p)).cache()
+    try:
+        good = [r for r in df.collect() if r._corrupt_record is None]
+        bad = [r for r in df.collect() if r._corrupt_record is not None]
+        assert sorted(r.id for r in good) == ["ok1", "ok2"]
+        assert len(bad) == 1
+        assert "THIS-IS-NOT-JSON" in bad[0]._corrupt_record
+    finally:
+        df.unpersist()
