@@ -119,3 +119,60 @@ def test_clean_is_native_no_python_udf(spark):
     df = spark.createDataFrame([("1", "t", "x")], "id string, title string, text string")
     plan = enrich_posts(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+# --- property-based parity (hypothesis) ----------------------------------
+
+def _spec_clean(s: str) -> str:
+    """Independent pure-Python spec of the clean pipeline (SURVEY §2.7):
+    lower -> strip urls -> strip non-alnum -> collapse whitespace.
+
+    Whitespace is spelled out as the Java/RE2 class [ \\t\\n\\x0b\\f\\r]:
+    Python's \\s additionally matches \\x1c-\\x1f and Unicode spaces,
+    which the engine (Java regex) and the oracle (RE2) both exclude —
+    the engine's class is the contract."""
+    import re
+    ws = " \t\n\x0b\f\r"
+    s = s.lower()
+    s = re.sub(rf"http[^{ws}]+|www[^{ws}]+", "", s)
+    s = re.sub(rf"[^a-z0-9{ws}]", "", s)
+    return re.sub(rf"[{ws}]+", " ", s).strip(ws)
+
+
+def _spec_risk(s: str) -> int:
+    from mental_health_bigdata_project_spark.functions.text import (
+        DISTRESS_KEYWORDS)
+    low = s.lower()
+    return min(10 * sum(1 for k in DISTRESS_KEYWORDS if k in low), 100)
+
+
+def test_property_clean_and_risk_parity(spark):
+    """Randomized parity: the native expressions must equal the spec on
+    adversarial text (unicode, keywords embedded mid-word, URLs,
+    repeated whitespace).  One Spark job per batch, not per example."""
+    from hypothesis import given, settings, strategies as st
+    from mental_health_bigdata_project_spark.functions.text import (
+        DISTRESS_KEYWORDS, clean_text, risk_score)
+
+    frag = st.one_of(
+        st.text(max_size=30),
+        st.sampled_from(DISTRESS_KEYWORDS),
+        st.sampled_from(["http://x.com/a?b=1", "www.foo.bar/baz",
+                         "  ", "\t\n", "CAN'T GO ON", "Die", "diet"]),
+    )
+    texts = st.lists(
+        st.builds(lambda parts: " ".join(parts), st.lists(frag, max_size=6)),
+        min_size=1, max_size=40)
+
+    @settings(max_examples=8, deadline=None)
+    @given(texts)
+    def run(batch):
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(batch)],
+                                   "i int, text string")
+        got = {r.i: (r.c, r.r) for r in df.select(
+            "i", clean_text(F.col("text")).alias("c"),
+            risk_score(F.col("text")).alias("r")).collect()}
+        want = {i: (_spec_clean(t), _spec_risk(t)) for i, t in enumerate(batch)}
+        assert got == want
+
+    run()
