@@ -60,3 +60,24 @@ def join_bucketed(spark: SparkSession, left_table: str, right_table: str,
     bucketing aligned, the plan contains no Exchange on either side
     (asserted in tests/test_sources_io.py)."""
     return spark.table(left_table).join(spark.table(right_table), on)
+
+
+def write_csv(df: DataFrame, out_dir: str, mode: str = "overwrite") -> None:
+    """CSV sink with header; the interchange format for downstream
+    non-Spark consumers.  Timestamps serialize ISO-8601 so a re-read
+    round-trips (see read_csv)."""
+    (df.write.mode(mode).option("header", "true")
+     .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+     .csv(out_dir))
+
+
+def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Schema-checked CSV read (explicit schema: inference costs a full
+    extra pass over the data at scale and can mis-type columns)."""
+    r = (spark.read.option("header", "true")
+         .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+    if schema is not None:
+        r = r.schema(schema)
+    else:
+        r = r.option("inferSchema", "true")
+    return r.csv(path)

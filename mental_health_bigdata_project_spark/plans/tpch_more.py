@@ -495,3 +495,23 @@ def agg_approx_percentile(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
         .alias("p50_p90_p99"))
+
+
+@query("sql_hint_broadcast", f"""
+    SELECT n.n_name, count(*) AS n_cust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+""")
+def sql_hint_broadcast(spark, sf_dir):
+    """Planner-control surface: the /*+ BROADCAST(n) */ SQL hint — how a
+    user forces the build side when statistics mislead the cost model
+    (e.g. a dimension behind a selective filter Catalyst can't estimate).
+    Same result as the optimizer's own choice; the hint pins the plan."""
+    register_temp_views(spark, sf_dir, ["customer", "nation"])
+    return spark.sql("""
+        SELECT /*+ BROADCAST(n) */ n.n_name, count(*) AS n_cust,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """)

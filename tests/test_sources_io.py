@@ -104,3 +104,15 @@ def test_corrupt_json_quarantined_not_fatal(spark, tmp_path):
         assert "THIS-IS-NOT-JSON" in bad[0]._corrupt_record
     finally:
         df.unpersist()
+
+
+def test_csv_roundtrip_preserves_values(spark, sf_dir, tmp_path):
+    """events -> CSV -> events must round-trip values and types under an
+    explicit schema (timestamps via ISO format)."""
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    out = str(tmp_path / "events_csv")
+    mio.write_csv(ev, out)
+    back = mio.read_csv(spark, out, schema=ev.schema)
+    a = sorted(map(tuple, ev.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
