@@ -81,3 +81,20 @@ def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
     else:
         r = r.option("inferSchema", "true")
     return r.csv(path)
+
+
+def merge_upsert(existing: DataFrame, updates: DataFrame,
+                 key_cols: list[str]) -> DataFrame:
+    """Key-based upsert plan: rows of ``existing`` whose key appears in
+    ``updates`` are replaced, new keys are appended — the incremental
+    corpus-refresh primitive (MERGE INTO without a table format: compute
+    the merged relation, then atomically overwrite or write a new
+    snapshot dir).
+
+    Plan shape: one left-anti join (existing minus updated keys) + a
+    unionByName — a single shuffle on the key.  At 100 TB pair this
+    with partitioned layouts so only touched partitions rewrite
+    (dynamic partition overwrite), not the world."""
+    survivors = existing.join(
+        updates.select(*key_cols).distinct(), key_cols, "left_anti")
+    return survivors.unionByName(updates)

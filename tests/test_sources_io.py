@@ -116,3 +116,19 @@ def test_csv_roundtrip_preserves_values(spark, sf_dir, tmp_path):
     a = sorted(map(tuple, ev.collect()))
     b = sorted(map(tuple, back.collect()))
     assert a == b
+
+
+def test_merge_upsert_replaces_and_appends(spark, sf_dir):
+    """Updated keys replace old rows, new keys append, untouched rows
+    survive — and the plan is one anti-join + union (single shuffle)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    updates = spark.createDataFrame(
+        [(1, "zz"), (2, "zz"), (10_000_001, "new")], "doc_id bigint, lang string")
+    merged = mio.merge_upsert(docs, updates, ["doc_id"])
+    n0 = docs.count()
+    got = {r.doc_id: r.lang for r in merged.collect()}
+    assert merged.count() == n0 + 1
+    assert got[1] == "zz" and got[2] == "zz" and got[10_000_001] == "new"
+    sample = docs.filter(~F.col("doc_id").isin(1, 2)).limit(3).collect()
+    for r in sample:
+        assert got[r.doc_id] == r.lang
