@@ -32,12 +32,25 @@ def enriched_stream(stream: DataFrame) -> DataFrame:
 
 def run_to_parquet(stream: DataFrame, out_dir: str, checkpoint_dir: str,
                   latest_n: int | None = None):
-    """foreachBatch append to parquet; optionally maintain a compacted
+    """foreachBatch write to parquet; optionally maintain a compacted
     'latest N' side table per micro-batch (the ring-buffer replacement).
-    Uses availableNow so tests drain the source and terminate."""
+    Uses availableNow so tests drain the source and terminate.
+
+    Exactly-once on replay: each micro-batch lands in its own
+    ``batch_id=N`` partition via dynamic partition overwrite, so a batch
+    retried after a partial write (worker crash between write and
+    checkpoint commit) overwrites ITS OWN partition instead of
+    appending duplicates — a plain mode("append") here is only
+    at-least-once."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(f"{out_dir}/all")
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{out_dir}/all")
+        )
         if latest_n:
             spark = batch_df.sparkSession
             latest = (

@@ -195,3 +195,23 @@ def test_stateful_running_totals_matches_batch(spark, sf_dir, tmp_path):
              .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
              .collect()}
     assert got == batch
+
+
+def test_foreachbatch_sink_idempotent_on_replay(spark, tmp_path):
+    """Re-running the same micro-batch (simulated checkpoint-less
+    replay) must not duplicate rows: the batch overwrites its own
+    batch_id partition."""
+    in_dir = write_posts_json(tmp_path)
+    out_a = str(tmp_path / "out_a")
+    q = sp.run_to_parquet(
+        sp.enriched_stream(sp.read_posts_json_stream(spark, in_dir)),
+        out_a, str(tmp_path / "ckpt_a"))
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(f"{out_a}/all").count()
+    # replay batch 0 with a fresh checkpoint against the same sink dir
+    q2 = sp.run_to_parquet(
+        sp.enriched_stream(sp.read_posts_json_stream(spark, in_dir)),
+        out_a, str(tmp_path / "ckpt_b"))
+    q2.awaitTermination(120)
+    n2 = spark.read.parquet(f"{out_a}/all").count()
+    assert n1 == len(POSTS) and n2 == n1  # no duplicates after replay
