@@ -587,3 +587,33 @@ def q14_promo_share(spark, sf_dir):
               / F.sum(rev).cast("double")).alias("promo_share"),
              F.count("*").alias("n_items"))
     )
+
+
+@query("join_interval_events", f"""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+           v.user_id AS user_id,
+           v.ts AS view_ts, p.ts AS purchase_ts
+    FROM (SELECT * FROM {EVENTS_TS} WHERE event_type = 'view') v
+    JOIN (SELECT * FROM {EVENTS_TS} WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+""")
+def join_interval_events(spark, sf_dir):
+    """Interval join: purchases matched to same-user views within a
+    30-minute bound — the batch twin of the stream-stream join in
+    streaming/joins.py (identical semantics, no watermark).  Equi key
+    user_id carries the shuffle; the time bound is the join residual."""
+    e = _t(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"))
+    return (
+        v.join(p, (F.col("v_user") == F.col("p_user"))
+               & (F.col("purchase_ts") >= F.col("view_ts"))
+               & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTE")))
+        .select("view_id", "purchase_id", F.col("v_user").alias("user_id"),
+                "view_ts", "purchase_ts")
+    )

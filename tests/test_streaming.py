@@ -215,3 +215,62 @@ def test_foreachbatch_sink_idempotent_on_replay(spark, tmp_path):
     q2.awaitTermination(120)
     n2 = spark.read.parquet(f"{out_a}/all").count()
     assert n1 == len(POSTS) and n2 == n1  # no duplicates after replay
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join drained with availableNow must emit a
+    subset of the batch interval join (watermark-open tails held back),
+    and most of it."""
+    from mental_health_bigdata_project_spark.plans.relational import (
+        join_interval_events)
+    from mental_health_bigdata_project_spark.streaming.joins import (
+        stream_stream_view_purchase)
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "events_src_ssj")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    views = stream.filter(F.col("event_type") == "view")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    q = (
+        stream_stream_view_purchase(views, purchases)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("ssj_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r.view_id, r.purchase_id)
+           for r in spark.sql("SELECT * FROM ssj_out").collect()}
+    batch = {(r.view_id, r.purchase_id)
+             for r in join_interval_events(spark, sf_dir).collect()}
+    assert got <= batch
+    assert len(got) >= int(0.8 * len(batch)), (len(got), len(batch))
+
+
+def test_stream_static_enrich(spark, sf_dir, tmp_path):
+    """Stream-static join enriches each micro-batch against the dim."""
+    from mental_health_bigdata_project_spark.streaming.joins import (
+        stream_static_enrich)
+
+    events = load_table(spark, sf_dir, "events").limit(500)
+    src = str(tmp_path / "events_src_sse")
+    events.write.parquet(src)
+    dim = spark.createDataFrame(
+        [("view", "browse"), ("purchase", "convert"), ("click", "browse"),
+         ("signup", "auth"), ("error", "fault")], "event_type string, kind string")
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        stream_static_enrich(stream, dim, "event_type")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("sse_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sse"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sse_out").collect()
+    assert len(rows) == 500
+    assert all(r.kind is not None for r in rows)
