@@ -29,7 +29,11 @@ HEADLINE = [
     "q18_large_orders",
     "q4_order_priority",
     "q13_custdist",
+    "q21_waiting_supplier",
     "win_range_frame",
+    "sessionize_lag_gaps",
+    "pipeline_training_data",
+    "join_interval_events",
     "groupby_subreddit",
     "project_processed",
     "histogram_risk_buckets",

@@ -617,3 +617,53 @@ def join_interval_events(spark, sf_dir):
         .select("view_id", "purchase_id", F.col("v_user").alias("user_id"),
                 "view_ts", "purchase_ts")
     )
+
+
+@query("sessionize_lag_gaps", f"""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_start
+      FROM {EVENTS_TS}
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM gaps
+    )
+    SELECT user_id, session_no, min(ts) AS session_start,
+           max(ts) AS session_end, count(*) AS n_events
+    FROM sess GROUP BY user_id, session_no
+""")
+def sessionize_lag_gaps(spark, sf_dir):
+    """Lag-gap sessionization — the event-analytics standard: a session
+    starts where the gap to the previous same-user event exceeds 30
+    minutes; the session number is the running count of starts.
+
+    Plan: ONE exchange on user_id serves both window passes (lag and the
+    running sum share the partition+order), then the session groupBy is
+    a partial-agg over already-clustered data.  Same session semantics
+    as F.session_window (stream_window_session) — this form also yields
+    a stable session *number* per user, which the window variant
+    doesn't."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NTZ has no cast-to-long: epoch micros via timestampdiff (local
+    # arithmetic, no session-timezone reinterpretation)
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    gap_start = F.when(
+        micros - F.lag(micros).over(w) > 1_800_000_000, 1
+    ).when(F.lag("ts").over(w).isNull(), 1).otherwise(0)
+    sess = (
+        ev.select("user_id", "ts", "event_id", gap_start.alias("is_start"))
+        .withColumn("session_no",
+                    F.sum("is_start").over(
+                        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"))
