@@ -267,3 +267,64 @@ def dedup_simhash(spark, sf_dir):
         F.lit(0).cast("bigint"),
     )
     return bit_sums.select("doc_id", simhash.alias("simhash"))
+
+
+@query("dedup_cluster_components")  # rows-only: built on engine-hash minhash pairs
+def dedup_cluster_components(spark, sf_dir):
+    """Near-dup CLUSTERS: connected components over the minhash
+    candidate-pair graph via iterative min-label propagation — the step
+    real dedup pipelines need after pair generation (keep one doc per
+    component, not per pair; pairs alone over-delete on chains A~B~C).
+
+    Iterative DataFrame algorithm, Spark-style: the loop lives in the
+    driver but touches only per-iteration AGGREGATES (a changed-count),
+    never row data; each pass is one join+groupBy over the edge list.
+    Label convergence takes O(component diameter) passes — near-dup
+    components are shallow (chains of near-identical docs), so the cap
+    of 10 passes is generous.  At 100 TB: edges are the (small)
+    candidate-pair output, not the corpus; each pass shuffles edges
+    once on the label key.  Checkpoint-per-iteration (localCheckpoint)
+    truncates the growing lineage."""
+    pairs = (
+        dedup_minhash_near(spark, sf_dir)
+        .select("doc_a", "doc_b").distinct()
+    )
+    # undirected edge list, both directions + self-loops so isolated
+    # propagation is a plain groupBy-min over neighbours ∪ self
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"),
+                                  F.col("doc_a").alias("dst")))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+    ).localCheckpoint()
+    for _ in range(10):
+        neighbour_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src").agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbour_min, labels.doc_id == F.col("src"), "left")
+            .select("doc_id",
+                    F.least("label", F.coalesce("nbr_label", "label"))
+                    .alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        labels.groupBy("label")
+        .agg(F.count("*").alias("cluster_size"),
+             F.sort_array(F.collect_list("doc_id")).alias("members"))
+        .select(F.col("label").alias("cluster_id"), "cluster_size",
+                F.array_join(F.transform("members", lambda x: x.cast("string")), ",")
+                .alias("member_ids"))
+    )

@@ -119,3 +119,20 @@ def test_sample_systematic_pushes_predicate(spark, sf_dir):
     df = entry_mod.queries()["sample_systematic"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(event_id)]" in plan, plan
+
+
+def test_cluster_components_cover_pairs(spark, sf_dir):
+    """Every minhash candidate pair must land in one cluster, and each
+    cluster id must be its minimum member."""
+    pairs = {(r.doc_a, r.doc_b) for r in entry_mod.queries()
+             ["dedup_minhash_near"](spark, sf_dir).collect()}
+    clusters = entry_mod.queries()["dedup_cluster_components"](spark, sf_dir).collect()
+    member_to_cluster = {}
+    for c in clusters:
+        members = [int(x) for x in c.member_ids.split(",")]
+        assert c.cluster_id == min(members)
+        assert c.cluster_size == len(members)
+        for m in members:
+            member_to_cluster[m] = c.cluster_id
+    for a, b in pairs:
+        assert member_to_cluster[a] == member_to_cluster[b], (a, b)
