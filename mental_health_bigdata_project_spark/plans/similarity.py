@@ -328,3 +328,57 @@ def dedup_cluster_components(spark, sf_dir):
                 F.array_join(F.transform("members", lambda x: x.cast("string")), ",")
                 .alias("member_ids"))
     )
+
+
+@query("vec_centroid_by_label", """
+    SELECT label, pos, CAST(SUM(q) AS DOUBLE) / COUNT(q) / 1000000.0 AS centroid_val
+    FROM (
+      SELECT label, u.pos AS pos, u.q AS q FROM (
+        SELECT label,
+               unnest(list_transform(embedding,
+                      (x, i) -> {'pos': i - 1,
+                                 'q': CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)}))
+                 AS u
+        FROM embeddings
+      )
+    ) GROUP BY label, pos
+""")
+def vec_centroid_by_label(spark, sf_dir):
+    """Per-label embedding centroid (class prototype), one row per
+    (label, dimension).  Determinism trick: floor-quantize each
+    component to integer micro-units BEFORE summing — float summation
+    order is engine/partition-dependent, integer summation is exact —
+    then divide once.  At 100 TB this is posexplode (a Generate, no
+    shuffle) + one hash agg on (label, pos); 64 dims x #labels output
+    rows."""
+    e = _emb(spark, sf_dir)
+    return (
+        e.select("label", F.posexplode(F.col("embedding").cast("array<double>"))
+                 .alias("pos", "val"))
+        .withColumn("q", F.floor(F.col("val") * 1_000_000).cast("bigint"))
+        .groupBy("label", "pos")
+        .agg((F.sum("q").cast("double") / F.count("q") / F.lit(1_000_000.0))
+             .alias("centroid_val"))
+    )
+
+
+@query("vec_normalize", f"""
+    SELECT vec_id,
+           list_transform(embedding::DOUBLE[],
+                          x -> round(x / sqrt(list_dot_product(
+                               embedding::DOUBLE[], embedding::DOUBLE[])), 6))
+             AS unit_vec
+    FROM embeddings
+""")
+def vec_normalize(spark, sf_dir):
+    """L2 normalization to unit vectors — the preprocessing step that
+    turns Euclidean KMeans into spherical (cosine) clustering and lets
+    dot products serve as cosine.  Pure per-row array lambdas (no
+    shuffle); 6dp rounding absorbs the one libm sqrt ulp."""
+    e = _emb(spark, sf_dir)
+    v = to_double_array("embedding")
+    norm = F.sqrt(F.aggregate(
+        F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x))
+    return e.select(
+        "vec_id",
+        F.transform(v, lambda x: F.round(x / norm, 6)).alias("unit_vec"))
