@@ -667,3 +667,47 @@ def sessionize_lag_gaps(spark, sf_dir):
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count("*").alias("n_events"))
+
+
+@query("win_moving_avg", f"""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             / COUNT(value) OVER w AS mavg_4
+    FROM {EVENTS_TS}
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+""")
+def win_moving_avg(spark, sf_dir):
+    """Bounded ROWS frame: 4-row trailing moving average per user — the
+    smoothing primitive.  Distinct from win_running_sum's unbounded
+    frame (constant-size frame = O(1) update per row in the window
+    scan).  Decimal-domain average: DECIMAL avg is exact at every frame
+    position, so the one cast to double matches DuckDB bit-for-bit."""
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-3, Window.currentRow))
+    # exact decimal SUM over the frame, ONE double division — decimal
+    # AVG itself diverges (Spark keeps decimal(22,6), DuckDB divides in
+    # double)
+    return ev.select(
+        "event_id", "user_id",
+        (F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+         / F.count("value").over(w)).alias("mavg_4"))
+
+
+@query("agg_boolean", f"""
+    SELECT event_type,
+           CAST(count(*) FILTER (WHERE value > 50.0) AS BIGINT) AS n_high,
+           bool_and(value >= 0.0) AS all_nonneg,
+           bool_or(value > 99.0) AS any_extreme
+    FROM {EVENTS_TS} GROUP BY event_type
+""")
+def agg_boolean(spark, sf_dir):
+    """Boolean aggregate surface: conditional count (count_if), every
+    (bool_and), any (bool_or) — short-circuitable predicates that stay
+    in the partial-agg map side."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 50.0).alias("n_high"),
+        F.every(F.col("value") >= 0.0).alias("all_nonneg"),
+        F.some(F.col("value") > 99.0).alias("any_extreme"))

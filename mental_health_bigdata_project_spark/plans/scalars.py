@@ -255,3 +255,38 @@ def arr_explode_outer(spark, sf_dir):
         lambda x: F.length(x) >= 12)
     return d.select(
         "doc_id", F.explode_outer(long_toks).alias("long_tok"))
+
+
+@query("arr_set_ops", r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_sort(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.toks, b.toks)) AS n_common,
+           len(list_distinct(list_concat(a.toks, b.toks))) AS n_union,
+           len(list_filter(a.toks, x -> NOT list_contains(b.toks, x))) AS n_only_a
+    FROM t a JOIN t b ON b.doc_id = a.doc_id + 1 AND a.doc_id < 50
+""")
+def arr_set_ops(spark, sf_dir):
+    """Per-row array set algebra (intersect/union/except cardinalities
+    between adjacent docs) — the vocabulary-overlap primitive under
+    Jaccard.  Cardinalities, not arrays, cross the engine boundary:
+    element order inside set results is engine-specific, sizes are not."""
+    toks = F.array_sort(F.array_distinct(
+        F.split(F.trim(F.lower("text")), r"\s+")))
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.length(F.trim("text")) > 0)
+         .select("doc_id", toks.alias("toks")))
+    a = d.filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    return (
+        a.join(b, F.col("doc_b") == F.col("doc_a") + 1)
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect("ta", "tb")).alias("n_common"),
+            F.size(F.array_union("ta", "tb")).alias("n_union"),
+            F.size(F.array_except("ta", "tb")).alias("n_only_a"))
+    )
