@@ -66,3 +66,41 @@ def extract_features(payloads: DataFrame) -> DataFrame:
             })
 
     return payloads.mapInPandas(featurize, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = ("doc_id bigint, frame_idx int, frame_bytes binary, "
+                "frame_len int")
+
+
+def sample_frames(payloads: DataFrame, frame_size: int = 64,
+                  every_nth: int = 4) -> DataFrame:
+    """Frame sampling over a binary payload: treat the payload as a
+    sequence of fixed-size frames (the stand-in for video decode —
+    a real decoder would emit actual frames here) and keep every Nth.
+
+    Shape contract for the real thing: mapInPandas fan-OUT (one input
+    row -> many frame rows), explicit output schema, frames never
+    gathered to the driver; downstream per-frame featurization is
+    another mapInPandas over the same partitioning — no shuffle between
+    decode and featurize."""
+
+    def frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_bytes": [],
+                   "frame_len": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = (len(payload) + frame_size - 1) // frame_size
+                for idx in range(0, n_frames, every_nth):
+                    chunk = payload[idx * frame_size:(idx + 1) * frame_size]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_bytes"].append(bytes(chunk))
+                    out["frame_len"].append(len(chunk))
+            yield pd.DataFrame(out)
+
+    return (
+        payloads.select("doc_id", "payload")
+        .mapInPandas(frames, FRAME_SCHEMA)
+    )

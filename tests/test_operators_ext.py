@@ -136,3 +136,26 @@ def test_cluster_components_cover_pairs(spark, sf_dir):
             member_to_cluster[m] = c.cluster_id
     for a, b in pairs:
         assert member_to_cluster[a] == member_to_cluster[b], (a, b)
+
+
+def test_frame_sampling_shapes(spark, sf_dir):
+    """Frame sampler: every 4th 64-byte frame, correct indices/lengths,
+    fan-out preserved per doc."""
+    from mental_health_bigdata_project_spark.operators.media import (
+        sample_frames, with_binary_payload)
+    from mental_health_bigdata_project_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    payloads = with_binary_payload(docs)
+    frames = sample_frames(payloads).collect()
+    assert frames
+    by_doc = {}
+    for r in frames:
+        assert r.frame_idx % 4 == 0
+        assert 0 < r.frame_len <= 64
+        assert len(r.frame_bytes) == r.frame_len
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    src = {r.doc_id: len(r.payload) for r in payloads.collect()}
+    for doc_id, idxs in by_doc.items():
+        expected = list(range(0, (src[doc_id] + 63) // 64, 4))
+        assert sorted(idxs) == expected
