@@ -702,3 +702,59 @@ def q21_waiting_supplier(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@query("q12_ship_latency", """
+    SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30 THEN 'fast'
+                WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90 THEN 'normal'
+                ELSE 'slow' END AS latency_class,
+           CAST(count(*) FILTER (WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH'))
+                AS BIGINT) AS high_line_count,
+           CAST(count(*) FILTER (WHERE o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+                AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate
+    GROUP BY latency_class
+""")
+def q12_ship_latency(spark, sf_dir):
+    """TPC-H Q12 shape (shipmode -> ship-latency classes, this schema
+    has no shipmode): priority-split line counts per latency bucket —
+    derived grouping key + two conditional counts in one hash agg."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lat = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    latency_class = (F.when(lat <= 30, "fast")
+                     .when(lat <= 90, "normal").otherwise("slow"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, o.o_orderkey == l.l_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .groupBy(latency_class.alias("latency_class"))
+        .agg(F.count_if(high).alias("high_line_count"),
+             F.count_if(~high).alias("low_line_count"))
+    )
+
+
+@query("q16_supplier_variety", """
+    SELECT p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#45' AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+    GROUP BY p.p_type, p.p_size
+""")
+def q16_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    (partsupp stands in as lineitem's (partkey, suppkey) pairs).  A
+    distinct aggregate after a join: Spark plans it as two-phase —
+    partial dedup of (group, suppkey) before the exchange, then the
+    distinct count — so the shuffle carries deduped pairs, not raw
+    lineitems.  The NOT/IN filters ride the broadcast part dim."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
