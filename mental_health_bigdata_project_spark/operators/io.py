@@ -91,6 +91,11 @@ def merge_upsert(existing: DataFrame, updates: DataFrame,
     the merged relation, then atomically overwrite or write a new
     snapshot dir).
 
+    Precondition: ``updates`` must be key-unique — like MERGE INTO,
+    multiple source rows per key are invalid (they would all survive
+    the union and break the snapshot's key invariant); dedupe upstream
+    with an explicit survivor rule first.
+
     Plan shape: one left-anti join (existing minus updated keys) + a
     unionByName — a single shuffle on the key.  At 100 TB pair this
     with partitioned layouts so only touched partitions rewrite

@@ -205,8 +205,10 @@ def join_asof_events(spark, sf_dir):
     union-then-window pattern: tag both sides, sort within user by
     (ts, side), and carry the last view forward with last_value(ignore
     nulls).  One shuffle on user_id, state is O(1) per row — the same
-    plan holds at 100 TB.  Views are pre-deduped to one per (user, ts)
-    (max event_id) so ties are deterministic, matching DuckDB ASOF.
+    plan holds at 100 TB.  Ties at equal (ts, side) are broken by
+    ordering on event_id inside the same window pass (the carried view
+    is the max event_id), matching DuckDB ASOF without a pre-dedup
+    shuffle.
     """
     e = _t(spark, sf_dir, "events")
     purchases = e.filter(F.col("event_type") == "purchase").select(
@@ -532,27 +534,33 @@ def q18_large_orders(spark, sf_dir):
 # --- skew mitigation (100 TB posture) ------------------------------------
 
 @query("agg_salted_skew", f"""
-    SELECT event_type, count(*) AS n, {dsum_sql('value', 'sum_value')}
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           count(*) AS n
     FROM {EVENTS_TS} GROUP BY event_type
 """)
 def agg_salted_skew(spark, sf_dir):
-    """Two-phase salted aggregation for skewed group keys: event_type
-    has only 5 values, so a direct groupBy funnels ~1/5 of 100 TB into
-    each of 5 reducers.  Salting by pmod(event_id, 16) fans each hot key
-    across 16 partial groups (phase 1 shuffles evenly), then the tiny
-    (key, salt) partials merge in phase 2.  Decimal partials stay
-    decimal until the final cast so the result is bit-identical to the
-    unsalted oracle GROUP BY."""
+    """Two-phase SALTED EXACT DISTINCT per hot key.  Plain count/sum
+    over a 5-value key do NOT need salting — map-side partial
+    aggregation already collapses each task's output to <=5 rows before
+    the exchange.  Salting pays off where per-group STATE grows with
+    group size (distinct sets, collect_list), because there the hot
+    key's entire state otherwise lands on one reducer.
+
+    The salt is derived FROM the distinct-counted column
+    (pmod(user_id, 16)), so each user falls in exactly one (key, salt)
+    cell: the per-cell distinct counts partition the true distinct set
+    and phase 2's SUM is exact, while phase 1's heavy dedup state is
+    spread over 16x more reducers."""
     ev = _t(spark, sf_dir, "events")
     partial = (
-        ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(16)))
+        ev.withColumn("salt", F.pmod(F.col("user_id"), F.lit(16)))
         .groupBy("event_type", "salt")
-        .agg(F.count("*").alias("pn"),
-             F.sum(F.col("value").cast("decimal(18,2)")).alias("psum"))
+        .agg(F.countDistinct("user_id").alias("pu"),
+             F.count("*").alias("pn"))
     )
     return partial.groupBy("event_type").agg(
-        F.sum("pn").alias("n"),
-        F.sum("psum").cast("double").alias("sum_value"))
+        F.sum("pu").cast("bigint").alias("n_users"),
+        F.sum("pn").alias("n"))
 
 
 @query("q14_promo_share", """
@@ -644,10 +652,12 @@ def sessionize_lag_gaps(spark, sf_dir):
 
     Plan: ONE exchange on user_id serves both window passes (lag and the
     running sum share the partition+order), then the session groupBy is
-    a partial-agg over already-clustered data.  Same session semantics
-    as F.session_window (stream_window_session) — this form also yields
-    a stable session *number* per user, which the window variant
-    doesn't."""
+    a partial-agg over already-clustered data.  Near-identical session
+    semantics to F.session_window (stream_window_session), with one
+    boundary difference: a gap of EXACTLY 30 minutes stays in-session
+    here (strict >) but closes the session there (gap >= closes) — and
+    this form also yields a stable session *number* per user, which the
+    window variant doesn't."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # NTZ has no cast-to-long: epoch micros via timestampdiff (local

@@ -281,7 +281,8 @@ def dedup_cluster_components(spark, sf_dir):
     never row data; each pass is one join+groupBy over the edge list.
     Label convergence takes O(component diameter) passes — near-dup
     components are shallow (chains of near-identical docs), so the cap
-    of 10 passes is generous.  At 100 TB: edges are the (small)
+    of 50 passes is generous — and non-convergence raises instead of
+    returning wrong clusters.  At 100 TB: edges are the (small)
     candidate-pair output, not the corpus; each pass shuffles edges
     once on the label key.  Checkpoint-per-iteration (localCheckpoint)
     truncates the growing lineage."""
@@ -289,8 +290,9 @@ def dedup_cluster_components(spark, sf_dir):
         dedup_minhash_near(spark, sf_dir)
         .select("doc_a", "doc_b").distinct()
     )
-    # undirected edge list, both directions + self-loops so isolated
-    # propagation is a plain groupBy-min over neighbours ∪ self
+    # undirected edge list, both directions; a node's own label joins
+    # the propagation via F.least(own, neighbour-min) below, so no
+    # explicit self-loops are needed
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"),
@@ -300,7 +302,8 @@ def dedup_cluster_components(spark, sf_dir):
         edges.select(F.col("src").alias("doc_id")).distinct()
         .withColumn("label", F.col("doc_id"))
     ).localCheckpoint()
-    for _ in range(10):
+    converged = False
+    for _ in range(50):
         neighbour_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src").agg(F.min("label").alias("nbr_label"))
@@ -319,7 +322,13 @@ def dedup_cluster_components(spark, sf_dir):
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:  # pragma: no cover - 50 passes >> near-dup diameters
+        raise RuntimeError(
+            "label propagation did not converge in 50 passes; component "
+            "diameter exceeds the cap — raise it rather than emit wrong "
+            "clusters")
     return (
         labels.groupBy("label")
         .agg(F.count("*").alias("cluster_size"),

@@ -532,15 +532,17 @@ def sql_hint_broadcast(spark, sf_dir):
       JOIN customer c ON c.c_custkey = o.o_custkey
       JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
       JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
-      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+          OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
     ) GROUP BY supp_nation, cust_nation, l_year
 """)
 def q7_volume_shipping(spark, sf_dir):
     """TPC-H Q7 shape: trade volume between a nation pair by year.  The
     two nation dims broadcast under different aliases; the symmetric
     pair predicate filters after both joins; year extraction feeds a
-    3-key hash agg.  Two fact shuffles (orderkey, custkey) — the same
+    3-key hash agg.  The pair (18, 19) is chosen to be populated even
+    at sf0.001 so the oracle gate compares non-empty results at every
+    scale.  Two fact shuffles (orderkey, custkey) — the same
     plan at 100 TB with AQE ordering them by build size."""
     s = _t(spark, sf_dir, "supplier")
     l = _t(spark, sf_dir, "lineitem")
@@ -550,8 +552,8 @@ def q7_volume_shipping(spark, sf_dir):
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
     n2 = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
-    pair = (((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
-            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
+    pair = (((F.col("supp_nation") == "NATION_18") & (F.col("cust_nation") == "NATION_19"))
+            | ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_18")))
     return (
         s.join(l, s.s_suppkey == l.l_suppkey)
         .join(o, o.o_orderkey == l.l_orderkey)

@@ -87,7 +87,7 @@ def test_broadcast_dim_join_is_broadcast(spark, sf_dir):
 
 
 def test_ivf_recall_vs_exact_topk(spark, sf_dir):
-    """IVF with nprobe=4/16 cells must recover most of the exact top-10
+    """IVF with nprobe=8/16 cells must recover most of the exact top-10
     (embedding clusters are coherent, so the true neighbours live in the
     probed cells)."""
     exact = {r.vec_id
