@@ -136,12 +136,16 @@ def join_semi(spark, sf_dir):
 
 @query("join_anti", """
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                        AND o_orderstatus = 'F')
 """)
 def join_anti(spark, sf_dir):
-    """Left-anti: customers with no orders at all."""
+    """Left-anti: customers with no finalized ('F') orders.  The anti
+    side is status-filtered because every synthetic customer has SOME
+    order — the unfiltered form would make the oracle gate compare two
+    empty sets forever."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
@@ -396,14 +400,19 @@ def set_intersect(spark, sf_dir):
 
 
 @query("set_except", """
-    SELECT c_custkey FROM customer
+    SELECT o_custkey FROM orders
     EXCEPT ALL
-    SELECT o_custkey AS c_custkey FROM orders
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
 """)
 def set_except(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer").select("c_custkey")
-    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return c.exceptAll(o)
+    """EXCEPT ALL (multiset difference): order placements minus the
+    finalized ones, keeping multiplicity — a customer with 3 orders of
+    which 1 is 'F' survives twice.  (customer EXCEPT orders-custkeys is
+    empty on this data — every customer ordered — which would make the
+    gate vacuous.)"""
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_custkey").exceptAll(
+        o.filter(F.col("o_orderstatus") == "F").select("o_custkey"))
 
 
 # --- TPC-H-shaped depth queries (flagship relational workload) -----------

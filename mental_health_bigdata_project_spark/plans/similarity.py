@@ -64,12 +64,15 @@ def sim_cosine_topk(spark, sf_dir):
            round({_COS_SQL.format(a='a.embedding::DOUBLE[]', b='b.embedding::DOUBLE[]')}, 6) AS cosine
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE a.vec_id < 200 AND b.vec_id < 200
-      AND round({_COS_SQL.format(a='a.embedding::DOUBLE[]', b='b.embedding::DOUBLE[]')}, 6) >= 0.8
+      AND round({_COS_SQL.format(a='a.embedding::DOUBLE[]', b='b.embedding::DOUBLE[]')}, 6) >= 0.4
 """)
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs (exact, bounded to vec_id < 200
     for the oracle; the unbounded path is sim_ann_lsh below, which only
-    compares within LSH buckets)."""
+    compares within LSH buckets).  Threshold 0.4 is calibrated to this
+    corpus (near-uniform embeddings: max pairwise cosine ~0.44) so the
+    gate always compares non-empty results; a real near-dup corpus
+    would use ~0.9."""
     e = _emb(spark, sf_dir).filter(F.col("vec_id") < 200).select(
         "vec_id", to_double_array("embedding").alias("emb"))
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
@@ -78,7 +81,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= 0.8)
+        .filter(F.col("cosine") >= 0.4)
     )
 
 

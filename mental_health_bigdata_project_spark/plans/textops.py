@@ -356,3 +356,29 @@ def pipeline_training_data(spark, sf_dir):
                 F.size("toks").cast("int").alias("n_tokens"),
                 F.round("quality", 6).alias("quality"))
     )
+
+
+@query("text_bigram_freq", f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    bigrams AS (
+      SELECT unnest(list_transform(
+               list_filter(t, (x, i) -> i < len(t)),
+               (x, i) -> concat(t[i], ' ', t[i + 1]))) AS bigram
+      FROM toks WHERE len(t) >= 2
+    )
+    SELECT bigram, count(*) AS n FROM bigrams
+    GROUP BY bigram HAVING count(*) >= 5
+""")
+def text_bigram_freq(spark, sf_dir):
+    """Corpus bigram counts (the n-gram LM / contamination-check
+    primitive beside text_token_freq's unigrams).  Adjacent-pair arrays
+    are built with transform over an index sequence (no self-join);
+    one Generate + one hash agg — the same two-step shape at 100 TB."""
+    toks = tokens_col()
+    d = _docs(spark, sf_dir).select(toks.alias("t")).filter(F.size("t") >= 2)
+    bigrams = d.select(F.explode(F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.concat_ws(" ", F.element_at("t", i), F.element_at("t", i + 1)),
+    )).alias("bigram"))
+    return bigrams.groupBy("bigram").agg(F.count("*").alias("n")).filter(
+        F.col("n") >= 5)

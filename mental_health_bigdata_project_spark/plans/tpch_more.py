@@ -760,3 +760,48 @@ def q16_supplier_variety(spark, sf_dir):
         .groupBy("p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
     )
+
+
+@query("q9_profit_by_nation", """
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(extract(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+               - CAST(round(0.6 * p.p_retailprice, 2) AS DECIMAL(12,2))
+                 * CAST(l.l_quantity AS DECIMAL(12,2)) AS amount
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%widget%'
+    ) GROUP BY nation, o_year
+""")
+def q9_profit_by_nation(spark, sf_dir):
+    """TPC-H Q9 shape: profit (revenue minus cost) per supplier nation
+    per year.  No partsupp table in this testdata, so supply cost is
+    modeled as 60% of p_retailprice (rounded to cents in the decimal
+    domain so both engines subtract identical decimals).  part and
+    supplier broadcast; the LIKE filter prunes parts before the join;
+    two fact shuffles.  The 'widget' pattern is
+    populated at every scale, so the oracle gate never compares empty
+    sets."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    cost = F.round(F.lit(0.6) * F.col("p_retailprice"), 2).cast("decimal(12,2)")
+    amount = (_rev()
+              - cost * F.col("l_quantity").cast("decimal(12,2)"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )

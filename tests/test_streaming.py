@@ -274,3 +274,27 @@ def test_stream_static_enrich(spark, sf_dir, tmp_path):
     rows = spark.sql("SELECT * FROM sse_out").collect()
     assert len(rows) == 500
     assert all(r.kind is not None for r in rows)
+
+
+def test_checkpoint_resume_processes_only_new_data(spark, tmp_path):
+    """Restarting from the same checkpoint must process only files that
+    arrived since the last run — offsets come from the checkpoint, and
+    batch_id partitioning keeps old output intact."""
+    in_dir = write_posts_json(tmp_path)
+    out = str(tmp_path / "out_resume")
+    ckpt = str(tmp_path / "ckpt_resume")
+
+    q = sp.run_to_parquet(
+        sp.enriched_stream(sp.read_posts_json_stream(spark, in_dir)), out, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(f"{out}/all").count() == len(POSTS)
+
+    with open(f"{in_dir}/more.json", "w") as f:
+        f.write(json.dumps({**POSTS[0], "id": "p4"}) + "\n")
+        f.write(json.dumps({**POSTS[1], "id": "p5"}) + "\n")
+    q2 = sp.run_to_parquet(
+        sp.enriched_stream(sp.read_posts_json_stream(spark, in_dir)), out, ckpt)
+    q2.awaitTermination(120)
+    got = spark.read.parquet(f"{out}/all")
+    assert got.count() == len(POSTS) + 2
+    assert sorted(r.id for r in got.collect()) == ["p1", "p2", "p3", "p4", "p5"]
