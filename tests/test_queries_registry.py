@@ -30,3 +30,26 @@ def test_query_runs(spark, sf_dir, qid):
     assert df.columns  # schema resolves
     n = df.count()
     assert n >= 0
+
+
+# Arrow-batched by design (mapInPandas / applyInPandas / MLlib fit):
+ARROW_QUERIES = {"sim_ann_lsh", "sim_ann_ivf", "grouped_zscore_by_user",
+                 "multimodal_features", "multimodal_bytes",
+                 "ml_tfidf_hashed", "ml_minhash_lsh",
+                 "ml_kmeans_embeddings", "ml_classify_embeddings",
+                 "dedup_cluster_components"}
+
+
+def test_no_python_row_udf_in_any_registry_plan(spark, sf_dir):
+    """Sweeping invariant: every registry query compiles to a plan with
+    NO row-at-a-time Python (BatchEvalPython) anywhere, and Arrow-batch
+    nodes (ArrowEvalPython/MapInPandas/FlatMapGroupsInPandas) appear
+    only in the queries documented as Arrow paths."""
+    import __spark_entry__ as e
+    for qid, fn in sorted(e.queries().items()):
+        if qid in ARROW_QUERIES:
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, f"{qid} uses a Python row UDF"
+        for node in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+            assert node not in plan, f"{qid} unexpectedly uses {node}"
