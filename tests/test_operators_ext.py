@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 
 import __spark_entry__ as entry_mod
 
+from mental_health_bigdata_project_spark.sources import load_table
+
 
 def test_asof_join_semantics(spark, sf_dir):
     """Every purchase's matched view must be the max view ts <= purchase
@@ -159,3 +161,64 @@ def test_frame_sampling_shapes(spark, sf_dir):
     for doc_id, idxs in by_doc.items():
         expected = list(range(0, (src[doc_id] + 63) // 64, 4))
         assert sorted(idxs) == expected
+
+
+def test_aqe_converts_smj_to_broadcast_at_runtime(spark, sf_dir):
+    """With static broadcast disabled, AQE must still convert the join
+    to broadcast at runtime once the filtered side's actual size is
+    known — the 100 TB 'filter-then-join' resilience story."""
+    # static broadcast off; AQE's own runtime threshold explicitly on
+    # (it defaults to the static value, which would disable it too)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
+    try:
+        o = load_table(spark, sf_dir, "orders")
+        c = load_table(spark, sf_dir, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING")
+        joined = o.join(c, o.o_custkey == c.c_custkey).groupBy(
+            "c_mktsegment").count()
+        joined.collect()  # materialize so AQE finalizes
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "BroadcastHashJoin" in final, final
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
+    """A deliberately skewed join key (99% of rows on one key) must
+    trigger AQE's skew-join split: the final plan's shuffle read shows
+    skewed partition handling instead of one giant reducer."""
+    n = 200_000
+    # left: 99% of rows pile on key 7; right: every key exactly once, so
+    # the join output stays O(n) while the left k=7 partition is skewed
+    left = spark.range(n).select(
+        F.when(F.col("id") % 100 != 0, F.lit(7)).otherwise(F.col("id"))
+        .alias("k"), F.col("id").alias("v"))
+    right = spark.range(n).select(F.col("id").alias("k"),
+                                  F.col("id").alias("w"))
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        joined = left.join(right, "k")
+        # collect() finalizes THIS DataFrame's AQE execution (a noop
+        # write would execute a clone and leave this plan un-finalized)
+        assert len(joined.collect()) == n
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "skewed" in final, final[:3000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
