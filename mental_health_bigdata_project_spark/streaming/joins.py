@@ -15,12 +15,17 @@ from pyspark.sql import DataFrame, functions as F
 
 def stream_stream_view_purchase(views: DataFrame, purchases: DataFrame,
                                 within: str = "30 minutes",
-                                watermark: str = "1 hour") -> DataFrame:
-    """Inner stream-stream join: purchases matched to a same-user view
-    that happened up to ``within`` before.  Both sides carry watermarks
-    and the join condition carries the time bound — that pair is what
-    lets the state store evict rows older than watermark+bound instead
-    of buffering both streams forever."""
+                                watermark: str = "1 hour",
+                                how: str = "inner") -> DataFrame:
+    """Stream-stream join: purchases matched to a same-user view that
+    happened up to ``within`` before.  Both sides carry watermarks and
+    the join condition carries the time bound — that pair is what lets
+    the state store evict rows older than watermark+bound instead of
+    buffering both streams forever.
+
+    ``how="left_outer"`` emits a view with NULL purchase columns once
+    the watermark proves no purchase can still arrive for it — outer
+    results are therefore watermark-delayed by construction."""
     v = views.withWatermark("ts", watermark).select(
         F.col("event_id").alias("view_id"), F.col("user_id").alias("v_user"),
         F.col("ts").alias("view_ts"))
@@ -32,7 +37,7 @@ def stream_stream_view_purchase(views: DataFrame, purchases: DataFrame,
         F.expr(f"""v_user = p_user
                    AND purchase_ts >= view_ts
                    AND purchase_ts <= view_ts + interval {within}"""),
-        "inner",
+        how,
     ).select("view_id", "purchase_id", F.col("v_user").alias("user_id"),
              "view_ts", "purchase_ts")
 

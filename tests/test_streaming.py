@@ -298,3 +298,36 @@ def test_checkpoint_resume_processes_only_new_data(spark, tmp_path):
     got = spark.read.parquet(f"{out}/all")
     assert got.count() == len(POSTS) + 2
     assert sorted(r.id for r in got.collect()) == ["p1", "p2", "p3", "p4", "p5"]
+
+
+def test_stream_stream_left_outer_emits_unmatched(spark, sf_dir, tmp_path):
+    """Left-outer stream-stream join: matched rows equal the inner join;
+    watermark-expired unmatched views emit with NULL purchase columns."""
+    from mental_health_bigdata_project_spark.streaming.joins import (
+        stream_stream_view_purchase)
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "events_src_ssj_outer")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        stream_stream_view_purchase(
+            stream.filter(F.col("event_type") == "view"),
+            stream.filter(F.col("event_type") == "purchase"),
+            how="left_outer")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("ssj_outer_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj_outer"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM ssj_outer_out").collect()
+    matched = [r for r in rows if r.purchase_id is not None]
+    unmatched = [r for r in rows if r.purchase_id is None]
+    n_views = events.filter(F.col("event_type") == "view").count()
+    assert unmatched, "watermark-expired views should emit with NULLs"
+    assert len(matched) + len(unmatched) >= int(0.8 * n_views)
+    for r in unmatched:
+        assert r.purchase_ts is None
