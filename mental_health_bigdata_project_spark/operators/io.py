@@ -103,3 +103,13 @@ def merge_upsert(existing: DataFrame, updates: DataFrame,
     survivors = existing.join(
         updates.select(*key_cols).distinct(), key_cols, "left_anti")
     return survivors.unionByName(updates)
+
+
+def read_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution-aware parquet read: snapshots written over time
+    gain columns; mergeSchema unions all file schemas (older files
+    yield NULL for later columns).  Costs a footer read per file at
+    planning — acceptable for corpus snapshots, so it is opt-in here
+    rather than the session default (at 100 TB prefer a declared
+    unified schema via .schema(...) once the layout stabilizes)."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

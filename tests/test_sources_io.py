@@ -132,3 +132,20 @@ def test_merge_upsert_replaces_and_appends(spark, sf_dir):
     sample = docs.filter(~F.col("doc_id").isin(1, 2)).limit(3).collect()
     for r in sample:
         assert got[r.doc_id] == r.lang
+
+
+def test_schema_evolution_merge(spark, sf_dir, tmp_path):
+    """Two snapshot generations with different schemas must read as one
+    table: old rows NULL in the new column, values preserved."""
+    out = str(tmp_path / "evolving")
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    docs.select("doc_id", "text").write.parquet(f"{out}/gen=1")
+    docs.select("doc_id", "text", "lang").write.parquet(f"{out}/gen=2")
+    got = mio.read_evolved(spark, out)
+    assert {"doc_id", "text", "lang", "gen"} == set(got.columns)
+    rows = got.collect()
+    assert len(rows) == 20
+    g1 = [r for r in rows if r.gen == 1]
+    assert g1 and all(r.lang is None for r in g1)
+    g2 = [r for r in rows if r.gen == 2]
+    assert g2 and all(r.lang is not None for r in g2)
