@@ -61,3 +61,15 @@ def watermarked_dedup(events: DataFrame, key_cols: list[str],
     ``seen_ids`` set (reddit_collector_kafka.py:48,81): dropDuplicates
     keyed state is evicted once older than the watermark."""
     return events.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+
+
+def watermarked_dedup_within(events: DataFrame, key_cols: list[str],
+                             ts_col: str = "ts",
+                             watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """dropDuplicatesWithinWatermark: unlike plain dropDuplicates (which
+    keys state on the exact event-time too unless excluded), this drops
+    duplicates whose TIMESTAMPS DIFFER — the retry/replay case where the
+    same logical event arrives again seconds later with a fresh ts —
+    while still evicting state past the watermark."""
+    return (events.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(key_cols))

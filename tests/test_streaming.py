@@ -331,3 +331,56 @@ def test_stream_stream_left_outer_emits_unmatched(spark, sf_dir, tmp_path):
     assert len(matched) + len(unmatched) >= int(0.8 * n_views)
     for r in unmatched:
         assert r.purchase_ts is None
+
+
+def test_dedup_within_watermark_drops_retimed_duplicates(spark, tmp_path):
+    """The same event_id arriving again 30 s later (fresh ts, the
+    retry/replay shape) must be dropped by dropDuplicatesWithinWatermark."""
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1},
+        {"event_id": 1, "ts": "2024-01-01T00:00:30", "user_id": 1},  # replay
+        {"event_id": 2, "ts": "2024-01-01T00:01:00", "user_id": 2},
+    ]
+    src = tmp_path / "dedup_within_src"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = (
+        spark.readStream
+        .schema("event_id bigint, ts string, user_id bigint")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    deduped = sw.watermarked_dedup_within(stream, ["event_id"])
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory").queryName("dedup_within_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.event_id for r in
+                 spark.sql("SELECT * FROM dedup_within_out").collect())
+    assert got == [1, 2]
+
+
+def test_observation_metrics_on_enrichment(spark, tmp_path):
+    """The Observation API collects pipeline metrics (row count,
+    high-risk count) as a side effect of the one action — no second
+    pass over the data."""
+    from pyspark.sql import Observation
+
+    in_dir = write_posts_json(tmp_path)
+    obs = Observation("enrich_metrics")
+    batch = enrich_posts(
+        spark.read.json(in_dir, schema=sp.read_posts_json_stream(
+            spark, in_dir).schema),
+        with_processed_at=False)
+    observed = batch.observe(
+        obs, F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("risk_score") >= 30, 1).otherwise(0)).alias("n_high"))
+    out = observed.collect()
+    assert obs.get["n_rows"] == len(out) == len(POSTS)
+    assert obs.get["n_high"] == 0  # max fixture score is 20
