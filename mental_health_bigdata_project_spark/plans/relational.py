@@ -730,3 +730,24 @@ def agg_boolean(spark, sf_dir):
         F.count_if(F.col("value") > 50.0).alias("n_high"),
         F.every(F.col("value") >= 0.0).alias("all_nonneg"),
         F.some(F.col("value") > 99.0).alias("any_extreme"))
+
+
+@query("win_last_ignore_nulls", f"""
+    SELECT event_id, user_id,
+           last_value(CASE WHEN value > 50.0 THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS last_big_value
+    FROM {EVENTS_TS}
+""")
+def win_last_ignore_nulls(spark, sf_dir):
+    """Carry-forward of the most recent qualifying reading per user
+    (last_value IGNORE NULLS over a running frame) — the gap-fill /
+    last-observation primitive behind the as-of join, exposed as its
+    own operator.  One exchange + one sort; O(1) state per row."""
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    big = F.when(F.col("value") > 50.0, F.col("value"))
+    return ev.select(
+        "event_id", "user_id",
+        F.last(big, ignorenulls=True).over(w).alias("last_big_value"))
