@@ -805,3 +805,58 @@ def q9_profit_by_nation(spark, sf_dir):
                  F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(F.sum(amount).cast("double").alias("sum_profit"))
     )
+
+
+@query("q20_dominant_suppliers", """
+    WITH pair_qty AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS pq
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE '%widget%'
+      GROUP BY l.l_partkey, l.l_suppkey
+    ),
+    part_qty AS (
+      SELECT l_partkey, CAST(SUM(CAST(pq AS DECIMAL(18,2))) AS DOUBLE) AS tq
+      FROM pair_qty GROUP BY l_partkey
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE EXISTS (SELECT 1 FROM pair_qty pr
+                  JOIN part_qty pt ON pr.l_partkey = pt.l_partkey
+                  WHERE pr.l_suppkey = s.s_suppkey AND pr.pq > 0.1 * pt.tq)
+""")
+def q20_dominant_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape adapted without partsupp: suppliers who shipped
+    more than 10% of some widget part's total volume (the
+    'dominant-supplier' existence chain; 0.1 is calibrated so the
+    oracle gate compares non-empty sets at every scale — per-supplier
+    shares dilute toward uniform as the data grows, maxing near 0.2
+    at sf0.1).  Two stacked aggregates over
+    the same filtered fact (the second re-groups the first's output, no
+    second scan), a broadcast threshold join, then a left-semi into the
+    supplier dim with nation broadcast."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    pair_qty = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum("l_quantity").alias("pq"))
+    )
+    part_qty = (
+        pair_qty.groupBy(F.col("l_partkey").alias("t_partkey"))
+        .agg(F.sum(F.col("pq").cast("decimal(18,2)")).cast("double").alias("tq"))
+    )
+    dominant = (
+        pair_qty.join(F.broadcast(part_qty),
+                      pair_qty.l_partkey == F.col("t_partkey"))
+        .filter(F.col("pq") > 0.1 * F.col("tq"))
+        .select(F.col("l_suppkey").alias("d_suppkey"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(dominant, s.s_suppkey == F.col("d_suppkey"), "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )

@@ -384,3 +384,33 @@ def test_observation_metrics_on_enrichment(spark, tmp_path):
     out = observed.collect()
     assert obs.get["n_rows"] == len(out) == len(POSTS)
     assert obs.get["n_high"] == 0  # max fixture score is 20
+
+
+def test_complete_mode_live_totals(spark, sf_dir, tmp_path):
+    """Complete output mode re-emits the full (small) aggregate every
+    batch — the live-dashboard-totals shape; the final table must equal
+    the batch groupBy."""
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "events_src_complete")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    totals = stream.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sv"))
+    q = (
+        totals.writeStream.outputMode("complete")
+        .format("memory").queryName("complete_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_complete"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.event_type, r.n, r.sv)
+           for r in spark.sql("SELECT * FROM complete_out").collect()}
+    batch = {(r.event_type, r.n, r.sv)
+             for r in events.groupBy("event_type").agg(
+                 F.count("*").alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                 .alias("sv")).collect()}
+    assert got == batch
