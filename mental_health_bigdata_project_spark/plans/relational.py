@@ -751,3 +751,25 @@ def win_last_ignore_nulls(spark, sf_dir):
     return ev.select(
         "event_id", "user_id",
         F.last(big, ignorenulls=True).over(w).alias("last_big_value"))
+
+
+@query("agg_grouping_id", """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS INTEGER) AS gid,
+           count(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def agg_grouping_id(spark, sf_dir):
+    """grouping_id over a cube: distinguishes a real NULL group value
+    from the subtotal rows the cube synthesizes — without it, consumers
+    of multi-level aggregates cannot tell 'status IS NULL' apart from
+    'all statuses'.  grouping_id's bit layout matches SQL GROUPING()
+    concatenation (here: status bit << 1 | priority bit)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.grouping_id().cast("int").alias("gid"),
+             F.count("*").alias("n"))
+        .select("o_orderstatus", "o_orderpriority", "gid", "n")
+    )

@@ -53,3 +53,12 @@ def test_no_python_row_udf_in_any_registry_plan(spark, sf_dir):
         assert "BatchEvalPython" not in plan, f"{qid} uses a Python row UDF"
         for node in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
             assert node not in plan, f"{qid} unexpectedly uses {node}"
+
+
+def test_entry_schema_stable(spark):
+    """The driver smoke-checks entry() for a stable schema — pin it."""
+    import __spark_entry__ as e
+    df = e.entry(spark)
+    assert [(f.name, f.dataType.simpleString()) for f in df.schema.fields] == [
+        ("lang", "string"), ("n_docs", "bigint"), ("avg_risk", "double"),
+        ("high_risk", "bigint"), ("avg_cleaned_len", "double")]
