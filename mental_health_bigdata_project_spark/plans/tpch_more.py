@@ -632,10 +632,13 @@ def q8_market_share(spark, sf_dir):
     WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
 """)
 def q15_top_supplier(spark, sf_dir):
-    """TPC-H Q15 shape: the view-with-scalar-max pattern.  The revenue
-    aggregate is computed once and reused for both the max (one-row
-    broadcast) and the equality filter — Spark dedups the subplan via
-    ReusedExchange instead of scanning lineitem twice."""
+    """TPC-H Q15 shape: the view-with-scalar-max pattern.  The naive
+    form (aggregate once for the max, again for the filter) scans
+    lineitem TWICE — Spark does not dedup the subplan here (verified:
+    no ReusedExchange in the final plan).  Instead the max is taken as
+    an empty-frame window over the already-aggregated per-supplier
+    relation: one fact scan, one agg; the global window touches only
+    #suppliers rows, so its single partition is trivially small."""
     l = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz")))
@@ -643,12 +646,13 @@ def q15_top_supplier(spark, sf_dir):
         l.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(_rev()).cast("double").alias("total_revenue"))
     )
-    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    w = Window.partitionBy()
+    top = (revenue
+           .withColumn("mx", F.max("total_revenue").over(w))
+           .filter(F.col("total_revenue") == F.col("mx")))
     s = _t(spark, sf_dir, "supplier")
     return (
-        s.join(revenue, s.s_suppkey == F.col("supplier_no"))
-        .crossJoin(F.broadcast(mx))
-        .filter(F.col("total_revenue") == F.col("mx"))
+        s.join(top, s.s_suppkey == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
