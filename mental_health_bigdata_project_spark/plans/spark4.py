@@ -1,0 +1,243 @@
+"""[EXT] Spark-4-native SQL surface: VARIANT semi-structured access,
+case-insensitive collations, parameterized SQL, SQL pipe syntax, SQL
+scalar UDFs, and the DataFrame statistics surface (corr/cov, crosstab,
+stratified sampling).
+
+The reference handles semi-structured JSON by declaring a full
+StructType up front (spark_jobs/preprocessing_streaming.py:75-86,103)
+and computes its statistics in hand-rolled Python passes
+(dashboard/app.py:30-85).  At 100 TB both choices break down: schemas
+drift, and driver-side statistics don't scale.  This module maps both
+concerns onto engine-native Spark 4 primitives:
+
+- VARIANT (``parse_json`` / ``variant_get``) keeps the JSON parse
+  inside Tungsten with per-path extraction — no Python, no rigid
+  StructType, and Catalyst prunes unused paths.
+- SQL scalar UDFs express the dashboard's bucket logic
+  (dashboard/app.py:62-72) as a named, reusable function that inlines
+  into the plan (unlike the reference's opaque Python UDFs,
+  preprocessing_streaming.py:39-68).
+- ``df.stat`` + SQL aggregate statistics replace dashboard/app.py's
+  per-request Python loops with distributed one-pass aggregates.
+
+Scale posture: every query here is a single scan plus (at most) one
+metadata-sized aggregation exchange; the stratified sample pushes its
+modulus predicate into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources import load_table, register_temp_views
+from .registry import query
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+# --- VARIANT semi-structured access --------------------------------------
+
+@query("variant_extract", """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           CAST(NULL AS INTEGER) AS missing_k
+    FROM events
+""")
+def variant_extract(spark, sf_dir):
+    """Schema-free JSON access via the Spark 4 VARIANT type: one
+    ``parse_json`` per row, then typed path extraction.  Replaces the
+    reference's declared-StructType parse (preprocessing_streaming.py:
+    75-86,103) for payloads whose schema drifts; ``try_variant_get`` on
+    an absent path yields NULL instead of failing the batch.  The parse
+    and both extractions stay inside whole-stage codegen."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k"),
+        F.try_variant_get(v, "$.missing", "int").alias("missing_k"))
+
+
+# --- collations ----------------------------------------------------------
+
+@query("collate_group_ci", """
+    WITH mixed AS (
+        SELECT lang FROM documents
+        UNION ALL
+        SELECT upper(lang[1]) || lang[2:] AS lang FROM documents
+    )
+    SELECT lower(lang) AS lang_ci, count(*) AS n
+    FROM mixed GROUP BY lower(lang)
+""")
+def collate_group_ci(spark, sf_dir):
+    """Case-insensitive grouping via Spark 4 collations: grouping on
+    ``collate(lang, 'UTF8_LCASE')`` merges case variants without
+    rewriting every value through ``lower`` first — the collation is a
+    property of the comparison, not a projection.  The probe input
+    deliberately mixes `en` and `En` spellings (initcap union) so the
+    merge is observable; output is normalized with one ``lower`` so the
+    group label is deterministic."""
+    docs = _docs(spark, sf_dir).select("lang")
+    mixed = docs.unionAll(docs.select(F.initcap("lang").alias("lang")))
+    return (mixed
+            .groupBy(F.collate("lang", "UTF8_LCASE").alias("lang_key"))
+            .agg(F.count("*").alias("n"))
+            .select(F.lower("lang_key").alias("lang_ci"), "n"))
+
+
+# --- parameterized SQL ---------------------------------------------------
+
+@query("sql_parameterized", """
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_totalprice > 100000.0
+    GROUP BY o_orderpriority
+""")
+def sql_parameterized(spark, sf_dir):
+    """Named-parameter SQL (``spark.sql(..., args=...)``): the binding
+    happens in the parser, so the cutoff arrives as a typed literal —
+    Catalyst constant-folds and pushes it into the parquet scan exactly
+    like an inlined constant, with no string interpolation (the
+    injection-safe form of the dashboard's ad-hoc thresholds,
+    dashboard/app.py:45)."""
+    register_temp_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """SELECT o_orderpriority, count(*) AS n,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           FROM orders WHERE o_totalprice > :cutoff
+           GROUP BY o_orderpriority""",
+        args={"cutoff": 100000.0})
+
+
+# --- SQL pipe syntax -----------------------------------------------------
+
+@query("sql_pipe_aggregate", """
+    SELECT l_returnflag, count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY l_returnflag
+""")
+def sql_pipe_aggregate(spark, sf_dir):
+    """SQL pipe syntax (Spark 4's ``|>`` operator chaining): the same
+    logical plan as the standard GROUP BY form — scan -> filter ->
+    partial agg -> exchange -> final agg — expressed as a linear
+    pipeline.  Parity query proving the surface; the oracle is the
+    standard-syntax twin."""
+    register_temp_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """FROM lineitem
+           |> WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           |> AGGREGATE count(*) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+              GROUP BY l_returnflag
+           |> SELECT l_returnflag, n, sum_qty""")
+
+
+# --- SQL scalar UDF ------------------------------------------------------
+
+@query("sql_udf_len_bucket", """
+    SELECT CASE WHEN n_chars < 100 THEN 'short'
+                WHEN n_chars < 300 THEN 'medium'
+                ELSE 'long' END AS bucket,
+           count(*) AS n
+    FROM documents GROUP BY 1
+""")
+def sql_udf_len_bucket(spark, sf_dir):
+    """SQL scalar UDF (Spark 4 ``CREATE FUNCTION ... RETURN expr``):
+    the dashboard's fixed-edge bucket logic (dashboard/app.py:62-72) as
+    a named function.  Unlike the reference's Python UDFs
+    (preprocessing_streaming.py:39-68) a SQL UDF is *inlined* by the
+    analyzer — the plan is identical to writing the CASE by hand, so
+    whole-stage codegen and pushdown still apply."""
+    register_temp_views(spark, sf_dir, ["documents"])
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION len_bucket(n BIGINT)
+        RETURNS STRING
+        RETURN CASE WHEN n < 100 THEN 'short'
+                    WHEN n < 300 THEN 'medium'
+                    ELSE 'long' END""")
+    return spark.sql(
+        "SELECT len_bucket(n_chars) AS bucket, count(*) AS n "
+        "FROM documents GROUP BY len_bucket(n_chars)")
+
+
+# --- DataFrame statistics surface ---------------------------------------
+
+@query("stat_corr_cov", """
+    SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+           round(stddev_samp(l_quantity), 6) AS sd_qty
+    FROM lineitem
+""")
+def stat_corr_cov(spark, sf_dir):
+    """Distributed second-moment statistics (Pearson correlation,
+    sample covariance, stddev) in one pass — the scalable form of the
+    dashboard's Python mean loop (dashboard/app.py:44).  Both engines
+    use co-moment merge formulas; results are rounded (6/4 dp) to
+    absorb last-ulp parallel-merge differences, per the registry's
+    transcendental rule."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qty_price"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"))
+
+
+@query("stat_crosstab", """
+    SELECT l_returnflag AS l_returnflag_l_linestatus,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O
+    FROM lineitem GROUP BY l_returnflag
+""")
+def stat_crosstab(spark, sf_dir):
+    """``df.stat.crosstab``: a contingency table computed as one
+    distributed pairwise groupBy then a driver-side pivot over the
+    (small) distinct-pair set — replaces dashboard/app.py's nested
+    Python dict counting.  Safe at scale only because cardinality is
+    bounded (3 return flags x 2 line statuses); the oracle pins both
+    the counts and the crosstab's column-naming convention."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.stat.crosstab("l_returnflag", "l_linestatus")
+
+
+@query("sample_stratified", """
+    SELECT l_returnflag, count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE (l_orderkey * 8 + l_linenumber) % 100 <
+          CASE l_returnflag WHEN 'R' THEN 5 WHEN 'A' THEN 10 ELSE 20 END
+    GROUP BY l_returnflag
+""")
+def sample_stratified(spark, sf_dir):
+    """Stratified sampling with per-stratum rates (R: 5%, A: 10%,
+    N: 20%) via a deterministic key modulus — the reproducible twin of
+    ``df.sampleBy`` (which draws per-row Bernoulli from a seeded RNG
+    whose stream is engine-specific, so it cannot be oracle-checked
+    value-for-value).  The modulus predicate is a pure row-local
+    expression: it pushes to the scan, samples without a shuffle, and
+    at 100 TB gives exact per-stratum rates with no coordination."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rate = (F.when(F.col("l_returnflag") == "R", 5)
+            .when(F.col("l_returnflag") == "A", 10).otherwise(20))
+    sampled = li.filter(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")) % 100 < rate)
+    return sampled.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double").alias("sum_qty"))
+
+
+@query("sample_stratified_api")
+def sample_stratified_api(spark, sf_dir):
+    """The native ``df.sampleBy`` API path (seeded, deterministic
+    within Spark): per-stratum Bernoulli draws at the same rates as
+    `sample_stratified`.  Rows-only check — the RNG stream is
+    engine-specific — with the exact-modulus twin above as the
+    value-checked anchor."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sampled = li.sampleBy(
+        "l_returnflag", {"R": 0.05, "A": 0.10, "N": 0.20}, seed=42)
+    return sampled.groupBy("l_returnflag").agg(F.count("*").alias("n"))
