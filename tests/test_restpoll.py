@@ -1,0 +1,81 @@
+"""Python Data Source connector (sources/restpoll.py): batch
+partitioning, streaming offsets, checkpoint resume, and deterministic
+replay.  Value parity of the batch relation is the oracle gate
+(`source_rest_poll` / `rest_poll_dedup`); these tests cover what the
+oracle can't see — the streaming side."""
+
+from __future__ import annotations
+
+import pytest
+
+from mental_health_bigdata_project_spark.sources import restpoll
+
+
+@pytest.fixture()
+def registered(spark):
+    restpoll.register(spark)
+    return spark
+
+
+def test_batch_one_partition_per_subreddit(registered):
+    df = registered.read.format("reddit_poll").load()
+    assert df.rdd.getNumPartitions() == 3
+    assert df.count() == 75
+    # per-subreddit row counts are balanced (one fetch each)
+    by_sub = {r.subreddit: r.n for r in
+              df.groupBy("subreddit").count().withColumnRenamed("count", "n").collect()}
+    assert by_sub == {"depression": 25, "Anxiety": 25, "mentalhealth": 25}
+
+
+def test_overlapping_polls_duplicate_ids(registered):
+    df = (registered.read.format("reddit_poll")
+          .option("polls", 2).option("step", 12).load())
+    n_raw = df.count()
+    n_unique = df.select("id").distinct().count()
+    # poll 1 re-lists limit-step = 13 ids per subreddit
+    assert n_raw == 150
+    assert n_unique == 150 - 13 * 3
+    # overlapping ids are exact duplicate rows -> dropDuplicates is lossless
+    assert df.dropDuplicates(["id"]).count() == n_unique
+
+
+def test_stream_one_poll_per_microbatch(registered, tmp_path):
+    q = (registered.readStream.format("reddit_poll").load()
+         .writeStream.format("memory").queryName("restpoll_t1")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(once=True).start())
+    q.awaitTermination(120)
+    rows = registered.sql("SELECT * FROM restpoll_t1").collect()
+    assert len(rows) == 75
+    assert {r.subreddit for r in rows} == {"depression", "Anxiety", "mentalhealth"}
+
+
+def test_stream_checkpoint_resume_advances_poll(registered, tmp_path):
+    """Two trigger-once runs sharing a checkpoint: the second run must
+    continue from poll 1 (new ids), not replay poll 0 — the offset
+    survives restart, unlike the reference's in-memory seen_ids set
+    (reddit_collector_kafka.py:48)."""
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (registered.readStream.format("reddit_poll").load()
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(once=True).start())
+        q.awaitTermination(120)
+        return {r.id for r in registered.read.parquet(out).collect()}
+
+    first = run_once()
+    cumulative = run_once()
+    assert len(first) == 75
+    # second run appended poll 1 (75 fresh ids; default step == limit)
+    assert len(cumulative) == 150 and first < cumulative
+
+
+def test_replay_between_offsets_deterministic(registered):
+    reader = restpoll.RedditPollStreamReader({"limit": "5"})
+    batch1, off1 = reader.read(reader.initialOffset())
+    rows_live = list(batch1)
+    rows_replayed = list(reader.readBetweenOffsets({"poll": 0}, off1))
+    assert rows_live == rows_replayed and len(rows_live) == 15
