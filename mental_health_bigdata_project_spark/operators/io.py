@@ -83,6 +83,25 @@ def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return r.csv(path)
 
 
+def write_xml(df: DataFrame, out_dir: str, row_tag: str = "post",
+              mode: str = "overwrite") -> None:
+    """XML sink via the Spark-4 built-in xml source (no external
+    package): one element per row under ``row_tag``.  Interchange
+    format for XML-speaking consumers; same distributed write path as
+    every other file sink (one file per task, no driver funnel)."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(out_dir)
+
+
+def read_xml(spark: SparkSession, path: str, row_tag: str = "post",
+             schema=None) -> DataFrame:
+    """Schema-checked XML read.  As with CSV, pass an explicit schema
+    at scale — inference is an extra full pass."""
+    r = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)
+
+
 def merge_upsert(existing: DataFrame, updates: DataFrame,
                  key_cols: list[str]) -> DataFrame:
     """Key-based upsert plan: rows of ``existing`` whose key appears in

@@ -55,3 +55,55 @@ def running_user_totals(events: DataFrame,
             update, RUNNING_OUTPUT_SCHEMA, RUNNING_STATE_SCHEMA,
             "update", timeout)
     )
+
+
+def transform_with_state_available() -> bool:
+    """Spark 4's ``transformWithStateInPandas`` control channel speaks
+    protobuf; this environment ships no ``google.protobuf``, so the
+    operator is gated (environment constraint, not an engine one)."""
+    try:
+        import google.protobuf  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Forward path for `running_user_totals` on the Spark 4
+    ``transformWithStateInPandas`` API: composable typed state (value/
+    list/map per key), native TTL on each state item, and timers —
+    richer than applyInPandasWithState's single tuple + one timeout.
+
+    Same semantics as `running_user_totals` (per-user running count and
+    sum emitted each micro-batch the user appears in); state is a
+    2-field value state with the store-managed RocksDB backend.  Gated:
+    call sites must check ``transform_with_state_available()`` first
+    (see tests/test_streaming.py — skipped where protobuf is absent).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle):
+            self.totals = handle.getValueState("totals", RUNNING_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, s = self.totals.get() if self.totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self.totals.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
+
+        def close(self):
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningTotals(), outputStructType=RUNNING_OUTPUT_SCHEMA,
+            outputMode="Update", timeMode="None")
+    )

@@ -118,6 +118,27 @@ def test_csv_roundtrip_preserves_values(spark, sf_dir, tmp_path):
     assert a == b
 
 
+def test_xml_roundtrip_preserves_values(spark, sf_dir, tmp_path):
+    """documents -> XML (built-in Spark 4 xml source) -> documents must
+    round-trip values under an explicit schema.  Empty strings are the
+    XML gotcha (self-closing tags read back as null) — normalize both
+    sides through NULLIF semantics for the comparison."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    out = str(tmp_path / "docs_xml")
+    mio.write_xml(docs, out, row_tag="doc")
+    back = mio.read_xml(spark, out, row_tag="doc", schema=docs.schema)
+
+    def norm(df):
+        cols = [F.nullif(F.col(c), F.lit("")).alias(c)
+                if t == "string" else F.col(c)
+                for c, t in df.dtypes]
+        return sorted(map(tuple, df.select(cols).collect()))
+
+    assert norm(docs) == norm(back)
+
+
 def test_merge_upsert_replaces_and_appends(spark, sf_dir):
     """Updated keys replace old rows, new keys append, untouched rows
     survive — and the plan is one anti-join + union (single shuffle)."""

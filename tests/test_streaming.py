@@ -197,6 +197,40 @@ def test_stateful_running_totals_matches_batch(spark, sf_dir, tmp_path):
     assert got == batch
 
 
+def test_transform_with_state_running_totals(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas twin of the applyInPandasWithState op:
+    same newest-row-per-user == batch groupBy invariant.  Skipped where
+    the environment lacks protobuf (the API's control channel)."""
+    import pytest
+    from mental_health_bigdata_project_spark.streaming.stateful import (
+        running_user_totals_tws, transform_with_state_available)
+
+    if not transform_with_state_available():
+        pytest.skip("google.protobuf not installed; "
+                    "transformWithStateInPandas unavailable in this env")
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "events_src_tws")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        running_user_totals_tws(stream).writeStream.outputMode("update")
+        .format("memory").queryName("tws_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r.user_id: (r.n_events, round(r.sum_value, 2))
+           for r in spark.sql("SELECT * FROM tws_out").collect()}
+    batch = {r.user_id: (r.n, round(r.s, 2))
+             for r in events.groupBy("user_id")
+             .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+             .collect()}
+    assert got == batch
+
+
 def test_foreachbatch_sink_idempotent_on_replay(spark, tmp_path):
     """Re-running the same micro-batch (simulated checkpoint-less
     replay) must not duplicate rows: the batch overwrites its own
