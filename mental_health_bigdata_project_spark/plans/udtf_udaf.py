@@ -1,0 +1,103 @@
+"""[EXT] Python UDTF + pandas UDAF surface (SURVEY.md §2.8: the
+reference ships no UDAF/UDTF; these complete the planned UDF triad).
+
+Two operators the built-in function library genuinely can't express:
+
+- ``chunk_documents``: a *table* function — one document row fans out
+  into N overlapping fixed-size token windows.  This is the canonical
+  LLM training-data chunker (context-window packing with stride
+  overlap); at 100 TB it is the row-multiplying step between raw
+  corpus and tokenized training shards.  Implemented as a Spark 4
+  Python UDTF consumed via ``LATERAL`` — per-row Python, but a UDTF is
+  the right tool precisely when output cardinality is data-dependent.
+- ``geomean``: a GROUPED_AGG ``pandas_udf`` (Arrow-batched UDAF) — the
+  per-group geometric mean.  Spark has no built-in geometric mean; the
+  UDAF receives each group's column as one pandas Series (no
+  per-row Python), the 10-100x-over-row-UDF path SNIPPETS.md documents.
+
+Both are deterministic, so both carry full DuckDB oracles — the UDTF's
+twin reproduces the chunk fan-out with list slicing over
+``unnest(generate_series(...))``.
+
+Scale posture: the UDTF is embarrassingly parallel (no shuffle — chunk
+rows inherit the input partitioning); the UDAF shuffles once on the
+group key like any aggregate.  Chunk parameters (30-token windows,
+stride 25) are literals in both twins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+
+from ..sources import register_temp_views
+from .registry import query
+
+CHUNK_SIZE = 30
+STRIDE = 25  # chunk_size - overlap(5)
+
+
+@udtf(returnType="chunk_idx int, chunk string, n_tokens int", useArrow=True)
+class ChunkDoc:
+    """Sliding-window token chunker: yields ``ceil(n_tokens/stride)``
+    overlapping windows per document; the final window may be short.
+    Mirrors the truncation discipline of the reference pipeline
+    (kafka_consumer_simple.py:131,138: bound output size, never drop
+    the row)."""
+
+    def eval(self, text: str, chunk_size: int, stride: int):
+        toks = text.split(" ") if text else []
+        start, idx = 0, 0
+        while start < len(toks):
+            piece = toks[start:start + chunk_size]
+            yield idx, " ".join(piece), len(piece)
+            idx += 1
+            start += stride
+
+
+@query("udtf_chunk_documents", f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    c AS (SELECT doc_id, toks,
+                 unnest(generate_series(0,
+                     CAST(ceil(len(toks) / {STRIDE}.0) AS INT) - 1)) AS chunk_idx
+          FROM t)
+    SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           array_to_string(
+               toks[chunk_idx * {STRIDE} + 1 : chunk_idx * {STRIDE} + {CHUNK_SIZE}],
+               ' ') AS chunk,
+           CAST(len(toks[chunk_idx * {STRIDE} + 1 : chunk_idx * {STRIDE} + {CHUNK_SIZE}])
+                AS INTEGER) AS n_tokens
+    FROM c
+""")
+def udtf_chunk_documents(spark, sf_dir):
+    """documents -> overlapping 30-token chunks with stride 25 via the
+    registered UDTF in a LATERAL join."""
+    register_temp_views(spark, sf_dir, ["documents"])
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    return spark.sql(f"""
+        SELECT d.doc_id, c.chunk_idx, c.chunk, c.n_tokens
+        FROM documents d, LATERAL chunk_doc(d.text, {CHUNK_SIZE}, {STRIDE}) c
+    """)
+
+
+@query("udaf_geomean_chars", """
+    SELECT lang, round(exp(avg(ln(n_chars))), 6) AS gm_chars
+    FROM documents GROUP BY lang
+""")
+def udaf_geomean_chars(spark, sf_dir):
+    """Per-language geometric mean of document length via a GROUPED_AGG
+    pandas UDAF (exp of the mean log).  Rounded to 6 dp on both sides:
+    log-sum ordering differs under parallel merge, the transcendental
+    rule from plans.registry applies."""
+    from ..sources import load_table
+
+    @pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v).mean()))
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.groupBy("lang")
+            .agg(F.round(geomean(F.col("n_chars").cast("double")), 6)
+                 .alias("gm_chars")))

@@ -37,7 +37,13 @@ ARROW_QUERIES = {"sim_ann_lsh", "sim_ann_ivf", "grouped_zscore_by_user",
                  "multimodal_features", "multimodal_bytes",
                  "ml_tfidf_hashed", "ml_minhash_lsh",
                  "ml_kmeans_embeddings", "ml_classify_embeddings",
-                 "dedup_cluster_components"}
+                 "dedup_cluster_components",
+                 # Arrow UDTF (data-dependent fan-out) + pandas UDAF —
+                 # deliberate Python boundaries, plans/udtf_udaf.py
+                 "udtf_chunk_documents", "udaf_geomean_chars",
+                 # Python Data Source connector: the source itself is
+                 # a Python boundary by construction
+                 "source_rest_poll", "rest_poll_dedup"}
 
 
 def test_no_python_row_udf_in_any_registry_plan(spark, sf_dir):
