@@ -21,8 +21,6 @@ Semantics pinned by the golden file (SURVEY.md §2.8):
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import Column, functions as F
 
 # The 16 distress keywords, exactly as listed at
@@ -76,15 +74,20 @@ def risk_score(c: Column | str, keywords: list[str] | None = None) -> Column:
     """10 points per distinct keyword substring-present in lower(text),
     capped at 100 (preprocessing_streaming.py:53-66).
 
-    Folded into a single integer expression: Catalyst constant-folds the
-    literal keywords and the whole tree stays inside codegen.  NULL text
-    scores 0 (`contains` on NULL -> NULL -> otherwise(0))."""
+    Expressed as one higher-order function — ``size(filter(keywords,
+    k -> contains(text, k)))`` — instead of a 16-term when/otherwise
+    fold.  Semantics are identical (a NULL text makes the lambda NULL,
+    which `filter` treats as false → score 0, matching the UDF's falsy
+    short-circuit) and measured steady-state throughput is equal; the
+    benefit is the ~16x smaller expression tree, which keeps any
+    enclosing multi-branch CASE from duplicating a large subtree per
+    branch (the codegen blow-up documented in plans history — the HOF
+    makes that class of regression structurally impossible).  Keyword
+    matching itself is unchanged: substring, not word-boundary."""
     lowered = F.lower(_col(c))
-    hits = reduce(
-        lambda acc, kw: acc + F.when(lowered.contains(kw), F.lit(1)).otherwise(F.lit(0)),
-        (keywords or DISTRESS_KEYWORDS),
-        F.lit(0),
-    )
+    hits = F.size(F.filter(
+        F.array(*[F.lit(k) for k in (keywords or DISTRESS_KEYWORDS)]),
+        lambda k: F.contains(lowered, k)))
     return F.least(hits * F.lit(KEYWORD_POINTS), F.lit(SCORE_CAP)).cast("int")
 
 
