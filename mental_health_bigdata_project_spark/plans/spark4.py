@@ -230,6 +230,79 @@ def sample_stratified(spark, sf_dir):
         .cast("double").alias("sum_qty"))
 
 
+@query("recursive_date_spine", """
+    WITH RECURSIVE months(m) AS (
+        SELECT TIMESTAMP '1994-07-01 00:00:00' AS m
+        UNION ALL
+        SELECT m + INTERVAL '1' MONTH FROM months
+        WHERE m < TIMESTAMP '2002-06-01 00:00:00'
+    ),
+    rev AS (
+        SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT months.m AS month, COALESCE(rev.n_orders, 0) AS n_orders,
+           COALESCE(rev.revenue, 0.0) AS revenue
+    FROM months LEFT JOIN rev ON months.m = rev.m
+""")
+def recursive_date_spine(spark, sf_dir):
+    """Recursive CTE (new in Spark 4): a 96-month calendar spine built
+    by recursion, left-joined to monthly order revenue so months with
+    no orders surface as explicit zero rows — the gap-filled calendar
+    every reporting pipeline needs (the reference's dashboard simply
+    never shows empty periods, dashboard/app.py:48-59).  The recursion
+    is driver-bounded (96 iterations over one-row deltas, metadata
+    cost); the revenue agg is the usual scan + one exchange, and the
+    spine side broadcasts."""
+    register_temp_views(spark, sf_dir, ["orders"])
+    return spark.sql("""
+        WITH RECURSIVE months(m) AS (
+            SELECT TIMESTAMP_NTZ '1994-07-01 00:00:00' AS m
+            UNION ALL
+            SELECT m + INTERVAL '1' MONTH FROM months
+            WHERE m < TIMESTAMP_NTZ '2002-06-01 00:00:00'
+        ),
+        rev AS (
+            SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT months.m AS month, COALESCE(rev.n_orders, 0) AS n_orders,
+               COALESCE(rev.revenue, 0.0) AS revenue
+        FROM months LEFT JOIN rev ON months.m = rev.m
+    """)
+
+
+@query("transpose_metrics", """
+    SELECT 'sum_qty' AS key,
+           CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(8,2)) END) AS DOUBLE) AS A,
+           CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(8,2)) END) AS DOUBLE) AS N,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(8,2)) END) AS DOUBLE) AS R
+    FROM lineitem
+    UNION ALL
+    SELECT 'sum_price' AS key,
+           CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_extendedprice AS DECIMAL(8,2)) END) AS DOUBLE) AS A,
+           CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_extendedprice AS DECIMAL(8,2)) END) AS DOUBLE) AS N,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(8,2)) END) AS DOUBLE) AS R
+    FROM lineitem
+""")
+def transpose_metrics(spark, sf_dir):
+    """``df.transpose`` (new in Spark 4): flip a metrics-by-flag
+    aggregate so metrics become rows and flags become columns — the
+    report-table orientation.  Safe only because the frame being
+    transposed is a 3-row aggregate (transpose collects the index
+    column to name output columns — never call it on a fact table);
+    the oracle pins the equivalent conditional-aggregation UNION."""
+    from .common import dsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = (li.groupBy("l_returnflag")
+           .agg(dsum("l_quantity").alias("sum_qty"),
+                dsum("l_extendedprice").alias("sum_price")))
+    return agg.transpose("l_returnflag")
+
+
 @query("sample_stratified_api")
 def sample_stratified_api(spark, sf_dir):
     """The native ``df.sampleBy`` API path (seeded, deterministic
