@@ -274,6 +274,37 @@ def agg_approx_distinct(spark, sf_dir):
         F.approx_count_distinct("user_id").alias("n_users_approx"))
 
 
+@query("sketch_hll_rollup")  # no oracle: HLL sketch bytes are engine-specific
+def sketch_hll_rollup(spark, sf_dir):
+    """Re-aggregatable distinct-count sketches — the pattern that makes
+    distinct counts roll up at 100 TB: build an HLL sketch of ordering
+    customers per (year, month) partial, then *merge sketches* to year
+    level with ``hll_union_agg`` instead of re-scanning the facts.
+    Monthly customer sets overlap heavily, so the correct year-level
+    union is far below the sum of the monthly partials; the output
+    carries both (`approx_distinct` vs `naive_sum_of_partials`) plus
+    the per-year exact count, and the accuracy bound is pinned in
+    tests/test_operators_ext.py.  At scale the sketches are the only
+    thing that moves in the second agg — kilobytes per group, no
+    re-shuffle of the fact table."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(F.year("o_orderdate").alias("yr"),
+                  F.month("o_orderdate").alias("mo"))
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"),
+             F.countDistinct("o_custkey").alias("n_exact_month"))
+    )
+    yearly = (
+        monthly.groupBy("yr")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_distinct"),
+             F.sum("n_exact_month").alias("naive_sum_of_partials"))
+    )
+    exact = o.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        F.countDistinct("o_custkey").alias("exact_distinct"))
+    return yearly.join(exact, "yr").select(
+        "yr", "approx_distinct", "naive_sum_of_partials", "exact_distinct")
+
+
 @query("agg_rollup_region_nation", f"""
     SELECT r.r_name, n.n_name, count(*) AS n_cust,
            {dsum_sql('c.c_acctbal', 'sum_acctbal')}

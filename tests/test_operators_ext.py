@@ -222,3 +222,17 @@ def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_hll_sketch_rollup_accuracy(spark, sf_dir):
+    """Merged monthly HLL sketches must estimate the year-level distinct
+    within 5% of exact, and sit well below the naive sum of monthly
+    partials (which double-counts customers active in several months)."""
+    from mental_health_bigdata_project_spark.plans import QUERIES
+
+    rows = QUERIES["sketch_hll_rollup"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_distinct - r.exact_distinct) <= 0.05 * r.exact_distinct
+        if r.naive_sum_of_partials > r.exact_distinct:  # overlap exists
+            assert r.approx_distinct < r.naive_sum_of_partials
