@@ -31,7 +31,7 @@ def enriched_stream(stream: DataFrame) -> DataFrame:
 
 
 def run_to_parquet(stream: DataFrame, out_dir: str, checkpoint_dir: str,
-                  latest_n: int | None = None):
+                  latest_n: int | None = None, trigger_once: bool = False):
     """foreachBatch write to parquet; optionally maintain a compacted
     'latest N' side table per micro-batch (the ring-buffer replacement).
     Uses availableNow so tests drain the source and terminate.
@@ -60,10 +60,13 @@ def run_to_parquet(stream: DataFrame, out_dir: str, checkpoint_dir: str,
             )
             latest.write.mode("overwrite").parquet(f"{out_dir}/latest")
 
-    return (
+    writer = (
         stream.writeStream
         .foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
     )
+    # trigger_once: one micro-batch then stop — for unbounded sources
+    # (e.g. the poll connector) where availableNow never drains.
+    writer = (writer.trigger(once=True) if trigger_once
+              else writer.trigger(availableNow=True))
+    return writer.start()

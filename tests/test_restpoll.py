@@ -79,3 +79,65 @@ def test_replay_between_offsets_deterministic(registered):
     rows_live = list(batch1)
     rows_replayed = list(reader.readBetweenOffsets({"poll": 0}, off1))
     assert rows_live == rows_replayed and len(rows_live) == 15
+
+
+def test_reference_topology_end_to_end(registered, tmp_path):
+    """The whole reference system — REST poll producer
+    (reddit_collector_kafka.py), enrichment processor
+    (preprocessing_streaming.py / kafka_consumer_simple.py), and the
+    dashboard statistics (dashboard/app.py:30-85) — as ONE engine-native
+    topology: Python Data Source stream -> default fill -> native
+    clean/risk enrichment -> watermarked id-dedup (bounded-state
+    seen_ids) -> exactly-once parquet sink -> stats payload.
+
+    Three overlapping polls (step 12 < limit 25) deliver 225 raw rows of
+    which only 147 ids are distinct; the dedup state must span
+    micro-batches AND trigger-once restarts (checkpointed state store),
+    landing exactly one row per id in the sink."""
+    from pyspark.sql import functions as F
+
+    from mental_health_bigdata_project_spark.operators.analytics import (
+        stats_payload)
+    from mental_health_bigdata_project_spark.pipeline import (
+        enrich_posts, fill_post_defaults)
+    from mental_health_bigdata_project_spark.streaming.pipeline import (
+        run_to_parquet)
+    from mental_health_bigdata_project_spark.streaming.windows import (
+        watermarked_dedup)
+
+    out = str(tmp_path / "topo_out")
+    ckpt = str(tmp_path / "topo_ckpt")
+
+    def one_poll():
+        raw = (registered.readStream.format("reddit_poll")
+               .option("step", 12).load())
+        enriched = enrich_posts(fill_post_defaults(raw),
+                                with_processed_at=False)
+        enriched = enriched.withColumn(
+            "event_ts", F.timestamp_seconds("created_utc"))
+        deduped = watermarked_dedup(enriched, ["id"], "event_ts", "2 hours")
+        q = run_to_parquet(deduped, out, ckpt, trigger_once=True)
+        q.awaitTermination(180)
+
+    for _ in range(3):  # three poll cycles, overlapping ids
+        one_poll()
+
+    stored = registered.read.parquet(f"{out}/all")
+    assert stored.count() == 147  # 3 subs x 49 distinct posts
+    assert stored.select("id").distinct().count() == 147
+
+    # dashboard payload over the stored table, engine-side
+    stored = stored.withColumn("processed_at",
+                               F.col("event_ts").cast("string"))
+    payload = stats_payload(registered.sparkSession
+                            if hasattr(registered, "sparkSession")
+                            else registered, stored)
+    assert payload["total_posts"] == 147
+    assert set(payload["by_subreddit"]) == {
+        "depression", "Anxiety", "mentalhealth"}
+    # keyword texts cycle g % 7: hopeless+worthless / anxious /
+    # overwhelmed+panic score 20/10/20 -> all below the 30 threshold
+    assert payload["high_risk_count"] == 0
+    assert payload["risk_distribution"]["10-20"] > 0
+    assert payload["risk_distribution"]["20-30"] > 0
+    assert len(payload["recent_posts"]) == 10
