@@ -290,3 +290,55 @@ def arr_set_ops(spark, sf_dir):
             F.size(F.array_union("ta", "tb")).alias("n_union"),
             F.size(F.array_except("ta", "tb")).alias("n_only_a"))
     )
+
+
+@query("scalar_try_ops", """
+    SELECT event_id,
+           CASE WHEN event_id % 3 = 0 THEN NULL
+                ELSE value / CAST(event_id % 3 AS DOUBLE) END AS safe_ratio,
+           TRY_CAST(CASE WHEN event_id % 2 = 0
+                         THEN CAST(event_id % 100 AS VARCHAR)
+                         ELSE event_type END AS INTEGER) AS et_int,
+           CASE WHEN event_id = 0 THEN 9223372036854775807 END AS ovf
+    FROM events
+""")
+def scalar_try_ops(spark, sf_dir):
+    """ANSI-error-safe arithmetic (`try_divide` / `try_cast` /
+    `try_add`): malformed rows yield NULL instead of failing the job —
+    at 100 TB a single poisoned row must not kill a 6-hour pipeline
+    (the reference gets this for free because plain Python `.get()`
+    defaults swallow everything, kafka_consumer_simple.py:113-119; the
+    engine needs it explicit).  The oracle expresses the same semantics
+    with guards, pinning exactly which rows degrade to NULL."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.try_divide("value", (F.col("event_id") % 3).cast("double"))
+        .alias("safe_ratio"),
+        F.expr("try_cast(CASE WHEN event_id % 2 = 0 "
+               "THEN CAST(event_id % 100 AS STRING) "
+               "ELSE event_type END AS INT)").alias("et_int"),
+        F.try_add(F.lit(9223372036854775807).cast("bigint"),
+                  F.col("event_id")).alias("ovf"))
+
+
+@query("agg_arg_extremes", """
+    SELECT event_type,
+           arg_max(event_id, value * 1e9 + event_id) AS top_event,
+           arg_min(event_id, value * 1e9 + event_id) AS bottom_event,
+           max(value) AS max_value
+    FROM events GROUP BY event_type
+""")
+def agg_arg_extremes(spark, sf_dir):
+    """`max_by` / `min_by`: which row holds the extreme, not just the
+    extreme value (the dashboard's "top posts" question as a one-pass
+    aggregate instead of a sort).  The selection key folds the row id
+    into the value (`value*1e9 + event_id`) so ties are impossible and
+    both engines pick the same row — bare max_by on a 2dp value would
+    be nondeterministic under parallel merge whenever values collide."""
+    ev = _events(spark, sf_dir)
+    key = F.col("value") * F.lit(1e9) + F.col("event_id")
+    return ev.groupBy("event_type").agg(
+        F.max_by("event_id", key).alias("top_event"),
+        F.min_by("event_id", key).alias("bottom_event"),
+        F.max("value").alias("max_value"))
