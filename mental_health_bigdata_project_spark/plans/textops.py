@@ -382,3 +382,55 @@ def text_bigram_freq(spark, sf_dir):
     )).alias("bigram"))
     return bigrams.groupBy("bigram").agg(F.count("*").alias("n")).filter(
         F.col("n") >= 5)
+
+
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_PHONE_RE = "\\b\\d{3}-\\d{4}\\b"
+
+
+@query("text_pii_scrub", f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             concat(substring(text, 1, 40),
+                    CASE WHEN doc_id % 5 = 0
+                         THEN concat(' contact user', CAST(doc_id AS VARCHAR),
+                                     '@example.com now') ELSE '' END,
+                    CASE WHEN doc_id % 7 = 0 THEN ' call 555-1234'
+                         ELSE '' END) AS txt
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(txt, '{_EMAIL_RE}')) AS INT) AS n_emails,
+           regexp_replace(regexp_replace(txt, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+    FROM seeded
+""")
+def text_pii_scrub(spark, sf_dir):
+    """PII scrubbing — the redaction pass every training-data pipeline
+    runs before tokenization: emails and phone-shaped digit runs are
+    replaced with typed placeholder tags, plus a per-doc match count
+    for audit metrics.  Pure per-row regexes: no shuffle, fully
+    codegen'd, scales linearly with input splits (contrast the
+    reference, which stores raw user text verbatim,
+    kafka_consumer_simple.py:131).  The synthetic corpus contains no
+    PII, so both engines seed identical fake emails/phones into the
+    input deterministically — the oracle is non-vacuous by
+    construction (SURVEY.md §5 vacuous-gate rule)."""
+    docs = _docs(spark, sf_dir)
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit(" contact user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.com now"))).otherwise(""),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" call 555-1234"))
+            .otherwise(""),
+        ).alias("txt"))
+    email, phone = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", r"\b\d{3}-\d{4}\b"
+    return seeded.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("txt", F.lit(email), F.lit(0)))
+        .cast("int").alias("n_emails"),
+        F.regexp_replace(F.regexp_replace("txt", email, "<EMAIL>"),
+                         phone, "<PHONE>").alias("scrubbed"))

@@ -85,3 +85,38 @@ def test_crosstab_matches_groupby(spark, sf_dir):
         else:
             want[r.l_returnflag] = (f, r["count"])
     assert ct == want
+
+
+def test_chunker_properties():
+    """Pure-Python property test of the UDTF chunker: every token is
+    covered, stride-prefixes reconstruct the document, and chunk count
+    is ceil(n/stride)."""
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    from mental_health_bigdata_project_spark.plans.udtf_udaf import ChunkDoc
+
+    token = st.text(alphabet="abc", min_size=1, max_size=4)
+
+    @settings(max_examples=200, deadline=None)
+    @given(toks=st.lists(token, min_size=0, max_size=120),
+           chunk_size=st.integers(1, 40), overlap=st.integers(0, 39))
+    def prop(toks, chunk_size, overlap):
+        stride = max(1, chunk_size - min(overlap, chunk_size - 1))
+        text = " ".join(toks)
+        out = list(ChunkDoc.func().eval(text, chunk_size, stride))
+        n = len(toks)
+        assert len(out) == (math.ceil(n / stride) if n else 0)
+        assert [i for i, _, _ in out] == list(range(len(out)))
+        for _, chunk, n_tok in out:
+            got = chunk.split(" ") if chunk else []
+            assert len(got) == n_tok <= chunk_size
+        # stride-prefix reconstruction covers every token exactly once
+        rebuilt = []
+        for idx, chunk, _ in out:
+            toks_i = chunk.split(" ") if chunk else []
+            rebuilt.extend(toks_i[:stride] if idx < len(out) - 1 else toks_i)
+        assert rebuilt == toks
+
+    prop()
