@@ -448,3 +448,36 @@ def test_complete_mode_live_totals(spark, sf_dir, tmp_path):
                  F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
                  .alias("sv")).collect()}
     assert got == batch
+
+
+def test_statestore_reader_exposes_dedup_state(spark, tmp_path):
+    """Operational introspection: the checkpointed state of a
+    watermarked dedup is queryable as a DataFrame via the
+    `state-metadata` / `statestore` readers — at scale this is how you
+    audit state size, debug watermark eviction, and verify exactly
+    which keys an operator is holding, without touching the running
+    query."""
+    from pyspark.sql import functions as F
+
+    from mental_health_bigdata_project_spark.streaming.windows import (
+        watermarked_dedup)
+
+    src = str(tmp_path / "ss_src")
+    (spark.createDataFrame([(i % 7, float(i)) for i in range(30)],
+                           "id bigint, v double")
+     .withColumn("ts", F.timestamp_seconds(F.lit(1700000000) + F.col("v")))
+     .write.mode("overwrite").json(src))
+    stream = spark.readStream.schema("id bigint, v double, ts timestamp").json(src)
+    ck = str(tmp_path / "ss_ck")
+    q = (watermarked_dedup(stream, ["id"], "ts", "1 hour")
+         .writeStream.format("memory").queryName("ss_out")
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    meta = spark.read.format("state-metadata").load(ck).collect()
+    assert [r.operatorName for r in meta] == ["dedupe"]
+
+    state = spark.read.format("statestore").load(ck)
+    held_keys = sorted(r.key.id for r in state.collect())
+    assert held_keys == list(range(7))  # exactly the distinct ids
