@@ -236,3 +236,63 @@ def test_hll_sketch_rollup_accuracy(spark, sf_dir):
         assert abs(r.approx_distinct - r.exact_distinct) <= 0.05 * r.exact_distinct
         if r.naive_sum_of_partials > r.exact_distinct:  # overlap exists
             assert r.approx_distinct < r.naive_sum_of_partials
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """A date-partitioned fact joined to a filtered dim must prune fact
+    partitions at RUNTIME via a dynamic-pruning subquery — at 100 TB
+    this is the difference between scanning 2 partitions and scanning
+    all of them when the pruning values are only known after the dim
+    filter runs."""
+    from mental_health_bigdata_project_spark.sources import load_table
+
+    fact_dir = str(tmp_path / "fact_by_year")
+    (load_table(spark, sf_dir, "orders")
+     .withColumn("o_year", F.year("o_orderdate"))
+     .repartition("o_year")
+     .write.mode("overwrite").partitionBy("o_year").parquet(fact_dir))
+    dim_dir = str(tmp_path / "year_dim")
+    (spark.range(1990, 2010)
+     .select(F.col("id").alias("year"), (F.col("id") % 2 == 0).alias("even"))
+     .write.mode("overwrite").parquet(dim_dir))
+
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(dim_dir).filter("year IN (1996, 1997)")
+    joined = fact.join(dim, fact.o_year == dim.year)
+    n = joined.count()
+    want = fact.filter(F.col("o_year").isin(1996, 1997)).count()
+    assert n == want > 0
+
+    joined.collect()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower()
+
+
+def test_shuffle_hash_join_hint(spark, sf_dir):
+    """The SHUFFLE_HASH hint must override sort-merge selection: same
+    single shuffle on the keys, but no sort on either side — the right
+    choice when one side is modest and sorting dominates (e.g. high
+    column counts), and an explicit physical-strategy control the
+    engine exposes alongside BROADCAST (sql_hint_broadcast)."""
+    from mental_health_bigdata_project_spark.sources import load_table
+
+    confs = {"spark.sql.autoBroadcastJoinThreshold": "-1",
+             "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1"}
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        o = load_table(spark, sf_dir, "orders")
+        c = load_table(spark, sf_dir, "customer")
+        j = o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
+        assert j.count() == o.count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "ShuffledHashJoin" in final
+        assert "SortMergeJoin" not in final
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
