@@ -296,3 +296,26 @@ def test_shuffle_hash_join_hint(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_gemm_topk_matches_native(spark, sf_dir):
+    """The mapInPandas GEMM retrieval must return the same neighbor ids
+    as the native-expression path for every query (cosines may differ
+    in final ulps; ids must not)."""
+    from mental_health_bigdata_project_spark.plans import QUERIES
+
+    native = QUERIES["sim_topk_batch"](spark, sf_dir).collect()
+    gemm = QUERIES["sim_topk_batch_gemm"](spark, sf_dir).collect()
+
+    def by_query(rows):
+        d = {}
+        for r in rows:
+            d.setdefault(r.query_id, []).append(r.vec_id)
+        return {k: sorted(v) for k, v in d.items()}
+
+    a, b = by_query(native), by_query(gemm)
+    assert a.keys() == b.keys() and len(a) == 8
+    assert a == b
+    for rn, rg in zip(sorted(native, key=lambda r: (r.query_id, r.vec_id)),
+                      sorted(gemm, key=lambda r: (r.query_id, r.vec_id))):
+        assert abs(rn.cosine - rg.cosine) < 1e-5

@@ -41,6 +41,7 @@ ARROW_QUERIES = {"sim_ann_lsh", "sim_ann_ivf", "grouped_zscore_by_user",
                  # Arrow UDTF (data-dependent fan-out) + pandas UDAF —
                  # deliberate Python boundaries, plans/udtf_udaf.py
                  "udtf_chunk_documents", "udaf_geomean_chars",
+                 "sim_topk_batch_gemm",
                  # Python Data Source connector: the source itself is
                  # a Python boundary by construction
                  "source_rest_poll", "rest_poll_dedup"}
