@@ -141,3 +141,38 @@ def test_reference_topology_end_to_end(registered, tmp_path):
     assert payload["risk_distribution"]["10-20"] > 0
     assert payload["risk_distribution"]["20-30"] > 0
     assert len(payload["recent_posts"]) == 10
+
+
+def test_jsonl_sink_two_phase_commit(spark, sf_dir, tmp_path):
+    """The Python Data Source writer: per-partition atomic files plus a
+    driver-side commit manifest whose totals must equal the data; a
+    round-trip read must preserve values; overwrite must replace files
+    and manifest together."""
+    import json
+
+    from mental_health_bigdata_project_spark.sources import jsonl_sink
+    from mental_health_bigdata_project_spark.sources.tables import load_table
+
+    jsonl_sink.register(spark)
+    out = str(tmp_path / "audit_out")
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "lang", "n_chars").limit(200)
+    docs.write.format("jsonl_audit").option("path", out).mode("append").save()
+
+    man = jsonl_sink.read_manifest(out)
+    assert man["total_rows"] == 200
+    assert sum(f["rows"] for f in man["files"]) == 200
+    import os
+    on_disk = {f for f in os.listdir(out) if f.endswith(".jsonl")}
+    assert on_disk == {os.path.basename(f["path"]) for f in man["files"]}
+    assert not any(f.endswith(".tmp") for f in os.listdir(out))
+
+    back = spark.read.json(f"{out}/*.jsonl")
+    assert sorted(map(tuple, back.select("doc_id", "lang", "n_chars").collect())) \
+        == sorted(map(tuple, docs.collect()))
+
+    # overwrite replaces content + manifest
+    docs.limit(50).write.format("jsonl_audit").option("path", out) \
+        .mode("overwrite").save()
+    assert jsonl_sink.read_manifest(out)["total_rows"] == 50
+    assert spark.read.json(f"{out}/*.jsonl").count() == 50
