@@ -29,11 +29,16 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
 
 MANIFEST = "_MANIFEST.json"
+
+
+def _epoch_manifest(batch_id: int) -> str:
+    return f"_EPOCH-{batch_id:010d}.json"
 
 
 @dataclass
@@ -75,8 +80,53 @@ class JsonlAuditWriter(DataSourceWriter):
                 os.remove(m.path)
 
 
+class JsonlAuditStreamWriter(DataSourceStreamWriter):
+    """Per-epoch twin of the batch writer. File names are a pure function
+    of ``(batchId, partitionId)``, so a replayed epoch (restart between
+    task success and epoch commit) OVERWRITES its own files instead of
+    duplicating rows — idempotent replay is what turns Structured
+    Streaming's at-least-once task execution into exactly-once output,
+    the same discipline built-in file sinks get from their _spark_metadata
+    log. An epoch is visible to readers only once its ``_EPOCH-*.json``
+    manifest exists."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        batch_id = ctx.getLocalProperty("streaming.sql.batchId")
+        os.makedirs(self.path, exist_ok=True)
+        out = os.path.join(self.path, f"epoch-{batch_id}-part-{pid:05d}.jsonl")
+        n = 0
+        with open(out + ".tmp", "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        os.rename(out + ".tmp", out)
+        return PartitionCommit(path=out, count=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        manifest = {
+            "batch_id": batchId,
+            "files": [{"path": m.path, "rows": m.count} for m in messages],
+            "total_rows": sum(m.count for m in messages),
+        }
+        with open(os.path.join(self.path, _epoch_manifest(batchId)), "w") as f:
+            json.dump(manifest, f, indent=2, sort_keys=True)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
 class JsonlAuditSink(DataSource):
-    """``df.write.format("jsonl_audit").option("path", dir).save()``."""
+    """``df.write.format("jsonl_audit").option("path", dir).save()`` and
+    ``df.writeStream.format("jsonl_audit")`` (per-epoch manifests)."""
 
     @classmethod
     def name(cls) -> str:
@@ -91,6 +141,9 @@ class JsonlAuditSink(DataSource):
                         os.remove(os.path.join(path, f))
         return JsonlAuditWriter(self.options, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool):
+        return JsonlAuditStreamWriter(self.options)
+
 
 def register(spark) -> None:
     spark.dataSource.register(JsonlAuditSink)
@@ -101,3 +154,15 @@ def read_manifest(path: str) -> dict:
     was never committed."""
     with open(os.path.join(path, MANIFEST)) as f:
         return json.load(f)
+
+
+def read_epoch_manifests(path: str) -> list[dict]:
+    """All committed epochs, in batch order. Files not covered by any
+    epoch manifest belong to uncommitted (in-flight or aborted) epochs
+    and must be ignored by readers."""
+    out = []
+    for f in sorted(os.listdir(path)):
+        if f.startswith("_EPOCH-") and f.endswith(".json"):
+            with open(os.path.join(path, f)) as fh:
+                out.append(json.load(fh))
+    return out

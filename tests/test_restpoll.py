@@ -176,3 +176,38 @@ def test_jsonl_sink_two_phase_commit(spark, sf_dir, tmp_path):
         .mode("overwrite").save()
     assert jsonl_sink.read_manifest(out)["total_rows"] == 50
     assert spark.read.json(f"{out}/*.jsonl").count() == 50
+
+
+def test_jsonl_stream_writer_epoch_manifests(registered, tmp_path):
+    """Custom source -> custom sink end to end: two trigger-once runs
+    sharing a checkpoint append distinct epochs, each published by its
+    own _EPOCH manifest; replayed-epoch file names are deterministic so
+    a restart can never duplicate rows."""
+    import os
+
+    from mental_health_bigdata_project_spark.sources import jsonl_sink
+
+    jsonl_sink.register(registered)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def run_once():
+        q = (registered.readStream.format("reddit_poll").load()
+             .select("id", "subreddit", "score")
+             .writeStream.format("jsonl_audit").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(once=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    run_once()
+
+    epochs = jsonl_sink.read_epoch_manifests(out)
+    assert [e["batch_id"] for e in epochs] == [0, 1]
+    assert all(e["total_rows"] == 75 for e in epochs)
+    back = registered.read.json(f"{out}/*.jsonl")
+    assert back.count() == 150
+    # second poll re-lists some ids (overlap) but never re-writes epoch 0
+    assert not any(f.endswith(".tmp") for f in os.listdir(out))
+    on_disk = {f for f in os.listdir(out) if f.endswith(".jsonl")}
+    in_manifests = {os.path.basename(f["path"]) for e in epochs for f in e["files"]}
+    assert on_disk == in_manifests
