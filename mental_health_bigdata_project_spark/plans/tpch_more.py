@@ -864,3 +864,46 @@ def q20_dominant_suppliers(spark, sf_dir):
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_suppkey", "s_name", "n_name")
     )
+
+
+@query("q11_important_parts", f"""
+    WITH nat_value AS (
+      SELECT l.l_partkey, CAST(SUM({_REV_SQL}) AS DOUBLE) AS value
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_19'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, value
+    FROM nat_value
+    WHERE value > 0.001 * (SELECT CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                                       AS DOUBLE) FROM nat_value)
+    ORDER BY value DESC, l_partkey
+""")
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape adapted without partsupp: parts whose revenue
+    supplied from one nation exceeds a fraction of that nation's total
+    (HAVING-against-global-scalar-subquery; 0.001 calibrated non-vacuous
+    at sf0.001/0.01).  Scale posture: the nation filter reaches the fact
+    scan through a broadcast semi-ish dim join; the scalar subquery is
+    decorrelated by RE-AGGREGATING the already-reduced per-part table
+    (~#parts rows) instead of a second fact scan, and the 1-row total
+    broadcasts back as a cross join — one shuffle total, on l_partkey."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_19")
+    nat_value = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(_rev()).cast("double").alias("value"))
+    )
+    total = nat_value.agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("tot"))
+    return (
+        nat_value.join(F.broadcast(total))
+        .filter(F.col("value") > F.lit(0.001) * F.col("tot"))
+        .select("l_partkey", "value")
+        .orderBy(F.desc("value"), "l_partkey")
+    )
