@@ -102,6 +102,46 @@ def read_xml(spark: SparkSession, path: str, row_tag: str = "post",
     return r.load(path)
 
 
+def write_orc(df: DataFrame, out_dir: str, mode: str = "overwrite") -> None:
+    """ORC sink (built-in columnar alternative to parquet, common in
+    Hive-era lakes).  Same predicate-pushdown / column-pruning story as
+    parquet: ORC carries min/max stats and bloom-filterable stripes, so
+    engine queries over an ORC lake keep their scan-side pruning."""
+    df.write.mode(mode).format("orc").save(out_dir)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan; schema comes from file metadata (self-describing, no
+    inference pass needed, unlike CSV/XML)."""
+    return spark.read.format("orc").load(path)
+
+
+def compact_small_files(spark: SparkSession, in_dir: str, out_dir: str,
+                        rows_per_file: int) -> int:
+    """The small-files maintenance pass: rewrite a directory of many
+    tiny parquet files into ~``ceil(n / rows_per_file)`` right-sized
+    ones, returning the output file count.
+
+    At 100 TB the small-files problem is an ingest-side inevitability
+    (every streaming epoch or upsert snapshot emits one file per task);
+    unchecked, scan planning degrades to millions of footer reads and
+    task-per-tiny-file scheduling.  Compaction here is a full shuffle-
+    free rewrite: ``coalesce`` (not ``repartition``) merges input
+    splits without an exchange, and ``maxRecordsPerFile`` caps any
+    residual imbalance.  Run it per-partition-directory in production
+    so only cold partitions rewrite."""
+    import math
+
+    df = spark.read.parquet(in_dir)
+    n = df.count()
+    files = max(1, math.ceil(n / rows_per_file))
+    (df.coalesce(files)
+     .write.mode("overwrite")
+     .option("maxRecordsPerFile", rows_per_file)
+     .parquet(out_dir))
+    return len([f for f in spark.read.parquet(out_dir).inputFiles()])
+
+
 def merge_upsert(existing: DataFrame, updates: DataFrame,
                  key_cols: list[str]) -> DataFrame:
     """Key-based upsert plan: rows of ``existing`` whose key appears in

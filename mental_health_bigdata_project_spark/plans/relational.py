@@ -305,6 +305,47 @@ def sketch_hll_rollup(spark, sf_dir):
         "yr", "approx_distinct", "naive_sum_of_partials", "exact_distinct")
 
 
+@query("sketch_topk_langs", """
+    SELECT lang, count(*) AS cnt FROM documents GROUP BY lang
+""")
+def sketch_topk_langs(spark, sf_dir):
+    """Frequent-items sketch (approx_top_k) over documents.lang.  With
+    k >= the column's cardinality the sketch is provably exact AND
+    complete, so this approx operator is oracle-gated against the exact
+    group-by — and ties at rank k can't break the comparison because
+    nothing is cut off.  At 100 TB the sketch's win is that heavy
+    hitters arrive without a full groupBy shuffle: each partition
+    tracks its own bounded map, and only kilobyte sketch states merge."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.agg(F.expr("approx_top_k(lang, 10)").alias("top"))
+            .select(F.explode("top").alias("e"))
+            .select(F.col("e.item").alias("lang"),
+                    F.col("e.count").alias("cnt")))
+
+
+@query("sketch_topk_rollup")  # no oracle: sketch state bytes are engine-specific
+def sketch_topk_rollup(spark, sf_dir):
+    """Re-aggregatable frequent-items rollup, the approx_top_k twin of
+    sketch_hll_rollup: accumulate a per-month sketch of event types,
+    then COMBINE the sketch states up to year level — monthly partials
+    merge in kilobytes, no re-shuffle of the fact rows.  Exactness at
+    small cardinality (5 event types << maxItemsTracked) is pinned in
+    tests/test_operators_ext.py against the exact group-by."""
+    e = _t(spark, sf_dir, "events")
+    monthly = (
+        e.groupBy(F.year("ts").alias("yr"), F.month("ts").alias("mo"))
+        .agg(F.expr("approx_top_k_accumulate(event_type, 1024)").alias("st"))
+    )
+    return (
+        monthly.groupBy("yr")
+        .agg(F.expr("approx_top_k_estimate(approx_top_k_combine(st), 5)")
+             .alias("top"))
+        .select("yr", F.explode("top").alias("e"))
+        .select("yr", F.col("e.item").alias("event_type"),
+                F.col("e.count").alias("cnt"))
+    )
+
+
 @query("agg_rollup_region_nation", f"""
     SELECT r.r_name, n.n_name, count(*) AS n_cust,
            {dsum_sql('c.c_acctbal', 'sum_acctbal')}

@@ -319,3 +319,21 @@ def test_gemm_topk_matches_native(spark, sf_dir):
     for rn, rg in zip(sorted(native, key=lambda r: (r.query_id, r.vec_id)),
                       sorted(gemm, key=lambda r: (r.query_id, r.vec_id))):
         assert abs(rn.cosine - rg.cosine) < 1e-5
+
+
+def test_topk_sketch_rollup_exact_at_small_cardinality(spark, sf_dir):
+    """Combined monthly approx_top_k sketches must be EXACT here: 5
+    event types never overflow maxItemsTracked=1024, so the year-level
+    estimate equals the exact per-year group-by."""
+    got = {}
+    for r in entry_mod.queries()["sketch_topk_rollup"](spark, sf_dir).collect():
+        got.setdefault(r.yr, {})[r.event_type] = r.cnt
+    from mental_health_bigdata_project_spark.sources import load_table
+    from pyspark.sql import functions as F
+    ev = load_table(spark, sf_dir, "events")
+    exact = {}
+    for r in (ev.groupBy(F.year("ts").alias("yr"), "event_type")
+              .count().collect()):
+        exact.setdefault(r.yr, {})[r.event_type] = r["count"]
+    # top-5 estimate covers all 5 types -> whole map must match
+    assert got == exact

@@ -209,3 +209,60 @@ def test_cbo_analyze_enables_stats_based_broadcast(spark, sf_dir):
         spark.conf.unset("spark.sql.cbo.joinReorder.enabled")
         spark.sql("DROP TABLE IF EXISTS cbo_customer")
         spark.sql("DROP TABLE IF EXISTS cbo_orders")
+
+
+def test_orc_round_trip(spark, sf_dir, tmp_path):
+    """ORC sink/scan round-trips values and keeps scan-side filter
+    pushdown (min/max stripe stats), like parquet."""
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "lang", "n_chars")
+    out = str(tmp_path / "docs_orc")
+    mio.write_orc(docs, out)
+    back = mio.read_orc(spark, out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+    plan = back.filter(F.col("n_chars") > 500)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PushedFilters: [" in plan and "n_chars" in plan
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    """Many tiny files in, few right-sized files out, rows preserved —
+    and the rewrite plan contains no Exchange (coalesce, not
+    repartition)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    n = docs.count()
+    small = str(tmp_path / "small")
+    docs.repartition(32).write.parquet(small)  # simulate epoch droppings
+    assert len(spark.read.parquet(small).inputFiles()) == 32
+    out = str(tmp_path / "compacted")
+    n_files = mio.compact_small_files(spark, small, out, rows_per_file=200)
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    assert n_files == len(back.inputFiles()) <= -(-n // 200) + 1
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_metadata_file_provenance(spark, sf_dir, tmp_path):
+    """Row-level lineage via the hidden _metadata struct: per-file row
+    counts from _metadata.file_path must equal the per-partition counts
+    that produced the files — the audit primitive for tracing any
+    training example back to its source file at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_by_lang")
+    mio.write_partitioned(docs, out, ["lang"])
+    back = spark.read.parquet(out)
+    per_file = (back.groupBy(F.col("_metadata.file_path").alias("f"))
+                .count().collect())
+    expect = {r.lang: r.n for r in docs.groupBy("lang")
+              .agg(F.count("*").alias("n")).collect()}
+    got = {}
+    for r in per_file:
+        lang = r.f.split("lang=")[1].split("/")[0]
+        got[lang] = got.get(lang, 0) + r["count"]
+    assert got == expect
+    # row_index is dense per file
+    mx = (back.select(F.col("_metadata.file_path").alias("f"),
+                      F.col("_metadata.row_index").alias("i"))
+          .groupBy("f").agg(F.max("i").alias("mx"), F.count("*").alias("n")))
+    assert all(r.mx == r.n - 1 for r in mx.collect())
