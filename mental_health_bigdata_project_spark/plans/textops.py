@@ -434,3 +434,105 @@ def text_pii_scrub(spark, sf_dir):
         .cast("int").alias("n_emails"),
         F.regexp_replace(F.regexp_replace("txt", email, "<EMAIL>"),
                          phone, "<PHONE>").alias("scrubbed"))
+
+
+# --- Training-corpus assembly ops ----------------------------------------
+
+@query("split_train_val_test", """
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                     BETWEEN '0' AND 'c' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                     IN ('d', 'e') THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+""")
+def split_train_val_test(spark, sf_dir):
+    """Deterministic hash-based train/val/test assignment — the split
+    must be a pure function of a stable key (never rand(): re-runs and
+    late-arriving shards would scramble membership and leak val into
+    train).  First hex nibble of md5(doc_id): 0-c train (13/16),
+    d-e val (2/16), f test (1/16).  Embarrassingly parallel — a
+    per-row expression with no shuffle; at 100 TB this tags at scan
+    speed and the split column doubles as a partition key for the
+    output layout."""
+    b = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(b.between("0", "c"), "train")
+         .when(b.isin("d", "e"), "val")
+         .otherwise("test").alias("split"))
+
+
+@query("pack_sequences", f"""
+    WITH d AS (
+      SELECT doc_id, source, len({_TOKS_SQL}) AS n_tok FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tok AS start_off
+      FROM d)
+    SELECT doc_id, source, n_tok,
+           CAST(FLOOR(start_off / 2048) AS BIGINT) AS pack_id
+    FROM c
+""")
+def pack_sequences(spark, sf_dir):
+    """Sequence packing (concat-then-chunk): documents are laid out
+    back-to-back per source in stable doc_id order and cut into 2048-
+    token context windows; each doc is tagged with the window its first
+    token lands in.  This is the standard LLM pretraining layout (no
+    bin-packing search, which is inherently serial): one running-sum
+    window per source partition — a single shuffle on `source`, and at
+    100 TB the window state is a single accumulator per partition, so
+    packing runs at shuffle speed.  Exactly reproducible: ordering key
+    is the unique doc_id."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.size(tokens_col()).alias("n_tok"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    start = (F.sum("n_tok").over(w) - F.col("n_tok")).alias("start_off")
+    return d.select("doc_id", "source", "n_tok", start).select(
+        "doc_id", "source", "n_tok",
+        F.floor(F.col("start_off") / 2048).cast("bigint").alias("pack_id"))
+
+
+@query("decontam_benchmark", f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+          CASE WHEN len(toks) >= 3 THEN
+              list_transform(range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+          ELSE [] END)) AS shingle
+      FROM d),
+    bench AS (SELECT shingle FROM sh WHERE doc_id % 97 = 0),
+    train AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)
+    SELECT DISTINCT t.doc_id
+    FROM train t JOIN bench b ON t.shingle = b.shingle
+""")
+def decontam_benchmark(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing any
+    token-3-gram with a held-out benchmark set (here: doc_id % 97 = 0
+    as the stand-in eval split).  Plan shape is a left-SEMI join on the
+    shingle — each training doc emits at most once, no pair explosion;
+    the benchmark side is tiny (~1% of docs) so Catalyst broadcasts its
+    shingle set and the training side never shuffles.  At 100 TB:
+    hash the shingles (xxhash64) instead of shipping strings, and the
+    broadcast stays MB-sized regardless of corpus size."""
+    toks = tokens_col()
+    d = _docs(spark, sf_dir).select("doc_id", toks.alias("toks"))
+    shingles = F.when(
+        F.size("toks") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 2),
+            lambda i: F.concat_ws(" ", F.element_at("toks", i),
+                                  F.element_at("toks", i + 1),
+                                  F.element_at("toks", i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = d.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+    bench = sh.filter(F.col("doc_id") % 97 == 0).select("shingle")
+    train = sh.filter(F.col("doc_id") % 97 != 0)
+    return (train.join(F.broadcast(bench), "shingle", "left_semi")
+            .select("doc_id").distinct())
