@@ -51,6 +51,9 @@ HEADLINE = [
     "sim_cosine_topk",
     "stream_window_tumbling",
     "stream_window_session",
+    "q11_important_parts",
+    "pack_sequences",
+    "decontam_benchmark",
 ]
 
 

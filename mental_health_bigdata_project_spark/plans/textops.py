@@ -536,3 +536,38 @@ def decontam_benchmark(spark, sf_dir):
     train = sh.filter(F.col("doc_id") % 97 != 0)
     return (train.join(F.broadcast(bench), "shingle", "left_semi")
             .select("doc_id").distinct())
+
+
+MIXTURE_WEIGHTS = [
+    # (source-prefix bucket, keep fraction as a 6-nibble hex threshold)
+    # 'zzzzzz' sorts above every hex digest prefix => keep all.
+    ("src0", "zzzzzz"), ("src1", "zzzzzz"), ("src2", "zzzzzz"),
+    ("src3", "800000"), ("src4", "800000"), ("src5", "800000"),
+    ("src6", "400000"), ("src7", "400000"), ("src8", "200000"),
+    ("src9", "100000"),
+]
+_W_SQL = ", ".join(f"('{s}', '{h}')" for s, h in MIXTURE_WEIGHTS)
+
+
+@query("sample_mixture_weights", f"""
+    WITH w(source, keep_hex) AS (VALUES {_W_SQL})
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN w ON d.source = w.source
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) < w.keep_hex
+""")
+def sample_mixture_weights(spark, sf_dir):
+    """Source-mixture resampling: each corpus source keeps a configured
+    fraction of its documents (the data-mixture knob of a pretraining
+    run — upweight curated sources, downsample crawl).  Deterministic,
+    not rand(): a doc survives iff its md5 hex prefix sorts below the
+    source's 6-nibble threshold, so membership is a pure function of
+    (doc_id, weights) — stable under re-runs, restarts, and shard
+    arrival order, and lexicographic hex compare equals numeric
+    compare.  Plan: the weights dim is rows-sized-by-#sources —
+    broadcast join, per-row filter, zero shuffles of the corpus."""
+    w = spark.createDataFrame(MIXTURE_WEIGHTS, ["source", "keep_hex"])
+    d = _docs(spark, sf_dir)
+    return (d.join(F.broadcast(w), "source")
+            .filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6)
+                    < F.col("keep_hex"))
+            .select("doc_id", "source"))
