@@ -1,0 +1,129 @@
+"""[EXT] Production-pipeline data management: declarative data-quality
+expectations and snapshot diffing (CDC classify).
+
+No reference counterpart (the reference trusts its inputs and rewrites
+one JSON file wholesale); required for the 100 TB posture, where bad
+shards and partial loads are routine and "diff two snapshots" replaces
+re-reading the world.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+@query("dq_expectations", """
+    WITH orphan AS (
+      SELECT count(*) AS v FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_orderkey = l.l_orderkey)),
+    li AS (
+      SELECT count(*) AS n,
+             count(*) FILTER (WHERE l_quantity IS NULL OR l_quantity <= 0) AS bad_qty,
+             count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) AS bad_disc
+      FROM lineitem),
+    o AS (
+      SELECT count(*) AS n,
+             count(*) FILTER (WHERE o_totalprice IS NULL OR o_totalprice <= 0) AS bad_total
+      FROM orders)
+    SELECT 'lineitem.quantity_positive' AS rule, li.n AS n_checked,
+           li.bad_qty AS n_violations FROM li
+    UNION ALL
+    SELECT 'lineitem.discount_in_unit_range', li.n, li.bad_disc FROM li
+    UNION ALL
+    SELECT 'lineitem.order_fk_exists', li.n, orphan.v FROM li, orphan
+    UNION ALL
+    SELECT 'orders.totalprice_positive', o.n, o.bad_total FROM o
+""")
+def dq_expectations(spark, sf_dir):
+    """Declarative data-quality gate: one pass computes every row-level
+    expectation as a conditional count (null/range rules fuse into a
+    single aggregate per table — no rule-per-scan), plus a referential
+    check as a left-anti count.  Output is the audit table a pipeline
+    would alert on.  At 100 TB: the row-level rules are map-side-only
+    (one scan, partial aggs); the FK check is the only shuffle, and its
+    anti-join build side (order keys) is dictionary-compressible —
+    or drop to a bloom filter when even keys don't fit."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    q = F.col("l_quantity")
+    d = F.col("l_discount")
+    li_agg = li.agg(
+        F.count("*").alias("li_n"),
+        F.count_if(q.isNull() | (q <= 0)).alias("bad_qty"),
+        F.count_if((d < 0) | (d > 1)).alias("bad_disc"))
+    orphan = (li.join(o.select("o_orderkey"),
+                      li.l_orderkey == F.col("o_orderkey"), "left_anti")
+              .agg(F.count("*").alias("orphans")))
+    o_agg = o.agg(
+        F.count("*").alias("o_n"),
+        F.count_if(F.col("o_totalprice").isNull()
+                   | (F.col("o_totalprice") <= 0)).alias("bad_total"))
+    # three 1-row aggregates cross-joined, unpivoted into the audit rows
+    # with stack() — the whole report stays one lazy plan, nothing
+    # round-trips through the driver.
+    return (li_agg.crossJoin(orphan).crossJoin(o_agg).selectExpr(
+        "stack(4, "
+        " 'lineitem.quantity_positive',      li_n, bad_qty, "
+        " 'lineitem.discount_in_unit_range', li_n, bad_disc, "
+        " 'lineitem.order_fk_exists',        li_n, orphans, "
+        " 'orders.totalprice_positive',      o_n,  bad_total"
+        ") AS (rule, n_checked, n_violations)"))
+
+
+@query("snapshot_diff", """
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+    new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN round(o_totalprice * 1.1, 2)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1997-07-01 00:00:00')
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_totalprice <> n.o_totalprice
+                     OR o.o_orderstatus <> n.o_orderstatus THEN 'changed'
+                ELSE 'unchanged' END AS change
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+""")
+def snapshot_diff(spark, sf_dir):
+    """Snapshot diff (CDC classify): full-outer join two snapshot
+    versions on the key and tag each row added / removed / changed /
+    unchanged — the primitive behind incremental corpus refresh
+    ("what changed since the last crawl?") without a table format's
+    change feed.  Here the two snapshots are derived deterministically
+    from orders (a later date cutoff adds rows; a %7 price bump changes
+    some).  One shuffle on the key; at 100 TB run it per partition
+    directory so only co-partitioned shards join, and feed the
+    'changed'+'added' classes straight into merge_upsert."""
+    o = _t(spark, sf_dir, "orders")
+    old = (o.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+           .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    new = (o.filter(F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
+           .select("o_orderkey", "o_orderstatus",
+                   F.when(F.col("o_orderkey") % 7 == 0,
+                          F.round(F.col("o_totalprice") * 1.1, 2))
+                   .otherwise(F.col("o_totalprice")).alias("o_totalprice")))
+    old_a, new_a = old.alias("o"), new.alias("n")
+    change = (
+        F.when(F.col("o.o_orderkey").isNull(), "added")
+        .when(F.col("n.o_orderkey").isNull(), "removed")
+        .when((F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+              | (F.col("o.o_orderstatus") != F.col("n.o_orderstatus")), "changed")
+        .otherwise("unchanged"))
+    return (old_a.join(new_a, F.col("o.o_orderkey") == F.col("n.o_orderkey"),
+                       "full_outer")
+            .select(F.coalesce(F.col("o.o_orderkey"),
+                               F.col("n.o_orderkey")).alias("o_orderkey"),
+                    change.alias("change")))
