@@ -10,6 +10,7 @@ re-reading the world.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources import load_table
 from .registry import query
@@ -127,3 +128,78 @@ def snapshot_diff(spark, sf_dir):
             .select(F.coalesce(F.col("o.o_orderkey"),
                                F.col("n.o_orderkey")).alias("o_orderkey"),
                     change.alias("change")))
+
+
+@query("ts_gapfill_interpolate", """
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(value) AS v
+      FROM events GROUP BY 1, 2),
+    span AS (SELECT user_id, min(d) AS mn, max(d) AS mx FROM daily GROUP BY 1),
+    grid AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS d
+      FROM span),
+    j AS (
+      SELECT g.user_id, g.d, daily.v FROM grid g
+      LEFT JOIN daily ON daily.user_id = g.user_id AND daily.d = g.d),
+    f AS (
+      SELECT user_id, d, v,
+        last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY d
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM j)
+    SELECT user_id, d,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NULL THEN nv
+                      WHEN nv IS NULL THEN pv
+                      ELSE pv + (nv - pv)
+                           * (date_diff('day', pd, d) * 1.0
+                              / date_diff('day', pd, nd)) END, 6) AS v_filled
+    FROM f
+""")
+def ts_gapfill_interpolate(spark, sf_dir):
+    """Time-series gap fill: per-user daily grid (sequence + explode)
+    with LINEAR interpolation across missing days — carry-forward /
+    carry-back at the edges, position-weighted blend between the
+    nearest observed points otherwise (the hypertable/gap-fill operator
+    class; win_last_ignore_nulls is the plain carry-forward cousin).
+    Daily means go through decimal sums so both engines interpolate
+    identical inputs.  Scale: grid generation is per-user arithmetic
+    (no cross join against a calendar table); the two IGNORE NULLS
+    window passes share one shuffle+sort on (user_id, d)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("user_id", F.date_trunc("day", "ts").alias("d"))
+             .agg((F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                   / F.count("value")).alias("v")))
+    grid = (daily.groupBy("user_id")
+            .agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+            .select("user_id",
+                    F.explode(F.sequence("mn", "mx",
+                                         F.expr("INTERVAL 1 DAY"))).alias("d")))
+    j = grid.join(daily, ["user_id", "d"], "left")
+    back = (Window.partitionBy("user_id").orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    fwd = (Window.partitionBy("user_id").orderBy("d")
+           .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    known_d = F.when(F.col("v").isNotNull(), F.col("d"))
+    f = j.select(
+        "user_id", "d", "v",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last(known_d, ignorenulls=True).over(back).alias("pd"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(known_d, ignorenulls=True).over(fwd).alias("nd"))
+    frac = (F.datediff("d", "pd") * F.lit(1.0)) / F.datediff("nd", "pd")
+    filled = (F.when(F.col("v").isNotNull(), F.col("v"))
+              .when(F.col("pv").isNull(), F.col("nv"))
+              .when(F.col("nv").isNull(), F.col("pv"))
+              .otherwise(F.col("pv")
+                         + (F.col("nv") - F.col("pv")) * frac))
+    return f.select("user_id", "d", F.round(filled, 6).alias("v_filled"))
