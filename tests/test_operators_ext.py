@@ -337,3 +337,33 @@ def test_topk_sketch_rollup_exact_at_small_cardinality(spark, sf_dir):
         exact.setdefault(r.yr, {})[r.event_type] = r["count"]
     # top-5 estimate covers all 5 types -> whole map must match
     assert got == exact
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Runtime row-level filtering: a selective dim filter must inject a
+    bloom filter (might_contain over xxhash64 of the join key) into the
+    fact side's scan filter, so non-matching fact rows die at the scan
+    instead of riding the shuffle.  The application-side size threshold
+    defaults to 10GB (right for real clusters); forcing it to 0 makes
+    the behavior observable at test scale."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 1)
+        j = li.join(p, li.l_partkey == p.p_partkey)
+        expected = j.count()
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        # semantics unchanged by the filter
+        assert expected == li.join(p, li.l_partkey == p.p_partkey).count()
+    finally:
+        for k, v in old.items():
+            (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
