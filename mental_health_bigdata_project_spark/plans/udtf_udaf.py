@@ -27,6 +27,8 @@ stride 25) are literals in both twins.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
@@ -101,3 +103,76 @@ def udaf_geomean_chars(spark, sf_dir):
     return (docs.groupBy("lang")
             .agg(F.round(geomean(F.col("n_chars").cast("double")), 6)
                  .alias("gm_chars")))
+
+
+@udtf
+class UnpackProps:
+    """POLYMORPHIC UDTF: output schema is computed at *analyze time*
+    from the constant keys argument — one generic unpacker serves any
+    requested projection of a JSON props bag, and Catalyst sees real
+    named columns (prunable, filterable) instead of a map blob.
+    """
+
+    @staticmethod
+    def analyze(props, keys):
+        from pyspark.sql.types import StringType, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        schema = StructType()
+        for k in keys.value:
+            schema = schema.add(k, StringType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, props, keys):
+        import json as _json
+
+        d = _json.loads(props) if props else {}
+        yield tuple(None if d.get(k) is None else str(d[k]) for k in keys)
+
+
+@query("udtf_unpack_props", """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k,
+           CAST(NULL AS VARCHAR) AS absent
+    FROM events
+""")
+def udtf_unpack_props(spark, sf_dir):
+    """events.props unpacked by the polymorphic UDTF; requesting a key
+    the bag doesn't have ('absent') yields a typed NULL column — the
+    schema came from analyze(), not from a fixed declaration."""
+    register_temp_views(spark, sf_dir, ["events"])
+    spark.udtf.register("unpack_props", UnpackProps)
+    return spark.sql("""
+        SELECT e.event_id, u.k, u.absent
+        FROM events e, LATERAL unpack_props(e.props, array('k', 'absent')) u
+    """)
+
+
+@query("text_token_count_iter", """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+                AS INTEGER) AS bpe_tokens
+    FROM documents
+""")
+def text_token_count_iter(spark, sf_dir):
+    """Iterator-form pandas UDF (Iterator[Series] -> Iterator[Series]):
+    the compiled tokenizer — stand-in for any expensive model object —
+    is built ONCE per partition, then reused across every Arrow batch.
+    This is the init-once inference pattern for Pandas-UDF feature
+    extraction at scale (tokenizers, ONNX sessions, embedding models);
+    the scalar (non-iterator) form would re-enter per batch with no
+    hook for shared setup.  Values match text_token_count's native
+    bpe_tokens column exactly."""
+    import re
+
+    from ..sources import load_table
+    from .textops import BPE_ISH_PATTERN
+
+    @pandas_udf("int")
+    def bpe_count(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        pat = re.compile(BPE_ISH_PATTERN)  # per-partition init, not per batch
+        for s in batches:
+            yield s.str.lower().str.findall(pat).str.len().astype("int32")
+
+    return (load_table(spark, sf_dir, "documents")
+            .select("doc_id", bpe_count("text").alias("bpe_tokens")))
