@@ -203,3 +203,36 @@ def ts_gapfill_interpolate(spark, sf_dir):
               .otherwise(F.col("pv")
                          + (F.col("nv") - F.col("pv")) * frac))
     return f.select("user_id", "d", F.round(filled, 6).alias("v_filled"))
+
+
+@query("histogram_dynamic_bins", """
+    WITH mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+                FROM orders)
+    SELECT CAST(LEAST(FLOOR((o_totalprice - mm.mn) / ((mm.mx - mm.mn) / 10)),
+                      9) AS INTEGER) AS bin,
+           count(*) AS n,
+           round(mm.mn + LEAST(FLOOR((o_totalprice - mm.mn)
+                                     / ((mm.mx - mm.mn) / 10)), 9)
+                         * ((mm.mx - mm.mn) / 10), 6) AS bin_lo
+    FROM orders, mm
+    GROUP BY 1, 3
+""")
+def histogram_dynamic_bins(spark, sf_dir):
+    """Equi-width histogram with RUNTIME bin edges (global min/max via
+    a 1-row aggregate cross-broadcast back onto the fact — the
+    histogram_risk_buckets cousin for when edges aren't known ahead).
+    Two passes over the column but only kilobytes shuffle: pass 1
+    reduces to one (min,max) row, pass 2 is a map-side bucket expression
+    + small agg.  The top edge folds into the last bin (LEAST(...,9)),
+    the standard closed-right-edge convention."""
+    o = _t(spark, sf_dir, "orders").select("o_totalprice")
+    mm = o.agg(F.min("o_totalprice").alias("mn"),
+               F.max("o_totalprice").alias("mx"))
+    width = (F.col("mx") - F.col("mn")) / 10
+    bin_ = F.least(F.floor((F.col("o_totalprice") - F.col("mn")) / width),
+                   F.lit(9)).cast("int")
+    return (o.join(F.broadcast(mm))
+            .select(bin_.alias("bin"),
+                    F.round(F.col("mn") + bin_ * width, 6).alias("bin_lo"))
+            .groupBy("bin", "bin_lo").agg(F.count("*").alias("n"))
+            .select("bin", "n", "bin_lo"))

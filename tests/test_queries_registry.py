@@ -44,7 +44,11 @@ ARROW_QUERIES = {"sim_ann_lsh", "sim_ann_ivf", "grouped_zscore_by_user",
                  "sim_topk_batch_gemm",
                  # Python Data Source connector: the source itself is
                  # a Python boundary by construction
-                 "source_rest_poll", "rest_poll_dedup"}
+                 "source_rest_poll", "rest_poll_dedup",
+                 # cogrouped applyInPandas / polymorphic UDTF /
+                 # iterator pandas UDF — deliberate Arrow boundaries
+                 "cogroup_asof_enrich", "udtf_unpack_props",
+                 "text_token_count_iter"}
 
 
 def test_no_python_row_udf_in_any_registry_plan(spark, sf_dir):
