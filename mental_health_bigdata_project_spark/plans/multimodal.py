@@ -35,3 +35,29 @@ def multimodal_features(spark, sf_dir):
     the shape a real image/audio featurizer would return."""
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(with_binary_payload(docs))
+
+
+@query("multimodal_bytes_arrow", """
+    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len FROM documents
+""")
+def multimodal_bytes_arrow(spark, sf_dir):
+    """mapInArrow twin of multimodal_bytes: the batch arrives as a raw
+    pyarrow RecordBatch and byte lengths come from pyarrow.compute —
+    NO pandas materialization at all.  For binary-heavy media columns
+    this is the preferred Python boundary: pandas would copy every
+    payload into Python bytes objects; Arrow compute touches only the
+    offsets vector of the binary column (O(rows), not O(bytes))."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = with_binary_payload(docs).select("doc_id", "payload")
+
+    def lengths(batches):
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0),
+                 pc.cast(pc.binary_length(b.column(1)), pa.int64())],
+                ["doc_id", "byte_len"])
+
+    return payloads.mapInArrow(lengths, "doc_id bigint, byte_len bigint")

@@ -48,7 +48,7 @@ ARROW_QUERIES = {"sim_ann_lsh", "sim_ann_ivf", "grouped_zscore_by_user",
                  # cogrouped applyInPandas / polymorphic UDTF /
                  # iterator pandas UDF — deliberate Arrow boundaries
                  "cogroup_asof_enrich", "udtf_unpack_props",
-                 "text_token_count_iter"}
+                 "text_token_count_iter", "multimodal_bytes_arrow"}
 
 
 def test_no_python_row_udf_in_any_registry_plan(spark, sf_dir):
