@@ -314,3 +314,29 @@ def sample_stratified_api(spark, sf_dir):
     sampled = li.sampleBy(
         "l_returnflag", {"R": 0.05, "A": 0.10, "N": 0.20}, seed=42)
     return sampled.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+
+
+@query("stat_regr_trend", """
+    SELECT event_type,
+           round(regr_slope(value, date_diff('day', TIMESTAMP '1970-01-01',
+                                             ts)), 6) AS slope,
+           round(regr_intercept(value, date_diff('day', TIMESTAMP '1970-01-01',
+                                                 ts)), 4) AS intercept,
+           round(regr_r2(value, date_diff('day', TIMESTAMP '1970-01-01',
+                                          ts)), 6) AS r2
+    FROM events GROUP BY event_type
+""")
+def stat_regr_trend(spark, sf_dir):
+    """Per-group least-squares trend via the built-in regr_* aggregate
+    family (slope / intercept / R^2 of value over event day) — one-pass
+    co-moment accumulation, merge-safe across partitions, so trend
+    detection over 100 TB of events is a single shuffle on the group
+    key.  Rounded per the registry's transcendental rule (co-moment
+    merge order differs between engines at the last ulp)."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.datediff(F.col("ts").cast("date"),
+                   F.lit("1970-01-01").cast("date")).cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.regr_slope("value", x), 6).alias("slope"),
+        F.round(F.regr_intercept("value", x), 4).alias("intercept"),
+        F.round(F.regr_r2("value", x), 6).alias("r2"))
