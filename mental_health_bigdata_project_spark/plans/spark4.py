@@ -340,3 +340,26 @@ def stat_regr_trend(spark, sf_dir):
         F.round(F.regr_slope("value", x), 6).alias("slope"),
         F.round(F.regr_intercept("value", x), 4).alias("intercept"),
         F.round(F.regr_r2("value", x), 6).alias("r2"))
+
+
+@query("agg_percentile_disc", """
+    SELECT event_type,
+           quantile_disc(value, 0.5) AS p50,
+           quantile_disc(value, 0.9) AS p90,
+           quantile_disc(value, 0.99) AS p99
+    FROM events GROUP BY event_type
+""")
+def agg_percentile_disc(spark, sf_dir):
+    """Exact DISCRETE percentiles per group (p50/p90/p99 of event
+    value): percentile_disc returns an actual observed value, so the
+    result is bit-identical across engines with no rounding rule —
+    unlike interpolating percentile_cont.  The exact path is the
+    correctness anchor for agg_approx_percentile's sketch; at 100 TB
+    exact per-group percentiles cost a sort within each group's
+    partition (one shuffle on the key), still tractable because groups
+    partition the data."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("p50"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").alias("p90"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").alias("p99")))
