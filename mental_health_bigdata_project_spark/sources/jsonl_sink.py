@@ -166,3 +166,39 @@ def read_epoch_manifests(path: str) -> list[dict]:
             with open(os.path.join(path, f)) as fh:
                 out.append(json.load(fh))
     return out
+
+
+def committed_files(path: str) -> list[str]:
+    """Union of every committed manifest's file list (batch + epochs)."""
+    files: list[str] = []
+    if os.path.exists(os.path.join(path, MANIFEST)):
+        files += [f["path"] for f in read_manifest(path)["files"]]
+    for epoch in read_epoch_manifests(path):
+        files += [f["path"] for f in epoch["files"]]
+    return files
+
+
+def read_committed(spark, path: str):
+    """Manifest-gated scan: reads ONLY files some commit published, so
+    in-flight or crashed-writer output is invisible to queries — the
+    reader half of the sink's transactional contract (same idea as a
+    table format's snapshot read).  Raises if nothing was ever
+    committed rather than silently returning garbage."""
+    files = committed_files(path)
+    if not files:
+        raise FileNotFoundError(f"no committed manifest under {path}")
+    return spark.read.json(files)
+
+
+def vacuum_uncommitted(path: str) -> list[str]:
+    """Remove data files no manifest claims (crashed epochs, aborted
+    tasks' leftovers, stray .tmp) — the maintenance pass that keeps a
+    long-lived sink directory equal to its committed state.  Returns
+    the removed paths.  Never touches manifest files themselves."""
+    keep = {os.path.basename(p) for p in committed_files(path)}
+    removed = []
+    for f in sorted(os.listdir(path)):
+        if (f.endswith(".jsonl") or f.endswith(".tmp")) and f not in keep:
+            os.remove(os.path.join(path, f))
+            removed.append(f)
+    return removed

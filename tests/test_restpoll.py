@@ -211,3 +211,39 @@ def test_jsonl_stream_writer_epoch_manifests(registered, tmp_path):
     on_disk = {f for f in os.listdir(out) if f.endswith(".jsonl")}
     in_manifests = {os.path.basename(f["path"]) for e in epochs for f in e["files"]}
     assert on_disk == in_manifests
+
+
+def test_jsonl_committed_read_and_vacuum(registered, tmp_path):
+    """The reader half of the transactional contract: a crashed
+    writer's orphan file is invisible to read_committed and removed by
+    vacuum_uncommitted; committed data survives both."""
+    import os
+
+    from mental_health_bigdata_project_spark.sources import jsonl_sink
+    from mental_health_bigdata_project_spark.sources.tables import load_table
+
+    jsonl_sink.register(registered)
+    out = str(tmp_path / "out")
+    docs = load_table(registered, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "lang").limit(100)
+    docs.write.format("jsonl_audit").option("path", out).mode("append").save()
+
+    # simulate a crashed epoch: data file present, no manifest covers it
+    orphan = os.path.join(out, "epoch-99-part-00000.jsonl")
+    with open(orphan, "w") as f:
+        f.write('{"doc_id": -1, "lang": "xx"}\n')
+    with open(orphan + ".tmp", "w") as f:
+        f.write("partial")
+
+    back = jsonl_sink.read_committed(registered, out)
+    assert back.count() == 100
+    assert back.filter("doc_id = -1").count() == 0  # orphan invisible
+
+    removed = jsonl_sink.vacuum_uncommitted(out)
+    assert sorted(removed) == ["epoch-99-part-00000.jsonl",
+                               "epoch-99-part-00000.jsonl.tmp"]
+    assert jsonl_sink.read_committed(registered, out).count() == 100
+
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        jsonl_sink.read_committed(registered, str(tmp_path / "never_written"))
