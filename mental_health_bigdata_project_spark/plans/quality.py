@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources import load_table
-from .registry import query
+from .registry import EVENTS_TS, query
 
 
 def _t(spark, sf_dir, name):
@@ -236,3 +236,86 @@ def histogram_dynamic_bins(spark, sf_dir):
                     F.round(F.col("mn") + bin_ * width, 6).alias("bin_lo"))
             .groupBy("bin", "bin_lo").agg(F.count("*").alias("n"))
             .select("bin", "n", "bin_lo"))
+
+
+@query("funnel_ordered_steps", f"""
+    WITH e AS (SELECT * FROM {EVENTS_TS}),
+    s AS (SELECT user_id, min(ts) AS t_signup FROM e
+          WHERE event_type = 'signup' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t_click
+          FROM e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'click' AND e.ts > s.t_signup
+            AND e.ts <= s.t_signup + INTERVAL 3 DAY
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+          FROM e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            AND e.ts <= c.t_click + INTERVAL 3 DAY
+          GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM s) AS n_signup,
+           (SELECT count(*) FROM c) AS n_click_after_signup,
+           (SELECT count(*) FROM p) AS n_purchase_after_click
+""")
+def funnel_ordered_steps(spark, sf_dir):
+    """ORDERED conversion funnel (signup -> click within 3 days ->
+    purchase within 3 days of the click): each stage keeps a user only if the step happened after
+    their previous stage's first completion — strictly stronger than
+    counting users-with-all-three-types.  Plan: three per-user min
+    aggregates chained by user_id joins, so every stage reuses one
+    shuffle partitioning on user_id (co-partitioned joins, no fact
+    re-shuffle); stage outputs are user-cardinality, tiny next to the
+    event fact at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    s = (ev.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("t_signup")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .join(s, "user_id")
+         .filter((F.col("ts") > F.col("t_signup"))
+                 & (F.col("ts") <= F.col("t_signup")
+                    + F.expr("INTERVAL 3 DAY")))
+         .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter((F.col("ts") > F.col("t_click"))
+                 & (F.col("ts") <= F.col("t_click")
+                    + F.expr("INTERVAL 3 DAY")))
+         .groupBy("user_id").agg(F.min("ts").alias("t_purchase")))
+    return (s.agg(F.count("*").alias("n_signup"))
+            .crossJoin(c.agg(F.count("*").alias("n_click_after_signup")))
+            .crossJoin(p.agg(F.count("*").alias("n_purchase_after_click"))))
+
+
+@query("cohort_retention", f"""
+    WITH e AS (SELECT * FROM {EVENTS_TS}),
+    first_seen AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day FROM e
+      GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT f.user_id, f.cohort_day,
+             CAST(FLOOR(date_diff('day', f.cohort_day,
+                                  CAST(e.ts AS DATE)) / 7)
+                  AS INTEGER) AS week_offset
+      FROM e JOIN first_seen f ON e.user_id = f.user_id)
+    SELECT cohort_day, week_offset, count(*) AS n_users
+    FROM activity
+    GROUP BY cohort_day, week_offset
+""")
+def cohort_retention(spark, sf_dir):
+    """Retention cohorts: users grouped by first-activity day, counted
+    per 7-day offset in which they were active again.  Week offsets are
+    day-difference arithmetic (floor(days/7)), NOT calendar-week
+    truncation — date_trunc('week') start-of-week conventions differ
+    between engines and across locales, day math doesn't.  Plan: the
+    per-user first-seen aggregate broadcasts back onto events (user
+    cardinality << events), then one distinct + count shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = (ev.groupBy("user_id")
+                  .agg(F.min("ts").cast("date").alias("cohort_day")))
+    activity = (ev.join(F.broadcast(first_seen), "user_id")
+                .select("user_id", "cohort_day",
+                        F.floor(F.datediff(F.col("ts").cast("date"),
+                                           "cohort_day") / 7)
+                        .cast("int").alias("week_offset"))
+                .distinct())
+    return (activity.groupBy("cohort_day", "week_offset")
+            .agg(F.count("*").alias("n_users")))
