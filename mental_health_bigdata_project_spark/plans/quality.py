@@ -319,3 +319,74 @@ def cohort_retention(spark, sf_dir):
                 .distinct())
     return (activity.groupBy("cohort_day", "week_offset")
             .agg(F.count("*").alias("n_users")))
+
+
+@query("scd2_build", """
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1997-07-01 00:00:00'),
+    d AS (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+             o.o_totalprice AS old_price, n.o_totalprice AS new_price,
+             CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'removed'
+                  WHEN o.o_totalprice <> n.o_totalprice THEN 'changed'
+                  ELSE 'unchanged' END AS cls
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+    SELECT k AS o_orderkey, old_price AS o_totalprice,
+           1 AS valid_from,
+           CASE WHEN cls IN ('changed', 'removed') THEN 2 END AS valid_to
+    FROM d WHERE cls <> 'added'
+    UNION ALL
+    SELECT k, new_price, 2, NULL FROM d WHERE cls IN ('changed', 'added')
+""")
+def scd2_build(spark, sf_dir):
+    """Slowly-changing-dimension Type 2 from two snapshot versions (the
+    APPLY side of snapshot_diff): surviving old rows keep valid_from=1
+    with valid_to closed at 2 iff superseded or deleted; changed and
+    added keys open a current row at version 2 (valid_to NULL).  The
+    classified full-outer join is computed once and feeds both halves
+    of the union — Spark reuses the exchange, so history assembly costs
+    the same single key shuffle as the diff itself.  At 100 TB this is
+    the no-table-format path to queryable history: append the union
+    output per refresh, partition by valid_to IS NULL for fast
+    'current' reads."""
+    o = _t(spark, sf_dir, "orders")
+    old = (o.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+           .select("o_orderkey", "o_totalprice"))
+    new = (o.filter(F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
+           .select("o_orderkey",
+                   F.when(F.col("o_orderkey") % 7 == 0,
+                          F.col("o_totalprice") + 1000.0)
+                   .otherwise(F.col("o_totalprice")).alias("o_totalprice")))
+    d = (old.alias("o").join(new.alias("n"),
+                             F.col("o.o_orderkey") == F.col("n.o_orderkey"),
+                             "full_outer")
+         .select(F.coalesce(F.col("o.o_orderkey"),
+                            F.col("n.o_orderkey")).alias("k"),
+                 F.col("o.o_totalprice").alias("old_price"),
+                 F.col("n.o_totalprice").alias("new_price"),
+                 F.when(F.col("o.o_orderkey").isNull(), "added")
+                 .when(F.col("n.o_orderkey").isNull(), "removed")
+                 .when(F.col("o.o_totalprice") != F.col("n.o_totalprice"),
+                       "changed")
+                 .otherwise("unchanged").alias("cls")))
+    hist = (d.filter(F.col("cls") != "added")
+            .select(F.col("k").alias("o_orderkey"),
+                    F.col("old_price").alias("o_totalprice"),
+                    F.lit(1).alias("valid_from"),
+                    F.when(F.col("cls").isin("changed", "removed"), 2)
+                    .cast("int").alias("valid_to")))
+    curr = (d.filter(F.col("cls").isin("changed", "added"))
+            .select(F.col("k").alias("o_orderkey"),
+                    F.col("new_price").alias("o_totalprice"),
+                    F.lit(2).alias("valid_from"),
+                    F.lit(None).cast("int").alias("valid_to")))
+    return hist.unionByName(curr)
