@@ -172,3 +172,74 @@ def read_evolved(spark: SparkSession, path: str) -> DataFrame:
     rather than the session default (at 100 TB prefer a declared
     unified schema via .schema(...) once the layout stabilizes)."""
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def zorder_key(cols: list[str], bits: int = 16):
+    """Morton (Z-order) interleaved-bit key over 2+ integer columns —
+    multi-dimensional clustering for data skipping.  Each input is
+    masked to ``bits`` low bits and its bits are interleaved round-robin
+    (col0 bit0, col1 bit0, col0 bit1, ...), so files/row-groups sorted
+    by the key stay tight in EVERY dimension at once: parquet min/max
+    stats then prune scans filtered on ANY of the clustered columns,
+    not just the primary sort column (Delta/Iceberg OPTIMIZE ZORDER is
+    this exact layout trick).  Built entirely from native shiftleft /
+    shiftright / bitwise-& expressions — JVM-side, codegen'd, no UDF.
+
+    Caller maps values into [0, 2^bits) first (rank/bucketize skewed
+    domains; raw values are fine for dense surrogate keys)."""
+    from functools import reduce
+
+    import pyspark.sql.functions as F
+
+    def bit(c: str, i: int):
+        return F.shiftright(F.col(c).cast("long"), i).bitwiseAND(F.lit(1))
+
+    terms = [
+        F.shiftleft(bit(c, i), i * len(cols) + j)
+        for i in range(bits)
+        for j, c in enumerate(cols)
+    ]
+    return reduce(lambda a, b: a.bitwiseOR(b), terms)
+
+
+def write_zordered(df: DataFrame, out_dir: str, cols: list[str],
+                   bits: int = 16, files: int = 16,
+                   options: dict | None = None) -> None:
+    """Write parquet clustered by the Z-order key of ``cols``:
+    repartitionByRange on the key (one range shuffle — balanced files
+    regardless of key skew) then a within-partition sort.  The key
+    itself is dropped from the output; its effect lives in the file
+    layout.  At 100 TB this is the maintenance/compaction pass that
+    makes selective multi-column scans cheap: pruning happens at file
+    AND row-group granularity via min/max stats with zero read-path
+    cooperation (any parquet reader benefits).
+
+    Each column is first affinely mapped onto the full [0, 2^bits)
+    domain so every dimension contributes the SAME significant bit
+    positions to the interleave — raw values with unequal ranges would
+    let the wide column's high bits dominate the sort and starve the
+    narrow column of clustering.  The min/max pass is a metadata-cheap
+    aggregate (at 100 TB: read it from table stats instead)."""
+    import pyspark.sql.functions as F
+
+    lo_hi = df.agg(*[f for c in cols
+                     for f in (F.min(c).alias(f"lo_{c}"),
+                               F.max(c).alias(f"hi_{c}"))]).first()
+    top = (1 << bits) - 1
+    scaled = [
+        F.when(F.lit(lo_hi[f"hi_{c}"]) == F.lit(lo_hi[f"lo_{c}"]), F.lit(0))
+        .otherwise(((F.col(c).cast("double") - F.lit(lo_hi[f"lo_{c}"]))
+                    * top / (lo_hi[f"hi_{c}"] - lo_hi[f"lo_{c}"]))
+                   .cast("long"))
+        .alias(f"__z_{c}")
+        for c in cols
+    ]
+    keyed = df.select("*", *scaled).withColumn(
+        "__zkey", zorder_key([f"__z_{c}" for c in cols], bits))
+    writer = (keyed.repartitionByRange(files, "__zkey")
+              .sortWithinPartitions("__zkey")
+              .drop("__zkey", *[f"__z_{c}" for c in cols])
+              .write.mode("overwrite"))
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    writer.parquet(out_dir)

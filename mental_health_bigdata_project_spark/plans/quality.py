@@ -390,3 +390,114 @@ def scd2_build(spark, sf_dir):
                     F.lit(2).alias("valid_from"),
                     F.lit(None).cast("int").alias("valid_to")))
     return hist.unionByName(curr)
+
+
+@query("win_cumulative_distinct", f"""
+    WITH e AS (SELECT * FROM {EVENTS_TS}),
+    first_seen AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS first_hour FROM e
+      GROUP BY user_id),
+    per_hour AS (
+      SELECT first_hour AS hour, count(*) AS new_users
+      FROM first_seen GROUP BY first_hour)
+    SELECT hour, new_users,
+           SUM(new_users) OVER (ORDER BY hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+    FROM per_hour
+""")
+def win_cumulative_distinct(spark, sf_dir):
+    """Running COUNT(DISTINCT) over time — the daily-active-users
+    growth curve.  Distinct-inside-a-window is unsupported (and would
+    be quadratic) on both engines; the classic rewrite counts each user
+    once in their FIRST hour and prefix-sums the per-hour news.  Two
+    tiny shuffles (per-user min, per-hour count) and a window over
+    #hours rows — at 100 TB the fact table is touched once, everything
+    after is metadata-sized.  Integer counts: no rounding rule."""
+    ev = _t(spark, sf_dir, "events")
+    per_hour = (ev.groupBy("user_id")
+                .agg(F.date_trunc("hour", F.min("ts")).alias("hour"))
+                .groupBy("hour").agg(F.count("*").alias("new_users")))
+    w = (Window.orderBy("hour")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return per_hour.select("hour", "new_users",
+                           F.sum("new_users").over(w).alias("cum_users"))
+
+
+@query("concurrency_peak", f"""
+    WITH e AS (SELECT * FROM {EVENTS_TS}),
+    edges AS (
+      SELECT event_type, ts AS t, 1 AS delta, event_id FROM e
+      UNION ALL
+      SELECT event_type, ts + INTERVAL 30 MINUTE AS t, -1 AS delta, event_id
+      FROM e),
+    swept AS (
+      SELECT event_type,
+             SUM(delta) OVER (PARTITION BY event_type
+               ORDER BY t, delta, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+      FROM edges)
+    SELECT event_type, max(live) AS peak_concurrent
+    FROM swept GROUP BY event_type
+""")
+def concurrency_peak(spark, sf_dir):
+    """Peak concurrency via the sweep-line pattern: each event opens a
+    30-minute interval; +1/-1 boundary edges are prefix-summed in time
+    order and the running maximum is the answer (max-overlap /
+    max-concurrent-sessions — the classic interval aggregation that has
+    no direct SQL operator).  Ordering ties are pinned on both engines
+    by (t, delta, event_id): delta ascending closes intervals before
+    opening new ones at the same instant, i.e. half-open [t, t+30m)
+    semantics.  One explode-free union doubles the rows, one window
+    sort per event_type, one tiny max agg; at 100 TB the window
+    partitions by (event_type, day-bucket) to bound sort width."""
+    ev = _t(spark, sf_dir, "events")
+    opens = ev.select("event_type", F.col("ts").alias("t"),
+                      F.lit(1).alias("delta"), "event_id")
+    closes = ev.select("event_type",
+                       (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("t"),
+                       F.lit(-1).alias("delta"), "event_id")
+    w = (Window.partitionBy("event_type").orderBy("t", "delta", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    swept = opens.unionByName(closes).select(
+        "event_type", F.sum("delta").over(w).alias("live"))
+    return swept.groupBy("event_type").agg(
+        F.max("live").alias("peak_concurrent"))
+
+
+@query("winsorized_avg", f"""
+    WITH e AS (SELECT * FROM {EVENTS_TS}),
+    bounds AS (
+      SELECT event_type,
+             quantile_disc(value, 0.05) AS lo,
+             quantile_disc(value, 0.95) AS hi
+      FROM e GROUP BY event_type)
+    SELECT e.event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(least(greatest(e.value, b.lo), b.hi)
+                         AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+             AS winsorized_mean
+    FROM e JOIN bounds b ON e.event_type = b.event_type
+    GROUP BY e.event_type
+""")
+def winsorized_avg(spark, sf_dir):
+    """Winsorized (outlier-clipped) mean per group: values are clamped
+    to the exact DISCRETE p05/p95 of their group before averaging —
+    the robust-statistics twin of agg_avg_risk.  percentile_disc
+    returns observed values (bit-identical cross-engine, see
+    agg_percentile_disc), so the clip bounds need no rounding; the
+    clipped sum goes through DECIMAL(18,6) per the registry's
+    deterministic-double rule.  The bounds table is #groups rows and
+    broadcasts back onto the fact: one group sort for the percentiles,
+    one broadcast join, one hash agg."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY value)").alias("lo"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").alias("hi"))
+    clipped = (ev.join(F.broadcast(bounds), "event_type")
+               .select("event_type",
+                       F.least(F.greatest(F.col("value"), F.col("lo")),
+                               F.col("hi")).alias("cv")))
+    return clipped.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (F.sum(F.col("cv").cast("decimal(18,6)")).cast("double")
+         / F.count("*")).alias("winsorized_mean"))

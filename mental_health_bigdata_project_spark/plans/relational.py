@@ -644,6 +644,38 @@ def agg_salted_skew(spark, sf_dir):
         F.sum("pn").alias("n"))
 
 
+@query("join_salted_skew", f"""
+    SELECT o.o_orderpriority,
+           count(*) AS n_lines,
+           {dsum_sql('l.l_extendedprice', 'revenue')}
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+""")
+def join_salted_skew(spark, sf_dir):
+    """SALTED shuffle join — the manual skew-mitigation pattern for a
+    fact/fact join whose key distribution has hot keys (one giant
+    order, one celebrity user): the probe side gets a deterministic
+    salt derived from a non-key column (pmod(l_linenumber, 8)), the
+    build side is replicated across all 8 salts with explode(sequence),
+    and the join key becomes (key, salt) — a hot key's rows now spread
+    over 8 reducers instead of one.  The result is EXACTLY the plain
+    join (oracle is the unsalted SQL): replication x salt-partition is
+    a partition refinement, not a semantic change.  AQE's skew-join
+    split handles post-shuffle partition skew automatically; explicit
+    salting is the complement when a SINGLE KEY exceeds what one task
+    can hold.  Cost: build side x8 replication — use only on the
+    skewed key range (split hot keys out via a stats pass at 100 TB)."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.col("l_linenumber"), F.lit(8)))
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(7))))
+    joined = li.join(orders, (li.l_orderkey == orders.o_orderkey)
+                     & (li.salt == orders.salt))
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        dsum("l_extendedprice").alias("revenue"))
+
+
 @query("q14_promo_share", """
     SELECT (100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
                    THEN CAST(l.l_extendedprice AS DECIMAL(12,2))

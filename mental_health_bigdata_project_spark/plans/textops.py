@@ -602,3 +602,126 @@ def dedup_levenshtein_blocked(spark, sf_dir):
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"),
                     dist.cast("int").alias("dist")))
+
+
+_TRIGRAMS_SQL = f"""
+    SELECT doc_id, source,
+           CASE WHEN len(t) >= 3
+                THEN list_transform(generate_series(1, len(t) - 2),
+                       i -> concat(t[i], ' ', t[i + 1], ' ', t[i + 2]))
+                ELSE [] END AS grams
+    FROM (SELECT doc_id, source, {_TOKS_SQL} AS t FROM documents)
+"""
+
+
+@query("text_repetition_stats", f"""
+    WITH grams AS ({_TRIGRAMS_SQL}),
+    per_doc AS (
+      SELECT source,
+             len(grams) AS n_grams,
+             len(list_distinct(grams)) AS n_distinct
+      FROM grams WHERE len(grams) > 0
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           SUM(n_grams) AS total_grams,
+           CAST(SUM(n_grams) - SUM(n_distinct) AS DOUBLE) / SUM(n_grams)
+             AS dup_gram_frac,
+           SUM(CASE WHEN (n_grams - n_distinct) * 5 > n_grams
+                    THEN 1 ELSE 0 END) AS n_repetitive
+    FROM per_doc GROUP BY source
+""")
+def text_repetition_stats(spark, sf_dir):
+    """Gopher-style within-document repetition audit (quality filtering
+    for LLM corpora: Rae et al. 2021 drop docs whose duplicate-n-gram
+    fraction is high).  Per doc the duplicate token-3-gram fraction is
+    computed entirely inside per-row higher-order functions (sequence/
+    transform/array_distinct — no explode, no shuffle); only per-source
+    integer partials are aggregated, so the corpus-wide roll-up moves a
+    handful of longs per source.  The "repetitive" flag (dup fraction
+    > 0.2) is tested in exact integer arithmetic ((g - d) * 5 > g), and
+    the per-source dup fraction is one double division of exact integer
+    sums — both engine-deterministic with no rounding rule.  At 100 TB
+    this is a pure map + tiny agg: no data movement beyond the scan."""
+    t = tokens_col()
+    grams = F.when(
+        F.size(t) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1),
+                F.element_at(t, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = (_docs(spark, sf_dir)
+               .select("source", grams.alias("grams"))
+               .select("source", F.size("grams").alias("n_grams"),
+                       F.size(F.array_distinct("grams")).alias("n_distinct"))
+               .filter(F.col("n_grams") > 0))
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_grams").alias("total_grams"),
+        (F.sum(F.col("n_grams") - F.col("n_distinct")).cast("double")
+         / F.sum("n_grams")).alias("dup_gram_frac"),
+        F.sum(F.when((F.col("n_grams") - F.col("n_distinct")) * 5
+                     > F.col("n_grams"), 1).otherwise(0)).alias("n_repetitive"),
+    )
+
+
+@query("text_pmi_bigrams", f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    bigrams AS (
+      SELECT unnest(list_transform(
+               list_filter(t, (x, i) -> i < len(t)),
+               (x, i) -> concat(t[i], ' ', t[i + 1]))) AS bigram
+      FROM toks WHERE len(t) >= 2
+    ),
+    bi AS (SELECT bigram, count(*) AS n_xy FROM bigrams
+           GROUP BY bigram HAVING count(*) >= 5),
+    uni AS (SELECT unnest(t) AS token FROM toks),
+    uf AS (SELECT token, count(*) AS n FROM uni GROUP BY token),
+    tot AS (SELECT (SELECT count(*) FROM uni) AS n_uni,
+                   (SELECT count(*) FROM bigrams) AS n_bi)
+    SELECT bi.bigram, bi.n_xy,
+           round(ln(CAST(bi.n_xy AS DOUBLE) * tot.n_uni * tot.n_uni
+                    / ux.n / uy.n / tot.n_bi), 6) AS pmi
+    FROM bi, tot
+    JOIN uf ux ON ux.token = split_part(bi.bigram, ' ', 1)
+    JOIN uf uy ON uy.token = split_part(bi.bigram, ' ', 2)
+""")
+def text_pmi_bigrams(spark, sf_dir):
+    """Pointwise mutual information of corpus bigrams — the collocation
+    / multi-word-expression detector of classic corpus analysis:
+    pmi = ln(p(xy) / (p(x) p(y))).  Three hash aggs share one token
+    Generate; the unigram table (vocab-sized) and the two scalar totals
+    are broadcast into the bigram table, so nothing but the vocab moves.
+    Double multiplications are written in the identical left-to-right
+    order on both engines (IEEE ops are order-deterministic) and the
+    single transcendental is rounded to 6dp per the registry rule.  At
+    100 TB the plan is scan -> partial agg -> vocab-sized broadcast
+    join: no fact-table shuffle beyond the bigram count itself."""
+    t = tokens_col()
+    d = _docs(spark, sf_dir).select(t.alias("t"))
+    uni = d.select(F.explode("t").alias("token"))
+    uf = uni.groupBy("token").agg(F.count("*").alias("n"))
+    bigrams = (d.filter(F.size("t") >= 2)
+               .select(F.explode(F.transform(
+                   F.sequence(F.lit(1), F.size("t") - 1),
+                   lambda i: F.concat_ws(" ", F.element_at("t", i),
+                                         F.element_at("t", i + 1)),
+               )).alias("bigram")))
+    bi = (bigrams.groupBy("bigram").agg(F.count("*").alias("n_xy"))
+          .filter(F.col("n_xy") >= 5))
+    tot = uni.agg(F.count("*").alias("n_uni")).crossJoin(
+        bigrams.agg(F.count("*").alias("n_bi")))
+    ux = uf.select(F.col("token").alias("tok_x"), F.col("n").alias("n_x"))
+    uy = uf.select(F.col("token").alias("tok_y"), F.col("n").alias("n_y"))
+    return (bi.crossJoin(F.broadcast(tot))
+            .withColumn("tok_x", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+            .withColumn("tok_y", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
+            .join(F.broadcast(ux), "tok_x")
+            .join(F.broadcast(uy), "tok_y")
+            .select("bigram", "n_xy",
+                    F.round(F.log(F.col("n_xy").cast("double") * F.col("n_uni")
+                                  * F.col("n_uni") / F.col("n_x") / F.col("n_y")
+                                  / F.col("n_bi")), 6).alias("pmi")))

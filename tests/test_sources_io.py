@@ -266,3 +266,55 @@ def test_metadata_file_provenance(spark, sf_dir, tmp_path):
                       F.col("_metadata.row_index").alias("i"))
           .groupBy("f").agg(F.max("i").alias("mx"), F.count("*").alias("n")))
     assert all(r.mx == r.n - 1 for r in mx.collect())
+
+
+def test_zorder_layout_prunes_both_dims(spark, sf_dir, tmp_path):
+    """Z-order clustering on (l_partkey, l_suppkey) must let parquet
+    min/max stats prune row groups for predicates on EITHER column;
+    a linear sort on l_partkey alone only prunes its own column."""
+    import pyarrow.parquet as pq
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+
+    lin_dir, z_dir = str(tmp_path / "linear"), str(tmp_path / "zorder")
+    small_rg = str(64 * 1024)   # tiny row groups so sf0.001 has many
+    (li.repartitionByRange(8, "l_partkey").sortWithinPartitions("l_partkey")
+       .write.mode("overwrite").option("parquet.block.size", small_rg)
+       .parquet(lin_dir))
+    mio.write_zordered(li, z_dir, ["l_partkey", "l_suppkey"], bits=12,
+                       files=8, options={"parquet.block.size": small_rg})
+
+    # Correctness: layout change only.
+    assert (spark.read.parquet(z_dir).count() == li.count())
+    hi = li.agg(F.max("l_suppkey")).first()[0]
+    lo_bound = hi // 4          # selective band on the NON-primary dim
+    hi_bound = hi // 2
+
+    def overlap_frac(out_dir: str, col: str) -> float:
+        import glob
+        tot = hit = 0
+        for f in glob.glob(out_dir + "/*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            for rg in range(meta.num_row_groups):
+                stats = {meta.row_group(rg).column(i).path_in_schema:
+                         meta.row_group(rg).column(i).statistics
+                         for i in range(meta.row_group(rg).num_columns)}
+                s = stats[col]
+                tot += 1
+                if s.min <= hi_bound and s.max >= lo_bound:
+                    hit += 1
+        assert tot > 0
+        return hit / tot
+
+    lin_frac = overlap_frac(lin_dir, "l_suppkey")
+    z_frac = overlap_frac(z_dir, "l_suppkey")
+    # Linear-by-partkey layout leaves suppkey unclustered: (almost)
+    # every row group overlaps the band.  Z-order clusters both dims.
+    assert lin_frac > 0.9
+    assert z_frac < lin_frac * 0.8
+
+    # And the z layout still prunes the primary dim comparably well.
+    pk_hi = li.agg(F.max("l_partkey")).first()[0]
+    lo_bound, hi_bound = pk_hi // 4, pk_hi // 2
+    assert overlap_frac(z_dir, "l_partkey") < 1.0
