@@ -907,3 +907,85 @@ def q11_important_parts(spark, sf_dir):
         .select("l_partkey", "value")
         .orderBy(F.desc("value"), "l_partkey")
     )
+
+
+@query("q2_min_cost_supplier", """
+    WITH partsupp AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             min(l_extendedprice / l_quantity) AS ps_supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    eligible AS (
+      SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost,
+             s.s_acctbal, s.s_name, n.n_name
+      FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'AFRICA'),
+    mincost AS (
+      SELECT ps_partkey, min(ps_supplycost) AS mc
+      FROM eligible GROUP BY ps_partkey)
+    SELECT e.s_acctbal, e.s_name, e.n_name,
+           p.p_partkey, p.p_type, e.ps_suppkey,
+           round(e.ps_supplycost, 6) AS supplycost
+    FROM eligible e
+    JOIN mincost m ON e.ps_partkey = m.ps_partkey
+                  AND e.ps_supplycost = m.mc
+    JOIN part p ON p.p_partkey = e.ps_partkey
+    WHERE p.p_size <= 10
+    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey,
+             e.ps_suppkey
+    LIMIT 100
+""")
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 adaptation (min-cost supplier): the testdata ships no
+    partsupp table, so the part-supplier catalog is DERIVED from the
+    fact — distinct (l_partkey, l_suppkey) pairs with
+    ps_supplycost = min unit price ever charged (a per-row IEEE
+    division then MIN: order-independent, engine-deterministic;
+    rounded only at output).  This restores Q2's defining feature, the
+    correlated scalar subquery `cost = (SELECT min(cost) ... WHERE
+    same part, same region)`, decorrelated the classic way into a
+    per-part min over the region-eligible catalog joined back on
+    (part, cost).
+
+    Plan at scale: one fact shuffle builds the catalog (51 k pairs at
+    sf0.01 — partsupp-sized, ~1:12 of lineitem); region/nation/
+    supplier prune it via broadcast joins BEFORE the per-part min, so
+    the correlated-min work touches only the eligible region's rows;
+    part joins broadcast at these ratios.  Final TakeOrdered keeps the
+    driver result bounded; every ORDER BY level carries tiebreaks
+    down to ps_suppkey for a deterministic LIMIT edge."""
+    li = _t(spark, sf_dir, "lineitem")
+    partsupp = (li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"))
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+             .alias("ps_supplycost")))
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+    eligible = (partsupp
+                .join(F.broadcast(sup),
+                      partsupp.ps_suppkey == sup.s_suppkey)
+                .join(F.broadcast(nat),
+                      F.col("s_nationkey") == F.col("n_nationkey"))
+                .join(F.broadcast(reg),
+                      F.col("n_regionkey") == F.col("r_regionkey"))
+                .select("ps_partkey", "ps_suppkey", "ps_supplycost",
+                        "s_acctbal", "s_name", "n_name"))
+    mincost = eligible.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("mc"))
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    return (eligible
+            .join(mincost, (eligible.ps_partkey == mincost.ps_partkey)
+                  & (eligible.ps_supplycost == mincost.mc))
+            .drop(mincost.ps_partkey)
+            .join(F.broadcast(part),
+                  F.col("ps_partkey") == F.col("p_partkey"))
+            .select("s_acctbal", "s_name", "n_name", "p_partkey",
+                    "p_type", "ps_suppkey",
+                    F.round("ps_supplycost", 6).alias("supplycost"))
+            .orderBy(F.desc("s_acctbal"), "n_name", "s_name",
+                     "p_partkey", "ps_suppkey")
+            .limit(100))
