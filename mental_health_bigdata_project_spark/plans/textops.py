@@ -725,3 +725,53 @@ def text_pmi_bigrams(spark, sf_dir):
                     F.round(F.log(F.col("n_xy").cast("double") * F.col("n_uni")
                                   * F.col("n_uni") / F.col("n_x") / F.col("n_y")
                                   / F.col("n_bi")), 6).alias("pmi")))
+
+
+@query("graph_pagerank_tokens")  # rows-only: iterative double arithmetic
+def graph_pagerank_tokens(spark, sf_dir):
+    """TextRank (Mihalcea & Tarau 2004): PageRank over the token
+    co-occurrence graph — the classic unsupervised keyword-importance
+    scorer, and this engine's representative of the ITERATIVE
+    fixed-point algorithm family (beside dedup_cluster_components'
+    label propagation).
+
+    Graph: adjacent-token pairs are undirected weighted edges
+    (weight = corpus bigram count).  Iteration:
+        r'(v) = (1-d) + d * sum_u w(u,v)/wdeg(u) * r(u)
+    with damping d=0.85, 10 fixed passes.  Spark shape per pass: one
+    broadcast join of the vocab-sized rank vector onto the edge list +
+    one groupBy(dst) — the edge list itself is never re-shuffled
+    (partitioned once on dst and localCheckpoint'd to truncate the
+    growing iteration lineage; at 100 TB edges vastly exceed the rank
+    vector, so broadcasting ranks, not edges, is the only viable
+    orientation).  Rows-only: per-pass double sums are
+    order-nondeterministic across engines; determinism WITHIN the
+    engine is pinned by the convergence test instead."""
+    t = tokens_col()
+    d = _docs(spark, sf_dir).select(t.alias("t")).filter(F.size("t") >= 2)
+    pairs = d.select(F.explode(F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.struct(F.element_at("t", i).alias("u"),
+                           F.element_at("t", i + 1).alias("v")),
+    )).alias("e")).select("e.u", "e.v").filter(F.col("u") != F.col("v"))
+    edges = (pairs.unionByName(pairs.select(F.col("v").alias("u"),
+                                            F.col("u").alias("v")))
+             .groupBy("u", "v").agg(F.count("*").alias("w")))
+    wdeg = edges.groupBy("u").agg(F.sum("w").alias("wdeg"))
+    # edge weight pre-normalized once: contribution share of u -> v
+    norm = (edges.join(wdeg, "u")
+            .select("u", "v", (F.col("w") / F.col("wdeg")).alias("share"))
+            .repartition("v").localCheckpoint())
+    damping = 0.85
+    ranks = norm.select(F.col("u").alias("token")).distinct() \
+                .withColumn("rank", F.lit(1.0))
+    for _ in range(10):
+        contrib = (norm.join(F.broadcast(ranks),
+                             norm.u == ranks.token)
+                   .groupBy("v")
+                   .agg(F.sum(F.col("share") * F.col("rank")).alias("inflow")))
+        ranks = (contrib.select(
+            F.col("v").alias("token"),
+            (F.lit(1.0 - damping) + F.lit(damping) * F.col("inflow"))
+            .alias("rank"))).localCheckpoint()
+    return ranks.select("token", F.round("rank", 6).alias("rank"))

@@ -367,3 +367,31 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
     finally:
         for k, v in old.items():
             (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
+
+
+def test_pagerank_tokens_invariants(spark, sf_dir):
+    """TextRank sanity: the damped-PageRank rank mass must equal the
+    node count (conservation invariant of the per-node formulation),
+    every rank positive, the run deterministic, and rank order must
+    reflect graph centrality (a token's weighted degree)."""
+    from mental_health_bigdata_project_spark.plans import QUERIES
+
+    q = QUERIES["graph_pagerank_tokens"]
+    rows = {r["token"]: r["rank"] for r in q(spark, sf_dir).collect()}
+    assert len(rows) > 10
+    assert all(v > 0 for v in rows.values())
+    assert abs(sum(rows.values()) - len(rows)) < 1e-3
+
+    again = {r["token"]: r["rank"] for r in q(spark, sf_dir).collect()}
+    assert rows == again          # same engine, same plan => identical
+
+    # centrality sanity: the max-rank token sits in the top quartile by
+    # weighted degree (rank correlates with, but is not equal to, degree)
+    docs = load_table(spark, sf_dir, "documents")
+    from mental_health_bigdata_project_spark.plans.textops import tokens_col
+    deg = (docs.select(F.explode(tokens_col()).alias("tok"))
+           .groupBy("tok").count().collect())
+    by_deg = sorted(deg, key=lambda r: -r["count"])
+    top_quartile = {r["tok"] for r in by_deg[:max(1, len(by_deg) // 4)]}
+    best = max(rows, key=rows.get)
+    assert best in top_quartile
