@@ -54,6 +54,10 @@ HEADLINE = [
     "q11_important_parts",
     "pack_sequences",
     "decontam_benchmark",
+    "q2_min_cost_supplier",
+    "concurrency_peak",
+    "text_repetition_stats",
+    "text_pmi_bigrams",
 ]
 
 

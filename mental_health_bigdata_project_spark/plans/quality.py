@@ -501,3 +501,86 @@ def winsorized_avg(spark, sf_dir):
         F.count("*").alias("n"),
         (F.sum(F.col("cv").cast("decimal(18,6)")).cast("double")
          / F.count("*")).alias("winsorized_mean"))
+
+
+@query("dq_key_skew", """
+    WITH per_key AS (
+      SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY l_orderkey),
+    stats AS (
+      SELECT count(*) AS n_keys, SUM(n) AS n_rows, max(n) AS max_n,
+             quantile_disc(n, 0.5) AS p50_n, quantile_disc(n, 0.99) AS p99_n
+      FROM per_key)
+    SELECT n_keys, n_rows, max_n, p50_n, p99_n,
+           CAST(max_n AS DOUBLE) / n_rows AS top_key_share,
+           CAST(p99_n AS DOUBLE) / p50_n AS p99_over_p50
+    FROM stats
+""")
+def dq_key_skew(spark, sf_dir):
+    """Join/agg-key skew diagnostic: the per-key row-count distribution
+    (max, discrete p50/p99, top-key share) — the stats pass that decides
+    whether a key needs salting (join_salted_skew / agg_salted_skew) or
+    AQE skew handling before a 100 TB shuffle is attempted.  Discrete
+    percentiles keep values observed (bit-identical cross-engine); the
+    two ratios are single divisions of exact integers.  Plan: one
+    key-shuffle count, then a 1-row global agg — the fact moves once."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(F.count("*").alias("n"))
+    return (per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n)")
+        .cast("long").alias("p50_n"),     # Spark returns double; DuckDB
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY n)")
+        .cast("long").alias("p99_n"))     # keeps the input's bigint
+        .select("n_keys", "n_rows", "max_n", "p50_n", "p99_n",
+                (F.col("max_n").cast("double") / F.col("n_rows"))
+                .alias("top_key_share"),
+                (F.col("p99_n").cast("double") / F.col("p50_n"))
+                .alias("p99_over_p50")))
+
+
+@query("histogram_equidepth", """
+    WITH edges AS (
+      SELECT quantile_disc(o_totalprice, 0.25) AS e1,
+             quantile_disc(o_totalprice, 0.50) AS e2,
+             quantile_disc(o_totalprice, 0.75) AS e3
+      FROM orders)
+    SELECT CASE WHEN o_totalprice <= e1 THEN 0
+                WHEN o_totalprice <= e2 THEN 1
+                WHEN o_totalprice <= e3 THEN 2
+                ELSE 3 END AS bucket,
+           count(*) AS n,
+           CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lo,
+           CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS hi
+    FROM orders, edges GROUP BY bucket
+""")
+def histogram_equidepth(spark, sf_dir):
+    """EQUI-DEPTH histogram (quartile buckets) — the optimizer-stats /
+    data-profiling twin of histogram_dynamic_bins' equi-width form:
+    edges are exact discrete quartiles of the column, so buckets hold
+    ~equal row counts whatever the value distribution.  The 1-row edge
+    aggregate broadcasts back onto the fact (kilobytes move, the fact
+    scans twice only in plan text — AQE reuses the exchange).  Discrete
+    quantile edges are observed values: deterministic bucketing with
+    no rounding rule; min/max go through decimal for the hash."""
+    o = _t(spark, sf_dir, "orders")
+    edges = o.agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)")
+        .alias("e1"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice)")
+        .alias("e2"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)")
+        .alias("e3"))
+    bucket = (F.when(F.col("o_totalprice") <= F.col("e1"), 0)
+              .when(F.col("o_totalprice") <= F.col("e2"), 1)
+              .when(F.col("o_totalprice") <= F.col("e3"), 2)
+              .otherwise(3))
+    return (o.crossJoin(F.broadcast(edges))
+            .select(bucket.alias("bucket"), "o_totalprice")
+            .groupBy("bucket").agg(
+                F.count("*").alias("n"),
+                F.min(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double").alias("lo"),
+                F.max(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double").alias("hi")))

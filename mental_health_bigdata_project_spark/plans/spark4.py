@@ -363,3 +363,33 @@ def agg_percentile_disc(spark, sf_dir):
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("p50"),
         F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").alias("p90"),
         F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").alias("p99")))
+
+
+# --- SQL session variables + EXECUTE IMMEDIATE ---------------------------
+
+@query("sql_session_variables", """
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_totalprice > 150000.0
+    GROUP BY o_orderpriority
+""")
+def sql_session_variables(spark, sf_dir):
+    """SQL session variables (DECLARE / SET VARIABLE) + EXECUTE
+    IMMEDIATE — the scripting surface for threshold knobs that ad-hoc
+    dashboards otherwise string-interpolate (dashboard/app.py:45).  The
+    variable reference resolves to a typed literal at analysis time, so
+    Catalyst constant-folds and pushes it into the parquet scan exactly
+    like sql_parameterized's bind parameter; EXECUTE IMMEDIATE then
+    runs the statement from a string — the dynamic-SQL form stored
+    procedures use.  The oracle inlines the same constant (DuckDB has
+    no session variables; the semantics under test are the engine's,
+    the oracle pins the relation)."""
+    register_temp_views(spark, sf_dir, ["orders"])
+    spark.sql("DECLARE OR REPLACE VARIABLE price_cutoff DOUBLE")
+    spark.sql("SET VARIABLE price_cutoff = 150000.0")
+    return spark.sql("""EXECUTE IMMEDIATE
+        'SELECT o_orderpriority, count(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS total
+         FROM orders WHERE o_totalprice > price_cutoff
+         GROUP BY o_orderpriority'""")

@@ -642,22 +642,31 @@ def text_repetition_stats(spark, sf_dir):
     > 0.2) is tested in exact integer arithmetic ((g - d) * 5 > g), and
     the per-source dup fraction is one double division of exact integer
     sums — both engine-deterministic with no rounding rule.  At 100 TB
-    this is a pure map + tiny agg: no data movement beyond the scan."""
-    t = tokens_col()
-    grams = F.when(
-        F.size(t) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(t, i), F.element_at(t, i + 1),
-                F.element_at(t, i + 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    per_doc = (_docs(spark, sf_dir)
+    this is a pure map + tiny agg: no data movement beyond the scan.
+
+    Two pushdown traps shape the code (both measured at sf0.1):
+    the token array is bound to a column BEFORE the trigram lambda
+    references it (a lambda body holding the raw split() tree re-runs
+    the regex tokenizer per array element — O(len^2) per doc, 23.5s),
+    and the emptiness filter is expressed as size(t) >= 3 at the
+    tokenized level rather than n_grams > 0 at the end — predicate
+    pushdown substitutes a late filter's column references, which
+    would inline the ENTIRE trigram tree (4 more tokenizer runs) into
+    the pushed condition (11s).  Together: 0.6s."""
+    toked = (_docs(spark, sf_dir)
+             .select("source", tokens_col().alias("t"))
+             .filter(F.size("t") >= 3))     # == n_grams > 0, but cheap pushed
+    t = F.col("t")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i), F.element_at(t, i + 1),
+            F.element_at(t, i + 2)),
+    )
+    per_doc = (toked
                .select("source", grams.alias("grams"))
                .select("source", F.size("grams").alias("n_grams"),
-                       F.size(F.array_distinct("grams")).alias("n_distinct"))
-               .filter(F.col("n_grams") > 0))
+                       F.size(F.array_distinct("grams")).alias("n_distinct")))
     return per_doc.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_grams").alias("total_grams"),
@@ -775,3 +784,43 @@ def graph_pagerank_tokens(spark, sf_dir):
             (F.lit(1.0 - damping) + F.lit(damping) * F.col("inflow"))
             .alias("rank"))).localCheckpoint()
     return ranks.select("token", F.round("rank", 6).alias("rank"))
+
+
+@query("text_surprisal_score", f"""
+    WITH toked AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS token FROM toked),
+    uf AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+    tot AS (SELECT count(*) AS n_tot FROM tok),
+    scored AS (
+      SELECT tok.doc_id,
+             CAST(round(-ln(CAST(uf.n AS DOUBLE) / tot.n_tot), 6)
+                  AS DECIMAL(18,6)) AS surprisal
+      FROM tok, tot JOIN uf ON uf.token = tok.token)
+    SELECT doc_id, count(*) AS n_tokens,
+           CAST(SUM(surprisal) AS DOUBLE) / count(*) AS mean_surprisal
+    FROM scored GROUP BY doc_id
+""")
+def text_surprisal_score(spark, sf_dir):
+    """Per-document mean unigram surprisal (-ln p(token)) — the
+    language-model perplexity proxy quality filter (CCNet / Wenzek et
+    al. 2020 rank web documents by LM score; a corpus-trained unigram
+    model is its cheapest honest stand-in).  The vocab-sized frequency
+    table and the scalar total broadcast onto the token stream; each
+    token's surprisal is rounded to 6dp THEN decimal-cast so the
+    per-doc sum is exact-decimal (order-free) on both engines — the
+    registry's transcendental and double-sum rules composed.  At
+    100 TB: one explode + one vocab broadcast join + one doc-key agg,
+    all map-side except the final per-doc combine."""
+    toked = _docs(spark, sf_dir).select("doc_id", tokens_col().alias("t"))
+    tok = toked.select("doc_id", F.explode("t").alias("token"))
+    uf = tok.groupBy("token").agg(F.count("*").alias("n"))
+    tot = tok.agg(F.count("*").alias("n_tot"))
+    scored = (tok.crossJoin(F.broadcast(tot))
+              .join(F.broadcast(uf), "token")
+              .select("doc_id",
+                      F.round(-F.log(F.col("n").cast("double") / F.col("n_tot")),
+                              6).cast("decimal(18,6)").alias("surprisal")))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        (F.sum("surprisal").cast("double") / F.count("*"))
+        .alias("mean_surprisal"))

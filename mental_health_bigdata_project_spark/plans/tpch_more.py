@@ -974,13 +974,15 @@ def q2_min_cost_supplier(spark, sf_dir):
                       F.col("n_regionkey") == F.col("r_regionkey"))
                 .select("ps_partkey", "ps_suppkey", "ps_supplycost",
                         "s_acctbal", "s_name", "n_name"))
-    mincost = eligible.groupBy("ps_partkey").agg(
-        F.min("ps_supplycost").alias("mc"))
+    # correlated min as a WINDOW over the part key: one shuffle on
+    # ps_partkey and the eligible subtree is computed ONCE — the
+    # groupBy-then-self-join form duplicates the whole catalog build
+    # (plan audit showed 8 broadcast joins = 2x the dim chain)
+    part_w = Window.partitionBy("ps_partkey")
     part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
     return (eligible
-            .join(mincost, (eligible.ps_partkey == mincost.ps_partkey)
-                  & (eligible.ps_supplycost == mincost.mc))
-            .drop(mincost.ps_partkey)
+            .withColumn("mc", F.min("ps_supplycost").over(part_w))
+            .filter(F.col("ps_supplycost") == F.col("mc"))
             .join(F.broadcast(part),
                   F.col("ps_partkey") == F.col("p_partkey"))
             .select("s_acctbal", "s_name", "n_name", "p_partkey",

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udtf
 
 from ..sources import register_temp_views
-from .registry import query
+from .registry import EVENTS_TS, query
 
 CHUNK_SIZE = 30
 STRIDE = 25  # chunk_size - overlap(5)
@@ -176,3 +176,51 @@ def text_token_count_iter(spark, sf_dir):
 
     return (load_table(spark, sf_dir, "documents")
             .select("doc_id", bpe_count("text").alias("bpe_tokens")))
+
+
+@query("grouped_iqr_arrow", f"""
+    SELECT event_type,
+           quantile_disc(value, 0.25) AS q1,
+           quantile_disc(value, 0.75) AS q3,
+           quantile_disc(value, 0.75) - quantile_disc(value, 0.25) AS iqr
+    FROM {EVENTS_TS} GROUP BY event_type
+""")
+def grouped_iqr_arrow(spark, sf_dir):
+    """Per-group interquartile range via ``applyInArrow`` — the
+    zero-pandas grouped-map surface (each group arrives as a raw
+    ``pyarrow.Table``; no pandas Series materialization, no index
+    bookkeeping).  The discrete-percentile convention matches
+    percentile_disc/quantile_disc on both engines: sort ascending, take
+    the element at ceil(q*n)-1 — an OBSERVED value, so results are
+    bit-identical cross-engine and the IQR is one deterministic double
+    subtraction (see agg_percentile_disc).
+
+    applyInArrow is the right surface when per-group logic needs an
+    order-statistics library call (here: arrow-native sort+take) but
+    the payload should stay columnar end to end; at 100 TB it costs the
+    same single group-key shuffle as any aggregate, with Arrow batches
+    crossing the Python boundary once per group."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+
+    def iqr(table: pa.Table) -> pa.Table:
+        vals = pc.array_sort_indices(table.column("value"))
+        sorted_v = table.column("value").take(vals)
+        n = len(sorted_v)
+        q1 = sorted_v[max(0, math.ceil(0.25 * n) - 1)].as_py()
+        q3 = sorted_v[max(0, math.ceil(0.75 * n) - 1)].as_py()
+        return pa.table({
+            "event_type": [table.column("event_type")[0].as_py()],
+            "q1": pa.array([q1], pa.float64()),
+            "q3": pa.array([q3], pa.float64()),
+            "iqr": pa.array([q3 - q1], pa.float64()),
+        })
+
+    return ev.groupBy("event_type").applyInArrow(
+        iqr, "event_type string, q1 double, q3 double, iqr double")

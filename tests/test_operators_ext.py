@@ -395,3 +395,21 @@ def test_pagerank_tokens_invariants(spark, sf_dir):
     top_quartile = {r["tok"] for r in by_deg[:max(1, len(by_deg) // 4)]}
     best = max(rows, key=rows.get)
     assert best in top_quartile
+
+
+def test_cached_dim_serves_multiple_plans(spark, sf_dir):
+    """A cached dimension must be served from the in-memory columnar
+    relation (InMemoryTableScan) by every subsequent plan that touches
+    it — the serving-layer pattern replacing the reference dashboard's
+    re-read-per-request (dashboard/app.py:16-28)."""
+    dim = load_table(spark, sf_dir, "nation").cache()
+    try:
+        q1 = dim.groupBy("n_regionkey").count()
+        q2 = (load_table(spark, sf_dir, "supplier")
+              .join(dim, F.col("s_nationkey") == F.col("n_nationkey"))
+              .groupBy("n_name").count())
+        assert q1.count() > 0 and q2.count() > 0
+        for q in (q1, q2):
+            assert "InMemoryTableScan" in q._jdf.queryExecution().executedPlan().toString()
+    finally:
+        dim.unpersist()
