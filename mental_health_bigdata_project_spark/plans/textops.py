@@ -824,3 +824,57 @@ def text_surprisal_score(spark, sf_dir):
         F.count("*").alias("n_tokens"),
         (F.sum("surprisal").cast("double") / F.count("*"))
         .alias("mean_surprisal"))
+
+
+@query("bpe_train_merges")  # rows-only: iterative argmax; no SQL twin
+def bpe_train_merges(spark, sf_dir):
+    """Byte-pair-encoding merge training (Sennrich et al. 2016) — the
+    LLM tokenizer-construction loop, distributed: 10 greedy merge
+    steps over the corpus word-frequency table.  Per step: (1) adjacent
+    symbol pairs of every distinct word, weighted by word frequency,
+    are counted (one vocab-sized shuffle — the corpus itself is touched
+    exactly once, at the initial word count); (2) the argmax pair (tie
+    break: lexicographic) is one collected row; (3) every word's symbol
+    array applies the merge greedily left-to-right via an aggregate()
+    fold — per-row, no shuffle — and the lineage is checkpoint-cut.
+
+    The driver loop moves only per-step aggregates (a 1-row argmax),
+    never row data — the same discipline as dedup_cluster_components.
+    At 100 TB the word-freq table is the Zipf head (millions of rows,
+    not corpus-sized) and each step costs one pair-count shuffle over
+    it.  Differentially tested against a pure-Python reference BPE on
+    the same word counts (tests/test_text_functions.py)."""
+    chars = F.filter(F.split("w", "(?!^)"), lambda x: x != "")
+    vocab = (_docs(spark, sf_dir)
+             .select(F.explode(tokens_col()).alias("w"))
+             .groupBy("w").agg(F.count("*").alias("freq"))
+             .select(chars.alias("syms"), "freq")
+             .localCheckpoint())
+    merges: list[tuple] = []
+    for step in range(10):
+        pairs = (vocab.filter(F.size("syms") >= 2)
+                 .select(F.explode(F.transform(
+                     F.sequence(F.lit(1), F.size("syms") - 1),
+                     lambda i: F.struct(
+                         F.element_at("syms", i).alias("a"),
+                         F.element_at("syms", i + 1).alias("b")),
+                 )).alias("p"), "freq")
+                 .groupBy("p.a", "p.b").agg(F.sum("freq").alias("weight")))
+        top = pairs.orderBy(F.desc("weight"), "a", "b").limit(1).collect()
+        if not top:
+            break
+        a, b, wgt = top[0]["a"], top[0]["b"], int(top[0]["weight"])
+        merges.append((step, a, b, wgt))
+        ab = a + b
+        merged = F.aggregate(
+            "syms", F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a)) & (s == F.lit(b)),
+                F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                         F.array(F.lit(ab))),
+            ).otherwise(F.concat(acc, F.array(s))))
+        vocab = (vocab.select(merged.alias("syms"), "freq")
+                 .localCheckpoint())
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, weight bigint")

@@ -176,3 +176,53 @@ def test_property_clean_and_risk_parity(spark):
         assert got == want
 
     run()
+
+
+def test_bpe_merges_match_python_reference(spark, sf_dir):
+    """The distributed BPE trainer must produce the EXACT merge list a
+    single-process reference implementation learns from the same word
+    counts (same pair-count convention: all adjacent pairs; same greedy
+    left-to-right merge application; same lexicographic tiebreak)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from mental_health_bigdata_project_spark.plans import QUERIES
+    from mental_health_bigdata_project_spark.plans.textops import tokens_col
+    from mental_health_bigdata_project_spark.sources import load_table
+
+    got = [(r["step"], r["left"], r["right"], r["weight"])
+           for r in QUERIES["bpe_train_merges"](spark, sf_dir).collect()]
+    assert len(got) == 10
+
+    words = Counter()
+    for r in (load_table(spark, sf_dir, "documents")
+              .select(F.explode(tokens_col()).alias("w"))
+              .groupBy("w").agg(F.count("*").alias("freq")).collect()):
+        words[tuple(r["w"])] = r["freq"]
+
+    expected = []
+    for step in range(10):
+        counts = Counter()
+        for syms, freq in words.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += freq
+        if not counts:
+            break
+        (a, b), wgt = min(counts.items(),
+                          key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        expected.append((step, a, b, wgt))
+        merged = Counter()
+        for syms, freq in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            merged[tuple(out)] += freq
+        words = merged
+
+    assert got == expected
