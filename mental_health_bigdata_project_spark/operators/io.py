@@ -243,3 +243,74 @@ def write_zordered(df: DataFrame, out_dir: str, cols: list[str],
     for k, v in (options or {}).items():
         writer = writer.option(k, v)
     writer.parquet(out_dir)
+
+
+class BloomFileIndex:
+    """Per-file Bloom filters over a point-lookup column — a secondary
+    data-skipping index for HIGH-CARDINALITY columns where min/max
+    stats can't help (unsorted ids: every file's [min,max] spans the
+    domain, but each file holds only its own keys).  ``candidate_files``
+    answers "which files might contain this key" with the Bloom
+    guarantee: no false negatives, ~(1-e^(-kn/m))^k false positives —
+    so a point lookup reads ~1 file instead of all of them, with zero
+    layout change (complements write_zordered, which needs sort
+    ownership).
+
+    The k bit positions come from xxhash64(value, seed) % m evaluated
+    IN SPARK (both at build and at probe — a 1-row job touching no
+    files), so hashing is engine-native and the build is one
+    distributed aggregation; nothing row-sized reaches the driver."""
+
+    def __init__(self, col: str, m_bits: int, seeds: list[int],
+                 file_bits: dict):
+        self.col = col
+        self.m_bits = m_bits
+        self.seeds = seeds
+        self.file_bits = file_bits      # file_path -> set of set bit idxs
+
+    def _positions(self, spark: SparkSession, value) -> list[int]:
+        probe = spark.createDataFrame([(value,)], [self.col])
+        row = probe.select(*[
+            (F.pmod(F.xxhash64(F.col(self.col), F.lit(s)), F.lit(self.m_bits)))
+            .alias(f"p{i}") for i, s in enumerate(self.seeds)]).first()
+        return [row[f"p{i}"] for i in range(len(self.seeds))]
+
+    def candidate_files(self, spark: SparkSession, value) -> list[str]:
+        pos = self._positions(spark, value)
+        return [f for f, bits in self.file_bits.items()
+                if all(p in bits for p in pos)]
+
+
+def build_bloom_index(spark: SparkSession, path: str, col: str,
+                      m_bits: int = 1 << 17, k: int = 5) -> BloomFileIndex:
+    """Build a BloomFileIndex for ``col`` over a parquet directory in
+    ONE distributed pass: every row emits its k bit positions tagged
+    with the owning file (hidden ``_metadata.file_path``), and the
+    per-file distinct position sets — kilobytes per file at any row
+    count — are all that reaches the driver.  At 100 TB persist each
+    set as a sidecar next to its file (built in the same write job)
+    and consult it at plan time the way read_bloom_pruned does."""
+    seeds = list(range(1, k + 1))
+    df = spark.read.parquet(path)
+    bits = (df.select(F.col(col),
+                      F.col("_metadata.file_path").alias("f"))
+            .select("f", F.explode(F.array(*[
+                F.pmod(F.xxhash64(F.col(col), F.lit(s)), F.lit(m_bits))
+                for s in seeds])).alias("pos"))
+            .groupBy("f").agg(F.collect_set("pos").alias("bits"))
+            .collect())
+    return BloomFileIndex(col, m_bits, seeds,
+                          {r["f"]: set(r["bits"]) for r in bits})
+
+
+def read_bloom_pruned(spark: SparkSession, path: str,
+                      index: BloomFileIndex, value) -> DataFrame:
+    """Point lookup through the Bloom index: scan only candidate files
+    (no false negatives => result equals the full scan's)."""
+    cand = index.candidate_files(spark, value)
+    if not cand:
+        return (spark.read.parquet(path)
+                .filter(F.lit(False))
+                .filter(F.col(index.col) == value))
+    return (spark.read.parquet(*cand)
+            .filter(F.col(index.col) == value))

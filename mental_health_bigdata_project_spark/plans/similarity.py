@@ -477,3 +477,44 @@ def sim_topk_batch_gemm(spark, sf_dir):
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
     return (cands.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= 3).drop("rn"))
+
+
+@query("vec_quantize_int8", """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+    s AS (SELECT vec_id, ve,
+                 list_max(list_transform(ve, x -> abs(x))) / 127 AS scale
+          FROM v)
+    SELECT vec_id, scale,
+           list_transform(ve, x -> CAST(floor(x / scale) AS INTEGER)) AS codes,
+           round(list_aggregate(
+                   list_transform(ve, x -> (x - floor(x / scale) * scale)
+                                           * (x - floor(x / scale) * scale)),
+                   'sum') / len(ve), 6) AS mse
+    FROM s WHERE scale > 0
+""")
+def vec_quantize_int8(spark, sf_dir):
+    """Per-vector int8 scalar quantization — the memory-side of ANN at
+    scale: absmax scaling maps each float to an int8 code (4x smaller
+    than float32, 8x than float64), the decode being code*scale.  The
+    kernel is floor(x/scale) — floor, not round, because round-half
+    conventions differ cross-engine while floor of an IEEE division is
+    bit-deterministic.  Reconstruction MSE rides along (sequential
+    array-fold sums are order-pinned on both engines; 6dp rounds the
+    tail).  Pure per-row lambdas: no shuffle, scans with the corpus;
+    at 100 TB the codes column feeds sim_topk_batch_gemm-style int8
+    GEMM with ~4x the throughput of the float path."""
+    e = _emb(spark, sf_dir)
+    v = to_double_array("embedding")
+    bound = (e.select("vec_id", v.alias("ve"))
+             .select("*", (F.array_max(F.transform(F.col("ve"), F.abs))
+                           / F.lit(127)).alias("scale"))
+             .filter(F.col("scale") > 0))
+    code = lambda x: F.floor(x / F.col("scale"))          # noqa: E731
+    err = lambda x: (x - code(x) * F.col("scale")) ** 2   # noqa: E731
+    return bound.select(
+        "vec_id", "scale",
+        F.transform(F.col("ve"), lambda x: code(x).cast("int")).alias("codes"),
+        F.round(
+            F.aggregate(F.transform(F.col("ve"), err), F.lit(0.0),
+                        lambda acc, x: acc + x) / F.size("ve"),
+            6).alias("mse"))

@@ -318,3 +318,27 @@ def test_zorder_layout_prunes_both_dims(spark, sf_dir, tmp_path):
     pk_hi = li.agg(F.max("l_partkey")).first()[0]
     lo_bound, hi_bound = pk_hi // 4, pk_hi // 2
     assert overlap_frac(z_dir, "l_partkey") < 1.0
+
+
+def test_bloom_file_index_prunes_point_lookups(spark, sf_dir, tmp_path):
+    """The per-file Bloom index must (a) return the same rows as the
+    full scan for a present key, (b) read fewer files doing it, and
+    (c) read zero files for an absent key (no false negatives ever;
+    false positives bounded by fpp)."""
+    out = str(tmp_path / "orders_by_key")
+    orders = load_table(spark, sf_dir, "orders")
+    (orders.repartitionByRange(8, "o_orderkey")
+     .write.mode("overwrite").parquet(out))
+
+    idx = mio.build_bloom_index(spark, out, "o_orderkey")
+    assert len(idx.file_bits) == 8
+
+    key = orders.agg(F.max("o_orderkey")).first()[0]
+    pruned = mio.read_bloom_pruned(spark, out, idx, key)
+    full = spark.read.parquet(out).filter(F.col("o_orderkey") == key)
+    assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, full.collect()))
+    # range-clustered files: the key lives in 1 file; fpp may add a few
+    assert len(idx.candidate_files(spark, key)) <= 3
+
+    absent = key + 999_999
+    assert mio.read_bloom_pruned(spark, out, idx, absent).count() == 0
