@@ -113,3 +113,27 @@ def ml_classify_embeddings(spark, sf_dir):
         F.count("*").alias("n_test"),
         F.sum(F.when(F.col("prediction") == F.col("label"), 1).otherwise(0))
         .cast("bigint").alias("n_correct"))
+
+
+@query("ml_fpgrowth_itemsets")  # rows-only: lattice traversal order is impl detail
+def ml_fpgrowth_itemsets(spark, sf_dir):
+    """FP-growth frequent itemsets over per-document distinct token
+    baskets — market-basket mining applied to vocabulary co-occurrence
+    (which word sets co-occur in >= 40% of documents).  MLlib's
+    parallel FP-growth (PFP, Li et al. 2008) partitions the lattice by
+    suffix so no global FP-tree materializes — the scalable form of a
+    combinatorial mining problem.  Itemset arrays are sorted and the
+    support counts are exact, so rows are deterministic; the singleton
+    supports are independently pinned against plain document
+    frequencies in tests/test_operators_ext.py."""
+    from pyspark.ml.fpm import FPGrowth
+
+    from .textops import tokens_col
+
+    baskets = (load_table(spark, sf_dir, "documents")
+               .select("doc_id", F.array_distinct(tokens_col()).alias("items")))
+    model = FPGrowth(itemsCol="items", minSupport=0.4,
+                     minConfidence=0.5).fit(baskets)
+    return (model.freqItemsets
+            .select(F.array_sort("items").alias("items"), "freq")
+            .filter(F.size("items") <= 3))

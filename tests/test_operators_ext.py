@@ -413,3 +413,26 @@ def test_cached_dim_serves_multiple_plans(spark, sf_dir):
             assert "InMemoryTableScan" in q._jdf.queryExecution().executedPlan().toString()
     finally:
         dim.unpersist()
+
+
+def test_fpgrowth_singleton_supports_match_doc_freq(spark, sf_dir):
+    """Every singleton frequent itemset's support must equal the plain
+    document frequency of that token (independent recount), and every
+    itemset's support must be <= the min of its members' singleton
+    supports (anti-monotonicity)."""
+    from mental_health_bigdata_project_spark.plans import QUERIES
+    from mental_health_bigdata_project_spark.plans.textops import tokens_col
+
+    rows = QUERIES["ml_fpgrowth_itemsets"](spark, sf_dir).collect()
+    assert rows
+    docs = load_table(spark, sf_dir, "documents")
+    df_counts = {r["tok"]: r["n"] for r in (
+        docs.select(F.explode(F.array_distinct(tokens_col())).alias("tok"))
+        .groupBy("tok").agg(F.count("*").alias("n")).collect())}
+    singles = {tuple(r["items"])[0]: r["freq"]
+               for r in rows if len(r["items"]) == 1}
+    assert singles
+    for tok, freq in singles.items():
+        assert df_counts[tok] == freq
+    for r in rows:
+        assert r["freq"] <= min(df_counts[t] for t in r["items"])
