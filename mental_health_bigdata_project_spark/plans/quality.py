@@ -584,3 +584,71 @@ def histogram_equidepth(spark, sf_dir):
                 .cast("double").alias("lo"),
                 F.max(F.col("o_totalprice").cast("decimal(18,2)"))
                 .cast("double").alias("hi")))
+
+
+@query("join_temporal_scd2", """
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1997-07-01 00:00:00'),
+    d AS (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+             o.o_totalprice AS old_price, n.o_totalprice AS new_price,
+             CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'removed'
+                  WHEN o.o_totalprice <> n.o_totalprice THEN 'changed'
+                  ELSE 'unchanged' END AS cls
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey),
+    hist AS (
+      SELECT k AS o_orderkey, old_price AS o_totalprice,
+             1 AS valid_from,
+             CASE WHEN cls IN ('changed', 'removed') THEN 2 END AS valid_to
+      FROM d WHERE cls <> 'added'
+      UNION ALL
+      SELECT k, new_price, 2, NULL FROM d WHERE cls IN ('changed', 'added')),
+    facts AS (
+      SELECT l_orderkey, 1 + (l_linenumber % 2) AS v, l_quantity
+      FROM lineitem)
+    SELECT f.v,
+           count(*) AS n_lines,
+           CAST(SUM(CAST(h.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price_at_v
+    FROM facts f JOIN hist h
+      ON h.o_orderkey = f.l_orderkey
+     AND h.valid_from <= f.v
+     AND (h.valid_to IS NULL OR f.v < h.valid_to)
+    GROUP BY f.v
+""")
+def join_temporal_scd2(spark, sf_dir):
+    """Temporal (point-in-version) join against the SCD Type-2 history:
+    each fact row carries a version stamp and joins the dimension row
+    VALID AT that version — ``valid_from <= v < valid_to`` with an open
+    current row — the lookup pattern every SCD2 warehouse query needs
+    (as-of on a versioned dimension rather than a timestamp).
+
+    The validity predicate rides as a residual condition on the
+    o_orderkey equi hash join: no range-join explosion, one key shuffle
+    (the history reuses scd2_build's single-exchange plan).  Version
+    stamps derive from l_linenumber so both engines see the same facts;
+    price sums go through decimal per the registry rule."""
+    hist = scd2_build(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    facts = li.select("l_orderkey",
+                      (F.lit(1) + F.col("l_linenumber") % 2).alias("v"),
+                      "l_quantity")
+    h = hist.alias("h")
+    f = facts.alias("f")
+    return (f.join(h, (F.col("h.o_orderkey") == F.col("f.l_orderkey"))
+                   & (F.col("h.valid_from") <= F.col("f.v"))
+                   & (F.col("h.valid_to").isNull()
+                      | (F.col("f.v") < F.col("h.valid_to"))))
+            .groupBy("v").agg(
+                F.count("*").alias("n_lines"),
+                F.sum(F.col("h.o_totalprice").cast("decimal(18,2)"))
+                .cast("double").alias("sum_price_at_v")))
