@@ -481,3 +481,41 @@ def test_statestore_reader_exposes_dedup_state(spark, tmp_path):
     state = spark.read.format("statestore").load(ck)
     held_keys = sorted(r.key.id for r in state.collect())
     assert held_keys == list(range(7))  # exactly the distinct ids
+
+
+def test_stream_stream_full_outer_covers_both_sides(spark, sf_dir, tmp_path):
+    """Full-outer stream-stream join: beside matches, watermark-expired
+    UNMATCHED rows from BOTH sides must emit — views with NULL purchase
+    columns AND purchases with NULL view columns (a purchase with no
+    prior same-user view within the bound)."""
+    from mental_health_bigdata_project_spark.streaming.joins import (
+        stream_stream_view_purchase)
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "events_src_ssj_full")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        stream_stream_view_purchase(
+            stream.filter(F.col("event_type") == "view"),
+            stream.filter(F.col("event_type") == "purchase"),
+            how="full_outer")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("ssj_full_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj_full"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM ssj_full_out").collect()
+    matched = [r for r in rows if r.purchase_id is not None and r.view_id is not None]
+    view_only = [r for r in rows if r.purchase_id is None]
+    purchase_only = [r for r in rows if r.view_id is None]
+    assert matched and view_only and purchase_only
+    for r in purchase_only:
+        assert r.view_ts is None and r.purchase_ts is not None
+    # row accounting: every view and every purchase appears at least once
+    seen_views = {r.view_id for r in rows if r.view_id is not None}
+    n_views = events.filter(F.col("event_type") == "view").count()
+    assert len(seen_views) >= int(0.8 * n_views)
