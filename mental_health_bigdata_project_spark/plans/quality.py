@@ -652,3 +652,60 @@ def join_temporal_scd2(spark, sf_dir):
                 F.count("*").alias("n_lines"),
                 F.sum(F.col("h.o_totalprice").cast("decimal(18,2)"))
                 .cast("double").alias("sum_price_at_v")))
+
+
+@query("concurrency_peak_bucketed", f"""
+    WITH e AS (SELECT * FROM {EVENTS_TS}),
+    edges AS (
+      SELECT event_type, ts AS t, 1 AS delta, event_id FROM e
+      UNION ALL
+      SELECT event_type, ts + INTERVAL 30 MINUTE AS t, -1 AS delta, event_id
+      FROM e),
+    swept AS (
+      SELECT event_type,
+             SUM(delta) OVER (PARTITION BY event_type
+               ORDER BY t, delta, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+      FROM edges)
+    SELECT event_type, max(live) AS peak_concurrent
+    FROM swept GROUP BY event_type
+""")
+def concurrency_peak_bucketed(spark, sf_dir):
+    """concurrency_peak's 100 TB form: the same sweep-line, but the
+    running sum is a TWO-LEVEL prefix sum so no window ever sorts more
+    than one (event_type, day) bucket — the scalable rewrite of any
+    global cumulative aggregate.  Level 1: within-bucket running sum
+    (window partitioned by type+day — bounded sort width).  Level 2:
+    per-bucket delta totals (a #buckets-sized aggregate) prefix-summed
+    and joined back as each bucket's carry-in.  live = carry_in +
+    within_sum, identical to the global sweep — the oracle IS
+    concurrency_peak's SQL, so the decomposition proves itself.
+    Interval edges never cross buckets here only because closes are
+    +30min; boundary-spanning intervals would add their own +1/-1 at
+    the bucket edge (open at bucket start, close at entry)."""
+    ev = _t(spark, sf_dir, "events")
+    opens = ev.select("event_type", F.col("ts").alias("t"),
+                      F.lit(1).alias("delta"), "event_id")
+    closes = ev.select("event_type",
+                       (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("t"),
+                       F.lit(-1).alias("delta"), "event_id")
+    edges = (opens.unionByName(closes)
+             .withColumn("bucket", F.date_trunc("day", F.col("t"))))
+    in_bucket = (Window.partitionBy("event_type", "bucket")
+                 .orderBy("t", "delta", "event_id")
+                 .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    bucket_totals = (edges.groupBy("event_type", "bucket")
+                     .agg(F.sum("delta").alias("bucket_delta")))
+    prior = (Window.partitionBy("event_type").orderBy("bucket")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    carry = bucket_totals.select(
+        "event_type", "bucket",
+        F.coalesce(F.sum("bucket_delta").over(prior), F.lit(0))
+        .alias("carry_in"))
+    swept = (edges
+             .withColumn("within", F.sum("delta").over(in_bucket))
+             .join(F.broadcast(carry), ["event_type", "bucket"])
+             .select("event_type",
+                     (F.col("carry_in") + F.col("within")).alias("live")))
+    return swept.groupBy("event_type").agg(
+        F.max("live").alias("peak_concurrent"))
