@@ -709,3 +709,79 @@ def concurrency_peak_bucketed(spark, sf_dir):
                      (F.col("carry_in") + F.col("within")).alias("live")))
     return swept.groupBy("event_type").agg(
         F.max("live").alias("peak_concurrent"))
+
+
+@query("markov_event_transitions", f"""
+    WITH e AS (SELECT * FROM {EVENTS_TS}),
+    seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS nxt
+      FROM e),
+    pairs AS (
+      SELECT cur, nxt, count(*) AS n FROM seq
+      WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+    totals AS (SELECT cur, SUM(n) AS tot FROM pairs GROUP BY cur)
+    SELECT p.cur, p.nxt, p.n,
+           CAST(p.n AS DOUBLE) / t.tot AS prob
+    FROM pairs p JOIN totals t ON p.cur = t.cur
+""")
+def markov_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next = b | current = a) — the behavioral-model
+    companion to funnel_ordered_steps (funnels test one fixed path,
+    the transition matrix scores every path).  One window pass (lead
+    over the user timeline, tiebroken by event_id) and two tiny
+    aggregates; probabilities are single divisions of exact counts.
+    At 100 TB: the window partitions by user (high cardinality), and
+    the matrix itself is #event_types^2 rows — broadcastable output."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", F.col("event_type").alias("cur"),
+                    F.lead("event_type").over(w).alias("nxt"))
+    pairs = (seq.filter(F.col("nxt").isNotNull())
+             .groupBy("cur", "nxt").agg(F.count("*").alias("n")))
+    totals = pairs.groupBy("cur").agg(F.sum("n").alias("tot"))
+    return (pairs.join(F.broadcast(totals), "cur")
+            .select("cur", "nxt", "n",
+                    (F.col("n").cast("double") / F.col("tot")).alias("prob")))
+
+
+@query("wau_sliding_distinct", f"""
+    WITH e AS (SELECT * FROM {EVENTS_TS}),
+    user_days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM e),
+    contrib AS (
+      SELECT DISTINCT user_id,
+             CAST(unnest(generate_series(d, d + INTERVAL 6 DAY,
+                                         INTERVAL 1 DAY)) AS DATE) AS report_day
+      FROM user_days),
+    span AS (SELECT CAST(min(ts) AS DATE) AS mn, CAST(max(ts) AS DATE) AS mx
+             FROM e)
+    SELECT c.report_day, count(*) AS wau
+    FROM contrib c, span
+    WHERE c.report_day BETWEEN span.mn AND span.mx
+    GROUP BY c.report_day
+""")
+def wau_sliding_distinct(spark, sf_dir):
+    """EXACT rolling 7-day active users per day (WAU) — the sliding
+    COUNT(DISTINCT) that win_cumulative_distinct's first-seen trick
+    cannot express (users re-enter and leave the window).  Rewrite:
+    each distinct (user, active-day) pair CONTRIBUTES to the 7 report
+    days it covers (explode of a 7-element date sequence), and a
+    distinct (user, report_day) count collapses multi-active users.
+    Data grows by at most 7x the distinct user-day pairs — already a
+    dedup'd, metadata-scale relation, never the fact table — and the
+    count itself is one hash agg.  Report days clamp to the observed
+    span so every row is a fully-covered-or-truncated real day."""
+    ev = _t(spark, sf_dir, "events")
+    user_days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    contrib = (user_days
+               .select("user_id", F.explode(F.sequence(
+                   F.col("d"), F.date_add(F.col("d"), 6))).alias("report_day"))
+               .distinct())
+    span = ev.agg(F.min(F.col("ts").cast("date")).alias("mn"),
+                  F.max(F.col("ts").cast("date")).alias("mx"))
+    return (contrib.crossJoin(F.broadcast(span))
+            .filter(F.col("report_day").between(F.col("mn"), F.col("mx")))
+            .groupBy("report_day").agg(F.count("*").alias("wau")))
