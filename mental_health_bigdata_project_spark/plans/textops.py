@@ -878,3 +878,58 @@ def bpe_train_merges(spark, sf_dir):
                  .localCheckpoint())
     return spark.createDataFrame(
         merges, "step int, left string, right string, weight bigint")
+
+
+@query("corpus_curation_report", f"""
+    WITH per_doc AS (
+      SELECT len({_TOKS_SQL}) AS n_toks,
+             md5({_CLEAN}) AS fp,
+             lang
+      FROM documents),
+    agg AS (
+      SELECT count(*) AS n_docs,
+             SUM(n_toks) AS total_tokens,
+             count(DISTINCT fp) AS distinct_fps,
+             count(DISTINCT lang) AS n_langs
+      FROM per_doc)
+    SELECT metric, value FROM (
+      SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM agg
+      UNION ALL
+      SELECT 'total_tokens', CAST(total_tokens AS DOUBLE) FROM agg
+      UNION ALL
+      SELECT 'distinct_fingerprints', CAST(distinct_fps AS DOUBLE) FROM agg
+      UNION ALL
+      SELECT 'dup_doc_frac',
+             CAST(n_docs - distinct_fps AS DOUBLE) / n_docs FROM agg
+      UNION ALL
+      SELECT 'mean_tokens_per_doc',
+             CAST(total_tokens AS DOUBLE) / n_docs FROM agg
+      UNION ALL
+      SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM agg
+    )
+""")
+def corpus_curation_report(spark, sf_dir):
+    """The corpus curation scorecard: document count, token volume,
+    exact-dup rate (via content fingerprints), language breadth, and
+    mean document length — the one-pass audit a curation run publishes
+    before and after each filter stage.  Everything fuses into a
+    single scan + one aggregate (the two DISTINCTs expand the agg but
+    not the scan), then unpivots metric rows with stack(); ratios are
+    single divisions of exact counts.  At 100 TB this replaces N
+    ad-hoc profiling jobs with one."""
+    d = _docs(spark, sf_dir).select(
+        F.size(tokens_col()).alias("n_toks"),
+        F.md5(clean_text(F.col("text"))).alias("fp"),
+        "lang")
+    agg = d.agg(F.count("*").alias("n_docs"),
+                F.sum("n_toks").alias("total_tokens"),
+                F.countDistinct("fp").alias("distinct_fps"),
+                F.countDistinct("lang").alias("n_langs"))
+    return agg.selectExpr("""stack(6,
+        'n_docs',                CAST(n_docs AS DOUBLE),
+        'total_tokens',          CAST(total_tokens AS DOUBLE),
+        'distinct_fingerprints', CAST(distinct_fps AS DOUBLE),
+        'dup_doc_frac',          CAST(n_docs - distinct_fps AS DOUBLE) / n_docs,
+        'mean_tokens_per_doc',   CAST(total_tokens AS DOUBLE) / n_docs,
+        'n_langs',               CAST(n_langs AS DOUBLE)
+      ) AS (metric, value)""")
