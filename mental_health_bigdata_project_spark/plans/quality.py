@@ -785,3 +785,87 @@ def wau_sliding_distinct(spark, sf_dir):
     return (contrib.crossJoin(F.broadcast(span))
             .filter(F.col("report_day").between(F.col("mn"), F.col("mx")))
             .groupBy("report_day").agg(F.count("*").alias("wau")))
+
+
+@query("anomaly_mad_outliers", f"""
+    WITH e AS (SELECT * FROM {EVENTS_TS}),
+    med AS (SELECT event_type, quantile_disc(value, 0.5) AS m
+            FROM e GROUP BY event_type),
+    dev AS (SELECT e.event_type, abs(e.value - med.m) AS ad
+            FROM e JOIN med ON e.event_type = med.event_type),
+    mad AS (SELECT event_type, quantile_disc(ad, 0.5) AS mad_v
+            FROM dev GROUP BY event_type)
+    SELECT d.event_type, count(*) AS n, mad.mad_v,
+           SUM(CASE WHEN d.ad > 3 * mad.mad_v THEN 1 ELSE 0 END)
+             AS n_outliers
+    FROM dev d JOIN mad ON d.event_type = mad.event_type
+    GROUP BY d.event_type, mad.mad_v
+""")
+def anomaly_mad_outliers(spark, sf_dir):
+    """Robust outlier detection by MEDIAN ABSOLUTE DEVIATION: flag
+    values whose |x - median| exceeds 3x the MAD — the
+    breakdown-resistant alternative to z-scores (one wild shard can't
+    move the threshold, unlike mean/stddev; complements winsorized_avg
+    which clips rather than flags).  Two grouped discrete-median
+    passes with a #groups-sized broadcast between them; every
+    comparison is on identically-computed doubles (abs/3x are
+    deterministic IEEE ops, disc medians are observed values), so no
+    rounding rule.  At 100 TB each pass is one group-key sort;
+    percentile_approx swaps in when exactness can yield."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("m"))
+    dev = (ev.join(F.broadcast(med), "event_type")
+           .select("event_type", F.abs(F.col("value") - F.col("m")).alias("ad")))
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ad)").alias("mad_v"))
+    return (dev.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type", "mad_v")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.when(F.col("ad") > 3 * F.col("mad_v"), 1)
+                       .otherwise(0)).alias("n_outliers"))
+            .select("event_type", "n", "mad_v", "n_outliers"))
+
+
+@query("ts_resample_ohlc", f"""
+    WITH e AS (SELECT * FROM {EVENTS_TS}),
+    h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+                 ts, event_id, value FROM e),
+    rn AS (SELECT *,
+             row_number() OVER (PARTITION BY event_type, hour
+               ORDER BY ts, event_id) AS rf,
+             row_number() OVER (PARTITION BY event_type, hour
+               ORDER BY ts DESC, event_id DESC) AS rl
+           FROM h)
+    SELECT event_type, hour,
+           MAX(CASE WHEN rf = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           MAX(CASE WHEN rl = 1 THEN value END) AS close,
+           count(*) AS n
+    FROM rn GROUP BY event_type, hour
+""")
+def ts_resample_ohlc(spark, sf_dir):
+    """Hourly OHLC resampling (open/high/low/close + count per
+    event_type) — the canonical time-series downsampling shape.
+    Open/close are first/last BY TIME with event_id tiebreaks, taken
+    via row_number flags folded into the same aggregate (one window
+    sort per (type, hour) partition serves both directions; MAX over
+    a single flagged value is order-free), so both engines pick
+    identical rows; high/low are plain min/max of raw doubles.  At
+    100 TB the partition key is (type, bucket): bounded sort width by
+    construction, and the result is the downsampled series."""
+    ev = _t(spark, sf_dir, "events")
+    h = ev.select("event_type", F.date_trunc("hour", "ts").alias("hour"),
+                  "ts", "event_id", "value")
+    wf = Window.partitionBy("event_type", "hour").orderBy("ts", "event_id")
+    wl = Window.partitionBy("event_type", "hour").orderBy(
+        F.desc("ts"), F.desc("event_id"))
+    rn = h.select("*", F.row_number().over(wf).alias("rf"),
+                  F.row_number().over(wl).alias("rl"))
+    return (rn.groupBy("event_type", "hour").agg(
+        F.max(F.when(F.col("rf") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rl") == 1, F.col("value"))).alias("close"),
+        F.count("*").alias("n")))
