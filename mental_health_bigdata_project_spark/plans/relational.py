@@ -877,3 +877,57 @@ def agg_grouping_id(spark, sf_dir):
              F.count("*").alias("n"))
         .select("o_orderstatus", "o_orderpriority", "gid", "n")
     )
+
+
+@query("agg_listagg_ordered", f"""
+    SELECT event_type,
+           string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id)
+             AS top_ids
+    FROM {EVENTS_TS}
+    WHERE value > 325
+    GROUP BY event_type
+""")
+def agg_listagg_ordered(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG WITHIN GROUP — Spark 4's
+    ANSI form of DuckDB's string_agg): the id-roster serialization the
+    dashboard's per-group post lists need (dashboard/app.py:55) without
+    a collect_list whose order is partition-dependent.  The explicit
+    ORDER BY on a unique key makes the concatenation deterministic
+    under any parallelism.  Filter first, aggregate second: the roster
+    is only built over the selective slice, never the fact."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.filter(F.col("value") > 325)
+            .groupBy("event_type")
+            .agg(F.expr(
+                "listagg(CAST(event_id AS STRING), ',') "
+                "WITHIN GROUP (ORDER BY event_id)").alias("top_ids")))
+
+
+@query("agg_mode_deterministic", f"""
+    WITH c AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hr, count(*) AS n
+      FROM {EVENTS_TS} GROUP BY event_type, hr),
+    r AS (
+      SELECT event_type, hr, n,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY n DESC, hr) AS rk
+      FROM c)
+    SELECT event_type, CAST(hr AS INTEGER) AS modal_hour, n
+    FROM r WHERE rk = 1
+""")
+def agg_mode_deterministic(spark, sf_dir):
+    """Per-group MODE with a pinned tie rule (most frequent hour of
+    day per event type).  The built-in mode() returns an ARBITRARY
+    element among ties on both engines — unusable under a value-hash
+    gate — so the mode is computed as count + row_number with an
+    explicit (count DESC, value ASC) order: same answer at any
+    parallelism, and the ranking runs over the #groups x 24 count
+    table, not the fact."""
+    ev = _t(spark, sf_dir, "events")
+    c = (ev.select("event_type", F.hour("ts").alias("hr"))
+         .groupBy("event_type", "hr").agg(F.count("*").alias("n")))
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), "hr")
+    return (c.select("*", F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") == 1)
+            .select("event_type", F.col("hr").cast("int").alias("modal_hour"),
+                    "n"))
