@@ -933,3 +933,60 @@ def corpus_curation_report(spark, sf_dir):
         'mean_tokens_per_doc',   CAST(total_tokens AS DOUBLE) / n_docs,
         'n_langs',               CAST(n_langs AS DOUBLE)
       ) AS (metric, value)""")
+
+
+_CHUNKS_SQL = f"""
+    SELECT doc_id, source,
+           list_transform(generate_series(0, CAST(floor((len(t) - 1) / 30)
+                                                  AS BIGINT)),
+                          i -> md5(array_to_string(t[i * 30 + 1 : i * 30 + 30],
+                                                   ' '))) AS fps
+    FROM (SELECT doc_id, source, {_TOKS_SQL} AS t FROM documents)
+    WHERE len(t) > 0
+"""
+
+
+@query("dedup_chunk_exact", f"""
+    WITH chunks AS (
+      SELECT doc_id, source, unnest(fps) AS fp FROM ({_CHUNKS_SQL})),
+    counts AS (
+      SELECT fp, count(*) AS n FROM chunks GROUP BY fp)
+    SELECT c.source,
+           count(*) AS n_chunks,
+           SUM(CASE WHEN k.n > 1 THEN 1 ELSE 0 END) AS n_dup_chunks,
+           CAST(SUM(CASE WHEN k.n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS dup_chunk_frac
+    FROM chunks c JOIN counts k ON c.fp = k.fp
+    GROUP BY c.source
+""")
+def dedup_chunk_exact(spark, sf_dir):
+    """SUB-DOCUMENT exact dedup: fingerprint non-overlapping 30-token
+    chunks and measure, per source, how many chunk instances recur
+    anywhere in the corpus — document-level dedup misses boilerplate
+    blocks pasted into otherwise-distinct pages (headers, licenses,
+    navigation), which is exactly what poisons LLM training data.
+    Chunking and hashing are per-row lambdas (array slice + md5 — both
+    engines hash the identical joined string); one shuffle counts
+    fingerprints, and the fp-count table joins back to tag duplicates.
+    At 100 TB: fp counts are the shuffle (chunk-granular but narrow);
+    the join is fp-key co-partitioned with it, and the per-source
+    report is metadata-sized.  The removal form keeps min(doc_id,
+    chunk_idx) per fp — same plan, one more window."""
+    t = F.col("t")
+    n_chunks = F.floor((F.size(t) - 1) / 30).cast("int")
+    fps = F.transform(
+        F.sequence(F.lit(0), n_chunks),
+        lambda i: F.md5(F.concat_ws(
+            " ", F.slice(t, i * 30 + 1, 30))))
+    chunks = (_docs(spark, sf_dir)
+              .select("doc_id", "source", tokens_col().alias("t"))
+              .filter(F.size("t") > 0)
+              .select("doc_id", "source", F.explode(fps).alias("fp")))
+    counts = chunks.groupBy("fp").agg(F.count("*").alias("n"))
+    return (chunks.join(counts, "fp")
+            .groupBy("source")
+            .agg(F.count("*").alias("n_chunks"),
+                 F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+                 .alias("n_dup_chunks"),
+                 (F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).cast("double")
+                  / F.count("*")).alias("dup_chunk_frac")))
