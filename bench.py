@@ -58,6 +58,8 @@ HEADLINE = [
     "concurrency_peak",
     "text_repetition_stats",
     "text_pmi_bigrams",
+    "ts_resample_ohlc",
+    "wau_sliding_distinct",
 ]
 
 
