@@ -23,3 +23,4 @@ from . import spark4  # noqa: F401,E402
 from . import spark4_sources  # noqa: F401,E402
 from . import udtf_udaf  # noqa: F401,E402
 from . import quality  # noqa: F401,E402
+from . import advanced  # noqa: F401,E402
