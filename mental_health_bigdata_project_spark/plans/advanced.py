@@ -287,3 +287,240 @@ def text_readability(spark, sf_dir):
                             / F.col("sentences")))
          - (F.lit(84.6) * (F.col("syllables").cast("double")
                            / F.col("words")))).alias("flesch"))
+
+
+@query("join_asof_nearest", f"""
+    WITH e AS (SELECT * FROM {EVENTS_TS}),
+    p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, ts AS vts, max(event_id) AS vid
+          FROM e WHERE event_type = 'view' GROUP BY user_id, ts),
+    b AS (SELECT p.event_id, v.vid, v.vts FROM p ASOF LEFT JOIN v
+            ON p.user_id = v.user_id AND p.ts >= v.vts),
+    f AS (SELECT p.event_id, v.vid, v.vts FROM p ASOF LEFT JOIN v
+            ON p.user_id = v.user_id AND p.ts < v.vts),
+    j AS (SELECT p.event_id, p.user_id, p.ts,
+                 b.vid AS b_vid, b.vts AS b_vts,
+                 f.vid AS f_vid, f.vts AS f_vts
+          FROM p JOIN b USING (event_id) JOIN f USING (event_id)),
+    d AS (SELECT *,
+            CASE WHEN b_vid IS NULL AND f_vid IS NULL THEN NULL
+                 WHEN f_vid IS NULL THEN 'back'
+                 WHEN b_vid IS NULL THEN 'fwd'
+                 WHEN epoch_us(ts) - epoch_us(b_vts)
+                      <= epoch_us(f_vts) - epoch_us(ts) THEN 'back'
+                 ELSE 'fwd' END AS direction
+          FROM j)
+    SELECT event_id, user_id, ts, direction,
+           CASE direction WHEN 'back' THEN b_vid ELSE f_vid END AS near_view_id,
+           CASE direction WHEN 'back' THEN b_vts ELSE f_vts END AS near_view_ts
+    FROM d
+""")
+def join_asof_nearest(spark, sf_dir):
+    """Nearest-in-time as-of join: each 'purchase' matches the 'view'
+    closest in either direction (ties prefer the backward match) — a
+    semantics DuckDB needs TWO ASOF JOINs to express and Spark has no
+    primitive for.  Same union-then-window pattern as join_asof_events
+    but with a second, forward-looking window over the SAME user_id
+    partitioning: one exchange, two sorts share it, state O(1)/row.
+    Equal-ts view ties are removed up front (max event_id per
+    (user, ts)), so both engines carry identical representatives; the
+    at-the-same-instant view sorts before the purchase and is counted
+    as a backward (inclusive <=) match.  Distance compare in integer
+    microseconds keeps the tie-break engine-exact."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    views = (e.filter(F.col("event_type") == "view")
+             .groupBy("user_id", F.col("ts").alias("vts"))
+             .agg(F.max("event_id").alias("vid")))
+    vstruct = "struct<vid:bigint,vts:timestamp_ntz>"
+    tagged = (views.select(
+        "user_id", F.col("vts").alias("ts"), F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.struct("vid", "vts").alias("v"))
+        .unionByName(purchases.select(
+            "user_id", "ts", F.lit(1).alias("side"), "event_id",
+            F.lit(None).cast(vstruct).alias("v"))))
+    wb = (Window.partitionBy("user_id").orderBy("ts", "side")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wf = (Window.partitionBy("user_id").orderBy("ts", "side")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    carried = (tagged
+               .withColumn("bv", F.last("v", ignorenulls=True).over(wb))
+               .withColumn("fv", F.first("v", ignorenulls=True).over(wf)))
+    # TIMESTAMP_NTZ subtraction yields a day-time interval; interval
+    # comparison is exact (microsecond integer under the hood), matching
+    # the oracle's epoch_us arithmetic.
+    direction = (
+        F.when(F.col("bv").isNull() & F.col("fv").isNull(),
+               F.lit(None).cast("string"))
+        .when(F.col("fv").isNull(), "back")
+        .when(F.col("bv").isNull(), "fwd")
+        .when((F.col("ts") - F.col("bv.vts"))
+              <= (F.col("fv.vts") - F.col("ts")), "back")
+        .otherwise("fwd"))
+    return (carried.filter(F.col("side") == 1)
+            .withColumn("direction", direction)
+            .select(
+                "event_id", "user_id", "ts", "direction",
+                F.when(F.col("direction") == "back", F.col("bv.vid"))
+                .otherwise(F.col("fv.vid")).alias("near_view_id"),
+                F.when(F.col("direction") == "back", F.col("bv.vts"))
+                .otherwise(F.col("fv.vts")).alias("near_view_ts")))
+
+
+_TOKS_SQL = ("list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+             "x -> x <> '')")
+
+
+@query("dedup_containment", f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+               WHERE doc_id < 200),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(toks) >= 3 THEN
+                list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            ELSE [] END)) AS shingle
+        FROM d),
+    cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+    SELECT p.doc_a, p.doc_b,
+           CAST(p.inter AS DOUBLE) / LEAST(ca.c, cb.c) AS containment
+    FROM pairs p
+    JOIN cnt ca ON p.doc_a = ca.doc_id
+    JOIN cnt cb ON p.doc_b = cb.doc_id
+    WHERE CAST(p.inter AS DOUBLE) / LEAST(ca.c, cb.c) >= 0.6
+""")
+def dedup_containment(spark, sf_dir):
+    """Asymmetric shingle-containment near-dup pairs: score =
+    |shingles(A) ∩ shingles(B)| / min(|A|, |B|) — catches a short
+    document wholly embedded in a longer one (quote/boilerplate
+    inclusion), which symmetric Jaccard dilutes below threshold when
+    the size ratio is large.  Same bounded-pair plan as
+    dedup_ngram_jaccard (co-shingle equi-join + two count joins);
+    at 100 TB the candidate generation swaps to MinHash banding while
+    this exact scorer verifies candidates."""
+    from .textops import tokens_col
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = docs.select("doc_id", tokens_col().alias("toks"))
+    shingles = F.when(
+        F.size("toks") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 2),
+            lambda i: F.concat_ws(" ", F.element_at("toks", i),
+                                  F.element_at("toks", i + 1),
+                                  F.element_at("toks", i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = d.select("doc_id",
+                  F.explode(F.array_distinct(shingles)).alias("shingle"))
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("inter")))
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("c").alias("cb"))
+    score = F.col("inter").cast("double") / F.least("ca", "cb")
+    return (pairs.join(ca, "doc_a").join(cb, "doc_b")
+            .select("doc_a", "doc_b", score.alias("containment"))
+            .filter(F.col("containment") >= 0.6))
+
+
+@query("graph_triangle_count", f"""
+    WITH d AS (SELECT doc_id, list_distinct({_TOKS_SQL}) AS toks
+               FROM documents),
+    t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+    top AS (SELECT tok FROM (
+        SELECT tok, count(*) AS c FROM t GROUP BY tok
+        ORDER BY c DESC, tok LIMIT 60)),
+    tt AS (SELECT doc_id, tok FROM t WHERE tok IN (SELECT tok FROM top)),
+    edges AS (SELECT DISTINCT a.tok AS ta, b.tok AS tb
+              FROM tt a JOIN tt b
+                ON a.doc_id = b.doc_id AND a.tok < b.tok),
+    tri AS (SELECT e1.ta AS x, e1.tb AS y, e2.tb AS z
+            FROM edges e1
+            JOIN edges e2 ON e1.tb = e2.ta
+            JOIN edges e3 ON e3.ta = e1.ta AND e3.tb = e2.tb),
+    members AS (
+        SELECT x AS token FROM tri UNION ALL
+        SELECT y FROM tri UNION ALL
+        SELECT z FROM tri)
+    SELECT token, count(*) AS n_triangles
+    FROM members GROUP BY token
+""")
+def graph_triangle_count(spark, sf_dir):
+    """Per-node triangle counts over the token co-occurrence graph
+    (top-60 tokens by document frequency; edge = co-occurrence in any
+    document).  Triangles are enumerated once each by the ordered
+    two-join pattern (x < y < z), the standard distributed formulation
+    — at 100 TB the same plan runs with degree-ordered orientation so
+    the join fan-out is bounded by arboricity, and the edge list (the
+    only big shuffle) is pre-deduplicated.  Clustering-coefficient /
+    community detection building block the reference lacks entirely."""
+    from .textops import tokens_col
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens_col())).alias("tok"))
+    top = (t.groupBy("tok").agg(F.count("*").alias("c"))
+           .orderBy(F.desc("c"), "tok").limit(60).select("tok"))
+    tt = t.join(F.broadcast(top), "tok", "left_semi")
+    a, b = tt.alias("a"), tt.alias("b")
+    edges = (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+                    & (F.col("a.tok") < F.col("b.tok")))
+             .select(F.col("a.tok").alias("ta"),
+                     F.col("b.tok").alias("tb")).distinct())
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (e1.join(e2, F.col("e1.tb") == F.col("e2.ta"))
+           .join(e3, (F.col("e3.ta") == F.col("e1.ta"))
+                 & (F.col("e3.tb") == F.col("e2.tb")))
+           .select(F.col("e1.ta").alias("x"), F.col("e1.tb").alias("y"),
+                   F.col("e2.tb").alias("z")))
+    members = (tri.select(F.col("x").alias("token"))
+               .unionAll(tri.select("y"))
+               .unionAll(tri.select("z")))
+    return members.groupBy("token").agg(F.count("*").alias("n_triangles"))
+
+
+@query("ts_ewma", f"""
+    WITH e AS (SELECT * FROM {EVENTS_TS}),
+    w AS (SELECT event_id, user_id, ts, value,
+            list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vs
+          FROM e)
+    SELECT event_id, user_id, ts, value,
+           CAST(list_reduce(vs, (acc, x) ->
+                0.7::DOUBLE * acc + 0.3::DOUBLE * x) AS DOUBLE) AS ewma20
+    FROM w
+""")
+def ts_ewma(spark, sf_dir):
+    """Exponentially-weighted moving average (alpha=0.3) per user over
+    a 20-observation trailing window.  The EWMA recurrence s' =
+    (1-a)s + ax is inherently sequential — no closed-form window
+    aggregate — so the trailing frame is materialized as an array
+    (frame-ordered on both engines) and folded left with the exact
+    recurrence: pure +/* in identical order, bitwise-equal
+    cross-engine, no pow() transcendental.  Truncating at 20 bounds
+    the per-row state (weights beyond lag 20 are < 0.1% anyway), so
+    the operator stays one user_id shuffle + one sort at 100 TB —
+    the unbounded-history variant moves to
+    streaming/stateful.py-style transformWithState instead."""
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-19, Window.currentRow))
+    arr = F.collect_list("value").over(w)
+    ewma = F.aggregate(
+        F.slice(F.col("vs"), 2, F.size("vs")),
+        F.element_at(F.col("vs"), 1),
+        lambda acc, x: F.lit(0.7) * acc + F.lit(0.3) * x)
+    return (ev.select("event_id", "user_id", "ts", "value",
+                      arr.alias("vs"))
+            .select("event_id", "user_id", "ts", "value",
+                    ewma.alias("ewma20")))
