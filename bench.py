@@ -60,6 +60,11 @@ HEADLINE = [
     "text_pmi_bigrams",
     "ts_resample_ohlc",
     "wau_sliding_distinct",
+    "skyline_pareto_orders",
+    "interval_merge_overlaps",
+    "agg_bitmap_distinct",
+    "join_asof_nearest",
+    "ts_ewma",
 ]
 
 

@@ -321,7 +321,9 @@ def join_asof_nearest(spark, sf_dir):
     semantics DuckDB needs TWO ASOF JOINs to express and Spark has no
     primitive for.  Same union-then-window pattern as join_asof_events
     but with a second, forward-looking window over the SAME user_id
-    partitioning: one exchange, two sorts share it, state O(1)/row.
+    partitioning: the two window sorts share one union-wide exchange
+    (plus a keyed pre-agg exchange for the view-side tie dedup),
+    state O(1)/row.
     Equal-ts view ties are removed up front (max event_id per
     (user, ts)), so both engines carry identical representatives; the
     at-the-same-instant view sorts before the purchase and is counted

@@ -990,3 +990,42 @@ def dedup_chunk_exact(spark, sf_dir):
                  .alias("n_dup_chunks"),
                  (F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).cast("double")
                   / F.count("*")).alias("dup_chunk_frac")))
+
+
+@query("bpe_encode_apply")  # rows-only: depends on the trained merge list
+def bpe_encode_apply(spark, sf_dir):
+    """Apply the 10 trained BPE merges (bpe_train_merges) to the corpus
+    and report per-document subword statistics — the encode half of the
+    tokenizer loop.  The merges fold runs over the DISTINCT-WORD table
+    only (the Zipf head — millions of rows at 100 TB, not
+    corpus-sized): one sequential fold per merge step, no nesting, then
+    the per-word symbol count joins back to the exploded corpus on the
+    word key and re-aggregates per document.  The corpus itself is
+    touched twice (token explode, final agg) and never carries symbol
+    arrays.  Differentially tested against a pure-Python encoder on the
+    learned merges (tests/test_text_functions.py)."""
+    from .registry import QUERIES
+    merges = [(r["left"], r["right"])
+              for r in QUERIES["bpe_train_merges"](spark, sf_dir)
+              .orderBy("step").collect()]
+    exploded = (_docs(spark, sf_dir)
+                .select("doc_id", F.explode(tokens_col()).alias("w")))
+    chars = F.filter(F.split("w", "(?!^)"), lambda x: x != "")
+    vocab = (exploded.select("w").distinct()
+             .select("w", chars.alias("syms")).localCheckpoint())
+    for a, b in merges:
+        ab = a + b
+        merged = F.aggregate(
+            "syms", F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a)) & (s == F.lit(b)),
+                F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                         F.array(F.lit(ab))),
+            ).otherwise(F.concat(acc, F.array(s))))
+        vocab = vocab.select("w", merged.alias("syms")).localCheckpoint()
+    wc = vocab.select("w", F.size("syms").alias("n_sym"))
+    return (exploded.join(wc, "w")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum("n_sym").cast("bigint").alias("n_bpe_symbols")))

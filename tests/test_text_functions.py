@@ -226,3 +226,44 @@ def test_bpe_merges_match_python_reference(spark, sf_dir):
         words = merged
 
     assert got == expected
+
+
+def test_bpe_encode_matches_python_application(spark, sf_dir):
+    """Encoding with the learned merges must give the same per-word
+    symbol count as a pure-Python greedy left-to-right application."""
+    from pyspark.sql import functions as F
+
+    from mental_health_bigdata_project_spark.plans import QUERIES
+    from mental_health_bigdata_project_spark.plans.textops import tokens_col
+    from mental_health_bigdata_project_spark.sources import load_table
+
+    merges = [(r["left"], r["right"])
+              for r in QUERIES["bpe_train_merges"](spark, sf_dir)
+              .orderBy("step").collect()]
+
+    def encode(word: str) -> int:
+        syms = list(word)
+        for a, b in merges:
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms = out
+        return len(syms)
+
+    docs = load_table(spark, sf_dir, "documents")
+    expected = {}
+    for r in (docs.select("doc_id", tokens_col().alias("toks")).collect()):
+        expected[r["doc_id"]] = (
+            len(r["toks"]), sum(encode(w) for w in r["toks"]))
+
+    got = {r["doc_id"]: (r["n_tokens"], r["n_bpe_symbols"])
+           for r in QUERIES["bpe_encode_apply"](spark, sf_dir).collect()}
+    assert got == expected
+    # merges must actually compress: fewer symbols than characters
+    total_chars = sum(
+        len(w) for r in docs.select(tokens_col().alias("t")).collect()
+        for w in r["t"])
+    assert sum(v[1] for v in got.values()) < total_chars
