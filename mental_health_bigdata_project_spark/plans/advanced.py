@@ -526,3 +526,158 @@ def ts_ewma(spark, sf_dir):
                       arr.alias("vs"))
             .select("event_id", "user_id", "ts", "value",
                     ewma.alias("ewma20")))
+
+
+_EDGES_SQL = """
+    seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS nxt
+      FROM {src}),
+    edges AS (SELECT DISTINCT event_type AS src, nxt AS dst
+              FROM seq WHERE nxt IS NOT NULL)"""
+
+
+@query("graph_bfs_sql", f"""
+    WITH RECURSIVE {_EDGES_SQL.format(src=EVENTS_TS)},
+    paths(node, d) AS (
+      SELECT 'click' AS node, 0 AS d
+      UNION ALL
+      SELECT e.dst, p.d + 1
+      FROM paths p JOIN edges e ON e.src = p.node
+      WHERE p.d < 4)
+    SELECT node, min(d) AS dist FROM paths GROUP BY node
+""")
+def graph_bfs_sql(spark, sf_dir):
+    """BFS shortest-path distances from the 'click' state over the
+    event-transition graph, written as a RECURSIVE CTE (Spark 4's
+    WITH RECURSIVE — the same text runs on DuckDB).  The depth guard
+    (d < 4 = node-count-1) bounds expansion on the cyclic graph; min(d)
+    per node collapses the enumerated paths to BFS distances.  The
+    edge derivation is the markov_event_transitions lead-window reused;
+    the recursion itself iterates only over the tiny distinct-edge
+    relation, so corpus scale never enters the loop — the pattern for
+    org charts / category trees at 100 TB where the recursive relation
+    is dimension-sized."""
+    from ..sources import register_temp_views as _r
+    _r(spark, sf_dir, ["events"])
+    return spark.sql(f"""
+        WITH RECURSIVE {_EDGES_SQL.format(src="events")},
+        paths(node, d) AS (
+          SELECT 'click' AS node, 0 AS d
+          UNION ALL
+          SELECT e.dst, p.d + 1
+          FROM paths p JOIN edges e ON e.src = p.node
+          WHERE p.d < 4)
+        SELECT node, min(d) AS dist FROM paths GROUP BY node
+    """)
+
+
+@query("overlap_matrix_users", f"""
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM {EVENTS_TS}),
+    sizes AS (SELECT event_type, count(*) AS n FROM du GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_common
+      FROM du a JOIN du b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type)
+    SELECT p.type_a, p.type_b, p.n_common, sa.n AS n_a, sb.n AS n_b,
+           CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common)
+             AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.type_a = sa.event_type
+    JOIN sizes sb ON p.type_b = sb.event_type
+""")
+def overlap_matrix_users(spark, sf_dir):
+    """Audience-overlap matrix: for every pair of event types, the
+    exact count of shared users and the audience Jaccard — the
+    segment-overlap query behind "users who did A also did B".  The
+    distinct (type, user) projection shuffles once on user_id for the
+    ordered self-join; per-type sizes are a 5-row broadcast.  At
+    100 TB with many segments this becomes the bitmap-intersection
+    workload (agg_bitmap_distinct's per-segment bitmaps AND-ed), but
+    the exact-join form here is the correctness anchor."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct()
+    sizes = du.groupBy("event_type").agg(F.count("*").alias("n"))
+    a, b = du.alias("a"), du.alias("b")
+    pairs = (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                    & (F.col("a.event_type") < F.col("b.event_type")))
+             .groupBy(F.col("a.event_type").alias("type_a"),
+                      F.col("b.event_type").alias("type_b"))
+             .agg(F.count("*").alias("n_common")))
+    sa = sizes.select(F.col("event_type").alias("type_a"),
+                      F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"),
+                      F.col("n").alias("n_b"))
+    jac = (F.col("n_common").cast("double")
+           / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+    return (pairs.join(F.broadcast(sa), "type_a")
+            .join(F.broadcast(sb), "type_b")
+            .select("type_a", "type_b", "n_common", "n_a", "n_b",
+                    jac.alias("jaccard")))
+
+
+@query("seq_pattern_regex", f"""
+    WITH s AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+      FROM {EVENTS_TS} GROUP BY user_id)
+    SELECT user_id, length(seq) AS seq_len,
+           len(regexp_extract_all(seq, 'v+p')) AS n_conversions
+    FROM s
+""")
+def seq_pattern_regex(spark, sf_dir):
+    """MATCH_RECOGNIZE-style sequence pattern matching, poor-man's
+    edition: each user's event history is serialized to a one-char-per
+    -event string in time order (initials are distinct across the 5
+    types) and the pattern "one-or-more views directly followed by a
+    purchase" is counted with a plain regex — non-overlapping greedy
+    scan, identical on both engines.  The ordered LISTAGG makes the
+    serialization deterministic under parallelism; one user_id shuffle
+    total.  Regex-over-sequence handles alternation/repetition
+    patterns the funnel operator's fixed step list can't, while
+    staying JVM-native (vs a per-user UDF state machine)."""
+    ev = _t(spark, sf_dir, "events")
+    s = (ev.groupBy("user_id")
+         .agg(F.expr(
+             "listagg(substr(event_type, 1, 1), '') "
+             "WITHIN GROUP (ORDER BY ts, event_id)").alias("seq")))
+    return s.select(
+        "user_id", F.length("seq").alias("seq_len"),
+        F.size(F.regexp_extract_all("seq", F.lit("v+p"), F.lit(0)))
+        .cast("bigint").alias("n_conversions"))
+
+
+@query("state_duration_total", f"""
+    WITH d AS (
+      SELECT event_type, ts,
+             lead(ts) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS nxt
+      FROM {EVENTS_TS})
+    SELECT event_type, count(*) AS n_transitions,
+           SUM(date_diff('microsecond', ts, nxt)) AS total_us,
+           SUM(date_diff('microsecond', ts, nxt)) / 1000000.0
+             AS total_sec
+    FROM d WHERE nxt IS NOT NULL GROUP BY event_type
+""")
+def state_duration_total(spark, sf_dir):
+    """Duration-weighted state occupancy: how long users sit in each
+    event state before their next event (telemetry's time-in-state /
+    dwell-time query).  One lead window per user turns point events
+    into [ts, next_ts) state intervals; integer-microsecond diffs sum
+    exactly (no float accumulation), and the seconds column is one
+    exact-integer-to-double division at the end.  Open-ended final
+    states are excluded (no next event to bound them).  One user_id
+    shuffle + one tiny agg at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select("event_type", "ts", F.lead("ts").over(w).alias("nxt"))
+    us = F.expr("timestampdiff(MICROSECOND, ts, nxt)")
+    return (d.filter(F.col("nxt").isNotNull())
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_transitions"),
+                 F.sum(us).alias("total_us"),
+                 (F.sum(us) / F.lit(1000000.0)).alias("total_sec")))
