@@ -681,3 +681,96 @@ def state_duration_total(spark, sf_dir):
             .agg(F.count("*").alias("n_transitions"),
                  F.sum(us).alias("total_us"),
                  (F.sum(us) / F.lit(1000000.0)).alias("total_sec")))
+
+
+@query("sample_weighted_systematic", """
+    WITH w AS (
+      SELECT doc_id, n_chars AS wt,
+             SUM(n_chars) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM documents),
+    tot AS (SELECT SUM(n_chars) AS total FROM documents)
+    SELECT doc_id, wt, cum,
+           CAST(((cum * 50) // total) - (((cum - wt) * 50) // total)
+                AS BIGINT) AS n_picks
+    FROM w, tot
+    WHERE ((cum * 50) // total) - (((cum - wt) * 50) // total) >= 1
+""")
+def sample_weighted_systematic(spark, sf_dir):
+    """Weighted systematic sampling of 50 documents with inclusion
+    probability ∝ n_chars (token-budget-proportional corpus
+    subsampling) — fully deterministic and EXACT: a document is picked
+    once per sampling threshold k·W/50 falling inside its cumulative
+    -weight interval [cum−wt, cum), all computed in bigint products
+    (no float thresholds, no rand()).  Heavy documents can be picked
+    multiple times (n_picks — cf. weight capping upstream).  The
+    running sum here is one global-order window for oracle parity; at
+    100 TB the standard two-level form applies (per-shard subtotals →
+    exclusive prefix over shards → shard-local offsets), which is the
+    same integer arithmetic per partition."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = docs.select("doc_id", F.col("n_chars").alias("wt"),
+                      F.sum("n_chars").over(w).alias("cum"))
+    tot = docs.agg(F.sum("n_chars").alias("total"))
+    # exact bigint floor-division on both engines (no float thresholds)
+    picks = (F.expr("(cum * 50) div total")
+             - F.expr("((cum - wt) * 50) div total"))
+    return (cum.crossJoin(F.broadcast(tot))
+            .withColumn("n_picks", picks.cast("bigint"))
+            .filter(F.col("n_picks") >= 1)
+            .select("doc_id", "wt", "cum", "n_picks"))
+
+
+@query("attribution_linear", f"""
+    WITH e AS (SELECT * FROM {EVENTS_TS}),
+    p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM e
+          WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, ts AS v_ts,
+                 CAST(CAST(json_extract(props, '$.k') AS INTEGER) // 10
+                      AS BIGINT) AS k_decile
+          FROM e WHERE event_type = 'view'),
+    touches AS (
+      SELECT p.p_id, v.k_decile,
+             count(*) OVER (PARTITION BY p.p_id) AS n_touches
+      FROM p JOIN v
+        ON p.user_id = v.user_id
+       AND v.v_ts >= p.p_ts - INTERVAL 7 DAY AND v.v_ts < p.p_ts)
+    SELECT k_decile,
+           count(*) AS n_touchpoints,
+           CAST(SUM(CAST(ROUND(1.0 / n_touches, 6) AS DECIMAL(18,6)))
+                AS DOUBLE) AS credit
+    FROM touches GROUP BY k_decile
+""")
+def attribution_linear(spark, sf_dir):
+    """Linear multi-touch attribution: every 'view' in the 7 days
+    before a 'purchase' shares that conversion's credit equally
+    (1/n_touches), aggregated by the view's engagement decile
+    (props.k/10).  The touch join is a per-user time-range theta join
+    (pair fan-out bounded by per-user activity), credit fractions are
+    rounded to 6 dp then decimal-summed so the total is
+    order-independent (the engine-exactness rule for non-terminating
+    rationals like 1/3).  At 100 TB both sides pre-filter by type and
+    co-partition on user_id — one shuffle each — and the per-purchase
+    count is a window over the already-joined pairs, not a second
+    join."""
+    ev = _t(spark, sf_dir, "events")
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("p_id"), "user_id",
+                 F.col("ts").alias("p_ts")))
+    v = (ev.filter(F.col("event_type") == "view")
+         .select("user_id", F.col("ts").alias("v_ts"),
+                 (F.get_json_object("props", "$.k").cast("integer") / 10)
+                 .cast("bigint").alias("k_decile")))
+    touches = (p.join(v, (p.user_id == v.user_id)
+                      & (v.v_ts >= p.p_ts - F.expr("INTERVAL 7 DAY"))
+                      & (v.v_ts < p.p_ts))
+               .select("p_id", "k_decile"))
+    wn = Window.partitionBy("p_id")
+    touches = touches.withColumn("n_touches", F.count("*").over(wn))
+    credit = F.sum(F.round(F.lit(1.0) / F.col("n_touches"), 6)
+                   .cast("decimal(18,6)")).cast("double")
+    return (touches.groupBy("k_decile")
+            .agg(F.count("*").alias("n_touchpoints"),
+                 credit.alias("credit")))
