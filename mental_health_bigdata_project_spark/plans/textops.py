@@ -1029,3 +1029,69 @@ def bpe_encode_apply(spark, sf_dir):
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_tokens"),
                  F.sum("n_sym").cast("bigint").alias("n_bpe_symbols")))
+
+
+@query("text_bigram_lm_score", f"""
+    WITH toked AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    bg AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(t) >= 2 THEN
+          list_transform(range(1, len(t)),
+                         i -> struct_pack(w1 := t[i], w2 := t[i+1]))
+        ELSE [] END) AS b
+      FROM toked),
+    flat AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+    c12 AS (SELECT w1, w2, count(*) AS n12 FROM flat GROUP BY w1, w2),
+    tok AS (SELECT unnest(t) AS token FROM toked),
+    uf AS (SELECT token, count(*) AS n1 FROM tok GROUP BY token),
+    vocab AS (SELECT count(*) AS v FROM uf),
+    scored AS (
+      SELECT f.doc_id,
+             CAST(round(ln((CAST(n12 AS DOUBLE) + 1.0)
+                           / (CAST(n1 AS DOUBLE) + v)), 6)
+                  AS DECIMAL(18,6)) AS logp
+      FROM flat f, vocab
+      JOIN c12 ON c12.w1 = f.w1 AND c12.w2 = f.w2
+      JOIN uf ON uf.token = f.w1)
+    SELECT doc_id, count(*) AS n_bigrams,
+           CAST(SUM(logp) AS DOUBLE) / count(*) AS avg_logp
+    FROM scored GROUP BY doc_id
+""")
+def text_bigram_lm_score(spark, sf_dir):
+    """Per-document mean bigram log-likelihood under an add-1-smoothed
+    corpus bigram LM: P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V) — one step up
+    from text_surprisal_score's unigram model, catching
+    plausible-words-in-implausible-order text (shuffled/templated spam)
+    that unigram frequency scoring passes.  Same engine-exactness
+    recipe: the single transcendental per bigram is 6dp-rounded then
+    decimal-summed, so the per-doc mean is order-free on both engines.
+    At 100 TB the bigram-count table is the corpus's Zipf-head square
+    — far smaller than the corpus — and the scoring pass is the
+    doc-bigram stream joined against it (shuffle join on (w1,w2)),
+    plus a vocab-sized broadcast for the denominator."""
+    toked = _docs(spark, sf_dir).select("doc_id", tokens_col().alias("t"))
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.transform(F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("w1"),
+                        F.element_at("t", i + 1).alias("w2")))
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    flat = (toked.select("doc_id", F.explode(bigrams).alias("b"))
+            .select("doc_id", F.col("b.w1").alias("w1"),
+                    F.col("b.w2").alias("w2")))
+    c12 = flat.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    tok = toked.select(F.explode("t").alias("token"))
+    uf = tok.groupBy("token").agg(F.count("*").alias("n1"))
+    vocab = uf.agg(F.count("*").alias("v"))
+    logp = F.round(
+        F.log((F.col("n12").cast("double") + F.lit(1.0))
+              / (F.col("n1").cast("double") + F.col("v"))),
+        6).cast("decimal(18,6)")
+    scored = (flat.crossJoin(F.broadcast(vocab))
+              .join(c12, ["w1", "w2"])
+              .join(F.broadcast(uf.withColumnRenamed("token", "w1")), "w1")
+              .select("doc_id", logp.alias("logp")))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        (F.sum("logp").cast("double") / F.count("*")).alias("avg_logp"))
