@@ -774,3 +774,64 @@ def attribution_linear(spark, sf_dir):
     return (touches.groupBy("k_decile")
             .agg(F.count("*").alias("n_touchpoints"),
                  credit.alias("credit")))
+
+
+@query("freq_of_freq", f"""
+    WITH uc AS (SELECT user_id, count(*) AS n_events
+                FROM {EVENTS_TS} GROUP BY user_id)
+    SELECT n_events, count(*) AS n_users
+    FROM uc GROUP BY n_events
+""")
+def freq_of_freq(spark, sf_dir):
+    """Frequency-of-frequencies (count-of-counts): how many users have
+    exactly k events — the Good-Turing smoothing input and the
+    engagement-distribution / skew diagnostic (a heavy tail here is
+    what dq_key_skew quantifies before a shuffle).  Two chained hash
+    aggregates; the second groups the already-collapsed per-user table
+    (|users| rows, not |events|), and its key cardinality is the
+    distinct activity levels — tiny.  Map-side partials make the first
+    agg the only real shuffle at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    uc = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    return uc.groupBy("n_events").agg(F.count("*").alias("n_users"))
+
+
+@query("pivot_multi_measure", """
+    SELECT c_mktsegment,
+           count(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+             AS urgent_n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)
+             AS urgent_total,
+           count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low_n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderpriority = '5-LOW') AS DOUBLE)
+             AS low_total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+""")
+def pivot_multi_measure(spark, sf_dir):
+    """Multi-measure pivot: two aggregates (count + decimal-exact
+    revenue) per pivoted priority column in ONE conditional hash
+    aggregate — Spark's pivot(values=...).agg(a, b) compiles to the
+    same FILTER-ed aggregate set as the oracle's explicit form, with
+    no distinct-values discovery job because the pivot values are
+    given.  One fact-side shuffle on the group key; the customer dim
+    joins broadcast.  The column-explosion caveat at scale: measures x
+    pivot-values columns all ride the same exchange, so wide pivots
+    prefer the long (unpivoted) layout until the final serving step."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    j = orders.join(F.broadcast(cust),
+                    orders.o_custkey == cust.c_custkey)
+    piv = (j.groupBy("c_mktsegment")
+           .pivot("o_orderpriority", ["1-URGENT", "5-LOW"])
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double").alias("total")))
+    return piv.select(
+        "c_mktsegment",
+        F.col("1-URGENT_n").alias("urgent_n"),
+        F.col("1-URGENT_total").alias("urgent_total"),
+        F.col("5-LOW_n").alias("low_n"),
+        F.col("5-LOW_total").alias("low_total"))
