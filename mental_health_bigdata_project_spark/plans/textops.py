@@ -134,7 +134,10 @@ def text_quality_score(spark, sf_dir):
     signals — the standard pretraining-corpus filters)."""
     toks = tokens_col()
     df = _docs(spark, sf_dir).select("doc_id", "text", toks.alias("toks"))
-    punct = (F.length("text") - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))) \
+    # positive-run form of `replace('[^a-zA-Z0-9 ]','')` — identical
+    # count, 34x faster on java.util.regex (see functions/text.py)
+    punct = (F.length("text") - F.length(F.array_join(
+        F.regexp_extract_all("text", F.lit("[a-zA-Z0-9 ]+"), F.lit(0)), ""))) \
         / F.length("text").cast("double")
     stop_ratio = _hits(F.col("toks"), STOPWORDS) / F.size("toks").cast("double")
     quality = (F.lit(1.0) - punct) * F.least(F.lit(1.0), F.size("toks") / F.lit(50.0))
@@ -340,7 +343,10 @@ def pipeline_training_data(spark, sf_dir):
     df = _docs(spark, sf_dir).select(
         "doc_id", "lang", "text", toks.alias("toks"),
         F.md5(clean_text(F.col("text"))).alias("fingerprint"))
-    punct = (F.length("text") - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))) \
+    # positive-run form of `replace('[^a-zA-Z0-9 ]','')` — identical
+    # count, 34x faster on java.util.regex (see functions/text.py)
+    punct = (F.length("text") - F.length(F.array_join(
+        F.regexp_extract_all("text", F.lit("[a-zA-Z0-9 ]+"), F.lit(0)), ""))) \
         / F.length("text").cast("double")
     quality = (F.lit(1.0) - punct) * F.least(F.lit(1.0), F.size("toks") / F.lit(50.0))
     gated = (
