@@ -835,3 +835,68 @@ def pivot_multi_measure(spark, sf_dir):
         F.col("1-URGENT_total").alias("urgent_total"),
         F.col("5-LOW_n").alias("low_n"),
         F.col("5-LOW_total").alias("low_total"))
+
+
+@query("filter_quality_percentile", """
+    WITH q AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  x -> x <> '')) AS DOUBLE) AS n_toks
+      FROM documents),
+    th AS (
+      SELECT lang,
+             percentile_disc(0.25) WITHIN GROUP (ORDER BY n_toks) AS p25
+      FROM q GROUP BY lang)
+    SELECT q.doc_id, q.lang, q.n_toks, th.p25
+    FROM q JOIN th ON q.lang = th.lang
+    WHERE q.n_toks > th.p25
+""")
+def filter_quality_percentile(spark, sf_dir):
+    """Percentile-gated corpus pruning: drop each language's shortest
+    quartile (by token count) — the relative-threshold filter corpus
+    curation uses when absolute cutoffs don't transfer across
+    languages.  percentile_disc returns an OBSERVED value (exact,
+    cross-engine stable — no interpolation), computed per lang in one
+    grouped agg whose output is languages-sized, broadcast back onto
+    the corpus: one corpus shuffle on lang for the percentile, then a
+    map-side join+filter.  At 100 TB the percentile pass runs on a
+    sampled or sketched (approx_percentile) twin and the gate itself
+    stays identical."""
+    from .textops import tokens_col
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.select("doc_id", "lang",
+                    F.size(tokens_col()).cast("double").alias("n_toks"))
+    th = q.groupBy("lang").agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY n_toks)")
+        .alias("p25"))
+    return (q.join(F.broadcast(th), "lang")
+            .filter(F.col("n_toks") > F.col("p25"))
+            .select("doc_id", "lang", "n_toks", "p25"))
+
+
+@query("win_ratio_to_report", """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           o_totalprice
+           / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey) AS DOUBLE) AS share
+    FROM orders
+""")
+def win_ratio_to_report(spark, sf_dir):
+    """RATIO_TO_REPORT: each order's share of its customer's total
+    spend — the windowed percent-of-total every BI layer needs.  The
+    denominator is an unordered window aggregate (no sort — Spark
+    plans a WindowExec with an unbounded frame over the hash-
+    partitioned data, effectively a broadcast of one sum per key
+    within the exchange).  Decimal sums keep the denominator exact
+    under any accumulation order; the final share is ONE
+    decimal-by-decimal division cast to double, identical on both
+    engines.  One customer-key shuffle, no sort, at any scale."""
+    orders = _t(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    w = Window.partitionBy("o_custkey")
+    # exact-decimal denominator, ONE double/double division (decimal
+    # division scale rules differ across engines; double IEEE doesn't)
+    return orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        (F.col("o_totalprice") / F.sum(dec).over(w).cast("double"))
+        .alias("share"))
