@@ -1,7 +1,11 @@
 """[EXT] Advanced relational/analytic operators with no reference
 counterpart: LATERAL top-N, skyline (Pareto frontier), interval
-merging, exact bitmap distinct-count rollups, two-level time rollups,
-per-dimension vector scaling, and readability scoring.
+merging/nearest-asof, exact bitmap distinct rollups, two-level time
+rollups, vector scaling, readability + containment scoring, triangle
+counting, recursive-CTE BFS, audience overlap, sequence-pattern
+matching, dwell times, weighted sampling, attribution,
+count-of-counts, multi-measure pivot, percentile gating, and
+ratio-to-report windows.
 
 These extend the engine past SURVEY.md §2's inventory into the OLAP
 surface a reference user would expect next; each is oracle-checked

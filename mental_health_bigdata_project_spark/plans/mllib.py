@@ -137,3 +137,34 @@ def ml_fpgrowth_itemsets(spark, sf_dir):
     return (model.freqItemsets
             .select(F.array_sort("items").alias("items"), "freq")
             .filter(F.size("items") <= 3))
+
+
+@query("ml_pca_embeddings")  # rows-only: eigenvector basis impl-specific
+def ml_pca_embeddings(spark, sf_dir):
+    """PCA dimensionality reduction 64 -> 8 over the embedding column
+    (MLlib computes the exact Gramian in one distributed pass — one
+    treeAggregate over the corpus — then eigendecomposes the 64x64
+    matrix on the driver; corpus size never touches the
+    eigendecomposition).  Returns per-label mean projected coordinates
+    on the first two components: the embedding-space structure summary
+    a corpus report would chart.  The dense projection itself is a
+    map-side matrix multiply against the broadcast 64x8 basis — the
+    standard pre-step that makes downstream ANN/clustering 8x cheaper
+    at 100 TB.  Rows-only (eigenvector sign/basis is
+    implementation-specific); tests/test_operators_ext.py pins
+    explained-variance monotonicity and basis orthonormality."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        array_to_vector(F.col("embedding").cast("array<double>"))
+        .alias("features"))
+    model = PCA(k=8, inputCol="features", outputCol="pca").fit(emb)
+    proj = model.transform(emb).select(
+        "label", vector_to_array(F.col("pca")).alias("p"))
+    return (proj.groupBy("label")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg(F.element_at("p", 1)), 6).alias("mean_pc1"),
+                 F.round(F.avg(F.element_at("p", 2)), 6).alias("mean_pc2"))
+            )

@@ -436,3 +436,28 @@ def test_fpgrowth_singleton_supports_match_doc_freq(spark, sf_dir):
         assert df_counts[tok] == freq
     for r in rows:
         assert r["freq"] <= min(df_counts[t] for t in r["items"])
+
+
+def test_pca_variance_monotone_and_basis_orthonormal(spark, sf_dir):
+    """PCA invariants: explained variance is non-increasing across
+    components and the learned basis is orthonormal."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    from mental_health_bigdata_project_spark.plans import QUERIES
+    from mental_health_bigdata_project_spark.sources import load_table
+
+    out = QUERIES["ml_pca_embeddings"](spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) > 0 and {"label", "n", "mean_pc1", "mean_pc2"} <= set(out.columns)
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"))
+    model = PCA(k=8, inputCol="features", outputCol="pca").fit(emb)
+    ev = list(model.explainedVariance)
+    assert all(a >= b - 1e-12 for a, b in zip(ev, ev[1:]))
+    import numpy as np
+    basis = model.pc.toArray()  # 64 x 8
+    gram = basis.T @ basis
+    assert np.allclose(gram, np.eye(8), atol=1e-8)
