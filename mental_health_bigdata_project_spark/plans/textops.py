@@ -1101,3 +1101,50 @@ def text_bigram_lm_score(spark, sf_dir):
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
         (F.sum("logp").cast("double") / F.count("*")).alias("avg_logp"))
+
+
+@query("text_lang_confusion", f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+    h AS (SELECT doc_id, lang,
+                 {_hits_sql(LANG_PROFILES['en'])} AS en_h,
+                 {_hits_sql(LANG_PROFILES['de'])} AS de_h,
+                 {_hits_sql(LANG_PROFILES['fr'])} AS fr_h,
+                 {_hits_sql(LANG_PROFILES['es'])} AS es_h
+          FROM t),
+    p AS (SELECT lang,
+                 CASE WHEN en_h + de_h + fr_h + es_h = 0 THEN 'unknown'
+                      WHEN en_h >= de_h AND en_h >= fr_h AND en_h >= es_h THEN 'en'
+                      WHEN de_h >= fr_h AND de_h >= es_h THEN 'de'
+                      WHEN fr_h >= es_h THEN 'fr'
+                      ELSE 'es' END AS lang_pred
+          FROM h)
+    SELECT lang, lang_pred, count(*) AS n,
+           count(*) FILTER (WHERE lang = lang_pred) AS n_correct
+    FROM p GROUP BY lang, lang_pred
+""")
+def text_lang_confusion(spark, sf_dir):
+    """Classifier-evaluation confusion matrix: the stopword-profile
+    language ID (text_lang_id) scored against the labeled lang column
+    — actual x predicted counts plus the diagonal flag, the quality
+    report any heuristic corpus filter ships with.  Composition stays
+    one scan + one (actual, predicted)-keyed aggregate whose
+    cardinality is |langs|² — metadata-sized at any corpus scale; the
+    per-row argmax is the same fused when-chain as the classifier
+    itself (whole-stage codegen, no second pass)."""
+    df = _docs(spark, sf_dir).select("doc_id", "lang",
+                                     tokens_col().alias("toks"))
+    hs = {k: _hits(F.col("toks"), v) for k, v in LANG_PROFILES.items()}
+    total = hs["en"] + hs["de"] + hs["fr"] + hs["es"]
+    pred = (
+        F.when(total == 0, "unknown")
+        .when((hs["en"] >= hs["de"]) & (hs["en"] >= hs["fr"])
+              & (hs["en"] >= hs["es"]), "en")
+        .when((hs["de"] >= hs["fr"]) & (hs["de"] >= hs["es"]), "de")
+        .when(hs["fr"] >= hs["es"], "fr")
+        .otherwise("es")
+    )
+    return (df.select("lang", pred.alias("lang_pred"))
+            .groupBy("lang", "lang_pred")
+            .agg(F.count("*").alias("n"),
+                 F.count_if(F.col("lang") == F.col("lang_pred"))
+                 .alias("n_correct")))
