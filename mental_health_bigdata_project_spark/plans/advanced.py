@@ -904,3 +904,149 @@ def win_ratio_to_report(spark, sf_dir):
         "o_orderkey", "o_custkey", "o_totalprice",
         (F.col("o_totalprice") / F.sum(dec).over(w).cast("double"))
         .alias("share"))
+
+
+@query("rfm_segmentation", """
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey),
+    r AS (SELECT custkey,
+                 date_diff('day', last_order,
+                           (SELECT max(o_orderdate) FROM orders))
+                   AS recency_days,
+                 frequency, monetary
+          FROM base)
+    SELECT custkey, recency_days, frequency, monetary,
+           ntile(5) OVER (ORDER BY recency_days, custkey) AS r_score,
+           ntile(5) OVER (ORDER BY frequency DESC, custkey) AS f_score,
+           ntile(5) OVER (ORDER BY monetary DESC, custkey) AS m_score
+    FROM r
+""")
+def rfm_segmentation(spark, sf_dir):
+    """RFM customer segmentation: recency (days since last order,
+    against the corpus max date), frequency (order count), monetary
+    (exact-decimal spend), each quintile-scored with ntile(5) — the
+    classic marketing-analytics operator.  Ties inside every ntile
+    ordering are pinned by custkey so quintile boundaries are
+    deterministic on both engines.  One customer-key aggregate, then
+    three ntile windows; at 100 TB ntile's global sort is replaced by
+    the percentile-threshold form (compute quintile edges once,
+    broadcast, CASE — filter_quality_percentile's pattern), which this
+    query's scores are provably equal to."""
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").alias("monetary"))
+    mx = orders.agg(F.max("o_orderdate").alias("now"))
+    r = (base.crossJoin(F.broadcast(mx))
+         .select("custkey",
+                 F.datediff(F.col("now"), F.col("last_order"))
+                 .alias("recency_days"),
+                 "frequency", "monetary"))
+    return r.select(
+        "custkey", "recency_days", "frequency", "monetary",
+        F.ntile(5).over(Window.orderBy("recency_days", "custkey"))
+        .alias("r_score"),
+        F.ntile(5).over(Window.orderBy(F.desc("frequency"), "custkey"))
+        .alias("f_score"),
+        F.ntile(5).over(Window.orderBy(F.desc("monetary"), "custkey"))
+        .alias("m_score"))
+
+
+@query("abc_classification", """
+    WITH rev AS (
+      SELECT l_partkey AS partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
+      FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT SUM(revenue) AS total FROM rev),
+    ranked AS (
+      SELECT partkey, CAST(revenue AS DOUBLE) AS revenue,
+             CAST(SUM(revenue) OVER (ORDER BY revenue DESC, partkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+      FROM rev, tot)
+    SELECT partkey, revenue, cum_share,
+           CASE WHEN cum_share <= 0.8 THEN 'A'
+                WHEN cum_share <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+""")
+def abc_classification(spark, sf_dir):
+    """ABC / Pareto 80-15-5 inventory classification: parts ranked by
+    exact-decimal revenue, cumulative revenue share thresholded at
+    80%/95%.  The prefix sum runs over per-part aggregates (|parts|
+    rows, not |lineitem|) in ONE decimal window — exact under any
+    execution order — and only the final share is a double division.
+    Tie-pinned ordering (revenue DESC, partkey) keeps boundary parts'
+    classes cross-engine identical.  At 100 TB the global sort is over
+    the part dimension (≈0.1% of fact rows); if even that is too wide,
+    the two-level prefix-sum (per-shard subtotals + offsets) from
+    sample_weighted_systematic applies unchanged."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .alias("revenue"))
+    tot = rev.agg(F.sum("revenue").alias("total"))
+    w = (Window.orderBy(F.desc("revenue"), "partkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = (rev.crossJoin(F.broadcast(tot))
+              .select("partkey", F.col("revenue").cast("double").alias("revenue"),
+                      (F.sum("revenue").over(w).cast("double")
+                       / F.col("total").cast("double")).alias("cum_share")))
+    return ranked.select(
+        "partkey", "revenue", "cum_share",
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C").alias("abc_class"))
+
+
+@query("anomaly_rate_spike", f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             count(*) AS n
+      FROM {EVENTS_TS} GROUP BY event_type, date_trunc('day', ts)),
+    stats AS (
+      SELECT event_type, day, n,
+             avg(n) OVER w AS base_avg,
+             count(*) OVER w AS n_prior
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, day, n,
+           round(base_avg, 6) AS base_avg,
+           CASE WHEN n_prior >= 3 AND n > 1.5 * base_avg
+                THEN 1 ELSE 0 END AS is_spike
+    FROM stats
+""")
+def anomaly_rate_spike(spark, sf_dir):
+    """Event-rate spike detection: each (type, day) count compared to
+    its trailing-7-day average; a day is a spike when volume exceeds
+    1.5x baseline (with >=3 prior days so cold starts don't alarm).
+    The daily rollup collapses the corpus before any window runs —
+    the window sees |types| x |days| rows, metadata-sized forever.
+    avg over an integer frame is one double division per row
+    (sum/count both exact integers), rounded to 6dp for the hash;
+    the spike predicate compares n against 1.5*avg in doubles,
+    identical on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type",
+                        F.date_trunc("day", "ts").alias("day"))
+             .agg(F.count("*").alias("n")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(-7, -1))
+    stats = daily.select(
+        "event_type", "day", "n",
+        F.avg("n").over(w).alias("base_avg"),
+        F.count("*").over(w).alias("n_prior"))
+    return stats.select(
+        "event_type", "day", "n",
+        F.round("base_avg", 6).alias("base_avg"),
+        F.when((F.col("n_prior") >= 3)
+               & (F.col("n") > 1.5 * F.col("base_avg")), 1)
+        .otherwise(0).alias("is_spike"))
