@@ -518,3 +518,80 @@ def vec_quantize_int8(spark, sf_dir):
             F.aggregate(F.transform(F.col("ve"), err), F.lit(0.0),
                         lambda acc, x: acc + x) / F.size("ve"),
             6).alias("mse"))
+
+
+@query("sim_sparse_tfidf_cosine", f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({{toks_sql}}) AS token
+        FROM documents WHERE doc_id < 200),
+    tf AS (SELECT doc_id, token, count(*) AS tf
+           FROM toks GROUP BY doc_id, token),
+    dfreq AS (SELECT token, count(*) AS dfreq FROM tf GROUP BY token),
+    n AS (SELECT count(*) AS n FROM documents WHERE doc_id < 200),
+    w AS (SELECT tf.doc_id, tf.token,
+                 round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.dfreq), 6)
+                   AS wt
+          FROM tf CROSS JOIN n JOIN dfreq ON tf.token = dfreq.token),
+    norms AS (
+      SELECT doc_id,
+             sqrt(CAST(SUM(CAST(round(wt * wt, 6) AS DECIMAL(18,6)))
+                       AS DOUBLE)) AS nrm
+      FROM w GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(SUM(CAST(round(a.wt * b.wt, 6) AS DECIMAL(18,6)))
+                  AS DOUBLE) AS dot
+      FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT d.doc_a, d.doc_b,
+           round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots d
+    JOIN norms na ON d.doc_a = na.doc_id
+    JOIN norms nb ON d.doc_b = nb.doc_id
+    WHERE d.dot / (na.nrm * nb.nrm) >= 0.5
+""".format(toks_sql="list_filter(regexp_split_to_array(lower(text), "
+           "'\\s+'), x -> x <> '')"))
+def sim_sparse_tfidf_cosine(spark, sf_dir):
+    """SPARSE-vector cosine similarity via the inverted-index join —
+    the scalable text-similarity pattern (dense embedding cosine scans
+    every pair of vectors; sparse TF-IDF cosine only pairs documents
+    through shared terms, so the join fan-out is bounded by posting
+    -list sizes, and stopword-ish hub terms can be IDF-pruned).  Dot
+    products and squared norms accumulate as 6dp-rounded decimals
+    (order-free exactness, the registry's float-sum rule); sqrt and
+    the final ratio are correctly-rounded IEEE ops.  Restricted to
+    doc_id < 200 to bound the oracle's pair space; at 100 TB the same
+    plan runs unrestricted with an added IDF floor on join terms."""
+    from ..sources import load_table as _lt
+    from .textops import tokens_col
+    docs = (_lt(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 200))
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("dfreq"))
+    n = docs.agg(F.count("*").alias("n"))
+    w = (tf.crossJoin(F.broadcast(n))
+         .join(F.broadcast(dfreq), "token")
+         .select("doc_id", "token",
+                 F.round(F.col("tf") * F.log(F.col("n").cast("double")
+                                             / F.col("dfreq")), 6)
+                 .alias("wt")))
+    norms = (w.groupBy("doc_id")
+             .agg(F.sqrt(F.sum(F.round(F.col("wt") * F.col("wt"), 6)
+                               .cast("decimal(18,6)")).cast("double"))
+                  .alias("nrm")))
+    a, b = w.alias("a"), w.alias("b")
+    dots = (a.join(b, (F.col("a.token") == F.col("b.token"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.sum(F.round(F.col("a.wt") * F.col("b.wt"), 6)
+                       .cast("decimal(18,6)")).cast("double").alias("dot")))
+    na = norms.select(F.col("doc_id").alias("doc_a"),
+                      F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"),
+                      F.col("nrm").alias("nb"))
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (dots.join(na, "doc_a").join(nb, "doc_b")
+            .filter(cos >= 0.5)
+            .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine")))
