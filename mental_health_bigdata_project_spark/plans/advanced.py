@@ -1050,3 +1050,57 @@ def anomaly_rate_spike(spark, sf_dir):
         F.when((F.col("n_prior") >= 3)
                & (F.col("n") > 1.5 * F.col("base_avg")), 1)
         .otherwise(0).alias("is_spike"))
+
+
+@query("session_path_topn", f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, substr(event_type, 1, 1) AS c,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM {EVENTS_TS}),
+    s AS (
+      SELECT user_id, event_id, ts, c,
+             SUM(new_sess) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM e),
+    paths AS (
+      SELECT user_id, sess,
+             string_agg(c, '' ORDER BY ts, event_id) AS path
+      FROM s GROUP BY user_id, sess)
+    SELECT path, count(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 20
+""")
+def session_path_topn(spark, sf_dir):
+    """Top-20 most common clickstream session paths: 30-minute-gap
+    sessionization (lag + prefix-summed break flags, the
+    sessionize_lag_gaps chain), each session serialized to its ordered
+    event-initial string, then a path-frequency count — the
+    "what do users actually do" query behind funnel design.  All three
+    windows share one user_id exchange; the path table is
+    sessions-sized and its group-count key (the path string) is
+    Zipf-distributed, so the final top-K is a TakeOrdered over a small
+    aggregate.  Tie-pinned (n DESC, path) keeps the LIMIT edge
+    deterministic cross-engine."""
+    ev = _t(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select(
+        "user_id", "event_id", "ts",
+        F.substring("event_type", 1, 1).alias("c"),
+        F.when(F.lag("ts").over(wo).isNull()
+               | ((F.col("ts") - F.lag("ts").over(wo))
+                  > F.expr("INTERVAL 30 MINUTE")), 1)
+        .otherwise(0).alias("new_sess"))
+    ws = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    s = e.select("user_id", "event_id", "ts", "c",
+                 F.sum("new_sess").over(ws).alias("sess"))
+    paths = (s.groupBy("user_id", "sess")
+             .agg(F.expr("listagg(c, '') WITHIN GROUP "
+                         "(ORDER BY ts, event_id)").alias("path")))
+    return (paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+            .orderBy(F.desc("n_sessions"), "path").limit(20))
