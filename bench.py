@@ -65,6 +65,10 @@ HEADLINE = [
     "agg_bitmap_distinct",
     "join_asof_nearest",
     "ts_ewma",
+    "abc_classification",
+    "session_path_topn",
+    "sim_sparse_tfidf_cosine",
+    "text_bigram_lm_score",
 ]
 
 
