@@ -1148,3 +1148,72 @@ def text_lang_confusion(spark, sf_dir):
             .agg(F.count("*").alias("n"),
                  F.count_if(F.col("lang") == F.col("lang_pred"))
                  .alias("n_correct")))
+
+
+_CHAR3_SQL = ("list_distinct(CASE WHEN length(lower(text)) >= 3 THEN "
+              "list_transform(range(1, length(lower(text)) - 1), "
+              "i -> substr(lower(text), i, 3)) ELSE [] END)")
+
+
+@query("text_char_ngram_lang_id", f"""
+    WITH g AS (
+      SELECT doc_id, lang, unnest({_CHAR3_SQL}) AS gram FROM documents),
+    prof AS (
+      SELECT lang AS plang, gram FROM (
+        SELECT lang, gram, count(*) AS n,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY count(*) DESC, gram) AS rk
+        FROM g GROUP BY lang, gram) WHERE rk <= 20),
+    overlap AS (
+      SELECT g.doc_id, p.plang, count(*) AS n_overlap
+      FROM g JOIN prof p ON g.gram = p.gram
+      GROUP BY g.doc_id, p.plang),
+    best AS (
+      SELECT doc_id, plang, n_overlap,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY n_overlap DESC, plang) AS rk
+      FROM overlap)
+    SELECT d.doc_id, d.lang,
+           COALESCE(b.plang, 'unknown') AS lang_pred,
+           COALESCE(b.n_overlap, 0) AS n_overlap
+    FROM (SELECT DISTINCT doc_id, lang FROM documents) d
+    LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON d.doc_id = b.doc_id
+""")
+def text_char_ngram_lang_id(spark, sf_dir):
+    """Character-3-gram language ID, profiles LEARNED from the labeled
+    corpus itself (top-20 grams per language, tie-pinned), then every
+    document scored by profile overlap and argmax-classified — the
+    Cavnar-Trenkle n-gram method next to text_lang_id's fixed stopword
+    lists.  Two-phase distributed shape: the profile build collapses
+    the gram stream to |langs|x20 rows (broadcastable forever); the
+    scoring pass joins the doc-gram stream against that tiny profile
+    and argmaxes per doc with a tie-pinned window.  Docs overlapping
+    no profile fall out of the join and come back as 'unknown' via the
+    left join.  At 100 TB both passes are one corpus scan each; the
+    profile would be trained on a sample with identical SQL."""
+    docs = _docs(spark, sf_dir)
+    lowered = F.lower(F.col("text"))
+    # substr with a dynamic position needs the SQL expr form
+    grams3 = F.array_distinct(F.when(
+        F.length(lowered) >= 3,
+        F.expr("transform(sequence(1, length(lower(text)) - 2), "
+               "i -> substr(lower(text), i, 3))")
+    ).otherwise(F.array().cast("array<string>")))
+    g = docs.select("doc_id", "lang", F.explode(grams3).alias("gram"))
+    wp = Window.partitionBy("lang").orderBy(F.desc("n"), "gram")
+    prof = (g.groupBy("lang", "gram").agg(F.count("*").alias("n"))
+            .withColumn("rk", F.row_number().over(wp))
+            .filter(F.col("rk") <= 20)
+            .select(F.col("lang").alias("plang"), "gram"))
+    overlap = (g.join(F.broadcast(prof), "gram")
+               .groupBy("doc_id", "plang")
+               .agg(F.count("*").alias("n_overlap")))
+    wb = Window.partitionBy("doc_id").orderBy(F.desc("n_overlap"), "plang")
+    best = (overlap.withColumn("rk", F.row_number().over(wb))
+            .filter(F.col("rk") == 1))
+    d = docs.select("doc_id", "lang").distinct()
+    return (d.join(best, "doc_id", "left")
+            .select("doc_id", "lang",
+                    F.coalesce("plang", F.lit("unknown")).alias("lang_pred"),
+                    F.coalesce("n_overlap", F.lit(0)).cast("bigint")
+                    .alias("n_overlap")))
