@@ -595,3 +595,46 @@ def sim_sparse_tfidf_cosine(spark, sf_dir):
     return (dots.join(na, "doc_a").join(nb, "doc_b")
             .filter(cos >= 0.5)
             .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine")))
+
+
+@query("vec_distance_breadth", """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+               WHERE vec_id = 1)
+    SELECT e.vec_id,
+           round(sqrt(list_sum(list_transform(
+             list_zip(e.embedding::DOUBLE[], q.qe),
+             p -> round((p[1] - p[2]) * (p[1] - p[2]), 9)))), 6) AS l2,
+           round(list_sum(list_transform(
+             list_zip(e.embedding::DOUBLE[], q.qe),
+             p -> round(abs(p[1] - p[2]), 9))), 6) AS l1,
+           round(list_max(list_transform(
+             list_zip(e.embedding::DOUBLE[], q.qe),
+             p -> abs(p[1] - p[2]))), 6) AS linf
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> 1 AND e.vec_id < 100
+""")
+def vec_distance_breadth(spark, sf_dir):
+    """Distance-metric breadth against a broadcast query vector:
+    Euclidean (L2), Manhattan (L1), and Chebyshev (L-inf) via
+    zip_with/aggregate HOFs — the metrics an ANN layer exposes beyond
+    cosine, each one corpus scan with no shuffle.  Element terms are
+    9dp-rounded before the fold so the sums are order-free
+    cross-engine (same recipe as the sparse-cosine decimals); max
+    needs no rounding (selection, not accumulation).  Restricted to
+    vec_id < 100 only to keep the oracle result compact."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == 1).select(
+        to_double_array("embedding").alias("qe"))
+    diffs = F.zip_with(to_double_array("embedding"), F.col("qe"),
+                       lambda x, y: x - y)
+    l2 = F.sqrt(F.aggregate(diffs, F.lit(0.0),
+                            lambda acc, d: acc + F.round(d * d, 9)))
+    l1 = F.aggregate(diffs, F.lit(0.0),
+                     lambda acc, d: acc + F.round(F.abs(d), 9))
+    linf = F.array_max(F.transform(diffs, F.abs))
+    return (e.filter((F.col("vec_id") != 1) & (F.col("vec_id") < 100))
+            .crossJoin(F.broadcast(q))
+            .select("vec_id",
+                    F.round(l2, 6).alias("l2"),
+                    F.round(l1, 6).alias("l1"),
+                    F.round(linf, 6).alias("linf")))

@@ -1217,3 +1217,56 @@ def text_char_ngram_lang_id(spark, sf_dir):
                     F.coalesce("plang", F.lit("unknown")).alias("lang_pred"),
                     F.coalesce("n_overlap", F.lit(0)).cast("bigint")
                     .alias("n_overlap")))
+
+
+@query("doc_winnowing_fingerprints", f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+               WHERE doc_id < 200),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3 THEN
+               list_transform(range(1, len(toks) - 1),
+                 i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+             ELSE [] END AS fps
+      FROM d),
+    sel AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(fps) >= 4 THEN
+               list_transform(range(1, len(fps) - 2),
+                 j -> list_aggregate(fps[j:j+3], 'min'))
+             ELSE fps END) AS picked
+      FROM sh)
+    SELECT doc_id, unnest(picked) AS fingerprint FROM sel
+""")
+def doc_winnowing_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer et al. 2003, the
+    MOSS algorithm): hash every token-3-gram, then keep the minimum
+    hash of each sliding window of 4 — guaranteeing any shared run of
+    ≥6 tokens between two documents shares a selected fingerprint,
+    with ~2/(w+1) of the hashes kept.  Position-robust sub-document
+    dup detection: cheaper than all-shingle indexing
+    (dedup_chunk_exact keeps every chunk), stronger than whole-doc
+    hashing.  Everything is per-row HOFs over the shingle-hash array
+    (window mins via slice+min — no self-join, no shuffle until the
+    fingerprint index is built); md5 hex min is lexicographic on both
+    engines, so selection is engine-exact.  doc_id < 200 bounds the
+    oracle output."""
+    toks = tokens_col()
+    d = (_docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+         .select("doc_id", toks.alias("toks")))
+    fps = F.when(
+        F.size("toks") >= 3,
+        F.transform(F.sequence(F.lit(1), F.size("toks") - 2),
+                    lambda i: F.md5(F.concat_ws(
+                        " ", F.element_at("toks", i),
+                        F.element_at("toks", i + 1),
+                        F.element_at("toks", i + 2))))
+    ).otherwise(F.array().cast("array<string>"))
+    sh = d.select("doc_id", fps.alias("fps"))
+    picked = F.array_distinct(F.when(
+        F.size("fps") >= 4,
+        F.transform(F.sequence(F.lit(1), F.size("fps") - 3),
+                    lambda j: F.array_min(F.slice("fps", j, 4)))
+    ).otherwise(F.col("fps")))
+    return (sh.select("doc_id", picked.alias("picked"))
+            .select("doc_id", F.explode("picked").alias("fingerprint")))
