@@ -51,6 +51,10 @@ RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # right-size shuffles for the local core count (the driver's plain
+    # session defaults to 200 — 6x task overhead for zero parallelism
+    # gain on local[32]; AQE coalescing still shrinks further at runtime)
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
 }
 
 
