@@ -11,6 +11,7 @@ one-pass plans.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators.media import extract_features, with_binary_payload
 from ..sources import load_table
@@ -61,3 +62,31 @@ def multimodal_bytes_arrow(spark, sf_dir):
                 ["doc_id", "byte_len"])
 
     return payloads.mapInArrow(lengths, "doc_id bigint, byte_len bigint")
+
+
+@query("multimodal_dedup_bytes", """
+    SELECT content_sha, doc_id, n_copies FROM (
+      SELECT sha256(text) AS content_sha, doc_id,
+             count(*) OVER (PARTITION BY sha256(text)) AS n_copies,
+             row_number() OVER (PARTITION BY sha256(text)
+                                ORDER BY doc_id) AS rn
+      FROM documents) WHERE rn = 1
+""")
+def multimodal_dedup_bytes(spark, sf_dir):
+    """Exact dedup over the BINARY payload column — the multimodal
+    counterpart of dedup_exact_docs: sha-256 of the raw bytes (JVM
+    sha2, no decode, no Python), deterministic min-doc_id survivor,
+    copy count per content hash.  For real media at 100 TB this is
+    the first pass (identical files dominate web-scraped image/video
+    dups) and shuffles only the 256-bit digest + id — payload bytes
+    never move.  Oracle: DuckDB sha256 over the same utf-8 bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = with_binary_payload(docs).select(
+        "doc_id", F.sha2("payload", 256).alias("content_sha"))
+    w = Window.partitionBy("content_sha").orderBy("doc_id")
+    return (payloads
+            .withColumn("n_copies", F.count("*").over(
+                Window.partitionBy("content_sha")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("content_sha", "doc_id", "n_copies"))
