@@ -1104,3 +1104,49 @@ def session_path_topn(spark, sf_dir):
                          "(ORDER BY ts, event_id)").alias("path")))
     return (paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
             .orderBy(F.desc("n_sessions"), "path").limit(20))
+
+
+@query("gini_concentration", """
+    WITH cs AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      FROM orders GROUP BY o_custkey),
+    r AS (
+      SELECT spend,
+             row_number() OVER (ORDER BY spend, o_custkey) AS i,
+             count(*) OVER () AS n,
+             SUM(spend) OVER () AS tot
+      FROM cs)
+    SELECT round(
+             CAST(2 * SUM(i * spend) AS DOUBLE) / (CAST(n AS DOUBLE)
+               * CAST(max(tot) AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1) / n, 6) AS gini,
+           CAST(max(n) AS BIGINT) AS n_customers
+    FROM r GROUP BY n
+""")
+def gini_concentration(spark, sf_dir):
+    """Gini coefficient of customer spend concentration — the
+    inequality metric behind "what share of revenue comes from the
+    top X%".  Computed by the rank formula G = 2·Σ(i·xᵢ)/(n·Σx) −
+    (n+1)/n over spend sorted ascending (ties pinned by custkey):
+    per-customer decimal totals, ONE rank window over the customer
+    dimension (not the fact), and exact decimal/int accumulations
+    with a single rounded double expression at the end.  At 100 TB
+    the global sort is |customers|-sized; beyond that the two-level
+    prefix-sum form applies (rank = shard offset + local rank)."""
+    orders = _t(spark, sf_dir, "orders")
+    cs = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"))
+    r = cs.select(
+        "spend",
+        F.row_number().over(Window.orderBy("spend", "o_custkey")).alias("i"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+        F.sum("spend").over(Window.partitionBy()).alias("tot"))
+    gini = F.round(
+        (2 * F.sum(F.col("i") * F.col("spend"))).cast("double")
+        / (F.col("n").cast("double") * F.max("tot").cast("double"))
+        - (F.col("n").cast("double") + 1) / F.col("n"), 6)
+    return (r.groupBy("n")
+            .agg(gini.alias("gini"),
+                 F.max("n").cast("bigint").alias("n_customers"))
+            .select("gini", "n_customers"))

@@ -1270,3 +1270,45 @@ def doc_winnowing_fingerprints(spark, sf_dir):
     ).otherwise(F.col("fps")))
     return (sh.select("doc_id", picked.alias("picked"))
             .select("doc_id", F.explode("picked").alias("fingerprint")))
+
+
+@query("text_zipf_fit", f"""
+    WITH tf AS (
+      SELECT token, count(*) AS n FROM (
+        SELECT unnest({_TOKS_SQL}) AS token FROM documents)
+      GROUP BY token),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rk
+      FROM tf),
+    lg AS (
+      SELECT round(ln(CAST(rk AS DOUBLE)), 6) AS lx,
+             round(ln(CAST(n AS DOUBLE)), 6) AS ly
+      FROM ranked WHERE rk <= 100)
+    SELECT round(regr_slope(ly, lx), 6) AS zipf_exponent,
+           round(regr_r2(ly, lx), 6) AS r2,
+           count(*) AS n_points
+    FROM lg
+""")
+def text_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit over the token frequency distribution: regress
+    ln(freq) on ln(rank) for the top-100 tokens — natural language
+    yields a slope near −1 with high R², so the exponent is a corpus
+    -naturalness diagnostic (template/spam corpora flatten or steepen
+    it).  The frequency table collapses the corpus before the rank
+    window (vocab-sized), each ln is 6dp-rounded per the
+    transcendental rule, and regr_slope/regr_r2 are one-pass
+    co-moment aggregates over just 100 points.  Corpus scale only
+    ever touches the first groupBy."""
+    tf = (_docs(spark, sf_dir)
+          .select(F.explode(tokens_col()).alias("token"))
+          .groupBy("token").agg(F.count("*").alias("n")))
+    ranked = tf.select(
+        "n", F.row_number().over(Window.orderBy(F.desc("n"), "token"))
+        .alias("rk"))
+    lg = (ranked.filter(F.col("rk") <= 100)
+          .select(F.round(F.log(F.col("rk").cast("double")), 6).alias("lx"),
+                  F.round(F.log(F.col("n").cast("double")), 6).alias("ly")))
+    return lg.agg(
+        F.round(F.expr("regr_slope(ly, lx)"), 6).alias("zipf_exponent"),
+        F.round(F.expr("regr_r2(ly, lx)"), 6).alias("r2"),
+        F.count("*").alias("n_points"))
