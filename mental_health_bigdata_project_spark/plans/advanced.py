@@ -1150,3 +1150,27 @@ def gini_concentration(spark, sf_dir):
             .agg(gini.alias("gini"),
                  F.max("n").cast("bigint").alias("n_customers"))
             .select("gini", "n_customers"))
+
+
+@query("events_heatmap_dow_hour", f"""
+    SELECT isodow(ts) AS dow_iso, EXTRACT(hour FROM ts) AS hr,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM {EVENTS_TS} GROUP BY isodow(ts), EXTRACT(hour FROM ts)
+""")
+def events_heatmap_dow_hour(spark, sf_dir):
+    """Activity heatmap: event volume + exact-decimal value by
+    (ISO day-of-week, hour) — the 7x24 usage-pattern matrix every ops
+    dashboard renders.  Day-of-week numbering is a classic
+    cross-engine trap (Spark dayofweek is 1=Sunday, DuckDB dayofweek
+    is 0=Sunday): both sides use the ISO convention explicitly
+    (Spark weekday+1 = DuckDB isodow, 1=Monday), so the hash can't
+    drift on a calendar convention.  One map-side-partial aggregate
+    to 168 cells — metadata-sized output at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(
+        (F.weekday("ts") + 1).cast("bigint").alias("dow_iso"),
+        F.hour("ts").cast("bigint").alias("hr"))
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(18,6)"))
+             .cast("double").alias("sum_value")))
