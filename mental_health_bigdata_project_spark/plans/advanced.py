@@ -1174,3 +1174,46 @@ def events_heatmap_dow_hour(spark, sf_dir):
         .agg(F.count("*").alias("n"),
              F.sum(F.col("value").cast("decimal(18,6)"))
              .cast("double").alias("sum_value")))
+
+
+@query("ts_mom_yoy_growth", """
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY date_trunc('month', o_orderdate)),
+    g AS (
+      SELECT month, rev,
+             lag(rev, 1) OVER (ORDER BY month) AS prev_m,
+             lag(rev, 12) OVER (ORDER BY month) AS prev_y
+      FROM m)
+    SELECT month, CAST(rev AS DOUBLE) AS revenue,
+           round((CAST(rev AS DOUBLE) - CAST(prev_m AS DOUBLE))
+                 / CAST(prev_m AS DOUBLE), 6) AS mom_growth,
+           round((CAST(rev AS DOUBLE) - CAST(prev_y AS DOUBLE))
+                 / CAST(prev_y AS DOUBLE), 6) AS yoy_growth
+    FROM g
+""")
+def ts_mom_yoy_growth(spark, sf_dir):
+    """Month-over-month and year-over-year revenue growth: exact
+    -decimal monthly rollup (the corpus collapses to |months| rows
+    before any window), then lag(1)/lag(12) on the month series and
+    one rounded double division each; first-month/first-year rows
+    carry NULL growth naturally through the lag.  The global-order
+    window is months-sized — metadata forever — so the only
+    corpus-scale work is the first aggregate's map-side partials."""
+    orders = _t(spark, sf_dir, "orders")
+    m = (orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+              .alias("rev")))
+    w = Window.orderBy("month")
+    g = m.select(
+        "month", "rev",
+        F.lag("rev", 1).over(w).alias("prev_m"),
+        F.lag("rev", 12).over(w).alias("prev_y"))
+    def growth(prev):
+        return F.round((F.col("rev").cast("double") - prev.cast("double"))
+                       / prev.cast("double"), 6)
+    return g.select(
+        "month", F.col("rev").cast("double").alias("revenue"),
+        growth(F.col("prev_m")).alias("mom_growth"),
+        growth(F.col("prev_y")).alias("yoy_growth"))
