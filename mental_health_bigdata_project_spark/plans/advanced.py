@@ -1217,3 +1217,58 @@ def ts_mom_yoy_growth(spark, sf_dir):
         "month", F.col("rev").cast("double").alias("revenue"),
         growth(F.col("prev_m")).alias("mom_growth"),
         growth(F.col("prev_y")).alias("yoy_growth"))
+
+
+@query("join_range_bucketed", f"""
+    WITH e AS (SELECT * FROM {EVENTS_TS}),
+    p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM e
+          WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, ts AS v_ts FROM e WHERE event_type = 'view'),
+    hits AS (
+      SELECT p.p_id, count(*) AS n_touches
+      FROM p JOIN v
+        ON p.user_id = v.user_id
+       AND v.v_ts >= p.p_ts - INTERVAL 7 DAY AND v.v_ts < p.p_ts
+      GROUP BY p.p_id)
+    SELECT p.p_id, p.user_id, p.p_ts,
+           COALESCE(h.n_touches, 0) AS n_touches
+    FROM p LEFT JOIN hits h ON p.p_id = h.p_id
+""")
+def join_range_bucketed(spark, sf_dir):
+    """Range join rewritten as an EQUI join via time bucketing — THE
+    big-big range-join technique: each view lands in its epoch-day
+    bucket; each purchase probes the 8 day-buckets its 7-day window
+    can touch (a bounded explode of the probe side); the join is then
+    a plain hash join on (user_id, bucket) with the exact range as a
+    residual filter.  Every qualifying pair matches exactly once (a
+    view's bucket is unique), so counts equal the naive theta join —
+    which is what the oracle runs.  At 100 TB the theta form degrades
+    to broadcast-nested-loop or a giant sort; the bucketed form
+    shuffles both sides once on a composite key whose fan-out is the
+    fixed bucket count.  Zero-touch purchases return via the left
+    join."""
+    ev = _t(spark, sf_dir, "events")
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("p_id"), "user_id",
+                 F.col("ts").alias("p_ts")))
+    v = (ev.filter(F.col("event_type") == "view")
+         .select(F.col("user_id").alias("v_user"),
+                 F.col("ts").alias("v_ts"),
+                 F.floor(F.unix_timestamp(F.col("ts").cast("timestamp"))
+                         / 86400).alias("bucket")))
+    probes = p.select(
+        "p_id", "user_id", "p_ts",
+        F.explode(F.sequence(
+            F.floor(F.unix_timestamp(F.col("p_ts").cast("timestamp"))
+                    / 86400) - 7,
+            F.floor(F.unix_timestamp(F.col("p_ts").cast("timestamp"))
+                    / 86400))).alias("bucket"))
+    hits = (probes.join(v, (probes.user_id == v.v_user)
+                        & (probes.bucket == v.bucket))
+            .filter((F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAY"))
+                    & (F.col("v_ts") < F.col("p_ts")))
+            .groupBy("p_id").agg(F.count("*").alias("n_touches")))
+    return (p.join(hits, "p_id", "left")
+            .select("p_id", "user_id", "p_ts",
+                    F.coalesce("n_touches", F.lit(0)).cast("bigint")
+                    .alias("n_touches")))
