@@ -69,6 +69,7 @@ HEADLINE = [
     "session_path_topn",
     "sim_sparse_tfidf_cosine",
     "text_bigram_lm_score",
+    "join_range_bucketed",
 ]
 
 
