@@ -70,6 +70,14 @@ HEADLINE = [
     "sim_sparse_tfidf_cosine",
     "text_bigram_lm_score",
     "join_range_bucketed",
+    # §2.10 scale paths added round 2 (VERDICT r1 item 8)
+    "sim_ann_ivf",
+    "multimodal_dedup_bytes",
+    "dedup_cluster_components",
+    "bpe_encode_apply",
+    # rewritten from a global window to TakeOrderedAndProject in r2 —
+    # keep its plan in the per-round audit (VERDICT r1 weak #2)
+    "retain_last_n",
 ]
 
 
@@ -134,15 +142,32 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(json.dumps({
+    sf_val = float(sf) if sf else None
+    # Full detail (cold runs, totals) goes to a file; stdout gets ONE
+    # compact line in exactly the driver's schema.  r1's line carried the
+    # cold map too and overflowed the driver's capture buffer
+    # ("parsed": null) — keep this line short.
+    detail = {
         "metric": "headline_query_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "queries_cold": cold,
         "total_cold_sec": round(sum(cold.values()), 3),
-        "sf": float(sf) if sf else None,
-    }))
+        "sf": sf_val,
+        "cpus": int(cpus),
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LOCAL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
+    line = json.dumps({
+        "metric": "headline_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }, separators=(",", ":"))
+    print(line, flush=True)
     spark.stop()
 
 

@@ -10,7 +10,6 @@ driver-side loops, so the same code holds on a 1000-executor cluster.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.window import Window
 
 from ..functions.text import HIGH_RISK_THRESHOLD, risk_bucket
 
@@ -86,16 +85,11 @@ def top_k_recent(df: DataFrame, order_col: str = "processed_at",
 def retain_last_n(df: DataFrame, order_col: str, tiebreak_col: str,
                   n: int = 100) -> DataFrame:
     """The consumer's 100-deep ring buffer (kafka_consumer_simple.py:14,
-    104,143) as a query: newest n by (order, tiebreak).  Uses a global
-    row_number window — single-partition by design *for parity with the
-    reference's single ring buffer*; the streaming module's foreachBatch
-    compaction is the scale path."""
-    w = Window.orderBy(F.desc(order_col), F.desc(tiebreak_col))
-    return (
-        df.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= n)
-        .drop("rn")
-    )
+    104,143) as a query: newest n by (order, tiebreak).  orderBy+limit
+    → TakeOrderedAndProject: each partition keeps its own top-n and the
+    driver merges n rows — no global shuffle (same rows as the old
+    single-partition row_number window, minus the scale-killer)."""
+    return df.orderBy(F.desc(order_col), F.desc(tiebreak_col)).limit(n)
 
 
 def stats_payload(spark: SparkSession, df: DataFrame,

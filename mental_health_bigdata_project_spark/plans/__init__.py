@@ -24,3 +24,64 @@ from . import spark4_sources  # noqa: F401,E402
 from . import udtf_udaf  # noqa: F401,E402
 from . import quality  # noqa: F401,E402
 from . import advanced  # noqa: F401,E402
+
+
+# --- driver-sample ordering (VERDICT r1 item 1) --------------------------
+#
+# The round-1 driver verified exactly the FIRST 50 registered queries in
+# registration order, leaving every §2.10 / LLM-pipeline / similarity /
+# streaming-twin id without a driver-green CORRECTNESS row (they all pass
+# the identical local gate — scripts/check_oracles.py).  Re-order the
+# registry so the ids the driver has never checked come first — north-star
+# modules first, oracle-backed before rows-only — and the 50 ids already
+# green in CORRECTNESS_r01.json come last.
+
+_R1_DRIVER_CHECKED = {
+    "project_processed", "agg_keyword_hits", "null_default_fill",
+    "filter_nonempty_text", "filter_high_risk", "filter_risk_bucket",
+    "agg_total_count", "agg_avg_risk", "agg_high_risk_count",
+    "groupby_subreddit", "histogram_risk_buckets", "topk_recent",
+    "retain_last_n", "dedup_by_id", "json_extract_path",
+    "map_props_extract", "cast_value_string", "json_parse_struct",
+    "flatten_struct", "json_serialize", "scalar_string_ops",
+    "scalar_math_ops", "scalar_date_ops", "groupby_collect_posts",
+    "scalar_string_breadth", "scalar_date_breadth", "arr_explode_pos",
+    "arr_explode_outer", "arr_set_ops", "scalar_try_ops",
+    "agg_arg_extremes", "q1_pricing_summary", "join_inner_equi",
+    "join_left_outer", "join_full_outer", "join_semi", "join_anti",
+    "join_broadcast_dim", "join_range_theta", "join_asof_events",
+    "agg_distinct_users", "agg_approx_distinct", "sketch_hll_rollup",
+    "sketch_topk_langs", "sketch_topk_rollup", "agg_rollup_region_nation",
+    "agg_cube", "agg_grouping_sets", "win_rank_orders_by_price",
+    "win_running_sum",
+}
+
+_MODULE_PRIORITY = [
+    "similarity", "textops", "multimodal", "quality", "advanced",
+    "stream_windows", "mllib", "grouped", "spark4", "spark4_sources",
+    "udtf_udaf", "tpch_more", "relational", "scalars", "core",
+]
+
+
+def _reorder_registries() -> None:
+    def rank(item):
+        idx, (qid, fn) = item
+        mod = fn.__module__.rsplit(".", 1)[-1]
+        mod_rank = (_MODULE_PRIORITY.index(mod)
+                    if mod in _MODULE_PRIORITY else len(_MODULE_PRIORITY))
+        return (qid in _R1_DRIVER_CHECKED,   # already-green ids last
+                mod_rank,
+                qid not in ORACLES,          # oracle-backed before rows-only
+                idx)                         # stable within a module
+
+    ordered = sorted(enumerate(list(QUERIES.items())), key=rank)
+    snapshot_oracles = dict(ORACLES)
+    QUERIES.clear()
+    ORACLES.clear()
+    for _, (qid, fn) in ordered:
+        QUERIES[qid] = fn
+        if qid in snapshot_oracles:
+            ORACLES[qid] = snapshot_oracles[qid]
+
+
+_reorder_registries()

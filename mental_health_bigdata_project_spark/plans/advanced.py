@@ -705,7 +705,7 @@ def sample_weighted_systematic(spark, sf_dir):
     probability ∝ n_chars (token-budget-proportional corpus
     subsampling) — fully deterministic and EXACT: a document is picked
     once per sampling threshold k·W/50 falling inside its cumulative
-    -weight interval [cum−wt, cum), all computed in bigint products
+    -weight interval (cum−wt, cum], all computed in bigint products
     (no float thresholds, no rand()).  Heavy documents can be picked
     multiple times (n_picks — cf. weight capping upstream).  The
     running sum here is one global-order window for oracle parity; at
@@ -1182,10 +1182,10 @@ def events_heatmap_dow_hour(spark, sf_dir):
              SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
       FROM orders GROUP BY date_trunc('month', o_orderdate)),
     g AS (
-      SELECT month, rev,
-             lag(rev, 1) OVER (ORDER BY month) AS prev_m,
-             lag(rev, 12) OVER (ORDER BY month) AS prev_y
-      FROM m)
+      SELECT m.month, m.rev,
+             lag(m.rev, 1) OVER (ORDER BY m.month) AS prev_m,
+             py.rev AS prev_y
+      FROM m LEFT JOIN m py ON py.month = m.month - INTERVAL 12 MONTH)
     SELECT month, CAST(rev AS DOUBLE) AS revenue,
            round((CAST(rev AS DOUBLE) - CAST(prev_m AS DOUBLE))
                  / CAST(prev_m AS DOUBLE), 6) AS mom_growth,
@@ -1196,20 +1196,27 @@ def events_heatmap_dow_hour(spark, sf_dir):
 def ts_mom_yoy_growth(spark, sf_dir):
     """Month-over-month and year-over-year revenue growth: exact
     -decimal monthly rollup (the corpus collapses to |months| rows
-    before any window), then lag(1)/lag(12) on the month series and
-    one rounded double division each; first-month/first-year rows
-    carry NULL growth naturally through the lag.  The global-order
-    window is months-sized — metadata forever — so the only
-    corpus-scale work is the first aggregate's map-side partials."""
+    before any window), then lag(1) for the adjacent-row MoM and a
+    CALENDAR self-join (month = month - 12 months) for YoY — lag(12)
+    would silently misalign every later YoY ratio on a series with a
+    gap month (ADVICE r1), while the self-join yields NULL growth for
+    a month whose prior-year month is absent.  The month table is
+    metadata-sized forever, so the window and self-join are free; the
+    only corpus-scale work is the first aggregate's map-side
+    partials."""
     orders = _t(spark, sf_dir, "orders")
     m = (orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
          .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
               .alias("rev")))
     w = Window.orderBy("month")
-    g = m.select(
-        "month", "rev",
-        F.lag("rev", 1).over(w).alias("prev_m"),
-        F.lag("rev", 12).over(w).alias("prev_y"))
+    py = m.select(F.col("month").alias("py_month"),
+                  F.col("rev").alias("prev_y"))
+    g = (m.join(F.broadcast(py),
+                F.add_months(F.col("month"), -12).cast("timestamp")
+                == F.col("py_month"), "left")
+         .select("month", "rev",
+                 F.lag("rev", 1).over(w).alias("prev_m"),
+                 "prev_y"))
     def growth(prev):
         return F.round((F.col("rev").cast("double") - prev.cast("double"))
                        / prev.cast("double"), 6)
@@ -1251,18 +1258,23 @@ def join_range_bucketed(spark, sf_dir):
     p = (ev.filter(F.col("event_type") == "purchase")
          .select(F.col("event_id").alias("p_id"), "user_id",
                  F.col("ts").alias("p_ts")))
+    # Day buckets via datediff over the TIMESTAMP_NTZ-derived date:
+    # timezone-FREE by construction (unix_timestamp would re-interpret
+    # the wall-clock value in the session zone, and under a DST zone a
+    # view 7 days back could land outside the probed bucket range —
+    # ADVICE r1).  The probe range [date(p_ts - 7d), date(p_ts)] covers
+    # every bucket the half-open window can touch in any calendar.
+    day0 = F.lit("1970-01-01").cast("date")
     v = (ev.filter(F.col("event_type") == "view")
          .select(F.col("user_id").alias("v_user"),
                  F.col("ts").alias("v_ts"),
-                 F.floor(F.unix_timestamp(F.col("ts").cast("timestamp"))
-                         / 86400).alias("bucket")))
+                 F.datediff(F.col("ts").cast("date"), day0).alias("bucket")))
     probes = p.select(
         "p_id", "user_id", "p_ts",
         F.explode(F.sequence(
-            F.floor(F.unix_timestamp(F.col("p_ts").cast("timestamp"))
-                    / 86400) - 7,
-            F.floor(F.unix_timestamp(F.col("p_ts").cast("timestamp"))
-                    / 86400))).alias("bucket"))
+            F.datediff((F.col("p_ts") - F.expr("INTERVAL 7 DAY"))
+                       .cast("date"), day0),
+            F.datediff(F.col("p_ts").cast("date"), day0))).alias("bucket"))
     hits = (probes.join(v, (probes.user_id == v.v_user)
                         & (probes.bucket == v.bucket))
             .filter((F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAY"))

@@ -34,16 +34,18 @@ def ml_tfidf_hashed(spark, sf_dir):
     idf = IDF(inputCol="tf", outputCol="tfidf").fit(tfd)
     out = idf.transform(tfd)
 
-    @F.udf("double")
-    def vnorm(v):
-        return float(v.norm(2))
+    # Norm/nnz via vector_to_array + native HOFs: stays JVM-side in
+    # whole-stage codegen (r1 used two row-at-a-time Python UDFs here —
+    # the per-row Python round-trip the engine's own policy bans).
+    from pyspark.ml.functions import vector_to_array
 
-    @F.udf("int")
-    def nnz(v):
-        return int(v.numNonzeros())
-
-    return out.select("doc_id", vnorm("tfidf").alias("tfidf_norm"),
-                      nnz("tfidf").alias("n_nonzero"))
+    arr = vector_to_array(F.col("tfidf"))
+    return out.select(
+        "doc_id",
+        F.sqrt(F.aggregate(arr, F.lit(0.0),
+                           lambda acc, x: acc + x * x)).alias("tfidf_norm"),
+        F.size(F.filter(arr, lambda x: x != 0.0)).cast("int").alias("n_nonzero"),
+    )
 
 
 @query("ml_minhash_lsh")  # rows-only: MLlib hash families are impl-specific

@@ -265,16 +265,46 @@ def agg_distinct_users(spark, sf_dir):
         F.count("*").alias("n_events"))
 
 
-@query("agg_approx_distinct")  # no oracle: HLL sketches differ across engines
+@query("agg_approx_distinct", """
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           CAST(1 AS INT) AS approx_ok
+    FROM events GROUP BY event_type
+""")
 def agg_approx_distinct(spark, sf_dir):
     """approx_count_distinct (HyperLogLog++): the 100 TB-scale path where
-    exact distinct's shuffle is the bottleneck.  Rows-only check — sketch
-    estimates are engine-specific."""
-    return _t(spark, sf_dir, "events").groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("n_users_approx"))
+    exact distinct's shuffle is the bottleneck.  The HLL estimate itself
+    is engine-specific, so the hashed output carries the exact count
+    plus an ``approx_ok`` verdict — 1 iff the estimate lands within
+    3x the requested rsd (|approx-exact| <= max(0.15*exact, 5)) — which
+    the oracle pins to 1.  A drifting sketch now FAILS the driver gate
+    instead of hiding behind ``no_oracle`` (VERDICT r1 item 5)."""
+    agg = _t(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("_approx"))
+    tol = F.greatest(F.lit(5.0), F.col("n_users_exact") * 0.15)
+    return agg.select(
+        "event_type", "n_users_exact",
+        (F.abs(F.col("_approx") - F.col("n_users_exact")) <= tol)
+        .cast("int").alias("approx_ok"))
 
 
-@query("sketch_hll_rollup")  # no oracle: HLL sketch bytes are engine-specific
+@query("sketch_hll_rollup", """
+    WITH monthly AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS yr, month(o_orderdate) AS mo,
+               count(DISTINCT o_custkey) AS n_exact_month
+        FROM orders GROUP BY 1, 2
+    ), yearly AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS yr,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+        FROM orders GROUP BY 1
+    )
+    SELECT y.yr,
+           CAST(sum(m.n_exact_month) AS BIGINT) AS naive_sum_of_partials,
+           y.exact_distinct,
+           CAST(1 AS INT) AS approx_ok
+    FROM yearly y JOIN monthly m ON m.yr = y.yr
+    GROUP BY y.yr, y.exact_distinct
+""")
 def sketch_hll_rollup(spark, sf_dir):
     """Re-aggregatable distinct-count sketches — the pattern that makes
     distinct counts roll up at 100 TB: build an HLL sketch of ordering
@@ -282,27 +312,32 @@ def sketch_hll_rollup(spark, sf_dir):
     level with ``hll_union_agg`` instead of re-scanning the facts.
     Monthly customer sets overlap heavily, so the correct year-level
     union is far below the sum of the monthly partials; the output
-    carries both (`approx_distinct` vs `naive_sum_of_partials`) plus
-    the per-year exact count, and the accuracy bound is pinned in
-    tests/test_operators_ext.py.  At scale the sketches are the only
-    thing that moves in the second agg — kilobytes per group, no
-    re-shuffle of the fact table."""
+    carries the exact counterparts (`naive_sum_of_partials`,
+    `exact_distinct`) plus an ``approx_ok`` verdict — 1 iff the merged
+    sketch's estimate is within max(10%% of exact, 10) — which the
+    oracle pins to 1, so sketch drift fails the driver gate rather
+    than hiding behind ``no_oracle`` (VERDICT r1 item 5).  At scale
+    the sketches are the only thing that moves in the second agg —
+    kilobytes per group, no re-shuffle of the fact table."""
     o = _t(spark, sf_dir, "orders")
     monthly = (
-        o.groupBy(F.year("o_orderdate").alias("yr"),
+        o.groupBy(F.year("o_orderdate").cast("int").alias("yr"),
                   F.month("o_orderdate").alias("mo"))
         .agg(F.hll_sketch_agg("o_custkey").alias("sk"),
              F.countDistinct("o_custkey").alias("n_exact_month"))
     )
     yearly = (
         monthly.groupBy("yr")
-        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_distinct"),
-             F.sum("n_exact_month").alias("naive_sum_of_partials"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_approx"),
+             F.sum("n_exact_month").cast("bigint").alias("naive_sum_of_partials"))
     )
-    exact = o.groupBy(F.year("o_orderdate").alias("yr")).agg(
-        F.countDistinct("o_custkey").alias("exact_distinct"))
+    exact = o.groupBy(F.year("o_orderdate").cast("int").alias("yr")).agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_distinct"))
+    tol = F.greatest(F.lit(10.0), F.col("exact_distinct") * 0.10)
     return yearly.join(exact, "yr").select(
-        "yr", "approx_distinct", "naive_sum_of_partials", "exact_distinct")
+        "yr", "naive_sum_of_partials", "exact_distinct",
+        (F.abs(F.col("_approx") - F.col("exact_distinct")) <= tol)
+        .cast("int").alias("approx_ok"))
 
 
 @query("sketch_topk_langs", """
@@ -323,26 +358,36 @@ def sketch_topk_langs(spark, sf_dir):
                     F.col("e.count").alias("cnt")))
 
 
-@query("sketch_topk_rollup")  # no oracle: sketch state bytes are engine-specific
+@query("sketch_topk_rollup", """
+    SELECT CAST(year(CAST(ts AS TIMESTAMP)) AS INT) AS yr, event_type,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2
+""")
 def sketch_topk_rollup(spark, sf_dir):
     """Re-aggregatable frequent-items rollup, the approx_top_k twin of
     sketch_hll_rollup: accumulate a per-month sketch of event types,
     then COMBINE the sketch states up to year level — monthly partials
-    merge in kilobytes, no re-shuffle of the fact rows.  Exactness at
-    small cardinality (5 event types << maxItemsTracked) is pinned in
-    tests/test_operators_ext.py against the exact group-by."""
+    merge in kilobytes, no re-shuffle of the fact rows.  At small
+    cardinality (5 event types << maxItemsTracked=1024) the sketch is
+    provably exact and complete, so it is oracle-gated against the
+    exact (year, event_type) group-by — the full-gate counterpart of
+    the old rows-only check (VERDICT r1 item 5)."""
     e = _t(spark, sf_dir, "events")
     monthly = (
-        e.groupBy(F.year("ts").alias("yr"), F.month("ts").alias("mo"))
+        e.groupBy(F.year("ts").cast("int").alias("yr"),
+                  F.month("ts").alias("mo"))
         .agg(F.expr("approx_top_k_accumulate(event_type, 1024)").alias("st"))
     )
+    # k=16 >= the column's cardinality, so nothing is cut off and ties
+    # at rank k cannot perturb the comparison (same argument as
+    # sketch_topk_langs).
     return (
         monthly.groupBy("yr")
-        .agg(F.expr("approx_top_k_estimate(approx_top_k_combine(st), 5)")
+        .agg(F.expr("approx_top_k_estimate(approx_top_k_combine(st), 16)")
              .alias("top"))
         .select("yr", F.explode("top").alias("e"))
         .select("yr", F.col("e.item").alias("event_type"),
-                F.col("e.count").alias("cnt"))
+                F.col("e.count").cast("bigint").alias("cnt"))
     )
 
 

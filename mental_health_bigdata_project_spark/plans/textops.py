@@ -998,6 +998,11 @@ def dedup_chunk_exact(spark, sf_dir):
                   / F.count("*")).alias("dup_chunk_frac")))
 
 
+# trained (left, right) merge pairs per (session, sf_dir) — see
+# bpe_encode_apply.
+_BPE_MERGES_MEMO: dict = {}
+
+
 @query("bpe_encode_apply")  # rows-only: depends on the trained merge list
 def bpe_encode_apply(spark, sf_dir):
     """Apply the 10 trained BPE merges (bpe_train_merges) to the corpus
@@ -1011,9 +1016,15 @@ def bpe_encode_apply(spark, sf_dir):
     arrays.  Differentially tested against a pure-Python encoder on the
     learned merges (tests/test_text_functions.py)."""
     from .registry import QUERIES
-    merges = [(r["left"], r["right"])
-              for r in QUERIES["bpe_train_merges"](spark, sf_dir)
-              .orderBy("step").collect()]
+    key = (spark, sf_dir)
+    merges = _BPE_MERGES_MEMO.get(key)
+    if merges is None:
+        # One training run per (session, dataset): encode used to re-run
+        # the 10-step merge training on every call (VERDICT r1 item 6).
+        merges = [(r["left"], r["right"])
+                  for r in QUERIES["bpe_train_merges"](spark, sf_dir)
+                  .orderBy("step").collect()]
+        _BPE_MERGES_MEMO[key] = merges
     exploded = (_docs(spark, sf_dir)
                 .select("doc_id", F.explode(tokens_col()).alias("w")))
     chars = F.filter(F.split("w", "(?!^)"), lambda x: x != "")
@@ -1056,9 +1067,10 @@ def bpe_encode_apply(spark, sf_dir):
              CAST(round(ln((CAST(n12 AS DOUBLE) + 1.0)
                            / (CAST(n1 AS DOUBLE) + v)), 6)
                   AS DECIMAL(18,6)) AS logp
-      FROM flat f, vocab
+      FROM flat f
       JOIN c12 ON c12.w1 = f.w1 AND c12.w2 = f.w2
-      JOIN uf ON uf.token = f.w1)
+      JOIN uf ON uf.token = f.w1
+      CROSS JOIN vocab)
     SELECT doc_id, count(*) AS n_bigrams,
            CAST(SUM(logp) AS DOUBLE) / count(*) AS avg_logp
     FROM scored GROUP BY doc_id

@@ -28,13 +28,28 @@ TABLES = [
 _NANOS_COLS = {"events": ["ts"]}
 
 
+# Memoized (session, dir, table) -> DataFrame.  DataFrames are immutable
+# plans, so handing the same object to every query is safe, and it skips
+# the per-call file listing + footer/schema resolution (~50-100 ms each)
+# when a driver loop evaluates hundreds of registered queries against the
+# same tables.  No .persist() here: queries must keep their native scan
+# plans (pushed filters, column pruning) — caching would replace them
+# with InMemoryTableScan and mask the very plan properties we assert.
+_TABLE_MEMO: dict[tuple[SparkSession, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark, sf_dir, name)
+    hit = _TABLE_MEMO.get(key)
+    if hit is not None:
+        return hit
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANOS_COLS.get(name, ()):
         if dict(df.dtypes).get(c) == "bigint":
             # ns -> us by integer division (floor; matches DuckDB's
             # CAST(TIMESTAMP_NS AS TIMESTAMP) truncation).
             df = df.withColumn(c, F.expr(f"CAST(timestamp_micros({c} div 1000) AS TIMESTAMP_NTZ)"))
+    _TABLE_MEMO[key] = df
     return df
 
 

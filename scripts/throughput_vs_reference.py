@@ -86,11 +86,20 @@ def main() -> None:
     expr.write.format("noop").mode("overwrite").save()
     spark_sec = time.perf_counter() - t0
 
+    # The comparison is asymmetric by design — the reference's actual
+    # execution model IS one CPython thread, while the engine uses every
+    # core — so report the core counts and a per-core-normalized figure
+    # alongside the headline speedup (ADVICE r1): the honest claims are
+    # "same box, same rows" wall-clock AND per-core efficiency.
+    spark_cores = 32
     print(json.dumps({
         "n_rows": n_rows,
         "python_rows_per_sec": round(n_rows / py_sec),
         "spark_rows_per_sec": round(n_rows / spark_sec),
-        "speedup": round(py_sec / spark_sec, 1),
+        "python_cores": 1,
+        "spark_cores": spark_cores,
+        "speedup_wall": round(py_sec / spark_sec, 1),
+        "speedup_per_core": round(py_sec / spark_sec / spark_cores, 3),
         "checksum": acc,
     }))
     spark.stop()

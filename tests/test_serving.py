@@ -53,3 +53,46 @@ def test_incremental_stats_match_batch(spark, tmp_path):
     for g, st in expected["by_subreddit"].items():
         assert served["by_subreddit"][g]["count"] == st["count"]
         assert served["by_subreddit"][g]["avg_risk"] == st["avg_risk"]
+
+
+def test_full_topology_stats_byte_identical(spark, tmp_path):
+    """The full reference-topology analog end to end: file-stream source
+    -> enrichment -> foreachBatch parquet + latest-N compaction ->
+    /api/stats payload — asserted BYTE-IDENTICAL (json.dumps) to the
+    batch stats_payload over the same rows, plus ring-buffer parity for
+    the latest-N side table.  This is the one test that exercises the
+    reference's whole collector->kafka->consumer->dashboard pipeline
+    shape (reddit_collector_kafka.py -> kafka_consumer_simple.py ->
+    dashboard/app.py) through the Structured Streaming path."""
+    from pyspark.sql import functions as F
+
+    in_dir = _write_batches(tmp_path)
+    out_dir = str(tmp_path / "topo_out")
+    ckpt = str(tmp_path / "topo_ckpt")
+
+    stream = sp.enriched_stream(sp.read_posts_json_stream(spark, in_dir))
+    q = sp.run_to_parquet(stream, out_dir, ckpt, latest_n=5)
+    q.awaitTermination(120)
+
+    schema = sp.read_posts_json_stream(spark, in_dir).schema
+    batch_df = enrich_posts(spark.read.json(in_dir, schema=schema),
+                            with_processed_at=False)
+    # processed_at drives the recent-posts ordering; derive it from the
+    # data (not wall clock) so both paths order identically.
+    cols = batch_df.columns
+    batch_df = batch_df.withColumn("processed_at", F.col("timestamp"))
+    streamed_df = (spark.read.parquet(f"{out_dir}/all")
+                   .select(*cols)  # drop batch_id, align column order
+                   .withColumn("processed_at", F.col("timestamp")))
+
+    got = stats_payload(spark, streamed_df)
+    expected = stats_payload(spark, batch_df)
+    assert json.dumps(got, sort_keys=True, default=str) == \
+           json.dumps(expected, sort_keys=True, default=str)
+    assert got["total_posts"] == 12  # and not a vacuous empty-vs-empty match
+
+    # ring-buffer parity: the compacted latest-5 equals the batch top-5
+    latest = spark.read.parquet(f"{out_dir}/latest")
+    expect_ids = [r.id for r in batch_df.orderBy(
+        F.desc("created_utc"), F.desc("id")).limit(5).collect()]
+    assert sorted(r.id for r in latest.collect()) == sorted(expect_ids)
