@@ -85,6 +85,58 @@ def dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+_CELL_BITS = 8
+_CELL_SQL = " + ".join(
+    f"(CASE WHEN {{e}}.embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(_CELL_BITS))
+
+
+@query("dedup_embedding_cells", f"""
+    WITH c AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             {_CELL_SQL.format(e='embeddings')} AS cell
+      FROM embeddings)
+    SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_COS_SQL.format(a='a.emb', b='b.emb')}, 6) AS cosine
+    FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE round({_COS_SQL.format(a='a.emb', b='b.emb')}, 6) >= 0.25
+""")
+def dedup_embedding_cells(spark, sf_dir):
+    """Embedding near-dup pairs at FULL corpus coverage via
+    deterministic sign-bucket cells — the oracle-checkable scale path
+    between the bounded all-pairs anchor (dedup_embedding_cosine,
+    vec_id < 200) and the seeded-numpy LSH (sim_ann_lsh, rows-only):
+    the cell id is the 8-bit sign pattern of the first 8 dimensions, a
+    pure native expression on both engines, so the whole query —
+    bucketing, intra-cell pairing, cosine — hash-matches DuckDB.  Pairs
+    form only WITHIN a cell: the join key is (cell), the corpus
+    shuffles once on it, and expected pair count is sum of per-cell
+    n^2/2 — 1/256th of all-pairs under a uniform sign distribution.
+    Recall trade-off is the standard LSH one (near-dups differing in an
+    early sign bit are missed; real deployments OR together several
+    bit-planes exactly like sim_ann_lsh's multi-probe).  Threshold 0.25
+    calibrated to this near-uniform corpus (54 intra-cell pairs at
+    sf0.01) so the gate compares non-empty results."""
+    e = _emb(spark, sf_dir)
+    cell = None
+    for i in range(_CELL_BITS):
+        bit = (F.element_at("embedding", i + 1) > 0).cast("int") * (1 << i)
+        cell = bit if cell is None else cell + bit
+    c = e.select("vec_id", to_double_array("embedding").alias("emb"),
+                 cell.alias("cell"))
+    a = c.select(F.col("cell"), F.col("vec_id").alias("vec_a"),
+                 F.col("emb").alias("ea"))
+    b = c.select(F.col("cell").alias("cell_b"),
+                 F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    cos = F.round(cosine_similarity(F.col("ea"), F.col("eb")), 6)
+    return (
+        a.join(b, (F.col("cell") == F.col("cell_b"))
+               & (F.col("vec_a") < F.col("vec_b")))
+        .select("cell", "vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.25)
+    )
+
+
 @query("sim_ann_lsh")  # rows-only: bucket assignment depends on engine hash
 def sim_ann_lsh(spark, sf_dir):
     """Approximate NN via sign-random-projection LSH: 8 fixed seeded

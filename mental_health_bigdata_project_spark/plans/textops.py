@@ -544,6 +544,68 @@ def decontam_benchmark(spark, sf_dir):
             .select("doc_id").distinct())
 
 
+@query("decontam_fuzzy_overlap", f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+          CASE WHEN len(toks) >= 3 THEN
+              list_transform(range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+          ELSE [] END)) AS shingle
+      FROM d),
+    ns AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    bench AS (SELECT doc_id AS b_id, shingle FROM sh WHERE doc_id % 97 = 0),
+    train AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+    shared AS (
+      SELECT t.doc_id, b.b_id, count(*) AS n_shared
+      FROM train t JOIN bench b ON t.shingle = b.shingle
+      GROUP BY t.doc_id, b.b_id),
+    mx AS (SELECT doc_id, max(n_shared) AS max_shared FROM shared GROUP BY doc_id)
+    SELECT m.doc_id, CAST(n.n_sh AS BIGINT) AS n_shingles,
+           CAST(m.max_shared AS BIGINT) AS max_shared,
+           CAST(m.max_shared * 2 >= n.n_sh AS INT) AS contaminated
+    FROM mx m JOIN ns n ON n.doc_id = m.doc_id
+""")
+def decontam_fuzzy_overlap(spark, sf_dir):
+    """FUZZY benchmark decontamination — the overlap-ratio upgrade of
+    decontam_benchmark (which flags on ANY single shared 3-gram, far
+    too trigger-happy for real corpora): a training document is
+    contaminated when >= 50%% of its distinct token-3-grams appear in
+    one single benchmark document.  All arithmetic is integer (shared
+    count x2 vs shingle count), so the verdict is engine-exact — no
+    float ratio in the hashed output.  Plan shape: inverted-index join
+    through shared shingles only (never all pairs), the ~1%% benchmark
+    side broadcasts, then two bounded aggs (per-pair count, per-doc
+    max).  At 100 TB: xxhash64 the shingles so the broadcast ships
+    8-byte keys, and cap per-shingle fan-out by dropping stop-shingles
+    (df above a threshold) exactly like the sparse-cosine IDF floor."""
+    toks = tokens_col()
+    d = _docs(spark, sf_dir).select("doc_id", toks.alias("toks"))
+    shingles = F.when(
+        F.size("toks") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 2),
+            lambda i: F.concat_ws(" ", F.element_at("toks", i),
+                                  F.element_at("toks", i + 1),
+                                  F.element_at("toks", i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = d.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+    ns = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    bench = (sh.filter(F.col("doc_id") % 97 == 0)
+             .select(F.col("doc_id").alias("b_id"), "shingle"))
+    train = sh.filter(F.col("doc_id") % 97 != 0)
+    shared = (train.join(F.broadcast(bench), "shingle")
+              .groupBy("doc_id", "b_id").agg(F.count("*").alias("n_shared")))
+    mx = shared.groupBy("doc_id").agg(F.max("n_shared").alias("max_shared"))
+    return (mx.join(ns, "doc_id")
+            .select("doc_id",
+                    F.col("n_sh").cast("bigint").alias("n_shingles"),
+                    F.col("max_shared").cast("bigint").alias("max_shared"),
+                    (F.col("max_shared") * 2 >= F.col("n_sh"))
+                    .cast("int").alias("contaminated")))
+
+
 MIXTURE_WEIGHTS = [
     # (source-prefix bucket, keep fraction as a 6-nibble hex threshold)
     # 'zzzzzz' sorts above every hex digest prefix => keep all.
