@@ -484,17 +484,44 @@ def sql_in_subquery(spark, sf_dir):
     """)
 
 
-@query("agg_approx_percentile")  # rows-only: t-digest/GK sketches are engine-specific
+@query("agg_approx_percentile", """
+    SELECT event_type,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS DOUBLE) AS p50_exact,
+           CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS DOUBLE) AS p90_exact,
+           CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS DOUBLE) AS p99_exact,
+           CAST(1 AS INT) AS approx_ok
+    FROM events GROUP BY event_type
+""")
 def agg_approx_percentile(spark, sf_dir):
     """Fixed-memory quantile sketch (percentile_approx, accuracy 10k)
     per event_type — the scale path beside agg_median_exact's sort:
     the sketch merges associatively, so 100 TB costs one map-side pass
-    + a tiny merge, no per-group sort.  Rows-only check: sketch
-    boundaries are engine-specific by construction."""
+    + a tiny merge, no per-group sort.  The sketch's own boundaries are
+    engine-specific, so the hashed output carries the exact
+    percentile_disc counterparts plus an ``approx_ok`` verdict — 1 iff
+    each sketch estimate lands between the exact quantiles at q∓0.01
+    (a rank-error bound 100x looser than the sketch's 1/accuracy
+    guarantee) — which the oracle pins to 1.  Both engines agree on
+    the disc definition (smallest value at cumulative rank >= q), so
+    the exact columns are bitwise-identical data values, no
+    interpolation arithmetic to drift."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
-        .alias("p50_p90_p99"))
+
+    def disc(q):
+        return F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY value)")
+
+    agg = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("ap"),
+        disc(0.5).alias("p50_exact"), disc(0.9).alias("p90_exact"),
+        disc(0.99).alias("p99_exact"),
+        disc(0.49).alias("_p50_lo"), disc(0.51).alias("_p50_hi"),
+        disc(0.89).alias("_p90_lo"), disc(0.91).alias("_p90_hi"),
+        disc(0.98).alias("_p99_lo"), disc(1.0).alias("_p99_hi"))
+    ok = ((F.element_at("ap", 1).between(F.col("_p50_lo"), F.col("_p50_hi")))
+          & (F.element_at("ap", 2).between(F.col("_p90_lo"), F.col("_p90_hi")))
+          & (F.element_at("ap", 3).between(F.col("_p99_lo"), F.col("_p99_hi"))))
+    return agg.select("event_type", "p50_exact", "p90_exact", "p99_exact",
+                      ok.cast("int").alias("approx_ok"))
 
 
 @query("sql_hint_broadcast", f"""
