@@ -308,6 +308,105 @@ def dedup_minhash_near(spark, sf_dir):
     )
 
 
+_SHINGLE_SQL = (
+    "CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform("
+    "range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+    " ELSE [] END")
+_MINS_SQL = ", ".join(
+    f"min(md5(h || '-{s}')) AS m{s}" for s in range(N_MINHASH))
+_BANDS_SQL = " UNION ALL ".join(
+    "SELECT doc_id, {i} AS band_idx, {key} AS band_key FROM mins".format(
+        i=i, key=" || ".join(f"m{i * BAND_SIZE + j}" for j in range(BAND_SIZE)))
+    for i in range(N_MINHASH // BAND_SIZE))
+_AGREE_SQL = " + ".join(
+    f"(CASE WHEN x.m{s} = y.m{s} THEN 1 ELSE 0 END)" for s in range(N_MINHASH))
+
+
+@query("dedup_minhash_portable", f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    sh AS (SELECT doc_id, unnest({_SHINGLE_SQL}) AS shingle FROM d),
+    hs AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+    mins AS (SELECT doc_id, {_MINS_SQL} FROM hs GROUP BY doc_id),
+    bands AS ({_BANDS_SQL}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, est_jaccard FROM (
+      SELECT c.doc_a, c.doc_b, ({_AGREE_SQL}) / 16.0 AS est_jaccard
+      FROM cand c
+      JOIN mins x ON x.doc_id = c.doc_a
+      JOIN mins y ON y.doc_id = c.doc_b)
+    WHERE est_jaccard >= 0.5
+""")
+def dedup_minhash_portable(spark, sf_dir):
+    """MinHash + LSH banding with an ENGINE-PORTABLE hash family, so the
+    entire scale pipeline — shingle -> 16 minhashes -> 4-band bucket
+    join -> signature-agreement estimate — is hash-checked against
+    DuckDB end to end (dedup_minhash_near is the xxhash64 production
+    twin; its signatures are engine-specific so it can only be checked
+    rows-only).  The trick that keeps every step in portable SQL: a
+    minhash is the *lexicographic* MIN of fixed-length lowercase md5
+    hex strings, which equals the numeric min — no hex->int conversion
+    (the classic portability trap) anywhere.  Each shingle is md5'd
+    once; the 16 hash functions re-hash that 32-char digest with a salt
+    suffix.  Same plan shape as the production twin: shuffle keys are
+    (band_idx, band_key) only, candidate pairs dedup on the narrow id
+    pair before signatures re-join.  Estimates are k/16 rationals —
+    exact doubles on both engines."""
+    toks = tokens_col()
+    d = load_table(spark, sf_dir, "documents").select("doc_id", toks.alias("toks"))
+    shingles = F.when(
+        F.size("toks") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 2),
+            lambda i: F.concat_ws(" ", F.element_at("toks", i),
+                                  F.element_at("toks", i + 1),
+                                  F.element_at("toks", i + 2))),
+    ).otherwise(F.array().cast("array<string>"))
+    hs = (
+        d.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+        .select("doc_id", F.md5("shingle").alias("h"))
+    )
+    mins = hs.groupBy("doc_id").agg(*[
+        F.min(F.md5(F.concat(F.col("h"), F.lit(f"-{s}")))).alias(f"m{s}")
+        for s in range(N_MINHASH)
+    ])
+    bands = mins.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.concat(*[F.col(f"m{i * BAND_SIZE + j}")
+                           for j in range(BAND_SIZE)]).alias("band_key"))
+            for i in range(N_MINHASH // BAND_SIZE)
+        ])).alias("b"))
+    a = bands.select(F.col("b").alias("ba"), F.col("doc_id").alias("doc_a"))
+    b = bands.select(F.col("b").alias("bb"), F.col("doc_id").alias("doc_b"))
+    cand = (
+        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b").distinct()
+        .join(mins.select(F.col("doc_id").alias("doc_a"),
+                          *[F.col(f"m{s}").alias(f"xa{s}") for s in range(N_MINHASH)]),
+              "doc_a")
+        .join(mins.select(F.col("doc_id").alias("doc_b"),
+                          *[F.col(f"m{s}").alias(f"yb{s}") for s in range(N_MINHASH)]),
+              "doc_b")
+    )
+    agree = None
+    for s in range(N_MINHASH):
+        term = (F.col(f"xa{s}") == F.col(f"yb{s}")).cast("int")
+        agree = term if agree is None else agree + term
+    return (cand.select("doc_a", "doc_b",
+                        (agree / F.lit(16.0)).alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= 0.5))
+
+
 @query("dedup_simhash")  # rows-only: xxhash64 is engine-specific
 def dedup_simhash(spark, sf_dir):
     """32-bit SimHash signatures from token xxhash64s: per-bit majority
