@@ -428,6 +428,111 @@ def dedup_simhash(spark, sf_dir):
     return bit_sums.select("doc_id", simhash.alias("simhash"))
 
 
+_SIM_BITS = 32
+_SIM_BAND = 8
+# bit i of a shingle's projection = high bit of hex nibble i of its md5
+# (hex chars '8'..'f' sort above '7' in both engines' binary collation)
+_VOTE_SQL = ", ".join(
+    f"SUM(CASE WHEN substr(h, {i + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s{i}"
+    for i in range(_SIM_BITS))
+_BITS_SQL = " || ".join(
+    f"(CASE WHEN s{i} > 0 THEN '1' ELSE '0' END)" for i in range(_SIM_BITS))
+_SIMBANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {i} AS band_idx, substr(sim, {i * _SIM_BAND + 1}, {_SIM_BAND})"
+    f" AS band_key FROM sims"
+    for i in range(_SIM_BITS // _SIM_BAND))
+_HAMMING_SQL = " + ".join(
+    f"(CASE WHEN substr(x.sim, {i + 1}, 1) <> substr(y.sim, {i + 1}, 1)"
+    f" THEN 1 ELSE 0 END)" for i in range(_SIM_BITS))
+
+
+@query("dedup_simhash_portable", f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    sg AS (SELECT doc_id, unnest({_SHINGLE_SQL}) AS shingle FROM d),
+    hs AS (SELECT doc_id, md5(shingle) AS h FROM sg),
+    votes AS (SELECT doc_id, {_VOTE_SQL} FROM hs GROUP BY doc_id),
+    sims AS (SELECT doc_id, {_BITS_SQL} AS sim FROM votes),
+    bands AS ({_SIMBANDS_SQL}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT c.doc_a, c.doc_b, CAST({_HAMMING_SQL} AS INT) AS hamming
+      FROM cand c
+      JOIN sims x ON x.doc_id = c.doc_a
+      JOIN sims y ON y.doc_id = c.doc_b)
+    WHERE hamming <= 3
+""")
+def dedup_simhash_portable(spark, sf_dir):
+    """SimHash near-dup with an ENGINE-PORTABLE projection, end-to-end
+    oracle-checked (dedup_simhash above is the xxhash64 production
+    twin, rows-only by necessity).  Bit i of a shingle's projection is
+    the high bit of hex nibble i of its md5 — all 32 bits from ONE
+    digest, no re-hashing, and the '>= '8'' comparison reads the bit
+    without any hex->int conversion.  Signatures vote over token
+    3-gram SHINGLES (sequence-sensitive; unigram votes are
+    non-discriminative on a homogeneous corpus — measured 70k/125k
+    pairs within radius at 16 bits), built as 32 conditional sums in
+    one hash agg; banding then blocks candidates on 8-bit substrings
+    (a pair within hamming distance 3 shares at least one of 4 bands
+    by pigeonhole, so blocking is LOSSLESS at this radius) and the
+    final filter keeps hamming <= 3.  All shuffle keys are
+    (band_idx, band_key) — never all pairs."""
+    toks = tokens_col()
+    d = load_table(spark, sf_dir, "documents").select("doc_id", toks.alias("toks"))
+    shingles = F.when(
+        F.size("toks") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 2),
+            lambda i: F.concat_ws(" ", F.element_at("toks", i),
+                                  F.element_at("toks", i + 1),
+                                  F.element_at("toks", i + 2))),
+    ).otherwise(F.array().cast("array<string>"))
+    t = (
+        d.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+        .select("doc_id", F.md5("shingle").alias("h"))
+    )
+    votes = t.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.substring("h", i + 1, 1) >= "8", 1).otherwise(-1))
+        .alias(f"s{i}") for i in range(_SIM_BITS)
+    ])
+    sims = votes.select(
+        "doc_id",
+        F.concat(*[F.when(F.col(f"s{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+                   for i in range(_SIM_BITS)]).alias("sim"))
+    bands = sims.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band_idx"),
+                     F.substring("sim", i * _SIM_BAND + 1, _SIM_BAND)
+                     .alias("band_key"))
+            for i in range(_SIM_BITS // _SIM_BAND)
+        ])).alias("b"))
+    a = bands.select(F.col("b").alias("ba"), F.col("doc_id").alias("doc_a"))
+    b = bands.select(F.col("b").alias("bb"), F.col("doc_id").alias("doc_b"))
+    cand = (
+        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b").distinct()
+        .join(sims.select(F.col("doc_id").alias("doc_a"),
+                          F.col("sim").alias("sim_a")), "doc_a")
+        .join(sims.select(F.col("doc_id").alias("doc_b"),
+                          F.col("sim").alias("sim_b")), "doc_b")
+    )
+    ham = None
+    for i in range(_SIM_BITS):
+        term = (F.substring("sim_a", i + 1, 1)
+                != F.substring("sim_b", i + 1, 1)).cast("int")
+        ham = term if ham is None else ham + term
+    return (cand.select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= 3))
+
+
 @query("dedup_cluster_components")  # rows-only: built on engine-hash minhash pairs
 def dedup_cluster_components(spark, sf_dir):
     """Near-dup CLUSTERS: connected components over the minhash
