@@ -322,8 +322,9 @@ _AGREE_SQL = " + ".join(
     f"(CASE WHEN x.m{s} = y.m{s} THEN 1 ELSE 0 END)" for s in range(N_MINHASH))
 
 
-@query("dedup_minhash_portable", f"""
-    WITH d AS (
+# Shared CTE chain ending in `ppairs` (doc_a, doc_b, est_jaccard >= 0.5)
+# — used by the pair query's oracle AND re-used by the cluster oracle.
+_PORTABLE_PAIRS_CTES = f"""d AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(lower(text), '\\s+'),
                          x -> x <> '') AS toks
@@ -336,13 +337,19 @@ _AGREE_SQL = " + ".join(
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-       AND a.doc_id < b.doc_id)
-    SELECT doc_a, doc_b, est_jaccard FROM (
-      SELECT c.doc_a, c.doc_b, ({_AGREE_SQL}) / 16.0 AS est_jaccard
-      FROM cand c
-      JOIN mins x ON x.doc_id = c.doc_a
-      JOIN mins y ON y.doc_id = c.doc_b)
-    WHERE est_jaccard >= 0.5
+       AND a.doc_id < b.doc_id),
+    ppairs AS (
+      SELECT doc_a, doc_b, est_jaccard FROM (
+        SELECT c.doc_a, c.doc_b, ({_AGREE_SQL}) / 16.0 AS est_jaccard
+        FROM cand c
+        JOIN mins x ON x.doc_id = c.doc_a
+        JOIN mins y ON y.doc_id = c.doc_b)
+      WHERE est_jaccard >= 0.5)"""
+
+
+@query("dedup_minhash_portable", f"""
+    WITH {_PORTABLE_PAIRS_CTES}
+    SELECT doc_a, doc_b, est_jaccard FROM ppairs
 """)
 def dedup_minhash_portable(spark, sf_dir):
     """MinHash + LSH banding with an ENGINE-PORTABLE hash family, so the
@@ -554,34 +561,45 @@ def dedup_cluster_components(spark, sf_dir):
         dedup_minhash_near(spark, sf_dir)
         .select("doc_a", "doc_b").distinct()
     )
+    return _components_report(_min_label_components(pairs))
+
+
+def _min_label_components(pairs: DataFrame) -> DataFrame:
+    """Iterative min-label propagation over an undirected pair list ->
+    (doc_id, label) with label = min doc_id of the connected component.
+    The driver loop moves only a changed-count per pass; each pass is
+    one join+groupBy over the edge list, localCheckpoint truncates the
+    lineage, and non-convergence in 50 passes raises instead of
+    emitting wrong clusters."""
+    F_ = F
     # undirected edge list, both directions; a node's own label joins
     # the propagation via F.least(own, neighbour-min) below, so no
     # explicit self-loops are needed
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(pairs.select(F.col("doc_b").alias("src"),
-                                  F.col("doc_a").alias("dst")))
+        pairs.select(F_.col("doc_a").alias("src"), F_.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F_.col("doc_b").alias("src"),
+                                  F_.col("doc_a").alias("dst")))
     ).localCheckpoint()
     labels = (
-        edges.select(F.col("src").alias("doc_id")).distinct()
-        .withColumn("label", F.col("doc_id"))
+        edges.select(F_.col("src").alias("doc_id")).distinct()
+        .withColumn("label", F_.col("doc_id"))
     ).localCheckpoint()
     converged = False
     for _ in range(50):
         neighbour_min = (
             edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src").agg(F.min("label").alias("nbr_label"))
+            .groupBy("src").agg(F_.min("label").alias("nbr_label"))
         )
         new_labels = (
-            labels.join(neighbour_min, labels.doc_id == F.col("src"), "left")
+            labels.join(neighbour_min, labels.doc_id == F_.col("src"), "left")
             .select("doc_id",
-                    F.least("label", F.coalesce("nbr_label", "label"))
+                    F_.least("label", F_.coalesce("nbr_label", "label"))
                     .alias("label"))
         ).localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
+            .filter(F_.col("n.label") != F_.col("o.label"))
             .count()
         )
         labels = new_labels
@@ -593,6 +611,10 @@ def dedup_cluster_components(spark, sf_dir):
             "label propagation did not converge in 50 passes; component "
             "diameter exceeds the cap — raise it rather than emit wrong "
             "clusters")
+    return labels
+
+
+def _components_report(labels: DataFrame) -> DataFrame:
     return (
         labels.groupBy("label")
         .agg(F.count("*").alias("cluster_size"),
@@ -601,6 +623,37 @@ def dedup_cluster_components(spark, sf_dir):
                 F.array_join(F.transform("members", lambda x: x.cast("string")), ",")
                 .alias("member_ids"))
     )
+
+
+@query("dedup_cluster_portable", f"""
+    WITH RECURSIVE {_PORTABLE_PAIRS_CTES},
+    e AS (SELECT doc_a AS src, doc_b AS dst FROM ppairs
+          UNION SELECT doc_b, doc_a FROM ppairs),
+    reach(src, dst) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst),
+    labels AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS label
+      FROM reach GROUP BY src)
+    SELECT label AS cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+             AS member_ids
+    FROM labels GROUP BY label
+""")
+def dedup_cluster_portable(spark, sf_dir):
+    """Connected components over the PORTABLE minhash pair graph — the
+    first fully oracle-checked iterative algorithm in the registry: the
+    Spark side runs the same min-label propagation loop as
+    dedup_cluster_components (driver moves only a changed-count per
+    pass), while the DuckDB oracle computes the identical components
+    via a recursive-CTE transitive closure and both reports hash-match
+    value-for-value.  The closure is only viable because the pair
+    graph is the (small) LSH candidate output, never the corpus — the
+    same reason the Spark loop scales: edges are the thing that moves,
+    O(candidates) per pass."""
+    pairs = dedup_minhash_portable(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    return _components_report(_min_label_components(pairs))
 
 
 @query("vec_centroid_by_label", """
