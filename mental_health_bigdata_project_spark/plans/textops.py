@@ -804,7 +804,38 @@ def text_pmi_bigrams(spark, sf_dir):
                                   / F.col("n_bi")), 6).alias("pmi")))
 
 
-@query("graph_pagerank_tokens")  # rows-only: iterative double arithmetic
+_PR_STEPS = 10
+_PR_STEP_SQL = "".join(
+    f""",
+    r{i + 1} AS (
+      SELECT n.v AS token,
+             round(CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) *
+                   CAST(SUM(CAST(round(n.share * r{i}.rank, 9)
+                                 AS DECIMAL(28,9))) AS DOUBLE), 9) AS rank
+      FROM norm n JOIN r{i} ON n.u = r{i}.token
+      GROUP BY n.v)"""
+    for i in range(_PR_STEPS))
+
+
+@query("graph_pagerank_tokens", f"""
+    WITH toked AS (SELECT {_TOKS_SQL} AS t FROM documents),
+    bg AS (
+      SELECT unnest(
+        CASE WHEN len(t) >= 2 THEN
+          list_transform(range(1, len(t)),
+                         i -> struct_pack(u := t[i], v := t[i+1]))
+        ELSE [] END) AS b
+      FROM toked),
+    flat AS (SELECT b.u AS u, b.v AS v FROM bg WHERE b.u <> b.v),
+    ud AS (SELECT u, v FROM flat UNION ALL SELECT v, u FROM flat),
+    edges AS (SELECT u, v, count(*) AS w FROM ud GROUP BY u, v),
+    wdeg AS (SELECT u, SUM(w) AS wdeg FROM edges GROUP BY u),
+    norm AS (SELECT e.u, e.v, e.w / wd.wdeg AS share
+             FROM edges e JOIN wdeg wd ON wd.u = e.u),
+    r0 AS (SELECT DISTINCT u AS token, CAST(1.0 AS DOUBLE) AS rank
+           FROM norm){_PR_STEP_SQL}
+    SELECT token, round(rank, 6) AS rank FROM r{_PR_STEPS}
+""")
 def graph_pagerank_tokens(spark, sf_dir):
     """TextRank (Mihalcea & Tarau 2004): PageRank over the token
     co-occurrence graph — the classic unsupervised keyword-importance
@@ -821,9 +852,16 @@ def graph_pagerank_tokens(spark, sf_dir):
     (partitioned once on dst and localCheckpoint'd to truncate the
     growing iteration lineage; at 100 TB edges vastly exceed the rank
     vector, so broadcasting ranks, not edges, is the only viable
-    orientation).  Rows-only: per-pass double sums are
-    order-nondeterministic across engines; determinism WITHIN the
-    engine is pinned by the convergence test instead."""
+    orientation).
+
+    FULLY oracle-checked despite being iterative: each pass's inflow
+    accumulates 9dp-quantized decimal contributions (order-free exact
+    sums — the registry's standard float recipe applied per iteration)
+    and each new rank is re-quantized to 9dp, so all 10 passes are
+    bit-reproducible across engines; the DuckDB twin unrolls the
+    iterations as 10 chained CTEs.  Quantization at 1e-9 per pass
+    perturbs total rank mass by < 1e-5 — far inside the conservation
+    test's tolerance."""
     t = tokens_col()
     d = _docs(spark, sf_dir).select(t.alias("t")).filter(F.size("t") >= 2)
     pairs = d.select(F.explode(F.transform(
@@ -839,17 +877,18 @@ def graph_pagerank_tokens(spark, sf_dir):
     norm = (edges.join(wdeg, "u")
             .select("u", "v", (F.col("w") / F.col("wdeg")).alias("share"))
             .repartition("v").localCheckpoint())
-    damping = 0.85
     ranks = norm.select(F.col("u").alias("token")).distinct() \
                 .withColumn("rank", F.lit(1.0))
-    for _ in range(10):
+    for _ in range(_PR_STEPS):
         contrib = (norm.join(F.broadcast(ranks),
                              norm.u == ranks.token)
                    .groupBy("v")
-                   .agg(F.sum(F.col("share") * F.col("rank")).alias("inflow")))
+                   .agg(F.sum(F.round(F.col("share") * F.col("rank"), 9)
+                              .cast("decimal(28,9)")).alias("inflow")))
         ranks = (contrib.select(
             F.col("v").alias("token"),
-            (F.lit(1.0 - damping) + F.lit(damping) * F.col("inflow"))
+            F.round(F.lit(0.15) + F.lit(0.85)
+                    * F.col("inflow").cast("double"), 9)
             .alias("rank"))).localCheckpoint()
     return ranks.select("token", F.round("rank", 6).alias("rank"))
 
