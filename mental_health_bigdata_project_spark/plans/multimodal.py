@@ -30,10 +30,32 @@ def multimodal_bytes(spark, sf_dir):
     return extract_features(payloads).select("doc_id", "byte_len")
 
 
-@query("multimodal_features")  # rows-only: fake feature vector, no SQL twin
+@query("multimodal_features", """
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS byte_len,
+           CAST(list_sum(list_transform(
+                  range(1, least(strlen(text), 64) + 1),
+                  i -> i * ascii(substr(text, i, 1)))) % 997
+                AS BIGINT) AS checksum,
+           CASE WHEN strlen(text) = 0 THEN 0.0
+                ELSE CAST(list_sum(list_transform(
+                       range(1, strlen(text) + 1),
+                       i -> ascii(substr(text, i, 1)))) AS DOUBLE)
+                     / strlen(text)
+           END AS mean_byte
+    FROM documents
+""")
 def multimodal_features(spark, sf_dir):
     """Full fake-decode feature row (byte_len, checksum, mean_byte) —
-    the shape a real image/audio featurizer would return."""
+    the shape a real image/audio featurizer would return.  The Spark
+    side is the REAL plumbing under test (binary payload column ->
+    Arrow-batched mapInPandas featurize); the oracle recomputes the
+    same deterministic features byte-for-byte in SQL (valid because the
+    synthetic corpus is pure ASCII, so per-byte = per-char ascii()) —
+    so the Python-boundary path is value-checked, not just rows-only.
+    checksum = sum((i+1) * byte_i, first 64 bytes) mod 997; integer
+    arithmetic, engine-exact; mean_byte is one exact-int sum / length
+    division."""
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(with_binary_payload(docs))
 
