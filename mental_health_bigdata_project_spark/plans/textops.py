@@ -641,6 +641,46 @@ def sample_mixture_weights(spark, sf_dir):
             .select("doc_id", "source"))
 
 
+@query("sample_temperature_mixture", """
+    WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    r AS (SELECT source, n,
+                 CAST(round(pow(CAST(n AS DOUBLE), 0.7), 6)
+                      AS DECIMAL(18,6)) AS rs
+          FROM counts),
+    tot AS (SELECT SUM(rs) AS t FROM r)
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           round(CAST(rs AS DOUBLE) / CAST(t AS DOUBLE), 6) AS p_sample,
+           CAST(floor(1000 * (CAST(rs AS DOUBLE) / CAST(t AS DOUBLE)))
+                AS BIGINT) AS budget_docs
+    FROM r CROSS JOIN tot
+""")
+def sample_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled source sampling weights — the standard
+    multilingual/multi-source rebalancing rule p_s ∝ n_s^α with
+    α = 0.7 (upweights small sources relative to proportional
+    sampling without letting giants dominate), plus each source's
+    document budget for a 1000-doc draw.  Complements
+    sample_mixture_weights (hand-set fractions) with the *computed*
+    mixture knob.  Exactness recipe: the single pow() per source is
+    6dp-rounded into a decimal, the normalizer is an exact decimal
+    sum, and the final ratio is one double division — order-free on
+    both engines.  The whole query aggregates to #sources rows before
+    any arithmetic: one map-side-partial agg over the corpus,
+    everything after is metadata-sized."""
+    counts = _docs(spark, sf_dir).groupBy("source").agg(F.count("*").alias("n"))
+    r = counts.select(
+        "source", "n",
+        F.round(F.pow(F.col("n").cast("double"), 0.7), 6)
+        .cast("decimal(18,6)").alias("rs"))
+    tot = r.agg(F.sum("rs").alias("t"))
+    p = F.col("rs").cast("double") / F.col("t").cast("double")
+    return (r.crossJoin(F.broadcast(tot))
+            .select("source", F.col("n").cast("bigint").alias("n_docs"),
+                    F.round(p, 6).alias("p_sample"),
+                    F.floor(F.lit(1000) * p).cast("bigint")
+                    .alias("budget_docs")))
+
+
 @query("dedup_levenshtein_blocked", """
     WITH d AS (SELECT doc_id, lang, substr(lower(text), 1, 40) AS head
                FROM documents WHERE doc_id < 200)
