@@ -973,7 +973,57 @@ def text_surprisal_score(spark, sf_dir):
         .alias("mean_surprisal"))
 
 
-@query("bpe_train_merges")  # rows-only: iterative argmax; no SQL twin
+def _bpe_oracle_sql(steps: int = 10) -> str:
+    """Unrolled-CTE DuckDB twin of the BPE training loop.  Key move:
+    the greedy left-to-right merge fold is expressed as a string
+    replace over symbols joined with TWO spaces and flanked by one —
+    every symbol carries its own leading/trailing space, so pattern
+    ' a  b ' -> ' ab ' consumes no neighbour's delimiter and
+    scan-resume-after-replacement is exactly the fold's
+    no-backtracking, no-revisit semantics."""
+    ctes = [f"""v0 AS (
+      SELECT w, list_transform(range(1, length(w) + 1),
+                               i -> substr(w, i, 1)) AS syms, freq
+      FROM (SELECT w, count(*) AS freq FROM
+            (SELECT unnest({_TOKS_SQL}) AS w FROM documents) GROUP BY w))"""]
+    for i in range(steps):
+        ctes.append(f"""p{i} AS (
+      SELECT pr.a AS a, pr.b AS b, SUM(freq) AS w
+      FROM (SELECT unnest(list_transform(range(1, len(syms)),
+                    j -> struct_pack(a := syms[j], b := syms[j+1]))) AS pr,
+                   freq
+            FROM v{i} WHERE len(syms) >= 2)
+      GROUP BY pr.a, pr.b)""")
+        ctes.append(
+            f"m{i} AS (SELECT a, b, w FROM p{i} ORDER BY w DESC, a, b LIMIT 1)")
+        ctes.append(f"""v{i + 1} AS (
+      SELECT v{i}.w AS w, string_split(trim(replace(
+               ' ' || array_to_string(syms, '  ') || ' ',
+               ' ' || m.a || ' ' || ' ' || m.b || ' ',
+               ' ' || m.a || m.b || ' ')), '  ') AS syms, freq
+      FROM v{i} CROSS JOIN m{i} m)""")
+    sel = " UNION ALL ".join(
+        f'SELECT CAST({i} AS INT) AS step, a AS "left", b AS "right", '
+        f"CAST(w AS BIGINT) AS weight FROM m{i}" for i in range(steps))
+    return "WITH " + ",\n".join(ctes) + "\n" + sel
+
+
+def _bpe_encode_oracle_sql(steps: int = 10) -> str:
+    """Encode-side twin: run the same unrolled training chain, then
+    join each word's final symbol count back to the exploded corpus."""
+    train = _bpe_oracle_sql(steps)
+    body = train.rsplit("\n", 1)[0]  # drop the trailing merge SELECT
+    return f"""{body},
+    wc AS (SELECT w, len(syms) AS n_sym FROM v{steps}),
+    exploded AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS w FROM documents)
+    SELECT e.doc_id, count(*) AS n_tokens,
+           CAST(SUM(wc.n_sym) AS BIGINT) AS n_bpe_symbols
+    FROM exploded e JOIN wc ON wc.w = e.w
+    GROUP BY e.doc_id"""
+
+
+@query("bpe_train_merges", _bpe_oracle_sql())
 def bpe_train_merges(spark, sf_dir):
     """Byte-pair-encoding merge training (Sennrich et al. 2016) — the
     LLM tokenizer-construction loop, distributed: 10 greedy merge
@@ -990,7 +1040,12 @@ def bpe_train_merges(spark, sf_dir):
     At 100 TB the word-freq table is the Zipf head (millions of rows,
     not corpus-sized) and each step costs one pair-count shuffle over
     it.  Differentially tested against a pure-Python reference BPE on
-    the same word counts (tests/test_text_functions.py)."""
+    the same word counts (tests/test_text_functions.py) AND fully
+    oracle-checked: the DuckDB twin unrolls the 10 steps as chained
+    CTEs, expressing the merge fold as a delimiter-safe string replace
+    (see _bpe_oracle_sql) — every step's argmax, tie-break, and greedy
+    application hash-match across engines.  All arithmetic is integer
+    (weighted pair counts), so no float recipe is needed."""
     chars = F.filter(F.split("w", "(?!^)"), lambda x: x != "")
     vocab = (_docs(spark, sf_dir)
              .select(F.explode(tokens_col()).alias("w"))
@@ -1144,7 +1199,7 @@ def dedup_chunk_exact(spark, sf_dir):
 _BPE_MERGES_MEMO: dict = {}
 
 
-@query("bpe_encode_apply")  # rows-only: depends on the trained merge list
+@query("bpe_encode_apply", _bpe_encode_oracle_sql())
 def bpe_encode_apply(spark, sf_dir):
     """Apply the 10 trained BPE merges (bpe_train_merges) to the corpus
     and report per-document subword statistics — the encode half of the
