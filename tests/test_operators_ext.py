@@ -461,3 +461,73 @@ def test_pca_variance_monotone_and_basis_orthonormal(spark, sf_dir):
     basis = model.pc.toArray()  # 64 x 8
     gram = basis.T @ basis
     assert np.allclose(gram, np.eye(8), atol=1e-8)
+
+
+def test_portable_minhash_estimates_track_exact_jaccard(spark, sf_dir):
+    """Semantic bound for the portable MinHash twin: on every candidate
+    pair it emits, the 16-hash agreement estimate must sit within 0.45
+    of the EXACT 3-gram Jaccard (16 Bernoulli trials -> sd ~0.125; 0.45
+    is a >3-sigma bound), and every emitted pair must genuinely share
+    at least one shingle.  Guards against a hash-family or banding bug
+    that would still hash-match its own oracle."""
+    from pyspark.sql import functions as F
+
+    from mental_health_bigdata_project_spark.plans import QUERIES
+    from mental_health_bigdata_project_spark.plans.textops import tokens_col
+    from mental_health_bigdata_project_spark.sources import load_table
+
+    pairs = {(r.doc_a, r.doc_b): r.est_jaccard
+             for r in QUERIES["dedup_minhash_portable"](spark, sf_dir).collect()}
+    assert pairs, "portable minhash emitted no candidate pairs"
+
+    toks = tokens_col()
+    d = load_table(spark, sf_dir, "documents").select("doc_id", toks.alias("toks"))
+    sh = F.when(
+        F.size("toks") >= 3,
+        F.transform(F.sequence(F.lit(1), F.size("toks") - 2),
+                    lambda i: F.concat_ws(" ", F.element_at("toks", i),
+                                          F.element_at("toks", i + 1),
+                                          F.element_at("toks", i + 2))),
+    ).otherwise(F.array().cast("array<string>"))
+    shingle_sets = {r.doc_id: set(r.sh) for r in
+                    d.select("doc_id", F.array_distinct(sh).alias("sh"))
+                    .filter(F.col("doc_id").isin(
+                        [i for p in pairs for i in p])).collect()}
+    for (a, b), est in pairs.items():
+        sa, sb = shingle_sets[a], shingle_sets[b]
+        inter = len(sa & sb)
+        assert inter > 0, f"pair ({a},{b}) shares no shingle"
+        exact = inter / len(sa | sb)
+        assert abs(est - exact) <= 0.45, (a, b, est, exact)
+
+
+def test_ivf_cell_layout_prunes_ann_read(spark, sf_dir, tmp_path):
+    """The sim_ann_ivf scale claim, made concrete: persist embeddings
+    PARTITIONED BY the (deterministic sign-bucket) cell id, then an ANN
+    probe of a handful of cells must compile to a partition-pruned scan
+    (PartitionFilters on cell) that reads only the probed directories —
+    at 100 TB the candidate scan touches nprobe/k of the store, no
+    shuffle, no full scan."""
+    from mental_health_bigdata_project_spark.sources import load_table
+
+    # build the cell id exactly as dedup_embedding_cells does (sign bits
+    # of the first 8 dims) and persist the corpus clustered by it
+    emb = load_table(spark, sf_dir, "embeddings")
+    cell = None
+    for i in range(8):
+        bit = (F.element_at("embedding", i + 1) > 0).cast("int") * (1 << i)
+        cell = bit if cell is None else cell + bit
+    store = str(tmp_path / "ivf_store")
+    (emb.withColumn("cell", cell)
+     .repartition("cell")
+     .write.mode("overwrite").partitionBy("cell").parquet(store))
+
+    probe = [3, 17, 101]
+    reader = spark.read.parquet(store).filter(F.col("cell").isin(probe))
+    plan = reader._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:120], plan
+
+    got = {r.vec_id for r in reader.collect()}
+    want = {r.vec_id for r in emb.withColumn("cell", cell)
+            .filter(F.col("cell").isin(probe)).collect()}
+    assert got == want and got  # pruned read returns exactly the probed cells
