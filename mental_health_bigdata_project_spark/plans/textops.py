@@ -981,13 +981,13 @@ def _bpe_oracle_sql(steps: int = 10) -> str:
     ' a  b ' -> ' ab ' consumes no neighbour's delimiter and
     scan-resume-after-replacement is exactly the fold's
     no-backtracking, no-revisit semantics."""
-    ctes = [f"""v0 AS (
+    ctes = [f"""v0 AS MATERIALIZED (
       SELECT w, list_transform(range(1, length(w) + 1),
                                i -> substr(w, i, 1)) AS syms, freq
       FROM (SELECT w, count(*) AS freq FROM
             (SELECT unnest({_TOKS_SQL}) AS w FROM documents) GROUP BY w))"""]
     for i in range(steps):
-        ctes.append(f"""p{i} AS (
+        ctes.append(f"""p{i} AS MATERIALIZED (
       SELECT pr.a AS a, pr.b AS b, SUM(freq) AS w
       FROM (SELECT unnest(list_transform(range(1, len(syms)),
                     j -> struct_pack(a := syms[j], b := syms[j+1]))) AS pr,
@@ -995,8 +995,8 @@ def _bpe_oracle_sql(steps: int = 10) -> str:
             FROM v{i} WHERE len(syms) >= 2)
       GROUP BY pr.a, pr.b)""")
         ctes.append(
-            f"m{i} AS (SELECT a, b, w FROM p{i} ORDER BY w DESC, a, b LIMIT 1)")
-        ctes.append(f"""v{i + 1} AS (
+            f"m{i} AS MATERIALIZED (SELECT a, b, w FROM p{i} ORDER BY w DESC, a, b LIMIT 1)")
+        ctes.append(f"""v{i + 1} AS MATERIALIZED (
       SELECT v{i}.w AS w, string_split(trim(replace(
                ' ' || array_to_string(syms, '  ') || ' ',
                ' ' || m.a || ' ' || ' ' || m.b || ' ',
@@ -1014,7 +1014,7 @@ def _bpe_encode_oracle_sql(steps: int = 10) -> str:
     train = _bpe_oracle_sql(steps)
     body = train.rsplit("\n", 1)[0]  # drop the trailing merge SELECT
     return f"""{body},
-    wc AS (SELECT w, len(syms) AS n_sym FROM v{steps}),
+    wc AS MATERIALIZED (SELECT w, len(syms) AS n_sym FROM v{steps}),
     exploded AS (
       SELECT doc_id, unnest({_TOKS_SQL}) AS w FROM documents)
     SELECT e.doc_id, count(*) AS n_tokens,
