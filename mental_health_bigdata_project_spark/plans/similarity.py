@@ -322,6 +322,51 @@ _AGREE_SQL = " + ".join(
     f"(CASE WHEN x.m{s} = y.m{s} THEN 1 ELSE 0 END)" for s in range(N_MINHASH))
 
 
+def portable_minhash_sigs(df: DataFrame, id_col: str,
+                          text_col: str) -> DataFrame:
+    """(id, m0..m15) md5-family minhash signatures over token 3-gram
+    shingles — the engine-portable family shared by the batch dedup
+    queries and the incremental/streaming near-dedup
+    (streaming/neardup.py).  Pure built-in expressions, so it works
+    unchanged on batch and streaming DataFrames."""
+    d = df.select(F.col(id_col), tokens_col(text_col).alias("toks"))
+    shingles = F.when(
+        F.size("toks") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 2),
+            lambda i: F.concat_ws(" ", F.element_at("toks", i),
+                                  F.element_at("toks", i + 1),
+                                  F.element_at("toks", i + 2))),
+    ).otherwise(F.array().cast("array<string>"))
+    hs = (
+        d.select(id_col, F.explode(F.array_distinct(shingles)).alias("shingle"))
+        .select(id_col, F.md5("shingle").alias("h"))
+    )
+    return hs.groupBy(id_col).agg(*[
+        F.min(F.md5(F.concat(F.col("h"), F.lit(f"-{s}")))).alias(f"m{s}")
+        for s in range(N_MINHASH)
+    ])
+
+
+def _bands_from_sigs(mins: DataFrame, id_col: str) -> DataFrame:
+    return mins.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.concat(*[F.col(f"m{i * BAND_SIZE + j}")
+                           for j in range(BAND_SIZE)]).alias("band_key"))
+            for i in range(N_MINHASH // BAND_SIZE)
+        ])).alias("b"))
+
+
+def portable_band_keys(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, band_idx, band_key) — LSH bucket keys for near-dup blocking."""
+    return (_bands_from_sigs(portable_minhash_sigs(df, id_col, text_col), id_col)
+            .select(id_col, F.col("b.band_idx").alias("band_idx"),
+                    F.col("b.band_key").alias("band_key")))
+
+
 # Shared CTE chain ending in `ppairs` (doc_a, doc_b, est_jaccard >= 0.5)
 # — used by the pair query's oracle AND re-used by the cluster oracle.
 _PORTABLE_PAIRS_CTES = f"""d AS (
@@ -366,33 +411,9 @@ def dedup_minhash_portable(spark, sf_dir):
     (band_idx, band_key) only, candidate pairs dedup on the narrow id
     pair before signatures re-join.  Estimates are k/16 rationals —
     exact doubles on both engines."""
-    toks = tokens_col()
-    d = load_table(spark, sf_dir, "documents").select("doc_id", toks.alias("toks"))
-    shingles = F.when(
-        F.size("toks") >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks") - 2),
-            lambda i: F.concat_ws(" ", F.element_at("toks", i),
-                                  F.element_at("toks", i + 1),
-                                  F.element_at("toks", i + 2))),
-    ).otherwise(F.array().cast("array<string>"))
-    hs = (
-        d.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
-        .select("doc_id", F.md5("shingle").alias("h"))
-    )
-    mins = hs.groupBy("doc_id").agg(*[
-        F.min(F.md5(F.concat(F.col("h"), F.lit(f"-{s}")))).alias(f"m{s}")
-        for s in range(N_MINHASH)
-    ])
-    bands = mins.select(
-        "doc_id",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(i).alias("band_idx"),
-                F.concat(*[F.col(f"m{i * BAND_SIZE + j}")
-                           for j in range(BAND_SIZE)]).alias("band_key"))
-            for i in range(N_MINHASH // BAND_SIZE)
-        ])).alias("b"))
+    mins = portable_minhash_sigs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    bands = _bands_from_sigs(mins, "doc_id")
     a = bands.select(F.col("b").alias("ba"), F.col("doc_id").alias("doc_a"))
     b = bands.select(F.col("b").alias("bb"), F.col("doc_id").alias("doc_b"))
     cand = (

@@ -1,0 +1,106 @@
+"""Incremental NEAR-duplicate suppression over a document stream.
+
+The reference dedups its stream by exact id with an unbounded in-memory
+set (reddit_collector_kafka.py:48,78-81).  This module is the
+LLM-pipeline upgrade: each micro-batch drops documents that are
+*near*-duplicates (MinHash/LSH band collision) of anything already
+accepted — the streaming face of plans/similarity.dedup_minhash_*.
+
+Design (foreachBatch + a persisted band-key index, NOT per-row state):
+
+- Band keys come from the engine-portable md5 minhash family
+  (plans/similarity.portable_band_keys) — pure built-in expressions, so
+  the same code path is value-verified by the batch oracle gate.
+- The accepted-documents index stores only (band_key) strings,
+  partitioned by the micro-batch that added them: kilobytes per batch,
+  never document text.  At 100 TB the index is a fraction of corpus
+  size (4 keys/doc) and the per-batch probe is a broadcast-able or
+  shuffle hash join on the key — no all-pairs, no growing driver state
+  (the reference's `seen_ids` set, fixed).
+- Exactly-once on replay: both the accepted-docs output and the index
+  delta land in `batch_id=N` partitions via dynamic partition
+  overwrite, so a retried batch overwrites its own partitions instead
+  of appending duplicates (same recipe as pipeline.run_to_parquet).
+
+Within-batch semantics are the standard LSH keep-min rule: for every
+band bucket the lowest doc id wins, and a doc is dropped if ANY of its
+bands has a lower-id winner (or any band seen in the index).  On a
+chain A~B~C this over-deletes C even though A!~C — the documented LSH
+dedup trade-off; the batch path resolves chains properly via
+dedup_cluster_components.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..plans.similarity import portable_band_keys
+
+
+def _index_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "bands")
+
+
+def dedup_batch_against_index(batch_df: DataFrame, batch_id: int,
+                              out_dir: str, index_dir: str,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> None:
+    """One micro-batch of incremental near-dedup (the foreachBatch body,
+    callable directly for tests / backfills)."""
+    spark = batch_df.sparkSession
+    bands = portable_band_keys(batch_df, id_col, text_col)
+
+    idx = _index_path(index_dir)
+    try:
+        seen = spark.read.parquet(idx).select("band_key").distinct()
+    except Exception:  # first batch: no index yet
+        seen = None
+
+    # drop docs colliding with any previously-accepted band
+    if seen is not None:
+        hit_prior = (bands.join(seen, "band_key", "left_semi")
+                     .select(id_col).distinct())
+        bands = bands.join(hit_prior, id_col, "left_anti")
+
+    # within-batch LSH keep-min: per band bucket the lowest id wins;
+    # a doc survives only if it IS the winner of every band it has
+    winners = bands.groupBy("band_key").agg(F.min(id_col).alias("_win"))
+    losers = (bands.join(winners, "band_key")
+              .filter(F.col(id_col) != F.col("_win"))
+              .select(id_col).distinct())
+    kept_bands = bands.join(losers, id_col, "left_anti")
+    kept_ids = kept_bands.select(id_col).distinct()
+
+    accepted = batch_df.join(kept_ids, id_col, "left_semi")
+    (accepted.withColumn("batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id")
+     .parquet(os.path.join(out_dir, "accepted")))
+    (kept_bands.select("band_key")
+     .distinct()
+     .withColumn("batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id")
+     .parquet(idx))
+
+
+def run_incremental_near_dedup(stream: DataFrame, out_dir: str,
+                               checkpoint_dir: str, index_dir: str,
+                               id_col: str = "doc_id",
+                               text_col: str = "text"):
+    """Attach the incremental near-dedup sink to a document stream and
+    drain available input (availableNow)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        dedup_batch_against_index(batch_df, batch_id, out_dir, index_dir,
+                                  id_col, text_col)
+
+    return (stream.writeStream
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

@@ -1,0 +1,87 @@
+"""Incremental streaming near-dedup (streaming/neardup.py): batch-level
+semantics against the persisted band index, plus the end-to-end
+Structured Streaming plumbing."""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import functions as F
+
+from mental_health_bigdata_project_spark.plans.similarity import portable_band_keys
+from mental_health_bigdata_project_spark.streaming import neardup
+
+BASE = ("the quick brown fox jumps over the lazy dog while seventeen "
+        "sleepy pandas watch from a bamboo grove near the old river "
+        "bridge under a pale autumn moon tonight").split()
+TEXT_A = " ".join(BASE)
+TEXT_B = " ".join(BASE[:-1] + ["yesterday"])          # near-dup of A
+TEXT_C = ("completely different content about spark physical plans and "
+          "shuffle partitioning strategies for large clusters with "
+          "adaptive execution enabled everywhere all the time")
+TEXT_D = ("unrelated corpus entry describing tokenizer training merge "
+          "steps and byte pair encodings applied to word frequency "
+          "tables during preprocessing")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_incremental_near_dedup_batches(spark, tmp_path):
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+
+    # precondition: A and B really do collide in at least one LSH band
+    both = _df(spark, [(1, TEXT_A), (2, TEXT_B)])
+    bands = portable_band_keys(both, "doc_id", "text")
+    shared = (bands.groupBy("band_key")
+              .agg(F.countDistinct("doc_id").alias("n"))
+              .filter("n = 2").count())
+    assert shared >= 1, "test texts must share a band"
+
+    # batch 0: A, its exact copy E (within-batch dup), and unrelated D
+    neardup.dedup_batch_against_index(
+        _df(spark, [(1, TEXT_A), (5, TEXT_A), (4, TEXT_D)]), 0, out, idx)
+    acc0 = {r.doc_id for r in
+            spark.read.parquet(f"{out}/accepted").collect()}
+    assert acc0 == {1, 4}  # E lost every band to A (keep-min)
+
+    # batch 1: B (near-dup of accepted A) dropped, fresh C kept
+    neardup.dedup_batch_against_index(
+        _df(spark, [(2, TEXT_B), (3, TEXT_C)]), 1, out, idx)
+    acc = {r.doc_id for r in spark.read.parquet(f"{out}/accepted").collect()}
+    assert acc == {1, 4, 3}
+
+    # replay of batch 1 (crash-retry) must not duplicate anything
+    neardup.dedup_batch_against_index(
+        _df(spark, [(2, TEXT_B), (3, TEXT_C)]), 1, out, idx)
+    rows = spark.read.parquet(f"{out}/accepted").collect()
+    assert {r.doc_id for r in rows} == {1, 4, 3} and len(rows) == 3
+
+
+def test_incremental_near_dedup_streaming(spark, tmp_path):
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    with open(in_dir / "b0.json", "w") as f:
+        for i, t in [(1, TEXT_A), (4, TEXT_D)]:
+            f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+    time.sleep(1.1)  # distinct mtime so the file source can split batches
+    with open(in_dir / "b1.json", "w") as f:
+        for i, t in [(2, TEXT_B), (3, TEXT_C)]:
+            f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    stream = (spark.readStream.schema("doc_id bigint, text string")
+              .option("maxFilesPerTrigger", 1).json(str(in_dir)))
+    q = neardup.run_incremental_near_dedup(
+        stream, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        str(tmp_path / "idx"))
+    q.awaitTermination(120)
+
+    acc = {r.doc_id for r in
+           spark.read.parquet(str(tmp_path / "out" / "accepted")).collect()}
+    # B is a near-dup of A whichever micro-batch boundary the source
+    # picked (prior-index hit or within-batch keep-min) — the accepted
+    # set is batching-invariant
+    assert acc == {1, 3, 4}
