@@ -91,6 +91,17 @@ _CELL_SQL = " + ".join(
     for i in range(_CELL_BITS))
 
 
+def embedding_cell_expr(vec_col: str = "embedding", bits: int = _CELL_BITS):
+    """Deterministic sign-bucket cell id (the bit i of the cell is the
+    sign of dimension i) — shared by dedup_embedding_cells, the IVF
+    layout test, and the streaming embedding near-dedup."""
+    cell = None
+    for i in range(bits):
+        bit = (F.element_at(vec_col, i + 1) > 0).cast("int") * (1 << i)
+        cell = bit if cell is None else cell + bit
+    return cell
+
+
 @query("dedup_embedding_cells", f"""
     WITH c AS (
       SELECT vec_id, embedding::DOUBLE[] AS emb,
@@ -118,12 +129,8 @@ def dedup_embedding_cells(spark, sf_dir):
     calibrated to this near-uniform corpus (54 intra-cell pairs at
     sf0.01) so the gate compares non-empty results."""
     e = _emb(spark, sf_dir)
-    cell = None
-    for i in range(_CELL_BITS):
-        bit = (F.element_at("embedding", i + 1) > 0).cast("int") * (1 << i)
-        cell = bit if cell is None else cell + bit
     c = e.select("vec_id", to_double_array("embedding").alias("emb"),
-                 cell.alias("cell"))
+                 embedding_cell_expr().alias("cell"))
     a = c.select(F.col("cell"), F.col("vec_id").alias("vec_a"),
                  F.col("emb").alias("ea"))
     b = c.select(F.col("cell").alias("cell_b"),

@@ -88,6 +88,73 @@ def dedup_batch_against_index(batch_df: DataFrame, batch_id: int,
      .parquet(idx))
 
 
+def dedup_embeddings_against_index(batch_df: DataFrame, batch_id: int,
+                                   out_dir: str, index_dir: str,
+                                   id_col: str = "vec_id",
+                                   vec_col: str = "embedding",
+                                   threshold: float = 0.95) -> None:
+    """Streaming SemDedup micro-batch: drop a vector when an
+    already-accepted vector in the SAME sign-bucket cell has cosine >=
+    threshold (plans/similarity.dedup_embedding_cells is the batch
+    oracle-checked twin; embedding_cell_expr is shared).  Unlike the
+    text path the index must store the vectors themselves, so it is
+    partitioned by cell: the per-batch probe joins only against the
+    cells the batch touches (partition-pruned read at scale), and
+    within a cell compares pairwise — the same intra-cell-only cost
+    model as the batch query.  Replay-idempotent via batch_id dynamic
+    partition overwrite on the accepted output; the index is
+    partitioned by (cell, batch_id) so a retried batch rewrites only
+    its own slices."""
+    from ..functions.vectors import cosine_similarity, to_double_array
+    from ..plans.similarity import embedding_cell_expr
+
+    spark = batch_df.sparkSession
+    b = batch_df.select(
+        F.col(id_col), F.col(vec_col),
+        to_double_array(vec_col).alias("_emb"),
+        embedding_cell_expr(vec_col).alias("cell"))
+
+    idx = os.path.join(index_dir, "vectors")
+    try:
+        seen = spark.read.parquet(idx).select(
+            F.col("cell").alias("_icell"), F.col("_iemb"))
+    except Exception:
+        seen = None
+
+    if seen is not None:
+        hit_prior = (b.join(seen, b.cell == F.col("_icell"))
+                     .filter(cosine_similarity(F.col("_emb"), F.col("_iemb"))
+                             >= threshold)
+                     .select(id_col).distinct())
+        b = b.join(hit_prior, id_col, "left_anti")
+
+    # within-batch: a vector loses to any lower-id cell-mate above the
+    # threshold (keep-min, mirroring the text path)
+    lhs = b.select(F.col("cell").alias("_c"), F.col(id_col).alias("_ida"),
+                   F.col("_emb").alias("_ea"))
+    rhs = b.select(F.col("cell").alias("_c2"), F.col(id_col).alias("_idb"),
+                   F.col("_emb").alias("_eb"))
+    losers = (lhs.join(rhs, (F.col("_c") == F.col("_c2"))
+                       & (F.col("_ida") > F.col("_idb")))
+              .filter(cosine_similarity(F.col("_ea"), F.col("_eb"))
+                      >= threshold)
+              .select(F.col("_ida").alias(id_col)).distinct())
+    kept = b.join(losers, id_col, "left_anti")
+
+    (kept.select(id_col, vec_col)
+     .withColumn("batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id")
+     .parquet(os.path.join(out_dir, "accepted")))
+    (kept.select("cell", F.col("_emb").alias("_iemb"))
+     .withColumn("batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("cell", "batch_id")
+     .parquet(idx))
+
+
 def run_incremental_near_dedup(stream: DataFrame, out_dir: str,
                                checkpoint_dir: str, index_dir: str,
                                id_col: str = "doc_id",

@@ -85,3 +85,37 @@ def test_incremental_near_dedup_streaming(spark, tmp_path):
     # picked (prior-index hit or within-batch keep-min) — the accepted
     # set is batching-invariant
     assert acc == {1, 3, 4}
+
+
+def test_embedding_neardup_batches(spark, tmp_path):
+    """Streaming SemDedup semantics: same-cell cosine>=0.95 collapses to
+    the lowest id, across batches via the cell-partitioned vector index
+    and within a batch via keep-min; replay is idempotent."""
+    out = str(tmp_path / "eout")
+    idx = str(tmp_path / "eidx")
+
+    va = [1.0, 0.5, -0.2, 0.8, -0.1, 0.3, 0.9, -0.4]
+    vnear = [x * 1.01 for x in va]              # cosine ~1, same signs
+    vother = [-1.0, 0.4, 0.3, -0.7, 0.2, -0.5, 0.1, 0.6]  # different cell
+    vfresh = [0.2, -0.9, 0.6, 0.1, -0.3, 0.7, -0.8, 0.5]
+
+    def df(rows):
+        return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    # batch 0: A, its exact copy (id 9) and an unrelated vector
+    neardup.dedup_embeddings_against_index(
+        df([(1, va), (9, va), (4, vother)]), 0, out, idx)
+    assert {r.vec_id for r in spark.read.parquet(f"{out}/accepted").collect()} \
+        == {1, 4}
+
+    # batch 1: near-copy of accepted A dropped, fresh vector kept
+    neardup.dedup_embeddings_against_index(
+        df([(2, vnear), (3, vfresh)]), 1, out, idx)
+    assert {r.vec_id for r in spark.read.parquet(f"{out}/accepted").collect()} \
+        == {1, 4, 3}
+
+    # crash replay of batch 1: no duplicates
+    neardup.dedup_embeddings_against_index(
+        df([(2, vnear), (3, vfresh)]), 1, out, idx)
+    rows = spark.read.parquet(f"{out}/accepted").collect()
+    assert {r.vec_id for r in rows} == {1, 4, 3} and len(rows) == 3
