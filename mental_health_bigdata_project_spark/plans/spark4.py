@@ -303,17 +303,38 @@ def transpose_metrics(spark, sf_dir):
     return agg.transpose("l_returnflag")
 
 
-@query("sample_stratified_api")
+@query("sample_stratified_api", """
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_total,
+           CAST(1 AS INT) AS sample_ok
+    FROM lineitem GROUP BY l_returnflag
+""")
 def sample_stratified_api(spark, sf_dir):
     """The native ``df.sampleBy`` API path (seeded, deterministic
     within Spark): per-stratum Bernoulli draws at the same rates as
-    `sample_stratified`.  Rows-only check — the RNG stream is
-    engine-specific — with the exact-modulus twin above as the
-    value-checked anchor."""
+    `sample_stratified`.  The RNG stream is engine-specific, so —
+    like the sketch family — the hashed output carries the exact
+    stratum total plus a ``sample_ok`` verdict: 1 iff the sampled
+    fraction sits within 5 binomial standard errors of the requested
+    rate (a >5-sigma bound: false-failure probability < 1e-6 per
+    stratum, while a sampler bug of even 2x shows up instantly).
+    The oracle pins the verdict to 1, turning the old rows-only check
+    into a statistical gate; `sample_stratified` above remains the
+    exactly-reproducible (md5-threshold) anchor."""
+    rates = {"R": 0.05, "A": 0.10, "N": 0.20}
     li = load_table(spark, sf_dir, "lineitem")
-    sampled = li.sampleBy(
-        "l_returnflag", {"R": 0.05, "A": 0.10, "N": 0.20}, seed=42)
-    return sampled.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+    sampled = (li.sampleBy("l_returnflag", rates, seed=42)
+               .groupBy("l_returnflag").agg(F.count("*").alias("n_samp")))
+    total = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n_total"))
+    rate = F.element_at(
+        F.create_map(*[x for kv in rates.items()
+                       for x in (F.lit(kv[0]), F.lit(kv[1]))]),
+        F.col("l_returnflag"))
+    se = F.sqrt(rate * (1 - rate) / F.col("n_total"))
+    ok = (F.abs(F.col("n_samp") / F.col("n_total") - rate) <= 5 * se)
+    return (total.join(sampled, "l_returnflag")
+            .select("l_returnflag", "n_total",
+                    ok.cast("int").alias("sample_ok")))
 
 
 @query("stat_regr_trend", """
