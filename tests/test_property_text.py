@@ -1,0 +1,77 @@
+"""Property-based differential tests (hypothesis): the native
+clean_text / risk_score expressions vs an independent pure-Python
+reimplementation of the reference UDF spec, over adversarial generated
+inputs — one Spark job per test (all examples batched into a single
+DataFrame), not one per example."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mental_health_bigdata_project_spark.functions.text import (
+    clean_text, risk_score)
+
+KEYWORDS = [
+    "suicide", "kill myself", "end it all", "no reason to live",
+    "hopeless", "worthless", "give up", "can't go on", "depressed",
+    "anxious", "panic", "overwhelmed", "lonely", "isolated", "scared",
+    "die",
+]
+_URLS = re.compile(r"http\S+|www\S+")
+_NONALNUM = re.compile(r"[^a-z0-9\s]")
+_WS = re.compile(r"\s+")
+
+
+def py_clean(text):
+    if not text:
+        return ""
+    t = _URLS.sub("", text.lower())
+    t = _NONALNUM.sub("", t)
+    return _WS.sub(" ", t).strip()
+
+
+def py_risk(text):
+    if not text:
+        return 0
+    t = text.lower()
+    return min(sum(10 for k in KEYWORDS if k in t), 100)
+
+
+# ASCII corpus salted with keyword fragments, urls, punctuation runs —
+# the regions where regex/semantics bugs hide.  Deliberately ASCII-only:
+# the reference spec is ASCII reddit text, and Java vs Python regex
+# differ on UNICODE \s membership (e.g. \xa0), which is out of spec.
+_ascii = st.characters(min_codepoint=9, max_codepoint=126)
+_texts = st.lists(
+    st.one_of(
+        st.text(alphabet=_ascii, max_size=120),
+        st.text(alphabet=" abcdieklmnopsu'.!?-\nhttp:/ww", max_size=120),
+        st.sampled_from([
+            "KILL  myself", "kill\nmyself", "can't go on!", "cant go on",
+            "http://a.b depressed www.x.y", "die", "died", "DIEDIE",
+            "panic " * 30, " ".join(KEYWORDS),
+        ]),
+    ),
+    min_size=1, max_size=120)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(_texts)
+def test_clean_and_risk_match_reference_semantics(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = (df.select(clean_text(F.col("t")).alias("c"),
+                     risk_score(F.col("t")).alias("r"))
+           .collect())
+    for t, row in zip(texts, got):
+        assert row.c == py_clean(t), repr(t)
+        assert row.r == py_risk(t), repr(t)
+    # idempotence: cleaning cleaned text is a no-op
+    df2 = spark.createDataFrame([(r.c,) for r in got], "t string")
+    again = df2.select(clean_text(F.col("t")).alias("c")).collect()
+    for first, second in zip(got, again):
+        assert second.c == first.c
