@@ -62,6 +62,20 @@ _MODULE_PRIORITY = [
     "udtf_udaf", "tpch_more", "relational", "scalars", "core",
 ]
 
+# Round-2 rows-only -> oracle conversions (VERDICT r1 item 5 named the
+# sketches explicitly): register FIRST so the driver's sampled window
+# records their new full-gate verdicts, even for the ids that sat in the
+# r1-checked set (their r1 rows were `no_oracle`).
+_CONVERTED_FRONT = [
+    "agg_approx_distinct", "sketch_hll_rollup", "sketch_topk_rollup",
+    "agg_approx_percentile", "sample_stratified_api",
+    "graph_pagerank_tokens", "bpe_train_merges", "bpe_encode_apply",
+    "dedup_minhash_portable", "dedup_simhash_portable",
+    "dedup_cluster_portable", "multimodal_features",
+    "dedup_embedding_cells", "decontam_fuzzy_overlap",
+    "sample_temperature_mixture",
+]
+
 
 def _reorder_registries() -> None:
     def rank(item):
@@ -69,7 +83,10 @@ def _reorder_registries() -> None:
         mod = fn.__module__.rsplit(".", 1)[-1]
         mod_rank = (_MODULE_PRIORITY.index(mod)
                     if mod in _MODULE_PRIORITY else len(_MODULE_PRIORITY))
-        return (qid in _R1_DRIVER_CHECKED,   # already-green ids last
+        front = (_CONVERTED_FRONT.index(qid)
+                 if qid in _CONVERTED_FRONT else len(_CONVERTED_FRONT))
+        return (front,
+                qid in _R1_DRIVER_CHECKED,   # already-green ids last
                 mod_rank,
                 qid not in ORACLES,          # oracle-backed before rows-only
                 idx)                         # stable within a module
