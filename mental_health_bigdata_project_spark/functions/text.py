@@ -74,7 +74,14 @@ def clean_text(c: Column | str) -> Column:
     class with no literal prefix to skip with), while the positive
     run-extraction matches whole allowed runs.  At 100 TB this is the
     difference between the clean pass being free vs dominating the
-    scan."""
+    scan.
+
+    Known fidelity boundary (found by the hypothesis differential
+    fuzz): the reference runs CPython `re`, where ``\\s`` also matches
+    the ASCII separators \\x1c-\\x1f and unicode spaces; Java regex
+    does not, so such characters are REMOVED here but would become a
+    space under the reference.  Out of spec for reddit text (ASCII,
+    no separator control chars) — documented rather than emulated."""
     c = F.lower(_col(c))
     c = F.regexp_replace(c, URL_PATTERN, "")
     c = F.array_join(F.regexp_extract_all(c, F.lit(KEEP_ALNUM_RUNS),
