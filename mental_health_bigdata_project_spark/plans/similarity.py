@@ -980,3 +980,87 @@ def vec_distance_breadth(spark, sf_dir):
                     F.round(l2, 6).alias("l2"),
                     F.round(l1, 6).alias("l1"),
                     F.round(linf, 6).alias("linf")))
+
+
+@query("sim_ann_recall_eval", f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+                      {_CELL_SQL.format(e='embeddings')} AS cell
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, emb AS qe, cell AS qcell
+          FROM e WHERE vec_id < 8),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             round({_COS_SQL.format(a='e.emb', b='q.qe')}, 6) AS cosine,
+             (e.cell = q.qcell) AS in_cell
+      FROM q JOIN e ON e.vec_id <> q.qid),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, vec_id) AS rn
+        FROM scored) WHERE rn <= 10),
+    ann AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, vec_id) AS rn
+        FROM scored WHERE in_cell) WHERE rn <= 10),
+    cand AS (
+      SELECT qid, CAST(count(*) AS INTEGER) AS n_candidates
+      FROM scored WHERE in_cell GROUP BY qid)
+    SELECT x.qid, coalesce(cand.n_candidates, 0) AS n_candidates,
+           CAST(count(ann.vec_id) AS INTEGER) AS hits,
+           round(count(ann.vec_id) / 10.0, 6) AS recall_at_10
+    FROM exact x
+    LEFT JOIN cand ON cand.qid = x.qid
+    LEFT JOIN ann ON ann.qid = x.qid AND ann.vec_id = x.vec_id
+    GROUP BY x.qid, cand.n_candidates
+""")
+def sim_ann_recall_eval(spark, sf_dir):
+    """ANN quality harness: recall@10 of the deterministic sign-cell
+    ANN (candidates restricted to the query's 8-bit sign bucket, as in
+    ``dedup_embedding_cells`` / the IVF layout) against exact
+    brute-force cosine top-10, per query vector (vec_id < 8) — the
+    'measure, don't guess' companion every approximate index needs
+    before anyone trusts it on 100 TB.  Both rankings use the same
+    6dp-rounded cosine with a vec_id tiebreak, so the comparison is
+    deterministic across engines.
+
+    Plan shape: the 8-row query side is broadcast against one corpus
+    scan (scored is |corpus|×8, produced without shuffling the corpus);
+    the two row_number windows partition by qid (8 partitions of
+    corpus-sized lists for exact — at real scale the exact side would
+    be sampled queries against TakeOrdered per qid, and the ANN side
+    prunes to the cell, which is the entire point being measured);
+    the final joins are on 80-row tables — metadata-sized."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", to_double_array("embedding").alias("emb"),
+        embedding_cell_expr("embedding").alias("cell"))
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qe"),
+        F.col("cell").alias("qcell"))
+    scored = (e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+              .select("qid", "vec_id",
+                      F.round(cosine_similarity(F.col("emb"), F.col("qe")), 6)
+                      .alias("cosine"),
+                      (F.col("cell") == F.col("qcell")).alias("in_cell")))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
+    exact = (scored.select("qid", "vec_id", F.row_number().over(w).alias("rn"))
+             .filter(F.col("rn") <= 10).select("qid", "vec_id"))
+    ann = (scored.filter("in_cell")
+           .select("qid", "vec_id", F.row_number().over(w).alias("rn"))
+           .filter(F.col("rn") <= 10)
+           .select(F.col("qid").alias("aqid"), F.col("vec_id").alias("avid")))
+    cand = (scored.filter("in_cell").groupBy("qid")
+            .agg(F.count("*").cast("int").alias("n_candidates"))
+            .withColumnRenamed("qid", "cqid"))
+    return (exact
+            .join(F.broadcast(cand), F.col("qid") == F.col("cqid"), "left")
+            .join(F.broadcast(ann),
+                  (F.col("qid") == F.col("aqid"))
+                  & (F.col("vec_id") == F.col("avid")), "left")
+            .groupBy("qid", F.coalesce("n_candidates", F.lit(0))
+                     .alias("n_candidates"))
+            .agg(F.count("avid").cast("int").alias("hits"),
+                 F.round(F.count("avid") / 10.0, 6).alias("recall_at_10")))

@@ -1527,3 +1527,180 @@ def text_zipf_fit(spark, sf_dir):
         F.round(F.expr("regr_slope(ly, lx)"), 6).alias("zipf_exponent"),
         F.round(F.expr("regr_r2(ly, lx)"), 6).alias("r2"),
         F.count("*").alias("n_points"))
+
+
+# --- C4-style sub-document dedup with reassembly --------------------------
+
+_CHUNK_STRUCTS_SQL = f"""
+    SELECT doc_id,
+           unnest(list_transform(
+               generate_series(0, CAST(floor((len(t) - 1) / 30) AS BIGINT)),
+               i -> struct_pack(idx := i,
+                                chunk := array_to_string(
+                                    t[i * 30 + 1 : i * 30 + 30], ' ')))) AS ch
+    FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+    WHERE len(t) > 0
+"""
+
+
+@query("dedup_chunk_rewrite", f"""
+    WITH flat AS (
+      SELECT doc_id, ch.idx AS chunk_idx, ch.chunk AS chunk,
+             md5(ch.chunk) AS fp
+      FROM ({_CHUNK_STRUCTS_SQL})),
+    ranked AS (
+      SELECT doc_id, chunk_idx, chunk,
+             row_number() OVER (PARTITION BY fp
+                                ORDER BY doc_id, chunk_idx) AS rn
+      FROM flat)
+    SELECT doc_id,
+           CAST(count(*) AS INTEGER) AS n_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INTEGER) AS n_kept,
+           coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx)
+                      FILTER (WHERE rn = 1), '') AS text_rewritten
+    FROM ranked GROUP BY doc_id
+""")
+def dedup_chunk_rewrite(spark, sf_dir):
+    """C4-style sub-document dedup WITH reassembly: fingerprint
+    non-overlapping 30-token chunks, keep only the first-occurring
+    instance of each fingerprint corpus-wide (ordered by doc_id then
+    chunk position — the C4 'retain one occurrence' rule), and rewrite
+    every document as its surviving chunks in original order.  Unlike
+    ``dedup_chunk_exact`` (which *measures* boilerplate recurrence per
+    source) this emits the cleaned corpus itself — the actual filter
+    stage a pretraining pipeline runs.
+
+    Plan shape: one scan explodes chunks (rows ~= corpus tokens / 30);
+    the first-occurrence rule is one row_number window partitioned by
+    fingerprint — fp is a high-cardinality md5, so the window shuffle is
+    hash-partitioned with no skew and each partition sorts a handful of
+    rows; the rebuild is one groupBy(doc_id) whose collect_list holds a
+    single document's chunks (bounded by max doc length, never
+    corpus-sized).  At 100 TB: two shuffles (fp, doc_id), both on
+    uniform keys, payload is chunk text moved exactly twice — the same
+    shape as the published suffix-array-free C4 dedup recipes."""
+    t = F.col("t")
+    n_chunks = F.floor((F.size(t) - 1) / 30).cast("int")
+    chunk_structs = F.transform(
+        F.sequence(F.lit(0), n_chunks),
+        lambda i: F.struct(
+            i.cast("long").alias("idx"),
+            F.concat_ws(" ", F.slice(t, i * 30 + 1, 30)).alias("chunk")))
+    flat = (_docs(spark, sf_dir)
+            .select("doc_id", tokens_col().alias("t"))
+            .filter(F.size("t") > 0)
+            .select("doc_id", F.explode(chunk_structs).alias("ch"))
+            .select("doc_id",
+                    F.col("ch.idx").alias("chunk_idx"),
+                    F.col("ch.chunk").alias("chunk"),
+                    F.md5(F.col("ch.chunk")).alias("fp")))
+    rn = F.row_number().over(
+        Window.partitionBy("fp").orderBy("doc_id", "chunk_idx"))
+    ranked = flat.select("doc_id", "chunk_idx", "chunk", rn.alias("rn"))
+    kept = F.array_sort(F.collect_list(
+        F.when(F.col("rn") == 1, F.struct("chunk_idx", "chunk"))))
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_chunks"),
+        F.sum((F.col("rn") == 1).cast("int")).cast("int").alias("n_kept"),
+        F.array_join(F.transform(kept, lambda s: s["chunk"]), " ")
+        .alias("text_rewritten"))
+
+
+# --- Gopher quality rules -------------------------------------------------
+
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+@query("text_gopher_rules", f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents
+               WHERE len({_TOKS_SQL}) > 0),
+    m AS (SELECT doc_id,
+                 CAST(len(toks) AS INTEGER) AS n_words,
+                 round(CAST(list_sum(list_transform(toks, x -> len(x)))
+                            AS DOUBLE) / len(toks), 6) AS mean_word_len,
+                 round(CAST(len(list_filter(toks,
+                            x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                       / len(toks), 6) AS frac_alpha_words,
+                 CAST(len(list_intersect(list_distinct(toks),
+                      [{', '.join("'" + w + "'" for w in _GOPHER_STOPS)}]))
+                      AS INTEGER) AS n_stop_hits,
+                 round((len(regexp_extract_all(text, '#'))
+                        + len(regexp_extract_all(text, '\\.\\.\\.')))
+                       / CAST(len(toks) AS DOUBLE), 6) AS symbol_ratio,
+                 round(CAST(list_max(list_transform(list_distinct(toks),
+                            x -> len(list_filter(toks, y -> y = x))))
+                            AS DOUBLE) / len(toks), 6) AS top_token_frac
+          FROM t)
+    SELECT doc_id, n_words, mean_word_len, frac_alpha_words, n_stop_hits,
+           symbol_ratio, top_token_frac,
+           (n_words BETWEEN 50 AND 100000) AS r_word_count,
+           (mean_word_len BETWEEN 3.0 AND 10.0) AS r_mean_word_len,
+           (frac_alpha_words >= 0.8) AS r_alpha_words,
+           (n_stop_hits >= 2) AS r_stopwords,
+           (symbol_ratio < 0.1) AS r_symbol_ratio,
+           (top_token_frac <= 0.2) AS r_top_token,
+           ((n_words BETWEEN 50 AND 100000)
+            AND (mean_word_len BETWEEN 3.0 AND 10.0)
+            AND (frac_alpha_words >= 0.8)
+            AND (n_stop_hits >= 2)
+            AND (symbol_ratio < 0.1)
+            AND (top_token_frac <= 0.2)) AS keep
+    FROM m
+""")
+def text_gopher_rules(spark, sf_dir):
+    """The Gopher quality-rule battery (Rae et al. 2021, §A1.1) as one
+    native projection: word-count bounds, mean-word-length bounds,
+    alphabetic-word fraction, stopword presence, symbol-to-word ratio
+    ('#' and '...'), and a top-token concentration cap (the repetition
+    family's cheapest member) — each emitted as its own boolean so a
+    curation run can report per-rule kill rates, plus the conjunction
+    ``keep``.  Everything is array-expression work on the tokenized
+    row: zero shuffles, zero Python — the whole filter runs inside
+    whole-stage codegen at scan speed, which is what lets a 100 TB
+    curation pass be scan-bound rather than compute-bound.  The
+    top-token fraction is computed per-row over distinct tokens
+    (O(distinct·n) on a ~100-token doc) instead of an explode+groupBy —
+    trading a trivial per-row loop for two corpus shuffles."""
+    toks = F.col("toks")
+    n = F.size(toks)
+    df = (_docs(spark, sf_dir)
+          .select("doc_id", "text", tokens_col().alias("toks"))
+          .filter(F.size("toks") > 0))
+    mean_wl = F.round(
+        F.aggregate(toks, F.lit(0).cast("long"),
+                    lambda acc, x: acc + F.length(x)).cast("double") / n, 6)
+    frac_alpha = F.round(
+        F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("double")
+        / n, 6)
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(toks),
+        F.array(*[F.lit(w) for w in _GOPHER_STOPS]))).cast("int")
+    sym_ratio = F.round(
+        (F.regexp_count("text", F.lit("#"))
+         + F.regexp_count("text", F.lit(r"\.\.\.")))
+        / n.cast("double"), 6)
+    top_frac = F.round(
+        F.array_max(F.transform(
+            F.array_distinct(toks),
+            lambda x: F.size(F.filter(toks, lambda y: y == x))))
+        .cast("double") / n, 6)
+    m = df.select(
+        "doc_id", n.cast("int").alias("n_words"),
+        mean_wl.alias("mean_word_len"), frac_alpha.alias("frac_alpha_words"),
+        stop_hits.alias("n_stop_hits"), sym_ratio.alias("symbol_ratio"),
+        top_frac.alias("top_token_frac"))
+    rules = {
+        "r_word_count": F.col("n_words").between(50, 100000),
+        "r_mean_word_len": F.col("mean_word_len").between(3.0, 10.0),
+        "r_alpha_words": F.col("frac_alpha_words") >= 0.8,
+        "r_stopwords": F.col("n_stop_hits") >= 2,
+        "r_symbol_ratio": F.col("symbol_ratio") < 0.1,
+        "r_top_token": F.col("top_token_frac") <= 0.2,
+    }
+    out = m
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+    keep = None
+    for cond in rules.values():
+        keep = cond if keep is None else keep & cond
+    return out.withColumn("keep", keep)

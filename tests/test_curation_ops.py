@@ -1,0 +1,109 @@
+"""Semantic tests for the round-2 curation operators: C4-style chunk
+rewrite (dedup_chunk_rewrite), the Gopher rule battery
+(text_gopher_rules), and the ANN recall harness (sim_ann_recall_eval).
+Value-parity vs DuckDB is scripts/check_oracles.py; these pin the
+*semantics* on hand-built corpora."""
+
+from __future__ import annotations
+
+import pytest
+
+from mental_health_bigdata_project_spark.plans import QUERIES
+
+# three distinct 30-token blocks (chunk size = 30)
+BLOCK_A = " ".join(f"alpha{i}" for i in range(30))
+BLOCK_B = " ".join(f"beta{i}" for i in range(30))
+BLOCK_C = " ".join(f"gamma{i}" for i in range(30))
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint")
+    d = str(tmp_path / "docs")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_chunk_rewrite_keeps_first_occurrence_only(spark, tmp_path):
+    d = _write_docs(spark, tmp_path, [
+        (1, BLOCK_A + " " + BLOCK_B),   # A@doc1 is the first occurrence
+        (2, BLOCK_A + " " + BLOCK_C),   # A here is a later copy -> dropped
+        (3, BLOCK_A),                   # wholly duplicated -> empty rewrite
+    ])
+    out = {r["doc_id"]: r for r in
+           QUERIES["dedup_chunk_rewrite"](spark, d).collect()}
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["text_rewritten"] == BLOCK_A + " " + BLOCK_B
+    assert out[2]["n_chunks"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["text_rewritten"] == BLOCK_C
+    assert out[3]["n_chunks"] == 1 and out[3]["n_kept"] == 0
+    assert out[3]["text_rewritten"] == ""
+
+
+def test_chunk_rewrite_partial_tail_chunk_participates(spark, tmp_path):
+    # a <30-token tail is its own chunk; identical tails dedup too
+    tail = "tail x y z"
+    d = _write_docs(spark, tmp_path, [
+        (1, BLOCK_A + " " + tail),
+        (2, BLOCK_B + " " + tail),
+    ])
+    out = {r["doc_id"]: r for r in
+           QUERIES["dedup_chunk_rewrite"](spark, d).collect()}
+    assert out[1]["text_rewritten"] == BLOCK_A + " " + tail
+    assert out[2]["text_rewritten"] == BLOCK_B  # tail already seen in doc 1
+
+
+GOOD = ("the quick brown fox jumps over the lazy dog and runs to be with "
+        "that other fox which have seen many things over long seasons of "
+        "hunting across wide open fields while keeping careful watch for "
+        "hawks and wolves that roam these lands seeking easy prey among "
+        "smaller creatures hiding in tall grass near quiet streams")
+
+
+def test_gopher_rules_pass_and_fail_cases(spark, tmp_path):
+    d = _write_docs(spark, tmp_path, [
+        (1, GOOD),                                  # passes everything
+        (2, "too short to be a document"),          # fails word count
+        (3, " ".join(["42"] * 30 + ["the to of and that be with have"])),
+        (4, GOOD + " " + " ".join(["..."] * 20)),   # symbol-heavy
+        (5, " ".join(["the"] * 30) + " " + GOOD),   # top-token dominated
+    ])
+    out = {r["doc_id"]: r for r in
+           QUERIES["text_gopher_rules"](spark, d).collect()}
+    g = out[1]
+    assert g["keep"] and all(g[r] for r in (
+        "r_word_count", "r_mean_word_len", "r_alpha_words",
+        "r_stopwords", "r_symbol_ratio", "r_top_token"))
+    assert not out[2]["r_word_count"] and not out[2]["keep"]
+    assert not out[3]["r_alpha_words"] and not out[3]["keep"]
+    assert not out[4]["r_symbol_ratio"] and not out[4]["keep"]
+    assert not out[5]["r_top_token"] and not out[5]["keep"]
+    # metrics are self-consistent
+    doc5_toks = (" ".join(["the"] * 30) + " " + GOOD).split()
+    top_n = max(doc5_toks.count(t) for t in set(doc5_toks))
+    assert out[5]["top_token_frac"] == pytest.approx(
+        top_n / len(doc5_toks), abs=1e-6)
+
+
+def test_ann_recall_eval_real_corpus_bounds(spark, sf_dir):
+    rows = QUERIES["sim_ann_recall_eval"](spark, sf_dir).collect()
+    assert len(rows) == 8  # one eval row per query vector, none dropped
+    for r in rows:
+        assert 0 <= r["hits"] <= 10
+        assert r["recall_at_10"] == pytest.approx(r["hits"] / 10.0)
+        assert r["n_candidates"] >= r["hits"]
+
+
+def test_ann_recall_is_perfect_when_cell_covers_corpus(spark, tmp_path):
+    # every vector strictly positive -> single sign cell -> ANN == exact
+    rows = [(i, [0.1 + 0.01 * ((i * 7 + j) % 13) for j in range(8)], 0)
+            for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int")
+    d = str(tmp_path / "emb")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    out = QUERIES["sim_ann_recall_eval"](spark, d).collect()
+    assert len(out) == 8
+    assert all(r["recall_at_10"] == pytest.approx(1.0) and r["hits"] == 10
+               for r in out)
