@@ -78,6 +78,11 @@ HEADLINE = [
     # rewritten from a global window to TakeOrderedAndProject in r2 —
     # keep its plan in the per-round audit (VERDICT r1 weak #2)
     "retain_last_n",
+    # round-2 curation additions: C4 chunk rewrite, Gopher battery,
+    # ANN recall harness
+    "dedup_chunk_rewrite",
+    "text_gopher_rules",
+    "sim_ann_recall_eval",
 ]
 
 

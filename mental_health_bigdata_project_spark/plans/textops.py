@@ -1704,3 +1704,49 @@ def text_gopher_rules(spark, sf_dir):
     for cond in rules.values():
         keep = cond if keep is None else keep & cond
     return out.withColumn("keep", keep)
+
+
+# --- deterministic shuffle-and-shard -------------------------------------
+
+_N_SHARDS = 8
+_SHUF_KEY_SQL = "md5('shuffle-seed-42:' || CAST(doc_id AS VARCHAR))"
+
+
+@query("corpus_shard_shuffle", f"""
+    WITH k AS (
+      SELECT doc_id,
+             {_SHUF_KEY_SQL} AS skey,
+             CAST((ascii(substr({_SHUF_KEY_SQL}, 1, 1))
+                   + ascii(substr({_SHUF_KEY_SQL}, 2, 1))) % {_N_SHARDS}
+                  AS INTEGER) AS shard
+      FROM documents)
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard
+                                   ORDER BY skey, doc_id) AS INTEGER) AS pos
+    FROM k
+""")
+def corpus_shard_shuffle(spark, sf_dir):
+    """The shuffle-and-shard step that precedes writing training files:
+    every document gets a deterministic pseudo-random shard (seeded md5
+    of its id — reproducible across runs and engines, unlike rand())
+    and a position within the shard (rank of its shuffle key), so
+    `ORDER BY shard, pos` is a stable global permutation of the corpus
+    and each shard is an independently shuffled training file.
+
+    Plan shape: the shuffle key is scan-side expression work; the only
+    exchange is hashpartitioning(shard) feeding a per-shard sort — at
+    real scale N_SHARDS is O(10k), so each window partition is one
+    training file's worth and the sort is the per-file sort every
+    shard writer needs anyway (this is `repartition(shard) +
+    sortWithinPartitions` expressed as a checkable query).  No global
+    single-partition sort anywhere."""
+    key = F.md5(F.concat(F.lit("shuffle-seed-42:"),
+                         F.col("doc_id").cast("string")))
+    k = _docs(spark, sf_dir).select(
+        "doc_id", key.alias("skey"),
+        ((F.ascii(F.substring(key, 1, 1))
+          + F.ascii(F.substring(key, 2, 1))) % _N_SHARDS)
+        .cast("int").alias("shard"))
+    pos = F.row_number().over(
+        Window.partitionBy("shard").orderBy("skey", "doc_id"))
+    return k.select("doc_id", "shard", pos.cast("int").alias("pos"))

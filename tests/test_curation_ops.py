@@ -107,3 +107,39 @@ def test_ann_recall_is_perfect_when_cell_covers_corpus(spark, tmp_path):
     assert len(out) == 8
     assert all(r["recall_at_10"] == pytest.approx(1.0) and r["hits"] == 10
                for r in out)
+
+
+TEXT_X = " ".join(f"tok{i}" for i in range(40))
+# near-dup of X: same 3-gram shingles except near the tail
+TEXT_X2 = " ".join(f"tok{i}" for i in range(38))
+
+
+def test_survivor_select_keeps_longest_per_cluster(spark, tmp_path):
+    d = _write_docs(spark, tmp_path, [
+        (1, TEXT_X),        # near-dup pair {1, 2}: 1 is longer -> survives
+        (2, TEXT_X2),
+        (7, BLOCK_C),       # singleton
+    ])
+    out = {r["doc_id"]: r for r in
+           QUERIES["dedup_survivor_select"](spark, d).collect()}
+    assert set(out) == {1, 7}
+    assert out[1]["was_clustered"] and out[1]["cluster_id"] == 1
+    assert not out[7]["was_clustered"] and out[7]["cluster_id"] == 7
+
+
+def test_shard_shuffle_is_deterministic_partition(spark, sf_dir):
+    q = QUERIES["corpus_shard_shuffle"]
+    a = sorted(map(tuple, q(spark, sf_dir).collect()))
+    b = sorted(map(tuple, q(spark, sf_dir).collect()))
+    assert a == b  # seeded, not rand(): identical across runs
+    rows = a
+    n_docs = len(rows)
+    assert len({r[0] for r in rows}) == n_docs  # every doc exactly once
+    # positions within each shard are 1..n_shard with no gaps
+    from collections import defaultdict
+    by_shard = defaultdict(list)
+    for doc_id, shard, pos in rows:
+        assert 0 <= shard < 8
+        by_shard[shard].append(pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
