@@ -1138,3 +1138,68 @@ def dedup_survivor_select(spark, sf_dir):
         .orderBy(F.desc("n_tokens"), "doc_id"))
     return (lab.withColumn("rn", rn).filter(F.col("rn") == 1)
             .select("doc_id", "cluster_id", "n_tokens", "was_clustered"))
+
+
+@query("decontam_embedding_cells", f"""
+    WITH c AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             {_CELL_SQL.format(e='embeddings')} AS cell
+      FROM embeddings),
+    bench AS (SELECT vec_id AS bench_id, emb AS be, cell FROM c
+              WHERE vec_id < 32),
+    corpus AS (SELECT vec_id, emb, cell FROM c WHERE vec_id >= 32),
+    m AS (
+      SELECT corpus.vec_id, bench.bench_id,
+             round({_COS_SQL.format(a='corpus.emb', b='bench.be')}, 6)
+               AS cosine
+      FROM corpus JOIN bench ON corpus.cell = bench.cell
+      WHERE round({_COS_SQL.format(a='corpus.emb', b='bench.be')}, 6)
+            >= 0.25),
+    agg AS (
+      SELECT vec_id, CAST(count(*) AS INTEGER) AS n_matches,
+             max(cosine) AS best_cosine
+      FROM m GROUP BY vec_id)
+    SELECT agg.vec_id, agg.n_matches, agg.best_cosine,
+           CAST(min(m.bench_id) AS BIGINT) AS best_bench_id
+    FROM agg JOIN m ON m.vec_id = agg.vec_id
+                   AND m.cosine = agg.best_cosine
+    GROUP BY agg.vec_id, agg.n_matches, agg.best_cosine
+""")
+def decontam_embedding_cells(spark, sf_dir):
+    """SEMANTIC decontamination: flag corpus embeddings that are
+    near-duplicates of a held-out benchmark set (vec_id < 32 stands in
+    for the benchmark's embedded items) — the embedding-space
+    complement of the token-overlap paths (decontam_benchmark /
+    decontam_fuzzy_overlap), which miss paraphrased contamination.
+    Candidates form only inside shared sign-cells (the same
+    deterministic 8-bit bucketing as dedup_embedding_cells), so the
+    corpus never all-pairs against the benchmark; each flagged vector
+    reports how many benchmark items it collides with and its closest
+    one.
+
+    Plan shape: the benchmark slice is tiny and broadcast; the corpus
+    shuffles zero times before the cell join (broadcast hash join on
+    cell+filter), then two metadata-sized aggregates pick the best
+    match per contaminated vector.  At 100 TB the benchmark side stays
+    broadcastable by construction (benchmarks are thousands of items)
+    and the corpus side remains one scan."""
+    c = _emb(spark, sf_dir).select(
+        "vec_id", to_double_array("embedding").alias("emb"),
+        embedding_cell_expr().alias("cell"))
+    bench = (c.filter(F.col("vec_id") < 32)
+             .select(F.col("vec_id").alias("bench_id"),
+                     F.col("emb").alias("be"),
+                     F.col("cell").alias("bcell")))
+    corpus = c.filter(F.col("vec_id") >= 32)
+    cos = F.round(cosine_similarity(F.col("emb"), F.col("be")), 6)
+    m = (corpus.join(F.broadcast(bench), F.col("cell") == F.col("bcell"))
+         .select("vec_id", "bench_id", cos.alias("cosine"))
+         .filter(F.col("cosine") >= 0.25))
+    agg = m.groupBy("vec_id").agg(
+        F.count("*").cast("int").alias("n_matches"),
+        F.max("cosine").alias("best_cosine"))
+    return (agg.join(m.withColumnRenamed("vec_id", "mvid"),
+                     (F.col("mvid") == F.col("vec_id"))
+                     & (F.col("cosine") == F.col("best_cosine")))
+            .groupBy("vec_id", "n_matches", "best_cosine")
+            .agg(F.min("bench_id").cast("bigint").alias("best_bench_id")))

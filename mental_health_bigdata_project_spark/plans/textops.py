@@ -1750,3 +1750,58 @@ def corpus_shard_shuffle(spark, sf_dir):
     pos = F.row_number().over(
         Window.partitionBy("shard").orderBy("skey", "doc_id"))
     return k.select("doc_id", "shard", pos.cast("int").alias("pos"))
+
+
+@query("mixture_token_budget", f"""
+    WITH tok AS (
+      SELECT source,
+             CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS tokens_avail,
+             CAST(20 - CAST(substr(source, 4) AS INTEGER) AS DOUBLE) AS w_raw
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(tokens_avail) AS DOUBLE) AS total_tokens,
+                   SUM(w_raw) AS w_sum
+            FROM tok)
+    SELECT source, tokens_avail,
+           round(w_raw / w_sum, 6) AS target_weight,
+           round((w_raw / w_sum) * 0.5 * total_tokens, 6) AS target_tokens,
+           round(LEAST(1.0, (w_raw / w_sum) * 0.5 * total_tokens
+                            / tokens_avail), 6) AS sample_rate,
+           round(LEAST(1.0, (w_raw / w_sum) * 0.5 * total_tokens
+                            / tokens_avail) * tokens_avail, 6)
+             AS achieved_tokens
+    FROM tok CROSS JOIN tot
+""")
+def mixture_token_budget(spark, sf_dir):
+    """The data-recipe computation a pretraining run starts from: given
+    per-source target mixture weights (here derived from the source
+    rank — in production a broadcast config table) and a token budget
+    (50% of the corpus), emit each source's sampling rate, expected
+    token yield, and whether the target is achievable (rate capped at
+    1.0 — an under-provisioned source simply yields what it has,
+    surfacing the shortfall as achieved < target).
+
+    Plan shape: one scan aggregates per-source token counts (map-side
+    partials, 20-row result); the budget join is a broadcast of a
+    1-row total.  Everything downstream of the scan is
+    dimension-sized — this is the query a scheduler runs before
+    launching the actual weighted sample (sample_mixture_weights /
+    sample_temperature_mixture execute the recipe)."""
+    tok = (_docs(spark, sf_dir)
+           .groupBy("source")
+           .agg(F.sum(F.size(tokens_col())).cast("bigint")
+                .alias("tokens_avail"))
+           .withColumn("w_raw", (F.lit(20) - F.substring("source", 4, 10)
+                                 .cast("int")).cast("double")))
+    tot = tok.agg(F.sum("tokens_avail").cast("double").alias("total_tokens"),
+                  F.sum("w_raw").alias("w_sum"))
+    weight = F.col("w_raw") / F.col("w_sum")
+    rate = F.least(F.lit(1.0),
+                   weight * 0.5 * F.col("total_tokens") / F.col("tokens_avail"))
+    return (tok.crossJoin(F.broadcast(tot))
+            .select("source", "tokens_avail",
+                    F.round(weight, 6).alias("target_weight"),
+                    F.round(weight * 0.5 * F.col("total_tokens"), 6)
+                    .alias("target_tokens"),
+                    F.round(rate, 6).alias("sample_rate"),
+                    F.round(rate * F.col("tokens_avail"), 6)
+                    .alias("achieved_tokens")))

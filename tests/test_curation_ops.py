@@ -143,3 +143,30 @@ def test_shard_shuffle_is_deterministic_partition(spark, sf_dir):
         by_shard[shard].append(pos)
     for shard, poss in by_shard.items():
         assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_mixture_token_budget_recipe_consistency(spark, sf_dir):
+    rows = QUERIES["mixture_token_budget"](spark, sf_dir).collect()
+    assert rows
+    assert sum(r["target_weight"] for r in rows) == pytest.approx(1.0, abs=1e-4)
+    for r in rows:
+        assert 0.0 < r["sample_rate"] <= 1.0
+        expect = min(r["target_tokens"], float(r["tokens_avail"]))
+        assert r["achieved_tokens"] == pytest.approx(expect, rel=1e-4)
+
+
+def test_decontam_embedding_flags_exact_copy(spark, tmp_path):
+    base = [0.5, -0.25, 0.125, 0.75, -0.5, 0.3, -0.1, 0.2]
+    flipped = [-x for x in base]  # different sign cell -> never a candidate
+    rows = ([(0, base, 0)]                       # benchmark
+            + [(100, base, 0), (101, flipped, 0)])  # corpus
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int")
+    d = str(tmp_path / "emb")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    out = {r["vec_id"]: r for r in
+           QUERIES["decontam_embedding_cells"](spark, d).collect()}
+    assert set(out) == {100}
+    assert out[100]["best_bench_id"] == 0
+    assert out[100]["best_cosine"] == pytest.approx(1.0)
+    assert out[100]["n_matches"] == 1
