@@ -170,3 +170,36 @@ def test_decontam_embedding_flags_exact_copy(spark, tmp_path):
     assert out[100]["best_bench_id"] == 0
     assert out[100]["best_cosine"] == pytest.approx(1.0)
     assert out[100]["n_matches"] == 1
+
+
+def _plan(spark, sf_dir, qid):
+    df = QUERIES[qid](spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    return p.split("== Initial Plan ==")[0]
+
+
+def test_gopher_rules_plan_is_shuffle_free(spark, sf_dir):
+    p = _plan(spark, sf_dir, "text_gopher_rules")
+    assert "Exchange" not in p, p
+    assert "BatchEvalPython" not in p
+
+
+def test_chunk_rewrite_plan_has_exactly_two_shuffles(spark, sf_dir):
+    p = _plan(spark, sf_dir, "dedup_chunk_rewrite")
+    assert p.count("Exchange hashpartitioning") == 2, p
+    assert "Exchange SinglePartition" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_shard_shuffle_plan_partitions_by_shard_only(spark, sf_dir):
+    p = _plan(spark, sf_dir, "corpus_shard_shuffle")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Exchange SinglePartition" not in p
+
+
+def test_recall_eval_uses_window_group_limit(spark, sf_dir):
+    # rank-limit pushdown: per-partition top-k BEFORE the qid shuffle,
+    # so the corpus-sized scored relation is never fully shuffled
+    p = _plan(spark, sf_dir, "sim_ann_recall_eval")
+    assert "WindowGroupLimit" in p, p
+    assert "SortMergeJoin" not in p  # all small sides broadcast
