@@ -1284,3 +1284,52 @@ def join_range_bucketed(spark, sf_dir):
             .select("p_id", "user_id", "p_ts",
                     F.coalesce("n_touches", F.lit(0)).cast("bigint")
                     .alias("n_touches")))
+
+
+@query("assign_contiguous_ids", """
+    SELECT doc_id,
+           CAST(row_number() OVER (
+                ORDER BY md5('idseed:' || CAST(doc_id AS VARCHAR)), doc_id)
+             AS BIGINT) AS new_id
+    FROM documents
+""")
+def assign_contiguous_ids(spark, sf_dir):
+    """Contiguous global ID assignment (the scalable zipWithIndex): a
+    dense 1..N enumeration of the corpus in a seeded pseudo-random
+    order, with NO single-partition sort anywhere.
+    ``monotonically_increasing_id`` can't do this (non-contiguous,
+    partition-layout-dependent); a global row_number window would
+    funnel the corpus through one partition.
+
+    The two-phase pattern instead: (1) range-partition by the shuffle
+    key so partitions are key-ordered and each sorts locally —
+    row_number per partition; (2) count rows per partition (a
+    P-row aggregate), prefix-sum those counts into per-partition
+    offsets on the driver-side tiny table, broadcast-join them back,
+    and add.  Global id = partition offset + local rank, exactly the
+    oracle's global row_number, but the wide data only ever moves
+    through the range exchange.  At 100 TB: one range shuffle of
+    (doc_id, key) pairs + one P-row broadcast — this is how every
+    distributed sort-based enumeration (terasort ranking, training
+    shard line numbers) is actually built."""
+    key = F.md5(F.concat(F.lit("idseed:"), F.col("doc_id").cast("string")))
+    keyed = (load_table(spark, sf_dir, "documents")
+             .select("doc_id", key.alias("skey"))
+             .repartitionByRange(8, "skey", "doc_id"))
+    with_pid = keyed.withColumn("pid", F.spark_partition_id())
+    local = with_pid.withColumn(
+        "local_rank",
+        F.row_number().over(
+            Window.partitionBy("pid").orderBy("skey", "doc_id")))
+    offsets = (with_pid.groupBy("pid").agg(F.count("*").alias("n"))
+               .withColumn(
+                   "offset",
+                   F.coalesce(
+                       F.sum("n").over(
+                           Window.orderBy("pid")
+                           .rowsBetween(Window.unboundedPreceding, -1)),
+                       F.lit(0))))
+    return (local.join(F.broadcast(offsets.select("pid", "offset")), "pid")
+            .select("doc_id",
+                    (F.col("offset") + F.col("local_rank")).cast("bigint")
+                    .alias("new_id")))

@@ -203,3 +203,13 @@ def test_recall_eval_uses_window_group_limit(spark, sf_dir):
     p = _plan(spark, sf_dir, "sim_ann_recall_eval")
     assert "WindowGroupLimit" in p, p
     assert "SortMergeJoin" not in p  # all small sides broadcast
+
+
+def test_assign_contiguous_ids_is_dense_permutation(spark, sf_dir):
+    rows = QUERIES["assign_contiguous_ids"](spark, sf_dir).collect()
+    ids = sorted(r["new_id"] for r in rows)
+    assert ids == list(range(1, len(rows) + 1))  # dense, 1..N, no gaps
+    # deterministic across executions (seeded key, not partition layout)
+    again = {r["doc_id"]: r["new_id"]
+             for r in QUERIES["assign_contiguous_ids"](spark, sf_dir).collect()}
+    assert all(again[r["doc_id"]] == r["new_id"] for r in rows)
