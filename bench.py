@@ -79,10 +79,17 @@ HEADLINE = [
     # keep its plan in the per-round audit (VERDICT r1 weak #2)
     "retain_last_n",
     # round-2 curation additions: C4 chunk rewrite, Gopher battery,
-    # ANN recall harness
+    # ANN recall harness, recipe/shard/enumeration/decontam ops
+    # (dedup_survivor_select is deliberately absent: it re-executes the
+    # full portable-minhash + components pipeline, whose stages are
+    # already timed via dedup_minhash_near / dedup_cluster_components)
     "dedup_chunk_rewrite",
     "text_gopher_rules",
     "sim_ann_recall_eval",
+    "mixture_token_budget",
+    "decontam_embedding_cells",
+    "corpus_shard_shuffle",
+    "assign_contiguous_ids",
 ]
 
 
