@@ -1,0 +1,97 @@
+"""End-to-end corpus curation: the pipeline a pretraining data run
+actually materializes, composed from the registry operators' shared
+DataFrame-level cores in their canonical order:
+
+    1. quality gate       — Gopher rule battery (gopher_rules_df)
+    2. sub-document dedup — C4 chunk rewrite (chunk_rewrite_df)
+    3. document dedup     — near-dup survivor selection
+                            (survivor_select_df)
+    4. shuffle-and-shard  — seeded permutation (shard_shuffle_df)
+    5. write              — shard-partitioned parquet, one sorted file
+                            per shard
+
+Each stage is the same plan as its registry query (each oracle-checked
+individually); this module wires them into a single lineage and owns
+the write.  The composition order matters and mirrors published
+pipelines (C4, Gopher, RefinedWeb): quality-filter BEFORE dedup so
+junk can't claim first-occurrence chunk slots, sub-document dedup
+BEFORE document dedup so boilerplate removal exposes near-dups, and
+near-dup clustering runs ON the rewritten text; sharding is computed
+over the FINAL surviving set so positions are dense per shard.
+
+Scale posture: every stage keeps its registry plan's shuffle profile;
+the final write repartitions on the shard id so each shard directory
+gets exactly one file, sorted by in-shard position — the layout a
+sequential training reader wants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def curate_corpus(spark: SparkSession, sf_dir: str, out_dir: str,
+                  min_kept_chunk_frac: float = 0.0) -> DataFrame:
+    """Run the full curation pipeline over ``{sf_dir}/documents.parquet``
+    and write the surviving corpus to ``{out_dir}/corpus`` partitioned
+    by shard.  Returns the per-stage attrition report (one row per
+    stage: documents remaining after it).
+
+    ``min_kept_chunk_frac``: additionally drop documents whose
+    chunk-rewrite retained fraction falls below this bound (0.0 keeps
+    any document with at least one surviving chunk).
+    """
+    from ..plans.similarity import survivor_select_df
+    from ..plans.textops import (chunk_rewrite_df, gopher_rules_df,
+                                 shard_shuffle_df)
+    from ..sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n0 = docs.count()
+
+    # 1. quality gate on the raw corpus.  The required-word rule is
+    # calibrated to this corpus's function words ("the"/"a" — the
+    # synthetic vocabulary has no be/to/of/...); a real run passes the
+    # target language's list, exactly as Gopher does per language.
+    kept = docs.join(
+        gopher_rules_df(docs, stops=["the", "a"])
+        .filter("keep").select("doc_id"), "doc_id", "semi")
+    n1 = kept.count()
+
+    # 2. C4 chunk rewrite over the kept docs only (junk can't claim
+    #    first-occurrence slots); re-expose the rewritten text as
+    #    `text` so downstream stages run on the cleaned corpus
+    rewritten = (chunk_rewrite_df(kept)
+                 .filter(F.col("n_kept") > 0)
+                 .filter(F.col("n_kept")
+                         >= F.lit(min_kept_chunk_frac) * F.col("n_chunks")))
+    rw_docs = rewritten.select("doc_id",
+                               F.col("text_rewritten").alias("text"))
+    n2 = rw_docs.count()
+
+    # 3. near-dup survivor selection ON the rewritten text — chunk
+    #    removal turns shared-boilerplate docs into tighter near-dups,
+    #    which is exactly when survivor selection should see them
+    survivors = survivor_select_df(rw_docs).select("doc_id")
+    deduped = (rewritten.join(survivors, "doc_id", "semi")
+               .localCheckpoint())  # cut lineage: stages 1-3 shouldn't
+    # re-execute once per downstream action (count + shard join + write)
+    n3 = deduped.count()
+
+    # 4-5. seeded shard + dense in-shard position over the FINAL set;
+    # one sorted file per shard directory
+    shards = shard_shuffle_df(deduped.select("doc_id"))
+    final = (deduped.join(shards, "doc_id")
+             .select("doc_id", "shard", "pos", "n_chunks", "n_kept",
+                     F.col("text_rewritten").alias("text")))
+    (final.repartition(F.col("shard"))
+     .sortWithinPartitions("shard", "pos")
+     .write.mode("overwrite").partitionBy("shard")
+     .parquet(f"{out_dir}/corpus"))
+
+    report = spark.createDataFrame(
+        [("input", n0), ("quality_gate", n1), ("chunk_rewrite", n2),
+         ("near_dedup", n3)],
+        "stage string, docs bigint")
+    report.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/report")
+    return report

@@ -434,8 +434,13 @@ def dedup_minhash_portable(spark, sf_dir):
     (band_idx, band_key) only, candidate pairs dedup on the narrow id
     pair before signatures re-join.  Estimates are k/16 rationals —
     exact doubles on both engines."""
-    mins = portable_minhash_sigs(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    return portable_neardup_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def portable_neardup_pairs(docs: DataFrame) -> DataFrame:
+    """DataFrame-level core of ``dedup_minhash_portable`` (docs needs
+    doc_id + text) — composable for the curation pipeline."""
+    mins = portable_minhash_sigs(docs, "doc_id", "text")
     bands = _bands_from_sigs(mins, "doc_id")
     a = bands.select(F.col("b").alias("ba"), F.col("doc_id").alias("doc_a"))
     b = bands.select(F.col("b").alias("bb"), F.col("doc_id").alias("doc_b"))
@@ -1121,12 +1126,19 @@ def dedup_survivor_select(spark, sf_dir):
     partitions are tiny and skew-free.  At 100 TB the heavy text never
     moves: the full row is re-fetched by doc_id only for the survivors
     downstream."""
-    pairs = (dedup_minhash_portable(spark, sf_dir)
+    return survivor_select_df(load_table(spark, sf_dir, "documents"))
+
+
+def survivor_select_df(docs: DataFrame) -> DataFrame:
+    """DataFrame-level core of ``dedup_survivor_select`` (docs needs
+    doc_id + text) — composable for the curation pipeline
+    (operators/curation.py runs it on the quality-filtered, rewritten
+    corpus)."""
+    pairs = (portable_neardup_pairs(docs)
              .select("doc_a", "doc_b").distinct())
     labels = _min_label_components(pairs).withColumnRenamed("label", "lbl")
-    nt = (load_table(spark, sf_dir, "documents")
-          .select("doc_id", F.size(tokens_col()).cast("int")
-                  .alias("n_tokens")))
+    nt = docs.select("doc_id", F.size(tokens_col()).cast("int")
+                     .alias("n_tokens"))
     lab = (nt.join(F.broadcast(labels), "doc_id", "left")
            .select("doc_id",
                    F.coalesce("lbl", "doc_id").alias("cluster_id"),

@@ -1579,6 +1579,13 @@ def dedup_chunk_rewrite(spark, sf_dir):
     corpus-sized).  At 100 TB: two shuffles (fp, doc_id), both on
     uniform keys, payload is chunk text moved exactly twice — the same
     shape as the published suffix-array-free C4 dedup recipes."""
+    return chunk_rewrite_df(_docs(spark, sf_dir))
+
+
+def chunk_rewrite_df(docs: DataFrame) -> DataFrame:
+    """DataFrame-level core of ``dedup_chunk_rewrite`` (docs needs
+    doc_id + text) — composable so the curation pipeline can run it on
+    an already-filtered corpus (operators/curation.py)."""
     t = F.col("t")
     n_chunks = F.floor((F.size(t) - 1) / 30).cast("int")
     chunk_structs = F.transform(
@@ -1586,7 +1593,7 @@ def dedup_chunk_rewrite(spark, sf_dir):
         lambda i: F.struct(
             i.cast("long").alias("idx"),
             F.concat_ws(" ", F.slice(t, i * 30 + 1, 30)).alias("chunk")))
-    flat = (_docs(spark, sf_dir)
+    flat = (docs
             .select("doc_id", tokens_col().alias("t"))
             .filter(F.size("t") > 0)
             .select("doc_id", F.explode(chunk_structs).alias("ch"))
@@ -1661,9 +1668,20 @@ def text_gopher_rules(spark, sf_dir):
     top-token fraction is computed per-row over distinct tokens
     (O(distinct·n) on a ~100-token doc) instead of an explode+groupBy —
     trading a trivial per-row loop for two corpus shuffles."""
+    return gopher_rules_df(_docs(spark, sf_dir))
+
+
+def gopher_rules_df(docs: DataFrame,
+                    stops: list[str] = _GOPHER_STOPS) -> DataFrame:
+    """DataFrame-level core of ``text_gopher_rules`` (docs needs doc_id
+    + text) — composable for the curation pipeline.  ``stops`` is the
+    required-word list behind the stopword-presence rule; the registry
+    query uses Gopher's English list, while a pipeline calibrates it
+    per corpus/language (operators/curation.py passes this synthetic
+    corpus's function words)."""
     toks = F.col("toks")
     n = F.size(toks)
-    df = (_docs(spark, sf_dir)
+    df = (docs
           .select("doc_id", "text", tokens_col().alias("toks"))
           .filter(F.size("toks") > 0))
     mean_wl = F.round(
@@ -1674,7 +1692,7 @@ def text_gopher_rules(spark, sf_dir):
         / n, 6)
     stop_hits = F.size(F.array_intersect(
         F.array_distinct(toks),
-        F.array(*[F.lit(w) for w in _GOPHER_STOPS]))).cast("int")
+        F.array(*[F.lit(w) for w in stops]))).cast("int")
     sym_ratio = F.round(
         (F.regexp_count("text", F.lit("#"))
          + F.regexp_count("text", F.lit(r"\.\.\.")))
@@ -1740,9 +1758,16 @@ def corpus_shard_shuffle(spark, sf_dir):
     shard writer needs anyway (this is `repartition(shard) +
     sortWithinPartitions` expressed as a checkable query).  No global
     single-partition sort anywhere."""
+    return shard_shuffle_df(_docs(spark, sf_dir))
+
+
+def shard_shuffle_df(docs: DataFrame) -> DataFrame:
+    """DataFrame-level core of ``corpus_shard_shuffle`` (needs doc_id)
+    — composable so the curation pipeline shards the FINAL surviving
+    corpus (positions are dense within whatever set is passed in)."""
     key = F.md5(F.concat(F.lit("shuffle-seed-42:"),
                          F.col("doc_id").cast("string")))
-    k = _docs(spark, sf_dir).select(
+    k = docs.select(
         "doc_id", key.alias("skey"),
         ((F.ascii(F.substring(key, 1, 1))
           + F.ascii(F.substring(key, 2, 1))) % _N_SHARDS)

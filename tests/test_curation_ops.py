@@ -213,3 +213,28 @@ def test_assign_contiguous_ids_is_dense_permutation(spark, sf_dir):
     again = {r["doc_id"]: r["new_id"]
              for r in QUERIES["assign_contiguous_ids"](spark, sf_dir).collect()}
     assert all(again[r["doc_id"]] == r["new_id"] for r in rows)
+
+
+def test_curate_corpus_end_to_end(spark, sf_dir, tmp_path):
+    from mental_health_bigdata_project_spark.operators.curation import (
+        curate_corpus)
+    out = str(tmp_path / "curated")
+    report = {r["stage"]: r["docs"] for r in
+              curate_corpus(spark, sf_dir, out).collect()}
+    assert (report["input"] >= report["quality_gate"]
+            >= report["chunk_rewrite"] >= report["near_dedup"] > 0)
+    corpus = spark.read.parquet(f"{out}/corpus")
+    rows = corpus.collect()
+    assert len(rows) == report["near_dedup"]
+    assert all(r["text"] for r in rows)
+    # dense positions per shard over the FINAL surviving set
+    from collections import defaultdict
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r["shard"]].append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # report round-trips from disk
+    again = {r["stage"]: r["docs"] for r in
+             spark.read.parquet(f"{out}/report").collect()}
+    assert again == report
