@@ -1697,11 +1697,24 @@ def gopher_rules_df(docs: DataFrame,
         (F.regexp_count("text", F.lit("#"))
          + F.regexp_count("text", F.lit(r"\.\.\.")))
         / n.cast("double"), 6)
-    top_frac = F.round(
-        F.array_max(F.transform(
-            F.array_distinct(toks),
-            lambda x: F.size(F.filter(toks, lambda y: y == x))))
-        .cast("double") / n, 6)
+    # top token count == longest equal-run of the SORTED token array:
+    # one sort + one linear fold per row, vs the naive
+    # O(distinct * n) count-per-distinct-token form (measured 0.61s ->
+    # ~0.1s at sf0.1; the oracle SQL keeps the naive form — same value)
+    run_state = F.aggregate(
+        F.array_sort(toks),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)))
+            .alias("best")),
+        lambda acc: acc["best"])
+    top_frac = F.round(run_state.cast("double") / n, 6)
     m = df.select(
         "doc_id", n.cast("int").alias("n_words"),
         mean_wl.alias("mean_word_len"), frac_alpha.alias("frac_alpha_words"),
