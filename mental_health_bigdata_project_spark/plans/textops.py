@@ -1582,10 +1582,11 @@ def dedup_chunk_rewrite(spark, sf_dir):
     return chunk_rewrite_df(_docs(spark, sf_dir))
 
 
-def chunk_rewrite_df(docs: DataFrame) -> DataFrame:
-    """DataFrame-level core of ``dedup_chunk_rewrite`` (docs needs
-    doc_id + text) — composable so the curation pipeline can run it on
-    an already-filtered corpus (operators/curation.py)."""
+def chunk_fingerprints_df(docs: DataFrame) -> DataFrame:
+    """Explode a corpus into (doc_id, chunk_idx, chunk, fp) rows —
+    non-overlapping 30-token chunks with md5 fingerprints.  Shared by
+    the batch rewrite below and the incremental streaming twin
+    (streaming/chunkdedup.py)."""
     t = F.col("t")
     n_chunks = F.floor((F.size(t) - 1) / 30).cast("int")
     chunk_structs = F.transform(
@@ -1593,7 +1594,7 @@ def chunk_rewrite_df(docs: DataFrame) -> DataFrame:
         lambda i: F.struct(
             i.cast("long").alias("idx"),
             F.concat_ws(" ", F.slice(t, i * 30 + 1, 30)).alias("chunk")))
-    flat = (docs
+    return (docs
             .select("doc_id", tokens_col().alias("t"))
             .filter(F.size("t") > 0)
             .select("doc_id", F.explode(chunk_structs).alias("ch"))
@@ -1601,6 +1602,13 @@ def chunk_rewrite_df(docs: DataFrame) -> DataFrame:
                     F.col("ch.idx").alias("chunk_idx"),
                     F.col("ch.chunk").alias("chunk"),
                     F.md5(F.col("ch.chunk")).alias("fp")))
+
+
+def chunk_rewrite_df(docs: DataFrame) -> DataFrame:
+    """DataFrame-level core of ``dedup_chunk_rewrite`` (docs needs
+    doc_id + text) — composable so the curation pipeline can run it on
+    an already-filtered corpus (operators/curation.py)."""
+    flat = chunk_fingerprints_df(docs)
     rn = F.row_number().over(
         Window.partitionBy("fp").orderBy("doc_id", "chunk_idx"))
     ranked = flat.select("doc_id", "chunk_idx", "chunk", rn.alias("rn"))

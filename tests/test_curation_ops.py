@@ -238,3 +238,68 @@ def test_curate_corpus_end_to_end(spark, sf_dir, tmp_path):
     again = {r["stage"]: r["docs"] for r in
              spark.read.parquet(f"{out}/report").collect()}
     assert again == report
+
+
+def test_incremental_chunk_dedup_batches(spark, tmp_path):
+    from mental_health_bigdata_project_spark.streaming import chunkdedup
+
+    out, idx = str(tmp_path / "out"), str(tmp_path / "idx")
+
+    def _docs_df(rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    # batch 0: doc1 owns A and B; doc3 is wholly block A -> vanishes
+    chunkdedup.rewrite_batch_against_index(
+        _docs_df([(1, BLOCK_A + " " + BLOCK_B), (3, BLOCK_A)]), 0, out, idx)
+    acc0 = {r["doc_id"]: r for r in
+            spark.read.parquet(f"{out}/accepted").collect()}
+    assert set(acc0) == {1}
+    assert acc0[1]["text"] == BLOCK_A + " " + BLOCK_B
+
+    # batch 1: doc5 = B + C; B blocked by the index, C survives
+    chunkdedup.rewrite_batch_against_index(
+        _docs_df([(5, BLOCK_B + " " + BLOCK_C)]), 1, out, idx)
+    acc = {r["doc_id"]: r for r in
+           spark.read.parquet(f"{out}/accepted").collect()}
+    assert set(acc) == {1, 5}
+    assert acc[5]["text"] == BLOCK_C and acc[5]["n_kept"] == 1
+
+    # crash-retry replay of batch 1: identical state, no duplicates
+    chunkdedup.rewrite_batch_against_index(
+        _docs_df([(5, BLOCK_B + " " + BLOCK_C)]), 1, out, idx)
+    rows = spark.read.parquet(f"{out}/accepted").collect()
+    assert {r["doc_id"] for r in rows} == {1, 5} and len(rows) == 2
+
+
+def test_incremental_chunk_dedup_streaming_matches_batch(spark, tmp_path):
+    import json as _json
+    import time as _time
+    from mental_health_bigdata_project_spark.streaming import chunkdedup
+    from mental_health_bigdata_project_spark.plans.textops import (
+        chunk_rewrite_df)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    with open(in_dir / "b0.json", "w") as f:
+        f.write(_json.dumps({"doc_id": 1,
+                             "text": BLOCK_A + " " + BLOCK_B}) + "\n")
+    _time.sleep(1.1)  # distinct mtime so the file source splits batches
+    with open(in_dir / "b1.json", "w") as f:
+        f.write(_json.dumps({"doc_id": 5,
+                             "text": BLOCK_A + " " + BLOCK_C}) + "\n")
+
+    q = chunkdedup.stream_chunk_dedup(
+        spark, str(in_dir), str(tmp_path / "out"), str(tmp_path / "idx"),
+        str(tmp_path / "ckpt"))
+    q.awaitTermination(60)
+
+    got = {r["doc_id"]: r["text"] for r in
+           spark.read.parquet(str(tmp_path / "out" / "accepted")).collect()}
+    # equivalent one-shot batch rewrite over the same docs, in the same
+    # arrival order (doc_id order == batch order here)
+    batch = chunk_rewrite_df(spark.createDataFrame(
+        [(1, BLOCK_A + " " + BLOCK_B), (5, BLOCK_A + " " + BLOCK_C)],
+        "doc_id bigint, text string"))
+    want = {r["doc_id"]: r["text_rewritten"]
+            for r in batch.filter("n_kept > 0").collect()}
+    assert got == want
