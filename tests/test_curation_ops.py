@@ -303,3 +303,36 @@ def test_incremental_chunk_dedup_streaming_matches_batch(spark, tmp_path):
     want = {r["doc_id"]: r["text_rewritten"]
             for r in batch.filter("n_kept > 0").collect()}
     assert got == want
+
+
+def test_curation_ops_on_degenerate_docs(spark, tmp_path):
+    # null text, empty text, whitespace-only, single token: none may
+    # crash; text-dependent ops drop them, id-only ops keep them
+    d = _write_docs(spark, tmp_path, [(1, GOOD)])
+    # _write_docs computes len(t); add degenerate rows manually
+    extra = spark.createDataFrame(
+        [(90, None, "en", "src0", 0), (91, "", "en", "src0", 0),
+         (92, "   ", "en", "src0", 3), (93, "lone", "en", "src0", 4)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint")
+    extra.write.mode("append").parquet(f"{d}/documents.parquet")
+
+    gopher = {r["doc_id"] for r in
+              QUERIES["text_gopher_rules"](spark, d).collect()}
+    assert gopher == {1, 93}  # null/empty/ws filtered; 'lone' scored
+
+    rewrite = {r["doc_id"]: r for r in
+               QUERIES["dedup_chunk_rewrite"](spark, d).collect()}
+    assert set(rewrite) == {1, 93}
+    assert rewrite[93]["text_rewritten"] == "lone"
+
+    shards = {r["doc_id"] for r in
+              QUERIES["corpus_shard_shuffle"](spark, d).collect()}
+    assert shards == {1, 90, 91, 92, 93}  # id-only: every doc sharded
+
+    surv = {r["doc_id"] for r in
+            QUERIES["dedup_survivor_select"](spark, d).collect()}
+    assert surv == {1, 90, 91, 92, 93}  # all singletons survive
+
+    ids = {r["doc_id"] for r in
+           QUERIES["assign_contiguous_ids"](spark, d).collect()}
+    assert ids == {1, 90, 91, 92, 93}
