@@ -1851,3 +1851,81 @@ def mixture_token_budget(spark, sf_dir):
                     F.round(rate, 6).alias("sample_rate"),
                     F.round(rate * F.col("tokens_avail"), 6)
                     .alias("achieved_tokens")))
+
+
+_GOPHER_RULE_NAMES = ["r_word_count", "r_mean_word_len", "r_alpha_words",
+                      "r_stopwords", "r_symbol_ratio", "r_top_token"]
+
+
+@query("quality_rule_funnel", f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents
+               WHERE len({_TOKS_SQL}) > 0),
+    m AS (SELECT doc_id,
+                 CAST(len(toks) AS INTEGER) AS n_words,
+                 round(CAST(list_sum(list_transform(toks, x -> len(x)))
+                            AS DOUBLE) / len(toks), 6) AS mean_word_len,
+                 round(CAST(len(list_filter(toks,
+                            x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                       / len(toks), 6) AS frac_alpha_words,
+                 CAST(len(list_intersect(list_distinct(toks),
+                      [{', '.join("'" + w + "'" for w in _GOPHER_STOPS)}]))
+                      AS INTEGER) AS n_stop_hits,
+                 round((len(regexp_extract_all(text, '#'))
+                        + len(regexp_extract_all(text, '\\.\\.\\.')))
+                       / CAST(len(toks) AS DOUBLE), 6) AS symbol_ratio,
+                 round(CAST(list_max(list_transform(list_distinct(toks),
+                            x -> len(list_filter(toks, y -> y = x))))
+                            AS DOUBLE) / len(toks), 6) AS top_token_frac
+          FROM t),
+    r AS (SELECT doc_id,
+                 CAST(n_words BETWEEN 50 AND 100000 AS INTEGER) AS r_word_count,
+                 CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS INTEGER) AS r_mean_word_len,
+                 CAST(frac_alpha_words >= 0.8 AS INTEGER) AS r_alpha_words,
+                 CAST(n_stop_hits >= 2 AS INTEGER) AS r_stopwords,
+                 CAST(symbol_ratio < 0.1 AS INTEGER) AS r_symbol_ratio,
+                 CAST(top_token_frac <= 0.2 AS INTEGER) AS r_top_token
+          FROM m),
+    s AS (SELECT *,
+                 (r_word_count + r_mean_word_len + r_alpha_words
+                  + r_stopwords + r_symbol_ratio + r_top_token) AS n_pass
+          FROM r)
+    SELECT rule,
+           CAST(SUM(1 - pass) AS BIGINT) AS n_failing,
+           CAST(SUM(CASE WHEN pass = 0 AND n_pass = 5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sole_blocker,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM (
+      SELECT 'r_word_count' AS rule, r_word_count AS pass, n_pass FROM s
+      UNION ALL SELECT 'r_mean_word_len', r_mean_word_len, n_pass FROM s
+      UNION ALL SELECT 'r_alpha_words', r_alpha_words, n_pass FROM s
+      UNION ALL SELECT 'r_stopwords', r_stopwords, n_pass FROM s
+      UNION ALL SELECT 'r_symbol_ratio', r_symbol_ratio, n_pass FROM s
+      UNION ALL SELECT 'r_top_token', r_top_token, n_pass FROM s)
+    GROUP BY rule
+""")
+def quality_rule_funnel(spark, sf_dir):
+    """The filter-tuning scorecard for the Gopher battery: per rule,
+    how many documents fail it (`n_failing`) and how many fail ONLY it
+    (`n_sole_blocker` — docs the corpus would gain back if just that
+    threshold were relaxed).  This marginal-kill view is what every
+    curation tuning session actually needs — total kill rates overstate
+    a rule's cost when failures overlap.
+
+    Plan shape: the per-doc rule bits come from the same shuffle-free
+    battery as text_gopher_rules; the funnel unpivots six bits per doc
+    with stack() (an Expand — no extra scan) into one 6-group hash
+    agg.  At 100 TB: one scan, one metadata-sized aggregate."""
+    rules_df = gopher_rules_df(_docs(spark, sf_dir))
+    bits = [F.col(r).cast("int").alias(r) for r in _GOPHER_RULE_NAMES]
+    s = rules_df.select("doc_id", *bits).withColumn(
+        "n_pass", sum(F.col(r) for r in _GOPHER_RULE_NAMES))
+    stack_expr = "stack({}, {}) AS (rule, pass)".format(
+        len(_GOPHER_RULE_NAMES),
+        ", ".join(f"'{r}', {r}" for r in _GOPHER_RULE_NAMES))
+    return (s.selectExpr(stack_expr, "n_pass")
+            .groupBy("rule")
+            .agg(F.sum(1 - F.col("pass")).cast("bigint").alias("n_failing"),
+                 F.sum(F.when((F.col("pass") == 0) & (F.col("n_pass") == 5),
+                              1).otherwise(0)).cast("bigint")
+                 .alias("n_sole_blocker"),
+                 F.count("*").cast("bigint").alias("n_docs")))

@@ -336,3 +336,20 @@ def test_curation_ops_on_degenerate_docs(spark, tmp_path):
     ids = {r["doc_id"] for r in
            QUERIES["assign_contiguous_ids"](spark, d).collect()}
     assert ids == {1, 90, 91, 92, 93}
+
+
+def test_quality_rule_funnel_marginals_consistent(spark, sf_dir):
+    funnel = {r["rule"]: r for r in
+              QUERIES["quality_rule_funnel"](spark, sf_dir).collect()}
+    rules = QUERIES["text_gopher_rules"](spark, sf_dir).collect()
+    names = ["r_word_count", "r_mean_word_len", "r_alpha_words",
+             "r_stopwords", "r_symbol_ratio", "r_top_token"]
+    assert set(funnel) == set(names)
+    for name in names:
+        failing = sum(1 for r in rules if not r[name])
+        sole = sum(1 for r in rules
+                   if not r[name] and all(r[o] for o in names if o != name))
+        assert funnel[name]["n_failing"] == failing
+        assert funnel[name]["n_sole_blocker"] == sole
+        assert funnel[name]["n_docs"] == len(rules)
+        assert sole <= failing
