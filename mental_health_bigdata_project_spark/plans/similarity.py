@@ -1215,3 +1215,91 @@ def decontam_embedding_cells(spark, sf_dir):
                      & (F.col("cosine") == F.col("best_cosine")))
             .groupBy("vec_id", "n_matches", "best_cosine")
             .agg(F.min("bench_id").cast("bigint").alias("best_bench_id")))
+
+
+@query("sim_ann_recall_multiprobe", f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+                      {_CELL_SQL.format(e='embeddings')} AS cell
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, emb AS qe, cell AS qcell
+          FROM e WHERE vec_id < 8),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             round({_COS_SQL.format(a='e.emb', b='q.qe')}, 6) AS cosine,
+             (e.cell = q.qcell) AS probe1,
+             (bit_count(xor(e.cell, q.qcell)) <= 1) AS probe9
+      FROM q JOIN e ON e.vec_id <> q.qid),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, vec_id) AS rn
+        FROM scored) WHERE rn <= 10),
+    ann1 AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, vec_id) AS rn
+        FROM scored WHERE probe1) WHERE rn <= 10),
+    ann9 AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, vec_id) AS rn
+        FROM scored WHERE probe9) WHERE rn <= 10)
+    SELECT x.qid,
+           round(count(a1.vec_id) / 10.0, 6) AS recall_1probe,
+           round(count(a9.vec_id) / 10.0, 6) AS recall_9probe
+    FROM exact x
+    LEFT JOIN ann1 a1 ON a1.qid = x.qid AND a1.vec_id = x.vec_id
+    LEFT JOIN ann9 a9 ON a9.qid = x.qid AND a9.vec_id = x.vec_id
+    GROUP BY x.qid
+""")
+def sim_ann_recall_multiprobe(spark, sf_dir):
+    """Recall@10 of single-bucket vs hamming-1 multi-probe sign-cell
+    ANN, side by side per query vector — the measurement that justifies
+    sim_ann_lsh's 9x candidate fan-in: multi-probe recovers neighbors
+    whose sign pattern differs in exactly one early bit, which
+    single-bucket probing structurally misses.  recall_9probe >=
+    recall_1probe holds by construction (probe-9 candidates are a
+    superset), and the gap is the multi-probe payoff on THIS corpus.
+
+    Same plan skeleton as sim_ann_recall_eval: 8-row broadcast query
+    side, WindowGroupLimit partial top-k per qid before any exchange,
+    metadata-sized joins at the end.  The probe-9 predicate is
+    bit_count(cell XOR qcell) <= 1 — pure integer ops on both
+    engines."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", to_double_array("embedding").alias("emb"),
+        embedding_cell_expr("embedding").alias("cell"))
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qe"),
+        F.col("cell").alias("qcell"))
+    scored = (e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+              .select("qid", "vec_id",
+                      F.round(cosine_similarity(F.col("emb"), F.col("qe")), 6)
+                      .alias("cosine"),
+                      (F.col("cell") == F.col("qcell")).alias("probe1"),
+                      (F.bit_count(F.col("cell").bitwiseXOR(F.col("qcell")))
+                       <= 1).alias("probe9")))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
+    def topk(df):
+        return (df.select("qid", "vec_id",
+                          F.row_number().over(w).alias("rn"))
+                .filter(F.col("rn") <= 10).select("qid", "vec_id"))
+    exact = topk(scored)
+    ann1 = topk(scored.filter("probe1")).select(
+        F.col("qid").alias("q1"), F.col("vec_id").alias("v1"))
+    ann9 = topk(scored.filter("probe9")).select(
+        F.col("qid").alias("q9"), F.col("vec_id").alias("v9"))
+    return (exact
+            .join(F.broadcast(ann1),
+                  (F.col("qid") == F.col("q1"))
+                  & (F.col("vec_id") == F.col("v1")), "left")
+            .join(F.broadcast(ann9),
+                  (F.col("qid") == F.col("q9"))
+                  & (F.col("vec_id") == F.col("v9")), "left")
+            .groupBy("qid")
+            .agg(F.round(F.count("v1") / 10.0, 6).alias("recall_1probe"),
+                 F.round(F.count("v9") / 10.0, 6).alias("recall_9probe")))

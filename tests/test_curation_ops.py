@@ -353,3 +353,13 @@ def test_quality_rule_funnel_marginals_consistent(spark, sf_dir):
         assert funnel[name]["n_sole_blocker"] == sole
         assert funnel[name]["n_docs"] == len(rules)
         assert sole <= failing
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    rows = QUERIES["sim_ann_recall_multiprobe"](spark, sf_dir).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert 0.0 <= r["recall_1probe"] <= r["recall_9probe"] <= 1.0
+    # on this corpus multi-probe must actually add recall somewhere,
+    # otherwise the harness measures nothing
+    assert any(r["recall_9probe"] > r["recall_1probe"] for r in rows)
