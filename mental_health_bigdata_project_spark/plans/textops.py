@@ -1571,14 +1571,15 @@ def dedup_chunk_rewrite(spark, sf_dir):
     stage a pretraining pipeline runs.
 
     Plan shape: one scan explodes chunks (rows ~= corpus tokens / 30);
-    the first-occurrence rule is one row_number window partitioned by
-    fingerprint — fp is a high-cardinality md5, so the window shuffle is
-    hash-partitioned with no skew and each partition sorts a handful of
-    rows; the rebuild is one groupBy(doc_id) whose collect_list holds a
-    single document's chunks (bounded by max doc length, never
-    corpus-sized).  At 100 TB: two shuffles (fp, doc_id), both on
-    uniform keys, payload is chunk text moved exactly twice — the same
-    shape as the published suffix-array-free C4 dedup recipes."""
+    the first-occurrence rule is a map-side-combinable
+    min(struct(doc_id, chunk_idx)) per fingerprint joined back on fp
+    (skew-safe even when one boilerplate chunk dominates the corpus —
+    see chunk_rewrite_df); the rebuild is one groupBy(doc_id) whose
+    collect_list holds a single document's chunks (bounded by max doc
+    length, never corpus-sized).  At 100 TB: one narrow fp-partials
+    shuffle + the fp join + the doc_id regroup — chunk text moves
+    exactly twice, the same shape as the published suffix-array-free
+    C4 dedup recipes."""
     return chunk_rewrite_df(_docs(spark, sf_dir))
 
 
@@ -1607,16 +1608,30 @@ def chunk_fingerprints_df(docs: DataFrame) -> DataFrame:
 def chunk_rewrite_df(docs: DataFrame) -> DataFrame:
     """DataFrame-level core of ``dedup_chunk_rewrite`` (docs needs
     doc_id + text) — composable so the curation pipeline can run it on
-    an already-filtered corpus (operators/curation.py)."""
+    an already-filtered corpus (operators/curation.py).
+
+    The first-occurrence rule is a map-side-combinable
+    min(struct(doc_id, chunk_idx)) aggregate joined back on fp — NOT a
+    row_number window partitioned by fp: a boilerplate-heavy corpus
+    makes hot fingerprints (a license block repeated billions of
+    times), and a window would funnel every instance of a hot fp into
+    one partition's sort with no AQE skew relief.  The aggregate
+    collapses hot fps to one row per map task before its (narrow)
+    shuffle, and the join back is a plain fp-key join AQE can
+    skew-split or broadcast."""
     flat = chunk_fingerprints_df(docs)
-    rn = F.row_number().over(
-        Window.partitionBy("fp").orderBy("doc_id", "chunk_idx"))
-    ranked = flat.select("doc_id", "chunk_idx", "chunk", rn.alias("rn"))
+    firsts = flat.groupBy("fp").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("first"))
+    ranked = flat.join(firsts, "fp").select(
+        "doc_id", "chunk_idx", "chunk",
+        ((F.col("doc_id") == F.col("first.doc_id"))
+         & (F.col("chunk_idx") == F.col("first.chunk_idx")))
+        .alias("is_first"))
     kept = F.array_sort(F.collect_list(
-        F.when(F.col("rn") == 1, F.struct("chunk_idx", "chunk"))))
+        F.when(F.col("is_first"), F.struct("chunk_idx", "chunk"))))
     return ranked.groupBy("doc_id").agg(
         F.count("*").cast("int").alias("n_chunks"),
-        F.sum((F.col("rn") == 1).cast("int")).cast("int").alias("n_kept"),
+        F.sum(F.col("is_first").cast("int")).cast("int").alias("n_kept"),
         F.array_join(F.transform(kept, lambda s: s["chunk"]), " ")
         .alias("text_rewritten"))
 

@@ -3,7 +3,7 @@
 The streaming face of plans/textops.dedup_chunk_rewrite: each
 micro-batch's documents are rewritten to drop every 30-token chunk
 whose fingerprint was already retained — by an earlier batch (persisted
-fp index) or earlier in this batch (first-occurrence window).  A
+fp index) or earlier in this batch (first-occurrence rule).  A
 document whose every chunk is boilerplate disappears entirely.
 
 Design (foreachBatch + a persisted fingerprint index, NOT per-row
@@ -27,7 +27,6 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.window import Window
 
 from ..plans.textops import chunk_fingerprints_df
 
@@ -53,11 +52,14 @@ def rewrite_batch_against_index(batch_df: DataFrame, batch_id: int,
     if seen is not None:
         flat = flat.join(seen, "fp", "left_anti")
 
-    # within-batch first-occurrence rule (same window as the batch
-    # rewrite: ordered by doc_id then chunk position)
-    rn = F.row_number().over(
-        Window.partitionBy("fp").orderBy("doc_id", "chunk_idx"))
-    kept = (flat.withColumn("rn", rn).filter(F.col("rn") == 1)
+    # within-batch first-occurrence rule: the same skew-safe
+    # min(struct) aggregate as the batch rewrite (hot fingerprints
+    # collapse map-side instead of piling into one window partition)
+    firsts = flat.groupBy("fp").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("first"))
+    kept = (flat.join(firsts, "fp")
+            .filter((F.col("doc_id") == F.col("first.doc_id"))
+                    & (F.col("chunk_idx") == F.col("first.chunk_idx")))
             .select("doc_id", "chunk_idx", "chunk", "fp"))
 
     rebuilt = (kept.groupBy("doc_id")

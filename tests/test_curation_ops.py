@@ -185,9 +185,13 @@ def test_gopher_rules_plan_is_shuffle_free(spark, sf_dir):
 
 
 def test_chunk_rewrite_plan_has_exactly_two_shuffles(spark, sf_dir):
+    # fp-partials agg + doc_id regroup; the first-occurrence rule must
+    # be the skew-safe min(struct) aggregate, never a window (a hot
+    # boilerplate fp would pile into one un-splittable sort partition)
     p = _plan(spark, sf_dir, "dedup_chunk_rewrite")
     assert p.count("Exchange hashpartitioning") == 2, p
     assert "Exchange SinglePartition" not in p
+    assert "Window" not in p, p
     assert "BatchEvalPython" not in p
 
 
