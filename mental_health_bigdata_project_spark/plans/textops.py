@@ -206,15 +206,18 @@ def doc_fingerprint(spark, sf_dir):
 """)
 def dedup_exact_docs(spark, sf_dir):
     """Exact near-copy removal: hash-groupBy on the content fingerprint,
-    deterministic survivor (min doc_id).  At 100 TB this is the standard
-    first dedup pass — one shuffle on the 128-bit hash."""
+    deterministic survivor (min doc_id).  The survivor rule is a plain
+    min(doc_id) AGGREGATE, not a row_number window: aggregates combine
+    map-side, so even a fingerprint shared by billions of rows (empty
+    docs, a boilerplate page) collapses to one row per map task before
+    the shuffle — a window would sort all of them in one partition
+    with no AQE skew relief.  At 100 TB this is the standard first
+    dedup pass: one narrow shuffle on the 128-bit hash."""
     df = _docs(spark, sf_dir).select(
         "doc_id", F.md5(clean_text(F.col("text"))).alias("fingerprint"))
-    w = Window.partitionBy("fingerprint").orderBy("doc_id")
-    return (
-        df.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1).drop("rn")
-    )
+    return (df.groupBy("fingerprint")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id", "fingerprint"))
 
 
 @query("dedup_ngram_jaccard", f"""
@@ -335,7 +338,9 @@ def pipeline_training_data(spark, sf_dir):
     Plan shape at 100 TB: a single scan computes tokens/quality/
     fingerprint in one projection (all codegen'd); the quality gate
     filters BEFORE the dedup shuffle so only surviving docs are hashed
-    across the cluster; the one exchange is the fingerprint window.
+    across the cluster; the one exchange is the fingerprint aggregate
+    (min(struct) survivor — map-side combinable, so a hot fingerprint
+    collapses per task instead of piling into a window sort).
     Composes the same expressions as text_quality_score/dedup_exact_docs
     — this query exists to prove they fuse into one pipeline without
     materialization barriers."""
@@ -354,13 +359,13 @@ def pipeline_training_data(spark, sf_dir):
         .withColumn("quality", quality)
         .filter(F.col("quality") >= 0.5)
     )
-    w = Window.partitionBy("fingerprint").orderBy("doc_id")
     return (
-        gated.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "lang",
-                F.size("toks").cast("int").alias("n_tokens"),
-                F.round("quality", 6).alias("quality"))
+        gated.select("fingerprint", F.struct(
+            "doc_id", "lang",
+            F.size("toks").cast("int").alias("n_tokens"),
+            F.round("quality", 6).alias("quality")).alias("row"))
+        .groupBy("fingerprint").agg(F.min("row").alias("row"))
+        .select("row.doc_id", "row.lang", "row.n_tokens", "row.quality")
     )
 
 
