@@ -257,13 +257,15 @@ def dedup_by_id(spark, sf_dir):
     (ts, event_id) per user.  dropDuplicates would be order-dependent;
     row_number pins the survivor.  Streaming twin:
     streaming.dedup.watermarked_dedup (bounded state)."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # earliest-(ts, event_id) survivor as a min(struct) aggregate —
+    # map-side combinable, so a hot user_id (power users at corpus
+    # scale) collapses per task instead of sorting in one window
+    # partition
     return (
         _events(spark, sf_dir)
-        .select("user_id", "event_id", "ts")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        .select("user_id", F.struct("ts", "event_id").alias("r"))
+        .groupBy("user_id").agg(F.min("r").alias("r"))
+        .select("user_id", "r.event_id", "r.ts")
     )
 
 

@@ -105,10 +105,10 @@ def multimodal_dedup_bytes(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     payloads = with_binary_payload(docs).select(
         "doc_id", F.sha2("payload", 256).alias("content_sha"))
-    w = Window.partitionBy("content_sha").orderBy("doc_id")
-    return (payloads
-            .withColumn("n_copies", F.count("*").over(
-                Window.partitionBy("content_sha")))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+    # survivor + copy count as ONE map-side-combinable aggregate (a
+    # window would sort every copy of a hot digest in one partition —
+    # and identical files DOMINATE web-scraped media dups)
+    return (payloads.groupBy("content_sha")
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.count("*").alias("n_copies"))
             .select("content_sha", "doc_id", "n_copies"))
