@@ -367,3 +367,20 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     # on this corpus multi-probe must actually add recall somewhere,
     # otherwise the harness measures nothing
     assert any(r["recall_9probe"] > r["recall_1probe"] for r in rows)
+
+
+def test_dedup_survivors_under_hot_fingerprint(spark, tmp_path):
+    # 200 identical docs — one fingerprint owns the whole corpus (the
+    # skew case the aggregate survivors exist for); doc 7 is distinct
+    rows = [(i, BLOCK_A) for i in range(200)] + [(777, BLOCK_B)]
+    d = _write_docs(spark, tmp_path, rows)
+
+    exact = QUERIES["dedup_exact_docs"](spark, d).collect()
+    assert sorted(r["doc_id"] for r in exact) == [0, 777]
+
+    rewrite = {r["doc_id"]: r for r in
+               QUERIES["dedup_chunk_rewrite"](spark, d).collect()}
+    assert rewrite[0]["text_rewritten"] == BLOCK_A   # first occurrence
+    assert rewrite[777]["text_rewritten"] == BLOCK_B
+    assert all(r["n_kept"] == 0 for i, r in rewrite.items()
+               if i not in (0, 777))
