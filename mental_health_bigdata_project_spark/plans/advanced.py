@@ -1313,9 +1313,13 @@ def assign_contiguous_ids(spark, sf_dir):
     distributed sort-based enumeration (terasort ranking, training
     shard line numbers) is actually built."""
     key = F.md5(F.concat(F.lit("idseed:"), F.col("doc_id").cast("string")))
+    # range-partition count follows the session's shuffle parallelism —
+    # the result is partitioning-invariant (offsets absorb boundary
+    # placement), so this is purely a throughput knob
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     keyed = (load_table(spark, sf_dir, "documents")
              .select("doc_id", key.alias("skey"))
-             .repartitionByRange(8, "skey", "doc_id"))
+             .repartitionByRange(n_parts, "skey", "doc_id"))
     with_pid = keyed.withColumn("pid", F.spark_partition_id())
     local = with_pid.withColumn(
         "local_rank",
