@@ -1949,3 +1949,97 @@ def quality_rule_funnel(spark, sf_dir):
                               1).otherwise(0)).cast("bigint")
                  .alias("n_sole_blocker"),
                  F.count("*").cast("bigint").alias("n_docs")))
+
+
+# --- Count-Min Sketch (portable hash family) ------------------------------
+
+_CMS_D, _CMS_W = 4, 64
+
+
+def _cms_bucket_sql(i: int) -> str:
+    h = f"md5(token || ':{i}')"
+    nib = ("(strpos('0123456789abcdef', substr({h}, {p}, 1)) - 1)")
+    return (f"(({nib.format(h=h, p=1)}) * 16 + ({nib.format(h=h, p=2)}))"
+            f" % {_CMS_W}")
+
+
+@query("sketch_cms_token_freq", f"""
+    WITH tok AS (SELECT unnest({_TOKS_SQL}) AS token FROM documents),
+    buckets AS (
+      SELECT token,
+             {', '.join(f'CAST({_cms_bucket_sql(i)} AS INTEGER) AS b{i}'
+                        for i in range(_CMS_D))}
+      FROM tok),
+    cms AS ({' UNION ALL '.join(
+        f"SELECT {i} AS row_i, b{i} AS bucket, count(*) AS n "
+        f"FROM buckets GROUP BY b{i}" for i in range(_CMS_D))}),
+    exact AS (
+      SELECT token, count(*) AS exact_n,
+             {', '.join(f'min(b{i}) AS b{i}' for i in range(_CMS_D))}
+      FROM buckets GROUP BY token),
+    top AS (
+      SELECT * FROM exact
+      ORDER BY exact_n DESC, token LIMIT 20),
+    est AS (
+      SELECT t.token, t.exact_n,
+             LEAST({', '.join(f'c{i}.n' for i in range(_CMS_D))}) AS est_n
+      FROM top t
+      {' '.join(f'JOIN cms c{i} ON c{i}.row_i = {i} AND c{i}.bucket = t.b{i}'
+                for i in range(_CMS_D))})
+    SELECT token, CAST(exact_n AS BIGINT) AS exact_n,
+           CAST(est_n AS BIGINT) AS est_n,
+           CAST(est_n - exact_n AS BIGINT) AS overcount,
+           CAST(est_n >= exact_n AS INTEGER) AS never_undercounts
+    FROM est
+""")
+def sketch_cms_token_freq(spark, sf_dir):
+    """Count-Min Sketch completion of the sketch family (HLL distinct,
+    top-k, quantiles): a d=4 x w=64 CMS over the corpus token stream
+    with an ENGINE-PORTABLE hash family (bucket = first byte of a
+    salted md5, reduced mod w), so sketch construction AND its accuracy
+    audit — estimate vs exact for the top-20 tokens, the one-sided
+    overcount, and the CMS never-undercounts invariant pinned to 1 —
+    hash-match DuckDB value-for-value (the verdict-column technique
+    from the HLL/top-k sketches, ARCHITECTURE §4.4).
+
+    Plan shape: the CMS is d tiny aggregates over the exploded token
+    stream (map-side partials collapse each bucket per task; the
+    sketch itself is d*w = 256 rows — the point of CMS is that this
+    table stays this size at ANY corpus scale); the audit side
+    reuses the exact top-20 (TakeOrdered) and joins the 256-row
+    sketch d times broadcast-style.  At 100 TB the sketch replaces
+    the full token-frequency table wherever an approximate hot-key
+    count suffices (skew pre-detection, heavy-hitter routing)."""
+    toks = (_docs(spark, sf_dir)
+            .select(F.explode(tokens_col()).alias("token")))
+    nib = "(instr('0123456789abcdef', substr({h}, {p}, 1)) - 1)"
+
+    def bucket(i: int):
+        h = f"md5(concat(token, ':{i}'))"
+        return F.expr(
+            f"(({nib.format(h=h, p=1)}) * 16 + ({nib.format(h=h, p=2)}))"
+            f" % {_CMS_W}").cast("int")
+
+    buckets = toks.select(
+        "token", *[bucket(i).alias(f"b{i}") for i in range(_CMS_D)])
+    cms = None
+    for i in range(_CMS_D):
+        c = (buckets.groupBy(F.col(f"b{i}").alias("bucket"))
+             .agg(F.count("*").alias("n"))
+             .select(F.lit(i).alias("row_i"), "bucket", "n"))
+        cms = c if cms is None else cms.unionByName(c)
+    exact = (buckets.groupBy("token")
+             .agg(F.count("*").alias("exact_n"),
+                  *[F.min(f"b{i}").alias(f"b{i}") for i in range(_CMS_D)]))
+    top = exact.orderBy(F.desc("exact_n"), "token").limit(20)
+    est = top
+    for i in range(_CMS_D):
+        ci = cms.filter(F.col("row_i") == i).select(
+            F.col("bucket").alias(f"_bk{i}"), F.col("n").alias(f"_n{i}"))
+        est = est.join(F.broadcast(ci), F.col(f"b{i}") == F.col(f"_bk{i}"))
+    est_n = F.least(*[F.col(f"_n{i}") for i in range(_CMS_D)])
+    return est.select(
+        "token", F.col("exact_n").cast("bigint").alias("exact_n"),
+        est_n.cast("bigint").alias("est_n"),
+        (est_n - F.col("exact_n")).cast("bigint").alias("overcount"),
+        (est_n >= F.col("exact_n")).cast("int").alias("never_undercounts"))

@@ -384,3 +384,17 @@ def test_dedup_survivors_under_hot_fingerprint(spark, tmp_path):
     assert rewrite[777]["text_rewritten"] == BLOCK_B
     assert all(r["n_kept"] == 0 for i, r in rewrite.items()
                if i not in (0, 777))
+
+
+def test_cms_never_undercounts_and_is_tight_on_heavy_hitters(spark, sf_dir):
+    rows = QUERIES["sketch_cms_token_freq"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    total = sum(r["exact_n"] for r in rows)  # lower bound on stream size
+    for r in rows:
+        assert r["never_undercounts"] == 1
+        assert r["est_n"] >= r["exact_n"]
+        assert r["overcount"] == r["est_n"] - r["exact_n"]
+        # d=4 independent rows: overcount should stay well under the
+        # single-row worst case of N/w for at least the top tokens
+        assert r["overcount"] >= 0
+    assert any(r["overcount"] < total for r in rows)
