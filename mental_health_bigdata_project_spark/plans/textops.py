@@ -2043,3 +2043,66 @@ def sketch_cms_token_freq(spark, sf_dir):
         est_n.cast("bigint").alias("est_n"),
         (est_n - F.col("exact_n")).cast("bigint").alias("overcount"),
         (est_n >= F.col("exact_n")).cast("int").alias("never_undercounts"))
+
+
+# --- fill-in-the-middle transform ----------------------------------------
+
+_FIM_NIB = "(strpos('0123456789abcdef', substr({h}, {p}, 1)) - 1)"
+
+
+def _fim_byte_sql(p: int) -> str:
+    h = "md5('fim:' || CAST(doc_id AS VARCHAR))"
+    return (f"(({_FIM_NIB.format(h=h, p=p)}) * 16"
+            f" + ({_FIM_NIB.format(h=h, p=p + 1)}))")
+
+
+@query("transform_fim", f"""
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+               WHERE length(text) >= 30),
+    cuts AS (
+      SELECT doc_id, text, n,
+             1 + ({_fim_byte_sql(1)} % CAST(n // 3 AS INTEGER)) AS s1,
+             CAST(n // 3 AS INTEGER) + 1 + ({_fim_byte_sql(3)} % CAST(n // 3 AS INTEGER)) AS s2
+      FROM d)
+    SELECT doc_id, CAST(s1 AS INTEGER) AS s1, CAST(s2 AS INTEGER) AS s2,
+           '<PRE>' || substr(text, 1, CAST(s1 AS INTEGER))
+             || '<SUF>' || substr(text, CAST(s2 + 1 AS INTEGER))
+             || '<MID>' || substr(text, CAST(s1 + 1 AS INTEGER), CAST(s2 - s1 AS INTEGER)) AS fim_text
+    FROM cuts
+""")
+def transform_fim(spark, sf_dir):
+    """Fill-in-the-middle corpus transform (Bavarian et al. 2022, the
+    PSM format): split each document at two SEEDED pseudo-random
+    character offsets — portable salted-md5 bytes, not rand(), so every
+    run and both engines cut identically — and emit
+    <PRE>prefix<SUF>suffix<MID>middle.  The first cut lands in the
+    first third, the second in the middle third, so all three spans are
+    non-empty; docs under 30 chars pass through untransformed
+    (filtered here; a real run unions them back).
+
+    Plan shape: pure per-row string arithmetic inside the scan
+    projection — zero shuffles, zero Python; the FIM pass over 100 TB
+    is scan-bound, which is why it is applied on the fly per epoch in
+    production pipelines."""
+    docs = (_docs(spark, sf_dir)
+            .select("doc_id", "text", F.length("text").alias("n"))
+            .filter(F.col("n") >= 30))
+    nib = "(instr('0123456789abcdef', substr({h}, {p}, 1)) - 1)"
+
+    def byte(p: int):
+        h = "md5(concat('fim:', CAST(doc_id AS STRING)))"
+        return F.expr(f"(({nib.format(h=h, p=p)}) * 16"
+                      f" + ({nib.format(h=h, p=p + 1)}))")
+
+    third = (F.col("n") / 3).cast("int")
+    cuts = docs.select(
+        "doc_id", "text", "n",
+        (F.lit(1) + byte(1) % third).alias("s1"),
+        (third + 1 + byte(3) % third).alias("s2"))
+    fim = F.concat(
+        F.lit("<PRE>"), F.expr("substr(text, 1, s1)"),
+        F.lit("<SUF>"), F.expr("substr(text, s2 + 1)"),
+        F.lit("<MID>"), F.expr("substr(text, s1 + 1, s2 - s1)"))
+    return cuts.select("doc_id", F.col("s1").cast("int").alias("s1"),
+                       F.col("s2").cast("int").alias("s2"),
+                       fim.alias("fim_text"))

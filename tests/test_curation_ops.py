@@ -398,3 +398,19 @@ def test_cms_never_undercounts_and_is_tight_on_heavy_hitters(spark, sf_dir):
         # single-row worst case of N/w for at least the top tokens
         assert r["overcount"] >= 0
     assert any(r["overcount"] < total for r in rows)
+
+
+def test_fim_transform_spans_reassemble(spark, sf_dir):
+    rows = QUERIES["transform_fim"](spark, sf_dir).collect()
+    assert rows
+    docs = {r["doc_id"]: r["text"] for r in
+            spark.read.parquet(f"{sf_dir}/documents.parquet").collect()}
+    for r in rows[:50]:
+        text, s1, s2 = docs[r["doc_id"]], r["s1"], r["s2"]
+        assert 0 < s1 < s2 < len(text)  # all three spans non-empty
+        pre, mid, suf = text[:s1], text[s1:s2], text[s2:]
+        assert r["fim_text"] == f"<PRE>{pre}<SUF>{suf}<MID>{mid}"
+    # seeded: identical across runs
+    again = {r["doc_id"]: r["fim_text"] for r in
+             QUERIES["transform_fim"](spark, sf_dir).collect()}
+    assert all(again[r["doc_id"]] == r["fim_text"] for r in rows)
