@@ -2106,3 +2106,95 @@ def transform_fim(spark, sf_dir):
     return cuts.select("doc_id", F.col("s1").cast("int").alias("s1"),
                        F.col("s2").cast("int").alias("s2"),
                        fim.alias("fim_text"))
+
+
+@query("transform_span_corruption", f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    sized AS (
+      SELECT doc_id, t, len(t) AS n,
+             CAST(len(t) // 20 AS INTEGER) AS blocks
+      FROM d WHERE len(t) >= 20),
+    offs AS (
+      SELECT doc_id, t, n, blocks,
+             list_transform(range(0, blocks), k ->
+               ((strpos('0123456789abcdef',
+                        substr(md5('sc:' || CAST(doc_id AS VARCHAR)
+                                   || ':' || CAST(k AS VARCHAR)), 1, 1)) - 1)
+                * 16
+                + (strpos('0123456789abcdef',
+                          substr(md5('sc:' || CAST(doc_id AS VARCHAR)
+                                     || ':' || CAST(k AS VARCHAR)), 2, 1)) - 1)
+               ) % 18) AS offs
+      FROM sized)
+    SELECT doc_id,
+           CAST(blocks * 3 AS INTEGER) AS n_masked,
+           array_to_string(list_transform(range(0, blocks), k ->
+             trim(coalesce(array_to_string(
+                      t[k * 20 + 1 : k * 20 + offs[k + 1]], ' '), '')
+                  || ' <extra_id_' || CAST(k AS VARCHAR) || '> '
+                  || coalesce(array_to_string(
+                      t[k * 20 + offs[k + 1] + 4 : (k + 1) * 20], ' '), ''))),
+             ' ')
+             || CASE WHEN n > blocks * 20
+                     THEN ' ' || array_to_string(t[blocks * 20 + 1 : n], ' ')
+                     ELSE '' END AS corrupted,
+           array_to_string(list_transform(range(0, blocks), k ->
+             '<extra_id_' || CAST(k AS VARCHAR) || '> '
+             || array_to_string(t[k * 20 + offs[k + 1] + 1
+                                  : k * 20 + offs[k + 1] + 3], ' ')), ' ')
+             AS targets
+    FROM offs
+""")
+def transform_span_corruption(spark, sf_dir):
+    """T5-style span-corruption data prep (Raffel et al. 2020): mask a
+    3-token span per 20-token block — span offsets are seeded portable
+    md5 bytes, and block-locality makes spans overlap-free BY
+    CONSTRUCTION (offset <= 17, so a span never crosses its block) —
+    emitting the corrupted text with <extra_id_k> sentinels and the
+    target sequence of sentinel-prefixed masked spans.  ~15% mask rate
+    (3/20), the published default.
+
+    Plan shape: per-row array slicing inside one scan projection —
+    zero shuffles, zero Python, fully whole-stage-codegen'd; like the
+    FIM transform this runs per epoch at scan speed in production."""
+    toks = tokens_col()
+    sized = (_docs(spark, sf_dir)
+             .select("doc_id", toks.alias("t"))
+             .withColumn("n", F.size("t"))
+             .filter(F.col("n") >= 20)
+             .withColumn("blocks", F.floor(F.col("n") / 20).cast("int")))
+
+    def off(k):
+        h = F.md5(F.concat(F.lit("sc:"), F.col("doc_id").cast("string"),
+                           F.lit(":"), k.cast("string")))
+        return (F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % 18)
+
+    offs = sized.withColumn(
+        "offs", F.transform(F.sequence(F.lit(0), F.col("blocks") - 1), off))
+    t, o = F.col("t"), F.col("offs")
+    corrupted_blocks = F.transform(
+        F.sequence(F.lit(0), F.col("blocks") - 1),
+        lambda k: F.trim(F.concat(
+            F.concat_ws(" ", F.slice(t, k * 20 + 1,
+                                     F.element_at(o, k + 1))),
+            F.lit(" <extra_id_"), k.cast("string"), F.lit("> "),
+            F.concat_ws(" ", F.slice(
+                t, k * 20 + F.element_at(o, k + 1) + 4,
+                20 - F.element_at(o, k + 1) - 3)))))
+    tail = F.when(
+        F.col("n") > F.col("blocks") * 20,
+        F.concat(F.lit(" "), F.concat_ws(" ", F.slice(
+            t, F.col("blocks") * 20 + 1,
+            F.col("n") - F.col("blocks") * 20)))).otherwise(F.lit(""))
+    target_blocks = F.transform(
+        F.sequence(F.lit(0), F.col("blocks") - 1),
+        lambda k: F.concat(
+            F.lit("<extra_id_"), k.cast("string"), F.lit("> "),
+            F.concat_ws(" ", F.slice(
+                t, k * 20 + F.element_at(o, k + 1) + 1, 3))))
+    return offs.select(
+        "doc_id", (F.col("blocks") * 3).cast("int").alias("n_masked"),
+        F.concat(F.array_join(corrupted_blocks, " "), tail)
+        .alias("corrupted"),
+        F.array_join(target_blocks, " ").alias("targets"))

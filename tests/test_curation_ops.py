@@ -414,3 +414,25 @@ def test_fim_transform_spans_reassemble(spark, sf_dir):
     again = {r["doc_id"]: r["fim_text"] for r in
              QUERIES["transform_fim"](spark, sf_dir).collect()}
     assert all(again[r["doc_id"]] == r["fim_text"] for r in rows)
+
+
+def test_span_corruption_masks_and_targets_align(spark, sf_dir):
+    import re
+    rows = QUERIES["transform_span_corruption"](spark, sf_dir).collect()
+    assert rows
+    docs = {r["doc_id"]: r["text"] for r in
+            spark.read.parquet(f"{sf_dir}/documents.parquet").collect()}
+    for r in rows[:50]:
+        toks = docs[r["doc_id"]].lower().split()
+        blocks = len(toks) // 20
+        assert r["n_masked"] == blocks * 3
+        sentinels = re.findall(r"<extra_id_(\d+)>", r["corrupted"])
+        assert sentinels == [str(k) for k in range(blocks)]
+        # corrupted keeps every unmasked token in order
+        corrupted_toks = [t for t in r["corrupted"].split()
+                          if not t.startswith("<extra_id_")]
+        target_spans = re.split(r"<extra_id_\d+> ?", r["targets"])[1:]
+        masked = [w for span in target_spans for w in span.split()]
+        assert len(corrupted_toks) + len(masked) == len(toks)
+        assert sorted(corrupted_toks + masked) == sorted(toks)
+        assert all(len(span.split()) == 3 for span in target_spans)
