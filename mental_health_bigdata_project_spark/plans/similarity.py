@@ -1303,3 +1303,53 @@ def sim_ann_recall_multiprobe(spark, sf_dir):
             .groupBy("qid")
             .agg(F.round(F.count("v1") / 10.0, 6).alias("recall_1probe"),
                  F.round(F.count("v9") / 10.0, 6).alias("recall_9probe")))
+
+
+@query("neardup_threshold_sweep", f"""
+    WITH {_PORTABLE_PAIRS_CTES.replace("WHERE est_jaccard >= 0.5", "")},
+    b AS (SELECT CAST(floor(est_jaccard * 8) AS INTEGER) AS bucket,
+                 est_jaccard
+          FROM ppairs)
+    SELECT bucket,
+           round(bucket / 8.0, 6) AS jaccard_lo,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM b GROUP BY bucket
+""")
+def neardup_threshold_sweep(spark, sf_dir):
+    """Threshold-tuning curve for the near-dup pipeline: the LSH
+    candidate pairs bucketed by estimated Jaccard (eighths, matching
+    the 16-minhash estimate's k/16 granularity) — run this BEFORE
+    committing to a dedup threshold to see how many pairs each cut
+    admits.  The sweep reuses the portable candidate generation
+    unchanged except the threshold filter, so the histogram reflects
+    exactly what the production pipeline would see.
+
+    Plan shape: identical to dedup_minhash_portable (band-bucket join,
+    narrow pair dedup) plus one 8-row aggregate — the sweep costs one
+    extra metadata-sized groupBy over the pairs you were computing
+    anyway."""
+    docs = load_table(spark, sf_dir, "documents")
+    mins = portable_minhash_sigs(docs, "doc_id", "text")
+    bands = _bands_from_sigs(mins, "doc_id")
+    a = bands.select(F.col("b").alias("ba"), F.col("doc_id").alias("doc_a"))
+    b = bands.select(F.col("b").alias("bb"), F.col("doc_id").alias("doc_b"))
+    cand = (
+        a.join(b, (F.col("ba") == F.col("bb"))
+               & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b").distinct()
+        .join(mins.select(F.col("doc_id").alias("doc_a"),
+                          *[F.col(f"m{s}").alias(f"xa{s}")
+                            for s in range(N_MINHASH)]), "doc_a")
+        .join(mins.select(F.col("doc_id").alias("doc_b"),
+                          *[F.col(f"m{s}").alias(f"yb{s}")
+                            for s in range(N_MINHASH)]), "doc_b"))
+    agree = None
+    for s in range(N_MINHASH):
+        term = (F.col(f"xa{s}") == F.col(f"yb{s}")).cast("int")
+        agree = term if agree is None else agree + term
+    est = (agree / F.lit(16.0))
+    return (cand.select(F.floor(est * 8).cast("int").alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").cast("bigint").alias("n_pairs"))
+            .select("bucket", F.round(F.col("bucket") / 8.0, 6)
+                    .alias("jaccard_lo"), "n_pairs"))

@@ -436,3 +436,13 @@ def test_span_corruption_masks_and_targets_align(spark, sf_dir):
         assert len(corrupted_toks) + len(masked) == len(toks)
         assert sorted(corrupted_toks + masked) == sorted(toks)
         assert all(len(span.split()) == 3 for span in target_spans)
+
+
+def test_threshold_sweep_covers_the_production_threshold(spark, sf_dir):
+    sweep = {r["bucket"]: r["n_pairs"] for r in
+             QUERIES["neardup_threshold_sweep"](spark, sf_dir).collect()}
+    # pairs at est >= 0.5 (buckets 4..8) must equal what the production
+    # threshold admits
+    admitted = sum(n for b, n in sweep.items() if b >= 4)
+    pairs = QUERIES["dedup_minhash_portable"](spark, sf_dir).count()
+    assert admitted == pairs
