@@ -45,6 +45,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from mental_health_bigdata_project_spark.session import ensure_runtime_confs
     from mental_health_bigdata_project_spark.plans import QUERIES
 
+    # The session's own shuffle-partition setting, captured before the
+    # first per-query override so non-tiny runs in the SAME session get
+    # it back (setting 8 permanently would cripple a later large run).
+    _orig_shuffle: dict[SparkSession, str] = {}
+
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             ensure_runtime_confs(spark)
@@ -52,11 +57,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # 32 near-empty tasks per exchange is pure scheduling
             # overhead at sf<=0.01 (AQE coalesces anyway, but fewer
             # initial partitions also shrink the pre-coalesce map side).
-            if "sf0.001" in sf_dir or "sf0.01" in sf_dir:
-                try:
+            try:
+                orig = _orig_shuffle.setdefault(
+                    spark, spark.conf.get("spark.sql.shuffle.partitions"))
+                if "sf0.001" in sf_dir or "sf0.01" in sf_dir:
                     spark.conf.set("spark.sql.shuffle.partitions", "8")
-                except Exception:
-                    pass
+                else:
+                    spark.conf.set("spark.sql.shuffle.partitions", orig)
+            except Exception:
+                pass
             return fn(spark, sf_dir)
         return run
 

@@ -53,9 +53,13 @@ def curate_corpus(spark: SparkSession, sf_dir: str, out_dir: str,
     # calibrated to this corpus's function words ("the"/"a" — the
     # synthetic vocabulary has no be/to/of/...); a real run passes the
     # target language's list, exactly as Gopher does per language.
+    # each stage is checkpointed once computed: the attrition counts
+    # and every downstream stage read the materialized result instead
+    # of re-executing the upstream lineage (a real run persists stage
+    # outputs to durable storage for exactly this reason)
     kept = docs.join(
         gopher_rules_df(docs, stops=["the", "a"])
-        .filter("keep").select("doc_id"), "doc_id", "semi")
+        .filter("keep").select("doc_id"), "doc_id", "semi").localCheckpoint()
     n1 = kept.count()
 
     # 2. C4 chunk rewrite over the kept docs only (junk can't claim
@@ -64,7 +68,8 @@ def curate_corpus(spark: SparkSession, sf_dir: str, out_dir: str,
     rewritten = (chunk_rewrite_df(kept)
                  .filter(F.col("n_kept") > 0)
                  .filter(F.col("n_kept")
-                         >= F.lit(min_kept_chunk_frac) * F.col("n_chunks")))
+                         >= F.lit(min_kept_chunk_frac) * F.col("n_chunks"))
+                 ).localCheckpoint()
     rw_docs = rewritten.select("doc_id",
                                F.col("text_rewritten").alias("text"))
     n2 = rw_docs.count()
@@ -74,8 +79,7 @@ def curate_corpus(spark: SparkSession, sf_dir: str, out_dir: str,
     #    which is exactly when survivor selection should see them
     survivors = survivor_select_df(rw_docs).select("doc_id")
     deduped = (rewritten.join(survivors, "doc_id", "semi")
-               .localCheckpoint())  # cut lineage: stages 1-3 shouldn't
-    # re-execute once per downstream action (count + shard join + write)
+               .localCheckpoint())
     n3 = deduped.count()
 
     # 4-5. seeded shard + dense in-shard position over the FINAL set;

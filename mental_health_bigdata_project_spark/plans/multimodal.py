@@ -33,10 +33,12 @@ def multimodal_bytes(spark, sf_dir):
 @query("multimodal_features", """
     SELECT doc_id,
            CAST(strlen(text) AS BIGINT) AS byte_len,
-           CAST(list_sum(list_transform(
-                  range(1, least(strlen(text), 64) + 1),
-                  i -> i * ascii(substr(text, i, 1)))) % 997
-                AS BIGINT) AS checksum,
+           CASE WHEN strlen(text) = 0 THEN 0
+                ELSE CAST(list_sum(list_transform(
+                       range(1, least(strlen(text), 64) + 1),
+                       i -> i * ascii(substr(text, i, 1)))) % 997
+                     AS BIGINT)
+           END AS checksum,
            CASE WHEN strlen(text) = 0 THEN 0.0
                 ELSE CAST(list_sum(list_transform(
                        range(1, strlen(text) + 1),

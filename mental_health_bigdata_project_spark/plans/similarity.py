@@ -437,9 +437,12 @@ def dedup_minhash_portable(spark, sf_dir):
     return portable_neardup_pairs(load_table(spark, sf_dir, "documents"))
 
 
-def portable_neardup_pairs(docs: DataFrame) -> DataFrame:
-    """DataFrame-level core of ``dedup_minhash_portable`` (docs needs
-    doc_id + text) — composable for the curation pipeline."""
+def pairs_with_estimates(docs: DataFrame) -> DataFrame:
+    """UNFILTERED LSH candidate pairs with their 16-minhash Jaccard
+    estimates — the single implementation behind both the production
+    threshold (portable_neardup_pairs) and the tuning sweep
+    (neardup_threshold_sweep), so the sweep measures exactly the
+    pipeline that ships."""
     mins = portable_minhash_sigs(docs, "doc_id", "text")
     bands = _bands_from_sigs(mins, "doc_id")
     a = bands.select(F.col("b").alias("ba"), F.col("doc_id").alias("doc_a"))
@@ -458,9 +461,14 @@ def portable_neardup_pairs(docs: DataFrame) -> DataFrame:
     for s in range(N_MINHASH):
         term = (F.col(f"xa{s}") == F.col(f"yb{s}")).cast("int")
         agree = term if agree is None else agree + term
-    return (cand.select("doc_a", "doc_b",
-                        (agree / F.lit(16.0)).alias("est_jaccard"))
-            .filter(F.col("est_jaccard") >= 0.5))
+    return cand.select("doc_a", "doc_b",
+                       (agree / F.lit(16.0)).alias("est_jaccard"))
+
+
+def portable_neardup_pairs(docs: DataFrame) -> DataFrame:
+    """DataFrame-level core of ``dedup_minhash_portable`` (docs needs
+    doc_id + text) — composable for the curation pipeline."""
+    return pairs_with_estimates(docs).filter(F.col("est_jaccard") >= 0.5)
 
 
 @query("dedup_simhash")  # rows-only: xxhash64 is engine-specific
@@ -1320,35 +1328,13 @@ def neardup_threshold_sweep(spark, sf_dir):
     candidate pairs bucketed by estimated Jaccard (eighths, matching
     the 16-minhash estimate's k/16 granularity) — run this BEFORE
     committing to a dedup threshold to see how many pairs each cut
-    admits.  The sweep reuses the portable candidate generation
-    unchanged except the threshold filter, so the histogram reflects
-    exactly what the production pipeline would see.
-
-    Plan shape: identical to dedup_minhash_portable (band-bucket join,
-    narrow pair dedup) plus one 8-row aggregate — the sweep costs one
-    extra metadata-sized groupBy over the pairs you were computing
-    anyway."""
-    docs = load_table(spark, sf_dir, "documents")
-    mins = portable_minhash_sigs(docs, "doc_id", "text")
-    bands = _bands_from_sigs(mins, "doc_id")
-    a = bands.select(F.col("b").alias("ba"), F.col("doc_id").alias("doc_a"))
-    b = bands.select(F.col("b").alias("bb"), F.col("doc_id").alias("doc_b"))
-    cand = (
-        a.join(b, (F.col("ba") == F.col("bb"))
-               & (F.col("doc_a") < F.col("doc_b")))
-        .select("doc_a", "doc_b").distinct()
-        .join(mins.select(F.col("doc_id").alias("doc_a"),
-                          *[F.col(f"m{s}").alias(f"xa{s}")
-                            for s in range(N_MINHASH)]), "doc_a")
-        .join(mins.select(F.col("doc_id").alias("doc_b"),
-                          *[F.col(f"m{s}").alias(f"yb{s}")
-                            for s in range(N_MINHASH)]), "doc_b"))
-    agree = None
-    for s in range(N_MINHASH):
-        term = (F.col(f"xa{s}") == F.col(f"yb{s}")).cast("int")
-        agree = term if agree is None else agree + term
-    est = (agree / F.lit(16.0))
-    return (cand.select(F.floor(est * 8).cast("int").alias("bucket"))
+    admits.  Shares pairs_with_estimates with the production path, so
+    the histogram reflects exactly what dedup_minhash_portable would
+    see; the sweep costs one extra 8-row aggregate over pairs you were
+    computing anyway."""
+    pairs = pairs_with_estimates(load_table(spark, sf_dir, "documents"))
+    return (pairs.select(F.floor(F.col("est_jaccard") * 8).cast("int")
+                         .alias("bucket"))
             .groupBy("bucket")
             .agg(F.count("*").cast("bigint").alias("n_pairs"))
             .select("bucket", F.round(F.col("bucket") / 8.0, 6)

@@ -331,8 +331,12 @@ def sample_stratified_api(spark, sf_dir):
                        for x in (F.lit(kv[0]), F.lit(kv[1]))]),
         F.col("l_returnflag"))
     se = F.sqrt(rate * (1 - rate) / F.col("n_total"))
-    ok = (F.abs(F.col("n_samp") / F.col("n_total") - rate) <= 5 * se)
-    return (total.join(sampled, "l_returnflag")
+    # left join + coalesce: a stratum the sampler returned zero rows
+    # for must surface as sample_ok=0, not vanish into a row-count
+    # mismatch
+    n_samp = F.coalesce(F.col("n_samp"), F.lit(0))
+    ok = (F.abs(n_samp / F.col("n_total") - rate) <= 5 * se)
+    return (total.join(sampled, "l_returnflag", "left")
             .select("l_returnflag", "n_total",
                     ok.cast("int").alias("sample_ok")))
 

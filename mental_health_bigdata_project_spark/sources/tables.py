@@ -37,10 +37,23 @@ _NANOS_COLS = {"events": ["ts"]}
 # with InMemoryTableScan and mask the very plan properties we assert.
 _TABLE_MEMO: dict[tuple[SparkSession, str, str], DataFrame] = {}
 
+# Only the driver's read-only testdata is memoized: the cached
+# DataFrame pins the file listing made at first read, so a directory
+# that can be rewritten within a session (tmp dirs in tests, user
+# output paths) must be re-listed on every load.
+_MEMO_ROOTS = ("/root/testdata/",)
+
+
+def _memoizable(sf_dir: str) -> bool:
+    return sf_dir.rstrip("/").startswith(_MEMO_ROOTS) or any(
+        sf_dir.startswith(r) for r in _MEMO_ROOTS)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (spark, sf_dir, name)
-    hit = _TABLE_MEMO.get(key)
+    if not _memoizable(sf_dir):
+        key = None
+    hit = _TABLE_MEMO.get(key) if key is not None else None
     if hit is not None:
         return hit
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -49,7 +62,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # ns -> us by integer division (floor; matches DuckDB's
             # CAST(TIMESTAMP_NS AS TIMESTAMP) truncation).
             df = df.withColumn(c, F.expr(f"CAST(timestamp_micros({c} div 1000) AS TIMESTAMP_NTZ)"))
-    _TABLE_MEMO[key] = df
+    if key is not None:
+        _TABLE_MEMO[key] = df
     return df
 
 

@@ -43,11 +43,10 @@ def rewrite_batch_against_index(batch_df: DataFrame, batch_id: int,
     spark = batch_df.sparkSession
     flat = chunk_fingerprints_df(batch_df)
 
+    from .neardup import _read_index
     idx = _index_path(index_dir)
-    try:
-        seen = spark.read.parquet(idx).select("fp").distinct()
-    except Exception:  # first batch: no index yet
-        seen = None
+    seen = _read_index(spark, idx, ["fp"])
+    seen = seen.distinct() if seen is not None else None
 
     if seen is not None:
         flat = flat.join(seen, "fp", "left_anti")

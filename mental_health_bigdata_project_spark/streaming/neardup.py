@@ -43,6 +43,22 @@ def _index_path(index_dir: str) -> str:
     return os.path.join(index_dir, "bands")
 
 
+def _read_index(spark, path: str, cols):
+    """Read a persisted index, returning None ONLY when the path does
+    not exist yet (first batch).  Any other failure — corrupt footer,
+    filesystem error, permissions — must raise and fail the batch so
+    the checkpoint retries it; swallowing it would silently disable
+    dedup for the batch and leak duplicates permanently."""
+    from pyspark.errors import AnalysisException
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
+    return df.select(*cols)
+
+
 def dedup_batch_against_index(batch_df: DataFrame, batch_id: int,
                               out_dir: str, index_dir: str,
                               id_col: str = "doc_id",
@@ -51,12 +67,16 @@ def dedup_batch_against_index(batch_df: DataFrame, batch_id: int,
     callable directly for tests / backfills)."""
     spark = batch_df.sparkSession
     bands = portable_band_keys(batch_df, id_col, text_col)
+    # docs too short to shingle (<3 tokens) produce NO band keys: they
+    # cannot be near-duplicates of anything, so they are auto-accepted
+    # (mirrors the batch path, where survivor_select_df keeps them via
+    # its left join) instead of silently vanishing from the corpus
+    bandless = (batch_df.select(id_col)
+                .join(bands.select(id_col).distinct(), id_col, "left_anti"))
 
     idx = _index_path(index_dir)
-    try:
-        seen = spark.read.parquet(idx).select("band_key").distinct()
-    except Exception:  # first batch: no index yet
-        seen = None
+    seen = _read_index(spark, idx, ["band_key"])
+    seen = seen.distinct() if seen is not None else None
 
     # drop docs colliding with any previously-accepted band
     if seen is not None:
@@ -71,7 +91,8 @@ def dedup_batch_against_index(batch_df: DataFrame, batch_id: int,
               .filter(F.col(id_col) != F.col("_win"))
               .select(id_col).distinct())
     kept_bands = bands.join(losers, id_col, "left_anti")
-    kept_ids = kept_bands.select(id_col).distinct()
+    kept_ids = (kept_bands.select(id_col).distinct()
+                .unionByName(bandless))
 
     accepted = batch_df.join(kept_ids, id_col, "left_semi")
     (accepted.withColumn("batch_id", F.lit(batch_id))
@@ -115,11 +136,8 @@ def dedup_embeddings_against_index(batch_df: DataFrame, batch_id: int,
         embedding_cell_expr(vec_col).alias("cell"))
 
     idx = os.path.join(index_dir, "vectors")
-    try:
-        seen = spark.read.parquet(idx).select(
-            F.col("cell").alias("_icell"), F.col("_iemb"))
-    except Exception:
-        seen = None
+    seen = _read_index(spark, idx,
+                       [F.col("cell").alias("_icell"), F.col("_iemb")])
 
     if seen is not None:
         hit_prior = (b.join(seen, b.cell == F.col("_icell"))

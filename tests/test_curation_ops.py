@@ -446,3 +446,16 @@ def test_threshold_sweep_covers_the_production_threshold(spark, sf_dir):
     admitted = sum(n for b, n in sweep.items() if b >= 4)
     pairs = QUERIES["dedup_minhash_portable"](spark, sf_dir).count()
     assert admitted == pairs
+
+
+def test_streaming_neardup_keeps_unshingleable_docs(spark, tmp_path):
+    # <3-token docs have no band keys; they can't be near-dups of
+    # anything and must be accepted, not silently dropped
+    from mental_health_bigdata_project_spark.streaming import neardup
+    out, idx = str(tmp_path / "out"), str(tmp_path / "idx")
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, TEXT_X)], "doc_id bigint, text string")
+    neardup.dedup_batch_against_index(df, 0, out, idx)
+    acc = {r["doc_id"] for r in
+           spark.read.parquet(f"{out}/accepted").collect()}
+    assert acc == {1, 2}
