@@ -1339,3 +1339,69 @@ def neardup_threshold_sweep(spark, sf_dir):
             .agg(F.count("*").cast("bigint").alias("n_pairs"))
             .select("bucket", F.round(F.col("bucket") / 8.0, 6)
                     .alias("jaccard_lo"), "n_pairs"))
+
+
+@query("vec_covariance_matrix", """
+    WITH q AS (
+      SELECT list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0)
+                                      AS BIGINT)) AS qv
+      FROM embeddings),
+    flat AS (
+      SELECT u.i AS i, u.j AS j, u.pp AS pp, u.xi AS xi, u.xj AS xj
+      FROM (
+        SELECT unnest(flatten(list_transform(range(1, 9), i ->
+                 list_transform(range(1, 9), j ->
+                   struct_pack(i := i - 1, j := j - 1,
+                               pp := qv[i] * qv[j],
+                               xi := qv[i], xj := qv[j]))))) AS u
+        FROM q))
+    SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+           round((CAST(SUM(pp) AS DOUBLE) / count(*)
+                  - (CAST(SUM(xi) AS DOUBLE) / count(*))
+                    * (CAST(SUM(xj) AS DOUBLE) / count(*)))
+                 / 1000000000000.0, 9) AS cov
+    FROM flat GROUP BY i, j
+""")
+def vec_covariance_matrix(spark, sf_dir):
+    """One-pass covariance matrix over the embedding corpus (leading
+    8x8 block — the statistic PCA / whitening / Mahalanobis all start
+    from), distributed the way it must be at 100 TB: each row emits its
+    quantized outer-product terms, and ONE hash aggregate on the tiny
+    (i, j) key space folds the corpus into a d^2-row matrix — map-side
+    partials mean the shuffle carries d^2 rows per task regardless of
+    corpus size.
+
+    Engine-exactness: components are floor-quantized to integer
+    micro-units BEFORE any sum (the vec_centroid_by_label trick —
+    float summation order is partition-dependent, integer sums are
+    exact), covariance is then two exact-integer divisions subtracted
+    in double and de-scaled — identical bits on both engines, 9dp
+    rounding as belt-and-braces.  The 8x8 block keeps the oracle's
+    per-row fan-out at 64 terms; the same plan covers full d x d
+    (d^2 = 4096 terms/row) with sums widened to DECIMAL."""
+    e = _emb(spark, sf_dir)
+    qv = F.transform(F.col("embedding"),
+                     lambda x: F.floor(x.cast("double") * 1000000.0)
+                     .cast("long"))
+    d = 8
+    terms = F.flatten(F.transform(
+        F.sequence(F.lit(1), F.lit(d)),
+        lambda i: F.transform(
+            F.sequence(F.lit(1), F.lit(d)),
+            lambda j: F.struct(
+                (i - 1).alias("i"), (j - 1).alias("j"),
+                (F.element_at(F.col("qv"), i)
+                 * F.element_at(F.col("qv"), j)).alias("pp"),
+                F.element_at(F.col("qv"), i).alias("xi"),
+                F.element_at(F.col("qv"), j).alias("xj")))))
+    flat = (e.select(qv.alias("qv"))
+            .select(F.explode(terms).alias("u"))
+            .select("u.i", "u.j", "u.pp", "u.xi", "u.xj"))
+    n = F.count("*")
+    cov = F.round(
+        (F.sum("pp").cast("double") / n
+         - (F.sum("xi").cast("double") / n)
+         * (F.sum("xj").cast("double") / n)) / 1.0e12, 9)
+    return (flat.groupBy("i", "j")
+            .agg(n.cast("bigint").alias("n"), cov.alias("cov")))

@@ -459,3 +459,13 @@ def test_streaming_neardup_keeps_unshingleable_docs(spark, tmp_path):
     acc = {r["doc_id"] for r in
            spark.read.parquet(f"{out}/accepted").collect()}
     assert acc == {1, 2}
+
+
+def test_covariance_matrix_is_symmetric_with_variance_diagonal(spark, sf_dir):
+    rows = {(r["i"], r["j"]): r["cov"] for r in
+            QUERIES["vec_covariance_matrix"](spark, sf_dir).collect()}
+    assert len(rows) == 64
+    for i in range(8):
+        assert rows[(i, i)] >= 0  # variances
+        for j in range(8):
+            assert rows[(i, j)] == pytest.approx(rows[(j, i)], abs=1e-9)
