@@ -469,3 +469,16 @@ def test_covariance_matrix_is_symmetric_with_variance_diagonal(spark, sf_dir):
         assert rows[(i, i)] >= 0  # variances
         for j in range(8):
             assert rows[(i, j)] == pytest.approx(rows[(j, i)], abs=1e-9)
+
+
+def test_curate_corpus_rerun_is_idempotent(spark, sf_dir, tmp_path):
+    from mental_health_bigdata_project_spark.operators.curation import (
+        curate_corpus)
+    out = str(tmp_path / "curated")
+    r1 = sorted(map(tuple, curate_corpus(spark, sf_dir, out).collect()))
+    c1 = sorted(map(tuple,
+                    spark.read.parquet(f"{out}/corpus").collect()))
+    r2 = sorted(map(tuple, curate_corpus(spark, sf_dir, out).collect()))
+    c2 = sorted(map(tuple,
+                    spark.read.parquet(f"{out}/corpus").collect()))
+    assert r1 == r2 and c1 == c2  # deterministic + overwrite-clean
