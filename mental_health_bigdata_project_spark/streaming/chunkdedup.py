@@ -36,11 +36,17 @@ def _index_path(index_dir: str) -> str:
 
 
 def rewrite_batch_against_index(batch_df: DataFrame, batch_id: int,
-                                out_dir: str, index_dir: str) -> None:
+                                out_dir: str, index_dir: str,
+                                gate=None) -> None:
     """One micro-batch of incremental chunk dedup (the foreachBatch
     body, callable directly for tests / backfills).  ``batch_df`` needs
-    (doc_id, text)."""
+    (doc_id, text).  ``gate`` (optional DataFrame -> DataFrame, e.g.
+    a Gopher-rule filter) runs BEFORE fingerprinting so rejected docs
+    cannot claim first-occurrence chunk slots — the same ordering the
+    batch pipeline (operators/curation.py) enforces."""
     spark = batch_df.sparkSession
+    if gate is not None:
+        batch_df = gate(batch_df)
     flat = chunk_fingerprints_df(batch_df)
 
     from .neardup import _read_index
@@ -83,7 +89,7 @@ def rewrite_batch_against_index(batch_df: DataFrame, batch_id: int,
 
 
 def stream_chunk_dedup(spark, in_dir: str, out_dir: str, index_dir: str,
-                       checkpoint_dir: str):
+                       checkpoint_dir: str, gate=None):
     """File-source streaming topology: JSONL documents in ->
     incrementally chunk-deduped corpus out.  Returns the started query
     (caller stops it)."""
@@ -93,7 +99,7 @@ def stream_chunk_dedup(spark, in_dir: str, out_dir: str, index_dir: str,
               .json(in_dir))
     return (stream.writeStream
             .foreachBatch(lambda df, bid: rewrite_batch_against_index(
-                df, bid, out_dir, index_dir))
+                df, bid, out_dir, index_dir, gate=gate))
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())

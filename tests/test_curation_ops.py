@@ -482,3 +482,23 @@ def test_curate_corpus_rerun_is_idempotent(spark, sf_dir, tmp_path):
     c2 = sorted(map(tuple,
                     spark.read.parquet(f"{out}/corpus").collect()))
     assert r1 == r2 and c1 == c2  # deterministic + overwrite-clean
+
+
+def test_streaming_chunk_dedup_with_quality_gate(spark, tmp_path):
+    from mental_health_bigdata_project_spark.streaming import chunkdedup
+    from mental_health_bigdata_project_spark.plans.textops import (
+        gopher_rules_df)
+
+    def gate(df):
+        # default (real Gopher) stopword list: GOOD is built to pass it
+        keep = gopher_rules_df(df).filter("keep").select("doc_id")
+        return df.join(keep, "doc_id", "semi")
+
+    out, idx = str(tmp_path / "out"), str(tmp_path / "idx")
+    junk = "x y"  # fails the word-count rule
+    df = spark.createDataFrame(
+        [(1, GOOD), (2, junk)], "doc_id bigint, text string")
+    chunkdedup.rewrite_batch_against_index(df, 0, out, idx, gate=gate)
+    acc = {r["doc_id"] for r in
+           spark.read.parquet(f"{out}/accepted").collect()}
+    assert acc == {1}  # junk gated out BEFORE it could claim chunks
