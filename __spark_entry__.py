@@ -45,27 +45,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from mental_health_bigdata_project_spark.session import ensure_runtime_confs
     from mental_health_bigdata_project_spark.plans import QUERIES
 
-    # The session's own shuffle-partition setting, captured before the
-    # first per-query override so non-tiny runs in the SAME session get
-    # it back (setting 8 permanently would cripple a later large run).
-    _orig_shuffle: dict[SparkSession, str] = {}
-
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # ensure_runtime_confs resets shuffle.partitions to the
+            # core-count default on EVERY call, so the tiny-sf override
+            # below never outlives this query into a larger run.
             ensure_runtime_confs(spark)
             # Right-size shuffles for tiny correctness-gate inputs:
             # 32 near-empty tasks per exchange is pure scheduling
             # overhead at sf<=0.01 (AQE coalesces anyway, but fewer
             # initial partitions also shrink the pre-coalesce map side).
-            try:
-                orig = _orig_shuffle.setdefault(
-                    spark, spark.conf.get("spark.sql.shuffle.partitions"))
-                if "sf0.001" in sf_dir or "sf0.01" in sf_dir:
+            if "sf0.001" in sf_dir or "sf0.01" in sf_dir:
+                try:
                     spark.conf.set("spark.sql.shuffle.partitions", "8")
-                else:
-                    spark.conf.set("spark.sql.shuffle.partitions", orig)
-            except Exception:
-                pass
+                except Exception:
+                    pass
             return fn(spark, sf_dir)
         return run
 

@@ -1379,7 +1379,8 @@ def vec_covariance_matrix(spark, sf_dir):
     in double and de-scaled — identical bits on both engines, 9dp
     rounding as belt-and-braces.  The 8x8 block keeps the oracle's
     per-row fan-out at 64 terms; the same plan covers full d x d
-    (d^2 = 4096 terms/row) with sums widened to DECIMAL."""
+    (d^2 = 4096 terms/row) unchanged — sums already accumulate in
+    DECIMAL(38,0) on both engines."""
     e = _emb(spark, sf_dir)
     qv = F.transform(F.col("embedding"),
                      lambda x: F.floor(x.cast("double") * 1000000.0)
@@ -1399,9 +1400,13 @@ def vec_covariance_matrix(spark, sf_dir):
             .select(F.explode(terms).alias("u"))
             .select("u.i", "u.j", "u.pp", "u.xi", "u.xj"))
     n = F.count("*")
+    # sums accumulate in DECIMAL(38,0): pp terms reach ~1e12 per row,
+    # so an int64 sum overflows past ~9e6 rows — exactly the corpus
+    # sizes this plan is for (the DuckDB twin already sums in HUGEINT)
     cov = F.round(
-        (F.sum("pp").cast("double") / n
-         - (F.sum("xi").cast("double") / n)
-         * (F.sum("xj").cast("double") / n)) / 1.0e12, 9)
+        (F.sum(F.col("pp").cast("decimal(38,0)")).cast("double") / n
+         - (F.sum(F.col("xi").cast("decimal(38,0)")).cast("double") / n)
+         * (F.sum(F.col("xj").cast("decimal(38,0)")).cast("double") / n))
+        / 1.0e12, 9)
     return (flat.groupBy("i", "j")
             .agg(n.cast("bigint").alias("n"), cov.alias("cov")))

@@ -45,8 +45,7 @@ _MEMO_ROOTS = ("/root/testdata/",)
 
 
 def _memoizable(sf_dir: str) -> bool:
-    return sf_dir.rstrip("/").startswith(_MEMO_ROOTS) or any(
-        sf_dir.startswith(r) for r in _MEMO_ROOTS)
+    return sf_dir.startswith(_MEMO_ROOTS)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

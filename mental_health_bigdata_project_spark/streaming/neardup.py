@@ -53,7 +53,12 @@ def _read_index(spark, path: str, cols):
     try:
         df = spark.read.parquet(path)
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+        msg = str(e)
+        # missing path, or a directory a killed first write created but
+        # committed nothing into (only _temporary) — both mean "no index
+        # yet"; anything else (corrupt files, permissions) re-raises
+        if ("PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+                or "UNABLE_TO_INFER_SCHEMA" in msg):
             return None
         raise
     return df.select(*cols)
