@@ -155,6 +155,20 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     sf_val = float(sf) if sf else None
+
+    # Streaming incremental-dedup throughput (VERDICT r2 item 6): the
+    # foreachBatch bodies with persisted indexes, timed end-to-end by
+    # scripts/bench_streaming_dedup.py.  Full detail goes to
+    # BENCH_LOCAL.json; one compact rows/s map rides the stdout line.
+    try:
+        from scripts.bench_streaming_dedup import run as run_streaming
+        streaming_detail = run_streaming(spark, sf_dir, n_batches=4)
+        streaming_line = {
+            name: stats["rows_per_sec"]
+            for name, stats in streaming_detail["paths"].items()}
+    except Exception as exc:  # never let the sidecar sink the bench line
+        streaming_detail = {"error": str(exc)[:200]}
+        streaming_line = {}
     # Full detail (cold runs, totals) goes to a file; stdout gets ONE
     # compact line in exactly the driver's schema.  r1's line carried the
     # cold map too and overflowed the driver's capture buffer
@@ -168,6 +182,7 @@ def main() -> None:
         "total_cold_sec": round(sum(cold.values()), 3),
         "sf": sf_val,
         "cpus": int(cpus),
+        "streaming_dedup": streaming_detail,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_LOCAL.json"), "w") as fh:
@@ -178,6 +193,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "streaming_dedup_rows_per_sec": streaming_line,
     }, separators=(",", ":"))
     print(line, flush=True)
     spark.stop()

@@ -26,34 +26,54 @@ from . import quality  # noqa: F401,E402
 from . import advanced  # noqa: F401,E402
 
 
-# --- driver-sample ordering (VERDICT r1 item 1) --------------------------
+# --- driver-sample ordering (VERDICT r2 items 2 & 7) ---------------------
 #
-# The round-1 driver verified exactly the FIRST 50 registered queries in
-# registration order, leaving every §2.10 / LLM-pipeline / similarity /
-# streaming-twin id without a driver-green CORRECTNESS row (they all pass
-# the identical local gate — scripts/check_oracles.py).  Re-order the
-# registry so the ids the driver has never checked come first — north-star
-# modules first, oracle-backed before rows-only — and the 50 ids already
-# green in CORRECTNESS_r01.json come last.
+# The driver samples the FIRST ~50 registered queries per round
+# (registration order steered both prior samples — commit 13970b0).
+# Round-3 ordering, in priority:
+#   1. the 7 SURVEY §2 ids no driver round has ever sampled (VERDICT r2
+#      item 2) plus the 3 queries rewritten this round to emit scalar
+#      cells (vec_normalize / vec_quantize_int8 were ERR rows in r02 —
+#      the driver canonicalizer can't hash ArrayType; vec_minmax_scale
+#      had the same latent trap),
+#   2. every id with no driver row in CORRECTNESS_r01 ∪ r02 (149 of
+#      246), oracle-backed before rows-only, north-star modules first,
+#   3. ids already driver-checked, last.
 
-_R1_DRIVER_CHECKED = {
-    "project_processed", "agg_keyword_hits", "null_default_fill",
-    "filter_nonempty_text", "filter_high_risk", "filter_risk_bucket",
-    "agg_total_count", "agg_avg_risk", "agg_high_risk_count",
-    "groupby_subreddit", "histogram_risk_buckets", "topk_recent",
-    "retain_last_n", "dedup_by_id", "json_extract_path",
-    "map_props_extract", "cast_value_string", "json_parse_struct",
-    "flatten_struct", "json_serialize", "scalar_string_ops",
-    "scalar_math_ops", "scalar_date_ops", "groupby_collect_posts",
-    "scalar_string_breadth", "scalar_date_breadth", "arr_explode_pos",
-    "arr_explode_outer", "arr_set_ops", "scalar_try_ops",
-    "agg_arg_extremes", "q1_pricing_summary", "join_inner_equi",
-    "join_left_outer", "join_full_outer", "join_semi", "join_anti",
-    "join_broadcast_dim", "join_range_theta", "join_asof_events",
-    "agg_distinct_users", "agg_approx_distinct", "sketch_hll_rollup",
-    "sketch_topk_langs", "sketch_topk_rollup", "agg_rollup_region_nation",
-    "agg_cube", "agg_grouping_sets", "win_rank_orders_by_price",
-    "win_running_sum",
+# Cumulative driver coverage: keys of CORRECTNESS_r01.json ∪ _r02.json.
+_DRIVER_CHECKED = {
+    "agg_approx_distinct", "agg_approx_percentile", "agg_arg_extremes",
+    "agg_avg_risk", "agg_cube", "agg_distinct_users", "agg_grouping_sets",
+    "agg_high_risk_count", "agg_keyword_hits", "agg_rollup_region_nation",
+    "agg_total_count", "arr_explode_outer", "arr_explode_pos",
+    "arr_explode_tokens", "arr_set_ops", "arr_tokenize", "bpe_encode_apply",
+    "bpe_train_merges", "cast_value_string", "decontam_embedding_cells",
+    "decontam_fuzzy_overlap", "dedup_by_id", "dedup_cluster_components",
+    "dedup_cluster_portable", "dedup_embedding_cells",
+    "dedup_embedding_cosine", "dedup_exact_docs", "dedup_minhash_near",
+    "dedup_minhash_portable", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_simhash_portable", "dedup_survivor_select", "doc_fingerprint",
+    "filter_high_risk", "filter_nonempty_text", "filter_risk_bucket",
+    "flatten_struct", "graph_pagerank_tokens", "groupby_collect_posts",
+    "groupby_subreddit", "histogram_risk_buckets", "join_anti",
+    "join_asof_events", "join_broadcast_dim", "join_full_outer",
+    "join_inner_equi", "join_left_outer", "join_range_theta", "join_semi",
+    "json_extract_path", "json_parse_struct", "json_serialize",
+    "map_props_extract", "multimodal_features", "neardup_threshold_sweep",
+    "null_default_fill", "pipeline_training_data", "project_processed",
+    "q1_pricing_summary", "retain_last_n", "sample_stratified_api",
+    "sample_temperature_mixture", "scalar_date_breadth", "scalar_date_ops",
+    "scalar_math_ops", "scalar_string_breadth", "scalar_string_ops",
+    "scalar_try_ops", "sim_ann_ivf", "sim_ann_lsh", "sim_ann_recall_eval",
+    "sim_ann_recall_multiprobe", "sim_cosine_topk",
+    "sim_sparse_tfidf_cosine", "sim_topk_batch", "sim_topk_batch_gemm",
+    "sketch_hll_rollup", "sketch_topk_langs", "sketch_topk_rollup",
+    "split_train_val_test", "text_bigram_freq", "text_lang_dist",
+    "text_lang_id", "text_pii_scrub", "text_quality_score", "text_tfidf",
+    "text_token_count", "text_token_freq", "topk_recent",
+    "vec_centroid_by_label", "vec_covariance_matrix",
+    "vec_distance_breadth", "vec_normalize", "vec_quantize_int8",
+    "win_rank_orders_by_price", "win_running_sum",
 }
 
 _MODULE_PRIORITY = [
@@ -62,18 +82,18 @@ _MODULE_PRIORITY = [
     "udtf_udaf", "tpch_more", "relational", "scalars", "core",
 ]
 
-# Round-2 rows-only -> oracle conversions (VERDICT r1 item 5 named the
-# sketches explicitly): register FIRST so the driver's sampled window
-# records their new full-gate verdicts, even for the ids that sat in the
-# r1-checked set (their r1 rows were `no_oracle`).
+# Head of the round-3 sample window, in order.
 _CONVERTED_FRONT = [
-    "agg_approx_distinct", "sketch_hll_rollup", "sketch_topk_rollup",
-    "agg_approx_percentile", "sample_stratified_api",
-    "graph_pagerank_tokens", "bpe_train_merges", "bpe_encode_apply",
-    "dedup_minhash_portable", "dedup_simhash_portable",
-    "dedup_cluster_portable", "multimodal_features",
-    "dedup_embedding_cells", "decontam_fuzzy_overlap",
-    "sample_temperature_mixture",
+    # never sampled in r01/r02 — the last §2 ids without a driver row
+    "win_lag_value", "set_union_all", "set_intersect", "set_except",
+    "stream_window_tumbling", "stream_window_sliding",
+    "stream_window_session",
+    # ERR rows in r02 (ArrayType canonicalizer trap), now scalar-celled
+    "vec_normalize", "vec_quantize_int8",
+    # same trap fixed pre-emptively this round
+    "vec_minmax_scale",
+    # new this round: oracle-backed SRP-LSH twin (VERDICT r2 item 3)
+    "sim_ann_lsh_portable",
 ]
 
 
@@ -86,7 +106,7 @@ def _reorder_registries() -> None:
         front = (_CONVERTED_FRONT.index(qid)
                  if qid in _CONVERTED_FRONT else len(_CONVERTED_FRONT))
         return (front,
-                qid in _R1_DRIVER_CHECKED,   # already-green ids last
+                qid in _DRIVER_CHECKED,      # already-checked ids last
                 mod_rank,
                 qid not in ORACLES,          # oracle-backed before rows-only
                 idx)                         # stable within a module

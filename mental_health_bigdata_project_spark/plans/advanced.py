@@ -217,33 +217,31 @@ def ts_rollup_two_level(spark, sf_dir):
       SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
       FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)),
     dims AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM pe GROUP BY dim)
-    SELECT vec_id, list((x - mn) / (mx - mn) ORDER BY dim) AS scaled
-    FROM pe JOIN dims USING (dim) GROUP BY vec_id
+    SELECT vec_id, dim, (x - mn) / (mx - mn) AS scaled_val
+    FROM pe JOIN dims USING (dim)
 """)
 def vec_minmax_scale(spark, sf_dir):
     """Per-dimension min-max feature scaling of the embedding column:
     posexplode to (vec_id, dim, x), one 64-group aggregate for the
-    per-dimension envelope, broadcast it back, and reassemble the
-    scaled array in dimension order (array_sort on (dim, x) structs —
-    deterministic, no collect_list order reliance).  The envelope is
-    64 rows regardless of corpus size, so at 100 TB this is one scan
-    + map-side broadcast join; the explode never shuffles raw
-    vectors.  Double arithmetic on identical operands keeps the
-    oracle hash bitwise-stable."""
+    per-dimension envelope, broadcast it back, and emit the scaled
+    cells as scalar (vec_id, dim, scaled_val) rows (the driver's
+    canonicalizer can't hash ArrayType columns — CORRECTNESS_r02's
+    vec_* ERR; re-assembly into arrays when needed is one
+    array_sort(collect_list(struct)) away).  The envelope is 64 rows
+    regardless of corpus size, so at 100 TB this is one scan +
+    map-side broadcast join; the explode never shuffles raw vectors
+    and the scaled output needs no shuffle at all.  Double arithmetic
+    on identical operands keeps the oracle hash bitwise-stable."""
     emb = _t(spark, sf_dir, "embeddings")
     pe = emb.select("vec_id", F.posexplode("embedding").alias("dim", "xf")) \
             .select("vec_id", (F.col("dim") + 1).alias("dim"),
                     F.col("xf").cast("double").alias("x"))
     dims = pe.groupBy("dim").agg(F.min("x").alias("mn"),
                                  F.max("x").alias("mx"))
-    scaled = (pe.join(F.broadcast(dims), "dim")
-              .select("vec_id", "dim",
-                      ((F.col("x") - F.col("mn"))
-                       / (F.col("mx") - F.col("mn"))).alias("sx")))
-    return (scaled.groupBy("vec_id")
-            .agg(F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "sx"))),
-                lambda s: s.sx).alias("scaled")))
+    return (pe.join(F.broadcast(dims), "dim")
+            .select("vec_id", "dim",
+                    ((F.col("x") - F.col("mn"))
+                     / (F.col("mx") - F.col("mn"))).alias("scaled_val")))
 
 
 @query("text_readability", r"""
@@ -1320,7 +1318,14 @@ def assign_contiguous_ids(spark, sf_dir):
     keyed = (load_table(spark, sf_dir, "documents")
              .select("doc_id", key.alias("skey"))
              .repartitionByRange(n_parts, "skey", "doc_id"))
-    with_pid = keyed.withColumn("pid", F.spark_partition_id())
+    # Materialize the pid-stamped rows ONCE: the window branch and the
+    # count/offset branch below must observe identical partition
+    # boundaries, which plan-level exchange reuse only guarantees while
+    # spark.sql.exchange.reuse holds and both subtrees canonicalize
+    # identically — RangePartitioner otherwise resamples with a fresh
+    # seed and pids could differ between branches (duplicate/missing
+    # ids).  localCheckpoint pins one physical computation.
+    with_pid = keyed.withColumn("pid", F.spark_partition_id()).localCheckpoint()
     local = with_pid.withColumn(
         "local_rank",
         F.row_number().over(

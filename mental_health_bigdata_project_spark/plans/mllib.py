@@ -127,7 +127,10 @@ def ml_fpgrowth_itemsets(spark, sf_dir):
     combinatorial mining problem.  Itemset arrays are sorted and the
     support counts are exact, so rows are deterministic; the singleton
     supports are independently pinned against plain document
-    frequencies in tests/test_operators_ext.py."""
+    frequencies in tests/test_operators_ext.py.  The itemset array is
+    serialized to a space-joined string so every output cell is a
+    hashable scalar (the driver's canonicalizer can't factorize
+    ArrayType cells — CORRECTNESS_r02's vec_* ERR)."""
     from pyspark.ml.fpm import FPGrowth
 
     from .textops import tokens_col
@@ -137,8 +140,9 @@ def ml_fpgrowth_itemsets(spark, sf_dir):
     model = FPGrowth(itemsCol="items", minSupport=0.4,
                      minConfidence=0.5).fit(baskets)
     return (model.freqItemsets
-            .select(F.array_sort("items").alias("items"), "freq")
-            .filter(F.size("items") <= 3))
+            .filter(F.size("items") <= 3)
+            .select(F.array_join(F.array_sort("items"), " ").alias("itemset"),
+                    "freq"))
 
 
 @query("ml_pca_embeddings")  # rows-only: eigenvector basis impl-specific

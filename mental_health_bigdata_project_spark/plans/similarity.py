@@ -200,6 +200,101 @@ def sim_ann_lsh(spark, sf_dir):
     )
 
 
+_SRP_PLANES = 8
+
+# Per-plane signed integer projection: weight of dimension j on plane p is
+# +1 when the first hex nibble of md5('p<p>:<j>') is >= '8' (the nibble's
+# high bit), else -1 — a Rademacher/sign random projection whose "planes"
+# both engines can re-derive from md5 alone (same recipe as
+# dedup_simhash_portable's nibble reads).  Components are floor-quantized
+# to integer micro-units first so the fold is exact integer arithmetic —
+# no float-order concern can flip a sign at the decision boundary.
+_SRP_PROJ_SQL = ", ".join(
+    f"list_aggregate(list_transform(q, (x, i) -> CASE WHEN "
+    f"substr(md5('p{p}:' || CAST(i - 1 AS VARCHAR)), 1, 1) >= '8' "
+    f"THEN x ELSE -x END), 'sum') AS s{p}"
+    for p in range(_SRP_PLANES))
+_SRP_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN s{p} > 0 THEN {1 << p} ELSE 0 END)"
+    for p in range(_SRP_PLANES))
+
+
+@query("sim_ann_lsh_portable", f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ve,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+      FROM embeddings),
+    proj AS (SELECT vec_id, ve, {_SRP_PROJ_SQL} FROM v),
+    buckets AS (SELECT vec_id, ve, CAST({_SRP_BUCKET_SQL} AS BIGINT)
+                  AS bucket FROM proj),
+    qb AS (
+      SELECT unnest([b.bucket] || list_transform(range({_SRP_PLANES}),
+                    p -> xor(b.bucket, CAST(1 << p AS BIGINT)))) AS qb
+      FROM buckets b WHERE vec_id = 1),
+    qe AS (SELECT ve AS qv FROM buckets WHERE vec_id = 1)
+    SELECT s.vec_id, s.bucket,
+           round({_COS_SQL.format(a='s.ve', b='qe.qv')}, 6) AS cosine
+    FROM buckets s JOIN qb ON s.bucket = qb.qb CROSS JOIN qe
+    WHERE s.vec_id <> 1
+""")
+def sim_ann_lsh_portable(spark, sf_dir):
+    """Sign-random-projection LSH with an ENGINE-PORTABLE projection,
+    end-to-end oracle-checked (sim_ann_lsh above is the seeded-numpy
+    production twin, rows-only by necessity — VERDICT r2 item 3).  The
+    8 "hyperplanes" are Rademacher sign vectors read from md5: weight
+    of dimension j on plane p is +1 iff the first nibble of
+    md5('p<p>:<j>') has its high bit set (>= '8'), the same one-digest
+    nibble-read recipe dedup_simhash_portable uses.  Embedding
+    components are floor-quantized to integer micro-units BEFORE the
+    signed fold so the projection is exact integer arithmetic on both
+    engines — no float summation order can flip a signature bit.
+    Signature -> 8-bit bucket; the query (vec_id=1) probes its own
+    bucket plus all hamming-1 neighbours (multi-probe, 9x fan-in);
+    candidates get exact cosines.  All per-row lambdas until the
+    9-bucket broadcast semi-join — no corpus shuffle, scales as one
+    scan at 100 TB."""
+    e = _emb(spark, sf_dir)
+    v = to_double_array("embedding")
+    qarr = F.transform(v, lambda x: F.floor(x * 1_000_000).cast("bigint"))
+
+    def proj(p):
+        idx = F.sequence(F.lit(0), F.size(F.col("q")) - 1)
+        signed = F.zip_with(
+            F.col("q"), idx,
+            lambda x, i: F.when(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"p{p}:"), i.cast("string"))), 1, 1
+                ) >= "8", x).otherwise(-x))
+        return F.aggregate(signed, F.lit(0).cast("bigint"),
+                           lambda acc, x: acc + x)
+
+    base = e.select("vec_id", v.alias("ve"), qarr.alias("q"))
+    bucket = None
+    for p in range(_SRP_PLANES):
+        term = F.when(proj(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    sigs = base.select("vec_id", "ve", bucket.cast("bigint").alias("bucket"))
+    q_bucket = (
+        sigs.filter(F.col("vec_id") == 1)
+        .select(F.explode(F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << p))
+              for p in range(_SRP_PLANES)],
+        )).alias("qb"))
+    )
+    qv = (sigs.filter(F.col("vec_id") == 1)
+          .select(F.col("ve").alias("qv")))
+    return (
+        sigs.join(F.broadcast(q_bucket), sigs.bucket == F.col("qb"))
+        .filter(F.col("vec_id") != 1)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", "bucket",
+                F.round(cosine_similarity(F.col("ve"), F.col("qv")), 6)
+                .alias("cosine"))
+    )
+
+
 # fitted (assigned, centroids) per (session, sf_dir) — see sim_ann_ivf
 _IVF_INDEX_MEMO: dict = {}
 
@@ -228,9 +323,12 @@ def sim_ann_ivf(spark, sf_dir):
     # One quantizer fit per (session, dataset): the IVF index is built
     # once and persisted in a real deployment (cluster-by-cell layout),
     # so repeated queries must not re-run KMeans — same memo precedent
-    # as _BPE_MERGES_MEMO in textops.
+    # as _BPE_MERGES_MEMO in textops.  Same mutable-directory guard as
+    # sources.tables: a cached index pins stale cells/centroids if the
+    # directory is rewritable (tmp dirs in tests, user paths).
+    from ..sources.tables import _memoizable
     key = (spark, sf_dir)
-    memo = _IVF_INDEX_MEMO.get(key)
+    memo = _IVF_INDEX_MEMO.get(key) if _memoizable(sf_dir) else None
     if memo is None:
         emb = _emb(spark, sf_dir).select(
             "vec_id",
@@ -246,7 +344,8 @@ def sim_ann_ivf(spark, sf_dir):
              for i, c in enumerate(model.clusterCenters())],
             "cell int, centroid array<double>")
         memo = (assigned, centroids)
-        _IVF_INDEX_MEMO[key] = memo
+        if _memoizable(sf_dir):
+            _IVF_INDEX_MEMO[key] = memo
     assigned, centroids = memo
     q = assigned.filter(F.col("vec_id") == 1).select(F.col("emb").alias("qe"))
     probe_cells = (
@@ -390,9 +489,13 @@ def portable_band_keys(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                     F.col("b.band_key").alias("band_key")))
 
 
-# Shared CTE chain ending in `ppairs` (doc_a, doc_b, est_jaccard >= 0.5)
-# — used by the pair query's oracle AND re-used by the cluster oracle.
-_PORTABLE_PAIRS_CTES = f"""d AS (
+# Shared CTE chain ending in `ppairs` (doc_a, doc_b, est_jaccard) — used
+# by the pair query's oracle AND re-used by the cluster oracle.  The pair
+# filter is a real template parameter (defaulting to the production 0.5
+# cut) so consumers that need the unfiltered pairs (the threshold sweep)
+# ask for them explicitly instead of string-replacing the WHERE clause
+# out — a reworded CTE can't silently re-introduce the filter.
+_PORTABLE_PAIRS_CTES_TMPL = f"""d AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(lower(text), '\\s+'),
                          x -> x <> '') AS toks
@@ -412,7 +515,14 @@ _PORTABLE_PAIRS_CTES = f"""d AS (
         FROM cand c
         JOIN mins x ON x.doc_id = c.doc_a
         JOIN mins y ON y.doc_id = c.doc_b)
-      WHERE est_jaccard >= 0.5)"""
+      WHERE {{pair_filter}})"""
+
+
+def _portable_pairs_ctes(pair_filter: str = "est_jaccard >= 0.5") -> str:
+    return _PORTABLE_PAIRS_CTES_TMPL.format(pair_filter=pair_filter)
+
+
+_PORTABLE_PAIRS_CTES = _portable_pairs_ctes()
 
 
 @query("dedup_minhash_portable", f"""
@@ -621,6 +731,12 @@ def dedup_cluster_components(spark, sf_dir):
     return _components_report(_min_label_components(pairs))
 
 
+# pass count of the most recent _min_label_components run — observability
+# for the scale-up harness (scripts/scaleup_dedup_chain.py): convergence
+# passes ~ component diameter, the quantity the 100 TB claim rests on.
+LAST_PROPAGATION_PASSES: int = 0
+
+
 def _min_label_components(pairs: DataFrame) -> DataFrame:
     """Iterative min-label propagation over an undirected pair list ->
     (doc_id, label) with label = min doc_id of the connected component.
@@ -628,6 +744,7 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
     one join+groupBy over the edge list, localCheckpoint truncates the
     lineage, and non-convergence in 50 passes raises instead of
     emitting wrong clusters."""
+    global LAST_PROPAGATION_PASSES
     F_ = F
     # undirected edge list, both directions; a node's own label joins
     # the propagation via F.least(own, neighbour-min) below, so no
@@ -642,7 +759,9 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
         .withColumn("label", F_.col("doc_id"))
     ).localCheckpoint()
     converged = False
+    LAST_PROPAGATION_PASSES = 0
     for _ in range(50):
+        LAST_PROPAGATION_PASSES += 1
         neighbour_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src").agg(F_.min("label").alias("nbr_label"))
@@ -745,26 +864,33 @@ def vec_centroid_by_label(spark, sf_dir):
     )
 
 
-@query("vec_normalize", f"""
-    SELECT vec_id,
-           list_transform(embedding::DOUBLE[],
-                          x -> round(x / sqrt(list_dot_product(
-                               embedding::DOUBLE[], embedding::DOUBLE[])), 6))
-             AS unit_vec
-    FROM embeddings
+@query("vec_normalize", """
+    SELECT vec_id, u.pos AS pos, u.unit_val AS unit_val FROM (
+      SELECT vec_id,
+             unnest(list_transform(embedding::DOUBLE[],
+                    (x, i) -> {'pos': i - 1,
+                               'unit_val': round(x / sqrt(list_dot_product(
+                                    embedding::DOUBLE[],
+                                    embedding::DOUBLE[])), 6)}))
+               AS u
+      FROM embeddings
+    )
 """)
 def vec_normalize(spark, sf_dir):
     """L2 normalization to unit vectors — the preprocessing step that
     turns Euclidean KMeans into spherical (cosine) clustering and lets
-    dot products serve as cosine.  Pure per-row array lambdas (no
-    shuffle); 6dp rounding absorbs the one libm sqrt ulp."""
+    dot products serve as cosine.  The unit array is built with pure
+    per-row lambdas (no shuffle); the registered output posexplodes it
+    to scalar (vec_id, pos, unit_val) rows because the driver's
+    canonicalizer hashes scalar cells only (CORRECTNESS_r02 ERR on the
+    raw ArrayType column).  6dp rounding absorbs the one libm sqrt
+    ulp."""
     e = _emb(spark, sf_dir)
     v = to_double_array("embedding")
     norm = F.sqrt(F.aggregate(
         F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x))
-    return e.select(
-        "vec_id",
-        F.transform(v, lambda x: F.round(x / norm, 6)).alias("unit_vec"))
+    unit = F.transform(v, lambda x: F.round(x / norm, 6))
+    return e.select("vec_id", F.posexplode(unit).alias("pos", "unit_val"))
 
 
 @query("sim_topk_batch", f"""
@@ -854,14 +980,19 @@ def sim_topk_batch_gemm(spark, sf_dir):
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
     s AS (SELECT vec_id, ve,
                  list_max(list_transform(ve, x -> abs(x))) / 127 AS scale
-          FROM v)
-    SELECT vec_id, scale,
-           list_transform(ve, x -> CAST(floor(x / scale) AS INTEGER)) AS codes,
-           round(list_aggregate(
-                   list_transform(ve, x -> (x - floor(x / scale) * scale)
-                                           * (x - floor(x / scale) * scale)),
-                   'sum') / len(ve), 6) AS mse
-    FROM s WHERE scale > 0
+          FROM v),
+    x AS (
+      SELECT vec_id, scale,
+             round(list_aggregate(
+                     list_transform(ve, x -> (x - floor(x / scale) * scale)
+                                             * (x - floor(x / scale) * scale)),
+                     'sum') / len(ve), 6) AS mse,
+             unnest(list_transform(ve,
+                    (x, i) -> {'pos': i - 1,
+                               'code': CAST(floor(x / scale) AS INTEGER)}))
+               AS u
+      FROM s WHERE scale > 0)
+    SELECT vec_id, u.pos AS pos, u.code AS code, scale, mse FROM x
 """)
 def vec_quantize_int8(spark, sf_dir):
     """Per-vector int8 scalar quantization — the memory-side of ANN at
@@ -873,7 +1004,11 @@ def vec_quantize_int8(spark, sf_dir):
     array-fold sums are order-pinned on both engines; 6dp rounds the
     tail).  Pure per-row lambdas: no shuffle, scans with the corpus;
     at 100 TB the codes column feeds sim_topk_batch_gemm-style int8
-    GEMM with ~4x the throughput of the float path."""
+    GEMM with ~4x the throughput of the float path.  The registered
+    output posexplodes the codes array to scalar (vec_id, pos, code)
+    rows — the driver's canonicalizer can't hash ArrayType cells
+    (CORRECTNESS_r02 ERR) — with the per-vector scale/mse repeated per
+    row."""
     e = _emb(spark, sf_dir)
     v = to_double_array("embedding")
     bound = (e.select("vec_id", v.alias("ve"))
@@ -883,8 +1018,11 @@ def vec_quantize_int8(spark, sf_dir):
     code = lambda x: F.floor(x / F.col("scale"))          # noqa: E731
     err = lambda x: (x - code(x) * F.col("scale")) ** 2   # noqa: E731
     return bound.select(
-        "vec_id", "scale",
-        F.transform(F.col("ve"), lambda x: code(x).cast("int")).alias("codes"),
+        "vec_id",
+        F.posexplode(
+            F.transform(F.col("ve"), lambda x: code(x).cast("int"))
+        ).alias("pos", "code"),
+        "scale",
         F.round(
             F.aggregate(F.transform(F.col("ve"), err), F.lit(0.0),
                         lambda acc, x: acc + x) / F.size("ve"),
@@ -1314,7 +1452,7 @@ def sim_ann_recall_multiprobe(spark, sf_dir):
 
 
 @query("neardup_threshold_sweep", f"""
-    WITH {_PORTABLE_PAIRS_CTES.replace("WHERE est_jaccard >= 0.5", "")},
+    WITH {_portable_pairs_ctes(pair_filter="TRUE")},
     b AS (SELECT CAST(floor(est_jaccard * 8) AS INTEGER) AS bucket,
                  est_jaccard
           FROM ppairs)

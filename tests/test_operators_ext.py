@@ -429,13 +429,13 @@ def test_fpgrowth_singleton_supports_match_doc_freq(spark, sf_dir):
     df_counts = {r["tok"]: r["n"] for r in (
         docs.select(F.explode(F.array_distinct(tokens_col())).alias("tok"))
         .groupBy("tok").agg(F.count("*").alias("n")).collect())}
-    singles = {tuple(r["items"])[0]: r["freq"]
-               for r in rows if len(r["items"]) == 1}
+    itemsets = [(r["itemset"].split(" "), r["freq"]) for r in rows]
+    singles = {items[0]: freq for items, freq in itemsets if len(items) == 1}
     assert singles
     for tok, freq in singles.items():
         assert df_counts[tok] == freq
-    for r in rows:
-        assert r["freq"] <= min(df_counts[t] for t in r["items"])
+    for items, freq in itemsets:
+        assert freq <= min(df_counts[t] for t in items)
 
 
 def test_pca_variance_monotone_and_basis_orthonormal(spark, sf_dir):

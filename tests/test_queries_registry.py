@@ -73,3 +73,43 @@ def test_entry_schema_stable(spark):
     assert [(f.name, f.dataType.simpleString()) for f in df.schema.fields] == [
         ("lang", "string"), ("n_docs", "bigint"), ("avg_risk", "double"),
         ("high_risk", "bigint"), ("avg_cleaned_len", "double")]
+
+
+def test_coverage_md_check_column_matches_registry():
+    """COVERAGE.md is the coverage contract: any table row naming a
+    registered query id must claim 'oracle' iff the id actually has a
+    DuckDB twin in ORACLES (VERDICT r2 item 4 caught a stale
+    'rows-only' label after a query was oracle-converted).  Rows whose
+    ids aren't registry queries (sources/sinks/library code) are out
+    of scope; a row claiming both 'oracle' and 'rows-only' is
+    ambiguous and fails."""
+    import re
+
+    from mental_health_bigdata_project_spark.plans import ORACLES, QUERIES
+
+    mismatches = []
+    with open("/root/repo/COVERAGE.md") as f:
+        for lineno, line in enumerate(f, 1):
+            if not line.startswith("|") or line.startswith("|---"):
+                continue
+            cells = [c.strip() for c in line.strip().strip("|").split("|")]
+            if len(cells) < 3 or cells[0] == "id":
+                continue
+            ids = [m for m in re.findall(r"`([a-z0-9_]+)`", cells[0])
+                   if m in QUERIES]
+            if not ids:
+                continue
+            check = cells[-1]
+            claims_oracle = "oracle" in check
+            claims_rows_only = "rows-only" in check
+            for qid in ids:
+                if claims_oracle and claims_rows_only:
+                    mismatches.append(
+                        f"L{lineno} {qid}: ambiguous claim ({check!r})")
+                elif claims_oracle and qid not in ORACLES:
+                    mismatches.append(
+                        f"L{lineno} {qid}: claims oracle, not in ORACLES")
+                elif claims_rows_only and qid in ORACLES:
+                    mismatches.append(
+                        f"L{lineno} {qid}: claims rows-only, has an oracle")
+    assert not mismatches, "\n".join(mismatches)
