@@ -92,8 +92,8 @@ _CONVERTED_FRONT = [
     "vec_normalize", "vec_quantize_int8",
     # same trap fixed pre-emptively this round
     "vec_minmax_scale",
-    # new this round: oracle-backed SRP-LSH twin (VERDICT r2 item 3)
-    "sim_ann_lsh_portable",
+    # new this round: oracle-backed ANN twins (VERDICT r2 item 3)
+    "sim_ann_lsh_portable", "sim_ann_ivf_portable",
 ]
 
 

@@ -367,6 +367,122 @@ def sim_ann_ivf(spark, sf_dir):
     )
 
 
+_IVF_CELL_PLANES = 4  # 2^4 = 16 coarse cells, matching sim_ann_ivf's k
+_IVF_N_PROBE = 4
+
+_IVF_PROJ_SQL = ", ".join(
+    f"list_aggregate(list_transform(q, (x, i) -> CASE WHEN "
+    f"substr(md5('ivfp{p}:' || CAST(i - 1 AS VARCHAR)), 1, 1) >= '8' "
+    f"THEN x ELSE -x END), 'sum') AS s{p}"
+    for p in range(_IVF_CELL_PLANES))
+_IVF_CELL_SQL = " + ".join(
+    f"(CASE WHEN s{p} > 0 THEN {1 << p} ELSE 0 END)"
+    for p in range(_IVF_CELL_PLANES))
+
+
+@query("sim_ann_ivf_portable", f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ve,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+      FROM embeddings),
+    proj AS (SELECT vec_id, ve, q, {_IVF_PROJ_SQL} FROM v),
+    cells AS (SELECT vec_id, ve, q, CAST({_IVF_CELL_SQL} AS BIGINT)
+                AS cell FROM proj),
+    pe AS (
+      SELECT cell, u.pos AS pos, u.qv AS qv FROM (
+        SELECT cell, unnest(list_transform(q,
+               (x, i) -> {{'pos': i - 1, 'qv': x}})) AS u
+        FROM cells)),
+    cen AS (SELECT cell, pos,
+                   CAST(SUM(qv) AS DOUBLE) / COUNT(qv) / 1000000.0
+                     AS centroid_val
+            FROM pe GROUP BY cell, pos),
+    qe AS (
+      SELECT u.pos AS pos, u.x AS qx FROM (
+        SELECT unnest(list_transform(ve,
+               (x, i) -> {{'pos': i - 1, 'x': x}})) AS u
+        FROM cells WHERE vec_id = 1)),
+    sc AS (SELECT cell,
+                  CAST(SUM(CAST(round(centroid_val * qx, 9)
+                                AS DECIMAL(38,9))) AS DOUBLE) AS dot,
+                  CAST(SUM(CAST(round(centroid_val * centroid_val, 9)
+                                AS DECIMAL(38,9))) AS DOUBLE) AS cnorm2
+           FROM cen JOIN qe USING (pos) GROUP BY cell),
+    probe AS (SELECT cell FROM sc
+              ORDER BY dot / sqrt(cnorm2) DESC, cell
+              LIMIT {_IVF_N_PROBE}),
+    qv AS (SELECT ve AS qvec FROM cells WHERE vec_id = 1)
+    SELECT c.vec_id, c.cell,
+           round({_COS_SQL.format(a='c.ve', b='qv.qvec')}, 6) AS cosine
+    FROM cells c JOIN probe USING (cell) CROSS JOIN qv
+    WHERE c.vec_id <> 1
+""")
+def sim_ann_ivf_portable(spark, sf_dir):
+    """IVF ANN with an ENGINE-PORTABLE coarse quantizer, end-to-end
+    oracle-checked (sim_ann_ivf above is the KMeans production twin,
+    rows-only because centroid training is engine-specific).  The
+    coarse quantizer is 4 md5-derived Rademacher sign planes over
+    integer-quantized components (the sim_ann_lsh_portable recipe,
+    'ivfp' seed namespace) -> 16 deterministic cells; cell centroids
+    are exact integer-micro-unit means (the vec_centroid_by_label
+    trick, so every engine computes bit-identical centroids); the
+    query ranks cells by decimal-summed centroid cosine and probes the
+    top 4, then brute-forces exact cosines inside them.
+
+    Same 100 TB shape as the KMeans path: cell becomes the storage
+    partition key, the centroid table is 16 x dim doubles broadcast to
+    the query, and a probe reads nprobe/k of the corpus
+    partition-pruned — but with a quantizer any engine (or a plain SQL
+    warehouse) reproduces exactly, which is also what makes the index
+    REBUILD-FREE across engine migrations."""
+    e = _emb(spark, sf_dir)
+    v = to_double_array("embedding")
+    qarr = F.transform(v, lambda x: F.floor(x * 1_000_000).cast("bigint"))
+
+    def proj(p):
+        idx = F.sequence(F.lit(0), F.size(F.col("q")) - 1)
+        signed = F.zip_with(
+            F.col("q"), idx,
+            lambda x, i: F.when(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"ivfp{p}:"), i.cast("string"))), 1, 1
+                ) >= "8", x).otherwise(-x))
+        return F.aggregate(signed, F.lit(0).cast("bigint"),
+                           lambda acc, x: acc + x)
+
+    base = e.select("vec_id", v.alias("ve"), qarr.alias("q"))
+    cell = None
+    for p in range(_IVF_CELL_PLANES):
+        term = F.when(proj(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        cell = term if cell is None else cell + term
+    cells = base.select("vec_id", "ve", "q", cell.cast("bigint").alias("cell"))
+
+    pe = cells.select("cell", F.posexplode("q").alias("pos", "qv"))
+    cen = pe.groupBy("cell", "pos").agg(
+        (F.sum("qv").cast("double") / F.count("qv") / F.lit(1_000_000.0))
+        .alias("centroid_val"))
+    qe = (cells.filter(F.col("vec_id") == 1)
+          .select(F.posexplode("ve").alias("pos", "qx")))
+    dsum9 = lambda c: (F.sum(F.round(c, 9).cast("decimal(38,9)"))  # noqa: E731
+                       .cast("double"))
+    sc = (cen.join(F.broadcast(qe), "pos")
+          .groupBy("cell")
+          .agg(dsum9(F.col("centroid_val") * F.col("qx")).alias("dot"),
+               dsum9(F.col("centroid_val") * F.col("centroid_val"))
+               .alias("cnorm2")))
+    probe = (sc.orderBy(F.desc(F.col("dot") / F.sqrt(F.col("cnorm2"))), "cell")
+             .limit(_IVF_N_PROBE).select("cell"))
+    qv = (cells.filter(F.col("vec_id") == 1)
+          .select(F.col("ve").alias("qvec")))
+    return (cells.join(F.broadcast(probe), "cell")
+            .filter(F.col("vec_id") != 1)
+            .crossJoin(F.broadcast(qv))
+            .select("vec_id", "cell",
+                    F.round(cosine_similarity(F.col("ve"), F.col("qvec")), 6)
+                    .alias("cosine")))
+
+
 N_MINHASH = 16
 BAND_SIZE = 4
 

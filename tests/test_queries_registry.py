@@ -88,9 +88,17 @@ def test_coverage_md_check_column_matches_registry():
     from mental_health_bigdata_project_spark.plans import ORACLES, QUERIES
 
     mismatches = []
+    in_ledger = False
     with open("/root/repo/COVERAGE.md") as f:
         for lineno, line in enumerate(f, 1):
-            if not line.startswith("|") or line.startswith("|---"):
+            if line.startswith("#"):
+                # the rows-only ledger's last column NAMES sibling
+                # oracle queries, so the substring heuristic below
+                # doesn't apply there; its claims are checked by the
+                # dedicated ledger test below
+                in_ledger = line.startswith("## Rows-only ledger")
+                continue
+            if in_ledger or not line.startswith("|") or line.startswith("|---"):
                 continue
             cells = [c.strip() for c in line.strip().strip("|").split("|")]
             if len(cells) < 3 or cells[0] == "id":
@@ -113,3 +121,36 @@ def test_coverage_md_check_column_matches_registry():
                     mismatches.append(
                         f"L{lineno} {qid}: claims rows-only, has an oracle")
     assert not mismatches, "\n".join(mismatches)
+
+
+def test_coverage_rows_only_ledger_complete_and_consistent():
+    """The rows-only ledger in COVERAGE.md must list EXACTLY the
+    registered queries without oracles, and every sibling query it
+    cites in its third column must itself be oracle-backed."""
+    import re
+
+    from mental_health_bigdata_project_spark.plans import ORACLES, QUERIES
+
+    rows_only = {q for q in QUERIES if q not in ORACLES}
+    listed, bad_siblings = set(), []
+    in_ledger = False
+    with open("/root/repo/COVERAGE.md") as f:
+        for line in f:
+            if line.startswith("#"):
+                in_ledger = line.startswith("## Rows-only ledger")
+                continue
+            if not in_ledger or not line.startswith("|") \
+                    or line.startswith("|---"):
+                continue
+            cells = [c.strip() for c in line.strip().strip("|").split("|")]
+            if len(cells) < 3 or cells[0] == "rows-only id":
+                continue
+            ids = re.findall(r"`([a-z0-9_]+)`", cells[0])
+            listed.update(ids)
+            for sib in re.findall(r"`([a-z0-9_]+)`", cells[2]):
+                if sib in QUERIES and sib not in ORACLES:
+                    bad_siblings.append(f"{ids}: sibling {sib} has no oracle")
+    assert listed == rows_only, (
+        f"ledger missing {sorted(rows_only - listed)}, "
+        f"stale {sorted(listed - rows_only)}")
+    assert not bad_siblings, "\n".join(bad_siblings)
