@@ -92,8 +92,10 @@ _CONVERTED_FRONT = [
     "vec_normalize", "vec_quantize_int8",
     # same trap fixed pre-emptively this round
     "vec_minmax_scale",
-    # new this round: oracle-backed ANN twins (VERDICT r2 item 3)
+    # new this round: oracle-backed ANN twins (VERDICT r2 item 3) and
+    # the PQ/ADC + DSIR additions
     "sim_ann_lsh_portable", "sim_ann_ivf_portable",
+    "vec_pq_encode", "sim_pq_adc_topk", "dsir_importance_weights",
 ]
 
 

@@ -483,6 +483,218 @@ def sim_ann_ivf_portable(spark, sf_dir):
                     .alias("cosine")))
 
 
+_PQ_SUBS = 8     # 64 dims -> 8 subspaces of 8 dims
+_PQ_SUBDIM = 8
+_PQ_PLANES = 4   # 2^4 = 16 codes per subspace
+
+# per-(sub, plane) signed integer fold over that subspace's 8 quantized
+# components; weight of within-subspace dim j is the md5 high-nibble bit
+# of 'pq<s>:<p>:<j>' — the sim_ann_lsh_portable recipe, namespaced per
+# subspace so sub-quantizers are independent.
+_PQ_PROJ_SQL = ", ".join(
+    f"list_aggregate(list_transform("
+    f"q[{s * _PQ_SUBDIM + 1}:{(s + 1) * _PQ_SUBDIM}], (x, i) -> CASE WHEN "
+    f"substr(md5('pq{s}:{p}:' || CAST(i - 1 AS VARCHAR)), 1, 1) >= '8' "
+    f"THEN x ELSE -x END), 'sum') AS s{s}_{p}"
+    for s in range(_PQ_SUBS) for p in range(_PQ_PLANES))
+_PQ_CODES_SQL = ", ".join(
+    "(" + " + ".join(
+        f"(CASE WHEN s{s}_{p} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(_PQ_PLANES)) + f") AS c{s}"
+    for s in range(_PQ_SUBS))
+_PQ_CODE_STRUCTS_SQL = "[" + ", ".join(
+    f"{{'sub': {s}, 'code': CAST(c{s} AS BIGINT)}}"
+    for s in range(_PQ_SUBS)) + "]"
+
+
+def _pq_assign(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared PQ machinery: per-(vec, sub, j) component rows joined with
+    their portable code assignment, plus the trained codebook.
+    Returns (assigned, cen): assigned = (vec_id, sub, j, code, qv, xv),
+    cen = (sub, code, j, cv) — the 1024-row codebook of exact
+    integer-micro-unit means."""
+    v = to_double_array("embedding")
+    qarr = F.transform(v, lambda x: F.floor(x * 1_000_000).cast("bigint"))
+    base = e.select("vec_id", v.alias("ve"), qarr.alias("q"))
+
+    def proj(s, p):
+        sub = F.slice(F.col("q"), s * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+        idx = F.sequence(F.lit(0), F.lit(_PQ_SUBDIM - 1))
+        signed = F.zip_with(
+            sub, idx,
+            lambda x, i: F.when(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"pq{s}:{p}:"), i.cast("string"))),
+                    1, 1) >= "8", x).otherwise(-x))
+        return F.aggregate(signed, F.lit(0).cast("bigint"),
+                           lambda acc, x: acc + x)
+
+    def code(s):
+        c = None
+        for p in range(_PQ_PLANES):
+            term = F.when(proj(s, p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+            c = term if c is None else c + term
+        return c.cast("bigint")
+
+    codes = base.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(s).cast("bigint").alias("sub"),
+                     code(s).alias("code"))
+            for s in range(_PQ_SUBS)])).alias("u"),
+    ).select("vec_id", F.col("u.sub").alias("sub"),
+             F.col("u.code").alias("code"))
+
+    pe = (base.select("vec_id", F.posexplode("ve").alias("pos", "xv"))
+          .select("vec_id",
+                  (F.col("pos") / _PQ_SUBDIM).cast("bigint").alias("sub"),
+                  (F.col("pos") % _PQ_SUBDIM).cast("bigint").alias("j"),
+                  F.floor(F.col("xv") * 1_000_000).cast("bigint").alias("qv"),
+                  "xv"))
+    assigned = pe.join(codes, ["vec_id", "sub"])
+    cen = assigned.groupBy("sub", "code", "j").agg(
+        (F.sum("qv").cast("double") / F.count("qv") / F.lit(1_000_000.0))
+        .alias("cv"))
+    return assigned, cen
+
+
+# Shared PQ CTE chain (assignment + codebook) — used by the encode
+# oracle AND the ADC search oracle.
+_PQ_CTES = f"""v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ve,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+      FROM embeddings),
+    proj AS (SELECT vec_id, ve, q, {_PQ_PROJ_SQL} FROM v),
+    coded AS (SELECT vec_id, ve, q, {_PQ_CODES_SQL} FROM proj),
+    codes AS (
+      SELECT vec_id, u.sub AS sub, u.code AS code
+      FROM (SELECT vec_id, unnest({_PQ_CODE_STRUCTS_SQL}) AS u FROM coded)),
+    pe AS (
+      SELECT vec_id, (u.pos // {_PQ_SUBDIM}) AS sub,
+             (u.pos % {_PQ_SUBDIM}) AS j, u.qv AS qv, u.xv AS xv
+      FROM (SELECT vec_id,
+                   unnest(list_transform(ve,
+                          (x, i) -> {{'pos': i - 1, 'xv': x,
+                                      'qv': CAST(floor(x * 1000000)
+                                                 AS BIGINT)}})) AS u
+            FROM v)),
+    assigned AS (
+      SELECT pe.vec_id, pe.sub, codes.code, pe.j, pe.qv, pe.xv
+      FROM pe JOIN codes ON pe.vec_id = codes.vec_id
+                        AND pe.sub = codes.sub),
+    cen AS (SELECT sub, code, j,
+                   CAST(SUM(qv) AS DOUBLE) / COUNT(qv) / 1000000.0 AS cv
+            FROM assigned GROUP BY sub, code, j)"""
+
+
+@query("vec_pq_encode", f"""
+    WITH {_PQ_CTES}
+    SELECT a.vec_id, a.sub, a.code,
+           CAST(SUM(CAST(round((a.xv - cen.cv) * (a.xv - cen.cv), 9)
+                         AS DECIMAL(28,9))) AS DOUBLE) / {_PQ_SUBDIM}
+             AS sub_mse
+    FROM assigned a
+    JOIN cen ON a.sub = cen.sub AND a.code = cen.code AND a.j = cen.j
+    GROUP BY a.vec_id, a.sub, a.code
+""")
+def vec_pq_encode(spark, sf_dir):
+    """Product quantization (Jegou et al. 2011) with an ENGINE-PORTABLE
+    sub-quantizer — the memory-side of billion-scale ANN: each vector's
+    64 dims split into 8 subspaces of 8; each subspace is assigned one
+    of 16 codes (4 md5-Rademacher sign planes over integer-quantized
+    components, the sim_ann_lsh_portable recipe namespaced per
+    subspace), compressing 64 doubles to 8x4 bits (codes) + a shared
+    8x16x8-value codebook.  The codebook entries are exact
+    integer-micro-unit means of the vectors assigned to each (sub,
+    code) cell (the vec_centroid_by_label trick), and per-(vec, sub)
+    reconstruction MSE rides along via 9dp-rounded decimal sums — the
+    whole encode + codebook-train + reconstruction-error pipeline
+    hash-matches DuckDB.
+
+    Scale shape: code assignment is per-row lambdas (no shuffle); the
+    codebook is ONE hash agg to 1024 rows regardless of corpus size;
+    the MSE join broadcasts the codebook back.  At 100 TB the codes
+    column (4 bytes/vector) feeds asymmetric-distance ANN at ~64x the
+    scan density of the raw doubles, and — as with the IVF twin — an
+    md5-derived codebook recipe is reproducible on any engine, so the
+    compressed index never needs a cross-engine rebuild."""
+    assigned, cen = _pq_assign(_emb(spark, sf_dir))
+    return (assigned.join(F.broadcast(cen), ["sub", "code", "j"])
+            .groupBy("vec_id", "sub", "code")
+            .agg((F.sum(F.round((F.col("xv") - F.col("cv"))
+                                * (F.col("xv") - F.col("cv")), 9)
+                        .cast("decimal(28,9)"))
+                  .cast("double") / F.lit(_PQ_SUBDIM)).alias("sub_mse")))
+
+
+@query("sim_pq_adc_topk", f"""
+    WITH {_PQ_CTES},
+    qe AS (SELECT sub, j, xv AS qx FROM pe WHERE vec_id = 1),
+    dt AS (
+      SELECT cen.sub, cen.code,
+             CAST(SUM(CAST(round((cen.cv - qe.qx) * (cen.cv - qe.qx), 9)
+                           AS DECIMAL(28,9))) AS DOUBLE) AS d
+      FROM cen JOIN qe ON cen.sub = qe.sub AND cen.j = qe.j
+      GROUP BY cen.sub, cen.code),
+    adc AS (
+      SELECT codes.vec_id,
+             round(CAST(SUM(CAST(round(dt.d, 9) AS DECIMAL(28,9)))
+                        AS DOUBLE), 6) AS adc_dist
+      FROM codes JOIN dt ON codes.sub = dt.sub AND codes.code = dt.code
+      GROUP BY codes.vec_id),
+    exact AS (
+      SELECT pe.vec_id,
+             round(CAST(SUM(CAST(round((pe.xv - qe.qx) * (pe.xv - qe.qx), 9)
+                                 AS DECIMAL(28,9))) AS DOUBLE), 6)
+               AS exact_dist
+      FROM pe JOIN qe ON pe.sub = qe.sub AND pe.j = qe.j
+      GROUP BY pe.vec_id)
+    SELECT adc.vec_id, adc.adc_dist, exact.exact_dist
+    FROM adc JOIN exact ON adc.vec_id = exact.vec_id
+    WHERE adc.vec_id <> 1
+""")
+def sim_pq_adc_topk(spark, sf_dir):
+    """Asymmetric distance computation (ADC) over the PQ codes — the
+    search side of product quantization: the query stays
+    uncompressed, and its squared distance to EVERY corpus vector is
+    approximated as the sum of 8 table lookups, one per subspace,
+    from a 128-entry (sub, code) -> partial-distance table computed
+    ONCE per query against the codebook.  The exact squared distance
+    rides along per vector, so the result exhibits the PQ
+    approximation error directly (adc_dist vs exact_dist) — the
+    recall/compression trade every PQ deployment tunes.
+
+    Scale shape: the distance table is 8x16 rows (broadcast); scoring
+    a vector touches only its 8 codes — never the raw doubles — which
+    is the entire point: at 100 TB the scan reads 4-byte codes (64x
+    densier than the embedding column) plus one broadcast join and a
+    per-vec_id sum.  All sums are 9dp-decimal (order-free), so ADC and
+    exact distances both hash-match DuckDB."""
+    assigned, cen = _pq_assign(_emb(spark, sf_dir))
+    dsum9 = lambda c: (F.sum(F.round(c, 9).cast("decimal(28,9)"))  # noqa: E731
+                       .cast("double"))
+    qe = (assigned.filter(F.col("vec_id") == 1)
+          .select("sub", "j", F.col("xv").alias("qx")))
+    dt = (cen.join(F.broadcast(qe), ["sub", "j"])
+          .groupBy("sub", "code")
+          .agg(dsum9((F.col("cv") - F.col("qx"))
+                     * (F.col("cv") - F.col("qx"))).alias("d")))
+    codes = (assigned.filter(F.col("j") == 0)
+             .select("vec_id", "sub", "code"))
+    adc = (codes.join(F.broadcast(dt), ["sub", "code"])
+           .groupBy("vec_id")
+           .agg(F.round(dsum9(F.col("d")), 6).alias("adc_dist")))
+    exact = (assigned.join(F.broadcast(qe), ["sub", "j"])
+             .groupBy("vec_id")
+             .agg(F.round(dsum9((F.col("xv") - F.col("qx"))
+                                * (F.col("xv") - F.col("qx"))), 6)
+                  .alias("exact_dist")))
+    return (adc.join(exact, "vec_id")
+            .filter(F.col("vec_id") != 1)
+            .select("vec_id", "adc_dist", "exact_dist"))
+
+
 N_MINHASH = 16
 BAND_SIZE = 4
 

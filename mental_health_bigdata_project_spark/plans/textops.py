@@ -2198,3 +2198,94 @@ def transform_span_corruption(spark, sf_dir):
         F.concat(F.array_join(corrupted_blocks, " "), tail)
         .alias("corrupted"),
         F.array_join(target_blocks, " ").alias("targets"))
+
+
+# --- DSIR domain-targeted selection --------------------------------------
+
+_DSIR_BIGRAMS_SQL = """
+      SELECT doc_id, lang, unnest(
+        CASE WHEN len(t) >= 2 THEN
+          list_transform(range(1, len(t)),
+                         i -> concat(t[i], ' ', t[i+1]))
+        ELSE [] END) AS bigram
+      FROM (SELECT doc_id, lang, {toks} AS t FROM documents)
+""".format(toks=_TOKS_SQL)
+
+
+@query("dsir_importance_weights", f"""
+    WITH bg AS ({_DSIR_BIGRAMS_SQL}),
+    bb AS (SELECT doc_id, lang, substr(md5(bigram), 1, 2) AS bucket FROM bg),
+    raw AS (SELECT bucket, count(*) AS n_r FROM bb GROUP BY bucket),
+    tgt AS (SELECT bucket, count(*) AS n_t FROM bb
+            WHERE lang = 'en' GROUP BY bucket),
+    tot AS (SELECT (SELECT count(*) FROM bb) AS total_r,
+                   (SELECT count(*) FROM bb WHERE lang = 'en') AS total_t),
+    lr AS (
+      SELECT raw.bucket,
+             CAST(round(ln((CAST(COALESCE(n_t, 0) AS DOUBLE) + 1.0)
+                           / (total_t + 256))
+                        - ln((CAST(n_r AS DOUBLE) + 1.0)
+                             / (total_r + 256)), 6)
+                  AS DECIMAL(18,6)) AS logratio
+      FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket CROSS JOIN tot)
+    SELECT bb.doc_id,
+           CAST(count(*) AS INT) AS n_bigrams,
+           CAST(SUM(logratio) AS DOUBLE) AS dsir_weight,
+           CAST(CAST(SUM(logratio) AS DOUBLE) > 0 AS INT) AS selected
+    FROM bb JOIN lr ON bb.bucket = lr.bucket
+    GROUP BY bb.doc_id
+""")
+def dsir_importance_weights(spark, sf_dir):
+    """DSIR-style domain-targeted data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every document by the log-likelihood ratio of a TARGET
+    domain's hashed-bigram distribution (here lang='en' stands in for
+    the curated target set) against the RAW corpus distribution, the
+    standard recipe for selecting pretraining data that "looks like"
+    a high-quality reference corpus.
+
+    Portability/scale shape: bigrams hash into 256 buckets via the
+    first two md5 hex chars (both engines agree byte-for-byte); the
+    bucket log-ratio table is 256 rows — Laplace-smoothed, 6dp-rounded
+    ln (the text_bigram_lm_score recipe) so per-doc decimal sums are
+    order-free and exact.  At 100 TB: one corpus bigram explode, two
+    256-row aggregates, a broadcast join of the ratio table back onto
+    the exploded stream, one (doc_id) hash agg — selection is a
+    threshold (weight > 0: more target-like than raw), NOT a global
+    top-k sort, so no single-partition stage anywhere."""
+    toks = tokens_col()
+    d = (_docs(spark, sf_dir)
+         .select("doc_id", "lang", toks.alias("t"))
+         .filter(F.size("t") >= 2))
+    bb = d.select(
+        "doc_id", "lang",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.concat_ws(" ", F.element_at("t", i),
+                                  F.element_at("t", i + 1)),
+        )).alias("bigram"),
+    ).select("doc_id", "lang",
+             F.substring(F.md5("bigram"), 1, 2).alias("bucket"))
+    raw = bb.groupBy("bucket").agg(F.count("*").alias("n_r"))
+    tgt = (bb.filter(F.col("lang") == "en")
+           .groupBy("bucket").agg(F.count("*").alias("n_t")))
+    tot = bb.agg(
+        F.count("*").alias("total_r"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .alias("total_t"))
+    lr = (raw.join(tgt, "bucket", "left")
+          .crossJoin(F.broadcast(tot))
+          .select(
+              "bucket",
+              F.round(
+                  F.log((F.coalesce(F.col("n_t"), F.lit(0)).cast("double")
+                         + 1.0) / (F.col("total_t") + 256))
+                  - F.log((F.col("n_r").cast("double") + 1.0)
+                          / (F.col("total_r") + 256)), 6)
+              .cast("decimal(18,6)").alias("logratio")))
+    return (bb.join(F.broadcast(lr), "bucket")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("int").alias("n_bigrams"),
+                 F.sum("logratio").cast("double").alias("dsir_weight"),
+                 (F.sum("logratio").cast("double") > 0).cast("int")
+                 .alias("selected")))
