@@ -96,6 +96,9 @@ _CONVERTED_FRONT = [
     # the PQ/ADC + DSIR additions
     "sim_ann_lsh_portable", "sim_ann_ivf_portable",
     "vec_pq_encode", "sim_pq_adc_topk", "dsir_importance_weights",
+    # round-3 additions: IVFADC composition, SemDeDup, ExactSubstr spans
+    "sim_ivfpq_topk", "dedup_semdedup", "dedup_substring_spans",
+    "dedup_substring_rewrite",
 ]
 
 

@@ -380,6 +380,53 @@ _IVF_CELL_SQL = " + ".join(
     for p in range(_IVF_CELL_PLANES))
 
 
+def _ivf_cells(e: DataFrame) -> DataFrame:
+    """Portable IVF coarse quantizer: (vec_id, ve, q, cell) — 4
+    md5-derived Rademacher sign planes over integer-quantized
+    components ('ivfp' namespace) -> 16 deterministic cells.  Shared by
+    sim_ann_ivf_portable and the IVF+PQ composition below."""
+    v = to_double_array("embedding")
+    qarr = F.transform(v, lambda x: F.floor(x * 1_000_000).cast("bigint"))
+
+    def proj(p):
+        idx = F.sequence(F.lit(0), F.size(F.col("q")) - 1)
+        signed = F.zip_with(
+            F.col("q"), idx,
+            lambda x, i: F.when(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"ivfp{p}:"), i.cast("string"))), 1, 1
+                ) >= "8", x).otherwise(-x))
+        return F.aggregate(signed, F.lit(0).cast("bigint"),
+                           lambda acc, x: acc + x)
+
+    base = e.select("vec_id", v.alias("ve"), qarr.alias("q"))
+    cell = None
+    for p in range(_IVF_CELL_PLANES):
+        term = F.when(proj(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        cell = term if cell is None else cell + term
+    return base.select("vec_id", "ve", "q", cell.cast("bigint").alias("cell"))
+
+
+def _ivf_probe(cells: DataFrame) -> DataFrame:
+    """Rank cells by decimal-summed centroid cosine against the query
+    vector (vec_id=1) and return the top-_IVF_N_PROBE cells to probe."""
+    pe = cells.select("cell", F.posexplode("q").alias("pos", "qv"))
+    cen = pe.groupBy("cell", "pos").agg(
+        (F.sum("qv").cast("double") / F.count("qv") / F.lit(1_000_000.0))
+        .alias("centroid_val"))
+    qe = (cells.filter(F.col("vec_id") == 1)
+          .select(F.posexplode("ve").alias("pos", "qx")))
+    dsum9 = lambda c: (F.sum(F.round(c, 9).cast("decimal(38,9)"))  # noqa: E731
+                       .cast("double"))
+    sc = (cen.join(F.broadcast(qe), "pos")
+          .groupBy("cell")
+          .agg(dsum9(F.col("centroid_val") * F.col("qx")).alias("dot"),
+               dsum9(F.col("centroid_val") * F.col("centroid_val"))
+               .alias("cnorm2")))
+    return (sc.orderBy(F.desc(F.col("dot") / F.sqrt(F.col("cnorm2"))), "cell")
+            .limit(_IVF_N_PROBE).select("cell"))
+
+
 @query("sim_ann_ivf_portable", f"""
     WITH v AS (
       SELECT vec_id, embedding::DOUBLE[] AS ve,
@@ -436,43 +483,8 @@ def sim_ann_ivf_portable(spark, sf_dir):
     partition-pruned — but with a quantizer any engine (or a plain SQL
     warehouse) reproduces exactly, which is also what makes the index
     REBUILD-FREE across engine migrations."""
-    e = _emb(spark, sf_dir)
-    v = to_double_array("embedding")
-    qarr = F.transform(v, lambda x: F.floor(x * 1_000_000).cast("bigint"))
-
-    def proj(p):
-        idx = F.sequence(F.lit(0), F.size(F.col("q")) - 1)
-        signed = F.zip_with(
-            F.col("q"), idx,
-            lambda x, i: F.when(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"ivfp{p}:"), i.cast("string"))), 1, 1
-                ) >= "8", x).otherwise(-x))
-        return F.aggregate(signed, F.lit(0).cast("bigint"),
-                           lambda acc, x: acc + x)
-
-    base = e.select("vec_id", v.alias("ve"), qarr.alias("q"))
-    cell = None
-    for p in range(_IVF_CELL_PLANES):
-        term = F.when(proj(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        cell = term if cell is None else cell + term
-    cells = base.select("vec_id", "ve", "q", cell.cast("bigint").alias("cell"))
-
-    pe = cells.select("cell", F.posexplode("q").alias("pos", "qv"))
-    cen = pe.groupBy("cell", "pos").agg(
-        (F.sum("qv").cast("double") / F.count("qv") / F.lit(1_000_000.0))
-        .alias("centroid_val"))
-    qe = (cells.filter(F.col("vec_id") == 1)
-          .select(F.posexplode("ve").alias("pos", "qx")))
-    dsum9 = lambda c: (F.sum(F.round(c, 9).cast("decimal(38,9)"))  # noqa: E731
-                       .cast("double"))
-    sc = (cen.join(F.broadcast(qe), "pos")
-          .groupBy("cell")
-          .agg(dsum9(F.col("centroid_val") * F.col("qx")).alias("dot"),
-               dsum9(F.col("centroid_val") * F.col("centroid_val"))
-               .alias("cnorm2")))
-    probe = (sc.orderBy(F.desc(F.col("dot") / F.sqrt(F.col("cnorm2"))), "cell")
-             .limit(_IVF_N_PROBE).select("cell"))
+    cells = _ivf_cells(_emb(spark, sf_dir))
+    probe = _ivf_probe(cells)
     qv = (cells.filter(F.col("vec_id") == 1)
           .select(F.col("ve").alias("qvec")))
     return (cells.join(F.broadcast(probe), "cell")
@@ -1876,3 +1888,246 @@ def vec_covariance_matrix(spark, sf_dir):
         / 1.0e12, 9)
     return (flat.groupBy("i", "j")
             .agg(n.cast("bigint").alias("n"), cov.alias("cov")))
+
+
+# --- SemDeDup: semantic dedup via cluster-then-prune ----------------------
+
+_SEM_BITS = 4  # 2^4 = 16 coarse clusters at test SF; grows ~log(N) at scale
+_SEM_THRESHOLD = 0.35  # calibrated: 40 intra-cell pairs at sf0.01
+_SEM_CELL_SQL = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(_SEM_BITS))
+
+
+@query("dedup_semdedup", f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             {_SEM_CELL_SQL} AS cell
+      FROM embeddings),
+    pe AS (
+      SELECT vec_id, cell, u.pos AS pos, u.xv AS xv, u.qv AS qv
+      FROM (SELECT vec_id, cell,
+                   unnest(list_transform(emb,
+                          (x, i) -> {{'pos': i - 1, 'xv': x,
+                                      'qv': CAST(floor(x * 1000000)
+                                                 AS BIGINT)}})) AS u
+            FROM v)),
+    cen AS (SELECT cell, pos,
+                   CAST(SUM(qv) AS DOUBLE) / COUNT(qv) / 1000000.0 AS cv
+            FROM pe GROUP BY cell, pos),
+    cc AS (
+      SELECT pe.vec_id, pe.cell,
+             CAST(SUM(CAST(round(pe.xv * cen.cv, 9) AS DECIMAL(38,9)))
+                  AS DOUBLE) AS dot,
+             CAST(SUM(CAST(round(pe.xv * pe.xv, 9) AS DECIMAL(38,9)))
+                  AS DOUBLE) AS nv,
+             CAST(SUM(CAST(round(cen.cv * cen.cv, 9) AS DECIMAL(38,9)))
+                  AS DOUBLE) AS nc
+      FROM pe JOIN cen ON pe.cell = cen.cell AND pe.pos = cen.pos
+      GROUP BY pe.vec_id, pe.cell),
+    cosc AS (SELECT vec_id, cell,
+                    round(dot / sqrt(nv * nc), 6) AS cos_centroid FROM cc),
+    pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round({_COS_SQL.format(a='a.emb', b='b.emb')}, 6)
+            >= {_SEM_THRESHOLD}),
+    losers AS (
+      SELECT DISTINCT CASE
+               WHEN ca.cos_centroid > cb.cos_centroid THEN p.va
+               WHEN cb.cos_centroid > ca.cos_centroid THEN p.vb
+               ELSE greatest(p.va, p.vb) END AS vec_id
+      FROM pairs p
+      JOIN cosc ca ON p.va = ca.vec_id
+      JOIN cosc cb ON p.vb = cb.vec_id),
+    parts AS (SELECT vec_id, count(*) AS n FROM (
+                SELECT va AS vec_id FROM pairs
+                UNION ALL SELECT vb AS vec_id FROM pairs)
+              GROUP BY vec_id)
+    SELECT c.vec_id, c.cell, c.cos_centroid,
+           CAST(coalesce(parts.n, 0) AS INTEGER) AS n_dup_partners,
+           CAST(CASE WHEN losers.vec_id IS NULL THEN 1 ELSE 0 END
+                AS INTEGER) AS keep
+    FROM cosc c
+    LEFT JOIN parts ON c.vec_id = parts.vec_id
+    LEFT JOIN losers ON c.vec_id = losers.vec_id
+""")
+def dedup_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic dedup by clustering the
+    embedding space, then pruning near-duplicate pairs WITHIN each
+    cluster, keeping the member FARTHEST from its cluster centroid (the
+    paper's diversity-preserving keep rule — low centroid-cosine keeps
+    the outlier, drops the prototypical copy).  Clusters here are the
+    deterministic 4-bit sign cells (the dedup_embedding_cells recipe;
+    the paper uses k-means — sim_ann_ivf is that engine-specific twin),
+    centroids are exact integer-micro-unit means (vec_centroid_by_label
+    trick), centroid cosines are 9dp-decimal sums, and the drop rule
+    compares ROUNDED (6dp) centroid cosines with a greatest(vec_id)
+    tie-break — every branch deterministic on both engines, so the
+    whole cluster→pair→prune pipeline hash-matches DuckDB.
+
+    Output: one row per vector — its cluster, centroid cosine, how many
+    near-dup partners it has (pair cosine >= 0.35, calibrated to this
+    near-uniform corpus; a real embedding corpus uses ~0.95), and the
+    keep/drop verdict.
+
+    Scale shape: cells are a per-row native expression (no training
+    pass at all — and no shuffle to assign); the centroid table is one
+    hash agg to cells x dim rows, broadcast back; pairs form only
+    within a cell (corpus shuffles ONCE on cell; expected pair count is
+    sum of per-cell n^2 — at 100 TB you raise _SEM_BITS so cells stay
+    ~1k vectors, exactly how SemDeDup shards its k-means clusters); the
+    loser set is a distinct over pair rows, orders of magnitude smaller
+    than the corpus.  No stage is single-partition."""
+    e = _emb(spark, sf_dir)
+    v = e.select("vec_id", to_double_array("embedding").alias("emb"),
+                 embedding_cell_expr("embedding", _SEM_BITS).alias("cell"))
+    pe = (v.select("vec_id", "cell", F.posexplode("emb").alias("pos", "xv"))
+          .withColumn("qv", F.floor(F.col("xv") * 1_000_000).cast("bigint")))
+    cen = pe.groupBy("cell", "pos").agg(
+        (F.sum("qv").cast("double") / F.count("qv") / F.lit(1_000_000.0))
+        .alias("cv"))
+    dsum9 = lambda c: (F.sum(F.round(c, 9).cast("decimal(38,9)"))  # noqa: E731
+                       .cast("double"))
+    cc = (pe.join(F.broadcast(cen), ["cell", "pos"])
+          .groupBy("vec_id", "cell")
+          .agg(dsum9(F.col("xv") * F.col("cv")).alias("dot"),
+               dsum9(F.col("xv") * F.col("xv")).alias("nv"),
+               dsum9(F.col("cv") * F.col("cv")).alias("nc")))
+    cosc = cc.select(
+        "vec_id", "cell",
+        F.round(F.col("dot") / F.sqrt(F.col("nv") * F.col("nc")), 6)
+        .alias("cos_centroid"))
+    a = v.select(F.col("cell"), F.col("vec_id").alias("va"),
+                 F.col("emb").alias("ea"))
+    b = v.select(F.col("cell").alias("cell_b"),
+                 F.col("vec_id").alias("vb"), F.col("emb").alias("eb"))
+    pairs = (a.join(b, (F.col("cell") == F.col("cell_b"))
+                    & (F.col("va") < F.col("vb")))
+             .filter(F.round(cosine_similarity(F.col("ea"), F.col("eb")), 6)
+                     >= _SEM_THRESHOLD)
+             .select("va", "vb"))
+    ca = cosc.select(F.col("vec_id").alias("va"),
+                     F.col("cos_centroid").alias("cca"))
+    cb = cosc.select(F.col("vec_id").alias("vb"),
+                     F.col("cos_centroid").alias("ccb"))
+    losers = (pairs.join(ca, "va").join(cb, "vb")
+              .select(F.when(F.col("cca") > F.col("ccb"), F.col("va"))
+                      .when(F.col("ccb") > F.col("cca"), F.col("vb"))
+                      .otherwise(F.greatest("va", "vb")).alias("vec_id"))
+              .distinct()
+              .withColumn("is_loser", F.lit(1)))
+    parts = (pairs.select(F.col("va").alias("vec_id"))
+             .unionAll(pairs.select(F.col("vb").alias("vec_id")))
+             .groupBy("vec_id").agg(F.count("*").alias("n")))
+    return (cosc.join(parts, "vec_id", "left")
+            .join(losers, "vec_id", "left")
+            .select("vec_id", "cell", "cos_centroid",
+                    F.coalesce("n", F.lit(0)).cast("int")
+                    .alias("n_dup_partners"),
+                    F.when(F.col("is_loser").isNull(), 1).otherwise(0)
+                    .cast("int").alias("keep")))
+
+
+@query("sim_ivfpq_topk", f"""
+    WITH {_PQ_CTES},
+    iproj AS (SELECT vec_id, {_IVF_PROJ_SQL} FROM v),
+    icells AS (SELECT vec_id, CAST({_IVF_CELL_SQL} AS BIGINT) AS cell
+               FROM iproj),
+    ipe AS (
+      SELECT icells.cell, pe.sub * {_PQ_SUBDIM} + pe.j AS pos, pe.qv AS qv
+      FROM pe JOIN icells ON pe.vec_id = icells.vec_id),
+    icen AS (SELECT cell, pos,
+                    CAST(SUM(qv) AS DOUBLE) / COUNT(qv) / 1000000.0
+                      AS centroid_val
+             FROM ipe GROUP BY cell, pos),
+    iqe AS (SELECT sub * {_PQ_SUBDIM} + j AS pos, xv AS qx
+            FROM pe WHERE vec_id = 1),
+    isc AS (SELECT cell,
+                   CAST(SUM(CAST(round(centroid_val * qx, 9)
+                                 AS DECIMAL(38,9))) AS DOUBLE) AS dot,
+                   CAST(SUM(CAST(round(centroid_val * centroid_val, 9)
+                                 AS DECIMAL(38,9))) AS DOUBLE) AS cnorm2
+            FROM icen JOIN iqe USING (pos) GROUP BY cell),
+    probe AS (SELECT cell FROM isc
+              ORDER BY dot / sqrt(cnorm2) DESC, cell
+              LIMIT {_IVF_N_PROBE}),
+    qe AS (SELECT sub, j, xv AS qx FROM pe WHERE vec_id = 1),
+    dt AS (
+      SELECT cen.sub, cen.code,
+             CAST(SUM(CAST(round((cen.cv - qe.qx) * (cen.cv - qe.qx), 9)
+                           AS DECIMAL(28,9))) AS DOUBLE) AS d
+      FROM cen JOIN qe ON cen.sub = qe.sub AND cen.j = qe.j
+      GROUP BY cen.sub, cen.code),
+    adc AS (
+      SELECT codes.vec_id, icells.cell,
+             round(CAST(SUM(CAST(round(dt.d, 9) AS DECIMAL(28,9)))
+                        AS DOUBLE), 6) AS adc_dist
+      FROM codes
+      JOIN icells ON codes.vec_id = icells.vec_id
+      JOIN probe ON icells.cell = probe.cell
+      JOIN dt ON codes.sub = dt.sub AND codes.code = dt.code
+      GROUP BY codes.vec_id, icells.cell),
+    exact AS (
+      SELECT pe.vec_id,
+             round(CAST(SUM(CAST(round((pe.xv - qe.qx) * (pe.xv - qe.qx), 9)
+                                 AS DECIMAL(28,9))) AS DOUBLE), 6)
+               AS exact_dist
+      FROM pe JOIN qe ON pe.sub = qe.sub AND pe.j = qe.j
+      GROUP BY pe.vec_id)
+    SELECT adc.vec_id, adc.cell, adc.adc_dist, exact.exact_dist
+    FROM adc JOIN exact ON adc.vec_id = exact.vec_id
+    WHERE adc.vec_id <> 1
+""")
+def sim_ivfpq_topk(spark, sf_dir):
+    """IVFADC (Jegou et al. 2011) — the full billion-scale ANN recipe,
+    composed from the two oracle-green halves: the portable IVF coarse
+    quantizer prunes the corpus to the top-4 probed cells (of 16), and
+    within them every vector is scored by PQ asymmetric distance — 8
+    table lookups against the 128-entry (sub, code) distance table —
+    never touching the raw doubles.  The exact squared distance rides
+    along per candidate so the result exhibits the compound
+    IVF-recall x PQ-approximation error directly.  Both quantizers are
+    md5-derived (sim_ann_ivf_portable's 'ivfp' planes; vec_pq_encode's
+    per-subspace 'pq<s>:<p>' planes), so the ENTIRE index build +
+    pruned search hash-matches DuckDB — an IVFADC you can rebuild
+    bit-identically on any engine.
+
+    Scale shape — this is THE layout for 100 TB vector search: the
+    corpus is stored partitioned by cell (partition pruning does the
+    IVF probe: a query reads nprobe/k of the data); within a probed
+    partition the scan touches the 4-byte code column (64x denser than
+    the embedding); the distance table is built once per query from the
+    broadcast codebook; scoring is one broadcast join + per-vec sum.
+    Classic IVFADC quantizes RESIDUALS (x - cell centroid); this
+    composition quantizes raw vectors (IVF-Flat+PQ) — one subtraction
+    away, same plan shape, kept raw so both halves reuse their
+    oracle-green twins unchanged."""
+    e = _emb(spark, sf_dir)
+    cells = _ivf_cells(e)
+    probe = _ivf_probe(cells)
+    assigned, cen = _pq_assign(e)
+    dsum9 = lambda c: (F.sum(F.round(c, 9).cast("decimal(28,9)"))  # noqa: E731
+                       .cast("double"))
+    qe = (assigned.filter(F.col("vec_id") == 1)
+          .select("sub", "j", F.col("xv").alias("qx")))
+    dt = (cen.join(F.broadcast(qe), ["sub", "j"])
+          .groupBy("sub", "code")
+          .agg(dsum9((F.col("cv") - F.col("qx"))
+                     * (F.col("cv") - F.col("qx"))).alias("d")))
+    codes = (assigned.filter(F.col("j") == 0)
+             .select("vec_id", "sub", "code"))
+    cellmap = cells.select("vec_id", "cell")
+    adc = (codes.join(cellmap, "vec_id")
+           .join(F.broadcast(probe), "cell")
+           .join(F.broadcast(dt), ["sub", "code"])
+           .groupBy("vec_id", "cell")
+           .agg(F.round(dsum9(F.col("d")), 6).alias("adc_dist")))
+    exact = (assigned.join(F.broadcast(qe), ["sub", "j"])
+             .groupBy("vec_id")
+             .agg(F.round(dsum9((F.col("xv") - F.col("qx"))
+                                * (F.col("xv") - F.col("qx"))), 6)
+                  .alias("exact_dist")))
+    return (adc.join(exact, "vec_id")
+            .filter(F.col("vec_id") != 1)
+            .select("vec_id", "cell", "adc_dist", "exact_dist"))

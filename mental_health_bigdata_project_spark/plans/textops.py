@@ -2289,3 +2289,213 @@ def dsir_importance_weights(spark, sf_dir):
                  F.sum("logratio").cast("double").alias("dsir_weight"),
                  (F.sum("logratio").cast("double") > 0).cast("int")
                  .alias("selected")))
+
+
+# --- exact substring-span dedup (ExactSubstr-style) -----------------------
+
+_SPAN_K = 8  # tokens per window; published ExactSubstr uses 50 BPE tokens
+
+# Shared CTE chain: tokenized docs -> overlapping-gram occurrences ->
+# retained-duplicate windows -> merged per-doc spans.  Used by the span
+# REPORT below and the span-REMOVAL rewrite after it.
+_SPAN_CTES = f"""t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    grams AS (
+      SELECT doc_id, u.s AS s,
+             md5(array_to_string(toks[u.s:u.s+{_SPAN_K}-1], ' ')) AS h,
+             doc_id * 1000000 + u.s AS occ_key
+      FROM (SELECT doc_id, toks,
+                   unnest(list_transform(range(1, len(toks)-{_SPAN_K}+2),
+                          i -> {{'s': i}})) AS u
+            FROM t WHERE len(toks) >= {_SPAN_K})),
+    gstat AS (SELECT h, count(*) AS cnt, min(occ_key) AS first_key
+              FROM grams GROUP BY h),
+    dupw AS (
+      SELECT g.doc_id, g.s, g.s + {_SPAN_K} - 1 AS e
+      FROM grams g JOIN gstat USING (h)
+      WHERE gstat.cnt >= 2 AND g.occ_key <> gstat.first_key),
+    flagged AS (
+      SELECT doc_id, s, e,
+             CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  >= s - 1 THEN 0 ELSE 1 END AS new_grp
+      FROM dupw),
+    grouped AS (
+      SELECT doc_id, s, e,
+             SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM flagged),
+    spans AS (
+      SELECT doc_id, grp, min(s) AS span_s, max(e) AS span_e
+      FROM grouped GROUP BY doc_id, grp)"""
+
+
+def _span_frames(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Spark twin of _SPAN_CTES: returns (t, spans) — t = (doc_id,
+    toks); spans = merged per-doc duplicate spans (doc_id, span_s,
+    span_e).  The first-occurrence rule is a map-side-combinable
+    (count, min(occ_key)) hash agg, NOT a row_number window over the
+    fingerprint (hot boilerplate grams stay skew-safe); the interval
+    sweep shuffles once on doc_id."""
+    K = _SPAN_K
+    t = docs.select("doc_id", tokens_col().alias("toks"))
+    n = F.size("toks")
+    gram_structs = F.transform(
+        F.sequence(F.lit(1), n - K + 1),
+        lambda i: F.struct(
+            i.alias("s"),
+            F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, K))).alias("h")))
+    grams = (t.filter(n >= K)
+             .select("doc_id", F.explode(gram_structs).alias("g"))
+             .select("doc_id", F.col("g.s").alias("s"), F.col("g.h").alias("h"))
+             .withColumn("occ_key",
+                         F.col("doc_id") * F.lit(1_000_000) + F.col("s")))
+    gstat = grams.groupBy("h").agg(F.count("*").alias("cnt"),
+                                   F.min("occ_key").alias("first_key"))
+    dupw = (grams.join(gstat, "h")
+            .filter((F.col("cnt") >= 2)
+                    & (F.col("occ_key") != F.col("first_key")))
+            .select("doc_id", "s", (F.col("s") + K - 1).alias("e")))
+    wprev = (Window.partitionBy("doc_id").orderBy("s")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    flagged = dupw.select(
+        "doc_id", "s", "e",
+        F.when(F.max("e").over(wprev) >= F.col("s") - 1, 0)
+        .otherwise(1).alias("new_grp"))
+    wsum = (Window.partitionBy("doc_id").orderBy("s")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    spans = (flagged
+             .select("doc_id", "s", "e",
+                     F.sum("new_grp").over(wsum).alias("grp"))
+             .groupBy("doc_id", "grp")
+             .agg(F.min("s").alias("span_s"), F.max("e").alias("span_e")))
+    return t, spans
+
+
+@query("dedup_substring_spans", f"""
+    WITH {_SPAN_CTES},
+    rep AS (
+      SELECT doc_id, CAST(count(*) AS INTEGER) AS n_dup_spans,
+             CAST(SUM(span_e - span_s + 1) AS INTEGER) AS dup_tokens
+      FROM spans GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS INTEGER) AS n_tokens,
+           coalesce(rep.n_dup_spans, 0) AS n_dup_spans,
+           coalesce(rep.dup_tokens, 0) AS dup_tokens,
+           CASE WHEN len(t.toks) = 0 THEN 0.0
+                ELSE round(coalesce(rep.dup_tokens, 0)
+                           / CAST(len(t.toks) AS DOUBLE), 6)
+           END AS dup_frac
+    FROM t LEFT JOIN rep USING (doc_id)
+""")
+def dedup_substring_spans(spark, sf_dir):
+    """ExactSubstr-style duplicate-SPAN detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    OVERLAPPING 8-token window is fingerprinted; a window whose
+    fingerprint occurs >= 2 times corpus-wide (cross-doc boilerplate OR
+    within-doc repetition) is a duplicate occurrence everywhere except
+    the single globally-first occurrence (min (doc_id, position), the
+    same retain-one rule as dedup_chunk_rewrite); per document the
+    surviving duplicate windows are merged into maximal spans with the
+    running-max-end interval sweep (interval_merge_overlaps pattern) and
+    reported as (n_dup_spans, dup_tokens, dup_frac) — the exact numbers
+    a span-removal pass would cut.  Unlike dedup_chunk_exact/_rewrite
+    (NON-overlapping 30-token chunks, alignment-sensitive), overlapping
+    windows catch duplicated passages at ANY token offset — the property
+    the suffix-array formulation provides — at the cost of ~1 row per
+    corpus token instead of 1 per 30.
+
+    Scale shape: the gram explode is one scan producing ~n_tokens rows
+    (exactly what the published MapReduce-friendly approximations of
+    ExactSubstr do when a distributed suffix array is impractical); the
+    first-occurrence rule is a map-side-combinable (count, min(occ_key))
+    hash agg — NOT a row_number window over fingerprint, so a viral
+    boilerplate gram (billions of occurrences at 100 TB) never lands on
+    one partition; the join back on h reuses the agg's hash
+    partitioning; the interval sweep shuffles once on doc_id with
+    per-doc sorts bounded by doc length.  occ_key packs (doc_id,
+    position) into one bigint (positions < 1e6 — enforce with a doc
+    length cap upstream).  Reference has no dedup at all beyond id
+    equality (kafka_producer/reddit_collector_kafka.py:70-76); this is
+    the [EXT] training-pipeline surface."""
+    t, spans = _span_frames(_docs(spark, sf_dir))
+    rep = (spans.groupBy("doc_id")
+           .agg(F.count("*").cast("int").alias("n_dup_spans"),
+                F.sum(F.col("span_e") - F.col("span_s") + 1).cast("int")
+                .alias("dup_tokens")))
+    nt = F.size("toks").cast("int")
+    return (t.join(rep, "doc_id", "left")
+            .select(
+                "doc_id", nt.alias("n_tokens"),
+                F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+                F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+                F.when(nt == 0, F.lit(0.0))
+                .otherwise(F.round(
+                    F.coalesce("dup_tokens", F.lit(0))
+                    / nt.cast("double"), 6)).alias("dup_frac")))
+
+
+@query("dedup_substring_rewrite", f"""
+    WITH {_SPAN_CTES},
+    covered AS (
+      SELECT doc_id, u.p AS p
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(span_s, span_e + 1),
+                          i -> {{'p': i}})) AS u
+            FROM spans)),
+    tokpos AS (
+      SELECT doc_id, u.p AS p, u.tok AS tok
+      FROM (SELECT doc_id,
+                   unnest(list_transform(toks,
+                          (x, i) -> {{'p': i, 'tok': x}})) AS u
+            FROM t)),
+    kept AS (
+      SELECT tokpos.doc_id,
+             CAST(count(*) AS INTEGER) AS kept_tokens,
+             string_agg(tokpos.tok, ' ' ORDER BY tokpos.p) AS text_rewritten
+      FROM tokpos
+      ANTI JOIN covered
+        ON tokpos.doc_id = covered.doc_id AND tokpos.p = covered.p
+      GROUP BY tokpos.doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS INTEGER) AS n_tokens,
+           coalesce(kept.kept_tokens, 0) AS kept_tokens,
+           coalesce(kept.text_rewritten, '') AS text_rewritten
+    FROM t LEFT JOIN kept USING (doc_id)
+""")
+def dedup_substring_rewrite(spark, sf_dir):
+    """The REMOVAL stage of ExactSubstr dedup: every token position
+    covered by a merged duplicate span (see dedup_substring_spans —
+    retain-one-occurrence, overlapping 8-token windows) is cut, and
+    each document is re-emitted from its surviving tokens in original
+    order — the corpus a pretraining run would actually consume.
+    Fully-duplicate documents come back as empty strings (their later
+    occurrences are 100% covered), which is exactly the published
+    behaviour: ExactSubstr subsumes exact-document dedup.
+
+    Plan shape on top of the span frames: spans explode to ~dup_tokens
+    (doc_id, p) rows (duplicate positions only, not the corpus); the
+    cut is one LEFT ANTI join on (doc_id, p) — both sides hash-shuffle
+    on the same compound key, skew-bounded by doc length; the rebuild
+    groupBy(doc_id) collects ONE document's surviving tokens (the
+    dedup_chunk_rewrite sort-struct idiom), never corpus-sized state.
+    DuckDB's list_transform index and Spark's posexplode+1 pin the same
+    1-based positions on both engines."""
+    t, spans = _span_frames(_docs(spark, sf_dir))
+    covered = spans.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("span_s"), F.col("span_e"))).alias("p"))
+    tokpos = (t.select("doc_id", F.posexplode("toks").alias("p0", "tok"))
+              .select("doc_id", (F.col("p0") + 1).alias("p"), "tok"))
+    surviving = tokpos.join(covered, ["doc_id", "p"], "left_anti")
+    kept = (surviving.groupBy("doc_id")
+            .agg(F.count("*").cast("int").alias("kept_tokens"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                         lambda s: s["tok"]), " ").alias("text_rewritten")))
+    return (t.join(kept, "doc_id", "left")
+            .select("doc_id",
+                    F.size("toks").cast("int").alias("n_tokens"),
+                    F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+                    F.coalesce("text_rewritten", F.lit(""))
+                    .alias("text_rewritten")))
