@@ -1,0 +1,142 @@
+"""Semantics pins for the ExactSubstr-style span dedup family
+(plans/textops.py: _span_frames, dedup_substring_spans,
+dedup_substring_rewrite) and the round-3 similarity additions
+(dedup_semdedup keep rule, sim_ivfpq_topk candidate set)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+W8 = "a b c d e f g h"          # one full 8-token window
+UNIQ = "u1 u2 u3 u4 u5 u6 u7 u8"
+
+
+def test_span_frames_cross_doc_duplicate(spark):
+    from mental_health_bigdata_project_spark.plans.textops import _span_frames
+
+    # doc 1 and doc 2 share an 8-token passage; doc 1 is first by
+    # occ_key, so ONLY doc 2 gets a span, covering exactly that window.
+    docs = _docs(spark, [
+        (1, W8 + " x1 x2 x3"),
+        (2, "y1 y2 " + W8 + " y3"),
+        (3, UNIQ),
+    ])
+    _, spans = _span_frames(docs)
+    got = {(r.doc_id, r.span_s, r.span_e) for r in spans.collect()}
+    assert got == {(2, 3, 10)}  # 1-based positions 3..10 in doc 2
+
+
+def test_span_frames_within_doc_repetition(spark):
+    from mental_health_bigdata_project_spark.plans.textops import _span_frames
+
+    # the same 8-gram appears twice INSIDE one doc: the first
+    # occurrence survives, the second becomes a span.
+    docs = _docs(spark, [(7, W8 + " sep " + W8)])
+    _, spans = _span_frames(docs)
+    got = {(r.doc_id, r.span_s, r.span_e) for r in spans.collect()}
+    assert got == {(7, 10, 17)}
+
+
+def test_span_frames_adjacent_windows_merge(spark):
+    from mental_health_bigdata_project_spark.plans.textops import _span_frames
+
+    # doc 2 repeats a 10-token passage from doc 1: its three
+    # overlapping duplicated 8-windows must merge into ONE span.
+    p10 = "a b c d e f g h i j"
+    docs = _docs(spark, [(1, p10 + " t1 t2"), (2, "z1 " + p10)])
+    _, spans = _span_frames(docs)
+    rows = spans.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_id, r.span_s, r.span_e) == (2, 2, 11)
+
+
+def test_substring_rewrite_cuts_only_covered_positions(spark):
+    from mental_health_bigdata_project_spark.plans import QUERIES
+    import mental_health_bigdata_project_spark.plans.textops as t
+
+    docs = _docs(spark, [
+        (1, W8 + " x1 x2 x3"),
+        (2, "y1 y2 " + W8 + " y3"),
+        (3, UNIQ),
+    ])
+    orig = t._docs
+    t._docs = lambda s, d: docs
+    try:
+        out = {r.doc_id: r for r in
+               QUERIES["dedup_substring_rewrite"](spark, "ignored").collect()}
+    finally:
+        t._docs = orig
+    # doc 1 (first occurrence) and doc 3 (unique) keep everything
+    assert out[1].text_rewritten == W8 + " x1 x2 x3"
+    assert out[3].text_rewritten == UNIQ
+    # doc 2 loses exactly the duplicated window, keeps its frame
+    assert out[2].text_rewritten == "y1 y2 y3"
+    assert out[2].kept_tokens == 3 and out[2].n_tokens == 11
+
+
+def test_fully_duplicate_doc_collapses_to_empty(spark):
+    from mental_health_bigdata_project_spark.plans import QUERIES
+    import mental_health_bigdata_project_spark.plans.textops as t
+
+    docs = _docs(spark, [(1, W8), (2, W8)])
+    orig = t._docs
+    t._docs = lambda s, d: docs
+    try:
+        out = {r.doc_id: r for r in
+               QUERIES["dedup_substring_rewrite"](spark, "ignored").collect()}
+    finally:
+        t._docs = orig
+    assert out[1].text_rewritten == W8
+    assert out[2].text_rewritten == "" and out[2].kept_tokens == 0
+
+
+def test_semdedup_keeps_farthest_from_centroid(spark, sf_dir):
+    from mental_health_bigdata_project_spark.plans import QUERIES
+
+    rows = QUERIES["dedup_semdedup"](spark, sf_dir).collect()
+    by_id = {r.vec_id: r for r in rows}
+    assert len(rows) == len(by_id)  # one verdict per vector
+    dropped = [r for r in rows if r.keep == 0]
+    assert dropped, "calibrated threshold should drop at least one vector"
+    # every dropped vector has at least one near-dup partner
+    assert all(r.n_dup_partners >= 1 for r in dropped)
+    # spot-check the keep rule is centroid-based: a dropped vector's
+    # centroid cosine must be >= the min centroid cosine among its
+    # cell's kept near-dup participants (it lost at least one pair)
+    cells = {}
+    for r in rows:
+        cells.setdefault(r.cell, []).append(r)
+    for r in dropped:
+        partners = [o for o in cells[r.cell]
+                    if o.vec_id != r.vec_id and o.n_dup_partners >= 1]
+        assert partners
+        assert r.cos_centroid >= min(o.cos_centroid for o in partners)
+
+
+def test_ivfpq_candidates_subset_of_probed_cells(spark, sf_dir):
+    from mental_health_bigdata_project_spark.plans import QUERIES
+    from mental_health_bigdata_project_spark.plans.similarity import (
+        _IVF_N_PROBE, _ivf_cells, _ivf_probe)
+    from mental_health_bigdata_project_spark.sources import load_table
+
+    out = QUERIES["sim_ivfpq_topk"](spark, sf_dir)
+    rows = out.collect()
+    assert rows and all(r.vec_id != 1 for r in rows)
+    got_cells = {r.cell for r in rows}
+    cells = _ivf_cells(load_table(spark, sf_dir, "embeddings"))
+    probe = {r.cell for r in _ivf_probe(cells).collect()}
+    assert len(probe) == _IVF_N_PROBE
+    assert got_cells <= probe
+    # ADC is an approximation of the exact distance: finite, positive,
+    # and correlated — the mean absolute error stays well under the
+    # mean exact distance on this corpus.
+    import statistics
+    mae = statistics.mean(abs(r.adc_dist - r.exact_dist) for r in rows)
+    mean_exact = statistics.mean(r.exact_dist for r in rows)
+    assert 0 < mae < mean_exact
