@@ -90,6 +90,12 @@ HEADLINE = [
     "decontam_embedding_cells",
     "corpus_shard_shuffle",
     "assign_contiguous_ids",
+    # round-3 additions: ExactSubstr span removal (the overlapping-gram
+    # explode is the costliest dedup shape — ~1 row per corpus token),
+    # SemDeDup cluster-prune, and the composed IVFADC search
+    "dedup_substring_rewrite",
+    "dedup_semdedup",
+    "sim_ivfpq_topk",
 ]
 
 

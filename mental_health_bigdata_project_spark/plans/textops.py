@@ -2329,32 +2329,34 @@ _SPAN_CTES = f"""t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
       FROM grouped GROUP BY doc_id, grp)"""
 
 
-def _span_frames(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Spark twin of _SPAN_CTES: returns (t, spans) — t = (doc_id,
-    toks); spans = merged per-doc duplicate spans (doc_id, span_s,
-    span_e).  The first-occurrence rule is a map-side-combinable
-    (count, min(occ_key)) hash agg, NOT a row_number window over the
-    fingerprint (hot boilerplate grams stay skew-safe); the interval
-    sweep shuffles once on doc_id."""
+def span_tokens_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, toks) — the tokenized face every span stage shares."""
+    return docs.select("doc_id", tokens_col().alias("toks"))
+
+
+def span_grams_df(t: DataFrame) -> DataFrame:
+    """Overlapping-window fingerprints: (doc_id, s, h, occ_key) — one
+    row per 8-token window at every token offset; occ_key packs
+    (doc_id, position) into one orderable bigint (positions < 1e6)."""
     K = _SPAN_K
-    t = docs.select("doc_id", tokens_col().alias("toks"))
     n = F.size("toks")
     gram_structs = F.transform(
         F.sequence(F.lit(1), n - K + 1),
         lambda i: F.struct(
             i.alias("s"),
             F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, K))).alias("h")))
-    grams = (t.filter(n >= K)
-             .select("doc_id", F.explode(gram_structs).alias("g"))
-             .select("doc_id", F.col("g.s").alias("s"), F.col("g.h").alias("h"))
-             .withColumn("occ_key",
-                         F.col("doc_id") * F.lit(1_000_000) + F.col("s")))
-    gstat = grams.groupBy("h").agg(F.count("*").alias("cnt"),
-                                   F.min("occ_key").alias("first_key"))
-    dupw = (grams.join(gstat, "h")
-            .filter((F.col("cnt") >= 2)
-                    & (F.col("occ_key") != F.col("first_key")))
-            .select("doc_id", "s", (F.col("s") + K - 1).alias("e")))
+    return (t.filter(n >= K)
+            .select("doc_id", F.explode(gram_structs).alias("g"))
+            .select("doc_id", F.col("g.s").alias("s"), F.col("g.h").alias("h"))
+            .withColumn("occ_key",
+                        F.col("doc_id") * F.lit(1_000_000) + F.col("s")))
+
+
+def merge_spans_df(dupw: DataFrame) -> DataFrame:
+    """Merge duplicate windows (doc_id, s, e) into maximal per-doc
+    spans (doc_id, span_s, span_e) — the running-max-end interval
+    sweep, shuffled once on doc_id, per-doc sorts bounded by doc
+    length."""
     wprev = (Window.partitionBy("doc_id").orderBy("s")
              .rowsBetween(Window.unboundedPreceding, -1))
     flagged = dupw.select(
@@ -2363,12 +2365,53 @@ def _span_frames(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         .otherwise(1).alias("new_grp"))
     wsum = (Window.partitionBy("doc_id").orderBy("s")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    spans = (flagged
-             .select("doc_id", "s", "e",
-                     F.sum("new_grp").over(wsum).alias("grp"))
-             .groupBy("doc_id", "grp")
-             .agg(F.min("s").alias("span_s"), F.max("e").alias("span_e")))
-    return t, spans
+    return (flagged
+            .select("doc_id", "s", "e",
+                    F.sum("new_grp").over(wsum).alias("grp"))
+            .groupBy("doc_id", "grp")
+            .agg(F.min("s").alias("span_s"), F.max("e").alias("span_e")))
+
+
+def span_rewrite_df(t: DataFrame, spans: DataFrame) -> DataFrame:
+    """Cut every token position covered by a span and re-emit each doc
+    from its surviving tokens: (doc_id, n_tokens, kept_tokens,
+    text_rewritten).  Shared by the batch rewrite query and the
+    incremental streaming twin (streaming/spandedup.py)."""
+    covered = spans.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("span_s"), F.col("span_e"))).alias("p"))
+    tokpos = (t.select("doc_id", F.posexplode("toks").alias("p0", "tok"))
+              .select("doc_id", (F.col("p0") + 1).alias("p"), "tok"))
+    surviving = tokpos.join(covered, ["doc_id", "p"], "left_anti")
+    kept = (surviving.groupBy("doc_id")
+            .agg(F.count("*").cast("int").alias("kept_tokens"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                         lambda s: s["tok"]), " ").alias("text_rewritten")))
+    return (t.join(kept, "doc_id", "left")
+            .select("doc_id",
+                    F.size("toks").cast("int").alias("n_tokens"),
+                    F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+                    F.coalesce("text_rewritten", F.lit(""))
+                    .alias("text_rewritten")))
+
+
+def _span_frames(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Spark twin of _SPAN_CTES: returns (t, spans) — t = (doc_id,
+    toks); spans = merged per-doc duplicate spans (doc_id, span_s,
+    span_e).  The first-occurrence rule is a map-side-combinable
+    (count, min(occ_key)) hash agg, NOT a row_number window over the
+    fingerprint (hot boilerplate grams stay skew-safe)."""
+    t = span_tokens_df(docs)
+    grams = span_grams_df(t)
+    gstat = grams.groupBy("h").agg(F.count("*").alias("cnt"),
+                                   F.min("occ_key").alias("first_key"))
+    dupw = (grams.join(gstat, "h")
+            .filter((F.col("cnt") >= 2)
+                    & (F.col("occ_key") != F.col("first_key")))
+            .select("doc_id", "s", (F.col("s") + _SPAN_K - 1).alias("e")))
+    return t, merge_spans_df(dupw)
 
 
 @query("dedup_substring_spans", f"""
@@ -2481,21 +2524,4 @@ def dedup_substring_rewrite(spark, sf_dir):
     DuckDB's list_transform index and Spark's posexplode+1 pin the same
     1-based positions on both engines."""
     t, spans = _span_frames(_docs(spark, sf_dir))
-    covered = spans.select(
-        "doc_id",
-        F.explode(F.sequence(F.col("span_s"), F.col("span_e"))).alias("p"))
-    tokpos = (t.select("doc_id", F.posexplode("toks").alias("p0", "tok"))
-              .select("doc_id", (F.col("p0") + 1).alias("p"), "tok"))
-    surviving = tokpos.join(covered, ["doc_id", "p"], "left_anti")
-    kept = (surviving.groupBy("doc_id")
-            .agg(F.count("*").cast("int").alias("kept_tokens"),
-                 F.array_join(
-                     F.transform(
-                         F.array_sort(F.collect_list(F.struct("p", "tok"))),
-                         lambda s: s["tok"]), " ").alias("text_rewritten")))
-    return (t.join(kept, "doc_id", "left")
-            .select("doc_id",
-                    F.size("toks").cast("int").alias("n_tokens"),
-                    F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
-                    F.coalesce("text_rewritten", F.lit(""))
-                    .alias("text_rewritten")))
+    return span_rewrite_df(t, spans)

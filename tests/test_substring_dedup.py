@@ -140,3 +140,61 @@ def test_ivfpq_candidates_subset_of_probed_cells(spark, sf_dir):
     mae = statistics.mean(abs(r.adc_dist - r.exact_dist) for r in rows)
     mean_exact = statistics.mean(r.exact_dist for r in rows)
     assert 0 < mae < mean_exact
+
+
+# --- incremental streaming twin ------------------------------------------
+
+P12 = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 s11 s12"   # a 12-token passage
+
+
+def test_incremental_span_dedup_batches(spark, tmp_path):
+    from mental_health_bigdata_project_spark.streaming import spandedup
+
+    out, idx = str(tmp_path / "out"), str(tmp_path / "idx")
+
+    # batch 0: doc 1 carries the passage; doc 2 is unique
+    spandedup.rewrite_spans_batch_against_index(
+        _docs(spark, [(1, P12), (2, UNIQ)]), 0, out, idx)
+    acc0 = {r["doc_id"]: r for r in
+            spark.read.parquet(f"{out}/accepted").collect()}
+    assert acc0[1]["text_rewritten"] == P12
+    assert acc0[2]["text_rewritten"] == UNIQ
+
+    # batch 1: doc 5 embeds the passage from batch 0 plus novel frame;
+    # the passage is cut by the persisted index, the frame survives
+    spandedup.rewrite_spans_batch_against_index(
+        _docs(spark, [(5, "n1 n2 " + P12 + " n3")]), 1, out, idx)
+    acc = {r["doc_id"]: r for r in
+           spark.read.parquet(f"{out}/accepted").collect()}
+    assert acc[5]["text_rewritten"] == "n1 n2 n3"
+    assert acc[5]["kept_tokens"] == 3 and acc[5]["n_tokens"] == 15
+
+    # crash-retry replay of batch 1: identical state, no duplicates
+    spandedup.rewrite_spans_batch_against_index(
+        _docs(spark, [(5, "n1 n2 " + P12 + " n3")]), 1, out, idx)
+    rows = spark.read.parquet(f"{out}/accepted").collect()
+    assert {r["doc_id"] for r in rows} == {1, 2, 5} and len(rows) == 3
+
+
+def test_incremental_span_dedup_streaming_matches_single_batch(spark,
+                                                               tmp_path):
+    import json as _json
+    import time as _time
+    from mental_health_bigdata_project_spark.streaming import spandedup
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    with open(in_dir / "b0.json", "w") as f:
+        f.write(_json.dumps({"doc_id": 1, "text": P12}) + "\n")
+    _time.sleep(1.1)  # distinct mtime so the file source splits batches
+    with open(in_dir / "b1.json", "w") as f:
+        f.write(_json.dumps({"doc_id": 5, "text": P12 + " tail1"}) + "\n")
+
+    q = spandedup.stream_span_dedup(
+        spark, str(in_dir), str(tmp_path / "out"), str(tmp_path / "idx"),
+        str(tmp_path / "ckpt"))
+    q.awaitTermination(60)
+
+    got = {r["doc_id"]: r["text_rewritten"] for r in
+           spark.read.parquet(str(tmp_path / "out" / "accepted")).collect()}
+    assert got == {1: P12, 5: "tail1"}
