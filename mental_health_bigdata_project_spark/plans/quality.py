@@ -869,3 +869,91 @@ def ts_resample_ohlc(spark, sf_dir):
         F.min("value").alias("low"),
         F.max(F.when(F.col("rl") == 1, F.col("value"))).alias("close"),
         F.count("*").alias("n")))
+
+
+@query("merge_upsert_cdc", f"""
+    WITH e AS (SELECT * FROM {EVENTS_TS}),
+    base AS (
+      SELECT user_id, value FROM (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM e WHERE ts < TIMESTAMP '2024-01-20 00:00:00')
+      WHERE rn = 1),
+    ch AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM e WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+              AND ts < TIMESTAMP '2024-01-27 00:00:00'),
+    last_ch AS (
+      SELECT user_id, op, value, n_changes FROM (
+        SELECT user_id, op, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n_changes
+        FROM ch)
+      WHERE rn = 1)
+    SELECT COALESCE(b.user_id, c.user_id) AS user_id,
+           CASE WHEN c.user_id IS NULL THEN b.value ELSE c.value END AS value,
+           CASE WHEN c.user_id IS NULL THEN 'kept'
+                WHEN b.user_id IS NULL THEN 'inserted'
+                ELSE 'updated' END AS src,
+           CAST(COALESCE(c.n_changes, 0) AS INTEGER) AS n_changes
+    FROM base b FULL OUTER JOIN last_ch c ON b.user_id = c.user_id
+    WHERE c.op IS NULL OR c.op <> 'D'
+""")
+def merge_upsert_cdc(spark, sf_dir):
+    """MERGE INTO without a table format: apply a CDC changeset to a
+    base snapshot with latest-wins-per-key semantics — the primitive
+    every incremental materialization / foreachBatch-upsert sink runs,
+    and the natural consumer of snapshot_diff's 'added'+'changed'
+    classes.  Base = each user's last value before the cutoff;
+    changes = the following week's events mapped to ops ('error' rows
+    delete the key, everything else upserts its value); the LATEST
+    change per key wins (ts, event_id ordering pins ties), deletes
+    drop the key, updates overwrite, inserts add — one FULL OUTER join
+    applies the whole set.
+
+    Scale shape: both the base compaction and the change compaction
+    are per-key windows over bounded per-user event runs (no global
+    sort); the merge is one equi join on the key — at 100 TB both
+    sides arrive hash-partitioned by user_id from their windows, so
+    the join reuses the exchange, and a real deployment runs it per
+    date-partition with the changeset broadcast when small (the
+    foreachBatch micro-batch case).  Latest-wins via row_number is
+    deliberate here: CDC batches are per-key SMALL (bounded by the
+    batch window), unlike the corpus-wide hot-fingerprint case where
+    this repo uses min/max aggregates instead."""
+    e = _t(spark, sf_dir, "events")
+    t1 = F.lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+    t2 = F.lit("2024-01-27 00:00:00").cast("timestamp_ntz")
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.desc("ts"), F.desc("event_id")))
+    base = (e.filter(F.col("ts") < t1)
+            .select("user_id", "value", "ts", "event_id")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "value"))
+    ch = (e.filter((F.col("ts") >= t1) & (F.col("ts") < t2))
+          .select("user_id", "ts", "event_id", "value",
+                  F.when(F.col("event_type") == "error", "D")
+                  .otherwise("U").alias("op")))
+    wcnt = Window.partitionBy("user_id")
+    last_ch = (ch
+               .withColumn("rn", F.row_number().over(w))
+               .withColumn("n_changes", F.count("*").over(wcnt))
+               .filter(F.col("rn") == 1)
+               .select("user_id", "op", "value", "n_changes"))
+    b, c = base.alias("b"), last_ch.alias("c")
+    return (b.join(c, F.col("b.user_id") == F.col("c.user_id"), "full_outer")
+            .filter(F.col("c.op").isNull() | (F.col("c.op") != "D"))
+            .select(
+                F.coalesce(F.col("b.user_id"), F.col("c.user_id"))
+                .alias("user_id"),
+                F.when(F.col("c.user_id").isNull(), F.col("b.value"))
+                .otherwise(F.col("c.value")).alias("value"),
+                F.when(F.col("c.user_id").isNull(), "kept")
+                .when(F.col("b.user_id").isNull(), "inserted")
+                .otherwise("updated").alias("src"),
+                F.coalesce(F.col("c.n_changes"), F.lit(0)).cast("int")
+                .alias("n_changes")))

@@ -47,6 +47,8 @@ def run(spark, sf_dir: str, n_batches: int = 4) -> dict:
         rewrite_batch_against_index)
     from mental_health_bigdata_project_spark.streaming.neardup import (
         dedup_batch_against_index, dedup_embeddings_against_index)
+    from mental_health_bigdata_project_spark.streaming.spandedup import (
+        rewrite_spans_batch_against_index)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     n_docs = docs.count()
@@ -76,6 +78,13 @@ def run(spark, sf_dir: str, n_batches: int = 4) -> dict:
                                 dedup_embeddings_against_index(
                                     bdf, bid, f"{root}/emb/out",
                                     f"{root}/emb/idx")),
+            # overlapping-gram span dedup: the densest index (~1 fp per
+            # token vs 1 per 30 for chunks) — the path whose per-batch
+            # cost growth most needs watching
+            "span_dedup": (doc_batches, n_docs, lambda bdf, bid:
+                           rewrite_spans_batch_against_index(
+                               bdf, bid, f"{root}/span/out",
+                               f"{root}/span/idx")),
         }
         for name, (batches, n_rows, body) in paths.items():
             stats = _run_path(name, batches, body)
