@@ -98,7 +98,7 @@ _CONVERTED_FRONT = [
     "vec_pq_encode", "sim_pq_adc_topk", "dsir_importance_weights",
     # round-3 additions: IVFADC composition, SemDeDup, ExactSubstr spans
     "sim_ivfpq_topk", "dedup_semdedup", "dedup_substring_spans",
-    "dedup_substring_rewrite", "merge_upsert_cdc",
+    "dedup_substring_rewrite", "merge_upsert_cdc", "dedup_soft_weights",
 ]
 
 

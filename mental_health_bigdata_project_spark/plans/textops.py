@@ -2525,3 +2525,55 @@ def dedup_substring_rewrite(spark, sf_dir):
     1-based positions on both engines."""
     t, spans = _span_frames(_docs(spark, sf_dir))
     return span_rewrite_df(t, spans)
+
+
+@query("dedup_soft_weights", f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    flat AS (
+      SELECT doc_id, u.idx AS chunk_idx,
+             md5(array_to_string(toks[u.idx * 30 + 1:u.idx * 30 + 30], ' '))
+               AS fp
+      FROM (SELECT doc_id, toks,
+                   unnest(list_transform(
+                       range(0, CAST((len(toks) - 1) // 30 AS BIGINT) + 1),
+                       i -> {{'idx': i}})) AS u
+            FROM t WHERE len(toks) > 0)),
+    freq AS (SELECT fp, count(*) AS n_occ FROM flat GROUP BY fp)
+    SELECT flat.doc_id,
+           CAST(count(*) AS INTEGER) AS n_chunks,
+           CAST(SUM(freq.n_occ) AS BIGINT) AS total_occurrences,
+           round(CAST(SUM(freq.n_occ) AS DOUBLE) / count(*), 6)
+             AS commonness,
+           round(count(*) / CAST(SUM(freq.n_occ) AS DOUBLE), 6)
+             AS soft_weight
+    FROM flat JOIN freq USING (fp)
+    GROUP BY flat.doc_id
+""")
+def dedup_soft_weights(spark, sf_dir):
+    """Soft deduplication: instead of DROPPING duplicated text, assign
+    every document a sampling weight inversely proportional to its
+    data commonness — the mean corpus-wide occurrence count of its
+    30-token chunk fingerprints (chunk_fingerprints_df, the C4 chunk
+    face).  A unique doc gets weight 1.0; a doc whose chunks each
+    appear 5x gets 0.2 — feed `soft_weight` into the existing
+    weighted samplers (sample_weighted_systematic) to reproduce the
+    down-weight-don't-discard recipe recent pretraining work prefers
+    over hard dedup (it keeps the tail of partially-duplicated docs
+    while equalizing effective epochs over boilerplate).
+
+    Scale shape: one gram explode (1 row / 30 tokens), ONE map-side-
+    combinable hash agg to fp frequencies, and a join back on fp that
+    reuses the agg's hash partitioning, then a doc_id regroup — the
+    same two-shuffle shape as dedup_chunk_rewrite, with integer sums
+    the whole way (exact on both engines; only the final two divisions
+    are floats, 6dp-rounded)."""
+    flat = chunk_fingerprints_df(_docs(spark, sf_dir)).select("doc_id", "fp")
+    freq = flat.groupBy("fp").agg(F.count("*").alias("n_occ"))
+    return (flat.join(freq, "fp")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("int").alias("n_chunks"),
+                 F.sum("n_occ").cast("bigint").alias("total_occurrences"),
+                 F.round(F.sum("n_occ").cast("double") / F.count("*"), 6)
+                 .alias("commonness"),
+                 F.round(F.count("*") / F.sum("n_occ").cast("double"), 6)
+                 .alias("soft_weight")))
