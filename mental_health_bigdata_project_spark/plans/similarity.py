@@ -2029,8 +2029,9 @@ def dedup_semdedup(spark, sf_dir):
                     .cast("int").alias("keep")))
 
 
-@query("sim_ivfpq_topk", f"""
-    WITH {_PQ_CTES},
+# IVFADC CTE chain (PQ build + IVF cells/probe + ADC + exact) — shared
+# by the search query and its recall anchor below.
+_IVFPQ_CTES = f"""{_PQ_CTES},
     iproj AS (SELECT vec_id, {_IVF_PROJ_SQL} FROM v),
     icells AS (SELECT vec_id, CAST({_IVF_CELL_SQL} AS BIGINT) AS cell
                FROM iproj),
@@ -2074,7 +2075,11 @@ def dedup_semdedup(spark, sf_dir):
                                  AS DECIMAL(28,9))) AS DOUBLE), 6)
                AS exact_dist
       FROM pe JOIN qe ON pe.sub = qe.sub AND pe.j = qe.j
-      GROUP BY pe.vec_id)
+      GROUP BY pe.vec_id)"""
+
+
+@query("sim_ivfpq_topk", f"""
+    WITH {_IVFPQ_CTES}
     SELECT adc.vec_id, adc.cell, adc.adc_dist, exact.exact_dist
     FROM adc JOIN exact ON adc.vec_id = exact.vec_id
     WHERE adc.vec_id <> 1
@@ -2131,3 +2136,85 @@ def sim_ivfpq_topk(spark, sf_dir):
     return (adc.join(exact, "vec_id")
             .filter(F.col("vec_id") != 1)
             .select("vec_id", "cell", "adc_dist", "exact_dist"))
+
+
+@query("sim_ivfpq_recall", f"""
+    WITH {_IVFPQ_CTES},
+    exact_top AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, row_number() OVER (ORDER BY exact_dist, vec_id) AS rn
+        FROM exact WHERE vec_id <> 1) WHERE rn <= 10),
+    ann_top AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, row_number() OVER (ORDER BY adc_dist, vec_id) AS rn
+        FROM adc WHERE vec_id <> 1) WHERE rn <= 10),
+    cand AS (SELECT CAST(count(*) AS INTEGER) AS n_candidates
+             FROM adc WHERE vec_id <> 1)
+    SELECT cand.n_candidates,
+           CAST(count(ann_top.vec_id) AS INTEGER) AS hits,
+           round(count(ann_top.vec_id) / 10.0, 6) AS recall_at_10
+    FROM exact_top
+    LEFT JOIN ann_top ON ann_top.vec_id = exact_top.vec_id
+    CROSS JOIN cand
+    GROUP BY cand.n_candidates
+""")
+def sim_ivfpq_recall(spark, sf_dir):
+    """Recall@10 of the composed IVFADC path against the exact
+    squared-distance ranking — the compound-error anchor completing
+    the ANN quality harness (sim_ann_recall_eval covers the sign-cell
+    path; this covers IVF pruning x PQ approximation together).  The
+    ANN top-10 ranks PROBED candidates by ADC distance; the exact
+    top-10 ranks the full corpus; hits counts the overlap.  Misses
+    decompose into the two tunables every IVFPQ deployment trades:
+    neighbors outside the probed cells (raise nprobe) and ADC rank
+    inversions inside them (raise subspaces/codes).  On this corpus
+    recall@10 is ~0.2 — NEAR-UNIFORM random embeddings are the
+    adversarial case for any ANN index (no cluster structure to
+    exploit, true neighbors barely closer than the bulk); real
+    embedding corpora sit far above this floor at the same settings.
+
+    Plan shape: both rankings are 10-row TakeOrdered-style selections
+    over frames the search already computes; everything after the
+    scored frames is candidate-sized.  The single-partition rank
+    windows here span the ADC candidate set / exact score table of ONE
+    query — bounded by corpus/k x nprobe, and in a real deployment by
+    the per-query candidate budget."""
+    e = _emb(spark, sf_dir)
+    cells = _ivf_cells(e)
+    probe = _ivf_probe(cells)
+    assigned, cen = _pq_assign(e)
+    dsum9 = lambda c: (F.sum(F.round(c, 9).cast("decimal(28,9)"))  # noqa: E731
+                       .cast("double"))
+    qe = (assigned.filter(F.col("vec_id") == 1)
+          .select("sub", "j", F.col("xv").alias("qx")))
+    dt = (cen.join(F.broadcast(qe), ["sub", "j"])
+          .groupBy("sub", "code")
+          .agg(dsum9((F.col("cv") - F.col("qx"))
+                     * (F.col("cv") - F.col("qx"))).alias("d")))
+    codes = (assigned.filter(F.col("j") == 0)
+             .select("vec_id", "sub", "code"))
+    adc = (codes.join(cells.select("vec_id", "cell"), "vec_id")
+           .join(F.broadcast(probe), "cell")
+           .filter(F.col("vec_id") != 1)
+           .join(F.broadcast(dt), ["sub", "code"])
+           .groupBy("vec_id")
+           .agg(F.round(dsum9(F.col("d")), 6).alias("adc_dist")))
+    exact = (assigned.filter(F.col("vec_id") != 1)
+             .join(F.broadcast(qe), ["sub", "j"])
+             .groupBy("vec_id")
+             .agg(F.round(dsum9((F.col("xv") - F.col("qx"))
+                                * (F.col("xv") - F.col("qx"))), 6)
+                  .alias("exact_dist")))
+    exact_top = (exact.orderBy("exact_dist", "vec_id").limit(10)
+                 .select("vec_id"))
+    ann_top = (adc.orderBy("adc_dist", "vec_id").limit(10)
+               .select(F.col("vec_id").alias("ann_id"))
+               .withColumn("hit", F.lit(1)))
+    cand = adc.agg(F.count("*").cast("int").alias("n_candidates"))
+    return (exact_top
+            .join(ann_top, F.col("vec_id") == F.col("ann_id"), "left")
+            .crossJoin(F.broadcast(cand))
+            .groupBy("n_candidates")
+            .agg(F.count("hit").cast("int").alias("hits"),
+                 F.round(F.count("hit") / 10.0, 6).alias("recall_at_10"))
+            .select("n_candidates", "hits", "recall_at_10"))
