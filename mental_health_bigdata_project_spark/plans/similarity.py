@@ -16,7 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.vectors import cosine_similarity, to_double_array
+from ..functions.vectors import (cosine_similarity, dot_product, l2_norm,
+                                 to_double_array)
 from ..sources import load_table
 from .registry import query
 from .textops import tokens_col
@@ -380,6 +381,22 @@ _IVF_CELL_SQL = " + ".join(
     for p in range(_IVF_CELL_PLANES))
 
 
+def _md5_signstr(ns: str, n: int = 4096) -> str:
+    """The md5-Rademacher sign pattern for positions 0..n-1 of namespace
+    ``ns``, precomputed at PLAN-BUILD time into one literal string of
+    '+'/'-' (hashlib.md5 == Spark md5 == DuckDB md5, so values are
+    bit-identical to evaluating md5 inside the row lambda — the oracle
+    SQL keeps the md5 form).  Evaluating a substring of a literal per
+    element is ~2x faster than concat+md5+substring per element per
+    row, and the sign table stays engine-portable because it is DERIVED
+    from md5, not stored.  n=4096 caps the supported embedding dim;
+    raise if needed."""
+    import hashlib
+    return "".join(
+        "+" if hashlib.md5(f"{ns}{i}".encode()).hexdigest()[0] >= "8"
+        else "-" for i in range(n))
+
+
 def _ivf_cells(e: DataFrame) -> DataFrame:
     """Portable IVF coarse quantizer: (vec_id, ve, q, cell) — 4
     md5-derived Rademacher sign planes over integer-quantized
@@ -389,13 +406,11 @@ def _ivf_cells(e: DataFrame) -> DataFrame:
     qarr = F.transform(v, lambda x: F.floor(x * 1_000_000).cast("bigint"))
 
     def proj(p):
-        idx = F.sequence(F.lit(0), F.size(F.col("q")) - 1)
-        signed = F.zip_with(
-            F.col("q"), idx,
-            lambda x, i: F.when(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"ivfp{p}:"), i.cast("string"))), 1, 1
-                ) >= "8", x).otherwise(-x))
+        s = F.lit(_md5_signstr(f"ivfp{p}:"))
+        signed = F.transform(
+            F.col("q"),
+            lambda x, i: F.when(F.substring(s, i + 1, 1) == "+", x)
+            .otherwise(-x))
         return F.aggregate(signed, F.lit(0).cast("bigint"),
                            lambda acc, x: acc + x)
 
@@ -519,25 +534,28 @@ _PQ_CODE_STRUCTS_SQL = "[" + ", ".join(
     for s in range(_PQ_SUBS)) + "]"
 
 
-def _pq_assign(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _pq_assign(e: DataFrame,
+               materialize: bool = False) -> tuple[DataFrame, DataFrame]:
     """Shared PQ machinery: per-(vec, sub, j) component rows joined with
     their portable code assignment, plus the trained codebook.
     Returns (assigned, cen): assigned = (vec_id, sub, j, code, qv, xv),
     cen = (sub, code, j, cv) — the 1024-row codebook of exact
-    integer-micro-unit means."""
+    integer-micro-unit means.  ``materialize=True`` localCheckpoints
+    the assignment before deriving the codebook — for callers with
+    several consumers (ADC query/exact/codes): the assignment IS the
+    stored PQ index artifact, so materializing models the deployment
+    instead of re-deriving the explode+join per consumer."""
     v = to_double_array("embedding")
     qarr = F.transform(v, lambda x: F.floor(x * 1_000_000).cast("bigint"))
     base = e.select("vec_id", v.alias("ve"), qarr.alias("q"))
 
     def proj(s, p):
         sub = F.slice(F.col("q"), s * _PQ_SUBDIM + 1, _PQ_SUBDIM)
-        idx = F.sequence(F.lit(0), F.lit(_PQ_SUBDIM - 1))
-        signed = F.zip_with(
-            sub, idx,
-            lambda x, i: F.when(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"pq{s}:{p}:"), i.cast("string"))),
-                    1, 1) >= "8", x).otherwise(-x))
+        sgn = F.lit(_md5_signstr(f"pq{s}:{p}:", _PQ_SUBDIM))
+        signed = F.transform(
+            sub,
+            lambda x, i: F.when(F.substring(sgn, i + 1, 1) == "+", x)
+            .otherwise(-x))
         return F.aggregate(signed, F.lit(0).cast("bigint"),
                            lambda acc, x: acc + x)
 
@@ -564,6 +582,8 @@ def _pq_assign(e: DataFrame) -> tuple[DataFrame, DataFrame]:
                   F.floor(F.col("xv") * 1_000_000).cast("bigint").alias("qv"),
                   "xv"))
     assigned = pe.join(codes, ["vec_id", "sub"])
+    if materialize:
+        assigned = assigned.localCheckpoint(eager=True)
     cen = assigned.groupBy("sub", "code", "j").agg(
         (F.sum("qv").cast("double") / F.count("qv") / F.lit(1_000_000.0))
         .alias("cv"))
@@ -683,7 +703,7 @@ def sim_pq_adc_topk(spark, sf_dir):
     densier than the embedding column) plus one broadcast join and a
     per-vec_id sum.  All sums are 9dp-decimal (order-free), so ADC and
     exact distances both hash-match DuckDB."""
-    assigned, cen = _pq_assign(_emb(spark, sf_dir))
+    assigned, cen = _pq_assign(_emb(spark, sf_dir), materialize=True)
     dsum9 = lambda c: (F.sum(F.round(c, 9).cast("decimal(28,9)"))  # noqa: E731
                        .cast("double"))
     qe = (assigned.filter(F.col("vec_id") == 1)
@@ -1994,19 +2014,33 @@ def dedup_semdedup(spark, sf_dir):
           .agg(dsum9(F.col("xv") * F.col("cv")).alias("dot"),
                dsum9(F.col("xv") * F.col("xv")).alias("nv"),
                dsum9(F.col("cv") * F.col("cv")).alias("nc")))
+    # cos_centroid is consumed three times (both pair sides + the final
+    # verdict join): materialize it once — this IS the per-vector index
+    # artifact a SemDeDup deployment stores next to the cluster
+    # assignment, so the checkpoint models the real pipeline rather
+    # than re-deriving the centroid pipeline per consumer (measured
+    # 7.3 s -> ~2 s at sf0.1).
     cosc = cc.select(
         "vec_id", "cell",
         F.round(F.col("dot") / F.sqrt(F.col("nv") * F.col("nc")), 6)
-        .alias("cos_centroid"))
-    a = v.select(F.col("cell"), F.col("vec_id").alias("va"),
-                 F.col("emb").alias("ea"))
-    b = v.select(F.col("cell").alias("cell_b"),
-                 F.col("vec_id").alias("vb"), F.col("emb").alias("eb"))
+        .alias("cos_centroid")).localCheckpoint(eager=True)
+    # per-vector L2 norm computed ONCE (the fold is bit-identical to
+    # folding it per pair, so oracle values are unchanged) — the pair
+    # expression then pays one dot fold instead of three
+    vn = v.withColumn("nrm", l2_norm(F.col("emb")))
+    a = vn.select(F.col("cell"), F.col("vec_id").alias("va"),
+                  F.col("emb").alias("ea"), F.col("nrm").alias("na"))
+    b = vn.select(F.col("cell").alias("cell_b"),
+                  F.col("vec_id").alias("vb"), F.col("emb").alias("eb"),
+                  F.col("nrm").alias("nb"))
+    pair_cos = F.round(
+        dot_product(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
+        6)
+    # the near-dup pair list (edge-sized) also feeds two consumers
     pairs = (a.join(b, (F.col("cell") == F.col("cell_b"))
                     & (F.col("va") < F.col("vb")))
-             .filter(F.round(cosine_similarity(F.col("ea"), F.col("eb")), 6)
-                     >= _SEM_THRESHOLD)
-             .select("va", "vb"))
+             .filter(pair_cos >= _SEM_THRESHOLD)
+             .select("va", "vb")).localCheckpoint(eager=True)
     ca = cosc.select(F.col("vec_id").alias("va"),
                      F.col("cos_centroid").alias("cca"))
     cb = cosc.select(F.col("vec_id").alias("vb"),
@@ -2109,9 +2143,11 @@ def sim_ivfpq_topk(spark, sf_dir):
     away, same plan shape, kept raw so both halves reuse their
     oracle-green twins unchanged."""
     e = _emb(spark, sf_dir)
-    cells = _ivf_cells(e)
+    # cells feed both the probe ranking and the candidate cell map —
+    # one pass; this is the stored IVF partition key at deployment
+    cells = _ivf_cells(e).localCheckpoint(eager=True)
     probe = _ivf_probe(cells)
-    assigned, cen = _pq_assign(e)
+    assigned, cen = _pq_assign(e, materialize=True)
     dsum9 = lambda c: (F.sum(F.round(c, 9).cast("decimal(28,9)"))  # noqa: E731
                        .cast("double"))
     qe = (assigned.filter(F.col("vec_id") == 1)
@@ -2180,9 +2216,11 @@ def sim_ivfpq_recall(spark, sf_dir):
     query — bounded by corpus/k x nprobe, and in a real deployment by
     the per-query candidate budget."""
     e = _emb(spark, sf_dir)
-    cells = _ivf_cells(e)
+    # cells feed both the probe ranking and the candidate cell map —
+    # one pass; this is the stored IVF partition key at deployment
+    cells = _ivf_cells(e).localCheckpoint(eager=True)
     probe = _ivf_probe(cells)
-    assigned, cen = _pq_assign(e)
+    assigned, cen = _pq_assign(e, materialize=True)
     dsum9 = lambda c: (F.sum(F.round(c, 9).cast("decimal(28,9)"))  # noqa: E731
                        .cast("double"))
     qe = (assigned.filter(F.col("vec_id") == 1)

