@@ -3,7 +3,10 @@ actually materializes, composed from the registry operators' shared
 DataFrame-level cores in their canonical order:
 
     1. quality gate       — Gopher rule battery (gopher_rules_df)
-    2. sub-document dedup — C4 chunk rewrite (chunk_rewrite_df)
+    2. sub-document dedup — C4 chunk rewrite (chunk_rewrite_df), plus
+                            an opt-in ExactSubstr span rewrite
+                            (span_rewrite_df) for offset-shifted
+                            duplicate passages
     3. document dedup     — near-dup survivor selection
                             (survivor_select_df)
     4. shuffle-and-shard  — seeded permutation (shard_shuffle_df)
@@ -31,7 +34,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def curate_corpus(spark: SparkSession, sf_dir: str, out_dir: str,
-                  min_kept_chunk_frac: float = 0.0) -> DataFrame:
+                  min_kept_chunk_frac: float = 0.0,
+                  span_dedup: bool = False) -> DataFrame:
     """Run the full curation pipeline over ``{sf_dir}/documents.parquet``
     and write the surviving corpus to ``{out_dir}/corpus`` partitioned
     by shard.  Returns the per-stage attrition report (one row per
@@ -40,10 +44,17 @@ def curate_corpus(spark: SparkSession, sf_dir: str, out_dir: str,
     ``min_kept_chunk_frac``: additionally drop documents whose
     chunk-rewrite retained fraction falls below this bound (0.0 keeps
     any document with at least one surviving chunk).
+
+    ``span_dedup``: additionally run the ExactSubstr span rewrite
+    (overlapping 8-token windows, _span_frames/span_rewrite_df) after
+    the chunk rewrite — catches duplicated passages at token offsets
+    the NON-overlapping 30-token chunk alignment misses; documents
+    whose every token is a later duplicate occurrence drop out here.
     """
     from ..plans.similarity import survivor_select_df
-    from ..plans.textops import (chunk_rewrite_df, gopher_rules_df,
-                                 shard_shuffle_df)
+    from ..plans.textops import (_span_frames, chunk_rewrite_df,
+                                 gopher_rules_df, shard_shuffle_df,
+                                 span_rewrite_df)
     from ..sources import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -74,6 +85,23 @@ def curate_corpus(spark: SparkSession, sf_dir: str, out_dir: str,
                                F.col("text_rewritten").alias("text"))
     n2 = rw_docs.count()
 
+    # 2b (opt-in). ExactSubstr span rewrite on the chunk-cleaned text:
+    # overlapping windows catch offset-shifted duplicate passages the
+    # chunk alignment can't; same retain-one-occurrence rule, so the
+    # stages compose rather than fight over survivors
+    span_row = []
+    if span_dedup:
+        t, spans = _span_frames(rw_docs)
+        spanned = (span_rewrite_df(t, spans)
+                   .filter(F.col("kept_tokens") > 0)).localCheckpoint()
+        rw_docs = spanned.select("doc_id",
+                                 F.col("text_rewritten").alias("text"))
+        rewritten = (rewritten.drop("text_rewritten")
+                     .join(rw_docs.withColumnRenamed("text",
+                                                     "text_rewritten"),
+                           "doc_id"))
+        span_row = [("span_rewrite", rw_docs.count())]
+
     # 3. near-dup survivor selection ON the rewritten text — chunk
     #    removal turns shared-boilerplate docs into tighter near-dups,
     #    which is exactly when survivor selection should see them
@@ -94,8 +122,8 @@ def curate_corpus(spark: SparkSession, sf_dir: str, out_dir: str,
      .parquet(f"{out_dir}/corpus"))
 
     report = spark.createDataFrame(
-        [("input", n0), ("quality_gate", n1), ("chunk_rewrite", n2),
-         ("near_dedup", n3)],
+        [("input", n0), ("quality_gate", n1), ("chunk_rewrite", n2)]
+        + span_row + [("near_dedup", n3)],
         "stage string, docs bigint")
     report.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/report")
     return report

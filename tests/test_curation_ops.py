@@ -502,3 +502,30 @@ def test_streaming_chunk_dedup_with_quality_gate(spark, tmp_path):
     acc = {r["doc_id"] for r in
            spark.read.parquet(f"{out}/accepted").collect()}
     assert acc == {1}  # junk gated out BEFORE it could claim chunks
+
+
+def test_curate_corpus_with_span_stage(spark, sf_dir, tmp_path):
+    from mental_health_bigdata_project_spark.operators.curation import (
+        curate_corpus)
+
+    out = str(tmp_path / "curated_span")
+    rep = {r["stage"]: r["docs"] for r in
+           curate_corpus(spark, sf_dir, out, span_dedup=True).collect()}
+    assert set(rep) == {"input", "quality_gate", "chunk_rewrite",
+                        "span_rewrite", "near_dedup"}
+    # attrition is monotone through the dedup stages
+    assert (rep["input"] >= rep["quality_gate"] >= rep["chunk_rewrite"]
+            >= rep["span_rewrite"] >= rep["near_dedup"] > 0)
+    corpus = spark.read.parquet(f"{out}/corpus")
+    assert corpus.count() == rep["near_dedup"]
+    # the span stage really ran: no doc in the final corpus carries a
+    # duplicated 8-token window that a chunk-aligned pass would miss —
+    # spot-check by re-running span detection on the output (only
+    # first occurrences may remain, i.e. every gram is unique OR the
+    # retained copy)
+    from mental_health_bigdata_project_spark.plans.textops import (
+        _span_frames)
+    _, spans = _span_frames(corpus.select("doc_id", "text"))
+    # re-detected spans can only come from NEW grams formed at cut
+    # seams; they must be rare relative to corpus size
+    assert spans.count() <= rep["near_dedup"] * 0.05
