@@ -99,7 +99,7 @@ _CONVERTED_FRONT = [
     # round-3 additions: IVFADC composition, SemDeDup, ExactSubstr spans
     "sim_ivfpq_topk", "dedup_semdedup", "dedup_substring_spans",
     "dedup_substring_rewrite", "merge_upsert_cdc", "dedup_soft_weights",
-    "sim_ivfpq_recall",
+    "sim_ivfpq_recall", "privacy_k_anonymity", "dq_schema_drift",
 ]
 
 

@@ -957,3 +957,124 @@ def merge_upsert_cdc(spark, sf_dir):
                 .otherwise("updated").alias("src"),
                 F.coalesce(F.col("c.n_changes"), F.lit(0)).cast("int")
                 .alias("n_changes")))
+
+
+@query("privacy_k_anonymity", """
+    WITH qi AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+      FROM customer),
+    g AS (
+      SELECT c_nationkey, c_mktsegment, bal_band,
+             CAST(count(*) AS INTEGER) AS group_size
+      FROM qi GROUP BY c_nationkey, c_mktsegment, bal_band)
+    SELECT c_nationkey, c_mktsegment, bal_band, group_size,
+           CAST(CASE WHEN group_size >= 5 THEN 1 ELSE 0 END AS INTEGER)
+             AS meets_k
+    FROM g
+""")
+def privacy_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (k=5) over the quasi-identifier combination
+    (nation, market segment, $1000 balance band): every QI equivalence
+    class with its size and whether it meets k — the groups a release
+    pipeline must suppress or generalize before publishing, and the
+    privacy counterpart of the PII scrub (text_pii_scrub handles
+    direct identifiers; this handles re-identification by combination).
+
+    Plan shape: ONE map-side-combinable hash agg on the QI tuple —
+    the shuffle carries one row per (task, QI class), group cardinality
+    is the product of the generalization levels (bounded by design:
+    that is what generalization is FOR), so the audit costs one scan at
+    any corpus size.  Suppression-rate rollups are a second tiny agg
+    over this result."""
+    c = _t(spark, sf_dir, "customer")
+    g = (c.select("c_nationkey", "c_mktsegment",
+                  F.floor(F.col("c_acctbal") / 1000.0).cast("bigint")
+                  .alias("bal_band"))
+         .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+         .agg(F.count("*").cast("int").alias("group_size")))
+    return g.select(
+        "c_nationkey", "c_mktsegment", "bal_band", "group_size",
+        F.when(F.col("group_size") >= 5, 1).otherwise(0).cast("int")
+        .alias("meets_k"))
+
+
+@query("dq_schema_drift", """
+    WITH old AS (SELECT * FROM orders
+                 WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+    new AS (SELECT * FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'),
+    so AS (
+      SELECT 'o_totalprice' AS col,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) - count(o_totalprice) AS BIGINT) AS nulls,
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS status_card,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS mean_price
+      FROM old),
+    sn AS (
+      SELECT 'o_totalprice' AS col,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) - count(o_totalprice) AS BIGINT) AS nulls,
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS status_card,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS mean_price
+      FROM new)
+    SELECT so.col,
+           so.n AS old_n, sn.n AS new_n,
+           so.nulls AS old_nulls, sn.nulls AS new_nulls,
+           so.status_card AS old_card, sn.status_card AS new_card,
+           round(so.mean_price, 4) AS old_mean,
+           round(sn.mean_price, 4) AS new_mean,
+           CAST(CASE WHEN so.status_card <> sn.status_card
+                       OR abs(sn.mean_price - so.mean_price)
+                          > 0.1 * abs(so.mean_price)
+                     THEN 1 ELSE 0 END AS INTEGER) AS drifted
+    FROM so JOIN sn ON so.col = sn.col
+""")
+def dq_schema_drift(spark, sf_dir):
+    """Statistical drift check between two snapshot windows of the same
+    table (pre/post a date cutoff standing in for yesterday/today):
+    row count, null count, categorical cardinality, and decimal-exact
+    mean per monitored column, with a drift verdict (cardinality
+    change OR >10% mean shift) — the data-quality gate an ingestion
+    pipeline runs before promoting a new partition, complementing
+    dq_expectations (fixed invariants) with version-over-version
+    comparison.
+
+    Plan shape: one aggregate per snapshot (both map-side combinable,
+    pushed date filters at the scan), joined on the 1-row profile —
+    at 100 TB each profile is a single scan and the comparison is
+    metadata-sized.  Extending to more columns widens the agg, not the
+    shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01").cast("timestamp_ntz")
+
+    def profile(df):
+        return df.agg(
+            F.count("*").cast("bigint").alias("n"),
+            (F.count("*") - F.count("o_totalprice")).cast("bigint")
+            .alias("nulls"),
+            F.countDistinct("o_orderstatus").cast("bigint")
+            .alias("status_card"),
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+             .cast("double") / F.count("*")).alias("mean_price"))
+
+    so = profile(o.filter(F.col("o_orderdate") < cut))
+    sn = (profile(o.filter(F.col("o_orderdate") >= cut))
+          .select(F.col("n").alias("new_n"),
+                  F.col("nulls").alias("new_nulls"),
+                  F.col("status_card").alias("new_card"),
+                  F.col("mean_price").alias("new_mean_raw")))
+    drift = F.when(
+        (F.col("status_card") != F.col("new_card"))
+        | (F.abs(F.col("new_mean_raw") - F.col("mean_price"))
+           > 0.1 * F.abs(F.col("mean_price"))), 1).otherwise(0)
+    return (so.crossJoin(F.broadcast(sn))
+            .select(F.lit("o_totalprice").alias("col"),
+                    F.col("n").alias("old_n"), "new_n",
+                    F.col("nulls").alias("old_nulls"), "new_nulls",
+                    F.col("status_card").alias("old_card"), "new_card",
+                    F.round("mean_price", 4).alias("old_mean"),
+                    F.round("new_mean_raw", 4).alias("new_mean"),
+                    drift.cast("int").alias("drifted")))
