@@ -1,0 +1,124 @@
+"""Semantics pins for the streaming keyed-upsert sink
+(streaming/upsert.py): latest-wins compaction, delete handling
+(including bucket-emptying deletes), partition-pruned state touch,
+replay idempotence, and the file-stream topology."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+
+def _cdc(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, seq bigint, op string, "
+              "value double")
+
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _t(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def test_upsert_batches_latest_wins_and_delete(spark, tmp_path):
+    from mental_health_bigdata_project_spark.streaming import upsert
+
+    state = str(tmp_path / "state")
+
+    # batch 0: two upserts for key 1 (latest wins), one for key 2
+    upsert.upsert_batch(_cdc(spark, [
+        (1, _t(0), 0, "U", 10.0),
+        (1, _t(5), 1, "U", 11.0),
+        (2, _t(1), 2, "U", 20.0),
+    ]), 0, state)
+    got = {r["user_id"]: r["value"] for r in
+           upsert.read_state(spark, state).collect()}
+    assert got == {1: 11.0, 2: 20.0}
+
+    # batch 1: update key 2, delete key 1, insert key 3
+    upsert.upsert_batch(_cdc(spark, [
+        (2, _t(10), 3, "U", 21.0),
+        (1, _t(11), 4, "D", 0.0),
+        (3, _t(12), 5, "U", 30.0),
+    ]), 1, state)
+    got = {r["user_id"]: r["value"] for r in
+           upsert.read_state(spark, state).collect()}
+    assert got == {2: 21.0, 3: 30.0}
+
+    # replay batch 1: state unchanged (idempotent merge)
+    upsert.upsert_batch(_cdc(spark, [
+        (2, _t(10), 3, "U", 21.0),
+        (1, _t(11), 4, "D", 0.0),
+        (3, _t(12), 5, "U", 30.0),
+    ]), 1, state)
+    got2 = {r["user_id"]: r["value"] for r in
+            upsert.read_state(spark, state).collect()}
+    assert got2 == got
+
+
+def test_upsert_bucket_emptying_delete(spark, tmp_path):
+    from mental_health_bigdata_project_spark.streaming import upsert
+
+    state = str(tmp_path / "state")
+    upsert.upsert_batch(_cdc(spark, [(7, _t(0), 0, "U", 70.0)]), 0, state)
+    assert {r["user_id"] for r in
+            upsert.read_state(spark, state).collect()} == {7}
+    # delete the only key in its bucket: the bucket directory must be
+    # cleared, not silently left with stale rows
+    upsert.upsert_batch(_cdc(spark, [(7, _t(1), 1, "D", 0.0)]), 1, state)
+    left = upsert.read_state(spark, state)
+    assert left is None or left.count() == 0
+
+
+def test_upsert_untouched_buckets_not_rewritten(spark, tmp_path):
+    import glob
+    import os
+    from mental_health_bigdata_project_spark.streaming import upsert
+
+    state = str(tmp_path / "state")
+    upsert.upsert_batch(_cdc(spark, [
+        (k, _t(0), k, "U", float(k)) for k in range(1, 40)
+    ]), 0, state)
+    dirs = sorted(glob.glob(f"{state}/state/bucket=*"))
+    assert len(dirs) > 1
+    mtimes = {d: max((os.path.getmtime(f) for f in glob.glob(f"{d}/*")),
+                     default=0) for d in dirs}
+
+    # a single-key batch must rewrite exactly ONE bucket directory
+    import time
+    time.sleep(1.1)
+    upsert.upsert_batch(_cdc(spark, [(1, _t(9), 99, "U", 111.0)]), 1, state)
+    changed = [d for d in dirs
+               if max((os.path.getmtime(f) for f in glob.glob(f"{d}/*")),
+                      default=0) > mtimes[d]]
+    assert len(changed) == 1
+    got = {r["user_id"]: r["value"] for r in
+           upsert.read_state(spark, state).collect()}
+    assert got[1] == 111.0 and len(got) == 39
+
+
+def test_stream_keyed_upsert_topology(spark, tmp_path):
+    import json as _json
+    import time as _time
+    from mental_health_bigdata_project_spark.streaming import upsert
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    with open(in_dir / "b0.json", "w") as f:
+        f.write(_json.dumps({"user_id": 1, "ts": "2024-01-01T00:00:00",
+                             "seq": 0, "op": "U", "value": 5.0}) + "\n")
+    _time.sleep(1.1)
+    with open(in_dir / "b1.json", "w") as f:
+        f.write(_json.dumps({"user_id": 1, "ts": "2024-01-01T00:05:00",
+                             "seq": 1, "op": "U", "value": 6.0}) + "\n")
+        f.write(_json.dumps({"user_id": 2, "ts": "2024-01-01T00:06:00",
+                             "seq": 2, "op": "U", "value": 7.0}) + "\n")
+
+    q = upsert.stream_keyed_upsert(
+        spark, str(in_dir), str(tmp_path / "state"),
+        str(tmp_path / "ckpt"))
+    q.awaitTermination(60)
+    got = {r["user_id"]: r["value"] for r in
+           upsert.read_state(spark, str(tmp_path / "state")).collect()}
+    assert got == {1: 6.0, 2: 7.0}
