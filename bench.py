@@ -96,6 +96,7 @@ HEADLINE = [
     "dedup_substring_rewrite",
     "dedup_semdedup",
     "sim_ivfpq_topk",
+    "quality_ensemble_score",
 ]
 
 

@@ -2589,3 +2589,83 @@ def dedup_soft_weights(spark, sf_dir):
                  .alias("commonness"),
                  F.round(F.count("*") / F.sum("n_occ").cast("double"), 6)
                  .alias("soft_weight")))
+
+
+@query("quality_ensemble_score", f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents
+               WHERE length(text) > 0),
+    s AS (
+      SELECT doc_id,
+             CAST(len(toks) AS INTEGER) AS n_tokens,
+             (1.0 - (length(text) - length(regexp_replace(
+                      text, '[^a-zA-Z0-9 ]', '', 'g')))
+                 / CAST(length(text) AS DOUBLE))
+               * LEAST(1.0, len(toks) / 50.0) AS q,
+             CASE WHEN len(toks) >= 3 THEN
+               (SELECT CAST(len(g) - len(list_distinct(g)) AS DOUBLE)
+                       / len(g)
+                FROM (SELECT list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                      AS g))
+             ELSE 0.0 END AS rep,
+             CASE WHEN {_hits_sql(STOPWORDS)} > 0 THEN 1.0 ELSE 0.0 END
+               AS stop_present
+      FROM t WHERE len(toks) > 0)
+    SELECT doc_id, n_tokens,
+           round(q, 6) AS quality,
+           round(rep, 6) AS rep_frac,
+           CAST(stop_present AS DOUBLE) AS stop_present,
+           round(0.5 * q + 0.3 * (1.0 - rep) + 0.2 * stop_present, 6)
+             AS ensemble,
+           CAST(CASE WHEN 0.5 * q + 0.3 * (1.0 - rep) + 0.2 * stop_present
+                          >= 0.5
+                     THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM s
+""")
+def quality_ensemble_score(spark, sf_dir):
+    """Ensemble document-quality score — the capstone the quality
+    family feeds into practice: a weighted blend of the heuristic
+    quality signal (punctuation x length, text_quality_score's core),
+    within-document trigram repetition (Gopher's dup-gram fraction,
+    inverted), and function-word presence (degenerate-text tripwire),
+    with a keep verdict at 0.5 — the single sortable score a curation
+    run uses for quality-threshold sweeps and curriculum ordering
+    (weights are corpus-calibrated in practice; FineWeb-style
+    pipelines learn them, this fixes them for determinism).
+
+    Plan shape: every signal is a per-row native expression (HOFs over
+    the token array; the trigram distinct runs on ONE doc's grams,
+    bounded by doc length) — zero shuffles, the whole ensemble rides
+    the scan in whole-stage codegen.  At 100 TB this is the cheapest
+    possible shape: score-and-gate in the same pass that reads the
+    corpus."""
+    toks = tokens_col()
+    df = (_docs(spark, sf_dir)
+          .filter(F.length("text") > 0)
+          .select("doc_id", "text", toks.alias("toks"))
+          .filter(F.size("toks") > 0))
+    n = F.size("toks")
+    punct = (F.length("text") - F.length(F.array_join(
+        F.regexp_extract_all("text", F.lit("[a-zA-Z0-9 ]+"), F.lit(0)), ""))) \
+        / F.length("text").cast("double")
+    q = (F.lit(1.0) - punct) * F.least(F.lit(1.0), n / F.lit(50.0))
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(" ", F.element_at("toks", i),
+                              F.element_at("toks", i + 1),
+                              F.element_at("toks", i + 2)))
+    rep = F.when(
+        n >= 3,
+        (F.size(grams) - F.size(F.array_distinct(grams))).cast("double")
+        / F.size(grams)).otherwise(F.lit(0.0))
+    stop_present = F.when(_hits(F.col("toks"), STOPWORDS) > 0, 1.0) \
+        .otherwise(0.0)
+    ensemble_raw = 0.5 * q + 0.3 * (F.lit(1.0) - rep) + 0.2 * stop_present
+    return df.select(
+        "doc_id", n.cast("int").alias("n_tokens"),
+        F.round(q, 6).alias("quality"),
+        F.round(rep, 6).alias("rep_frac"),
+        stop_present.cast("double").alias("stop_present"),
+        F.round(ensemble_raw, 6).alias("ensemble"),
+        F.when(ensemble_raw >= 0.5, 1).otherwise(0).cast("int")
+        .alias("keep"))
