@@ -15,6 +15,7 @@ Design:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from ..functions.vectors import (cosine_similarity, dot_product, l2_norm,
                                  to_double_array)
@@ -2256,3 +2257,122 @@ def sim_ivfpq_recall(spark, sf_dir):
             .agg(F.count("hit").cast("int").alias("hits"),
                  F.round(F.count("hit") / 10.0, 6).alias("recall_at_10"))
             .select("n_candidates", "hits", "recall_at_10"))
+
+
+@query("sim_ivfpq_batch", f"""
+    WITH {_PQ_CTES},
+    iproj AS (SELECT vec_id, {_IVF_PROJ_SQL} FROM v),
+    icells AS (SELECT vec_id, CAST({_IVF_CELL_SQL} AS BIGINT) AS cell
+               FROM iproj),
+    ipe AS (
+      SELECT icells.cell, pe.sub * {_PQ_SUBDIM} + pe.j AS pos, pe.qv AS qv
+      FROM pe JOIN icells ON pe.vec_id = icells.vec_id),
+    icen AS (SELECT cell, pos,
+                    CAST(SUM(qv) AS DOUBLE) / COUNT(qv) / 1000000.0
+                      AS centroid_val
+             FROM ipe GROUP BY cell, pos),
+    bq AS (SELECT vec_id AS qid, sub * {_PQ_SUBDIM} + j AS pos, xv AS qx
+           FROM pe WHERE vec_id < 8),
+    bsc AS (SELECT bq.qid, icen.cell,
+                   CAST(SUM(CAST(round(icen.centroid_val * bq.qx, 9)
+                                 AS DECIMAL(38,9))) AS DOUBLE) AS dot,
+                   CAST(SUM(CAST(round(icen.centroid_val * icen.centroid_val,
+                                       9) AS DECIMAL(38,9))) AS DOUBLE)
+                     AS cnorm2
+            FROM icen JOIN bq ON icen.pos = bq.pos
+            GROUP BY bq.qid, icen.cell),
+    bprobe AS (
+      SELECT qid, cell FROM (
+        SELECT qid, cell,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY dot / sqrt(cnorm2) DESC, cell)
+                 AS rn
+        FROM bsc) WHERE rn <= {_IVF_N_PROBE}),
+    bqe AS (SELECT vec_id AS qid, sub, j, xv AS qx
+            FROM pe WHERE vec_id < 8),
+    bdt AS (
+      SELECT bqe.qid, cen.sub, cen.code,
+             CAST(SUM(CAST(round((cen.cv - bqe.qx) * (cen.cv - bqe.qx), 9)
+                           AS DECIMAL(28,9))) AS DOUBLE) AS d
+      FROM cen JOIN bqe ON cen.sub = bqe.sub AND cen.j = bqe.j
+      GROUP BY bqe.qid, cen.sub, cen.code),
+    badc AS (
+      SELECT bprobe.qid, codes.vec_id, icells.cell,
+             round(CAST(SUM(CAST(round(bdt.d, 9) AS DECIMAL(28,9)))
+                        AS DOUBLE), 6) AS adc_dist
+      FROM codes
+      JOIN icells ON codes.vec_id = icells.vec_id
+      JOIN bprobe ON icells.cell = bprobe.cell
+      JOIN bdt ON bdt.qid = bprobe.qid AND codes.sub = bdt.sub
+               AND codes.code = bdt.code
+      WHERE codes.vec_id <> bprobe.qid
+      GROUP BY bprobe.qid, codes.vec_id, icells.cell)
+    SELECT qid, vec_id, cell, adc_dist FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY adc_dist, vec_id) AS rn
+      FROM badc) WHERE rn <= 10
+""")
+def sim_ivfpq_batch(spark, sf_dir):
+    """Batched IVFADC serving: ONE scan of the 4-byte code column
+    answers 8 queries at once — each query ranks the 16 cells by its
+    own centroid cosine, probes its top 4, scores candidates through
+    its own 128-entry ADC table, and keeps its ADC top-10.  This is
+    the shape ANN *serving* takes at scale: distance tables for a
+    whole query batch are metadata-sized (8 x 128 rows), so the scan
+    cost amortizes across the batch instead of re-reading per query
+    (sim_ivfpq_topk is the single-query plan; sim_topk_batch the
+    exact-scan analog of this one).
+
+    Plan shape: the per-query probe set and distance tables are tiny
+    (windows over 8x16 and joins over 8x128 rows); the corpus-side
+    work is one codes scan joined to the broadcast probe/table frames,
+    then a per-qid top-10 window over candidate-sized input
+    (WindowGroupLimit pushes the rank cut below the exchange).  At
+    100 TB with cell-partitioned storage, the 8 probe lists union to
+    at most 8 x nprobe partitions read once."""
+    e = _emb(spark, sf_dir)
+    cells = _ivf_cells(e).localCheckpoint(eager=True)
+    assigned, cen = _pq_assign(e, materialize=True)
+    dsum9_38 = lambda c: (F.sum(F.round(c, 9).cast("decimal(38,9)"))  # noqa: E731
+                          .cast("double"))
+    dsum9 = lambda c: (F.sum(F.round(c, 9).cast("decimal(28,9)"))  # noqa: E731
+                       .cast("double"))
+
+    pe_pos = assigned.select(
+        "vec_id", (F.col("sub") * _PQ_SUBDIM + F.col("j")).alias("pos"),
+        "qv", "xv", "sub", "j")
+    icen = (pe_pos.join(cells.select("vec_id", "cell"), "vec_id")
+            .groupBy("cell", "pos")
+            .agg((F.sum("qv").cast("double") / F.count("qv")
+                  / F.lit(1_000_000.0)).alias("centroid_val")))
+    bq = (pe_pos.filter(F.col("vec_id") < 8)
+          .select(F.col("vec_id").alias("qid"), "pos",
+                  F.col("xv").alias("qx")))
+    bsc = (icen.join(F.broadcast(bq), "pos")
+           .groupBy("qid", "cell")
+           .agg(dsum9_38(F.col("centroid_val") * F.col("qx")).alias("dot"),
+                dsum9_38(F.col("centroid_val") * F.col("centroid_val"))
+                .alias("cnorm2")))
+    wprobe = Window.partitionBy("qid").orderBy(
+        F.desc(F.col("dot") / F.sqrt(F.col("cnorm2"))), "cell")
+    bprobe = (bsc.withColumn("rn", F.row_number().over(wprobe))
+              .filter(F.col("rn") <= _IVF_N_PROBE).select("qid", "cell"))
+    bqe = (assigned.filter(F.col("vec_id") < 8)
+           .select(F.col("vec_id").alias("qid"), "sub", "j",
+                   F.col("xv").alias("qx")))
+    bdt = (cen.join(F.broadcast(bqe), ["sub", "j"])
+           .groupBy("qid", "sub", "code")
+           .agg(dsum9((F.col("cv") - F.col("qx"))
+                      * (F.col("cv") - F.col("qx"))).alias("d")))
+    codes = (assigned.filter(F.col("j") == 0)
+             .select("vec_id", "sub", "code"))
+    badc = (codes.join(cells.select("vec_id", "cell"), "vec_id")
+            .join(F.broadcast(bprobe), "cell")
+            .filter(F.col("vec_id") != F.col("qid"))
+            .join(F.broadcast(bdt), ["qid", "sub", "code"])
+            .groupBy("qid", "vec_id", "cell")
+            .agg(F.round(dsum9(F.col("d")), 6).alias("adc_dist")))
+    wtop = Window.partitionBy("qid").orderBy("adc_dist", "vec_id")
+    return (badc.withColumn("rn", F.row_number().over(wtop))
+            .filter(F.col("rn") <= 10)
+            .select("qid", "vec_id", "cell", "adc_dist"))
