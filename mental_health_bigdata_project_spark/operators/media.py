@@ -104,3 +104,44 @@ def sample_frames(payloads: DataFrame, frame_size: int = 64,
         payloads.select("doc_id", "payload")
         .mapInPandas(frames, FRAME_SCHEMA)
     )
+
+
+RESIZE_SCHEMA = ("doc_id bigint, orig_len int, target_len int, "
+                 "resized_bytes binary")
+
+
+def resize_media(payloads: DataFrame, target_len: int = 32) -> DataFrame:
+    """Resize over a binary payload: deterministic nearest-neighbor
+    downsample of the byte sequence to ``target_len`` bytes (the 1-D
+    stand-in for image resize — a real decoder would map pixel grids
+    here; payloads shorter than the target pass through unchanged).
+
+    Shape contract for the real thing: mapInPandas 1-row-in → 1-row-out
+    with a bounded output payload — the property that makes resize the
+    FIRST stage of a media pipeline at 100 TB (every downstream stage
+    reads target_len bytes per row, not raw media); no shuffle, output
+    schema explicit, bytes never leave the executor."""
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "orig_len": [], "target_len": [],
+                   "resized_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                if n <= target_len:
+                    resized = bytes(payload)
+                else:
+                    # nearest-neighbor: sample index i maps to source
+                    # byte floor(i * n / target_len)
+                    resized = bytes(payload[(i * n) // target_len]
+                                    for i in range(target_len))
+                out["doc_id"].append(doc_id)
+                out["orig_len"].append(n)
+                out["target_len"].append(len(resized))
+                out["resized_bytes"].append(resized)
+            yield pd.DataFrame(out)
+
+    return (payloads.select("doc_id", "payload")
+            .mapInPandas(resize, RESIZE_SCHEMA))

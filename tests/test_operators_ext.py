@@ -531,3 +531,26 @@ def test_ivf_cell_layout_prunes_ann_read(spark, sf_dir, tmp_path):
     want = {r.vec_id for r in emb.withColumn("cell", cell)
             .filter(F.col("cell").isin(probe)).collect()}
     assert got == want and got  # pruned read returns exactly the probed cells
+
+
+def test_media_resize_nearest_neighbor(spark, sf_dir):
+    """Resize: bounded output payloads, deterministic nearest-neighbor
+    sampling, short payloads pass through unchanged."""
+    from mental_health_bigdata_project_spark.operators.media import (
+        resize_media, with_binary_payload)
+    from mental_health_bigdata_project_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    payloads = with_binary_payload(docs)
+    src = {r.doc_id: bytes(r.payload) for r in payloads.collect()}
+    out = {r.doc_id: r for r in resize_media(payloads, 32).collect()}
+    assert set(out) == set(src)
+    for doc_id, r in out.items():
+        p = src[doc_id]
+        assert r.orig_len == len(p)
+        if len(p) <= 32:
+            assert bytes(r.resized_bytes) == p
+        else:
+            assert r.target_len == 32
+            expected = bytes(p[(i * len(p)) // 32] for i in range(32))
+            assert bytes(r.resized_bytes) == expected
