@@ -97,6 +97,8 @@ HEADLINE = [
     "dedup_semdedup",
     "sim_ivfpq_topk",
     "quality_ensemble_score",
+    # ANN serving shape: one code scan, 8 queries
+    "sim_ivfpq_batch",
 ]
 
 
