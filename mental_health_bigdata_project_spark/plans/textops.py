@@ -2669,3 +2669,89 @@ def quality_ensemble_score(spark, sf_dir):
         F.round(ensemble_raw, 6).alias("ensemble"),
         F.when(ensemble_raw >= 0.5, 1).otherwise(0).cast("int")
         .alias("keep"))
+
+
+@query("split_leakage_audit", f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tagged AS (
+      SELECT doc_id, toks,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       BETWEEN '0' AND 'c' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       IN ('d', 'e') THEN 'val'
+                  ELSE 'test' END AS split
+      FROM t),
+    grams AS (
+      SELECT doc_id, split,
+             md5(array_to_string(toks[u.s:u.s+{_SPAN_K}-1], ' ')) AS h
+      FROM (SELECT doc_id, split, toks,
+                   unnest(list_transform(range(1, len(toks)-{_SPAN_K}+2),
+                          i -> {{'s': i}})) AS u
+            FROM tagged WHERE len(toks) >= {_SPAN_K})),
+    heldout AS (SELECT DISTINCT h FROM grams WHERE split <> 'train'),
+    leaks AS (
+      SELECT g.doc_id,
+             CAST(count(DISTINCT g.h) AS INTEGER) AS leaked_grams
+      FROM grams g JOIN heldout USING (h)
+      WHERE g.split = 'train'
+      GROUP BY g.doc_id),
+    pop AS (SELECT split, CAST(count(*) AS INTEGER) AS n_docs
+            FROM tagged GROUP BY split)
+    SELECT pop.split, pop.n_docs,
+           CAST(coalesce(lk.leaking_docs, 0) AS INTEGER) AS leaking_docs,
+           CAST(coalesce(lk.leaked_grams, 0) AS INTEGER) AS leaked_grams
+    FROM pop LEFT JOIN (
+      SELECT 'train' AS split,
+             CAST(count(*) AS INTEGER) AS leaking_docs,
+             CAST(SUM(leaked_grams) AS INTEGER) AS leaked_grams
+      FROM leaks) lk ON pop.split = lk.split
+""")
+def split_leakage_audit(spark, sf_dir):
+    """Train/test LEAKAGE audit — the check every eval pipeline should
+    run after splitting: using the deterministic md5 split
+    (split_train_val_test's exact rule), flag every TRAIN document
+    that shares an 8-token window with ANY held-out (val/test)
+    document, and report per-split populations plus the train-side
+    leak counts.  A leaking train doc is the eval-contamination the
+    decontam family exists to remove; this query quantifies it for
+    THIS split before training spends anything.
+
+    Plan shape: split tagging is a per-row expression on the scan; the
+    gram explode is the span-dedup shape (~1 row per corpus token);
+    the held-out gram set (distinct fps of the SMALL split fraction,
+    3/16 of grams) semi-joins against train grams on the fp hash —
+    map-side-combinable distincts on both sides, one narrow shuffle
+    each, and the final report is split-cardinality-sized.  At 100 TB
+    the held-out fp set is small enough to broadcast or bloom-push."""
+    t = (_docs(spark, sf_dir)
+         .select("doc_id", tokens_col().alias("toks")))
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (F.when((nib >= "0") & (nib <= "c"), "train")
+             .when(nib.isin("d", "e"), "val")
+             .otherwise("test"))
+    tagged = t.select("doc_id", "toks", split.alias("split"))
+    K = _SPAN_K
+    n = F.size("toks")
+    gram_structs = F.transform(
+        F.sequence(F.lit(1), n - K + 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, K))))
+    grams = (tagged.filter(n >= K)
+             .select("doc_id", "split",
+                     F.explode(gram_structs).alias("h")))
+    heldout = (grams.filter(F.col("split") != "train")
+               .select("h").distinct())
+    leaks = (grams.filter(F.col("split") == "train")
+             .join(heldout, "h", "semi")
+             .groupBy("doc_id")
+             .agg(F.countDistinct("h").cast("int").alias("leaked_grams")))
+    pop = tagged.groupBy("split").agg(
+        F.count("*").cast("int").alias("n_docs"))
+    lk = (leaks.agg(F.count("*").cast("int").alias("leaking_docs"),
+                    F.sum("leaked_grams").cast("int").alias("leaked_grams"))
+          .withColumn("split", F.lit("train")))
+    return (pop.join(F.broadcast(lk), "split", "left")
+            .select("split", "n_docs",
+                    F.coalesce("leaking_docs", F.lit(0)).cast("int")
+                    .alias("leaking_docs"),
+                    F.coalesce("leaked_grams", F.lit(0)).cast("int")
+                    .alias("leaked_grams")))
