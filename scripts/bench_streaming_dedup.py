@@ -50,6 +50,9 @@ def run(spark, sf_dir: str, n_batches: int = 4) -> dict:
     from mental_health_bigdata_project_spark.streaming.spandedup import (
         rewrite_spans_batch_against_index)
 
+    from mental_health_bigdata_project_spark.streaming.upsert import (
+        upsert_batch)
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     n_docs = docs.count()
     doc_batches = [
@@ -59,6 +62,16 @@ def run(spark, sf_dir: str, n_batches: int = 4) -> dict:
     n_vecs = emb.count()
     emb_batches = [
         emb.filter(F.col("vec_id") % n_batches == k).localCheckpoint()
+        for k in range(n_batches)]
+    # CDC event stream for the keyed-upsert sink: error rows delete
+    # the key, everything else upserts (merge_upsert_cdc's mapping)
+    cdc = (load_table(spark, sf_dir, "events")
+           .select("user_id", "ts", F.col("event_id").alias("seq"),
+                   F.when(F.col("event_type") == "error", "D")
+                   .otherwise("U").alias("op"), "value"))
+    n_events = cdc.count()
+    cdc_batches = [
+        cdc.filter(F.col("seq") % n_batches == k).localCheckpoint()
         for k in range(n_batches)]
 
     out = {"sf_dir": sf_dir, "n_batches": n_batches,
@@ -85,6 +98,10 @@ def run(spark, sf_dir: str, n_batches: int = 4) -> dict:
                            rewrite_spans_batch_against_index(
                                bdf, bid, f"{root}/span/out",
                                f"{root}/span/idx")),
+            # keyed upsert: bucket-pruned state reads + dynamic
+            # partition overwrites per batch
+            "keyed_upsert": (cdc_batches, n_events, lambda bdf, bid:
+                             upsert_batch(bdf, bid, f"{root}/upsert")),
         }
         for name, (batches, n_rows, body) in paths.items():
             stats = _run_path(name, batches, body)
