@@ -2507,3 +2507,37 @@ def vec_pq_residual_mse(spark, sf_dir):
                     F.round("mse_residual", 9).alias("mse_residual"),
                     F.when(F.col("mse_residual") < F.col("mse_raw"), 1)
                     .otherwise(0).cast("int").alias("improved")))
+
+
+@query("lsh_scurve_table", """
+    WITH cfg AS (
+      SELECT u.b AS bands, u.r AS rows_per_band
+      FROM (SELECT unnest([{'b': 16, 'r': 1}, {'b': 8, 'r': 2},
+                           {'b': 4, 'r': 4}, {'b': 2, 'r': 8}]) AS u)),
+    grid AS (SELECT CAST(j AS DOUBLE) / 20 AS jaccard
+             FROM unnest(range(1, 20)) AS t(j))
+    SELECT cfg.bands, cfg.rows_per_band, round(grid.jaccard, 2) AS jaccard,
+           round(1.0 - power(1.0 - power(grid.jaccard, cfg.rows_per_band),
+                             cfg.bands), 6) AS p_candidate
+    FROM cfg CROSS JOIN grid
+""")
+def lsh_scurve_table(spark, sf_dir):
+    """The MinHash-LSH tuning table: candidate probability
+    1 - (1 - j^r)^b over a Jaccard grid for every (bands, rows) split
+    of a 16-hash signature — the S-curve every LSH deployment consults
+    to place its threshold (this repo's production split, b=4 r=4,
+    crosses 0.5 near j~0.55; neardup_threshold_sweep measures the same
+    trade empirically on THIS corpus, this query gives the analytic
+    curve).  Pure metadata-sized math — 4 configs x 19 grid points
+    from literal relations, zero scans; at any scale this is the
+    planning step before the banding job, not a corpus query."""
+    cfg = spark.createDataFrame(
+        [(16, 1), (8, 2), (4, 4), (2, 8)], "bands int, rows_per_band int")
+    grid = spark.range(1, 20).select(
+        (F.col("id").cast("double") / 20).alias("jaccard"))
+    p = 1.0 - F.pow(1.0 - F.pow(F.col("jaccard"), F.col("rows_per_band")),
+                    F.col("bands"))
+    return (cfg.crossJoin(grid)
+            .select("bands", "rows_per_band",
+                    F.round("jaccard", 2).alias("jaccard"),
+                    F.round(p, 6).alias("p_candidate")))

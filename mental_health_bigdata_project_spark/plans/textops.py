@@ -2755,3 +2755,59 @@ def split_leakage_audit(spark, sf_dir):
                     .alias("leaking_docs"),
                     F.coalesce("leaked_grams", F.lit(0)).cast("int")
                     .alias("leaked_grams")))
+
+
+@query("text_vocab_coverage", f"""
+    WITH freq AS (
+      SELECT token, count(*) AS n FROM (
+        SELECT unnest({_TOKS_SQL}) AS token FROM documents
+      ) GROUP BY token),
+    ranked AS (
+      SELECT n,
+             row_number() OVER (ORDER BY n DESC, token) AS rnk,
+             SUM(n) OVER (ORDER BY n DESC, token
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(n) OVER () AS total
+      FROM freq),
+    marks AS (SELECT unnest([10, 30, 100, 300, 1000]) AS k)
+    SELECT marks.k AS vocab_size,
+           CAST(max(CASE WHEN rnk <= marks.k THEN cum ELSE 0 END)
+                AS BIGINT) AS tokens_covered,
+           round(CAST(max(CASE WHEN rnk <= marks.k THEN cum ELSE 0 END)
+                      AS DOUBLE) / max(total), 6) AS coverage
+    FROM ranked CROSS JOIN marks
+    GROUP BY marks.k
+""")
+def text_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve: what fraction of corpus tokens the
+    top-k vocabulary covers, at k in {{10, 30, 100, 300, 1000}} — the
+    number that sizes a tokenizer's vocab budget (and the cumulative
+    face of text_zipf_fit's rank-frequency slope).  Tie-broken by
+    token so the rank order is deterministic on both engines.
+
+    Plan shape: ONE corpus-scale hash agg to vocabulary rows; the
+    ranked cumsum is a global window over the VOCABULARY (not the
+    corpus — bounded by distinct tokens, and in practice by a top-N
+    cutoff far above the largest k); the mark join is 5 literal rows.
+    At 100 TB the corpus touches only the first agg."""
+    freq = (_docs(spark, sf_dir)
+            .select(F.explode(tokens_col()).alias("token"))
+            .groupBy("token").agg(F.count("*").alias("n")))
+    w = Window.orderBy(F.desc("n"), "token")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = freq.select(
+        "n", F.row_number().over(w).alias("rnk"),
+        F.sum("n").over(wcum).alias("cum"),
+        F.sum("n").over(
+            Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+                                             Window.unboundedFollowing))
+        .alias("total"))
+    marks = spark.createDataFrame([(10,), (30,), (100,), (300,), (1000,)],
+                                  "k int")
+    hit = F.max(F.when(F.col("rnk") <= F.col("k"), F.col("cum"))
+                .otherwise(0))
+    return (ranked.crossJoin(F.broadcast(marks))
+            .groupBy(F.col("k").alias("vocab_size"))
+            .agg(hit.cast("bigint").alias("tokens_covered"),
+                 F.round(hit.cast("double") / F.max("total"), 6)
+                 .alias("coverage")))
