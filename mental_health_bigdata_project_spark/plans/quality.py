@@ -1078,3 +1078,71 @@ def dq_schema_drift(spark, sf_dir):
                     F.round("mean_price", 4).alias("old_mean"),
                     F.round("new_mean_raw", 4).alias("new_mean"),
                     drift.cast("int").alias("drifted")))
+
+
+@query("ts_seasonal_decompose", f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(dayofweek(CAST(date_trunc('day', ts) AS DATE)) AS INTEGER)
+               AS dow,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM {EVENTS_TS} GROUP BY 1, 2),
+    tr AS (
+      SELECT day, dow, total,
+             CASE WHEN count(*) OVER w = 7
+                  THEN CAST(SUM(CAST(total AS DECIMAL(18,2))) OVER w
+                            AS DOUBLE) / 7 END AS trend
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    seas AS (
+      SELECT dow,
+             CAST(SUM(CAST(total - trend AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*) AS seasonal
+      FROM tr WHERE trend IS NOT NULL GROUP BY dow)
+    SELECT tr.day, tr.total,
+           round(tr.trend, 4) AS trend,
+           round(seas.seasonal, 4) AS seasonal,
+           CASE WHEN tr.trend IS NOT NULL
+                THEN round(tr.total - tr.trend - seas.seasonal, 4) END
+             AS residual
+    FROM tr JOIN seas ON tr.dow = seas.dow
+""")
+def ts_seasonal_decompose(spark, sf_dir):
+    """Classical additive seasonal decomposition over the daily event
+    series: trend = centered 7-day moving average (only where the full
+    window exists — no edge bias), seasonal = per-day-of-week mean of
+    the detrended series, residual = observed - trend - seasonal — the
+    decomposition behind anomaly baselines and forecast features
+    (anomaly_rate_spike flags deviations; this explains them).
+
+    Plan shape: the corpus-scale work is ONE hash agg to daily rows;
+    every window after that runs over the DAY series (30 rows here;
+    years of days at most), and the seasonal join is 7 rows broadcast.
+    At 100 TB with many series, add the series key to every PARTITION
+    BY and the same plan runs per key.  Decimal sums pin the daily
+    totals and window means cross-engine; 4dp rounding absorbs the
+    final float subtraction."""
+    e = _t(spark, sf_dir, "events")
+    daily = (e.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+             .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                  .alias("total"))
+             .withColumn("dow", F.dayofweek("day").cast("int")))
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day", "dow", "total",
+        F.when(F.count("*").over(w) == 7,
+               F.sum(F.col("total").cast("decimal(18,2)")).over(w)
+               .cast("double") / 7).alias("trend"))
+    seas = (tr.filter(F.col("trend").isNotNull())
+            .groupBy("dow")
+            .agg((F.sum((F.col("total") - F.col("trend"))
+                        .cast("decimal(18,6)")).cast("double")
+                  / F.count("*")).alias("seasonal")))
+    return (tr.join(F.broadcast(seas), "dow")
+            .select("day", "total",
+                    F.round("trend", 4).alias("trend"),
+                    F.round("seasonal", 4).alias("seasonal"),
+                    F.when(F.col("trend").isNotNull(),
+                           F.round(F.col("total") - F.col("trend")
+                                   - F.col("seasonal"), 4))
+                    .alias("residual")))
