@@ -1146,3 +1146,50 @@ def ts_seasonal_decompose(spark, sf_dir):
                            F.round(F.col("total") - F.col("trend")
                                    - F.col("seasonal"), 4))
                     .alias("residual")))
+
+
+@query("ts_forecast_snaive", f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM {EVENTS_TS} GROUP BY 1),
+    mx AS (SELECT max(day) AS last_day FROM daily),
+    test AS (SELECT day, total FROM daily CROSS JOIN mx
+             WHERE day > last_day - INTERVAL 7 DAY),
+    fc AS (SELECT day + INTERVAL 7 DAY AS day, total AS forecast
+           FROM daily CROSS JOIN mx
+           WHERE day > last_day - INTERVAL 14 DAY
+             AND day <= last_day - INTERVAL 7 DAY)
+    SELECT test.day, test.total AS actual, fc.forecast,
+           round(abs(test.total - fc.forecast), 4) AS abs_err
+    FROM test JOIN fc ON test.day = fc.day
+""")
+def ts_forecast_snaive(spark, sf_dir):
+    """Seasonal-naive forecast BACKTEST: hold out the last 7 days,
+    forecast each held-out day with the value from the same weekday
+    one week earlier, and report per-day absolute error — the baseline
+    every forecasting effort must beat before it earns complexity
+    (q6_revenue_forecast's linear trend and ts_seasonal_decompose's
+    components both measure themselves against exactly this).
+
+    Plan shape: one corpus-scale agg to daily rows; the split point is
+    a 1-row max broadcast; forecast = the day series joined to itself
+    shifted by 7 days — everything after the first agg is
+    day-series-sized.  Per-series at scale: add the key to the daily
+    group-by and the self-join keys."""
+    e = _t(spark, sf_dir, "events")
+    daily = (e.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+             .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                  .alias("total")))
+    mx = daily.agg(F.max("day").alias("last_day"))
+    d = daily.crossJoin(F.broadcast(mx))
+    test = (d.filter(F.col("day") > F.date_sub(F.col("last_day"), 7))
+            .select("day", F.col("total").alias("actual")))
+    fc = (d.filter((F.col("day") > F.date_sub(F.col("last_day"), 14))
+                   & (F.col("day") <= F.date_sub(F.col("last_day"), 7)))
+          .select(F.date_add("day", 7).alias("day"),
+                  F.col("total").alias("forecast")))
+    return (test.join(fc, "day")
+            .select("day", "actual", "forecast",
+                    F.round(F.abs(F.col("actual") - F.col("forecast")), 4)
+                    .alias("abs_err")))

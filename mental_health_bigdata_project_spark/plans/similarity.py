@@ -2541,3 +2541,69 @@ def lsh_scurve_table(spark, sf_dir):
             .select("bands", "rows_per_band",
                     F.round("jaccard", 2).alias("jaccard"),
                     F.round(p, 6).alias("p_candidate")))
+
+
+@query("mine_hard_negatives", f"""
+    WITH c AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+             {_CELL_SQL.format(e='embeddings')} AS cell
+      FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id, a.label, b.vec_id AS neg_id, b.label AS neg_label,
+             round({_COS_SQL.format(a='a.emb', b='b.emb')}, 6) AS cosine
+      FROM c a JOIN c b
+        ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       AND a.label <> b.label),
+    best AS (SELECT vec_id, max(cosine) AS best_cos FROM pairs
+             GROUP BY vec_id)
+    SELECT p.vec_id, p.label,
+           CAST(min(p.neg_id) AS BIGINT) AS hard_neg_id,
+           CAST(min_by(p.neg_label, p.neg_id) AS INTEGER) AS neg_label,
+           p.cosine
+    FROM pairs p JOIN best ON p.vec_id = best.vec_id
+                          AND p.cosine = best.best_cos
+    GROUP BY p.vec_id, p.label, p.cosine
+""")
+def mine_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for every
+    embedding, the most-similar vector with a DIFFERENT label inside
+    its sign-cell — the pairs that carry the gradient signal (easy
+    negatives are already separated; training batches are built from
+    exactly these).  Ties on the max cosine resolve to the smallest
+    partner id, so the mined pair set is deterministic on both
+    engines.
+
+    Plan shape: the dedup_embedding_cells recipe pointed at labels —
+    candidates form only within a cell (one shuffle on the cell id,
+    never all-pairs), the per-vector argmax is a map-side-combinable
+    max + join-back (no per-cell window), and at 100 TB the cell bit
+    width grows with corpus size exactly as in SemDeDup.  Vectors
+    whose cell holds no other label yield no row (honest miss —
+    multi-probe neighboring cells to close it, as in sim_ann_lsh)."""
+    e = _emb(spark, sf_dir)
+    c = e.select("vec_id", "label",
+                 to_double_array("embedding").alias("emb"),
+                 embedding_cell_expr().alias("cell"))
+    vn = c.withColumn("nrm", l2_norm(F.col("emb")))
+    a = vn.select("cell", "vec_id", "label", F.col("emb").alias("ea"),
+                  F.col("nrm").alias("na"))
+    b = vn.select(F.col("cell").alias("cell_b"),
+                  F.col("vec_id").alias("neg_id"),
+                  F.col("label").alias("neg_label"),
+                  F.col("emb").alias("eb"), F.col("nrm").alias("nb"))
+    cos = F.round(dot_product(F.col("ea"), F.col("eb"))
+                  / (F.col("na") * F.col("nb")), 6)
+    pairs = (a.join(b, (F.col("cell") == F.col("cell_b"))
+                    & (F.col("vec_id") != F.col("neg_id"))
+                    & (F.col("label") != F.col("neg_label")))
+             .select("vec_id", "label", "neg_id", "neg_label",
+                     cos.alias("cosine"))).localCheckpoint(eager=True)
+    best = pairs.groupBy("vec_id").agg(F.max("cosine").alias("best_cos"))
+    return (pairs.join(best, "vec_id")
+            .filter(F.col("cosine") == F.col("best_cos"))
+            .groupBy("vec_id", "label", "cosine")
+            .agg(F.min("neg_id").cast("bigint").alias("hard_neg_id"),
+                 F.min_by("neg_label", "neg_id").cast("int")
+                 .alias("neg_label"))
+            .select("vec_id", "label", "hard_neg_id", "neg_label",
+                    "cosine"))
