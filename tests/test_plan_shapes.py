@@ -1,0 +1,56 @@
+"""Plan-shape regression guard: the scale properties PLANS.md audits
+— no single-partition exchanges, no sort-merge joins — enforced for
+the north-star operators so a refactor cannot silently reintroduce a
+global sort or an unbroadcast big join.  Runs the FINAL (AQE) plan at
+sf0.001, so it is cheap; the full 65-headliner audit lives in
+PLANS.md via scripts/plan_report.py."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+# (qid, max single-partition exchanges, max sort-merge joins) —
+# budgets are the DOCUMENTED benign cases, not slack:
+#   text_tfidf: one 1-row global-N aggregate for the IDF denominator
+#     (the q6_revenue_forecast class — a one-row exchange, not a sort
+#     of data);
+#   merge_upsert_cdc: one FULL OUTER join, where SortMergeJoin is the
+#     correct physical strategy (broadcast does not support full-outer
+#     on either side) and both inputs arrive pre-partitioned on the
+#     key from their compaction windows.
+GUARDED = [
+    ("dedup_exact_docs", 0, 0),
+    ("dedup_chunk_rewrite", 0, 0),
+    ("dedup_substring_rewrite", 0, 0),
+    ("dedup_semdedup", 0, 0),
+    ("sim_ivfpq_topk", 0, 0),
+    ("sim_cosine_topk", 0, 0),
+    ("text_tfidf", 1, 0),
+    ("quality_ensemble_score", 0, 0),
+    ("pipeline_training_data", 0, 0),
+    ("merge_upsert_cdc", 0, 1),
+    ("q1_pricing_summary", 0, 0),
+    ("q3_shipping_priority", 0, 0),
+]
+
+
+def _final_plan(df) -> str:
+    df.collect()  # finalize AQE
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
+@pytest.mark.parametrize("qid,max_single,max_smj", GUARDED)
+def test_no_single_partition_or_smj(spark, sf_dir, qid, max_single,
+                                    max_smj):
+    from mental_health_bigdata_project_spark.plans import QUERIES
+
+    plan = _final_plan(QUERIES[qid](spark, sf_dir))
+    single = len(re.findall(r"Exchange SinglePartition", plan))
+    smj = len(re.findall(r"SortMergeJoin", plan))
+    assert single <= max_single, (
+        f"{qid}: {single} single-partition exchange(s), budget {max_single}")
+    assert smj <= max_smj, (
+        f"{qid}: {smj} sort-merge join(s), budget {max_smj}")
