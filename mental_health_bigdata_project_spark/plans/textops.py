@@ -2811,3 +2811,66 @@ def text_vocab_coverage(spark, sf_dir):
             .agg(hit.cast("bigint").alias("tokens_covered"),
                  F.round(hit.cast("double") / F.max("total"), 6)
                  .alias("coverage")))
+
+
+@query("text_char_entropy", """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ''), c -> c <> '')
+               AS chars
+      FROM documents WHERE length(text) > 0),
+    s AS (
+      SELECT doc_id, chars, len(chars) AS n,
+             list_distinct(chars) AS uniq
+      FROM t)
+    SELECT doc_id,
+           CAST(n AS INTEGER) AS n_chars,
+           CAST(len(uniq) AS INTEGER) AS distinct_chars,
+           round(-list_aggregate(list_transform(uniq, u ->
+               (CAST(len(list_filter(chars, c -> c = u)) AS DOUBLE) / n)
+               * log2(CAST(len(list_filter(chars, c -> c = u)) AS DOUBLE)
+                      / n)), 'sum'), 6) AS entropy_bits,
+           CAST(CASE WHEN len(uniq) > 1 AND
+                  -list_aggregate(list_transform(uniq, u ->
+                    (CAST(len(list_filter(chars, c -> c = u)) AS DOUBLE) / n)
+                    * log2(CAST(len(list_filter(chars, c -> c = u))
+                                AS DOUBLE) / n)), 'sum')
+                    / log2(CAST(len(uniq) AS DOUBLE)) > 0.6
+                THEN 1 ELSE 0 END AS INTEGER) AS looks_natural
+    FROM s
+""")
+def text_char_entropy(spark, sf_dir):
+    """Character-level Shannon entropy per document — the
+    compressibility proxy that separates natural text (entropy/channel
+    capacity in a mid band) from degenerate repetition (near 0) and
+    random/binary junk (near log2(alphabet)): pipelines gate on the
+    NORMALIZED entropy (entropy / log2(distinct)) because raw entropy
+    confounds alphabet size.  looks_natural flags docs above 0.6
+    normalized — a cheap tripwire complementing quality_ensemble's
+    repetition and punctuation signals.
+
+    Plan shape: entirely per-row HOFs — the char frequency loop is
+    O(distinct_chars x doc_len) inside one projection, no explode, no
+    shuffle; the whole audit rides the scan.  Logs are rounded at 6dp
+    AFTER an exact rational p so both engines agree bit-for-bit."""
+    chars = F.filter(F.split(F.lower("text"), ""), lambda c: c != "")
+    df = (_docs(spark, sf_dir)
+          .filter(F.length("text") > 0)
+          .select("doc_id", chars.alias("chars")))
+    n = F.size("chars")
+    uniq = F.array_distinct("chars")
+
+    def plogp(u):
+        cnt = F.size(F.filter(F.col("chars"), lambda c: c == u))
+        p = cnt.cast("double") / n
+        return p * F.log2(p)
+
+    ent = -F.aggregate(uniq, F.lit(0.0), lambda acc, u: acc + plogp(u))
+    norm_ok = (F.size(uniq) > 1) & (ent / F.log2(F.size(uniq)
+                                                 .cast("double")) > 0.6)
+    return df.select(
+        "doc_id",
+        n.cast("int").alias("n_chars"),
+        F.size(uniq).cast("int").alias("distinct_chars"),
+        F.round(ent, 6).alias("entropy_bits"),
+        F.when(norm_ok, 1).otherwise(0).cast("int").alias("looks_natural"))
