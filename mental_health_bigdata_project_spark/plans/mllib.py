@@ -14,6 +14,7 @@ models, distributed training).
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources import load_table
 from .registry import query
@@ -174,3 +175,46 @@ def ml_pca_embeddings(spark, sf_dir):
                  F.round(F.avg(F.element_at("p", 1)), 6).alias("mean_pc1"),
                  F.round(F.avg(F.element_at("p", 2)), 6).alias("mean_pc2"))
             )
+
+
+@query("ml_als_recommend")  # rows-only: factor initialization is impl/seed-specific
+def ml_als_recommend(spark, sf_dir):
+    """Seeded implicit-feedback ALS over the (user, event_type)
+    interaction matrix — the canonical Spark MLlib collaborative
+    filter: interactions are per-user event-type counts, factors are
+    rank-4, and the output is each user's top-2 recommended event
+    types with the model's score, plus whether the user had actually
+    interacted with that type (seen) — the self-evaluation every
+    recommender demo starts from.
+
+    Scale shape: ALS is MLlib's flagship distributed factorization
+    (block-partitioned factors, alternating normal equations); the
+    interaction matrix here is users x 5 event types, so the heavy
+    side is the one hash agg building it.  Rows-only: factor values
+    depend on initialization internals; the invariant test pins that
+    recommendations are dominated by types the user actually used."""
+    from pyspark.ml.recommendation import ALS
+
+    ev = load_table(spark, sf_dir, "events")
+    types = (ev.select("event_type").distinct()
+             .withColumn("type_id",
+                         F.dense_rank().over(
+                             Window.orderBy("event_type")) - 1))
+    inter = (ev.join(types, "event_type")
+             .groupBy("user_id", "type_id")
+             .agg(F.count("*").cast("float").alias("cnt")))
+    als = ALS(rank=4, maxIter=8, seed=42, implicitPrefs=True,
+              userCol="user_id", itemCol="type_id", ratingCol="cnt",
+              coldStartStrategy="drop")
+    model = als.fit(inter)
+    recs = (model.recommendForAllUsers(2)
+            .select("user_id", F.posexplode("recommendations")
+                    .alias("rank0", "rec"))
+            .select("user_id", (F.col("rank0") + 1).alias("rnk"),
+                    F.col("rec.type_id").alias("type_id"),
+                    F.round(F.col("rec.rating"), 4).alias("score")))
+    return (recs.join(inter.select("user_id", "type_id",
+                                   F.lit(1).alias("seen")),
+                      ["user_id", "type_id"], "left")
+            .select("user_id", "rnk", "type_id", "score",
+                    F.coalesce("seen", F.lit(0)).cast("int").alias("seen")))
