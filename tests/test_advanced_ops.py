@@ -136,3 +136,21 @@ def test_triangle_counts_match_networkx_free_bruteforce(spark, sf_dir):
     got = {r["token"]: r["n_triangles"] for r in
            QUERIES["graph_triangle_count"](spark, sf_dir).collect()}
     assert got == dict(expected)
+
+
+def test_als_recommendations_dominated_by_seen_types(spark, sf_dir):
+    """ml_als_recommend invariant: with a dense users x 5-type
+    interaction matrix, implicit ALS must overwhelmingly recommend
+    types the user actually interacted with, and the output shape is
+    exactly top-2 per user with positive scores."""
+    from mental_health_bigdata_project_spark.plans import QUERIES
+
+    rows = QUERIES["ml_als_recommend"](spark, sf_dir).collect()
+    assert rows
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r)
+    assert all(len(v) == 2 for v in per_user.values())
+    assert all({x.rnk for x in v} == {1, 2} for v in per_user.values())
+    seen_frac = sum(r.seen for r in rows) / len(rows)
+    assert seen_frac >= 0.9

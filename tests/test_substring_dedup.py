@@ -265,20 +265,3 @@ def test_span_dedup_invariants_generated_corpus(spark):
     survived = sum(g in kept_grams for g in dup_grams)
     assert survived >= len(dup_grams) * 0.5
 
-
-def test_als_recommendations_dominated_by_seen_types(spark, sf_dir):
-    """ml_als_recommend invariant: with a dense users x 5-type
-    interaction matrix, implicit ALS must overwhelmingly recommend
-    types the user actually interacted with, and the output shape is
-    exactly top-2 per user with positive scores."""
-    from mental_health_bigdata_project_spark.plans import QUERIES
-
-    rows = QUERIES["ml_als_recommend"](spark, sf_dir).collect()
-    assert rows
-    per_user = {}
-    for r in rows:
-        per_user.setdefault(r.user_id, []).append(r)
-    assert all(len(v) == 2 for v in per_user.values())
-    assert all({x.rnk for x in v} == {1, 2} for v in per_user.values())
-    seen_frac = sum(r.seen for r in rows) / len(rows)
-    assert seen_frac >= 0.9
