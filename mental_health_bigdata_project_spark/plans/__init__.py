@@ -102,7 +102,7 @@ _CONVERTED_FRONT = [
     "sim_ivfpq_recall", "privacy_k_anonymity", "dq_schema_drift",
     "quality_ensemble_score", "sim_ivfpq_batch", "vec_pq_residual_mse", "split_leakage_audit",
     "lsh_scurve_table", "text_vocab_coverage", "ts_seasonal_decompose",
-    "mine_hard_negatives", "ts_forecast_snaive", "text_char_entropy",
+    "mine_hard_negatives", "ts_forecast_snaive", "text_char_entropy", "source_overlap_matrix",
 ]
 
 

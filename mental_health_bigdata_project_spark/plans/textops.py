@@ -2874,3 +2874,70 @@ def text_char_entropy(spark, sf_dir):
         F.size(uniq).cast("int").alias("distinct_chars"),
         F.round(ent, 6).alias("entropy_bits"),
         F.when(norm_ok, 1).otherwise(0).cast("int").alias("looks_natural"))
+
+
+@query("source_overlap_matrix", f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents),
+    flat AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(toks[u.idx * 30 + 1:u.idx * 30 + 30], ' '))
+               AS fp
+      FROM (SELECT doc_id, source, toks,
+                   unnest(list_transform(
+                       range(0, CAST((len(toks) - 1) // 30 AS BIGINT) + 1),
+                       i -> {{'idx': i}})) AS u
+            FROM t WHERE len(toks) > 0)),
+    sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_fps
+              FROM flat GROUP BY source),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS shared_fps
+      FROM flat a JOIN flat b
+        ON a.fp = b.fp AND a.source < b.source
+      GROUP BY a.source, b.source)
+    SELECT sh.source_a, sh.source_b, sa.n_fps AS fps_a, sb.n_fps AS fps_b,
+           sh.shared_fps,
+           round(CAST(sh.shared_fps AS DOUBLE)
+                 / (sa.n_fps + sb.n_fps - sh.shared_fps), 6) AS jaccard
+    FROM shared sh
+    JOIN sizes sa ON sh.source_a = sa.source
+    JOIN sizes sb ON sh.source_b = sb.source
+""")
+def source_overlap_matrix(spark, sf_dir):
+    """Cross-SOURCE duplication governance: for every source pair, how
+    many distinct 30-token chunk fingerprints they share and the
+    Jaccard of their fingerprint sets — the matrix that tells a corpus
+    owner which feeds are republishing each other (and therefore which
+    pair a dedup pass will collapse), aggregated at the level
+    contracts are negotiated at, not per-document.
+
+    Plan shape: one scan explodes chunks to DISTINCT (source, fp) rows
+    (the distinct collapses a source's internal duplication first —
+    map-side combinable); the pair join goes through the shared fp key
+    only, so disjoint sources never pair; sizes is a sources-row agg
+    joined back broadcast.  At 100 TB the (source, fp) relation is the
+    chunk index the streaming dedup already persists — this query is
+    one self-join over it."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    flat = (chunk_fingerprints_df(_docs(spark, sf_dir))
+            .join(docs, "doc_id")
+            .select("source", "fp").distinct())
+    sizes = flat.groupBy("source").agg(F.count("*").cast("bigint")
+                                       .alias("n_fps"))
+    a = flat.select(F.col("source").alias("source_a"), "fp")
+    b = flat.select(F.col("source").alias("source_b"),
+                    F.col("fp").alias("fp_b"))
+    shared = (a.join(b, (F.col("fp") == F.col("fp_b"))
+                     & (F.col("source_a") < F.col("source_b")))
+              .groupBy("source_a", "source_b")
+              .agg(F.count("*").cast("bigint").alias("shared_fps")))
+    sa = sizes.select(F.col("source").alias("source_a"),
+                      F.col("n_fps").alias("fps_a"))
+    sb = sizes.select(F.col("source").alias("source_b"),
+                      F.col("n_fps").alias("fps_b"))
+    return (shared.join(F.broadcast(sa), "source_a")
+            .join(F.broadcast(sb), "source_b")
+            .select("source_a", "source_b", "fps_a", "fps_b", "shared_fps",
+                    F.round(F.col("shared_fps").cast("double")
+                            / (F.col("fps_a") + F.col("fps_b")
+                               - F.col("shared_fps")), 6).alias("jaccard")))
