@@ -660,7 +660,7 @@ def seq_pattern_regex(spark, sf_dir):
                ORDER BY ts, event_id) AS nxt
       FROM {EVENTS_TS})
     SELECT event_type, count(*) AS n_transitions,
-           SUM(date_diff('microsecond', ts, nxt)) AS total_us,
+           CAST(SUM(date_diff('microsecond', ts, nxt)) AS BIGINT) AS total_us,
            SUM(date_diff('microsecond', ts, nxt)) / 1000000.0
              AS total_sec
     FROM d WHERE nxt IS NOT NULL GROUP BY event_type
@@ -692,7 +692,7 @@ def state_duration_total(spark, sf_dir):
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       FROM documents),
     tot AS (SELECT SUM(n_chars) AS total FROM documents)
-    SELECT doc_id, wt, cum,
+    SELECT doc_id, wt, CAST(cum AS BIGINT) AS cum,
            CAST(((cum * 50) // total) - (((cum - wt) * 50) // total)
                 AS BIGINT) AS n_picks
     FROM w, tot

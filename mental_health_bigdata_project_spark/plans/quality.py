@@ -401,8 +401,9 @@ def scd2_build(spark, sf_dir):
       SELECT first_hour AS hour, count(*) AS new_users
       FROM first_seen GROUP BY first_hour)
     SELECT hour, new_users,
-           SUM(new_users) OVER (ORDER BY hour
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+           CAST(SUM(new_users) OVER (ORDER BY hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_users
     FROM per_hour
 """)
 def win_cumulative_distinct(spark, sf_dir):
@@ -436,7 +437,7 @@ def win_cumulative_distinct(spark, sf_dir):
                ORDER BY t, delta, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
       FROM edges)
-    SELECT event_type, max(live) AS peak_concurrent
+    SELECT event_type, CAST(max(live) AS BIGINT) AS peak_concurrent
     FROM swept GROUP BY event_type
 """)
 def concurrency_peak(spark, sf_dir):
@@ -507,7 +508,7 @@ def winsorized_avg(spark, sf_dir):
     WITH per_key AS (
       SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY l_orderkey),
     stats AS (
-      SELECT count(*) AS n_keys, SUM(n) AS n_rows, max(n) AS max_n,
+      SELECT count(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows, max(n) AS max_n,
              quantile_disc(n, 0.5) AS p50_n, quantile_disc(n, 0.99) AS p99_n
       FROM per_key)
     SELECT n_keys, n_rows, max_n, p50_n, p99_n,
@@ -667,7 +668,7 @@ def join_temporal_scd2(spark, sf_dir):
                ORDER BY t, delta, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
       FROM edges)
-    SELECT event_type, max(live) AS peak_concurrent
+    SELECT event_type, CAST(max(live) AS BIGINT) AS peak_concurrent
     FROM swept GROUP BY event_type
 """)
 def concurrency_peak_bucketed(spark, sf_dir):
@@ -796,8 +797,8 @@ def wau_sliding_distinct(spark, sf_dir):
     mad AS (SELECT event_type, quantile_disc(ad, 0.5) AS mad_v
             FROM dev GROUP BY event_type)
     SELECT d.event_type, count(*) AS n, mad.mad_v,
-           SUM(CASE WHEN d.ad > 3 * mad.mad_v THEN 1 ELSE 0 END)
-             AS n_outliers
+           CAST(SUM(CASE WHEN d.ad > 3 * mad.mad_v THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
     FROM dev d JOIN mad ON d.event_type = mad.event_type
     GROUP BY d.event_type, mad.mad_v
 """)

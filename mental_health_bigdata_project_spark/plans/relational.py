@@ -799,7 +799,8 @@ def join_interval_events(spark, sf_dir):
                                  ROWS UNBOUNDED PRECEDING) AS session_no
       FROM gaps
     )
-    SELECT user_id, session_no, min(ts) AS session_start,
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           min(ts) AS session_start,
            max(ts) AS session_end, count(*) AS n_events
     FROM sess GROUP BY user_id, session_no
 """)

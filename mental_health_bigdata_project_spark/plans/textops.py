@@ -737,11 +737,11 @@ _TRIGRAMS_SQL = f"""
     )
     SELECT source,
            count(*) AS n_docs,
-           SUM(n_grams) AS total_grams,
+           CAST(SUM(n_grams) AS BIGINT) AS total_grams,
            CAST(SUM(n_grams) - SUM(n_distinct) AS DOUBLE) / SUM(n_grams)
              AS dup_gram_frac,
-           SUM(CASE WHEN (n_grams - n_distinct) * 5 > n_grams
-                    THEN 1 ELSE 0 END) AS n_repetitive
+           CAST(SUM(CASE WHEN (n_grams - n_distinct) * 5 > n_grams
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
     FROM per_doc GROUP BY source
 """)
 def text_repetition_stats(spark, sf_dir):
@@ -1160,7 +1160,8 @@ _CHUNKS_SQL = f"""
       SELECT fp, count(*) AS n FROM chunks GROUP BY fp)
     SELECT c.source,
            count(*) AS n_chunks,
-           SUM(CASE WHEN k.n > 1 THEN 1 ELSE 0 END) AS n_dup_chunks,
+           CAST(SUM(CASE WHEN k.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
            CAST(SUM(CASE WHEN k.n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
              / count(*) AS dup_chunk_frac
     FROM chunks c JOIN counts k ON c.fp = k.fp
@@ -2699,11 +2700,11 @@ def quality_ensemble_score(spark, sf_dir):
             FROM tagged GROUP BY split)
     SELECT pop.split, pop.n_docs,
            CAST(coalesce(lk.leaking_docs, 0) AS INTEGER) AS leaking_docs,
-           CAST(coalesce(lk.leaked_grams, 0) AS INTEGER) AS leaked_grams
+           CAST(coalesce(lk.leaked_grams, 0) AS BIGINT) AS leaked_grams
     FROM pop LEFT JOIN (
       SELECT 'train' AS split,
              CAST(count(*) AS INTEGER) AS leaking_docs,
-             CAST(SUM(leaked_grams) AS INTEGER) AS leaked_grams
+             CAST(SUM(leaked_grams) AS BIGINT) AS leaked_grams
       FROM leaks) lk ON pop.split = lk.split
 """)
 def split_leakage_audit(spark, sf_dir):
@@ -2747,13 +2748,13 @@ def split_leakage_audit(spark, sf_dir):
     pop = tagged.groupBy("split").agg(
         F.count("*").cast("int").alias("n_docs"))
     lk = (leaks.agg(F.count("*").cast("int").alias("leaking_docs"),
-                    F.sum("leaked_grams").cast("int").alias("leaked_grams"))
+                    F.sum("leaked_grams").cast("long").alias("leaked_grams"))
           .withColumn("split", F.lit("train")))
     return (pop.join(F.broadcast(lk), "split", "left")
             .select("split", "n_docs",
                     F.coalesce("leaking_docs", F.lit(0)).cast("int")
                     .alias("leaking_docs"),
-                    F.coalesce("leaked_grams", F.lit(0)).cast("int")
+                    F.coalesce("leaked_grams", F.lit(0)).cast("long")
                     .alias("leaked_grams")))
 
 

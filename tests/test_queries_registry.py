@@ -154,3 +154,34 @@ def test_coverage_rows_only_ledger_complete_and_consistent():
         f"ledger missing {sorted(rows_only - listed)}, "
         f"stale {sorted(listed - rows_only)}")
     assert not bad_siblings, "\n".join(bad_siblings)
+
+
+def test_no_hugeint_in_any_oracle_output():
+    """Driver-canonicalizer tripwire (VERDICT r3 item 2): DuckDB SUM()
+    over integer columns returns HUGEINT (int128), which the driver's
+    canonicalizer renders differently than Spark's BIGINT even when the
+    values are identical — the r3 hash-fails on text_repetition_stats /
+    dedup_chunk_exact were exactly this.  DESCRIBE plans each oracle
+    without executing it and we reject any int128-typed output column;
+    the fix at a flagged site is CAST(... AS BIGINT)."""
+    import duckdb
+
+    from mental_health_bigdata_project_spark.plans import ORACLES
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    bad = []
+    for qid, sql in sorted(ORACLES.items()):
+        try:
+            cols = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception as e:  # a broken oracle fails loudly here too
+            bad.append(f"{qid}: DESCRIBE failed: {type(e).__name__}: {e}")
+            continue
+        for name, typ, *_ in cols:
+            if "HUGEINT" in typ.upper():
+                bad.append(f"{qid}: column {name} is {typ}")
+    assert not bad, "uncast int128 oracle outputs:\n" + "\n".join(bad)
