@@ -408,10 +408,15 @@ def _ivf_cells(e: DataFrame) -> DataFrame:
 
     def proj(p):
         s = F.lit(_md5_signstr(f"ivfp{p}:"))
+        # positions past the precomputed table read substring('') == ''
+        # which matches neither branch — raise instead of silently
+        # flipping signs for embedding dims > 4096
         signed = F.transform(
             F.col("q"),
             lambda x, i: F.when(F.substring(s, i + 1, 1) == "+", x)
-            .otherwise(-x))
+            .when(F.substring(s, i + 1, 1) == "-", -x)
+            .otherwise(F.raise_error(F.lit(
+                "embedding dim exceeds _md5_signstr table; raise n"))))
         return F.aggregate(signed, F.lit(0).cast("bigint"),
                            lambda acc, x: acc + x)
 

@@ -51,7 +51,7 @@ def rewrite_batch_against_index(batch_df: DataFrame, batch_id: int,
 
     from .neardup import _read_index
     idx = _index_path(index_dir)
-    seen = _read_index(spark, idx, ["fp"])
+    seen = _read_index(spark, idx, ["fp"], before_batch=batch_id)
     seen = seen.distinct() if seen is not None else None
 
     if seen is not None:

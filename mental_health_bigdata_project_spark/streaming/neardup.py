@@ -43,12 +43,19 @@ def _index_path(index_dir: str) -> str:
     return os.path.join(index_dir, "bands")
 
 
-def _read_index(spark, path: str, cols):
+def _read_index(spark, path: str, cols, before_batch: int | None = None):
     """Read a persisted index, returning None ONLY when the path does
     not exist yet (first batch).  Any other failure — corrupt footer,
     filesystem error, permissions — must raise and fail the batch so
     the checkpoint retries it; swallowing it would silently disable
-    dedup for the batch and leak duplicates permanently."""
+    dedup for the batch and leak duplicates permanently.
+
+    ``before_batch`` is REQUIRED for exactly-once replay: a crash-
+    retried micro-batch N finds its own ``batch_id=N`` delta already
+    committed, and without ``batch_id < N`` partition pruning it would
+    treat its own fingerprints as prior duplicates and overwrite its
+    accepted partition with gutted output.  Pass the current batch_id;
+    the filter is a partition-pruned read, not a scan."""
     from pyspark.errors import AnalysisException
     try:
         df = spark.read.parquet(path)
@@ -61,6 +68,8 @@ def _read_index(spark, path: str, cols):
                 or "UNABLE_TO_INFER_SCHEMA" in msg):
             return None
         raise
+    if before_batch is not None:
+        df = df.filter(F.col("batch_id") < F.lit(before_batch))
     return df.select(*cols)
 
 
@@ -80,7 +89,7 @@ def dedup_batch_against_index(batch_df: DataFrame, batch_id: int,
                 .join(bands.select(id_col).distinct(), id_col, "left_anti"))
 
     idx = _index_path(index_dir)
-    seen = _read_index(spark, idx, ["band_key"])
+    seen = _read_index(spark, idx, ["band_key"], before_batch=batch_id)
     seen = seen.distinct() if seen is not None else None
 
     # drop docs colliding with any previously-accepted band
@@ -142,7 +151,8 @@ def dedup_embeddings_against_index(batch_df: DataFrame, batch_id: int,
 
     idx = os.path.join(index_dir, "vectors")
     seen = _read_index(spark, idx,
-                       [F.col("cell").alias("_icell"), F.col("_iemb")])
+                       [F.col("cell").alias("_icell"), F.col("_iemb")],
+                       before_batch=batch_id)
 
     if seen is not None:
         hit_prior = (b.join(seen, b.cell == F.col("_icell"))

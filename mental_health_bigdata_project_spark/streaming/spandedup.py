@@ -56,7 +56,7 @@ def rewrite_spans_batch_against_index(batch_df: DataFrame, batch_id: int,
 
     from .neardup import _read_index
     idx = _index_path(index_dir)
-    seen = _read_index(spark, idx, ["h"])
+    seen = _read_index(spark, idx, ["h"], before_batch=batch_id)
     seen = seen.distinct() if seen is not None else None
 
     # windows duplicated against PRIOR batches: every occurrence is cut

@@ -28,6 +28,8 @@ import os
 
 from pyspark.sql import DataFrame, functions as F
 
+from .neardup import _read_index
+
 N_BUCKETS = 16
 
 
@@ -66,12 +68,15 @@ def upsert_batch(batch_df: DataFrame, batch_id: int, state_dir: str,
         return
 
     path = _state_path(state_dir)
-    try:
+    # None ONLY for "no state yet"; any other read failure (corrupt
+    # footer, transient FS error, permissions) re-raises so the
+    # checkpoint retries the batch — treating it as empty state would
+    # make the dynamic overwrite below silently drop every key in the
+    # touched buckets that isn't in this batch
+    state = _read_index(spark, path, ["*"])
+    if state is not None:
         # partition-pruned read of ONLY the touched buckets
-        state = (spark.read.parquet(path)
-                 .filter(F.col("bucket").isin(touched)))
-    except Exception:
-        state = None
+        state = state.filter(F.col("bucket").isin(touched))
 
     c = changes.alias("c")
     if state is not None:
@@ -125,7 +130,5 @@ def stream_keyed_upsert(spark, in_dir: str, state_dir: str,
 
 
 def read_state(spark, state_dir: str) -> DataFrame | None:
-    try:
-        return spark.read.parquet(_state_path(state_dir)).drop("bucket")
-    except Exception:
-        return None
+    state = _read_index(spark, _state_path(state_dir), ["*"])
+    return state.drop("bucket") if state is not None else None

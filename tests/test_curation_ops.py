@@ -268,11 +268,16 @@ def test_incremental_chunk_dedup_batches(spark, tmp_path):
     assert set(acc) == {1, 5}
     assert acc[5]["text"] == BLOCK_C and acc[5]["n_kept"] == 1
 
-    # crash-retry replay of batch 1: identical state, no duplicates
+    # crash-retry replay of batch 1: identical state, no duplicates —
+    # and CONTENT-identical: the replay must not treat its own batch-1
+    # index delta (C's fp) as a prior duplicate, which would make doc 5
+    # vanish (the index read prunes batch_id >= current)
     chunkdedup.rewrite_batch_against_index(
         _docs_df([(5, BLOCK_B + " " + BLOCK_C)]), 1, out, idx)
     rows = spark.read.parquet(f"{out}/accepted").collect()
     assert {r["doc_id"] for r in rows} == {1, 5} and len(rows) == 2
+    acc = {r["doc_id"]: r for r in rows}
+    assert acc[5]["text"] == BLOCK_C and acc[5]["n_kept"] == 1
 
 
 def test_incremental_chunk_dedup_streaming_matches_batch(spark, tmp_path):

@@ -169,11 +169,18 @@ def test_incremental_span_dedup_batches(spark, tmp_path):
     assert acc[5]["text_rewritten"] == "n1 n2 n3"
     assert acc[5]["kept_tokens"] == 3 and acc[5]["n_tokens"] == 15
 
-    # crash-retry replay of batch 1: identical state, no duplicates
+    # crash-retry replay of batch 1: identical state, no duplicates —
+    # and CONTENT-identical output: a replayed batch must not see its
+    # own batch-1 index delta as "prior" grams, which would gut doc 5
+    # to '' (the index read prunes batch_id >= current)
     spandedup.rewrite_spans_batch_against_index(
         _docs(spark, [(5, "n1 n2 " + P12 + " n3")]), 1, out, idx)
     rows = spark.read.parquet(f"{out}/accepted").collect()
     assert {r["doc_id"] for r in rows} == {1, 2, 5} and len(rows) == 3
+    acc = {r["doc_id"]: r for r in rows}
+    assert acc[5]["text_rewritten"] == "n1 n2 n3"
+    assert acc[5]["kept_tokens"] == 3 and acc[5]["n_tokens"] == 15
+    assert acc[1]["text_rewritten"] == P12
 
 
 def test_incremental_span_dedup_streaming_matches_single_batch(spark,
