@@ -1978,7 +1978,7 @@ _SEM_CELL_SQL = " + ".join(
     LEFT JOIN parts ON c.vec_id = parts.vec_id
     LEFT JOIN losers ON c.vec_id = losers.vec_id
 """)
-def dedup_semdedup(spark, sf_dir):
+def dedup_semdedup(spark, sf_dir, bits=None):
     """SemDeDup (Abbas et al. 2023): semantic dedup by clustering the
     embedding space, then pruning near-duplicate pairs WITHIN each
     cluster, keeping the member FARTHEST from its cluster centroid (the
@@ -2006,8 +2006,13 @@ def dedup_semdedup(spark, sf_dir):
     loser set is a distinct over pair rows, orders of magnitude smaller
     than the corpus.  No stage is single-partition."""
     e = _emb(spark, sf_dir)
+    # bits defaults to _SEM_BITS (the oracle-checked setting); the 10x
+    # scale-up harness (scripts/scaleup_semdedup.py) passes bits+4 to
+    # measure the raise-the-bits knob the docstring prescribes
     v = e.select("vec_id", to_double_array("embedding").alias("emb"),
-                 embedding_cell_expr("embedding", _SEM_BITS).alias("cell"))
+                 embedding_cell_expr("embedding",
+                                     _SEM_BITS if bits is None else bits)
+                 .alias("cell"))
     pe = (v.select("vec_id", "cell", F.posexplode("emb").alias("pos", "xv"))
           .withColumn("qv", F.floor(F.col("xv") * 1_000_000).cast("bigint")))
     cen = pe.groupBy("cell", "pos").agg(
