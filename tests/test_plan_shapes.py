@@ -33,6 +33,26 @@ GUARDED = [
     ("merge_upsert_cdc", 0, 1),
     ("q1_pricing_summary", 0, 0),
     ("q3_shipping_priority", 0, 0),
+    # round-4 widening: the rest of the LLM-pipeline north stars.
+    #   dsir_importance_weights: one exchange collapsing the 256-bucket
+    #     hashed-bigram LLR table to a broadcastable lookup (256 rows —
+    #     metadata, not data);
+    #   split_leakage_audit: one 1-row global aggregate of the
+    #     train-side leak totals (the q6/text_tfidf class).
+    ("dedup_minhash_near", 0, 0),
+    ("dedup_cluster_components", 0, 0),
+    ("sim_ivfpq_batch", 0, 0),
+    ("dedup_soft_weights", 0, 0),
+    ("dsir_importance_weights", 1, 0),
+    ("split_leakage_audit", 1, 0),
+    ("decontam_benchmark", 0, 0),
+    ("text_repetition_stats", 0, 0),
+    ("dedup_chunk_exact", 0, 0),
+    ("source_overlap_matrix", 0, 0),
+    ("mine_hard_negatives", 0, 0),
+    ("pack_sequences", 0, 0),
+    ("dedup_substring_spans", 0, 0),
+    ("text_gopher_rules", 0, 0),
 ]
 
 
