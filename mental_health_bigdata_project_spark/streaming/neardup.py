@@ -80,7 +80,14 @@ def dedup_batch_against_index(batch_df: DataFrame, batch_id: int,
     """One micro-batch of incremental near-dedup (the foreachBatch body,
     callable directly for tests / backfills)."""
     spark = batch_df.sparkSession
-    bands = portable_band_keys(batch_df, id_col, text_col)
+    # the 128-perm minhash map is the batch's dominant cost and its
+    # band table feeds FOUR consumers (prior-hit probe, anti-join,
+    # within-batch winners, index delta) — materialize it once instead
+    # of re-running the signature computation per consumer (the
+    # checkpoint-the-reused-subframe rule from the batch pipelines;
+    # measured ~2x on 12.5k-doc batches)
+    bands = portable_band_keys(batch_df, id_col, text_col) \
+        .localCheckpoint(eager=True)
     # docs too short to shingle (<3 tokens) produce NO band keys: they
     # cannot be near-duplicates of anything, so they are auto-accepted
     # (mirrors the batch path, where survivor_select_df keeps them via
