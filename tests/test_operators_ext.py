@@ -554,3 +554,48 @@ def test_media_resize_nearest_neighbor(spark, sf_dir):
             assert r.target_len == 32
             expected = bytes(p[(i * len(p)) // 32] for i in range(32))
             assert bytes(r.resized_bytes) == expected
+
+
+def test_binaryfile_media_ingestion_batch_and_stream(spark, tmp_path):
+    """Raw media enters through the binaryFile source: batch and
+    streaming twins produce the SAME (doc_id, payload, media_meta)
+    rows, glob pruning filters at listing time, and the rows feed the
+    Arrow featurizer unchanged."""
+    from mental_health_bigdata_project_spark.operators.media import (
+        extract_features, read_media_dir, stream_media_dir)
+
+    media = tmp_path / "media"
+    media.mkdir()
+    blobs = {"a.img": bytes(range(200)), "b.img": b"\xff" * 10,
+             "c.img": b"\x00", "empty.img": b"", "skip.txt": b"not media"}
+    for name, blob in blobs.items():
+        (media / name).write_bytes(blob)
+
+    batch = read_media_dir(spark, str(media), glob="*.img")
+    rows = {r.media_meta.path.rsplit("/", 1)[-1]: r for r in batch.collect()}
+    # glob pruned skip.txt at listing time; the binaryFile source also
+    # SKIPS zero-byte files (no splittable content) — a corpus with
+    # placeholder empties loses them here, so assert the behavior
+    assert set(rows) == {"a.img", "b.img", "c.img"}
+    assert bytes(rows["a.img"].payload) == blobs["a.img"]
+    assert rows["a.img"].media_meta.ext == "img"
+    assert rows["a.img"].media_meta.length == 200
+    assert len({r.doc_id for r in rows.values()}) == 3  # path-hash ids
+
+    # the projection feeds the Arrow featurizer directly
+    feats = {r.doc_id: r for r in extract_features(
+        batch.select("doc_id", "payload")).collect()}
+    assert feats[rows["a.img"].doc_id].byte_len == 200
+    assert feats[rows["c.img"].doc_id].byte_len == 1
+
+    # streaming twin: drain with availableNow, compare to batch
+    out = tmp_path / "out"
+    q = (stream_media_dir(spark, str(media), glob="*.img")
+         .writeStream.format("parquet")
+         .option("path", str(out))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = {r.doc_id: bytes(r.payload)
+           for r in spark.read.parquet(str(out)).collect()}
+    assert got == {r.doc_id: bytes(r.payload) for r in rows.values()}
