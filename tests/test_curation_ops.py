@@ -280,6 +280,43 @@ def test_incremental_chunk_dedup_batches(spark, tmp_path):
     assert acc[5]["text"] == BLOCK_C and acc[5]["n_kept"] == 1
 
 
+def test_incremental_chunk_dedup_partial_failure_replay(spark, tmp_path):
+    """Crash BETWEEN the two per-batch writes: accepted output for
+    batch 1 is committed but its index delta is not (the writes are
+    not atomic).  The checkpoint retries the whole batch; the retry
+    must converge to the same state — accepted partition overwritten
+    with identical content, index delta written — with no duplicate
+    chunks leaking into later batches."""
+    import shutil
+
+    from mental_health_bigdata_project_spark.streaming import chunkdedup
+
+    out, idx = str(tmp_path / "out"), str(tmp_path / "idx")
+
+    def _docs_df(rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    chunkdedup.rewrite_batch_against_index(
+        _docs_df([(1, BLOCK_A + " " + BLOCK_B)]), 0, out, idx)
+    chunkdedup.rewrite_batch_against_index(
+        _docs_df([(5, BLOCK_B + " " + BLOCK_C)]), 1, out, idx)
+    # simulate the crash: batch 1's index delta vanishes, accepted stays
+    shutil.rmtree(f"{idx}/chunk_fps/batch_id=1")
+    # retry of batch 1
+    chunkdedup.rewrite_batch_against_index(
+        _docs_df([(5, BLOCK_B + " " + BLOCK_C)]), 1, out, idx)
+    acc = {r["doc_id"]: r for r in
+           spark.read.parquet(f"{out}/accepted").collect()}
+    assert set(acc) == {1, 5}
+    assert acc[5]["text"] == BLOCK_C and acc[5]["n_kept"] == 1
+    # the rebuilt delta blocks C in later batches again
+    chunkdedup.rewrite_batch_against_index(
+        _docs_df([(9, BLOCK_C)]), 2, out, idx)
+    acc2 = {r["doc_id"] for r in
+            spark.read.parquet(f"{out}/accepted").collect()}
+    assert acc2 == {1, 5}  # doc 9 was wholly the already-claimed block
+
+
 def test_incremental_chunk_dedup_streaming_matches_batch(spark, tmp_path):
     import json as _json
     import time as _time
