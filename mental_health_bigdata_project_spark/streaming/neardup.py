@@ -99,9 +99,15 @@ def dedup_batch_against_index(batch_df: DataFrame, batch_id: int,
     seen = _read_index(spark, idx, ["band_key"], before_batch=batch_id)
     seen = seen.distinct() if seen is not None else None
 
-    # drop docs colliding with any previously-accepted band
+    # drop docs colliding with any previously-accepted band.  The index
+    # grows with the accepted corpus, so pin the probe to a shuffled
+    # hash join: broadcast of a corpus-scale band set is wrong at
+    # 100 TB, and locally the optimizer's broadcast<->SMJ flapping as
+    # the index crossed the threshold was the bimodal per-batch wall
+    # measured in SCALING.md §2b
     if seen is not None:
-        hit_prior = (bands.join(seen, "band_key", "left_semi")
+        hit_prior = (bands.join(seen.hint("shuffle_hash"),
+                                "band_key", "left_semi")
                      .select(id_col).distinct())
         bands = bands.join(hit_prior, id_col, "left_anti")
 
