@@ -28,6 +28,18 @@ def test_entry_smoke(spark):
 def test_query_runs(spark, sf_dir, qid):
     df = entry_mod.queries()[qid](spark, sf_dir)
     assert df.columns  # schema resolves
+    # scalar-cell output contract (ARCHITECTURE §4.8): the driver's
+    # canonicalizer cannot hash array/map/struct cells (the r02 ERR
+    # class) — every oracle-checked query must emit atomic columns
+    from pyspark.sql import types as T
+    from mental_health_bigdata_project_spark.plans import ORACLES
+    if qid in ORACLES:
+        complex_cols = [f.name for f in df.schema.fields
+                        if isinstance(f.dataType,
+                                      (T.ArrayType, T.MapType, T.StructType))]
+        assert not complex_cols, (
+            f"{qid} is oracle-checked but emits non-scalar cells: "
+            f"{complex_cols}")
     n = df.count()
     assert n >= 0
 
