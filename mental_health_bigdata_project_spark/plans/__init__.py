@@ -114,6 +114,8 @@ _CONVERTED_FRONT = [
     "sample_weighted_systematic",
     # leaked_grams INT -> BIGINT widening (both engines)
     "split_leakage_audit",
+    # new in round 4: CCNet perplexity head/middle/tail partitioning
+    "quality_ppl_buckets",
 ]
 
 

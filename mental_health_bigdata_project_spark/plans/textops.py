@@ -1317,6 +1317,108 @@ def text_bigram_lm_score(spark, sf_dir):
         (F.sum("logp").cast("double") / F.count("*")).alias("avg_logp"))
 
 
+@query("quality_ppl_buckets", f"""
+    WITH toked AS (SELECT doc_id, lang, {_TOKS_SQL} AS t FROM documents),
+    bg AS (
+      SELECT doc_id, lang, unnest(
+        CASE WHEN len(t) >= 2 THEN
+          list_transform(range(1, len(t)),
+                         i -> struct_pack(w1 := t[i], w2 := t[i+1]))
+        ELSE [] END) AS b
+      FROM toked),
+    flat AS (SELECT doc_id, lang, b.w1 AS w1, b.w2 AS w2 FROM bg),
+    c12 AS (SELECT w1, w2, count(*) AS n12 FROM flat GROUP BY w1, w2),
+    tok AS (SELECT unnest(t) AS token FROM toked),
+    uf AS (SELECT token, count(*) AS n1 FROM tok GROUP BY token),
+    vocab AS (SELECT count(*) AS v FROM uf),
+    scored AS (
+      SELECT f.doc_id, f.lang,
+             CAST(round(ln((CAST(n12 AS DOUBLE) + 1.0)
+                           / (CAST(n1 AS DOUBLE) + v)), 6)
+                  AS DECIMAL(18,6)) AS logp
+      FROM flat f
+      JOIN c12 ON c12.w1 = f.w1 AND c12.w2 = f.w2
+      JOIN uf ON uf.token = f.w1
+      CROSS JOIN vocab),
+    per_doc AS (
+      SELECT doc_id, lang,
+             CAST(SUM(logp) AS DOUBLE) / count(*) AS avg_logp
+      FROM scored GROUP BY doc_id, lang),
+    cuts AS (
+      SELECT lang, quantile_disc(avg_logp, 0.33) AS t_tail,
+             quantile_disc(avg_logp, 0.67) AS t_head
+      FROM per_doc GROUP BY lang)
+    SELECT d.doc_id, d.lang, d.avg_logp AS avg_logp,
+           CASE WHEN d.avg_logp >= c.t_head THEN 'head'
+                WHEN d.avg_logp >= c.t_tail THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM per_doc d JOIN cuts c ON d.lang = c.lang
+""")
+def quality_ppl_buckets(spark, sf_dir):
+    """CCNet-style perplexity partitioning (Wenzek et al. 2020): score
+    every document under the corpus bigram LM (text_bigram_lm_score's
+    exact chain) and split each LANGUAGE into head / middle / tail
+    thirds by LM score — the curation step that routes high-likelihood
+    text to training and flags the tail for heavier filtering.  Higher
+    mean log-probability = lower perplexity = head, with per-language
+    cutoffs (a language's intrinsic LM score level must not bleed into
+    another's buckets — CCNet's core point).
+
+    Determinism: the per-doc score is the 6dp-rounded decimal-summed
+    chain already oracle-proven; tertile cutoffs are DISCRETE quantiles
+    (observed values, the engine-portable rule used by dq_key_skew /
+    histogram_equidepth), and bucket edges compare identically-derived
+    doubles, so membership is exact on both engines.  Docs with <2
+    tokens have no bigrams and are excluded (no LM evidence either
+    way), same as the scoring query.
+
+    Scale shape: the LM chain's shuffles (bigram counts = Zipf-head
+    sized, unigram counts, per-doc mean) plus ONE |langs|-row cutoff
+    table broadcast back — the bucket tag itself rides the join,
+    adding zero passes over the corpus."""
+    toked = _docs(spark, sf_dir).select("doc_id", "lang",
+                                        tokens_col().alias("t"))
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.transform(F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("w1"),
+                        F.element_at("t", i + 1).alias("w2")))
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    flat = (toked.select("doc_id", "lang", F.explode(bigrams).alias("b"))
+            .select("doc_id", "lang", F.col("b.w1").alias("w1"),
+                    F.col("b.w2").alias("w2")))
+    c12 = flat.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    uf = (toked.select(F.explode("t").alias("token"))
+          .groupBy("token").agg(F.count("*").alias("n1")))
+    vocab = uf.agg(F.count("*").alias("v"))
+    logp = F.round(
+        F.log((F.col("n12").cast("double") + F.lit(1.0))
+              / (F.col("n1").cast("double") + F.col("v"))),
+        6).cast("decimal(18,6)")
+    per_doc = (flat.crossJoin(F.broadcast(vocab))
+               .join(c12, ["w1", "w2"])
+               .join(F.broadcast(uf.withColumnRenamed("token", "w1")), "w1")
+               .select("doc_id", "lang", logp.alias("logp"))
+               .groupBy("doc_id", "lang")
+               .agg((F.sum("logp").cast("double") / F.count("*"))
+                    .alias("avg_logp")))
+    cuts = per_doc.groupBy("lang").agg(
+        F.expr("percentile_disc(0.33) WITHIN GROUP (ORDER BY avg_logp)")
+        .alias("t_tail"),
+        F.expr("percentile_disc(0.67) WITHIN GROUP (ORDER BY avg_logp)")
+        .alias("t_head"))
+    # avg_logp ships UNROUNDED: both engines derive the identical
+    # double (decimal sum / count), and a cosmetic 6dp round() is
+    # tie-sensitive across engines at half-way mantissas (observed at
+    # sf0.1) — the raw double is the bitwise-portable form
+    return (per_doc.join(F.broadcast(cuts), "lang")
+            .select("doc_id", "lang", "avg_logp",
+                    F.when(F.col("avg_logp") >= F.col("t_head"), "head")
+                    .when(F.col("avg_logp") >= F.col("t_tail"), "middle")
+                    .otherwise("tail").alias("bucket")))
+
+
 @query("text_lang_confusion", f"""
     WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
     h AS (SELECT doc_id, lang,
