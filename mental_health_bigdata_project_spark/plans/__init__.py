@@ -115,7 +115,8 @@ _CONVERTED_FRONT = [
     # leaked_grams INT -> BIGINT widening (both engines)
     "split_leakage_audit",
     # new in round 4: CCNet perplexity head/middle/tail partitioning
-    "quality_ppl_buckets",
+    # and the cross-modality dedup agreement table
+    "quality_ppl_buckets", "dedup_modality_agreement",
 ]
 
 

@@ -2617,3 +2617,73 @@ def mine_hard_negatives(spark, sf_dir):
                  .alias("neg_label"))
             .select("vec_id", "label", "hard_neg_id", "neg_label",
                     "cosine"))
+
+
+@query("dedup_modality_agreement", f"""
+    WITH {_PORTABLE_PAIRS_CTES},
+    tdup AS (SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM ppairs
+        UNION ALL SELECT doc_b AS doc_id FROM ppairs)),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+                 {_CELL_SQL.format(e='embeddings')} AS cell
+          FROM embeddings),
+    epairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round({_COS_SQL.format(a='a.emb', b='b.emb')}, 6) >= 0.25),
+    edup AS (SELECT DISTINCT vec_id FROM (
+        SELECT va AS vec_id FROM epairs
+        UNION ALL SELECT vb AS vec_id FROM epairs)),
+    base AS (SELECT d.doc_id FROM documents d
+             JOIN embeddings e ON d.doc_id = e.vec_id)
+    SELECT CAST(td.doc_id IS NOT NULL AS INTEGER) AS text_dup,
+           CAST(ed.vec_id IS NOT NULL AS INTEGER) AS emb_dup,
+           count(*) AS n_docs
+    FROM base b
+    LEFT JOIN tdup td ON b.doc_id = td.doc_id
+    LEFT JOIN edup ed ON b.doc_id = ed.vec_id
+    GROUP BY 1, 2
+""")
+def dedup_modality_agreement(spark, sf_dir):
+    """Cross-modality dedup governance: does cheap text LSH agree with
+    embedding-space dedup?  Per document (joined to its embedding row
+    by id), two flags — member of any portable-minhash near-dup pair
+    (est_jaccard >= 0.5) and member of any same-sign-cell cosine pair
+    (>= 0.25, dedup_embedding_cells' calibrated cut) — rolled into the
+    2x2 agreement table.  The disagreement cells are the actionable
+    ones: emb-only duplicates are paraphrases token shingles miss;
+    text-only duplicates are boilerplate whose embeddings diverged —
+    exactly the evidence needed to pick (or stack) dedup stages for a
+    corpus.  Composes the two oracle-proven portable chains unchanged.
+
+    Plan shape: both pair pipelines keep their banded/cell-bucketed
+    shapes (no new all-pairs anything); the flag joins are id-keyed
+    left semi-ish probes against pair-membership sets (orders of
+    magnitude smaller than the corpus), and the output is 4 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    tp = portable_neardup_pairs(docs)
+    tdup = (tp.select(F.col("doc_a").alias("doc_id"))
+            .unionAll(tp.select(F.col("doc_b").alias("doc_id")))
+            .distinct())
+    e = _emb(spark, sf_dir)
+    c = e.select("vec_id", to_double_array("embedding").alias("emb"),
+                 embedding_cell_expr().alias("cell"))
+    a = c.select(F.col("cell"), F.col("vec_id").alias("va"),
+                 F.col("emb").alias("ea"))
+    b = c.select(F.col("cell").alias("cell_b"),
+                 F.col("vec_id").alias("vb"), F.col("emb").alias("eb"))
+    ecos = F.round(cosine_similarity(F.col("ea"), F.col("eb")), 6)
+    ep = (a.join(b, (F.col("cell") == F.col("cell_b"))
+                 & (F.col("va") < F.col("vb")))
+          .filter(ecos >= 0.25).select("va", "vb"))
+    edup = (ep.select(F.col("va").alias("doc_id"))
+            .unionAll(ep.select(F.col("vb").alias("doc_id")))
+            .distinct())
+    base = docs.select("doc_id").join(
+        e.select(F.col("vec_id").alias("doc_id")), "doc_id")
+    return (base
+            .join(tdup.withColumn("t", F.lit(1)), "doc_id", "left")
+            .join(edup.withColumn("m", F.lit(1)), "doc_id", "left")
+            .groupBy(F.coalesce("t", F.lit(0)).cast("int").alias("text_dup"),
+                     F.coalesce("m", F.lit(0)).cast("int").alias("emb_dup"))
+            .agg(F.count("*").alias("n_docs")))
