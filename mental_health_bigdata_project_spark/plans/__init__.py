@@ -117,6 +117,7 @@ _CONVERTED_FRONT = [
     # new in round 4: CCNet perplexity head/middle/tail partitioning
     # and the cross-modality dedup agreement table
     "quality_ppl_buckets", "dedup_modality_agreement",
+    "bpe_fertility_by_lang",
 ]
 
 

@@ -1250,6 +1250,73 @@ def bpe_encode_apply(spark, sf_dir):
                  F.sum("n_sym").cast("bigint").alias("n_bpe_symbols")))
 
 
+def _bpe_fertility_oracle_sql(steps: int = 10) -> str:
+    """Per-language fertility twin: the same unrolled training chain,
+    with the encode join grouped by lang instead of doc."""
+    train = _bpe_oracle_sql(steps)
+    body = train.rsplit("\n", 1)[0]  # drop the trailing merge SELECT
+    return f"""{body},
+    wc AS MATERIALIZED (SELECT w, len(syms) AS n_sym FROM v{steps}),
+    exploded AS (
+      SELECT doc_id, lang, unnest({_TOKS_SQL}) AS w FROM documents)
+    SELECT e.lang, count(DISTINCT e.doc_id) AS n_docs,
+           count(*) AS n_tokens,
+           CAST(SUM(wc.n_sym) AS BIGINT) AS n_bpe_symbols,
+           CAST(SUM(wc.n_sym) AS DOUBLE) / count(*) AS fertility
+    FROM exploded e JOIN wc ON wc.w = e.w
+    GROUP BY e.lang"""
+
+
+@query("bpe_fertility_by_lang", _bpe_fertility_oracle_sql())
+def bpe_fertility_by_lang(spark, sf_dir):
+    """Tokenizer FERTILITY audit (symbols emitted per whitespace word)
+    per language — the standard multilingual-tokenizer equity metric: a
+    tokenizer trained on skewed data fragments under-represented
+    languages into more subwords, inflating their effective sequence
+    length and training cost (the vocabulary-allocation argument in
+    SentencePiece/XLM-R analyses).  Runs the SAME memoized 10-merge BPE
+    chain as bpe_encode_apply (one training per session/dataset), joins
+    the per-word symbol count back to the lang-tagged corpus, and
+    reports per-language doc/token/symbol counts plus the fertility
+    ratio — one exact-integer division, engine-deterministic.
+
+    Plan shape: identical to the encode query (distinct-word fold +
+    word-key join), with the final aggregate collapsing to |langs|
+    rows instead of per-doc — strictly cheaper."""
+    from .registry import QUERIES
+    key = (spark, sf_dir)
+    merges = _BPE_MERGES_MEMO.get(key)
+    if merges is None:
+        merges = [(r["left"], r["right"])
+                  for r in QUERIES["bpe_train_merges"](spark, sf_dir)
+                  .orderBy("step").collect()]
+        _BPE_MERGES_MEMO[key] = merges
+    exploded = (_docs(spark, sf_dir)
+                .select("doc_id", "lang", F.explode(tokens_col()).alias("w")))
+    chars = F.filter(F.split("w", "(?!^)"), lambda x: x != "")
+    vocab = (exploded.select("w").distinct()
+             .select("w", chars.alias("syms")).localCheckpoint())
+    for a, b in merges:
+        ab = a + b
+        merged = F.aggregate(
+            "syms", F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a)) & (s == F.lit(b)),
+                F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                         F.array(F.lit(ab))),
+            ).otherwise(F.concat(acc, F.array(s))))
+        vocab = vocab.select("w", merged.alias("syms")).localCheckpoint()
+    wc = vocab.select("w", F.size("syms").alias("n_sym"))
+    return (exploded.join(wc, "w")
+            .groupBy("lang")
+            .agg(F.countDistinct("doc_id").alias("n_docs"),
+                 F.count("*").alias("n_tokens"),
+                 F.sum("n_sym").cast("bigint").alias("n_bpe_symbols"),
+                 (F.sum("n_sym").cast("double") / F.count("*"))
+                 .alias("fertility")))
+
+
 @query("text_bigram_lm_score", f"""
     WITH toked AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
     bg AS (
