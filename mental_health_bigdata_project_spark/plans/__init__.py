@@ -117,7 +117,7 @@ _CONVERTED_FRONT = [
     # new in round 4: CCNet perplexity head/middle/tail partitioning
     # and the cross-modality dedup agreement table
     "quality_ppl_buckets", "dedup_modality_agreement",
-    "bpe_fertility_by_lang",
+    "bpe_fertility_by_lang", "emb_cell_balance", "doc_length_survival",
 ]
 
 

@@ -2687,3 +2687,47 @@ def dedup_modality_agreement(spark, sf_dir):
             .groupBy(F.coalesce("t", F.lit(0)).cast("int").alias("text_dup"),
                      F.coalesce("m", F.lit(0)).cast("int").alias("emb_dup"))
             .agg(F.count("*").alias("n_docs")))
+
+
+@query("emb_cell_balance", f"""
+    WITH c AS (SELECT vec_id,
+                      {_CELL_SQL.format(e='embeddings')} AS cell
+               FROM embeddings),
+    per_cell AS (SELECT cell, count(*) AS n FROM c GROUP BY cell)
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(SUM(n) AS BIGINT) AS n_vectors,
+           max(n) AS max_cell,
+           quantile_disc(n, 0.5) AS p50_cell,
+           CAST(max(n) AS DOUBLE) * count(*) / SUM(n) AS imbalance,
+           CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS pair_mass
+    FROM per_cell
+""")
+def emb_cell_balance(spark, sf_dir):
+    """Sign-cell LOAD diagnostic — the stats pass that sizes the
+    SemDeDup/IVF cell granularity knob before committing to a corpus
+    pass (SCALING.md §6 measured why: fixed bits at 10x data grew the
+    quadratic interior 100x; +4 bits made the 10x corpus FASTER than
+    baseline).  Reports cell count, max/median population, the load
+    imbalance factor (max over mean — the straggler-task predictor for
+    the cell-keyed shuffle), and the intra-cell candidate-pair mass
+    sum(n*(n-1)/2) that governs every within-cell quadratic stage.
+    Decision rule: raise the bits until max_cell is a comfortable
+    per-task interior and pair_mass is within the pass's budget.
+
+    One hash aggregate on the cell key, then a 1-row rollup of
+    #cells partials — metadata-sized at any corpus scale."""
+    e = _emb(spark, sf_dir)
+    per_cell = (e.select(embedding_cell_expr("embedding").alias("cell"))
+                .groupBy("cell").agg(F.count("*").alias("n")))
+    return per_cell.agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.sum("n").cast("bigint").alias("n_vectors"),
+        F.max("n").alias("max_cell"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n)")
+        .cast("long").alias("p50_cell"),
+        (F.max("n").cast("double") * F.count("*") / F.sum("n"))
+        .alias("imbalance"),
+        # integer DIV, not `/`: n*(n-1) is even so DIV 2 is exact, and
+        # the double detour would lose bits once pair_mass > 2^53
+        F.sum(F.expr("n * (n - 1) DIV 2")).cast("bigint")
+        .alias("pair_mass"))

@@ -1250,6 +1250,78 @@ def bpe_encode_apply(spark, sf_dir):
                  F.sum("n_sym").cast("bigint").alias("n_bpe_symbols")))
 
 
+@query("doc_length_survival", f"""
+    WITH t AS (SELECT doc_id, len({_TOKS_SQL}) AS n FROM documents),
+    nz AS (SELECT doc_id, n FROM t WHERE n >= 1),
+    b AS (SELECT length(bin(n)) - 1 AS bucket, count(*) AS n_docs,
+                 CAST(SUM(n) AS BIGINT) AS n_tokens
+          FROM nz GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS all_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS all_tokens
+            FROM b)
+    SELECT CAST((1 << (o.bucket + 1)) - 1 AS BIGINT) AS cap,
+           CAST(SUM(CASE WHEN i.bucket <= o.bucket
+                         THEN i.n_docs ELSE 0 END) AS BIGINT) AS n_docs_fit,
+           CAST(SUM(CASE WHEN i.bucket <= o.bucket
+                         THEN i.n_docs ELSE 0 END) AS DOUBLE)
+             / any_value(tot.all_docs) AS doc_survival,
+           CAST(SUM(CASE WHEN i.bucket <= o.bucket THEN i.n_tokens
+                         ELSE i.n_docs * ((1 << (o.bucket + 1)) - 1)
+                    END) AS BIGINT) AS tokens_kept,
+           CAST(SUM(CASE WHEN i.bucket <= o.bucket THEN i.n_tokens
+                         ELSE i.n_docs * ((1 << (o.bucket + 1)) - 1)
+                    END) AS DOUBLE)
+             / any_value(tot.all_tokens) AS token_survival
+    FROM b o JOIN b i ON true CROSS JOIN tot
+    GROUP BY o.bucket
+""")
+def doc_length_survival(spark, sf_dir):
+    """Sequence-length budget curve — the decision aid for choosing a
+    training max_seq_len: for each power-of-two cap C (the upper edge
+    of every occupied length bucket), how many documents fit entirely
+    and what fraction of corpus TOKENS survives truncation at C
+    (docs longer than C contribute C tokens each).  The survival
+    columns answer "what does capping at 2k/8k/32k actually cost" with
+    exact integers.
+
+    Exactness across engines: buckets come from the BIT LENGTH of the
+    token count (length(bin(n)) - 1 == floor(log2 n) in pure integer
+    arithmetic — float log2 at power-of-two boundaries is a libm
+    roulette this avoids), and the per-cap roll-up is a
+    #buckets-squared self-join over bucket PARTIALS, exact because
+    every cap is a bucket edge: a doc is either wholly below the cap
+    (contributes its length) or wholly above (contributes the cap).
+    Plan: one scan -> ~20-row bucket table -> 400-element self-join —
+    corpus touched once, everything after is metadata-sized."""
+    t = (_docs(spark, sf_dir)
+         .select(F.size(tokens_col()).alias("n"))
+         .filter(F.col("n") >= 1))
+    b = (t.select((F.length(F.expr("bin(n)")) - 1).alias("bucket"),
+                  F.col("n"))
+         .groupBy("bucket")
+         .agg(F.count("*").alias("n_docs"),
+              F.sum("n").cast("bigint").alias("n_tokens")))
+    tot = b.agg(F.sum("n_docs").cast("bigint").alias("all_docs"),
+                F.sum("n_tokens").cast("bigint").alias("all_tokens"))
+    o = b.select(F.col("bucket").alias("ob"))
+    i = b.select(F.col("bucket").alias("ib"), "n_docs", "n_tokens")
+    cap = F.expr("CAST(shiftleft(CAST(1 AS BIGINT), ob + 1) - 1 AS BIGINT)")
+    kept = F.when(F.col("ib") <= F.col("ob"), F.col("n_tokens")) \
+        .otherwise(F.col("n_docs") * cap)
+    fit = F.when(F.col("ib") <= F.col("ob"), F.col("n_docs")).otherwise(0)
+    return (o.crossJoin(i).crossJoin(F.broadcast(tot))
+            .groupBy("ob")
+            .agg(F.any_value(cap).alias("cap"),
+                 F.sum(fit).cast("bigint").alias("n_docs_fit"),
+                 (F.sum(fit).cast("double") / F.any_value("all_docs"))
+                 .alias("doc_survival"),
+                 F.sum(kept).cast("bigint").alias("tokens_kept"),
+                 (F.sum(kept).cast("double") / F.any_value("all_tokens"))
+                 .alias("token_survival"))
+            .select("cap", "n_docs_fit", "doc_survival",
+                    "tokens_kept", "token_survival"))
+
+
 def _bpe_fertility_oracle_sql(steps: int = 10) -> str:
     """Per-language fertility twin: the same unrolled training chain,
     with the encode join grouped by lang instead of doc."""
