@@ -118,6 +118,7 @@ _CONVERTED_FRONT = [
     # and the cross-modality dedup agreement table
     "quality_ppl_buckets", "dedup_modality_agreement",
     "bpe_fertility_by_lang", "emb_cell_balance", "doc_length_survival",
+    "ngram_novelty_decay",
 ]
 
 

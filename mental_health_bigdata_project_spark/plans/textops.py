@@ -2535,6 +2535,72 @@ def dsir_importance_weights(spark, sf_dir):
 
 # --- exact substring-span dedup (ExactSubstr-style) -----------------------
 
+@query("ngram_novelty_decay", f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    mx AS (SELECT max(doc_id) + 1 AS n FROM t),
+    grams AS (
+      SELECT doc_id, doc_id * 10 // mx.n AS decile,
+             md5(array_to_string(toks[u.s:u.s+7], ' ')) AS h
+      FROM (SELECT doc_id, toks,
+                   unnest(list_transform(range(1, len(toks)-6),
+                          i -> {{'s': i}})) AS u
+            FROM t WHERE len(toks) >= 8) CROSS JOIN mx),
+    first_seen AS (SELECT h, min(decile) AS first_decile
+                   FROM grams GROUP BY h),
+    per AS (SELECT DISTINCT decile, h FROM grams)
+    SELECT p.decile,
+           CAST(count(*) AS BIGINT) AS n_distinct_grams,
+           CAST(SUM(CASE WHEN f.first_decile = p.decile
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_new_grams,
+           CAST(SUM(CASE WHEN f.first_decile = p.decile
+                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+             AS novelty_rate
+    FROM per p JOIN first_seen f USING (h)
+    GROUP BY p.decile
+""")
+def ngram_novelty_decay(spark, sf_dir):
+    """Corpus DIVERSITY saturation curve: split the corpus into ten
+    doc-id deciles (the ingestion-order stand-in) and report, per
+    decile, how many of its distinct 8-gram fingerprints are NOVEL —
+    first seen in that decile — versus repeats of earlier content.
+    A novelty rate decaying toward zero is the data-curation signal
+    that additional raw data is mostly re-crawl (dedup will remove it;
+    marginal training value is falling — the scaling-laws "data
+    exhaustion" diagnostic); a flat curve says the source keeps adding
+    genuinely new text.
+
+    Exactness: deciles are integer arithmetic on doc_id against a
+    broadcast max (no ntile — a rank-based decile needs a global sort);
+    first-seen is a min() aggregate over the gram-fp key; every output
+    is an exact-integer count or one division of two of them.
+    Plan: the span-dedup gram explode (~1 row per corpus token), one
+    fp-keyed aggregate + one (decile, fp) distinct that co-partitions
+    with it, and a 10-row report.  At 100 TB this is the same shuffle
+    mass as dedup_substring_spans — the curve costs what one dedup
+    stats pass costs."""
+    t = _docs(spark, sf_dir).select("doc_id", tokens_col().alias("toks"))
+    mx = t.agg((F.max("doc_id") + 1).alias("n"))
+    K = 8
+    n = F.size("toks")
+    gram_fps = F.transform(
+        F.sequence(F.lit(1), n - K + 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, K))))
+    grams = (t.filter(n >= K)
+             .crossJoin(F.broadcast(mx))
+             .select(F.expr("CAST(doc_id * 10 DIV n AS BIGINT)")
+                     .alias("decile"),
+                     F.explode(gram_fps).alias("h")))
+    first_seen = grams.groupBy("h").agg(F.min("decile").alias("first_decile"))
+    per = grams.select("decile", "h").distinct()
+    new_flag = F.when(F.col("first_decile") == F.col("decile"), 1).otherwise(0)
+    return (per.join(first_seen, "h")
+            .groupBy("decile")
+            .agg(F.count("*").cast("bigint").alias("n_distinct_grams"),
+                 F.sum(new_flag).cast("bigint").alias("n_new_grams"),
+                 (F.sum(new_flag).cast("double") / F.count("*"))
+                 .alias("novelty_rate")))
+
+
 _SPAN_K = 8  # tokens per window; published ExactSubstr uses 50 BPE tokens
 
 # Shared CTE chain: tokenized docs -> overlapping-gram occurrences ->
