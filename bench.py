@@ -99,6 +99,12 @@ HEADLINE = [
     "quality_ensemble_score",
     # ANN serving shape: one code scan, 8 queries
     "sim_ivfpq_batch",
+    # round-4 additions: CCNet perplexity partition (bigram-LM chain +
+    # per-lang tertiles), the diversity saturation curve (span-dedup
+    # shuffle mass), and the cross-modality dedup agreement table
+    "quality_ppl_buckets",
+    "ngram_novelty_decay",
+    "dedup_modality_agreement",
 ]
 
 

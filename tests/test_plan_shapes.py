@@ -53,6 +53,14 @@ GUARDED = [
     ("pack_sequences", 0, 0),
     ("dedup_substring_spans", 0, 0),
     ("text_gopher_rules", 0, 0),
+    # round-4 queries: each nonzero budget is a documented 1-row
+    # global aggregate (vocab size / max-id broadcast / output rollup)
+    ("quality_ppl_buckets", 1, 0),
+    ("ngram_novelty_decay", 1, 0),
+    ("dedup_modality_agreement", 0, 0),
+    ("emb_cell_balance", 1, 0),
+    ("doc_length_survival", 1, 0),
+    ("bpe_fertility_by_lang", 0, 0),
 ]
 
 
