@@ -571,3 +571,95 @@ def test_curate_corpus_with_span_stage(spark, sf_dir, tmp_path):
     # re-detected spans can only come from NEW grams formed at cut
     # seams; they must be rare relative to corpus size
     assert spans.count() <= rep["near_dedup"] * 0.05
+
+
+# --- round-4 diagnostic-query invariants ---------------------------------
+
+
+def test_doc_length_survival_invariants(spark, sf_dir):
+    """Survival curves are monotone in the cap and end at exactly 1.0;
+    the token mass kept never exceeds the corpus total."""
+    from mental_health_bigdata_project_spark.plans import QUERIES
+
+    rows = sorted(QUERIES["doc_length_survival"](spark, sf_dir).collect(),
+                  key=lambda r: r.cap)
+    assert rows
+    prev_d = prev_t = 0.0
+    for r in rows:
+        assert 0.0 < r.doc_survival <= 1.0 and 0.0 < r.token_survival <= 1.0
+        assert r.doc_survival >= prev_d and r.token_survival >= prev_t
+        assert r.tokens_kept <= rows[-1].tokens_kept
+        prev_d, prev_t = r.doc_survival, r.token_survival
+    assert rows[-1].doc_survival == 1.0 and rows[-1].token_survival == 1.0
+
+
+def test_ngram_novelty_decay_invariants(spark, sf_dir):
+    """The first decile is all-novel by definition; rates are proper
+    fractions; new <= distinct everywhere."""
+    from mental_health_bigdata_project_spark.plans import QUERIES
+
+    rows = {r.decile: r
+            for r in QUERIES["ngram_novelty_decay"](spark, sf_dir).collect()}
+    assert rows[min(rows)].novelty_rate == 1.0
+    for r in rows.values():
+        assert 0.0 <= r.novelty_rate <= 1.0
+        assert r.n_new_grams <= r.n_distinct_grams
+
+
+def test_emb_cell_balance_invariants(spark, sf_dir):
+    """The rollup accounts for every vector; imbalance >= 1; the pair
+    mass is at least the biggest cell's own interior."""
+    from mental_health_bigdata_project_spark.plans import QUERIES
+    from mental_health_bigdata_project_spark.sources import load_table
+
+    r = QUERIES["emb_cell_balance"](spark, sf_dir).collect()[0]
+    assert r.n_vectors == load_table(spark, sf_dir, "embeddings").count()
+    assert r.imbalance >= 1.0
+    assert r.pair_mass >= r.max_cell * (r.max_cell - 1) // 2
+    assert r.p50_cell <= r.max_cell
+
+
+def test_quality_ppl_buckets_partitions_each_lang(spark, sf_dir):
+    """Buckets partition each language's scored docs, all three bucket
+    labels appear, and the head cutoff dominates the tail cutoff (docs
+    with no bigrams are excluded on both engines)."""
+    from pyspark.sql import functions as F
+
+    from mental_health_bigdata_project_spark.plans import QUERIES
+
+    df = QUERIES["quality_ppl_buckets"](spark, sf_dir)
+    per_lang = {r.lang: r for r in
+                df.groupBy("lang").agg(
+                    F.count("*").alias("n"),
+                    F.countDistinct("bucket").alias("n_buckets"),
+                    F.min(F.when(F.col("bucket") == "head", F.col("avg_logp")))
+                    .alias("min_head"),
+                    F.max(F.when(F.col("bucket") == "tail", F.col("avg_logp")))
+                    .alias("max_tail")).collect()}
+    assert per_lang
+    for lang, r in per_lang.items():
+        assert r.n_buckets == 3, lang
+        assert r.min_head > r.max_tail, lang
+
+
+def test_dedup_modality_agreement_accounts_all_docs(spark, sf_dir):
+    """The 2x2 table partitions the embedded-doc population."""
+    from mental_health_bigdata_project_spark.plans import QUERIES
+    from mental_health_bigdata_project_spark.sources import load_table
+
+    rows = QUERIES["dedup_modality_agreement"](spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 4
+    assert len({(r.text_dup, r.emb_dup) for r in rows}) == len(rows)
+    n_emb = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_docs for r in rows) == n_emb
+
+
+def test_bpe_fertility_at_least_one_symbol_per_word(spark, sf_dir):
+    """Every whitespace word encodes to >= 1 symbol, so per-language
+    fertility is >= 1; symbol totals are consistent."""
+    from mental_health_bigdata_project_spark.plans import QUERIES
+
+    for r in QUERIES["bpe_fertility_by_lang"](spark, sf_dir).collect():
+        assert r.fertility >= 1.0
+        assert r.n_bpe_symbols >= r.n_tokens
+        assert abs(r.fertility - r.n_bpe_symbols / r.n_tokens) < 1e-12
