@@ -2661,7 +2661,11 @@ def dedup_modality_agreement(spark, sf_dir):
     left semi-ish probes against pair-membership sets (orders of
     magnitude smaller than the corpus), and the output is 4 rows."""
     docs = load_table(spark, sf_dir, "documents")
-    tp = portable_neardup_pairs(docs)
+    # both pair pipelines feed a two-branch union (doc_a + doc_b), which
+    # would re-execute the full minhash / cell-join chain per branch —
+    # materialize the edge-sized pair lists once (the
+    # checkpoint-the-reused-subframe rule; 7.4 s -> ~4 s at sf0.1)
+    tp = portable_neardup_pairs(docs).localCheckpoint(eager=True)
     tdup = (tp.select(F.col("doc_a").alias("doc_id"))
             .unionAll(tp.select(F.col("doc_b").alias("doc_id")))
             .distinct())
@@ -2675,7 +2679,8 @@ def dedup_modality_agreement(spark, sf_dir):
     ecos = F.round(cosine_similarity(F.col("ea"), F.col("eb")), 6)
     ep = (a.join(b, (F.col("cell") == F.col("cell_b"))
                  & (F.col("va") < F.col("vb")))
-          .filter(ecos >= 0.25).select("va", "vb"))
+          .filter(ecos >= 0.25).select("va", "vb")) \
+        .localCheckpoint(eager=True)
     edup = (ep.select(F.col("va").alias("doc_id"))
             .unionAll(ep.select(F.col("vb").alias("doc_id")))
             .distinct())
