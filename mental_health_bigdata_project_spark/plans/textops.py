@@ -2545,9 +2545,9 @@ def dsir_importance_weights(spark, sf_dir):
                    unnest(list_transform(range(1, len(toks)-6),
                           i -> {{'s': i}})) AS u
             FROM t WHERE len(toks) >= 8) CROSS JOIN mx),
+    per AS (SELECT DISTINCT decile, h FROM grams),
     first_seen AS (SELECT h, min(decile) AS first_decile
-                   FROM grams GROUP BY h),
-    per AS (SELECT DISTINCT decile, h FROM grams)
+                   FROM per GROUP BY h)
     SELECT p.decile,
            CAST(count(*) AS BIGINT) AS n_distinct_grams,
            CAST(SUM(CASE WHEN f.first_decile = p.decile
@@ -2590,8 +2590,14 @@ def ngram_novelty_decay(spark, sf_dir):
              .select(F.expr("CAST(doc_id * 10 DIV n AS BIGINT)")
                      .alias("decile"),
                      F.explode(gram_fps).alias("h")))
-    first_seen = grams.groupBy("h").agg(F.min("decile").alias("first_decile"))
-    per = grams.select("decile", "h").distinct()
+    # first_seen derives from the DISTINCT table, not the raw gram
+    # stream: min over the deciles present equals min over instances,
+    # and this shape runs ONE gram explode feeding one (decile, h)
+    # shuffle, with the h-keyed min on the far smaller distinct set
+    # (the raw-stream form executed the corpus-sized explode twice)
+    per = (grams.select("decile", "h").distinct()
+           .localCheckpoint(eager=True))
+    first_seen = per.groupBy("h").agg(F.min("decile").alias("first_decile"))
     new_flag = F.when(F.col("first_decile") == F.col("decile"), 1).otherwise(0)
     return (per.join(first_seen, "h")
             .groupBy("decile")
