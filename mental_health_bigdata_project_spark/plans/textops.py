@@ -1535,13 +1535,17 @@ def quality_ppl_buckets(spark, sf_dir):
         F.log((F.col("n12").cast("double") + F.lit(1.0))
               / (F.col("n1").cast("double") + F.col("v"))),
         6).cast("decimal(18,6)")
+    # the per-doc score table feeds BOTH the cutoff aggregate and the
+    # final tag join — materialize it once (it is the stored score
+    # artifact a CCNet deployment keeps; without this the whole
+    # bigram-LM chain executes twice)
     per_doc = (flat.crossJoin(F.broadcast(vocab))
                .join(c12, ["w1", "w2"])
                .join(F.broadcast(uf.withColumnRenamed("token", "w1")), "w1")
                .select("doc_id", "lang", logp.alias("logp"))
                .groupBy("doc_id", "lang")
                .agg((F.sum("logp").cast("double") / F.count("*"))
-                    .alias("avg_logp")))
+                    .alias("avg_logp"))).localCheckpoint(eager=True)
     cuts = per_doc.groupBy("lang").agg(
         F.expr("percentile_disc(0.33) WITHIN GROUP (ORDER BY avg_logp)")
         .alias("t_tail"),
