@@ -663,3 +663,44 @@ def test_bpe_fertility_at_least_one_symbol_per_word(spark, sf_dir):
         assert r.fertility >= 1.0
         assert r.n_bpe_symbols >= r.n_tokens
         assert abs(r.fertility - r.n_bpe_symbols / r.n_tokens) < 1e-12
+
+
+def test_lm_gate_trains_once_and_filters_stream_batches(spark, tmp_path):
+    """CCNet-style loop: fit the bigram LM + tail cutoff on trusted
+    text, freeze it, and gate streaming micro-batches — reference-like
+    text passes, token soup scores below the reference tail and is
+    dropped BEFORE it can claim dedup slots."""
+    from mental_health_bigdata_project_spark.streaming import (chunkdedup,
+                                                               lmgate)
+
+    # trusted reference: natural-ish sentences with repeated structure
+    ref_rows = [(i, GOOD) for i in range(10)] + [
+        (20, "the quick brown fox jumps over the lazy dog"),
+        (21, "the lazy dog runs to the quiet streams"),
+    ]
+    ref = spark.createDataFrame(ref_rows, "doc_id bigint, text string")
+    art = str(tmp_path / "lm")
+    lmgate.build_lm_artifact(ref, art)
+    gate = lmgate.lm_tail_gate(spark, art)
+
+    good = spark.createDataFrame(
+        [(100, GOOD)], "doc_id bigint, text string")
+    soup = spark.createDataFrame(
+        [(101, "zxqv wkjh pqrs mnbv zzyy qqww eerr ttuu ooii ppaa")],
+        "doc_id bigint, text string")
+    assert {r.doc_id for r in gate(good).collect()} == {100}
+    assert gate(soup).count() == 0  # all-unseen bigrams -> smoothed floor
+    # a doc with <2 tokens carries no evidence and passes
+    tiny = spark.createDataFrame([(102, "hello")],
+                                 "doc_id bigint, text string")
+    assert gate(tiny).count() == 1
+
+    # wired into the streaming chunk-dedup topology
+    out, idx = str(tmp_path / "out"), str(tmp_path / "idx")
+    batch = spark.createDataFrame(
+        [(100, GOOD), (101, "zxqv wkjh pqrs mnbv zzyy qqww")],
+        "doc_id bigint, text string")
+    chunkdedup.rewrite_batch_against_index(batch, 0, out, idx, gate=gate)
+    acc = {r["doc_id"] for r in
+           spark.read.parquet(f"{out}/accepted").collect()}
+    assert acc == {100}
