@@ -105,6 +105,10 @@ HEADLINE = [
     "quality_ppl_buckets",
     "ngram_novelty_decay",
     "dedup_modality_agreement",
+    # round-4 retrieval surface: BM25 inverted-index scoring and the
+    # hybrid RRF combiner (BM25 arm + dense top-k + fusion join)
+    "sim_bm25_topk",
+    "rank_fusion_rrf",
 ]
 
 

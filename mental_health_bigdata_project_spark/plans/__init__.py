@@ -24,6 +24,7 @@ from . import spark4_sources  # noqa: F401,E402
 from . import udtf_udaf  # noqa: F401,E402
 from . import quality  # noqa: F401,E402
 from . import advanced  # noqa: F401,E402
+from . import retrieval  # noqa: F401,E402
 
 
 # --- driver-sample ordering (VERDICT r2 item 2, r3 item 3) ----------------
@@ -119,6 +120,9 @@ _CONVERTED_FRONT = [
     "quality_ppl_buckets", "dedup_modality_agreement",
     "bpe_fertility_by_lang", "emb_cell_balance", "doc_length_survival",
     "ngram_novelty_decay",
+    # new in round 4: the sparse/hybrid retrieval surface
+    "sim_bm25_topk", "rank_fusion_rrf", "sim_mmr_rerank",
+    "retrieval_eval_ndcg",
 ]
 
 

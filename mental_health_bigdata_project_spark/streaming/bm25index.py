@@ -1,0 +1,127 @@
+"""Incremental BM25 index over a document stream.
+
+The streaming face of plans/retrieval.sim_bm25_topk: each micro-batch
+appends postings / doc-length / corpus-stat DELTAS to a persisted
+parquet index; queries are served from the index with the SAME
+scoring core (``plans.retrieval.bm25_rank_df``), so streaming-equals-
+batch parity holds by construction and is pinned by test.
+
+Index layout under ``index_dir`` (all three are per-batch deltas,
+written with dynamic partition overwrite into their own ``batch_id=N``
+partition — a crash-retried batch overwrites itself, nothing reads
+prior index state during indexing, so replay is exactly-once with no
+``before_batch`` pruning needed):
+
+- ``postings/``  (token, doc_id, tf)  partitioned by (batch_id, bucket)
+  where bucket = crc32(token) % N_BUCKETS.  A query probe prunes to
+  its terms' bucket partitions — at 100 TB the probe reads ~1/64th of
+  the postings files per term instead of the whole index.  (crc32 is
+  a stable public hash; Spark's internal ``hash`` would also do, but
+  crc32 keeps the layout reproducible outside Spark.)
+- ``doclen/``    (doc_id, dl)      partitioned by batch_id.
+- ``stats/``     (n_docs, sum_dl)  one row per batch; corpus N/avgdl
+  at serve time is a sum over this metadata-sized table, so serving
+  never scans ``doclen``.
+
+Assumes doc_ids are unique across the stream (upstream dedup_by_id /
+streaming dedup topologies enforce this); re-ingesting a doc_id would
+double-count exactly like any log-structured index before compaction.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..plans.retrieval import bm25_rank_df
+from ..plans.textops import tokens_col
+
+N_BUCKETS = 64
+
+
+def _bucket(token_col):
+    return F.pmod(F.crc32(token_col), F.lit(N_BUCKETS)).cast("int")
+
+
+def index_batch(batch_df: DataFrame, batch_id: int,
+                index_dir: str) -> None:
+    """One micro-batch of index maintenance (the foreachBatch body,
+    callable directly for tests / backfills).  ``batch_df`` needs
+    (doc_id, text)."""
+    toks = (batch_df.select("doc_id", F.explode(tokens_col())
+                            .alias("token")))
+    tf = (toks.groupBy("doc_id", "token")
+          .agg(F.count("*").cast("bigint").alias("tf")))
+    dl = (toks.groupBy("doc_id")
+          .agg(F.count("*").cast("bigint").alias("dl")))
+
+    (tf.withColumn("batch_id", F.lit(batch_id))
+     .withColumn("bucket", _bucket(F.col("token")))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id", "bucket")
+     .parquet(os.path.join(index_dir, "postings")))
+    (dl.withColumn("batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id")
+     .parquet(os.path.join(index_dir, "doclen")))
+    (dl.agg(F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col("dl").cast("decimal(18,0)")).cast("decimal(18,0)")
+            .alias("sum_dl"))
+     .withColumn("batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id")
+     .parquet(os.path.join(index_dir, "stats")))
+
+
+def bm25_query(spark, index_dir: str,
+               queries: list[tuple[int, str]], k: int = 10) -> DataFrame:
+    """Serve BM25 top-k per query from the persisted index.
+
+    ``queries`` is a (query_id, term) workload like
+    plans.retrieval._BM25_QUERIES.  The postings read is partition-
+    pruned to the query terms' buckets BEFORE any scan (bucket is a
+    partition column, so the filter never touches non-matching files);
+    corpus stats come from the per-batch rollup, not a doclen scan.
+    Scoring is plans.retrieval.bm25_rank_df — bit-identical to the
+    batch plan."""
+    qt = spark.createDataFrame(queries, "query_id int, term string")
+    terms = sorted({t for _, t in queries})
+    import zlib
+    buckets = sorted({zlib.crc32(t.encode()) % N_BUCKETS for t in terms})
+
+    postings = (spark.read.parquet(os.path.join(index_dir, "postings"))
+                .filter(F.col("bucket").isin(buckets))
+                .filter(F.col("token").isin(terms))
+                .select("doc_id", "token", "tf"))
+    # doc lengths only for docs that matched a query term — the
+    # doclen side is semi-join-pruned by the postings probe, so the
+    # join never materializes corpus-wide lengths
+    dl_all = (spark.read.parquet(os.path.join(index_dir, "doclen"))
+              .select("doc_id", "dl"))
+    dl = dl_all.join(postings.select("doc_id").distinct(), "doc_id",
+                     "left_semi")
+    stats = (spark.read.parquet(os.path.join(index_dir, "stats"))
+             .agg(F.sum("n_docs").cast("bigint").alias("n"),
+                  (F.sum("sum_dl").cast("double")
+                   / F.sum("n_docs")).alias("avgdl")))
+    ranked = bm25_rank_df(qt, postings, dl, stats)
+    return ranked.filter(F.col("rank") <= k)
+
+
+def stream_bm25_index(spark, in_dir: str, index_dir: str,
+                      checkpoint_dir: str):
+    """File-source streaming topology: JSONL documents in -> BM25
+    index deltas out.  Returns the started query (caller stops it)."""
+    stream = (spark.readStream
+              .schema("doc_id bigint, text string")
+              .option("maxFilesPerTrigger", 1)
+              .json(in_dir))
+    return (stream.writeStream
+            .foreachBatch(lambda df, bid: index_batch(df, bid, index_dir))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

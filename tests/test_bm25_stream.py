@@ -1,0 +1,96 @@
+"""Streaming BM25 index: streaming-equals-batch parity, exactly-once
+replay (content equality, not id sets — the round-4 replay lesson),
+and bucket partition pruning."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from mental_health_bigdata_project_spark.plans import QUERIES
+from mental_health_bigdata_project_spark.plans.retrieval import _BM25_QUERIES
+from mental_health_bigdata_project_spark.sources import load_table
+from mental_health_bigdata_project_spark.streaming.bm25index import (
+    N_BUCKETS, bm25_query, index_batch, stream_bm25_index)
+
+
+def _rows(df):
+    return sorted((r.query_id, r.doc_id, r.rank, r.score)
+                  for r in df.collect())
+
+
+def _index_in_batches(spark, sf_dir, index_dir, n_batches=3):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for b in range(n_batches):
+        part = docs.filter(F.pmod(F.col("doc_id"), n_batches) == b)
+        index_batch(part, b, index_dir)
+    return docs
+
+
+def test_streaming_index_equals_batch_plan(spark, sf_dir, tmp_path):
+    index_dir = str(tmp_path / "idx")
+    _index_in_batches(spark, sf_dir, index_dir)
+    served = bm25_query(spark, index_dir, _BM25_QUERIES, k=10)
+    batch = QUERIES["sim_bm25_topk"](spark, sf_dir)
+    assert _rows(served) == _rows(batch)
+
+
+def test_replayed_batch_leaves_results_identical(spark, sf_dir, tmp_path):
+    """Crash-retry: re-running a batch's foreachBatch body must leave
+    every served score bit-identical (dynamic partition overwrite of
+    the batch's own deltas), not just the same doc ids."""
+    index_dir = str(tmp_path / "idx")
+    docs = _index_in_batches(spark, sf_dir, index_dir)
+    before = _rows(bm25_query(spark, index_dir, _BM25_QUERIES, k=10))
+    replay = docs.filter(F.pmod(F.col("doc_id"), 3) == 1)
+    index_batch(replay, 1, index_dir)  # same batch_id, same data
+    after = _rows(bm25_query(spark, index_dir, _BM25_QUERIES, k=10))
+    assert after == before
+
+
+def test_query_probe_prunes_to_term_buckets(spark, sf_dir, tmp_path):
+    """The postings read must touch only the query terms' bucket
+    partitions — the partition-pruning contract that makes the probe
+    O(terms), not O(index)."""
+    import zlib
+    index_dir = str(tmp_path / "idx")
+    _index_in_batches(spark, sf_dir, index_dir)
+    queries = [(1, "vector"), (1, "join")]
+    want = {zlib.crc32(t.encode()) % N_BUCKETS for _, t in queries}
+    served = bm25_query(spark, index_dir, queries, k=10)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    # every postings FileScan must carry the bucket filter as a
+    # PARTITION filter (pruned before any file is opened), not a
+    # post-scan data filter; match structurally since plan lines
+    # truncate long tmp paths
+    pruned = [line.split("PartitionFilters: [")[1].split("]")[0]
+              for line in plan.splitlines()
+              if "FileScan" in line
+              and "PartitionFilters: [bucket" in line]
+    assert pruned, f"no bucket-pruned FileScan in plan:\n{plan}"
+    for pf in pruned:
+        for b in want:
+            assert str(b) in pf, f"bucket {b} missing from {pf}"
+
+
+def test_file_stream_topology_end_to_end(spark, sf_dir, tmp_path):
+    """readStream JSONL -> foreachBatch index deltas -> served top-10
+    matches the batch plan run on the same corpus subset."""
+    in_dir, index_dir = str(tmp_path / "in"), str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text").collect())
+    third = max(1, len(docs) // 3)
+    for i in range(3):
+        with open(os.path.join(in_dir, f"part{i}.jsonl"), "w") as f:
+            for r in docs[i * third: None if i == 2 else (i + 1) * third]:
+                f.write(json.dumps({"doc_id": r.doc_id, "text": r.text})
+                        + "\n")
+    q = stream_bm25_index(spark, in_dir, index_dir, ckpt)
+    q.awaitTermination(120)
+    served = bm25_query(spark, index_dir, _BM25_QUERIES, k=10)
+    batch = QUERIES["sim_bm25_topk"](spark, sf_dir)
+    assert _rows(served) == _rows(batch)

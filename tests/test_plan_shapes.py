@@ -61,6 +61,12 @@ GUARDED = [
     ("emb_cell_balance", 1, 0),
     ("doc_length_survival", 1, 0),
     ("bpe_fertility_by_lang", 0, 0),
+    # round-4 retrieval surface: BM25's budget is the 1-row avgdl/N
+    # scalar aggregate; RRF additionally ranks the fused ≤40-row
+    # candidate list in one bounded single-partition window.
+    ("sim_bm25_topk", 1, 0),
+    ("rank_fusion_rrf", 3, 0),
+    ("retrieval_eval_ndcg", 0, 0),
 ]
 
 
