@@ -1000,6 +1000,64 @@ def privacy_k_anonymity(spark, sf_dir):
         .alias("meets_k"))
 
 
+@query("privacy_l_diversity", """
+    WITH qi AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             c_mktsegment AS sens
+      FROM customer),
+    per_sens AS (
+      SELECT c_nationkey, bal_band, sens,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM qi GROUP BY c_nationkey, bal_band, sens),
+    per_group AS (
+      SELECT c_nationkey, bal_band,
+             CAST(SUM(cnt) AS BIGINT) AS group_size,
+             CAST(count(*) AS INTEGER) AS n_sensitive,
+             CAST(max(cnt) AS BIGINT) AS max_sens
+      FROM per_sens GROUP BY c_nationkey, bal_band)
+    SELECT c_nationkey, bal_band, group_size, n_sensitive,
+           round(max_sens / CAST(group_size AS DOUBLE), 6)
+             AS top_sens_share,
+           CAST(CASE WHEN n_sensitive >= 3 THEN 1 ELSE 0 END AS INTEGER)
+             AS meets_l
+    FROM per_group
+""")
+def privacy_l_diversity(spark, sf_dir):
+    """l-diversity audit (l=3) complementing privacy_k_anonymity:
+    k-anonymity alone fails when every member of a large-enough QI
+    class shares the same sensitive value (homogeneity attack —
+    Machanavajjhala et al.), so each (nation, balance-band) class is
+    scored on the number of DISTINCT sensitive values (market segment
+    as the stand-in sensitive attribute) plus the top sensitive-value
+    share, the statistic recursive (c,l)-diversity thresholds.
+
+    Plan shape: two stacked map-side-combinable hash aggs — per
+    (QI, sensitive) counts collapse first (the shuffle carries one row
+    per distinct combination, NOT per person), then per-QI
+    sum/count/max over that collapsed table; no count-distinct
+    expansion, no window.  At 100 TB both shuffles stay bounded by the
+    generalization-level product × sensitive-domain size."""
+    c = _t(spark, sf_dir, "customer")
+    per_sens = (c.select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint")
+        .alias("bal_band"),
+        F.col("c_mktsegment").alias("sens"))
+        .groupBy("c_nationkey", "bal_band", "sens")
+        .agg(F.count("*").alias("cnt")))
+    per_group = (per_sens.groupBy("c_nationkey", "bal_band")
+                 .agg(F.sum("cnt").cast("bigint").alias("group_size"),
+                      F.count("*").cast("int").alias("n_sensitive"),
+                      F.max("cnt").cast("bigint").alias("max_sens")))
+    return per_group.select(
+        "c_nationkey", "bal_band", "group_size", "n_sensitive",
+        F.round(F.col("max_sens") / F.col("group_size").cast("double"), 6)
+        .alias("top_sens_share"),
+        F.when(F.col("n_sensitive") >= 3, 1).otherwise(0).cast("int")
+        .alias("meets_l"))
+
+
 @query("dq_schema_drift", """
     WITH old AS (SELECT * FROM orders
                  WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),

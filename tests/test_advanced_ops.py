@@ -154,3 +154,22 @@ def test_als_recommendations_dominated_by_seen_types(spark, sf_dir):
     assert all({x.rnk for x in v} == {1, 2} for v in per_user.values())
     seen_frac = sum(r.seen for r in rows) / len(rows)
     assert seen_frac >= 0.9
+
+
+def test_privacy_l_diversity_invariants(spark, sf_dir):
+    """Per-QI-class accounting: the top sensitive share is a proper
+    fraction >= 1/n_sensitive, meets_l tracks the l=3 threshold, and
+    class sizes sum to the customer count (no row lost to the two
+    stacked aggs)."""
+    from mental_health_bigdata_project_spark.plans import QUERIES
+    from mental_health_bigdata_project_spark.sources import load_table
+
+    rows = QUERIES["privacy_l_diversity"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_sensitive <= 5  # 5 market segments exist
+        assert 0.0 < r.top_sens_share <= 1.0
+        assert r.top_sens_share >= 1.0 / r.n_sensitive - 1e-9
+        assert r.meets_l == (1 if r.n_sensitive >= 3 else 0)
+    total = sum(r.group_size for r in rows)
+    assert total == load_table(spark, sf_dir, "customer").count()
