@@ -88,23 +88,29 @@ def bm25_query(spark, index_dir: str,
     corpus stats come from the per-batch rollup, not a doclen scan.
     Scoring is plans.retrieval.bm25_rank_df — bit-identical to the
     batch plan."""
+    from .compaction import read_live
+
     qt = spark.createDataFrame(queries, "query_id int, term string")
     terms = sorted({t for _, t in queries})
     import zlib
     buckets = sorted({zlib.crc32(t.encode()) % N_BUCKETS for t in terms})
 
-    postings = (spark.read.parquet(os.path.join(index_dir, "postings"))
+    # read_live resolves compacted-store ∪ deltas when the index has
+    # been compacted (streaming/compaction.py); the bucket filter
+    # partition-prunes BOTH parts (the compacted store keeps bucket
+    # partitioning)
+    postings = (read_live(spark, os.path.join(index_dir, "postings"))
                 .filter(F.col("bucket").isin(buckets))
                 .filter(F.col("token").isin(terms))
                 .select("doc_id", "token", "tf"))
     # doc lengths only for docs that matched a query term — the
     # doclen side is semi-join-pruned by the postings probe, so the
     # join never materializes corpus-wide lengths
-    dl_all = (spark.read.parquet(os.path.join(index_dir, "doclen"))
+    dl_all = (read_live(spark, os.path.join(index_dir, "doclen"))
               .select("doc_id", "dl"))
     dl = dl_all.join(postings.select("doc_id").distinct(), "doc_id",
                      "left_semi")
-    stats = (spark.read.parquet(os.path.join(index_dir, "stats"))
+    stats = (read_live(spark, os.path.join(index_dir, "stats"))
              .agg(F.sum("n_docs").cast("bigint").alias("n"),
                   (F.sum("sum_dl").cast("double")
                    / F.sum("n_docs")).alias("avgdl")))

@@ -1,0 +1,151 @@
+"""Offline compaction for the log-structured streaming indexes.
+
+Every incremental sink in this package (chunk/span/near dedup, the
+BM25 index) appends per-batch delta partitions ``batch_id=N`` forever;
+probes stay hash joins, but at 100 TB the file count grows without
+bound and the batch-pruning reads touch ever more partitions.  This
+module is the promised maintenance path (SCALING.md §7): rewrite all
+deltas through batch N into one consolidated store, atomically.
+
+Snapshot layout (inside each table directory):
+
+- ``batch_id=*/``          live delta partitions (written by the sinks)
+- ``_compacted_v{k}/``     consolidated rows for every batch <= through,
+                           carrying a literal ``batch_id = through``
+                           column; the underscore prefix makes Spark's
+                           file index IGNORE these dirs, so the sinks'
+                           plain ``read.parquet(table)`` delta reads
+                           never double-count them
+- ``_compaction.json``     the manifest: {"version": k, "dir":
+                           "_compacted_v{k}", "through": N}; written
+                           via tmp-file + os.replace (atomic on POSIX)
+
+Readers (``neardup._read_index``, ``bm25index.bm25_query``) resolve
+the live view as ``compacted ∪ deltas(batch_id > through)``.  Crash
+safety falls out of the ordering: a crash after writing the compacted
+dir but before the manifest leaves an orphan dir readers ignore; a
+crash after the manifest but before garbage collection leaves stale
+delta partitions readers filter out (batch_id <= through).  No state
+is ever readable twice.
+
+CONTRACT: only compact through batches the streaming checkpoint has
+fully committed.  A compacted batch can no longer replay (its delta
+partition is gone and its rows carry ``batch_id = through``), so
+``_read_index`` refuses ``before_batch <= through`` loudly rather
+than silently treating a replayed batch's own data as prior state.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _manifest_path(table_path: str) -> str:
+    return os.path.join(table_path, "_compaction.json")
+
+
+def load_manifest(table_path: str) -> dict | None:
+    p = _manifest_path(table_path)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _read_deltas(spark, table_path: str, after_batch: int):
+    """Delta partitions with batch_id > after_batch, or None when every
+    delta partition has been garbage-collected (the table dir then
+    holds only underscore-prefixed entries Spark cannot infer a schema
+    from)."""
+    from pyspark.errors import AnalysisException
+    try:
+        df = spark.read.parquet(table_path)
+    except AnalysisException as e:
+        msg = str(e)
+        if "UNABLE_TO_INFER_SCHEMA" in msg or "Path does not exist" in msg \
+                or "PATH_NOT_FOUND" in msg:
+            return None
+        raise
+    return df.filter(F.col("batch_id") > F.lit(after_batch))
+
+
+def read_live(spark, table_path: str) -> DataFrame:
+    """The manifest-aware live view of a delta-indexed table: the
+    consolidated store (if any) unioned with the delta partitions it
+    does not cover.  Without a manifest this is exactly
+    ``spark.read.parquet(table_path)``."""
+    m = load_manifest(table_path)
+    if m is None:
+        return spark.read.parquet(table_path)
+    comp = spark.read.parquet(os.path.join(table_path, m["dir"]))
+    deltas = _read_deltas(spark, table_path, m["through"])
+    if deltas is None:
+        return comp
+    return comp.unionByName(deltas.select(*comp.columns))
+
+
+def compact_index(spark, table_path: str, through: int,
+                  partition_by: list[str] | None = None) -> dict:
+    """Consolidate every live row with batch_id <= ``through`` into a
+    new ``_compacted_v{k}`` store, commit the manifest, then garbage-
+    collect superseded delta partitions and older compacted versions.
+
+    ``partition_by`` preserves intra-store partition pruning (e.g.
+    ``["bucket"]`` for BM25 postings).  Re-compaction is supported:
+    the previous compacted store (batch_id = old through <= new
+    through) folds into the new one.  Returns the new manifest."""
+    m = load_manifest(table_path)
+    if m is not None and through < m["through"]:
+        raise ValueError(
+            f"through={through} precedes existing compaction horizon "
+            f"{m['through']}")
+    version = (m["version"] + 1) if m else 1
+    dest_name = f"_compacted_v{version}"
+
+    live = read_live(spark, table_path).filter(
+        F.col("batch_id") <= F.lit(through))
+    consolidated = live.withColumn("batch_id",
+                                   F.lit(int(through)).cast("int"))
+    writer = consolidated.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(os.path.join(table_path, dest_name))
+
+    manifest = {"version": version, "dir": dest_name, "through": through}
+    tmp = _manifest_path(table_path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, _manifest_path(table_path))  # the commit point
+
+    # garbage collection — everything after the commit point is
+    # invisible to readers already, so a crash here only leaves litter
+    for d in glob.glob(os.path.join(table_path, "batch_id=*")):
+        try:
+            bid = int(os.path.basename(d).split("=", 1)[1])
+        except ValueError:
+            continue
+        if bid <= through:
+            shutil.rmtree(d, ignore_errors=True)
+    for d in glob.glob(os.path.join(table_path, "_compacted_v*")):
+        if os.path.basename(d) != dest_name:
+            shutil.rmtree(d, ignore_errors=True)
+    return manifest
+
+
+def compact_bm25_index(spark, index_dir: str, through: int) -> dict:
+    """Compact all three BM25 index tables; postings keep their bucket
+    partitioning so probe-side partition pruning survives compaction."""
+    return {
+        "postings": compact_index(spark,
+                                  os.path.join(index_dir, "postings"),
+                                  through, partition_by=["bucket"]),
+        "doclen": compact_index(spark, os.path.join(index_dir, "doclen"),
+                                through),
+        "stats": compact_index(spark, os.path.join(index_dir, "stats"),
+                               through),
+    }

@@ -55,10 +55,25 @@ def _read_index(spark, path: str, cols, before_batch: int | None = None):
     committed, and without ``batch_id < N`` partition pruning it would
     treat its own fingerprints as prior duplicates and overwrite its
     accepted partition with gutted output.  Pass the current batch_id;
-    the filter is a partition-pruned read, not a scan."""
+    the filter is a partition-pruned read, not a scan.
+
+    Compaction-aware (streaming/compaction.py): when a manifest is
+    present the view is compacted ∪ newer deltas, and replaying a
+    batch at or below the compaction horizon raises — its delta is
+    gone and its rows carry the horizon's batch_id, so the replay
+    would silently see an empty prior index and leak duplicates."""
     from pyspark.errors import AnalysisException
+
+    from .compaction import load_manifest, read_live
+    manifest = load_manifest(path)
+    if manifest is not None and before_batch is not None \
+            and before_batch <= manifest["through"]:
+        raise ValueError(
+            f"batch {before_batch} is at or below the compaction "
+            f"horizon {manifest['through']} of {path}; compact only "
+            f"through checkpoint-committed batches")
     try:
-        df = spark.read.parquet(path)
+        df = read_live(spark, path)
     except AnalysisException as e:
         msg = str(e)
         # missing path, or a directory a killed first write created but
