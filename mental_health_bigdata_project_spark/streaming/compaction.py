@@ -104,6 +104,28 @@ def compact_index(spark, table_path: str, through: int,
         raise ValueError(
             f"through={through} precedes existing compaction horizon "
             f"{m['through']}")
+    # the horizon must name an EXISTING batch: a horizon above the
+    # newest live batch would make read_live skip deltas written later
+    # with smaller ids (silent data loss), and a horizon below the
+    # oldest would write an empty, schema-less snapshot that breaks
+    # every subsequent read
+    live_bids = []
+    for d in glob.glob(os.path.join(table_path, "batch_id=*")):
+        try:
+            live_bids.append(int(os.path.basename(d).split("=", 1)[1]))
+        except ValueError:
+            continue
+    if m is not None:
+        live_bids.append(m["through"])
+    if not live_bids:
+        raise ValueError(f"{table_path} has no batches to compact")
+    if through > max(live_bids):
+        raise ValueError(
+            f"through={through} exceeds newest live batch "
+            f"{max(live_bids)}; later deltas would become invisible")
+    if not any(b <= through for b in live_bids):
+        raise ValueError(
+            f"no batch at or below through={through} in {table_path}")
     version = (m["version"] + 1) if m else 1
     dest_name = f"_compacted_v{version}"
 

@@ -161,3 +161,24 @@ def test_chunkdedup_index_compaction_end_to_end(spark, sf_dir, tmp_path):
     plain = run(str(tmp_path / "o1"), str(tmp_path / "i1"), False)
     compacted = run(str(tmp_path / "o2"), str(tmp_path / "i2"), True)
     assert plain == compacted
+
+
+def test_horizon_must_name_an_existing_batch(spark, sf_dir, tmp_path):
+    """A horizon above the newest live batch would hide later-written
+    smaller-id deltas (read_live keeps only batch_id > through); one
+    below the oldest would write an empty schema-less snapshot.  Both
+    refuse."""
+    idx = str(tmp_path / "idx")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for b in (2, 3):
+        index_batch(docs.filter(F.pmod(F.col("doc_id"), 4) == b), b, idx)
+    p = os.path.join(idx, "doclen")
+    with pytest.raises(ValueError, match="exceeds newest live batch"):
+        compact_index(spark, p, through=7)
+    with pytest.raises(ValueError, match="no batch at or below"):
+        compact_index(spark, p, through=1)
+    with pytest.raises(ValueError, match="no batches to compact"):
+        compact_index(spark, str(tmp_path / "doesnotexist"), through=1)
+    # the newest live batch itself is a valid horizon
+    compact_index(spark, p, through=3)
+    assert load_manifest(p)["through"] == 3
