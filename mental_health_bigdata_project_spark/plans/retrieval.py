@@ -393,13 +393,16 @@ def sim_mmr_rerank(spark, sf_dir):
       GROUP BY q.query_id),
     idcg AS (
       SELECT n.query_id, n.n_rel,
-             CAST(SUM(CAST(round(1.0 / (ln(i + 1) / ln(2)), 6)
-                           AS DECIMAL(18,6))) AS DOUBLE) AS idcg
-      FROM nrel n JOIN (SELECT unnest(range(1, 11)) AS i) r
+             COALESCE(CAST(SUM(CAST(round(1.0 / (ln(i + 1) / ln(2)), 6)
+                                    AS DECIMAL(18,6))) AS DOUBLE), 0.0)
+               AS idcg
+      FROM nrel n LEFT JOIN (SELECT unnest(range(1, 11)) AS i) r
         ON r.i <= least(n.n_rel, 10)
       GROUP BY n.query_id, n.n_rel)
     SELECT d.query_id, round(d.dcg, 6) AS dcg, round(i.idcg, 6) AS idcg,
-           i.n_rel, round(d.dcg / i.idcg, 6) AS ndcg
+           i.n_rel,
+           round(CASE WHEN i.idcg = 0 THEN 0.0 ELSE d.dcg / i.idcg END, 6)
+             AS ndcg
     FROM dcg d JOIN idcg i ON d.query_id = i.query_id
 """)
 def retrieval_eval_ndcg(spark, sf_dir):
@@ -409,7 +412,10 @@ def retrieval_eval_ndcg(spark, sf_dir):
     weighting).  Relevance is binary label-match against the query
     vector's own label; IDCG uses the corpus-wide relevant count
     (capped at the cutoff), i.e. true NDCG, not the local-ideal
-    shortcut.  One corpus scan serves all three queries (the query
+    shortcut.  A query with ZERO relevant documents stays in the
+    report with idcg=0/ndcg=0 rather than silently dropping out — the
+    worst query is the one an averaged eval must not lose.  One corpus
+    scan serves all three queries (the query
     relation is a 3-row broadcast); per-rank gains are 6dp-rounded
     then decimal-summed.  At 100 TB the run under eval would come from
     the ANN index; this harness only ever touches k rows per query
@@ -436,12 +442,20 @@ def retrieval_eval_ndcg(spark, sf_dir):
                        .otherwise(0)).cast("bigint").alias("n_rel")))
     ranks = spark.range(1, 11).select(F.col("id").alias("i"))
     ideal_gain = 1.0 / (F.log(F.col("i") + 1) / F.log(F.lit(2.0)))
+    # LEFT join + coalesce: a query with zero relevant docs (n_rel=0)
+    # must surface with idcg=0/ndcg=0, not silently vanish from the
+    # report — it is exactly the worst-performing query an eval harness
+    # averaging ndcg over its query set needs to see
     idcg = (nrel.join(F.broadcast(ranks),
-                      F.col("i") <= F.least(F.col("n_rel"), F.lit(10)))
+                      F.col("i") <= F.least(F.col("n_rel"), F.lit(10)),
+                      "left")
             .groupBy("query_id", "n_rel")
-            .agg(F.sum(F.round(ideal_gain, 6).cast("decimal(18,6)"))
-                 .cast("double").alias("idcg")))
+            .agg(F.coalesce(
+                F.sum(F.round(ideal_gain, 6).cast("decimal(18,6)"))
+                .cast("double"), F.lit(0.0)).alias("idcg")))
     return (dcg.join(F.broadcast(idcg), "query_id")
             .select("query_id", F.round("dcg", 6).alias("dcg"),
                     F.round("idcg", 6).alias("idcg"), "n_rel",
-                    F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg")))
+                    F.round(F.when(F.col("idcg") == 0, 0.0)
+                            .otherwise(F.col("dcg") / F.col("idcg")), 6)
+                    .alias("ndcg")))

@@ -1205,6 +1205,47 @@ def dedup_chunk_exact(spark, sf_dir):
 _BPE_MERGES_MEMO: dict = {}
 
 
+def _bpe_merges(spark, sf_dir):
+    """The 10 trained merge pairs, one training run per (session,
+    dataset) — encode used to re-run the 10-step merge training on
+    every call (VERDICT r1 item 6)."""
+    from .registry import QUERIES
+    key = (spark, sf_dir)
+    merges = _BPE_MERGES_MEMO.get(key)
+    if merges is None:
+        merges = [(r["left"], r["right"])
+                  for r in QUERIES["bpe_train_merges"](spark, sf_dir)
+                  .orderBy("step").collect()]
+        _BPE_MERGES_MEMO[key] = merges
+    return merges
+
+
+def _bpe_word_symbol_counts(spark, sf_dir):
+    """(w, n_sym): per-distinct-word symbol count after applying the
+    memoized merges — the shared encode core of bpe_encode_apply and
+    bpe_fertility_by_lang (both join it back to the exploded corpus on
+    the word key).  The fold runs over the DISTINCT-WORD table only
+    (the Zipf head — millions of rows at 100 TB, not corpus-sized):
+    one sequential fold per merge step, no nesting."""
+    exploded = (_docs(spark, sf_dir)
+                .select(F.explode(tokens_col()).alias("w")))
+    chars = F.filter(F.split("w", "(?!^)"), lambda x: x != "")
+    vocab = (exploded.select("w").distinct()
+             .select("w", chars.alias("syms")).localCheckpoint())
+    for a, b in _bpe_merges(spark, sf_dir):
+        ab = a + b
+        merged = F.aggregate(
+            "syms", F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a)) & (s == F.lit(b)),
+                F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                         F.array(F.lit(ab))),
+            ).otherwise(F.concat(acc, F.array(s))))
+        vocab = vocab.select("w", merged.alias("syms")).localCheckpoint()
+    return vocab.select("w", F.size("syms").alias("n_sym"))
+
+
 @query("bpe_encode_apply", _bpe_encode_oracle_sql())
 def bpe_encode_apply(spark, sf_dir):
     """Apply the 10 trained BPE merges (bpe_train_merges) to the corpus
@@ -1217,33 +1258,9 @@ def bpe_encode_apply(spark, sf_dir):
     touched twice (token explode, final agg) and never carries symbol
     arrays.  Differentially tested against a pure-Python encoder on the
     learned merges (tests/test_text_functions.py)."""
-    from .registry import QUERIES
-    key = (spark, sf_dir)
-    merges = _BPE_MERGES_MEMO.get(key)
-    if merges is None:
-        # One training run per (session, dataset): encode used to re-run
-        # the 10-step merge training on every call (VERDICT r1 item 6).
-        merges = [(r["left"], r["right"])
-                  for r in QUERIES["bpe_train_merges"](spark, sf_dir)
-                  .orderBy("step").collect()]
-        _BPE_MERGES_MEMO[key] = merges
     exploded = (_docs(spark, sf_dir)
                 .select("doc_id", F.explode(tokens_col()).alias("w")))
-    chars = F.filter(F.split("w", "(?!^)"), lambda x: x != "")
-    vocab = (exploded.select("w").distinct()
-             .select("w", chars.alias("syms")).localCheckpoint())
-    for a, b in merges:
-        ab = a + b
-        merged = F.aggregate(
-            "syms", F.array().cast("array<string>"),
-            lambda acc, s: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(a)) & (s == F.lit(b)),
-                F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
-                         F.array(F.lit(ab))),
-            ).otherwise(F.concat(acc, F.array(s))))
-        vocab = vocab.select("w", merged.alias("syms")).localCheckpoint()
-    wc = vocab.select("w", F.size("syms").alias("n_sym"))
+    wc = _bpe_word_symbol_counts(spark, sf_dir)
     return (exploded.join(wc, "w")
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_tokens"),
@@ -1352,34 +1369,13 @@ def bpe_fertility_by_lang(spark, sf_dir):
     reports per-language doc/token/symbol counts plus the fertility
     ratio — one exact-integer division, engine-deterministic.
 
-    Plan shape: identical to the encode query (distinct-word fold +
-    word-key join), with the final aggregate collapsing to |langs|
-    rows instead of per-doc — strictly cheaper."""
-    from .registry import QUERIES
-    key = (spark, sf_dir)
-    merges = _BPE_MERGES_MEMO.get(key)
-    if merges is None:
-        merges = [(r["left"], r["right"])
-                  for r in QUERIES["bpe_train_merges"](spark, sf_dir)
-                  .orderBy("step").collect()]
-        _BPE_MERGES_MEMO[key] = merges
+    Plan shape: identical to the encode query (the shared
+    _bpe_word_symbol_counts distinct-word fold + word-key join), with
+    the final aggregate collapsing to |langs| rows instead of per-doc —
+    strictly cheaper."""
     exploded = (_docs(spark, sf_dir)
                 .select("doc_id", "lang", F.explode(tokens_col()).alias("w")))
-    chars = F.filter(F.split("w", "(?!^)"), lambda x: x != "")
-    vocab = (exploded.select("w").distinct()
-             .select("w", chars.alias("syms")).localCheckpoint())
-    for a, b in merges:
-        ab = a + b
-        merged = F.aggregate(
-            "syms", F.array().cast("array<string>"),
-            lambda acc, s: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(a)) & (s == F.lit(b)),
-                F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
-                         F.array(F.lit(ab))),
-            ).otherwise(F.concat(acc, F.array(s))))
-        vocab = vocab.select("w", merged.alias("syms")).localCheckpoint()
-    wc = vocab.select("w", F.size("syms").alias("n_sym"))
+    wc = _bpe_word_symbol_counts(spark, sf_dir)
     return (exploded.join(wc, "w")
             .groupBy("lang")
             .agg(F.countDistinct("doc_id").alias("n_docs"),

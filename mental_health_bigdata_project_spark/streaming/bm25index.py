@@ -87,7 +87,16 @@ def bm25_query(spark, index_dir: str,
     partition column, so the filter never touches non-matching files);
     corpus stats come from the per-batch rollup, not a doclen scan.
     Scoring is plans.retrieval.bm25_rank_df — bit-identical to the
-    batch plan."""
+    batch plan.
+
+    Querying an index no batch has committed to yet (stream bring-up,
+    or a first write that died leaving only ``_temporary``) returns an
+    EMPTY top-k rather than leaking AnalysisException to the serving
+    layer — the same missing-path contract as ``neardup._read_index``;
+    any other read failure (corrupt footers, permissions) still
+    raises."""
+    from pyspark.errors import AnalysisException
+
     from .compaction import read_live
 
     qt = spark.createDataFrame(queries, "query_id int, term string")
@@ -95,22 +104,35 @@ def bm25_query(spark, index_dir: str,
     import zlib
     buckets = sorted({zlib.crc32(t.encode()) % N_BUCKETS for t in terms})
 
+    def _live(table, schema):
+        try:
+            return read_live(spark, os.path.join(index_dir, table))
+        except AnalysisException as e:
+            msg = str(e)
+            if ("PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+                    or "UNABLE_TO_INFER_SCHEMA" in msg):
+                return spark.createDataFrame([], schema)
+            raise
+
     # read_live resolves compacted-store ∪ deltas when the index has
     # been compacted (streaming/compaction.py); the bucket filter
     # partition-prunes BOTH parts (the compacted store keeps bucket
     # partitioning)
-    postings = (read_live(spark, os.path.join(index_dir, "postings"))
+    postings = (_live("postings",
+                      "doc_id bigint, token string, tf bigint, "
+                      "batch_id int, bucket int")
                 .filter(F.col("bucket").isin(buckets))
                 .filter(F.col("token").isin(terms))
                 .select("doc_id", "token", "tf"))
     # doc lengths only for docs that matched a query term — the
     # doclen side is semi-join-pruned by the postings probe, so the
     # join never materializes corpus-wide lengths
-    dl_all = (read_live(spark, os.path.join(index_dir, "doclen"))
+    dl_all = (_live("doclen", "doc_id bigint, dl bigint, batch_id int")
               .select("doc_id", "dl"))
     dl = dl_all.join(postings.select("doc_id").distinct(), "doc_id",
                      "left_semi")
-    stats = (read_live(spark, os.path.join(index_dir, "stats"))
+    stats = (_live("stats",
+                   "n_docs bigint, sum_dl decimal(18,0), batch_id int")
              .agg(F.sum("n_docs").cast("bigint").alias("n"),
                   (F.sum("sum_dl").cast("double")
                    / F.sum("n_docs")).alias("avgdl")))

@@ -9,7 +9,10 @@ deltas through batch N into one consolidated store, atomically.
 
 Snapshot layout (inside each table directory):
 
-- ``batch_id=*/``          live delta partitions (written by the sinks)
+- ``batch_id=*/``          live delta partitions (written by the sinks;
+                           the vector index nests them one level down
+                           as ``cell=X/batch_id=N`` — discovery and GC
+                           handle both layouts)
 - ``_compacted_v{k}/``     consolidated rows for every batch <= through,
                            carrying a literal ``batch_id = through``
                            column; the underscore prefix makes Spark's
@@ -47,6 +50,28 @@ from pyspark.sql import DataFrame, functions as F
 
 def _manifest_path(table_path: str) -> str:
     return os.path.join(table_path, "_compaction.json")
+
+
+def _batch_dirs(table_path: str) -> list[str]:
+    """Every ``batch_id=*`` partition directory of the table — at the
+    root (chunk/span/BM25 layout) or nested one level below another
+    partition column (the near-dup vector index is partitioned by
+    ``(cell, batch_id)``, so its batch dirs live at
+    ``cell=X/batch_id=N``).  Underscore-prefixed dirs (compacted
+    stores) never match ``*=*`` and are skipped."""
+    dirs = glob.glob(os.path.join(table_path, "batch_id=*"))
+    for parent in glob.glob(os.path.join(table_path, "*=*")):
+        if os.path.basename(parent).startswith("batch_id="):
+            continue
+        dirs.extend(glob.glob(os.path.join(parent, "batch_id=*")))
+    return dirs
+
+
+def _batch_id_of(d: str) -> int | None:
+    try:
+        return int(os.path.basename(d).split("=", 1)[1])
+    except ValueError:
+        return None
 
 
 def load_manifest(table_path: str) -> dict | None:
@@ -110,11 +135,10 @@ def compact_index(spark, table_path: str, through: int,
     # oldest would write an empty, schema-less snapshot that breaks
     # every subsequent read
     live_bids = []
-    for d in glob.glob(os.path.join(table_path, "batch_id=*")):
-        try:
-            live_bids.append(int(os.path.basename(d).split("=", 1)[1]))
-        except ValueError:
-            continue
+    for d in _batch_dirs(table_path):
+        bid = _batch_id_of(d)
+        if bid is not None:
+            live_bids.append(bid)
     if m is not None:
         live_bids.append(m["through"])
     if not live_bids:
@@ -146,17 +170,31 @@ def compact_index(spark, table_path: str, through: int,
 
     # garbage collection — everything after the commit point is
     # invisible to readers already, so a crash here only leaves litter
-    for d in glob.glob(os.path.join(table_path, "batch_id=*")):
-        try:
-            bid = int(os.path.basename(d).split("=", 1)[1])
-        except ValueError:
-            continue
-        if bid <= through:
+    for d in _batch_dirs(table_path):
+        bid = _batch_id_of(d)
+        if bid is not None and bid <= through:
             shutil.rmtree(d, ignore_errors=True)
+            parent = os.path.dirname(d)
+            # a (cell, batch_id) layout can leave an empty cell=X shell
+            # behind; drop it so partition discovery stays clean
+            if (os.path.normpath(parent) != os.path.normpath(table_path)
+                    and not os.listdir(parent)):
+                shutil.rmtree(parent, ignore_errors=True)
     for d in glob.glob(os.path.join(table_path, "_compacted_v*")):
         if os.path.basename(d) != dest_name:
             shutil.rmtree(d, ignore_errors=True)
     return manifest
+
+
+def compact_vector_index(spark, index_dir: str, through: int) -> dict:
+    """Compact the streaming embedding-dedup vector index
+    (``neardup.dedup_embeddings_against_index``'s ``vectors`` table,
+    partitioned ``(cell, batch_id)``).  The consolidated store keeps
+    the ``cell`` partitioning so per-batch probes stay partition-pruned
+    after compaction; superseded nested ``cell=X/batch_id=N`` dirs and
+    any emptied ``cell=X`` shells are garbage-collected."""
+    return compact_index(spark, os.path.join(index_dir, "vectors"),
+                         through, partition_by=["cell"])
 
 
 def compact_bm25_index(spark, index_dir: str, through: int) -> dict:

@@ -75,12 +75,22 @@ def build_lm_artifact(reference_docs: DataFrame, artifact_dir: str) -> None:
           .groupBy("token").agg(F.count("*").alias("n1")))
     c12.write.mode("overwrite").parquet(os.path.join(artifact_dir, "c12"))
     uf.write.mode("overwrite").parquet(os.path.join(artifact_dir, "uf"))
-    v = uf.count()
+    # materialize-once: the cutoff pass scores against the parquet just
+    # written, not the live c12/uf lineages — otherwise the full
+    # explode+groupBy chain would re-execute inside count() and _score
+    # (~4x artifact-build cost on a large reference corpus)
     spark = reference_docs.sparkSession
-    scores = _score(flat, c12, uf, v)
+    c12_t = spark.read.parquet(os.path.join(artifact_dir, "c12"))
+    uf_t = spark.read.parquet(os.path.join(artifact_dir, "uf"))
+    v = uf_t.count()
+    scores = _score(flat, c12_t, uf_t, v)
     cut = scores.agg(
         F.expr("percentile_disc(0.33) WITHIN GROUP (ORDER BY avg_logp)")
         .alias("t_tail")).collect()[0]["t_tail"]
+    if cut is None:
+        raise ValueError(
+            "reference corpus has no scorable documents (every doc has "
+            "< 2 tokens) — cannot fit a bigram-LM tail cutoff")
     (spark.createDataFrame([(int(v), float(cut))], "v bigint, t_tail double")
      .write.mode("overwrite").parquet(os.path.join(artifact_dir, "meta")))
 

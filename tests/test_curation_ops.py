@@ -704,3 +704,17 @@ def test_lm_gate_trains_once_and_filters_stream_batches(spark, tmp_path):
     acc = {r["doc_id"] for r in
            spark.read.parquet(f"{out}/accepted").collect()}
     assert acc == {100}
+
+
+def test_lm_artifact_refuses_unscorable_reference(spark, tmp_path):
+    """A reference corpus with no >=2-token document cannot define a
+    tail cutoff — the build must fail loudly, not crash with a
+    NoneType TypeError deep in float()."""
+    import pytest
+
+    from mental_health_bigdata_project_spark.streaming import lmgate
+
+    ref = spark.createDataFrame(
+        [(1, "hello"), (2, ""), (3, "x")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="no scorable documents"):
+        lmgate.build_lm_artifact(ref, str(tmp_path / "lm"))

@@ -163,6 +163,42 @@ def test_chunkdedup_index_compaction_end_to_end(spark, sf_dir, tmp_path):
     assert plain == compacted
 
 
+def test_vector_index_compaction_end_to_end(spark, sf_dir, tmp_path):
+    """The embedding-dedup sink's vector index nests its batch
+    partitions as cell=X/batch_id=N; compaction must discover them,
+    keep the cell partitioning in the consolidated store (probe
+    pruning survives), GC the nested deltas, and leave accepted
+    output byte-identical to an uncompacted run."""
+    from mental_health_bigdata_project_spark.streaming.compaction import (
+        compact_vector_index)
+    from mental_health_bigdata_project_spark.streaming.neardup import (
+        dedup_embeddings_against_index)
+    vecs = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding")
+
+    def run(out, idxd, compact_after_1):
+        for b in (0, 1, 2):
+            part = vecs.filter(F.pmod(F.col("vec_id"), 3) == b)
+            dedup_embeddings_against_index(part, b, out, idxd,
+                                           threshold=0.8)
+            if b == 1 and compact_after_1:
+                compact_vector_index(spark, idxd, through=1)
+        acc = spark.read.parquet(os.path.join(out, "accepted"))
+        return sorted(r.vec_id for r in acc.collect())
+
+    plain = run(str(tmp_path / "o1"), str(tmp_path / "i1"), False)
+    compacted = run(str(tmp_path / "o2"), str(tmp_path / "i2"), True)
+    assert plain == compacted and len(plain) > 0
+
+    p = os.path.join(str(tmp_path / "i2"), "vectors")
+    # nested deltas <= 1 are gone, batch 2's remain, store is cell-partitioned
+    assert not glob.glob(os.path.join(p, "cell=*", "batch_id=0"))
+    assert not glob.glob(os.path.join(p, "cell=*", "batch_id=1"))
+    assert glob.glob(os.path.join(p, "cell=*", "batch_id=2"))
+    assert glob.glob(os.path.join(p, "_compacted_v1", "cell=*"))
+    assert load_manifest(p)["through"] == 1
+
+
 def test_horizon_must_name_an_existing_batch(spark, sf_dir, tmp_path):
     """A horizon above the newest live batch would hide later-written
     smaller-id deltas (read_live keeps only batch_id > through); one

@@ -180,7 +180,7 @@ def test_no_hugeint_in_any_oracle_output():
 
     from mental_health_bigdata_project_spark.plans import ORACLES
 
-    sf_dir = "/root/testdata/sf0.001"
+    from conftest import SF_DIR as sf_dir
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:

@@ -112,6 +112,25 @@ def test_ndcg_range_and_ideal_consistency(spark, sf_dir):
         assert r.idcg == pytest.approx(ideal, abs=2e-6)
 
 
+def test_ndcg_zero_relevant_query_stays_in_report(spark, tmp_path):
+    """A query whose label matches no other embedding (n_rel=0) must
+    surface with idcg=0/ndcg=0, not silently vanish — an eval harness
+    averaging over its query set would otherwise lose exactly the
+    worst-performing query."""
+    rows = [(i, [float(i), 1.0, 0.5], 99 if i == 1 else 7)
+            for i in range(1, 6)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int")
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/embeddings.parquet")
+    out = {r.query_id: r
+           for r in QUERIES["retrieval_eval_ndcg"](spark, sf).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_rel == 0
+    assert out[1].idcg == 0.0 and out[1].ndcg == 0.0
+    assert out[2].n_rel > 0 and out[2].ndcg > 0.0
+
+
 def test_retrieval_plans_have_no_python_boundary(spark, sf_dir):
     for qid in ["sim_bm25_topk", "rank_fusion_rrf", "sim_mmr_rerank",
                 "retrieval_eval_ndcg"]:
