@@ -109,6 +109,9 @@ HEADLINE = [
     # hybrid RRF combiner (BM25 arm + dense top-k + fusion join)
     "sim_bm25_topk",
     "rank_fusion_rrf",
+    # round-4 layout surface: Z-order rewrite + min/max skipping eval
+    # (two two-phase global ranks over lineitem — the dominant cost)
+    "layout_zorder_skipping",
 ]
 
 

@@ -123,6 +123,8 @@ _CONVERTED_FRONT = [
     # new in round 4: the sparse/hybrid retrieval surface
     "sim_bm25_topk", "rank_fusion_rrf", "sim_mmr_rerank",
     "retrieval_eval_ndcg",
+    # new in round 4 (late): Z-order layout clustering + skipping eval
+    "layout_zorder_skipping",
 ]
 
 

@@ -1342,3 +1342,158 @@ def assign_contiguous_ids(spark, sf_dir):
             .select("doc_id",
                     (F.col("offset") + F.col("local_rank")).cast("bigint")
                     .alias("new_id")))
+
+
+def _two_phase_global_rank(spark, df, order_cols, rank_col="rn"):
+    """Global 1..N rank over ``order_cols`` with NO single-partition
+    window — the assign_contiguous_ids two-phase pattern, generalized:
+    (1) range-partition by the order key so partitions are key-ordered
+    and each ranks locally; (2) prefix-sum the P partition counts into
+    offsets and broadcast-join them back.  The wide data moves only
+    through the one range exchange; see assign_contiguous_ids for why
+    the pid-stamped frame must be localCheckpoint-pinned (both
+    branches must observe identical RangePartitioner boundaries)."""
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    keyed = df.repartitionByRange(n_parts, *order_cols)
+    with_pid = (keyed.withColumn("pid", F.spark_partition_id())
+                .localCheckpoint())
+    local = with_pid.withColumn(
+        "_lrank",
+        F.row_number().over(Window.partitionBy("pid").orderBy(*order_cols)))
+    offsets = (with_pid.groupBy("pid").agg(F.count("*").alias("_pn"))
+               .withColumn(
+                   "_off",
+                   F.coalesce(
+                       F.sum("_pn").over(
+                           Window.orderBy("pid")
+                           .rowsBetween(Window.unboundedPreceding, -1)),
+                       F.lit(0))))
+    return (local.join(F.broadcast(offsets.select("pid", "_off")), "pid")
+            .withColumn(rank_col,
+                        (F.col("_off") + F.col("_lrank")).cast("bigint"))
+            .drop("pid", "_lrank", "_off"))
+
+
+def _morton_expr(xc: str, yc: str, engine: str, bits: int = 16) -> str:
+    """Bit-interleaved (Morton / Z-order) code of two ``bits``-wide
+    grid coordinates, as an engine-native integer expression — Spark
+    uses shiftleft/shiftright functions, DuckDB the <<//>> operators;
+    the arithmetic is identical so the curves agree bit-for-bit.
+    Bit assignment matches the write-side ``operators/io.py::
+    zorder_key`` convention (column j of bit i lands at
+    ``i * n_cols + j``: x even positions, y odd)."""
+    terms = []
+    for i in range(bits):
+        if engine == "spark":
+            terms.append(f"shiftleft((shiftright({xc}, {i}) & 1), {2*i})")
+            terms.append(f"shiftleft((shiftright({yc}, {i}) & 1), {2*i+1})")
+        else:
+            terms.append(f"((({xc} >> {i}) & 1) << {2*i})")
+            terms.append(f"((({yc} >> {i}) & 1) << {2*i+1})")
+    return " + ".join(terms)
+
+
+_ZORDER_ORACLE = f"""
+    WITH base AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+                         l_partkey AS x, l_suppkey AS y FROM lineitem),
+    mx AS (SELECT max(x) AS mx, max(y) AS my, count(*) AS n FROM base),
+    g AS (SELECT ok, ln, x, y, mx, my, n,
+                 (x * 65536) // (mx + 1) AS x16,
+                 (y * 65536) // (my + 1) AS y16
+          FROM base CROSS JOIN mx),
+    zt AS (SELECT *, {_morton_expr('x16', 'y16', 'duckdb')} AS z FROM g),
+    ranked AS (
+      SELECT 'arrival' AS layout, x, y, n,
+             row_number() OVER (ORDER BY ok, ln) AS rn FROM zt
+      UNION ALL
+      SELECT 'zorder' AS layout, x, y, n,
+             row_number() OVER (ORDER BY z, x, y, ok, ln) AS rn FROM zt),
+    files AS (SELECT layout, x, y, ((rn - 1) * 64) // n AS f FROM ranked),
+    stats AS (SELECT layout, f, min(x) AS mnx, max(x) AS mxx,
+                     min(y) AS mny, max(y) AS mxy
+              FROM files GROUP BY layout, f),
+    probes AS (SELECT CAST(k AS INT) AS query_id,
+                      (mx * (2 * k)) // 16 AS xlo,
+                      (mx * (2 * k + 1)) // 16 AS xhi,
+                      (my * (2 * k)) // 16 AS ylo,
+                      (my * (2 * k + 1)) // 16 AS yhi
+               FROM (SELECT unnest(range(0, 8)) AS k) CROSS JOIN mx),
+    scan AS (SELECT layout, query_id,
+                    CASE WHEN mxx < xlo OR mnx > xhi
+                           OR mxy < ylo OR mny > yhi
+                         THEN 0 ELSE 1 END AS scanned
+             FROM stats CROSS JOIN probes)
+    SELECT layout, query_id,
+           CAST(SUM(scanned) AS BIGINT) AS files_scanned,
+           CAST(64 AS INT) AS files_total,
+           1.0 - CAST(SUM(scanned) AS DOUBLE) / 64 AS skip_frac
+    FROM scan GROUP BY layout, query_id
+"""
+
+
+@query("layout_zorder_skipping", _ZORDER_ORACLE)
+def layout_zorder_skipping(spark, sf_dir):
+    """Z-order (Morton-curve) data-layout clustering evaluated by
+    FILE-LEVEL min/max skipping — the Delta/Iceberg ``OPTIMIZE
+    ZORDER BY (a, b)`` payoff, expressed as a pure dataflow so it is
+    oracle-checkable (the evaluation twin of the write-side
+    ``operators/io.py::zorder_key`` / ``write_zordered`` utilities —
+    same bit-interleave convention): rewrite lineitem into 64 equal
+    files two ways
+    (arrival order vs Morton order over the (l_partkey, l_suppkey)
+    grid), collect per-file min/max of both columns (exactly what
+    parquet footers / Delta file stats store), and evaluate 8
+    diagonal rectangle predicates against the boxes.  Output per
+    (layout, predicate): files a min/max-pruning scan must open and
+    the skip fraction — arrival layout skips ~nothing (every file's
+    box spans the whole domain), Z-order skips most files, which is
+    the entire reason layout rewrites are worth one sort at 100 TB.
+
+    Scale shape: the Morton code is a per-row native bit expression
+    riding the scan; each layout's file assignment is a TWO-PHASE
+    global rank (range exchange + P-row offset broadcast —
+    _two_phase_global_rank, no single-partition window anywhere);
+    stats are one 64-row agg, and the skipping evaluation is a
+    64x8 metadata-only cross join.  Coordinates are rescaled to a
+    16-bit grid (x * 65536 div (max+1)) so the curve is
+    domain-independent; file count is the 64-file literal both
+    engines share.  All comparisons are integer; the one double
+    (skip fraction, m/64) is dyadic-exact cross-engine."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_linenumber").alias("ln"),
+        F.col("l_partkey").alias("x"), F.col("l_suppkey").alias("y"))
+    mx = li.agg(F.max("x").alias("mx"), F.max("y").alias("my"),
+                F.count("*").alias("n"))
+    zt = (li.crossJoin(F.broadcast(mx))
+          .withColumn("x16", F.expr("x * 65536 div (mx + 1)"))
+          .withColumn("y16", F.expr("y * 65536 div (my + 1)"))
+          .withColumn("z", F.expr(_morton_expr("x16", "y16", "spark"))))
+    stats = None
+    for name, cols in (("arrival", ["ok", "ln"]),
+                       ("zorder", ["z", "x", "y", "ok", "ln"])):
+        ranked = _two_phase_global_rank(spark, zt, cols)
+        s = (ranked.withColumn("f", F.expr("(rn - 1) * 64 div n"))
+             .groupBy("f")
+             .agg(F.min("x").alias("mnx"), F.max("x").alias("mxx"),
+                  F.min("y").alias("mny"), F.max("y").alias("mxy"))
+             .withColumn("layout", F.lit(name)))
+        stats = s if stats is None else stats.unionByName(s)
+    probes = (spark.range(0, 8).select(F.col("id").alias("k"))
+              .crossJoin(F.broadcast(mx))
+              .select(F.col("k").cast("int").alias("query_id"),
+                      F.expr("mx * (2 * k) div 16").alias("xlo"),
+                      F.expr("mx * (2 * k + 1) div 16").alias("xhi"),
+                      F.expr("my * (2 * k) div 16").alias("ylo"),
+                      F.expr("my * (2 * k + 1) div 16").alias("yhi")))
+    scanned = F.when((F.col("mxx") < F.col("xlo"))
+                     | (F.col("mnx") > F.col("xhi"))
+                     | (F.col("mxy") < F.col("ylo"))
+                     | (F.col("mny") > F.col("yhi")), 0).otherwise(1)
+    return (stats.crossJoin(F.broadcast(probes))
+            .select("layout", "query_id", scanned.alias("scanned"))
+            .groupBy("layout", "query_id")
+            .agg(F.sum("scanned").cast("bigint").alias("files_scanned"))
+            .select("layout", "query_id", "files_scanned",
+                    F.lit(64).cast("int").alias("files_total"),
+                    (F.lit(1.0) - F.col("files_scanned").cast("double")
+                     / F.lit(64)).alias("skip_frac")))

@@ -157,6 +157,15 @@ def compact_index(spark, table_path: str, through: int,
         F.col("batch_id") <= F.lit(through))
     consolidated = live.withColumn("batch_id",
                                    F.lit(int(through)).cast("int"))
+    if partition_by:
+        # hash-cluster rows by the partition columns so each partition
+        # value is written by exactly ONE task — without this, every
+        # shuffle task holding rows of a dir writes its own file there
+        # and the consolidated store keeps ~task-count files per dir
+        # (measured: 514 -> 64 postings files at 48 batches).  A huge
+        # single file per value is bounded by
+        # spark.sql.files.maxRecordsPerFile if set.
+        consolidated = consolidated.repartition(*partition_by)
     writer = consolidated.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)

@@ -173,3 +173,30 @@ def test_privacy_l_diversity_invariants(spark, sf_dir):
         assert r.meets_l == (1 if r.n_sensitive >= 3 else 0)
     total = sum(r.group_size for r in rows)
     assert total == load_table(spark, sf_dir, "customer").count()
+
+
+def test_layout_zorder_beats_arrival_on_skipping(spark, sf_dir):
+    """The point of the layout rewrite, asserted: Z-order clustering
+    must let min/max file pruning skip most files on every diagonal
+    rectangle probe, while arrival order skips ~none (each file's
+    bounding box spans the whole key domain).  Also pins the
+    file-count accounting (scanned <= total = 64) and the exactness
+    of the dyadic skip fraction."""
+    from mental_health_bigdata_project_spark.plans import QUERIES
+
+    rows = QUERIES["layout_zorder_skipping"](spark, sf_dir).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.layout, {})[r.query_id] = r
+    assert set(by) == {"arrival", "zorder"}
+    assert set(by["arrival"]) == set(by["zorder"]) == set(range(8))
+    for qid in range(8):
+        a, z = by["arrival"][qid], by["zorder"][qid]
+        assert 0 <= z.files_scanned <= a.files_scanned <= 64
+        assert a.files_total == z.files_total == 64
+        assert z.skip_frac == 1.0 - z.files_scanned / 64  # dyadic-exact
+        # the clustering claim: z-order prunes where arrival cannot
+        assert z.files_scanned < 64
+    total_a = sum(r.files_scanned for r in rows if r.layout == "arrival")
+    total_z = sum(r.files_scanned for r in rows if r.layout == "zorder")
+    assert total_z < total_a / 2

@@ -67,6 +67,11 @@ GUARDED = [
     ("sim_bm25_topk", 1, 0),
     ("rank_fusion_rrf", 3, 0),
     ("retrieval_eval_ndcg", 0, 0),
+    # layout_zorder_skipping: the 1-row domain-max aggregate plus one
+    # P-row (P = shuffle partitions) offset prefix-sum window per
+    # layout (the _two_phase_global_rank pattern — metadata-sized;
+    # the wide data moves only through range exchanges)
+    ("layout_zorder_skipping", 3, 0),
 ]
 
 
