@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from mental_health_bigdata_project_spark.plans import QUERIES
 
 # three distinct 30-token blocks (chunk size = 30)
@@ -718,3 +720,51 @@ def test_lm_artifact_refuses_unscorable_reference(spark, tmp_path):
         [(1, "hello"), (2, ""), (3, "x")], "doc_id bigint, text string")
     with pytest.raises(ValueError, match="no scorable documents"):
         lmgate.build_lm_artifact(ref, str(tmp_path / "lm"))
+
+
+def test_decontam_gate_matches_batch_query(spark, sf_dir, tmp_path):
+    """The streaming decontamination gate must drop EXACTLY the docs
+    the oracle-checked batch query (decontam_benchmark) flags on the
+    same corpus split, and pass everything else — streaming == batch
+    pinned end-to-end, including through the chunk-dedup topology's
+    gate hook."""
+    from mental_health_bigdata_project_spark.plans import QUERIES
+    from mental_health_bigdata_project_spark.sources import load_table
+    from mental_health_bigdata_project_spark.streaming import (chunkdedup,
+                                                               decontamgate)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+
+    art = str(tmp_path / "decontam")
+    n_fps = decontamgate.build_decontam_artifact(bench, art)
+    assert n_fps > 0
+    gate = decontamgate.decontam_gate(spark, art)
+
+    flagged_batch = {r.doc_id for r in
+                     QUERIES["decontam_benchmark"](spark, sf_dir).collect()}
+    kept = {r.doc_id for r in gate(train).select("doc_id").collect()}
+    train_ids = {r.doc_id for r in train.select("doc_id").collect()}
+    assert train_ids - kept == flagged_batch
+    assert flagged_batch, "fixture should contain contamination"
+
+    # wired into the streaming chunk-dedup topology: contaminated docs
+    # never reach the accepted output
+    out, idx = str(tmp_path / "out"), str(tmp_path / "idx")
+    some_clean = sorted(kept)[:3]
+    some_dirty = sorted(flagged_batch)[:2]
+    batch = train.filter(F.col("doc_id").isin(some_clean + some_dirty))
+    chunkdedup.rewrite_batch_against_index(batch, 0, out, idx, gate=gate)
+    acc = {r["doc_id"] for r in
+           spark.read.parquet(f"{out}/accepted").collect()}
+    assert acc == set(some_clean)
+
+
+def test_decontam_artifact_refuses_empty_benchmark(spark, tmp_path):
+    from mental_health_bigdata_project_spark.streaming import decontamgate
+
+    bench = spark.createDataFrame([(1, "too short"), (2, "x")],
+                                  "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="no 3-gram fingerprints"):
+        decontamgate.build_decontam_artifact(bench, str(tmp_path / "a"))
