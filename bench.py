@@ -112,6 +112,9 @@ HEADLINE = [
     # round-4 layout surface: Z-order rewrite + min/max skipping eval
     # (two two-phase global ranks over lineitem — the dominant cost)
     "layout_zorder_skipping",
+    # round-4 (late): iterative k-means training as dataflow — two
+    # Lloyd passes over the exploded corpus with broadcast centroids
+    "ml_kmeans_lloyd_portable",
 ]
 
 

@@ -125,6 +125,9 @@ _CONVERTED_FRONT = [
     "retrieval_eval_ndcg",
     # new in round 4 (late): Z-order layout clustering + skipping eval
     "layout_zorder_skipping",
+    # new in round 4 (late): oracle-checked Lloyd k-means training and
+    # the learned-quantizer IVF probe built on it
+    "ml_kmeans_lloyd_portable", "sim_ann_ivf_kmeans",
 ]
 
 

@@ -2736,3 +2736,201 @@ def emb_cell_balance(spark, sf_dir):
         # the double detour would lose bits once pair_mass > 2^53
         F.sum(F.expr("n * (n - 1) DIV 2")).cast("bigint")
         .alias("pair_mass"))
+
+
+# --- learned coarse quantizer: unrolled Lloyd's k-means -------------------
+#
+# The mllib ledger (plans/mllib.py) keeps KMeans rows-only because
+# library training internals are engine-specific.  This section closes
+# that caveat for the algorithm itself: two Lloyd iterations UNROLLED
+# as dataflow, with every engine-divergent float reduction replaced by
+# an exact one (integer-micro-unit centroid means, DECIMAL(38,9)
+# distance sums), so training — not just inference — hash-matches
+# DuckDB bitwise.  Random-partition init (cid = vec_id mod k) is the
+# classic deterministic seeding; ties in the argmin break on (dist,
+# cid), which both engines order identically because the dist is an
+# exact decimal.
+
+_KM_K = 8
+_KM_ITERS = 2
+
+_KM_CTES = """v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ve,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS q
+      FROM embeddings),
+    px AS (
+      SELECT vec_id, u.pos AS pos, u.qi AS qi,
+             CAST(u.qi AS DOUBLE) / 1000000.0 AS x
+      FROM (SELECT vec_id,
+                   unnest(list_transform(q,
+                          (qq, i) -> {'pos': i - 1, 'qi': qq})) AS u
+            FROM v)),
+    a0 AS (SELECT vec_id, CAST(vec_id % 8 AS INTEGER) AS cid FROM v),
+    c1 AS (SELECT a.cid, p.pos,
+                  CAST(SUM(p.qi) AS DOUBLE) / COUNT(p.qi) / 1000000.0 AS cv
+           FROM px p JOIN a0 a USING (vec_id) GROUP BY a.cid, p.pos),
+    d1 AS (SELECT p.vec_id, c.cid,
+                  SUM(CAST(round((p.x - c.cv) * (p.x - c.cv), 9)
+                           AS DECIMAL(38,9))) AS dist
+           FROM px p JOIN c1 c USING (pos) GROUP BY p.vec_id, c.cid),
+    a1 AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid, row_number() OVER (
+                      PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             FROM d1) WHERE rn = 1),
+    c2 AS (SELECT a.cid, p.pos,
+                  CAST(SUM(p.qi) AS DOUBLE) / COUNT(p.qi) / 1000000.0 AS cv
+           FROM px p JOIN a1 a USING (vec_id) GROUP BY a.cid, p.pos),
+    d2 AS (SELECT p.vec_id, c.cid,
+                  SUM(CAST(round((p.x - c.cv) * (p.x - c.cv), 9)
+                           AS DECIMAL(38,9))) AS dist
+           FROM px p JOIN c2 c USING (pos) GROUP BY p.vec_id, c.cid),
+    w2 AS (SELECT vec_id, cid, dist FROM (
+             SELECT vec_id, cid, dist, row_number() OVER (
+                      PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             FROM d2) WHERE rn = 1)"""
+
+
+def _lloyd_chain(e: DataFrame, iters: int = _KM_ITERS):
+    """Two unrolled Lloyd iterations over ``embeddings``.
+
+    Returns ``(w2, c2)``: the final assignment ``(vec_id, cid, dist)``
+    (dist = exact DECIMAL(38,9) squared L2 to the winning centroid)
+    and the final centroid table ``(cid, pos, cv)``.
+
+    Determinism recipe (shared with _ivf_probe / vec_centroid_by_label):
+    components floor-quantized to integer micro-units so centroid means
+    are exact-integer-sum divisions; per-(vector, centroid) squared
+    distances accumulate 9dp-rounded DECIMAL terms, so the argmin
+    compares exact decimals — no float fold-order anywhere.
+
+    100 TB shape: the centroid table is k x dim rows (512 doubles) —
+    broadcast to the assignment join, so each iteration is one scan of
+    the exploded corpus + a (vec_id, cid)-keyed partial agg; the
+    assignment output is one row per vector.  Iterations are a fixed
+    small constant (2 here; production k-means caps iterations anyway),
+    so the lineage stays shallow — a1 is checkpointed to keep the
+    second iteration's plan from re-deriving the first."""
+    v = e.select(
+        "vec_id",
+        F.transform(to_double_array("embedding"),
+                    lambda x: F.floor(x * 1_000_000).cast("bigint")).alias("q"))
+    px = (v.select("vec_id", F.posexplode("q").alias("pos", "qi"))
+          .withColumn("x", F.col("qi").cast("double") / F.lit(1_000_000.0)))
+    assign = v.select(
+        "vec_id", F.pmod("vec_id", F.lit(_KM_K)).cast("int").alias("cid"))
+    cen = None
+    last_d = None
+    for it in range(iters):
+        cen = (px.join(assign, "vec_id")
+               .groupBy("cid", "pos")
+               .agg((F.sum("qi").cast("double") / F.count("qi")
+                     / F.lit(1_000_000.0)).alias("cv")))
+        last_d = (px.join(F.broadcast(cen), "pos")
+                  .groupBy("vec_id", "cid")
+                  .agg(F.sum(F.round((F.col("x") - F.col("cv"))
+                                     * (F.col("x") - F.col("cv")), 9)
+                             .cast("decimal(38,9)")).alias("dist")))
+        w = (last_d.groupBy("vec_id")
+             .agg(F.min(F.struct("dist", "cid")).alias("w")))
+        assign = w.select("vec_id", F.col("w.cid").alias("cid"))
+        if it < iters - 1:
+            # n-row assignment: checkpoint so iteration i+1's centroid
+            # agg doesn't re-derive iteration i's whole join tree
+            assign = assign.localCheckpoint(eager=True)
+    w2 = (last_d.groupBy("vec_id")
+          .agg(F.min(F.struct("dist", "cid")).alias("w"))
+          .select("vec_id", F.col("w.cid").alias("cid"),
+                  F.col("w.dist").alias("dist")))
+    return w2, cen
+
+
+@query("ml_kmeans_lloyd_portable", f"""
+    WITH {_KM_CTES}
+    SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           round(CAST(SUM(dist) AS DOUBLE) / COUNT(*), 6) AS avg_sqdist
+    FROM w2 GROUP BY cid
+""")
+def ml_kmeans_lloyd_portable(spark, sf_dir):
+    """K-means TRAINING as oracle-checked dataflow: two Lloyd
+    iterations (k=8, random-partition init cid = vec_id mod 8)
+    unrolled into joins + aggregates, hash-matching DuckDB end to end
+    — the iterative-ML counterexample to the mllib ledger's
+    "training is engine-specific" caveat (plans/mllib.py, which keeps
+    the library KMeans rows-only).  Output: per-cluster population and
+    mean squared distance to the learned centroid — the inertia
+    decomposition used to pick k.
+
+    Per iteration at 100 TB: centroid update is one (cid, pos) hash
+    agg (k x dim partials, map-side combined); re-assignment joins the
+    exploded corpus to the BROADCAST k x dim centroid table and
+    partial-aggregates (vec_id, cid) sums — no corpus-sized shuffle
+    beyond the one agg, no driver collect anywhere.  Exactness per
+    _lloyd_chain's docstring."""
+    w2, _ = _lloyd_chain(_emb(spark, sf_dir))
+    return w2.groupBy("cid").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.round(F.sum("dist").cast("double") / F.count("*"), 6)
+        .alias("avg_sqdist"))
+
+
+@query("sim_ann_ivf_kmeans", f"""
+    WITH {_KM_CTES},
+    qd AS (SELECT c.cid,
+                  SUM(CAST(round((p.x - c.cv) * (p.x - c.cv), 9)
+                           AS DECIMAL(38,9))) AS dist
+           FROM px p JOIN c2 c USING (pos)
+           WHERE p.vec_id = 1 GROUP BY c.cid),
+    probe AS (SELECT cid FROM qd ORDER BY dist, cid LIMIT 2),
+    qv AS (SELECT ve AS qvec FROM v WHERE vec_id = 1)
+    SELECT w.vec_id, w.cid,
+           round({_COS_SQL.format(a='e.ve', b='qv.qvec')}, 6) AS cosine
+    FROM w2 w
+    JOIN probe USING (cid)
+    JOIN v e ON e.vec_id = w.vec_id
+    CROSS JOIN qv
+    WHERE w.vec_id <> 1
+    ORDER BY cosine DESC, w.vec_id LIMIT 10
+""")
+def sim_ann_ivf_kmeans(spark, sf_dir):
+    """IVF ANN with a LEARNED coarse quantizer, end-to-end
+    oracle-checked: the _lloyd_chain centroids (trained in-query,
+    bit-identically on both engines) replace sim_ann_ivf_portable's
+    fixed sign planes.  The query vector ranks the k learned cells by
+    exact decimal-summed squared distance, probes the closest 2, and
+    brute-forces exact cosines inside them — top-10 with (cosine DESC,
+    vec_id) tiebreak.
+
+    This is the production IVF serving shape (train once, assign
+    corpus, partition storage by cid, probe nprobe/k of it) with the
+    training step itself inside the verified perimeter — the missing
+    piece between sim_ann_ivf (MLlib KMeans, rows-only) and
+    sim_ann_ivf_portable (verified but unlearned quantizer).  At scale
+    the w2 assignment is the partition key of the vector store; the
+    probe set and centroid table are metadata-sized broadcasts."""
+    e = _emb(spark, sf_dir)
+    w2, cen = _lloyd_chain(e)
+    px_q = (e.filter(F.col("vec_id") == 1)
+            .select(F.posexplode(F.transform(
+                to_double_array("embedding"),
+                lambda x: F.floor(x * 1_000_000).cast("bigint")))
+                .alias("pos", "qi"))
+            .withColumn("x", F.col("qi").cast("double") / F.lit(1_000_000.0)))
+    qd = (px_q.join(F.broadcast(cen), "pos")
+          .groupBy("cid")
+          .agg(F.sum(F.round((F.col("x") - F.col("cv"))
+                             * (F.col("x") - F.col("cv")), 9)
+                     .cast("decimal(38,9)")).alias("dist")))
+    probe = qd.orderBy("dist", "cid").limit(2).select("cid")
+    qv = (e.filter(F.col("vec_id") == 1)
+          .select(to_double_array("embedding").alias("qvec")))
+    ve = e.select("vec_id", to_double_array("embedding").alias("ve"))
+    return (w2.join(F.broadcast(probe), "cid")
+            .join(ve, "vec_id")
+            .crossJoin(F.broadcast(qv))
+            .filter(F.col("vec_id") != 1)
+            .select("vec_id", "cid",
+                    F.round(cosine_similarity(F.col("ve"), F.col("qvec")), 6)
+                    .alias("cosine"))
+            .orderBy(F.desc("cosine"), "vec_id")
+            .limit(10))
