@@ -115,6 +115,10 @@ HEADLINE = [
     # round-4 (late): iterative k-means training as dataflow — two
     # Lloyd passes over the exploded corpus with broadcast centroids
     "ml_kmeans_lloyd_portable",
+    # round-4 (late): the portable-sketch surface — HLL register build
+    # (one scan -> 64-row partials), Bloom bitmap probe (broadcast bit
+    # join), and the three-way Kneser–Ney count aggregation
+    "sketch_hll_portable", "sketch_bloom_decontam", "lm_kneser_ney_bigram",
 ]
 
 

@@ -25,6 +25,7 @@ from . import udtf_udaf  # noqa: F401,E402
 from . import quality  # noqa: F401,E402
 from . import advanced  # noqa: F401,E402
 from . import retrieval  # noqa: F401,E402
+from . import sketches  # noqa: F401,E402
 
 
 # --- driver-sample ordering (VERDICT r2 item 2, r3 item 3) ----------------
@@ -128,6 +129,11 @@ _CONVERTED_FRONT = [
     # new in round 4 (late): oracle-checked Lloyd k-means training and
     # the learned-quantizer IVF probe built on it
     "ml_kmeans_lloyd_portable", "sim_ann_ivf_kmeans",
+    # new in round 4 (late): portable sketches / weighted sampling /
+    # closed-form statistics (plans/sketches.py)
+    "sketch_hll_portable", "sketch_hll_merge", "sketch_hdr_quantiles",
+    "sketch_bloom_decontam", "sample_weighted_reservoir",
+    "ml_linreg_closed_form", "lm_kneser_ney_bigram",
 ]
 
 

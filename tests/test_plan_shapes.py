@@ -72,6 +72,19 @@ GUARDED = [
     # layout (the _two_phase_global_rank pattern — metadata-sized;
     # the wide data moves only through range exchanges)
     ("layout_zorder_skipping", 3, 0),
+    # round-4 sketch surface.  Budgets are documented benign cases:
+    #   sketch_hdr_quantiles: two cumulative-count windows over BOUNDED
+    #     tables (the ~2k-row bucket histogram and the distinct-cents
+    #     CDF) plus the 1-row total-count aggregate;
+    #   sketch_bloom_decontam / lm_kneser_ney_bigram: one 1-row global
+    #     aggregate each (the summary row / the bigram-type total).
+    ("sketch_hll_portable", 0, 0),
+    ("sketch_hll_merge", 0, 0),
+    ("sketch_hdr_quantiles", 3, 0),
+    ("sketch_bloom_decontam", 1, 0),
+    ("sample_weighted_reservoir", 0, 0),
+    ("ml_linreg_closed_form", 0, 0),
+    ("lm_kneser_ney_bigram", 1, 0),
 ]
 
 

@@ -1,0 +1,197 @@
+"""Invariants for the portable-sketch / sampling / closed-form-stats
+surface (plans/sketches.py).  Value parity vs DuckDB is the oracle
+gate's job (green at sf0.001/0.01/0.1); these pin the ALGORITHMIC
+guarantees the hash can't see: error bounds hold, the Bloom filter
+never false-negatives, reservoir keys really are the global top-k,
+OLS matches an independent float fit, and Kneser–Ney conserves
+probability mass per context."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from mental_health_bigdata_project_spark.plans import QUERIES
+from mental_health_bigdata_project_spark.plans.sketches import (
+    _BLOOM_K, _BLOOM_M, _HDR_BITS, _KN_D, _kn_full)
+
+
+# --- HyperLogLog ----------------------------------------------------------
+
+def test_hll_estimate_within_bound_every_year(spark, sf_dir):
+    rows = QUERIES["sketch_hll_portable"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.within_3sigma == 1, (r.yr, r.est, r.n_exact)
+        assert r.harmonic_s > 0
+        assert 0 <= r.n_zero_regs <= 64
+
+
+def test_hll_monthly_merge_is_lossless(spark, sf_dir):
+    rows = QUERIES["sketch_hll_merge"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.merge_lossless == 1
+        assert r.merged_s == r.direct_s
+
+
+# --- HDR quantiles --------------------------------------------------------
+
+def test_hdr_quantiles_within_relative_error_bound(spark, sf_dir):
+    rows = QUERIES["sketch_hdr_quantiles"](spark, sf_dir).collect()
+    assert {r.q for r in rows} == {0.5, 0.9, 0.99}
+    for r in rows:
+        assert r.within_bound == 1
+        assert abs(r.est - r.exact) / r.exact <= 2.0 ** -_HDR_BITS
+
+
+def test_hdr_exact_column_matches_independent_percentile(spark, sf_dir):
+    """The 'exact' comparator really is the ceil(q*n)-th smallest."""
+    from mental_health_bigdata_project_spark.sources import load_table
+
+    prices = sorted(
+        int(math.floor(r[0] * 100 + 0.5))
+        for r in load_table(spark, sf_dir, "lineitem")
+        .select("l_extendedprice").collect())
+    n = len(prices)
+    rows = QUERIES["sketch_hdr_quantiles"](spark, sf_dir).collect()
+    for r in rows:
+        want = prices[math.ceil(r.q * n) - 1] / 100.0
+        assert r.exact == pytest.approx(want, abs=1e-9)
+
+
+# --- Bloom decontamination gate -------------------------------------------
+
+def test_bloom_never_false_negative_and_fp_bounded(spark, sf_dir):
+    r = QUERIES["sketch_bloom_decontam"](spark, sf_dir).collect()[0]
+    assert r.n_false_neg == 0
+    assert r.n_bloom_pos == r.n_exact_pos + r.n_false_pos
+    assert r.n_docs_bloom >= r.n_docs_exact
+    # the filter is sized well under capacity at every test SF, so the
+    # measured fp_rate stays far from the degenerate all-positive case
+    assert 0.0 <= r.fp_rate < 0.5
+
+
+def test_bloom_matches_python_reference_on_sample(spark, sf_dir):
+    """Recompute bit positions in hashlib for a handful of shingles and
+    check the relational encoding agrees with a literal Bloom filter."""
+    from mental_health_bigdata_project_spark.plans.sketches import _bloom_bits
+
+    df = spark.createDataFrame(
+        [("alpha beta gamma",), ("x y z",)], "shingle string")
+    got = {(r.shingle, r.j, r.bit) for r in _bloom_bits(df, "shingle").collect()}
+    want = set()
+    for s in ["alpha beta gamma", "x y z"]:
+        for j in range(_BLOOM_K):
+            h = hashlib.md5(f"{s}#{j}".encode()).hexdigest()
+            want.add((s, j, int(h[:4], 16) % _BLOOM_M))
+    assert got == want
+
+
+# --- weighted reservoir ---------------------------------------------------
+
+def test_reservoir_topk_matches_python_recompute(spark, sf_dir):
+    from mental_health_bigdata_project_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "n_chars").collect()
+    keyed = []
+    for r in docs:
+        h = hashlib.md5(f"wres:{r.doc_id}".encode()).hexdigest()
+        u = int(h[:13], 16) / 16.0 ** 13
+        w = max(r.n_chars, 1)
+        keyed.append((round(u ** (1.0 / w), 12), -r.doc_id, r.doc_id, w))
+    want = [(doc_id, w) for _, _, doc_id, w in
+            sorted(keyed, reverse=True)[:10]]
+    got = [(r.doc_id, r.w) for r in
+           QUERIES["sample_weighted_reservoir"](spark, sf_dir).collect()]
+    assert got == want
+
+
+def test_reservoir_inclusion_tracks_weight(spark, sf_dir):
+    """A-ES inclusion probability rises with weight: the sampled docs'
+    mean weight should exceed the corpus mean (deterministic given the
+    fixed md5 namespace — not a flaky statistical assertion, just a
+    pinned property of this corpus + namespace)."""
+    from mental_health_bigdata_project_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    sample = QUERIES["sample_weighted_reservoir"](spark, sf_dir).collect()
+    corpus_mean = load_table(spark, sf_dir, "documents").agg(
+        F.avg(F.greatest("n_chars", F.lit(1)))).collect()[0][0]
+    sample_mean = sum(r.w for r in sample) / len(sample)
+    assert sample_mean > corpus_mean
+
+
+# --- closed-form OLS ------------------------------------------------------
+
+def test_linreg_matches_numpy_fit(spark, sf_dir):
+    np = pytest.importorskip("numpy")
+    from mental_health_bigdata_project_spark.sources import load_table
+
+    rows = QUERIES["ml_linreg_closed_form"](spark, sf_dir).collect()
+    data = load_table(spark, sf_dir, "lineitem") \
+        .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+    by_flag: dict[str, list] = {}
+    for r in data:
+        by_flag.setdefault(r.l_returnflag, []).append(
+            (math.floor(r.l_quantity + 0.5),
+             math.floor(r.l_extendedprice * 100 + 0.5) / 100.0))
+    for r in rows:
+        pts = by_flag[r.l_returnflag]
+        x = np.array([p[0] for p in pts], dtype=float)
+        y = np.array([p[1] for p in pts], dtype=float)
+        slope, intercept = np.polyfit(x, y, 1)
+        # engine outputs are rounded (slope/r2 6dp, intercept 4dp):
+        # compare at the rounding granularity, not relative
+        assert r.slope == pytest.approx(slope, abs=2e-6)
+        assert r.intercept == pytest.approx(intercept, abs=2e-4)
+        cc = np.corrcoef(x, y)[0, 1]
+        assert r.r2 == pytest.approx(cc * cc, abs=2e-6)
+        assert 0.0 <= r.r2 <= 1.0
+
+
+# --- Kneser–Ney -----------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def kn_table(spark, sf_dir):
+    return _kn_full(spark, sf_dir).collect()
+
+
+def test_kn_probabilities_valid(kn_table):
+    assert kn_table
+    for r in kn_table:
+        assert 0.0 < r.p_kn <= 1.0, (r.w1, r.w2, r.p_kn)
+
+
+def test_kn_mass_per_context_at_most_one(kn_table):
+    """Sum over OBSERVED w2 of P(w2|w1) <= 1: the discounted term sums
+    to (c_w1 - D*N1f)/c_w1 and the interpolation term to at most
+    D*N1f/c_w1 (continuation mass over seen successors <= 1)."""
+    mass: dict[str, float] = {}
+    for r in kn_table:
+        mass[r.w1] = mass.get(r.w1, 0.0) + r.p_kn
+    assert mass
+    for w1, m in mass.items():
+        assert m <= 1.0 + 1e-6, (w1, m)
+
+
+def test_kn_discount_reserves_mass(kn_table):
+    """Each observed bigram loses exactly D/c(w1) to the backoff
+    reservation, so every p_kn is strictly below the raw MLE."""
+    # reconstruct MLE = c_bigram / c_w1 and require p_kn < MLE + interp
+    for r in kn_table[:2000]:
+        mle = r.c_bigram / r.c_w1
+        assert r.p_kn < mle + _KN_D / r.c_w1
+        assert r.p_kn > mle - _KN_D / r.c_w1
+
+
+def test_kn_top20_is_head_of_full_table(spark, sf_dir, kn_table):
+    want = [
+        (r.w1, r.w2) for r in sorted(
+            kn_table, key=lambda r: (-r.p_kn, r.w1, r.w2))[:20]]
+    got = [(r.w1, r.w2)
+           for r in QUERIES["lm_kneser_ney_bigram"](spark, sf_dir).collect()]
+    assert got == want
