@@ -115,15 +115,21 @@ def read_live(spark, table_path: str) -> DataFrame:
 
 
 def compact_index(spark, table_path: str, through: int,
-                  partition_by: list[str] | None = None) -> dict:
+                  partition_by: list[str] | None = None,
+                  transform=None) -> dict:
     """Consolidate every live row with batch_id <= ``through`` into a
     new ``_compacted_v{k}`` store, commit the manifest, then garbage-
     collect superseded delta partitions and older compacted versions.
 
     ``partition_by`` preserves intra-store partition pruning (e.g.
-    ``["bucket"]`` for BM25 postings).  Re-compaction is supported:
-    the previous compacted store (batch_id = old through <= new
-    through) folds into the new one.  Returns the new manifest."""
+    ``["bucket"]`` for BM25 postings).  ``transform`` (DataFrame ->
+    DataFrame, optional) folds the consolidated rows before writing —
+    for MERGEABLE state like HLL registers, where deltas collapse by
+    an associative combine (per-register max) instead of being
+    preserved row-for-row; it must not depend on ``batch_id`` (the
+    column is rewritten to ``through`` afterwards).  Re-compaction is
+    supported: the previous compacted store (batch_id = old through <=
+    new through) folds into the new one.  Returns the new manifest."""
     m = load_manifest(table_path)
     if m is not None and through < m["through"]:
         raise ValueError(
@@ -155,6 +161,8 @@ def compact_index(spark, table_path: str, through: int,
 
     live = read_live(spark, table_path).filter(
         F.col("batch_id") <= F.lit(through))
+    if transform is not None:
+        live = transform(live.drop("batch_id"))
     consolidated = live.withColumn("batch_id",
                                    F.lit(int(through)).cast("int"))
     if partition_by:

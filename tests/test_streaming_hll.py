@@ -1,0 +1,121 @@
+"""Streaming HLL distinct-count state: streaming-equals-batch parity,
+exactly-once replay (bit-identical estimates, not just row counts),
+prefix-consistency of the register merge, and sketch-aware compaction
+(registers fold by max, store size independent of batch count)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from mental_health_bigdata_project_spark.plans.sketches import (
+    _hll_estimate, _hll_registers)
+from mental_health_bigdata_project_spark.sources import load_table
+from mental_health_bigdata_project_spark.streaming.hllcount import (
+    compact_hll_index, read_distinct_estimates, register_batch,
+    run_incremental_hll)
+
+N_BATCHES = 3
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").select("event_type", "user_id")
+
+
+def _feed(spark, sf_dir, index_dir):
+    ev = _events(spark, sf_dir)
+    for b in range(N_BATCHES):
+        register_batch(ev.filter(F.pmod("user_id", F.lit(N_BATCHES)) == b),
+                       b, index_dir)
+    return ev
+
+
+def _rows(df):
+    return sorted((r.event_type, r.harmonic_s, r.n_zero_regs, r.est)
+                  for r in df.collect())
+
+
+def _batch_estimates(ev):
+    keyed = ev.select("event_type",
+                      F.md5(F.col("user_id").cast("string")).alias("h"))
+    return _hll_estimate(_hll_registers(keyed, ["event_type"]),
+                         ["event_type"])
+
+
+def test_streaming_equals_batch(spark, sf_dir, tmp_path):
+    index_dir = str(tmp_path / "idx")
+    ev = _feed(spark, sf_dir, index_dir)
+    served = read_distinct_estimates(spark, index_dir)
+    assert _rows(served) == _rows(_batch_estimates(ev))
+
+
+def test_replay_is_bit_identical(spark, sf_dir, tmp_path):
+    index_dir = str(tmp_path / "idx")
+    ev = _feed(spark, sf_dir, index_dir)
+    before = _rows(read_distinct_estimates(spark, index_dir))
+    register_batch(ev.filter(F.pmod("user_id", F.lit(N_BATCHES)) == 1),
+                   1, index_dir)  # crash-retry of batch 1
+    assert _rows(read_distinct_estimates(spark, index_dir)) == before
+
+
+def test_prefix_of_batches_sketches_prefix_of_rows(spark, sf_dir, tmp_path):
+    """After each batch, the served estimate equals the batch sketch of
+    all rows fed so far — the merge is consistent at every prefix, not
+    only at the end."""
+    index_dir = str(tmp_path / "idx")
+    ev = _events(spark, sf_dir)
+    for b in range(N_BATCHES):
+        register_batch(ev.filter(F.pmod("user_id", F.lit(N_BATCHES)) == b),
+                       b, index_dir)
+        fed = ev.filter(F.pmod("user_id", F.lit(N_BATCHES)) <= b)
+        assert _rows(read_distinct_estimates(spark, index_dir)) \
+            == _rows(_batch_estimates(fed))
+
+
+def test_estimates_track_exact_counts(spark, sf_dir, tmp_path):
+    index_dir = str(tmp_path / "idx")
+    ev = _feed(spark, sf_dir, index_dir)
+    exact = {r.event_type: r.n
+             for r in ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    for r in read_distinct_estimates(spark, index_dir).collect():
+        assert abs(r.est - exact[r.event_type]) / exact[r.event_type] <= 0.39
+
+
+def test_compaction_folds_registers_and_preserves_estimates(
+        spark, sf_dir, tmp_path):
+    index_dir = str(tmp_path / "idx")
+    _feed(spark, sf_dir, index_dir)
+    before = _rows(read_distinct_estimates(spark, index_dir))
+    regs_path = os.path.join(index_dir, "hll_regs")
+    n_rows_before = spark.read.parquet(regs_path).count()
+
+    manifest = compact_hll_index(spark, index_dir, through=N_BATCHES - 1)
+    assert manifest["through"] == N_BATCHES - 1
+    assert _rows(read_distinct_estimates(spark, index_dir)) == before
+
+    # sketch-aware fold: one row per (group, register), strictly fewer
+    # than the per-batch delta rows it consolidated
+    compacted = glob.glob(os.path.join(regs_path, "_compacted_v*"))
+    assert len(compacted) == 1
+    n_rows_after = spark.read.parquet(compacted[0]).count()
+    assert n_rows_after < n_rows_before
+    folded = spark.read.parquet(compacted[0])
+    assert folded.groupBy("event_type", "idx").count() \
+        .filter(F.col("count") > 1).count() == 0
+
+
+def test_streaming_runner_end_to_end(spark, sf_dir, tmp_path):
+    """availableNow file stream through run_incremental_hll equals the
+    batch sketch of the same rows."""
+    src = str(tmp_path / "src")
+    ev = _events(spark, sf_dir)
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = run_incremental_hll(stream, str(tmp_path / "ckpt"),
+                            str(tmp_path / "idx2"))
+    q.awaitTermination(120)
+    served = read_distinct_estimates(spark, str(tmp_path / "idx2"))
+    assert _rows(served) == _rows(_batch_estimates(ev))
