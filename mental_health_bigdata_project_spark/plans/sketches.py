@@ -493,8 +493,13 @@ def sketch_bloom_decontam(spark, sf_dir):
                                   F.element_at("toks", i + 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    sh = d.select("doc_id",
-                  F.explode(F.array_distinct(shingles)).alias("shingle"))
+    # the exploded shingle table feeds FOUR consumers (bench bits,
+    # probe, exact verdict, train rows): checkpoint it once — this is
+    # the materialized gram table a deployment would store anyway
+    # (the dedup_semdedup reuse recipe; ~25s -> ~7s at sf0.1)
+    sh = (d.select("doc_id",
+                   F.explode(F.array_distinct(shingles)).alias("shingle"))
+          .localCheckpoint(eager=True))
     bench = sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
     train = sh.filter(F.col("doc_id") % 97 != 0).distinct()
     bbits = _bloom_bits(bench, "shingle").select("bit").distinct()
@@ -727,7 +732,12 @@ def _kn_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.struct(F.element_at("toks", i).alias("w1"),
                            F.element_at("toks", i + 1).alias("w2")),
     )).alias("p")).select("p.w1", "p.w2")
-    cbg = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    # the bigram-type table feeds FOUR consumers (pair join, w1
+    # totals, continuation counts, the type total): checkpoint it once
+    # — it IS the trained model's sufficient statistic, the artifact a
+    # deployment persists (the dedup_semdedup reuse recipe)
+    cbg = (bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+           .localCheckpoint(eager=True))
     cw1 = cbg.groupBy("w1").agg(F.sum("c").cast("bigint").alias("cw"),
                                 F.count("*").cast("bigint").alias("n1f"))
     cw2 = cbg.groupBy("w2").agg(F.count("*").cast("bigint").alias("n1b"))
