@@ -46,6 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from ..functions.vectors import to_double_array
 from ..sources import load_table
 from .registry import query
 from .textops import _TOKS_SQL, tokens_col
@@ -749,3 +750,256 @@ def _kn_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("w1", "w2", F.col("c").cast("bigint").alias("c_bigram"),
                     F.col("cw").alias("c_w1"),
                     F.round(p_kn, 9).alias("p_kn")))
+
+
+# --- Johnson–Lindenstrauss random projection ------------------------------
+#
+# Rademacher projection of the 64-d embeddings into _JL_K = 16 dims via
+# the shared md5 sign planes ('jl<p>:' namespaces).  Components are
+# floor-quantized to integer micro-units first, so every projected
+# coordinate is an EXACT BIGINT signed sum and the projected squared
+# distance sum_p (S_pa - S_pb)^2 is exact integer arithmetic — the
+# estimator d2_jl = that / (k * 1e12) divides once at the end.
+
+_JL_K = 16
+_JL_PAIRS = 16   # pinned evaluation pairs: (2i, 2i+1) for i < 16
+
+_JL_PROJ_SQL = ", ".join(
+    f"list_aggregate(list_transform(q, (x, i) -> CASE WHEN "
+    f"substr(md5('jl{p}:' || CAST(i - 1 AS VARCHAR)), 1, 1) >= '8' "
+    f"THEN x ELSE -x END), 'sum') AS s{p}"
+    for p in range(_JL_K))
+
+_JL_D2_SQL = " + ".join(
+    f"(a.s{p} - b.s{p}) * (a.s{p} - b.s{p})" for p in range(_JL_K))
+
+_JL_EXACT_D2_SQL = (
+    "list_aggregate(list_transform(a.ve, (x, i) -> "
+    "CAST(round((x - b.ve[i]) * (x - b.ve[i]), 9) AS DECIMAL(38,9))), "
+    "'sum')")
+
+_JL_BASE_SQL = f"""v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ve,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+      FROM embeddings),
+    proj AS (SELECT vec_id, ve, {_JL_PROJ_SQL} FROM v)"""
+
+
+def _jl_proj(e: DataFrame) -> DataFrame:
+    """(vec_id, ve, s0..s{k-1}): exact integer Rademacher projections
+    using the precomputed literal sign strings (plan-build-time md5 —
+    the _md5_signstr recipe; the oracle SQL keeps the md5 form)."""
+    from .similarity import _md5_signstr
+
+    v = to_double_array("embedding")
+    qarr = F.transform(v, lambda x: F.floor(x * 1_000_000).cast("bigint"))
+    base = e.select("vec_id", v.alias("ve"), qarr.alias("q"))
+
+    def proj(p):
+        s = F.lit(_md5_signstr(f"jl{p}:"))
+        signed = F.transform(
+            F.col("q"),
+            lambda x, i: F.when(F.substring(s, i + 1, 1) == "+", x)
+            .when(F.substring(s, i + 1, 1) == "-", -x)
+            .otherwise(F.raise_error(F.lit(
+                "embedding dim exceeds _md5_signstr table; raise n"))))
+        return F.aggregate(signed, F.lit(0).cast("bigint"),
+                           lambda acc, x: acc + x).alias(f"s{p}")
+
+    return base.select("vec_id", "ve", *[proj(p) for p in range(_JL_K)])
+
+
+@query("vec_jl_distortion", f"""
+    WITH {_JL_BASE_SQL}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(round({_JL_EXACT_D2_SQL}, 6) AS DOUBLE) AS exact_d2,
+           round(CAST({_JL_D2_SQL} AS BIGINT)
+                 / ({_JL_K} * 1000000000000.0), 6) AS jl_d2,
+           round(round(CAST({_JL_D2_SQL} AS BIGINT)
+                       / ({_JL_K} * 1000000000000.0), 6)
+                 / CAST(round({_JL_EXACT_D2_SQL}, 6) AS DOUBLE), 4)
+             AS distortion
+    FROM proj a
+    JOIN proj b ON b.vec_id = a.vec_id + 1
+    WHERE a.vec_id % 2 = 0 AND a.vec_id < {2 * _JL_PAIRS}
+""")
+def vec_jl_distortion(spark, sf_dir):
+    """Johnson–Lindenstrauss random projection, 64 -> 16 dims, with its
+    distortion MEASURED on 16 pinned vector pairs: projected squared
+    distance (exact integer Rademacher sums over micro-unit components,
+    scaled by 1/(k * 1e12)) against the exact squared distance
+    (9dp-decimal termwise sums).  E[distortion] = 1 with per-pair
+    sigma ~ sqrt(2/k) = 35%% — the test pins the sample mean.
+
+    This is THE dimensionality-reduction primitive for embedding
+    pipelines at 100 TB: the projection is a per-row map riding the
+    scan (no shuffle, no training pass — the sign planes derive from
+    md5), it cuts every downstream ANN / dedup distance computation
+    4x, and unlike PCA (`ml_pca_embeddings`, rows-only: eigenbasis is
+    engine-specific) it is fully oracle-checkable.  Pairs with ids
+    (2i, 2i+1) keep the evaluation join trivially co-partitioned."""
+    e = _emb_sketch(spark, sf_dir)
+    proj = _jl_proj(e)
+    a = proj.filter((F.col("vec_id") % 2 == 0)
+                    & (F.col("vec_id") < 2 * _JL_PAIRS))
+    b = proj.select((F.col("vec_id") - 1).alias("vid_a"),
+                    F.col("ve").alias("bve"),
+                    *[F.col(f"s{p}").alias(f"t{p}") for p in range(_JL_K)])
+    j = a.join(b, a.vec_id == b.vid_a)
+    jl_d2_int = None
+    for p in range(_JL_K):
+        d = F.col(f"s{p}") - F.col(f"t{p}")
+        jl_d2_int = d * d if jl_d2_int is None else jl_d2_int + d * d
+    exact_d2 = F.aggregate(
+        F.zip_with(F.col("ve"), F.col("bve"),
+                   lambda x, y: F.round((x - y) * (x - y), 9)
+                   .cast("decimal(20,9)")),
+        F.lit(0).cast("decimal(20,9)"),
+        # (20,9) + (20,9) -> (21,9): the add keeps scale 9, so the
+        # re-cast is exact; at (38,9) each add would overflow to scale
+        # 8 and silently round — measured 4.1e-8 drift over 64 terms
+        lambda acc, x: (acc + x).cast("decimal(20,9)"))
+    jl_d2 = jl_d2_int.cast("bigint") / F.lit(_JL_K * 1_000_000_000_000.0)
+    # rounding discipline: exact_d2 is a 9dp DECIMAL whose value can sit
+    # EXACTLY on a 6dp half-way (measured: 2 of 48 pairs across SFs), so
+    # it is rounded AS A DECIMAL (HALF_UP agrees bitwise across engines)
+    # and only then cast to double; rounding after the double cast makes
+    # Spark (shortest-repr BigDecimal) and DuckDB (binary value) disagree
+    # at those half-ways.  distortion then divides the two already-
+    # rounded outputs — a full-precision double quotient, where a 4dp
+    # half-way has ~2^-40 probability instead of 1e-3.
+    exact_d2_r = F.round(exact_d2, 6).cast("double")
+    return j.select(
+        a.vec_id.alias("id_a"), (a.vec_id + 1).alias("id_b"),
+        exact_d2_r.alias("exact_d2"),
+        F.round(jl_d2, 6).alias("jl_d2"),
+        F.round(F.round(jl_d2, 6) / exact_d2_r, 4).alias("distortion"))
+
+
+@query("sim_jl_topk_recall", f"""
+    WITH {_JL_BASE_SQL},
+    qp AS (SELECT * FROM proj WHERE vec_id = 1),
+    jd AS (
+      SELECT p.vec_id, CAST({_JL_D2_SQL.replace('a.s', 'p.s')
+                             .replace('b.s', 'q.s')} AS BIGINT) AS d2
+      FROM proj p CROSS JOIN qp q WHERE p.vec_id <> 1),
+    jtop AS (SELECT vec_id FROM jd ORDER BY d2, vec_id LIMIT 10),
+    qv AS (SELECT ve FROM v WHERE vec_id = 1),
+    ed AS (
+      SELECT av.vec_id,
+             {_JL_EXACT_D2_SQL.replace('a.ve', 'av.ve')
+                              .replace('b.ve[i]', 'qv.ve[i]')} AS d2
+      FROM v av CROSS JOIN qv WHERE av.vec_id <> 1),
+    etop AS (SELECT vec_id FROM ed ORDER BY d2, vec_id LIMIT 10)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap,
+           round(COUNT(*) / 10.0, 2) AS recall_at_10
+    FROM jtop j JOIN etop e ON e.vec_id = j.vec_id
+""")
+def sim_jl_topk_recall(spark, sf_dir):
+    """Recall@10 of nearest-neighbor search in the 16-d JL-projected
+    space against the exact 64-d ranking (query = vec_id 1) — the eval
+    anchor for vec_jl_distortion, same pattern as sim_ann_recall_eval
+    / sim_ivfpq_recall: every approximation in this repo ships with
+    its measured accuracy so the speed/recall trade is a number, not
+    a claim.
+
+    Both rankings are engine-exact (integer projected distances;
+    9dp-decimal exact distances; vec_id tiebreaks), so the recall is
+    deterministic and hash-pinned.  At scale the projected scan moves
+    16 BIGINTs per vector instead of 64 doubles — the JL win — and
+    the top-10s are TakeOrderedAndProject, never a global sort."""
+    e = _emb_sketch(spark, sf_dir)
+    proj = _jl_proj(e)
+    qp = proj.filter(F.col("vec_id") == 1)
+    qcols = qp.select(*[F.col(f"s{p}").alias(f"q{p}")
+                        for p in range(_JL_K)], F.col("ve").alias("qve"))
+    cand = proj.filter(F.col("vec_id") != 1).crossJoin(F.broadcast(qcols))
+    jd2 = None
+    for p in range(_JL_K):
+        d = F.col(f"s{p}") - F.col(f"q{p}")
+        jd2 = d * d if jd2 is None else jd2 + d * d
+    jtop = (cand.select("vec_id", jd2.cast("bigint").alias("d2"))
+            .orderBy("d2", "vec_id").limit(10).select("vec_id"))
+    ed2 = F.aggregate(
+        F.zip_with(F.col("ve"), F.col("qve"),
+                   lambda x, y: F.round((x - y) * (x - y), 9)
+                   .cast("decimal(20,9)")),
+        F.lit(0).cast("decimal(20,9)"),
+        # (20,9) + (20,9) -> (21,9): the add keeps scale 9, so the
+        # re-cast is exact; at (38,9) each add would overflow to scale
+        # 8 and silently round — measured 4.1e-8 drift over 64 terms
+        lambda acc, x: (acc + x).cast("decimal(20,9)"))
+    etop = (cand.select("vec_id", ed2.alias("d2"))
+            .orderBy("d2", "vec_id").limit(10).select("vec_id"))
+    return (jtop.join(etop, "vec_id")
+            .agg(F.count("*").cast("bigint").alias("n_overlap"),
+                 F.round(F.count("*") / 10.0, 2).alias("recall_at_10")))
+
+
+def _emb_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "embeddings")
+
+
+# --- HDR histogram mergeability -------------------------------------------
+
+@query("sketch_hdr_merge", f"""
+    WITH c AS (
+      SELECT month(l_shipdate) AS mo,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+      FROM lineitem),
+    g AS (SELECT mo, c, GREATEST(length(ltrim(bin(c), '0')) - 1
+                                 - {_HDR_BITS}, 0) AS g FROM c),
+    partials AS (
+      SELECT mo, (c >> g) << g AS b_lo, COUNT(*) AS cnt
+      FROM g GROUP BY 1, 2),
+    merged AS (
+      SELECT b_lo, CAST(SUM(cnt) AS BIGINT) AS cnt
+      FROM partials GROUP BY b_lo),
+    direct AS (
+      SELECT (c >> g) << g AS b_lo, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM g GROUP BY 1)
+    SELECT CAST((SELECT COUNT(*) FROM merged) AS BIGINT) AS n_buckets,
+           CAST((SELECT COUNT(*) FROM partials) AS BIGINT)
+             AS n_partial_rows,
+           CAST((SELECT COUNT(*) FROM merged m
+                 FULL JOIN direct d ON d.b_lo = m.b_lo
+                 WHERE m.cnt IS DISTINCT FROM d.cnt) AS BIGINT)
+             AS n_mismatched,
+           CAST((SELECT SUM(cnt) FROM merged) AS BIGINT) AS total_rows
+""")
+def sketch_hdr_merge(spark, sf_dir):
+    """HDR-histogram mergeability, the sum-combine companion of
+    sketch_hll_merge's max-combine: per-month bucket histograms of
+    l_extendedprice added together equal the histogram built directly
+    on all rows — ``n_mismatched`` pinned to 0 because bucket counts
+    combine by plain integer addition (the property that lets every
+    partition/partial/time-slice keep its own bounded histogram and
+    roll up without re-scanning facts).
+
+    Output also records the compression: ``n_partial_rows`` (sum of
+    the 12 monthly histogram sizes) vs ``n_buckets`` after merge, and
+    the conserved ``total_rows``."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.select(F.month("l_shipdate").alias("mo"), F.expr(
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").alias("c"))
+    g = c.withColumn("g", F.greatest(
+        F.length(F.bin("c")) - 1 - _HDR_BITS, F.lit(0)))
+    blo = F.expr("shiftleft(shiftright(c, g), g)")
+    partials = (g.select("mo", blo.alias("b_lo"))
+                .groupBy("mo", "b_lo").agg(F.count("*").alias("cnt")))
+    merged = partials.groupBy("b_lo").agg(
+        F.sum("cnt").cast("bigint").alias("cnt"))
+    direct = (g.select(blo.alias("b_lo"))
+              .groupBy("b_lo").agg(F.count("*").cast("bigint").alias("cnt")))
+    mism = (merged.withColumnRenamed("cnt", "m_cnt")
+            .join(direct.withColumnRenamed("cnt", "d_cnt"), "b_lo", "full")
+            .filter(~F.col("m_cnt").eqNullSafe(F.col("d_cnt")))
+            .agg(F.count("*").cast("bigint").alias("n_mismatched")))
+    stats = merged.agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.sum("cnt").cast("bigint").alias("total_rows"))
+    nprt = partials.agg(F.count("*").cast("bigint").alias("n_partial_rows"))
+    return (stats.crossJoin(nprt).crossJoin(mism)
+            .select("n_buckets", "n_partial_rows", "n_mismatched",
+                    "total_rows"))

@@ -85,6 +85,12 @@ GUARDED = [
     ("sample_weighted_reservoir", 0, 0),
     ("ml_linreg_closed_form", 0, 0),
     ("lm_kneser_ney_bigram", 1, 0),
+    ("vec_jl_distortion", 0, 0),
+    ("sim_jl_topk_recall", 0, 0),
+    # sketch_hdr_merge: three 1-row summary aggregates (cross-joined
+    # into the single output row) and one full-outer join over the
+    # ~2k-row bucket histograms, where SMJ is the only strategy
+    ("sketch_hdr_merge", 3, 1),
 ]
 
 

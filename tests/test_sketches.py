@@ -195,3 +195,57 @@ def test_kn_top20_is_head_of_full_table(spark, sf_dir, kn_table):
     got = [(r.w1, r.w2)
            for r in QUERIES["lm_kneser_ney_bigram"](spark, sf_dir).collect()]
     assert got == want
+
+
+# --- JL projection --------------------------------------------------------
+
+def test_jl_distortion_sample_mean_near_one(spark, sf_dir):
+    rows = QUERIES["vec_jl_distortion"](spark, sf_dir).collect()
+    assert len(rows) == 16
+    mean = sum(r.distortion for r in rows) / len(rows)
+    # E[distortion] = 1, per-pair sigma = sqrt(2/k) = 0.354, sample
+    # sigma of the mean ~ 0.09: a deterministic corpus property, not a
+    # statistical assertion — the bound just documents the JL regime
+    assert 0.6 < mean < 1.4, mean
+    for r in rows:
+        assert r.exact_d2 > 0 and r.jl_d2 >= 0
+
+
+def test_jl_projection_matches_python_reference(spark, sf_dir):
+    """Recompute one vector's 16 projected coordinates in pure Python
+    (hashlib signs, integer micro-units) and compare exactly."""
+    import hashlib
+
+    from mental_health_bigdata_project_spark.plans.sketches import (
+        _JL_K, _jl_proj)
+    from mental_health_bigdata_project_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").filter("vec_id = 3")
+    got = _jl_proj(e.select(
+        "vec_id", e.embedding.cast("array<double>").alias("embedding")
+    )).collect()[0]
+    vec = e.select(e.embedding.cast("array<double>")).collect()[0][0]
+    q = [math.floor(x * 1_000_000) for x in vec]
+    for p in range(_JL_K):
+        want = sum(
+            x if hashlib.md5(f"jl{p}:{i}".encode()).hexdigest()[0] >= "8"
+            else -x for i, x in enumerate(q))
+        assert got[f"s{p}"] == want, p
+
+
+def test_jl_recall_bounded_and_deterministic(spark, sf_dir):
+    r1 = QUERIES["sim_jl_topk_recall"](spark, sf_dir).collect()[0]
+    r2 = QUERIES["sim_jl_topk_recall"](spark, sf_dir).collect()[0]
+    assert (r1.n_overlap, r1.recall_at_10) == (r2.n_overlap, r2.recall_at_10)
+    assert 0 <= r1.n_overlap <= 10
+    assert r1.recall_at_10 == pytest.approx(r1.n_overlap / 10.0)
+
+
+# --- HDR mergeability -----------------------------------------------------
+
+def test_hdr_partials_merge_losslessly(spark, sf_dir):
+    r = QUERIES["sketch_hdr_merge"](spark, sf_dir).collect()[0]
+    assert r.n_mismatched == 0
+    assert r.n_partial_rows >= r.n_buckets      # merge compresses
+    from mental_health_bigdata_project_spark.sources import load_table
+    assert r.total_rows == load_table(spark, sf_dir, "lineitem").count()
