@@ -1,0 +1,83 @@
+"""Streaming moment/OLS state: streaming-equals-batch parity (against
+the oracle-checked ml_linreg_closed_form), exactly-once replay,
+sum-fold compaction, and the availableNow runner."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from mental_health_bigdata_project_spark.plans import QUERIES
+from mental_health_bigdata_project_spark.sources import load_table
+from mental_health_bigdata_project_spark.streaming.momentstate import (
+    compact_moment_index, moments_batch, read_linreg,
+    run_incremental_moments)
+
+N_BATCHES = 3
+
+
+def _li(spark, sf_dir):
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+
+
+def _feed(spark, sf_dir, index_dir):
+    li = _li(spark, sf_dir)
+    for b in range(N_BATCHES):
+        moments_batch(li.filter(F.pmod("l_orderkey", F.lit(N_BATCHES)) == b),
+                      b, index_dir)
+    return li
+
+
+def _rows(df):
+    return sorted((r.l_returnflag, r.n, r.slope, r.intercept, r.r2)
+                  for r in df.collect())
+
+
+def test_streaming_equals_oracle_checked_batch(spark, sf_dir, tmp_path):
+    index_dir = str(tmp_path / "idx")
+    _feed(spark, sf_dir, index_dir)
+    served = read_linreg(spark, index_dir)
+    batch = QUERIES["ml_linreg_closed_form"](spark, sf_dir)
+    assert _rows(served) == _rows(batch)
+
+
+def test_replay_is_bit_identical(spark, sf_dir, tmp_path):
+    index_dir = str(tmp_path / "idx")
+    li = _feed(spark, sf_dir, index_dir)
+    before = _rows(read_linreg(spark, index_dir))
+    moments_batch(li.filter(F.pmod("l_orderkey", F.lit(N_BATCHES)) == 1),
+                  1, index_dir)  # crash-retry of batch 1
+    assert _rows(read_linreg(spark, index_dir)) == before
+
+
+def test_compaction_sum_folds_and_preserves_fit(spark, sf_dir, tmp_path):
+    index_dir = str(tmp_path / "idx")
+    _feed(spark, sf_dir, index_dir)
+    before = _rows(read_linreg(spark, index_dir))
+    path = os.path.join(index_dir, "moments")
+    n_before = spark.read.parquet(path).count()
+
+    compact_moment_index(spark, index_dir, through=N_BATCHES - 1)
+    assert _rows(read_linreg(spark, index_dir)) == before
+
+    compacted = glob.glob(os.path.join(path, "_compacted_v*"))
+    assert len(compacted) == 1
+    folded = spark.read.parquet(compacted[0])
+    assert folded.count() < n_before
+    assert folded.groupBy("l_returnflag").count() \
+        .filter(F.col("count") > 1).count() == 0
+
+
+def test_streaming_runner_end_to_end(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "src")
+    li = _li(spark, sf_dir)
+    li.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(li.schema).parquet(src)
+    q = run_incremental_moments(stream, str(tmp_path / "ckpt"),
+                                str(tmp_path / "idx2"))
+    q.awaitTermination(120)
+    assert _rows(read_linreg(spark, str(tmp_path / "idx2"))) \
+        == _rows(QUERIES["ml_linreg_closed_form"](spark, sf_dir))
