@@ -1003,3 +1003,102 @@ def sketch_hdr_merge(spark, sf_dir):
     return (stats.crossJoin(nprt).crossJoin(mism)
             .select("n_buckets", "n_partial_rows", "n_mismatched",
                     "total_rows"))
+
+
+# --- HLL set algebra ------------------------------------------------------
+
+@query("sketch_hll_setops", f"""
+    WITH hx AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             md5(CAST(o_custkey AS VARCHAR)) AS h
+      FROM orders WHERE year(o_orderdate) IN (1996, 1997)),
+    nib AS (
+      SELECT yr, {_HLL_REG_SQL_DUCK} FROM hx),
+    rho AS (
+      SELECT yr, b0 % {_HLL_M} AS idx,
+             LEAST(CASE WHEN zp = 16 THEN 65
+                   ELSE 4 * zp + (CASE WHEN nv >= 8 THEN 0
+                                       WHEN nv >= 4 THEN 1
+                                       WHEN nv >= 2 THEN 2 ELSE 3 END) + 1
+                   END, {_HLL_CAP}) AS rr
+      FROM nib),
+    regs_y AS (
+      SELECT CASE WHEN yr = 1996 THEN 'a' ELSE 'b' END AS tag, idx,
+             MAX(rr) AS mx
+      FROM rho GROUP BY 1, idx),
+    regs AS (
+      SELECT tag, idx, mx FROM regs_y
+      UNION ALL
+      SELECT 'u' AS tag, idx, MAX(mx) AS mx FROM regs_y GROUP BY idx),
+    {_HLL_EST_SQL.format(grp="tag")},
+    piv AS (
+      SELECT MAX(CASE WHEN tag = 'a' THEN est END) AS est_a,
+             MAX(CASE WHEN tag = 'b' THEN est END) AS est_b,
+             MAX(CASE WHEN tag = 'u' THEN est END) AS est_union
+      FROM est),
+    ex AS (
+      SELECT CAST(count(DISTINCT CASE WHEN yr = 1996
+                        THEN o_custkey END) AS BIGINT) AS exact_a,
+             CAST(count(DISTINCT CASE WHEN yr = 1997
+                        THEN o_custkey END) AS BIGINT) AS exact_b,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_union
+      FROM (SELECT CAST(year(o_orderdate) AS INT) AS yr, o_custkey
+            FROM orders WHERE year(o_orderdate) IN (1996, 1997))),
+    xi AS (
+      SELECT CAST(count(*) AS BIGINT) AS exact_inter FROM (
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997))
+    SELECT p.est_a, p.est_b, p.est_union,
+           round(p.est_a + p.est_b - p.est_union, 4) AS est_inter,
+           e.exact_a, e.exact_b, e.exact_union, x.exact_inter,
+           round(abs(p.est_a + p.est_b - p.est_union - x.exact_inter)
+                 / x.exact_inter, 4) AS inter_rel_err
+    FROM piv p CROSS JOIN ex e CROSS JOIN xi x
+""")
+def sketch_hll_setops(spark, sf_dir):
+    """Sketch set algebra — the reason distinct-count sketches replace
+    exact distinct at cross-source scale: customers active in 1996 (A)
+    and 1997 (B) as two register tables; |A ∪ B| by register max-merge
+    (exact sketch semantics, no re-scan) and |A ∩ B| by inclusion-
+    exclusion est_a + est_b - est_union, with the exact counts and the
+    intersection's measured relative error alongside (inclusion-
+    exclusion compounds the error of three estimates — the honest
+    caveat, which is why the error column is in the hashed output).
+
+    At 100 TB this is the source_overlap_matrix economics flipped:
+    that query pays one shuffle per source-pair through shared keys;
+    this one answers ANY pair (or any union of years/sources/slices)
+    from m-row register tables that were built once — the exact
+    comparator here is the audit, not the serving path."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("int").alias("yr"), "o_custkey")
+    oy = o.filter(F.col("yr").isin(1996, 1997))
+    keyed = oy.select(
+        F.when(F.col("yr") == 1996, "a").otherwise("b").alias("tag"),
+        F.md5(F.col("o_custkey").cast("string")).alias("h"))
+    regs_y = _hll_registers(keyed, ["tag"])
+    regs_u = (regs_y.groupBy("idx").agg(F.max("mx").alias("mx"))
+              .select(F.lit("u").alias("tag"), "idx", "mx"))
+    est = _hll_estimate(regs_y.unionByName(regs_u), ["tag"])
+    piv = est.agg(
+        F.max(F.when(F.col("tag") == "a", F.col("est"))).alias("est_a"),
+        F.max(F.when(F.col("tag") == "b", F.col("est"))).alias("est_b"),
+        F.max(F.when(F.col("tag") == "u", F.col("est"))).alias("est_union"))
+    ex = oy.agg(
+        F.countDistinct(F.when(F.col("yr") == 1996, F.col("o_custkey")))
+        .cast("bigint").alias("exact_a"),
+        F.countDistinct(F.when(F.col("yr") == 1997, F.col("o_custkey")))
+        .cast("bigint").alias("exact_b"),
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_union"))
+    xi = (o.filter(F.col("yr") == 1996).select("o_custkey")
+          .intersect(o.filter(F.col("yr") == 1997).select("o_custkey"))
+          .agg(F.count("*").cast("bigint").alias("exact_inter")))
+    inter = F.col("est_a") + F.col("est_b") - F.col("est_union")
+    return (piv.crossJoin(ex).crossJoin(xi)
+            .select("est_a", "est_b", "est_union",
+                    F.round(inter, 4).alias("est_inter"),
+                    "exact_a", "exact_b", "exact_union", "exact_inter",
+                    F.round(F.abs(inter - F.col("exact_inter"))
+                            / F.col("exact_inter"), 4)
+                    .alias("inter_rel_err")))

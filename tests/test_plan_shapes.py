@@ -91,6 +91,9 @@ GUARDED = [
     # into the single output row) and one full-outer join over the
     # ~2k-row bucket histograms, where SMJ is the only strategy
     ("sketch_hdr_merge", 3, 1),
+    # sketch_hll_setops: three 1-row summary aggregates (estimate
+    # pivot, exact counts, exact intersection) into the single output
+    ("sketch_hll_setops", 3, 0),
 ]
 
 

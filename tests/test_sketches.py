@@ -249,3 +249,20 @@ def test_hdr_partials_merge_losslessly(spark, sf_dir):
     assert r.n_partial_rows >= r.n_buckets      # merge compresses
     from mental_health_bigdata_project_spark.sources import load_table
     assert r.total_rows == load_table(spark, sf_dir, "lineitem").count()
+
+
+# --- HLL set algebra ------------------------------------------------------
+
+def test_hll_setops_union_and_intersection(spark, sf_dir):
+    r = QUERIES["sketch_hll_setops"](spark, sf_dir).collect()[0]
+    # union merge can never exceed the sum of the parts, and must cover
+    # the larger part (register max dominates both inputs)
+    assert r.est_union <= r.est_a + r.est_b + 1e-9
+    assert r.est_union >= max(r.est_a, r.est_b) - 1e-9
+    # exact side sanity: inclusion-exclusion holds exactly
+    assert r.exact_inter == r.exact_a + r.exact_b - r.exact_union
+    # estimates track their exact counterparts at the m=64 error scale
+    for est, exact in [(r.est_a, r.exact_a), (r.est_b, r.exact_b),
+                       (r.est_union, r.exact_union)]:
+        assert abs(est - exact) / exact <= 0.39
+    assert r.inter_rel_err >= 0
