@@ -2820,7 +2820,7 @@ def _lloyd_chain(e: DataFrame, iters: int = _KM_ITERS):
     assign = v.select(
         "vec_id", F.pmod("vec_id", F.lit(_KM_K)).cast("int").alias("cid"))
     cen = None
-    last_d = None
+    w = None
     for it in range(iters):
         cen = (px.join(assign, "vec_id")
                .groupBy("cid", "pos")
@@ -2831,6 +2831,9 @@ def _lloyd_chain(e: DataFrame, iters: int = _KM_ITERS):
                   .agg(F.sum(F.round((F.col("x") - F.col("cv"))
                                      * (F.col("x") - F.col("cv")), 9)
                              .cast("decimal(38,9)")).alias("dist")))
+        # ONE argmin per iteration: assign and the final w2 both derive
+        # from it, so the (dist, cid) struct-min tiebreak cannot drift
+        # between the in-loop assignment and the returned one
         w = (last_d.groupBy("vec_id")
              .agg(F.min(F.struct("dist", "cid")).alias("w")))
         assign = w.select("vec_id", F.col("w.cid").alias("cid"))
@@ -2838,10 +2841,8 @@ def _lloyd_chain(e: DataFrame, iters: int = _KM_ITERS):
             # n-row assignment: checkpoint so iteration i+1's centroid
             # agg doesn't re-derive iteration i's whole join tree
             assign = assign.localCheckpoint(eager=True)
-    w2 = (last_d.groupBy("vec_id")
-          .agg(F.min(F.struct("dist", "cid")).alias("w"))
-          .select("vec_id", F.col("w.cid").alias("cid"),
-                  F.col("w.dist").alias("dist")))
+    w2 = w.select("vec_id", F.col("w.cid").alias("cid"),
+                  F.col("w.dist").alias("dist"))
     return w2, cen
 
 

@@ -149,27 +149,32 @@ _HLL_EST_SQL = f"""
       FROM agg)
 """
 
-_HLL_REGS_SQL = f"""
-    hx AS (
-      SELECT {{grp_src}}, md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders),
-    nib AS (
-      SELECT {{grp}}, {_HLL_REG_SQL_DUCK} FROM hx),
-    rho AS (
-      SELECT {{grp}}, b0 % {_HLL_M} AS idx,
+def _hll_regs_sql(grp_src: str, grp: str, prefix: str = "") -> str:
+    """CTE chain building the register table ``{prefix}regs`` for
+    orders.o_custkey at the given grouping.  ``prefix`` namespaces the
+    CTEs so one oracle can hold two INDEPENDENT register builds (the
+    merge-vs-direct comparison needs a genuinely separate direct
+    build, not a regrouping of the same CTE)."""
+    return f"""{prefix}hx AS (
+      SELECT {grp_src}, md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders),
+    {prefix}nib AS (
+      SELECT {grp}, {_HLL_REG_SQL_DUCK} FROM {prefix}hx),
+    {prefix}rho AS (
+      SELECT {grp}, b0 % {_HLL_M} AS idx,
              LEAST(CASE WHEN zp = 16 THEN 65
                    ELSE 4 * zp + (CASE WHEN nv >= 8 THEN 0
                                        WHEN nv >= 4 THEN 1
                                        WHEN nv >= 2 THEN 2 ELSE 3 END) + 1
                    END, {_HLL_CAP}) AS rr
-      FROM nib),
-    regs AS (
-      SELECT {{grp}}, idx, MAX(rr) AS mx FROM rho GROUP BY {{grp}}, idx)
+      FROM {prefix}nib),
+    {prefix}regs AS (
+      SELECT {grp}, idx, MAX(rr) AS mx
+      FROM {prefix}rho GROUP BY {grp}, idx)
 """
 
 
 @query("sketch_hll_portable", f"""
-    WITH {_HLL_REGS_SQL.format(grp_src="CAST(year(o_orderdate) AS INT) AS yr",
-                               grp="yr")},
+    WITH {_hll_regs_sql("CAST(year(o_orderdate) AS INT) AS yr", "yr")},
     {_HLL_EST_SQL.format(grp="yr")},
     ex AS (SELECT CAST(year(o_orderdate) AS INT) AS yr,
                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact
@@ -213,10 +218,9 @@ def sketch_hll_portable(spark, sf_dir):
 
 
 @query("sketch_hll_merge", f"""
-    WITH {_HLL_REGS_SQL.format(
-        grp_src="CAST(year(o_orderdate) AS INT) AS yr, "
-                "month(o_orderdate) AS mo",
-        grp="yr, mo")},
+    WITH {_hll_regs_sql(
+        "CAST(year(o_orderdate) AS INT) AS yr, month(o_orderdate) AS mo",
+        "yr, mo")},
     merged AS (
       SELECT yr, idx, MAX(mx) AS mx FROM regs GROUP BY yr, idx),
     magg AS (
@@ -226,13 +230,13 @@ def sketch_hll_portable(spark, sf_dir):
       FROM merged GROUP BY yr),
     nm AS (SELECT yr, CAST(COUNT(DISTINCT mo) AS BIGINT) AS n_months
            FROM regs GROUP BY yr),
+    {_hll_regs_sql("CAST(year(o_orderdate) AS INT) AS yr", "yr",
+                   prefix="d_")},
     direct AS (
       SELECT yr, CAST(SUM(1::BIGINT << ({_HLL_CAP} - mx))
                  + ({_HLL_M} - COUNT(*)) * (1::BIGINT << {_HLL_CAP})
                  AS BIGINT) AS direct_s
-      FROM (SELECT yr, idx, MAX(mx) AS mx
-            FROM (SELECT r.yr, r.idx, r.mx FROM regs r) GROUP BY yr, idx)
-      GROUP BY yr)
+      FROM d_regs GROUP BY yr)
     SELECT m.yr, n.n_months, m.merged_s, d.direct_s,
            CAST(m.merged_s = d.direct_s AS INT) AS merge_lossless
     FROM magg m JOIN nm n ON n.yr = m.yr JOIN direct d ON d.yr = m.yr
@@ -406,7 +410,7 @@ _BLOOM_SHINGLES_SQL = f"""
           ELSE [] END)) AS shingle
       FROM d),
     bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
-    train AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0)
+    train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0)
 """
 
 # bit position j of shingle s: fold 4 md5 nibbles of (s || '#j').
@@ -502,7 +506,9 @@ def sketch_bloom_decontam(spark, sf_dir):
                    F.explode(F.array_distinct(shingles)).alias("shingle"))
           .localCheckpoint(eager=True))
     bench = sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
-    train = sh.filter(F.col("doc_id") % 97 != 0).distinct()
+    # (doc_id, shingle) is already distinct: sh explodes
+    # array_distinct per doc — no dedup shuffle needed here
+    train = sh.filter(F.col("doc_id") % 97 != 0)
     bbits = _bloom_bits(bench, "shingle").select("bit").distinct()
     probe = _bloom_bits(train, "shingle")
     hits = (probe.join(F.broadcast(bbits), "bit", "left_semi")
@@ -632,20 +638,46 @@ def ml_linreg_closed_form(spark, sf_dir):
     shuffle moves a few hundred bytes per group regardless of row
     count.  Closed-form determinism recipe: exact decimal moment
     differences (n·Σxy − ΣxΣy etc.), ONE cast to double per quantity,
-    then fixed-order scalar arithmetic rounded for output."""
+    then fixed-order scalar arithmetic rounded for output.
+
+    ``linreg_moments`` / ``linreg_fit`` are shared with the streaming
+    twin (streaming/momentstate.py), so the serve-time fit can never
+    drift from this oracle-checked one."""
     li = _t(spark, sf_dir, "lineitem")
-    xq = F.expr("CAST(floor(l_quantity + 0.5) AS BIGINT)")
-    yc = F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
-    dec = "decimal(38,0)"
-    m = li.groupBy("l_returnflag").agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum(xq.cast(dec)).alias("sx"),
-        F.sum(yc.cast(dec)).alias("sy"),
-        F.sum((xq * yc).cast(dec)).alias("sxy"),
-        F.sum((xq * xq).cast(dec)).alias("sxx"),
-        F.sum((yc * yc).cast(dec)).alias("syy"))
+    return linreg_fit(linreg_moments(li, "l_returnflag"), "l_returnflag")
+
+
+LINREG_X_EXPR = "CAST(floor(l_quantity + 0.5) AS BIGINT)"
+LINREG_Y_EXPR = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+LINREG_MOMS = ["n", "sx", "sy", "sxy", "sxx", "syy"]
+_LINREG_DEC = "decimal(38,0)"
+
+
+def linreg_moments(df: DataFrame, group_col: str,
+                   x_expr: str = LINREG_X_EXPR,
+                   y_expr: str = LINREG_Y_EXPR) -> DataFrame:
+    """Per-group exact DECIMAL(38,0) OLS moment sums over integer-
+    quantized (x, y) — the map-side-combinable sufficient statistic.
+    Moments ADD exactly, so any partition/batch/time-slice of rows can
+    keep its own six numbers and merge later (the streaming twin's
+    whole design)."""
+    xq = F.expr(x_expr)
+    yc = F.expr(y_expr)
+    return df.groupBy(group_col).agg(
+        F.count("*").cast(_LINREG_DEC).alias("n"),
+        F.sum(xq.cast(_LINREG_DEC)).alias("sx"),
+        F.sum(yc.cast(_LINREG_DEC)).alias("sy"),
+        F.sum((xq * yc).cast(_LINREG_DEC)).alias("sxy"),
+        F.sum((xq * xq).cast(_LINREG_DEC)).alias("sxx"),
+        F.sum((yc * yc).cast(_LINREG_DEC)).alias("syy"))
+
+
+def linreg_fit(m: DataFrame, group_col: str) -> DataFrame:
+    """(group, n, slope, intercept, r2) from a moment table — exact
+    decimal differences, one double cast per quantity, fixed-order
+    scalar arithmetic, rounded for output."""
     d = m.select(
-        "l_returnflag", "n",
+        group_col, F.col("n").cast("bigint").alias("n"),
         (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
         .cast("double").alias("cov_n"),
         (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
@@ -656,7 +688,7 @@ def ml_linreg_closed_form(spark, sf_dir):
         F.col("sy").cast("double").alias("syd"))
     slope = F.col("cov_n") / F.col("varx_n")
     return d.select(
-        "l_returnflag", "n",
+        group_col, "n",
         F.round(slope / 100.0, 6).alias("slope"),
         F.round((F.col("syd") - slope * F.col("sxd")) / F.col("n") / 100.0, 4)
         .alias("intercept"),
@@ -847,19 +879,8 @@ def vec_jl_distortion(spark, sf_dir):
                     F.col("ve").alias("bve"),
                     *[F.col(f"s{p}").alias(f"t{p}") for p in range(_JL_K)])
     j = a.join(b, a.vec_id == b.vid_a)
-    jl_d2_int = None
-    for p in range(_JL_K):
-        d = F.col(f"s{p}") - F.col(f"t{p}")
-        jl_d2_int = d * d if jl_d2_int is None else jl_d2_int + d * d
-    exact_d2 = F.aggregate(
-        F.zip_with(F.col("ve"), F.col("bve"),
-                   lambda x, y: F.round((x - y) * (x - y), 9)
-                   .cast("decimal(20,9)")),
-        F.lit(0).cast("decimal(20,9)"),
-        # (20,9) + (20,9) -> (21,9): the add keeps scale 9, so the
-        # re-cast is exact; at (38,9) each add would overflow to scale
-        # 8 and silently round — measured 4.1e-8 drift over 64 terms
-        lambda acc, x: (acc + x).cast("decimal(20,9)"))
+    jl_d2_int = _jl_proj_d2("s", "t")
+    exact_d2 = _jl_exact_d2("ve", "bve")
     jl_d2 = jl_d2_int.cast("bigint") / F.lit(_JL_K * 1_000_000_000_000.0)
     # rounding discipline: exact_d2 is a 9dp DECIMAL whose value can sit
     # EXACTLY on a 6dp half-way (measured: 2 of 48 pairs across SFs), so
@@ -915,22 +936,10 @@ def sim_jl_topk_recall(spark, sf_dir):
     qcols = qp.select(*[F.col(f"s{p}").alias(f"q{p}")
                         for p in range(_JL_K)], F.col("ve").alias("qve"))
     cand = proj.filter(F.col("vec_id") != 1).crossJoin(F.broadcast(qcols))
-    jd2 = None
-    for p in range(_JL_K):
-        d = F.col(f"s{p}") - F.col(f"q{p}")
-        jd2 = d * d if jd2 is None else jd2 + d * d
-    jtop = (cand.select("vec_id", jd2.cast("bigint").alias("d2"))
+    jtop = (cand.select("vec_id",
+                        _jl_proj_d2("s", "q").cast("bigint").alias("d2"))
             .orderBy("d2", "vec_id").limit(10).select("vec_id"))
-    ed2 = F.aggregate(
-        F.zip_with(F.col("ve"), F.col("qve"),
-                   lambda x, y: F.round((x - y) * (x - y), 9)
-                   .cast("decimal(20,9)")),
-        F.lit(0).cast("decimal(20,9)"),
-        # (20,9) + (20,9) -> (21,9): the add keeps scale 9, so the
-        # re-cast is exact; at (38,9) each add would overflow to scale
-        # 8 and silently round — measured 4.1e-8 drift over 64 terms
-        lambda acc, x: (acc + x).cast("decimal(20,9)"))
-    etop = (cand.select("vec_id", ed2.alias("d2"))
+    etop = (cand.select("vec_id", _jl_exact_d2("ve", "qve").alias("d2"))
             .orderBy("d2", "vec_id").limit(10).select("vec_id"))
     return (jtop.join(etop, "vec_id")
             .agg(F.count("*").cast("bigint").alias("n_overlap"),
@@ -939,6 +948,32 @@ def sim_jl_topk_recall(spark, sf_dir):
 
 def _emb_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "embeddings")
+
+
+def _jl_proj_d2(pa: str, pb: str):
+    """Exact integer projected squared distance: sum over planes of
+    ({pa}{p} - {pb}{p})^2 — shared by both JL queries so the estimator
+    cannot desynchronize between them."""
+    out = None
+    for p in range(_JL_K):
+        d = F.col(f"{pa}{p}") - F.col(f"{pb}{p}")
+        out = d * d if out is None else out + d * d
+    return out
+
+
+def _jl_exact_d2(ca: str, cb: str):
+    """Exact squared L2 between two double-array columns as a
+    DECIMAL(20,9) fold of 9dp-rounded terms.  (20,9) + (20,9) ->
+    (21,9): the add keeps scale 9, so the re-cast is exact; at (38,9)
+    each add would overflow to scale 8 and silently round — measured
+    4.1e-8 drift over a 64-term fold.  Shared by both JL queries (the
+    load-bearing determinism recipe lives in ONE place)."""
+    return F.aggregate(
+        F.zip_with(F.col(ca), F.col(cb),
+                   lambda x, y: F.round((x - y) * (x - y), 9)
+                   .cast("decimal(20,9)")),
+        F.lit(0).cast("decimal(20,9)"),
+        lambda acc, x: (acc + x).cast("decimal(20,9)"))
 
 
 # --- HDR histogram mergeability -------------------------------------------

@@ -31,36 +31,26 @@ import os
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..plans.sketches import (
+    LINREG_MOMS as _MOMS, LINREG_X_EXPR, LINREG_Y_EXPR, linreg_fit,
+    linreg_moments)
+
 _DEC = "decimal(38,0)"
-_MOMS = ["n", "sx", "sy", "sxy", "sxx", "syy"]
 
 
 def _moments_path(index_dir: str) -> str:
     return os.path.join(index_dir, "moments")
 
 
-def _batch_moments(batch_df: DataFrame, group_col: str,
-                   x_expr: str, y_expr: str) -> DataFrame:
-    """Per-group exact moment sums of integer-quantized (x, y)."""
-    xq = F.expr(x_expr)
-    yc = F.expr(y_expr)
-    return batch_df.groupBy(group_col).agg(
-        F.count("*").cast(_DEC).alias("n"),
-        F.sum(xq.cast(_DEC)).alias("sx"),
-        F.sum(yc.cast(_DEC)).alias("sy"),
-        F.sum((xq * yc).cast(_DEC)).alias("sxy"),
-        F.sum((xq * xq).cast(_DEC)).alias("sxx"),
-        F.sum((yc * yc).cast(_DEC)).alias("syy"))
-
-
 def moments_batch(batch_df: DataFrame, batch_id: int, index_dir: str,
                   group_col: str = "l_returnflag",
-                  x_expr: str = "CAST(floor(l_quantity + 0.5) AS BIGINT)",
-                  y_expr: str = ("CAST(floor(l_extendedprice * 100 + 0.5) "
-                                 "AS BIGINT)")) -> None:
+                  x_expr: str = LINREG_X_EXPR,
+                  y_expr: str = LINREG_Y_EXPR) -> None:
     """One micro-batch of moment maintenance (the foreachBatch body,
-    callable directly for tests / backfills)."""
-    (_batch_moments(batch_df, group_col, x_expr, y_expr)
+    callable directly for tests / backfills).  The moment expressions
+    are plans/sketches.linreg_moments — the SAME aggregation the batch
+    oracle gate value-checks."""
+    (linreg_moments(batch_df, group_col, x_expr, y_expr)
      .withColumn("batch_id", F.lit(batch_id))
      .write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
@@ -82,24 +72,9 @@ def read_linreg(spark, index_dir: str,
             f"no moment index at {_moments_path(index_dir)}")
     m = moms.groupBy(group_col).agg(
         *[F.sum(c).cast(_DEC).alias(c) for c in _MOMS])
-    d = m.select(
-        group_col, F.col("n").cast("bigint").alias("n"),
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-        .cast("double").alias("cov_n"),
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        .cast("double").alias("varx_n"),
-        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
-        .cast("double").alias("vary_n"),
-        F.col("sx").cast("double").alias("sxd"),
-        F.col("sy").cast("double").alias("syd"))
-    slope = F.col("cov_n") / F.col("varx_n")
-    return d.select(
-        group_col, "n",
-        F.round(slope / 100.0, 6).alias("slope"),
-        F.round((F.col("syd") - slope * F.col("sxd")) / F.col("n") / 100.0, 4)
-        .alias("intercept"),
-        F.round(F.col("cov_n") * F.col("cov_n")
-                / (F.col("varx_n") * F.col("vary_n")), 6).alias("r2"))
+    # the fit is plans/sketches.linreg_fit — serve-time coefficients
+    # can never drift from the oracle-checked batch query's
+    return linreg_fit(m, group_col)
 
 
 def run_incremental_moments(stream: DataFrame, checkpoint_dir: str,
