@@ -1,0 +1,123 @@
+"""Batch-count scaling for the mergeable streaming state family
+(streaming/hllcount.py, streaming/momentstate.py): how do index size
+and serve wall grow with the number of ingested micro-batches, and
+what does sketch-aware compaction recover?
+
+The claim under test: per-batch deltas are METADATA-SIZED (<= 64
+registers / 6 moments per group), so the index grows linearly in
+BATCHES (not rows), serve-side merge cost grows with delta count until
+compaction folds it back to one row per register/group — after which
+serving is flat no matter how many batches were ingested.
+
+Usage: python scripts/scaleup_mergeable_state.py [sf_dir] [n_batches]
+Prints one JSON line; paste into SCALING.md.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def _serve_wall(fn, reps: int = 3) -> float:
+    walls = []
+    for _ in range(reps):
+        t0 = time.monotonic()
+        fn().collect()
+        walls.append(time.monotonic() - t0)
+    return round(min(walls), 3)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 48
+
+    from pyspark.sql import functions as F
+
+    from mental_health_bigdata_project_spark.session import get_spark
+    from mental_health_bigdata_project_spark.sources import load_table
+    from mental_health_bigdata_project_spark.streaming import (
+        hllcount, momentstate)
+
+    spark = get_spark("scaleup-mergeable", master="local[32]",
+                      shuffle_partitions=32)
+    tmp = tempfile.mkdtemp(prefix="mergeable_scale_")
+    out: dict = {"sf_dir": sf_dir, "n_batches": n_batches,
+                 "hll": {}, "moments": {}}
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_type", "user_id")
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+        hll_dir = os.path.join(tmp, "hll")
+        mom_dir = os.path.join(tmp, "mom")
+
+        checkpoints = sorted({8, n_batches // 2, n_batches})
+        for b in range(n_batches):
+            hllcount.register_batch(
+                ev.filter(F.pmod("user_id", F.lit(n_batches)) == b),
+                b, hll_dir)
+            momentstate.moments_batch(
+                li.filter(F.pmod("l_orderkey", F.lit(n_batches)) == b),
+                b, mom_dir)
+            done = b + 1
+            if done in checkpoints:
+                out["hll"][f"serve_wall_{done}b"] = _serve_wall(
+                    lambda: hllcount.read_distinct_estimates(spark, hll_dir))
+                out["moments"][f"serve_wall_{done}b"] = _serve_wall(
+                    lambda: momentstate.read_linreg(spark, mom_dir))
+
+        out["hll"]["rows_pre_compact"] = spark.read.parquet(
+            os.path.join(hll_dir, "hll_regs")).count()
+        out["moments"]["rows_pre_compact"] = spark.read.parquet(
+            os.path.join(mom_dir, "moments")).count()
+        out["hll"]["files_pre_compact"] = len(glob.glob(
+            os.path.join(hll_dir, "hll_regs", "batch_id=*", "*.parquet")))
+
+        before_h = sorted(tuple(r) for r in
+                          hllcount.read_distinct_estimates(
+                              spark, hll_dir).collect())
+        before_m = sorted(tuple(r) for r in
+                          momentstate.read_linreg(spark, mom_dir).collect())
+
+        t0 = time.monotonic()
+        hllcount.compact_hll_index(spark, hll_dir, through=n_batches - 1)
+        out["hll"]["compact_wall"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        momentstate.compact_moment_index(spark, mom_dir,
+                                         through=n_batches - 1)
+        out["moments"]["compact_wall"] = round(time.monotonic() - t0, 3)
+
+        out["hll"]["serve_wall_post_compact"] = _serve_wall(
+            lambda: hllcount.read_distinct_estimates(spark, hll_dir))
+        out["moments"]["serve_wall_post_compact"] = _serve_wall(
+            lambda: momentstate.read_linreg(spark, mom_dir))
+        out["hll"]["rows_post_compact"] = spark.read.parquet(glob.glob(
+            os.path.join(hll_dir, "hll_regs", "_compacted_v*"))[0]).count()
+        out["moments"]["rows_post_compact"] = spark.read.parquet(glob.glob(
+            os.path.join(mom_dir, "moments", "_compacted_v*"))[0]).count()
+
+        after_h = sorted(tuple(r) for r in
+                         hllcount.read_distinct_estimates(
+                             spark, hll_dir).collect())
+        after_m = sorted(tuple(r) for r in
+                         momentstate.read_linreg(spark, mom_dir).collect())
+        out["hll"]["answers_identical_post_compact"] = int(
+            before_h == after_h)
+        out["moments"]["answers_identical_post_compact"] = int(
+            before_m == after_m)
+        print(json.dumps(out, separators=(",", ":")), flush=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -266,3 +266,36 @@ def test_hll_setops_union_and_intersection(spark, sf_dir):
                        (r.est_union, r.exact_union)]:
         assert abs(est - exact) / exact <= 0.39
     assert r.inter_rel_err >= 0
+
+
+def test_bloom_fp_rate_tracks_analytic_sizing(spark, sf_dir):
+    """The measured fp-rate should track the textbook Bloom bound
+    (1 - e^(-k*n/m))^k for the actual benchmark load n — the sizing
+    formula a deployment uses to pick m, validated by measurement."""
+    from pyspark.sql import functions as F
+
+    from mental_health_bigdata_project_spark.plans.sketches import (
+        _bloom_bits, tokens_col)
+    from mental_health_bigdata_project_spark.sources import load_table
+
+    r = QUERIES["sketch_bloom_decontam"](spark, sf_dir).collect()[0]
+    # actual number of DISTINCT BITS set is the exact load; derive the
+    # per-probe hit probability from it instead of approximating n
+    toks = tokens_col()
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", toks.alias("toks"))
+    sh = d.select("doc_id", F.explode(F.array_distinct(F.when(
+        F.size("toks") >= 3,
+        F.transform(F.sequence(F.lit(1), F.size("toks") - 2),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("toks", i),
+                        F.element_at("toks", i + 1),
+                        F.element_at("toks", i + 2)))
+    ).otherwise(F.array().cast("array<string>")))).alias("shingle"))
+    bench = sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+    n_bits = _bloom_bits(bench, "shingle").select("bit").distinct().count()
+    p_hit = n_bits / _BLOOM_M          # exact fraction of set bits
+    theory = p_hit ** _BLOOM_K         # 3 independent probes all set
+    measured = r.n_false_pos / (r.n_train_grams - r.n_exact_pos)
+    assert theory * 0.3 <= measured <= theory * 3.0 + 1e-9, (
+        measured, theory)
