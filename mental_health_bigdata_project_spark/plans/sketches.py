@@ -1137,3 +1137,88 @@ def sketch_hll_setops(spark, sf_dir):
                     F.round(F.abs(inter - F.col("exact_inter"))
                             / F.col("exact_inter"), 4)
                     .alias("inter_rel_err")))
+
+
+# --- association rules (pairs, exact) -------------------------------------
+
+_AR_TOP = 20
+
+
+@query("assoc_rules_pairs", f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON p_partkey = l_partkey),
+    nn AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n
+           FROM baskets),
+    items AS (
+      SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS supp
+      FROM baskets GROUP BY p_brand),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             CAST(COUNT(*) AS BIGINT) AS supp_ab
+      FROM baskets a JOIN baskets b
+        ON b.l_orderkey = a.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2)
+    SELECT p.brand_a, p.brand_b, p.supp_ab,
+           round(p.supp_ab * 1.0 / ia.supp, 6) AS conf_a_to_b,
+           round(p.supp_ab * 1.0 / ib.supp, 6) AS conf_b_to_a,
+           round(p.supp_ab * 1.0 * nn.n / (ia.supp * ib.supp), 6) AS lift
+    FROM pairs p
+    JOIN items ia ON ia.p_brand = p.brand_a
+    JOIN items ib ON ib.p_brand = p.brand_b
+    CROSS JOIN nn
+    ORDER BY lift DESC, p.brand_a, p.brand_b LIMIT {_AR_TOP}
+""")
+def assoc_rules_pairs(spark, sf_dir):
+    """Exact pairwise association rules over order baskets (items =
+    part brands bought in one order): support, both directional
+    confidences, and lift for every co-bought brand pair, top-20 by
+    lift — classic market-basket mining computed relationally, and the
+    ORACLE-GREEN sibling for the rows-only `ml_fpgrowth_itemsets`
+    (MLlib's lattice traversal is engine-specific; pair-level rules
+    are pure counts).
+
+    All inputs to the ranking are exact integers (pair/item supports,
+    basket count); confidence and lift are single fixed-order double
+    expressions rounded at 6dp with (brand_a, brand_b) tiebreaks, so
+    the top-20 is engine-deterministic.
+
+    Scale shape: baskets = one broadcast join (part is the dim) + one
+    distinct; the pair generation self-joins ON THE BASKET KEY, so
+    fan-out is C(items-per-basket, 2) per order — bounded by basket
+    width (~4 brands), never by catalog size; supports are two hash
+    aggs.  This is exactly how pair-level rules are mined at retail
+    scale — FP-growth only becomes necessary for itemsets of size
+    >= 3 with low support."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (li.join(F.broadcast(part),
+                       li.l_partkey == part.p_partkey)
+               .select("l_orderkey", "p_brand").distinct())
+    nn = baskets.agg(F.countDistinct("l_orderkey").cast("bigint").alias("n"))
+    items = baskets.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("supp"))
+    b2 = baskets.select(F.col("l_orderkey").alias("ok2"),
+                        F.col("p_brand").alias("brand_b"))
+    pairs = (baskets.withColumnRenamed("p_brand", "brand_a")
+             .join(b2, (F.col("ok2") == F.col("l_orderkey"))
+                   & (F.col("brand_a") < F.col("brand_b")))
+             .groupBy("brand_a", "brand_b")
+             .agg(F.count("*").cast("bigint").alias("supp_ab")))
+    ia = items.select(F.col("p_brand").alias("brand_a"),
+                      F.col("supp").alias("supp_a"))
+    ib = items.select(F.col("p_brand").alias("brand_b"),
+                      F.col("supp").alias("supp_b"))
+    return (pairs.join(F.broadcast(ia), "brand_a")
+            .join(F.broadcast(ib), "brand_b")
+            .crossJoin(F.broadcast(nn))
+            .select("brand_a", "brand_b", "supp_ab",
+                    F.round(F.col("supp_ab") * 1.0 / F.col("supp_a"), 6)
+                    .alias("conf_a_to_b"),
+                    F.round(F.col("supp_ab") * 1.0 / F.col("supp_b"), 6)
+                    .alias("conf_b_to_a"),
+                    F.round(F.col("supp_ab") * 1.0 * F.col("n")
+                            / (F.col("supp_a") * F.col("supp_b")), 6)
+                    .alias("lift"))
+            .orderBy(F.desc("lift"), "brand_a", "brand_b")
+            .limit(_AR_TOP))

