@@ -360,32 +360,19 @@ def sketch_hdr_quantiles(spark, sf_dir):
     happens.  The exact comparator column computes its CDF over
     DISTINCT cents values, also bounded far below row count."""
     li = _t(spark, sf_dir, "lineitem")
-    c = li.select(F.expr(
-        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").alias("c"))
-    g = F.greatest(F.length(F.bin("c")) - 1 - _HDR_BITS, F.lit(0))
-    b = (c.select("c", g.alias("g"))
-         .select(F.expr("shiftleft(shiftright(c, g), g)").alias("b_lo"), "g")
-         .groupBy("b_lo", "g").agg(F.count("*").alias("cnt")))
-    cdf = b.withColumn(
-        "cum", F.sum("cnt").over(Window.orderBy("b_lo")).cast("bigint"))
+    c = li.select(hdr_cents_expr().alias("c"))
+    b = hdr_histogram(c)
+    pick = hdr_pick_buckets(spark, b)
     nrow = c.agg(F.count("*").cast("bigint").alias("n"))
     qs = spark.createDataFrame([(q,) for q in _HDR_QS], "q double")
     target = F.ceil(F.col("q") * F.col("n")).cast("bigint")
-    pick = (cdf.crossJoin(F.broadcast(qs)).crossJoin(F.broadcast(nrow))
-            .filter(F.col("cum") >= target)
-            .groupBy("q").agg(F.min("b_lo").alias("b_lo")))
     vcdf = (c.groupBy("c").agg(F.count("*").alias("cnt"))
             .withColumn("cum",
                         F.sum("cnt").over(Window.orderBy("c")).cast("bigint")))
     exact = (vcdf.crossJoin(F.broadcast(qs)).crossJoin(F.broadcast(nrow))
              .filter(F.col("cum") >= target)
              .groupBy("q").agg(F.min("c").alias("exact_c")))
-    # bucket midpoint: singleton buckets (b_lo < 2^(bits+1)) have width 1
-    width_m1 = (F.expr(f"CAST(b_lo >= shiftleft(1L, {_HDR_BITS + 1}) AS INT)")
-                * (F.expr(
-                    f"shiftleft(1L, GREATEST(length(bin(b_lo)) - 1 "
-                    f"- {_HDR_BITS}, 0))") - 1))
-    mid = F.col("b_lo") + width_m1 / 2.0
+    mid = hdr_bucket_midpoint()
     rel = F.abs(mid - F.col("exact_c")) / F.col("exact_c")
     return (pick.join(exact, "q")
             .select("q", F.round(mid / 100.0, 4).alias("est"),
@@ -393,6 +380,50 @@ def sketch_hdr_quantiles(spark, sf_dir):
                     F.round(rel, 6).alias("rel_err"),
                     (rel <= 1.0 / (1 << _HDR_BITS)).cast("int")
                     .alias("within_bound")))
+
+
+HDR_CENTS_SQL = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+
+
+def hdr_cents_expr():
+    """Column expression for the default HDR input (price cents) —
+    built lazily because F.expr needs an active session."""
+    return F.expr(HDR_CENTS_SQL)
+
+
+def hdr_histogram(c: DataFrame) -> DataFrame:
+    """(b_lo, cnt): the bounded HDR bucket histogram of a positive
+    BIGINT column ``c`` — the mergeable state (bucket counts combine
+    by plain addition; sketch_hdr_merge pins it, and the streaming
+    twin streaming/histstate.py persists exactly these rows)."""
+    g = F.greatest(F.length(F.bin("c")) - 1 - _HDR_BITS, F.lit(0))
+    return (c.select("c", g.alias("g"))
+            .select(F.expr("shiftleft(shiftright(c, g), g)").alias("b_lo"))
+            .groupBy("b_lo").agg(F.count("*").cast("bigint").alias("cnt")))
+
+
+def hdr_pick_buckets(spark, hist: DataFrame,
+                     qs: list[float] | None = None) -> DataFrame:
+    """(q, b_lo): the bucket holding each requested quantile, read off
+    the histogram CDF (a window over the BOUNDED bucket table)."""
+    qdf = spark.createDataFrame([(q,) for q in (qs or _HDR_QS)], "q double")
+    cdf = hist.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("b_lo")).cast("bigint"))
+    nrow = hist.agg(F.sum("cnt").cast("bigint").alias("n"))
+    target = F.ceil(F.col("q") * F.col("n")).cast("bigint")
+    return (cdf.crossJoin(F.broadcast(qdf)).crossJoin(F.broadcast(nrow))
+            .filter(F.col("cum") >= target)
+            .groupBy("q").agg(F.min("b_lo").alias("b_lo")))
+
+
+def hdr_bucket_midpoint():
+    """Midpoint of bucket ``b_lo`` (singleton buckets below
+    2^(bits+1) have width 1)."""
+    width_m1 = (F.expr(f"CAST(b_lo >= shiftleft(1L, {_HDR_BITS + 1}) AS INT)")
+                * (F.expr(
+                    f"shiftleft(1L, GREATEST(length(bin(b_lo)) - 1 "
+                    f"- {_HDR_BITS}, 0))") - 1))
+    return F.col("b_lo") + width_m1 / 2.0
 
 
 # --- Bloom-filter decontamination pre-gate --------------------------------

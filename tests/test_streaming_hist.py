@@ -1,0 +1,85 @@
+"""Streaming HDR histogram state: streaming quantiles equal the batch
+sketch's estimates, exactly-once replay, sum-fold compaction, and the
+availableNow runner."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from mental_health_bigdata_project_spark.plans import QUERIES
+from mental_health_bigdata_project_spark.sources import load_table
+from mental_health_bigdata_project_spark.streaming.histstate import (
+    compact_hist_index, hist_batch, read_quantiles, run_incremental_hist)
+
+N_BATCHES = 3
+
+
+def _li(spark, sf_dir):
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice")
+
+
+def _feed(spark, sf_dir, index_dir):
+    li = _li(spark, sf_dir)
+    for b in range(N_BATCHES):
+        hist_batch(li.filter(F.pmod("l_orderkey", F.lit(N_BATCHES)) == b),
+                   b, index_dir)
+    return li
+
+
+def _rows(df):
+    return sorted((r.q, r.est) for r in df.collect())
+
+
+def test_streaming_quantiles_equal_batch_sketch(spark, sf_dir, tmp_path):
+    index_dir = str(tmp_path / "idx")
+    _feed(spark, sf_dir, index_dir)
+    served = _rows(read_quantiles(spark, index_dir))
+    batch = sorted((r.q, r.est) for r in
+                   QUERIES["sketch_hdr_quantiles"](spark, sf_dir).collect())
+    assert served == batch
+
+
+def test_replay_is_bit_identical(spark, sf_dir, tmp_path):
+    index_dir = str(tmp_path / "idx")
+    li = _feed(spark, sf_dir, index_dir)
+    before = _rows(read_quantiles(spark, index_dir))
+    hist_batch(li.filter(F.pmod("l_orderkey", F.lit(N_BATCHES)) == 1),
+               1, index_dir)  # crash-retry of batch 1
+    assert _rows(read_quantiles(spark, index_dir)) == before
+
+
+def test_compaction_sum_folds_and_preserves_quantiles(
+        spark, sf_dir, tmp_path):
+    index_dir = str(tmp_path / "idx")
+    _feed(spark, sf_dir, index_dir)
+    before = _rows(read_quantiles(spark, index_dir))
+    path = os.path.join(index_dir, "hdr_hist")
+    n_before = spark.read.parquet(path).count()
+
+    compact_hist_index(spark, index_dir, through=N_BATCHES - 1)
+    assert _rows(read_quantiles(spark, index_dir)) == before
+
+    compacted = glob.glob(os.path.join(path, "_compacted_v*"))
+    assert len(compacted) == 1
+    folded = spark.read.parquet(compacted[0])
+    assert folded.count() < n_before
+    assert folded.groupBy("b_lo").count() \
+        .filter(F.col("count") > 1).count() == 0
+
+
+def test_streaming_runner_end_to_end(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "src")
+    li = _li(spark, sf_dir)
+    li.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(li.schema).parquet(src)
+    q = run_incremental_hist(stream, str(tmp_path / "ckpt"),
+                             str(tmp_path / "idx2"))
+    q.awaitTermination(120)
+    served = _rows(read_quantiles(spark, str(tmp_path / "idx2")))
+    batch = sorted((r.q, r.est) for r in
+                   QUERIES["sketch_hdr_quantiles"](spark, sf_dir).collect())
+    assert served == batch
