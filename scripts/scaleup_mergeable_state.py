@@ -44,13 +44,13 @@ def main() -> None:
     from mental_health_bigdata_project_spark.session import get_spark
     from mental_health_bigdata_project_spark.sources import load_table
     from mental_health_bigdata_project_spark.streaming import (
-        hllcount, momentstate)
+        histstate, hllcount, momentstate)
 
     spark = get_spark("scaleup-mergeable", master="local[32]",
                       shuffle_partitions=32)
     tmp = tempfile.mkdtemp(prefix="mergeable_scale_")
     out: dict = {"sf_dir": sf_dir, "n_batches": n_batches,
-                 "hll": {}, "moments": {}}
+                 "hll": {}, "moments": {}, "hist": {}}
     try:
         ev = load_table(spark, sf_dir, "events").select(
             "event_type", "user_id")
@@ -58,6 +58,7 @@ def main() -> None:
             "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
         hll_dir = os.path.join(tmp, "hll")
         mom_dir = os.path.join(tmp, "mom")
+        hist_dir = os.path.join(tmp, "hist")
 
         checkpoints = sorted({8, n_batches // 2, n_batches})
         for b in range(n_batches):
@@ -67,17 +68,24 @@ def main() -> None:
             momentstate.moments_batch(
                 li.filter(F.pmod("l_orderkey", F.lit(n_batches)) == b),
                 b, mom_dir)
+            histstate.hist_batch(
+                li.filter(F.pmod("l_orderkey", F.lit(n_batches)) == b),
+                b, hist_dir)
             done = b + 1
             if done in checkpoints:
                 out["hll"][f"serve_wall_{done}b"] = _serve_wall(
                     lambda: hllcount.read_distinct_estimates(spark, hll_dir))
                 out["moments"][f"serve_wall_{done}b"] = _serve_wall(
                     lambda: momentstate.read_linreg(spark, mom_dir))
+                out["hist"][f"serve_wall_{done}b"] = _serve_wall(
+                    lambda: histstate.read_quantiles(spark, hist_dir))
 
         out["hll"]["rows_pre_compact"] = spark.read.parquet(
             os.path.join(hll_dir, "hll_regs")).count()
         out["moments"]["rows_pre_compact"] = spark.read.parquet(
             os.path.join(mom_dir, "moments")).count()
+        out["hist"]["rows_pre_compact"] = spark.read.parquet(
+            os.path.join(hist_dir, "hdr_hist")).count()
         out["hll"]["files_pre_compact"] = len(glob.glob(
             os.path.join(hll_dir, "hll_regs", "batch_id=*", "*.parquet")))
 
@@ -86,6 +94,8 @@ def main() -> None:
                               spark, hll_dir).collect())
         before_m = sorted(tuple(r) for r in
                           momentstate.read_linreg(spark, mom_dir).collect())
+        before_q = sorted(tuple(r) for r in
+                          histstate.read_quantiles(spark, hist_dir).collect())
 
         t0 = time.monotonic()
         hllcount.compact_hll_index(spark, hll_dir, through=n_batches - 1)
@@ -94,6 +104,10 @@ def main() -> None:
         momentstate.compact_moment_index(spark, mom_dir,
                                          through=n_batches - 1)
         out["moments"]["compact_wall"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        histstate.compact_hist_index(spark, hist_dir,
+                                     through=n_batches - 1)
+        out["hist"]["compact_wall"] = round(time.monotonic() - t0, 3)
 
         out["hll"]["serve_wall_post_compact"] = _serve_wall(
             lambda: hllcount.read_distinct_estimates(spark, hll_dir))
@@ -103,6 +117,10 @@ def main() -> None:
             os.path.join(hll_dir, "hll_regs", "_compacted_v*"))[0]).count()
         out["moments"]["rows_post_compact"] = spark.read.parquet(glob.glob(
             os.path.join(mom_dir, "moments", "_compacted_v*"))[0]).count()
+        out["hist"]["serve_wall_post_compact"] = _serve_wall(
+            lambda: histstate.read_quantiles(spark, hist_dir))
+        out["hist"]["rows_post_compact"] = spark.read.parquet(glob.glob(
+            os.path.join(hist_dir, "hdr_hist", "_compacted_v*"))[0]).count()
 
         after_h = sorted(tuple(r) for r in
                          hllcount.read_distinct_estimates(
@@ -113,6 +131,10 @@ def main() -> None:
             before_h == after_h)
         out["moments"]["answers_identical_post_compact"] = int(
             before_m == after_m)
+        after_q = sorted(tuple(r) for r in
+                         histstate.read_quantiles(spark, hist_dir).collect())
+        out["hist"]["answers_identical_post_compact"] = int(
+            before_q == after_q)
         print(json.dumps(out, separators=(",", ":")), flush=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
