@@ -135,7 +135,7 @@ _CONVERTED_FRONT = [
     "sketch_bloom_decontam", "sample_weighted_reservoir",
     "ml_linreg_closed_form", "lm_kneser_ney_bigram",
     "vec_jl_distortion", "sim_jl_topk_recall", "sketch_hdr_merge",
-    "sketch_hll_setops", "assoc_rules_pairs",
+    "sketch_hll_setops", "assoc_rules_pairs", "dq_profile_columns",
 ]
 
 

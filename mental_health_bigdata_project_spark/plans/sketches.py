@@ -1253,3 +1253,79 @@ def assoc_rules_pairs(spark, sf_dir):
                     .alias("lift"))
             .orderBy(F.desc("lift"), "brand_a", "brand_b")
             .limit(_AR_TOP))
+
+
+# --- column statistics profile (ANALYZE TABLE) ----------------------------
+
+_PROFILE_COLS = ["o_custkey", "o_orderstatus", "o_totalprice",
+                 "o_orderpriority"]
+
+_PROFILE_STACK_SQL = " UNION ALL ".join(
+    f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS v FROM orders"
+    for c in _PROFILE_COLS)
+
+
+@query("dq_profile_columns", f"""
+    WITH stacked AS ({_PROFILE_STACK_SQL}),
+    base AS (
+      SELECT col_name,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_null,
+             CAST(COUNT(DISTINCT v) AS BIGINT) AS ndv_exact,
+             MIN(v) AS min_str, MAX(v) AS max_str
+      FROM stacked GROUP BY col_name),
+    hx AS (SELECT col_name, md5(v) AS h FROM stacked WHERE v IS NOT NULL),
+    nib AS (SELECT col_name, {_HLL_REG_SQL_DUCK} FROM hx),
+    rho AS (
+      SELECT col_name, b0 % {_HLL_M} AS idx,
+             LEAST(CASE WHEN zp = 16 THEN 65
+                   ELSE 4 * zp + (CASE WHEN nv >= 8 THEN 0
+                                       WHEN nv >= 4 THEN 1
+                                       WHEN nv >= 2 THEN 2 ELSE 3 END) + 1
+                   END, {_HLL_CAP}) AS rr
+      FROM nib),
+    regs AS (
+      SELECT col_name, idx, MAX(rr) AS mx FROM rho GROUP BY col_name, idx),
+    {_HLL_EST_SQL.format(grp="col_name")}
+    SELECT b.col_name, b.n_rows, b.n_null, b.ndv_exact,
+           e.est AS ndv_hll,
+           round(abs(e.est - b.ndv_exact) / b.ndv_exact, 4) AS ndv_rel_err,
+           b.min_str, b.max_str
+    FROM base b JOIN est e ON e.col_name = b.col_name
+""")
+def dq_profile_columns(spark, sf_dir):
+    """ANALYZE-TABLE-style column statistics profile of `orders` —
+    the stats block a cost-based optimizer (or a data-quality monitor)
+    maintains per column: row count, null count, exact NDV, the HLL
+    NDV estimate a production profiler would actually store (reusing
+    this module's portable registers, measured error alongside), and
+    lexical min/max of the string form (string comparison is the one
+    ordering both engines define identically for every source type).
+
+    Plan shape: ONE scan of orders stacked into (col_name, value)
+    rows — profiling C columns multiplies rows by C before the
+    partial agg, the standard Expand-style trade — then two
+    metadata-sized aggs (per-column stats, per-column registers).  At
+    100 TB the profile is the canonical mergeable-state consumer: the
+    registers roll daily partition profiles up to table level without
+    re-scanning (sketch_hll_merge), which is how ANALYZE stays
+    incremental on partitioned tables."""
+    o = _t(spark, sf_dir, "orders")
+    stacked = o.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("col_name"),
+                 F.col(c).cast("string").alias("v"))
+        for c in _PROFILE_COLS])).alias("s")).select("s.col_name", "s.v")
+    base = stacked.groupBy("col_name").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        (F.count("*") - F.count("v")).cast("bigint").alias("n_null"),
+        F.countDistinct("v").cast("bigint").alias("ndv_exact"),
+        F.min("v").alias("min_str"), F.max("v").alias("max_str"))
+    keyed = (stacked.filter(F.col("v").isNotNull())
+             .select("col_name", F.md5("v").alias("h")))
+    est = _hll_estimate(_hll_registers(keyed, ["col_name"]), ["col_name"])
+    return (base.join(est, "col_name")
+            .select("col_name", "n_rows", "n_null", "ndv_exact",
+                    F.col("est").alias("ndv_hll"),
+                    F.round(F.abs(F.col("est") - F.col("ndv_exact"))
+                            / F.col("ndv_exact"), 4).alias("ndv_rel_err"),
+                    "min_str", "max_str"))

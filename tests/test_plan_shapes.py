@@ -96,6 +96,7 @@ GUARDED = [
     ("sketch_hll_setops", 3, 0),
     # assoc_rules_pairs: one 1-row basket-count aggregate
     ("assoc_rules_pairs", 1, 0),
+    ("dq_profile_columns", 0, 0),
 ]
 
 

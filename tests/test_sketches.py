@@ -341,3 +341,25 @@ def test_assoc_rules_match_python_recount(spark, sf_dir):
     assert r.supp_ab == len(ba & bb)
     assert r.conf_a_to_b == round(len(ba & bb) / len(ba), 6)
     assert r.lift == round(len(ba & bb) * n / (len(ba) * len(bb)), 6)
+
+
+# --- column profile -------------------------------------------------------
+
+def test_profile_columns_stats_consistent(spark, sf_dir):
+    from mental_health_bigdata_project_spark.sources import load_table
+
+    rows = {r.col_name: r for r in
+            QUERIES["dq_profile_columns"](spark, sf_dir).collect()}
+    assert set(rows) == {"o_custkey", "o_orderstatus", "o_totalprice",
+                         "o_orderpriority"}
+    n = load_table(spark, sf_dir, "orders").count()
+    for r in rows.values():
+        assert r.n_rows == n
+        assert 0 <= r.n_null <= r.n_rows
+        assert 1 <= r.ndv_exact <= r.n_rows - r.n_null
+        assert r.min_str <= r.max_str
+        assert r.ndv_hll > 0
+        # HLL error: 3-sigma at m=64 is 39%; linear counting regime for
+        # tiny-NDV columns is near-exact
+        assert abs(r.ndv_hll - r.ndv_exact) / r.ndv_exact <= 0.39
+    assert rows["o_orderstatus"].ndv_exact <= 3
