@@ -362,8 +362,8 @@ def sketch_hdr_quantiles(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     c = li.select(hdr_cents_expr().alias("c"))
     b = hdr_histogram(c)
-    pick = hdr_pick_buckets(spark, b)
     nrow = c.agg(F.count("*").cast("bigint").alias("n"))
+    pick = hdr_pick_buckets(spark, b, nrow=nrow)
     qs = spark.createDataFrame([(q,) for q in _HDR_QS], "q double")
     target = F.ceil(F.col("q") * F.col("n")).cast("bigint")
     vcdf = (c.groupBy("c").agg(F.count("*").alias("cnt"))
@@ -403,13 +403,20 @@ def hdr_histogram(c: DataFrame) -> DataFrame:
 
 
 def hdr_pick_buckets(spark, hist: DataFrame,
-                     qs: list[float] | None = None) -> DataFrame:
+                     qs: list[float] | None = None,
+                     nrow: DataFrame | None = None) -> DataFrame:
     """(q, b_lo): the bucket holding each requested quantile, read off
-    the histogram CDF (a window over the BOUNDED bucket table)."""
+    the histogram CDF (a window over the BOUNDED bucket table).
+
+    ``nrow`` (a 1-row ``n BIGINT`` frame) lets a caller that already
+    has the total share it; otherwise it is summed from the histogram —
+    callers that also compute their own total should pass it in so the
+    plan carries ONE global aggregate, not two."""
     qdf = spark.createDataFrame([(q,) for q in (qs or _HDR_QS)], "q double")
     cdf = hist.withColumn(
         "cum", F.sum("cnt").over(Window.orderBy("b_lo")).cast("bigint"))
-    nrow = hist.agg(F.sum("cnt").cast("bigint").alias("n"))
+    if nrow is None:
+        nrow = hist.agg(F.sum("cnt").cast("bigint").alias("n"))
     target = F.ceil(F.col("q") * F.col("n")).cast("bigint")
     return (cdf.crossJoin(F.broadcast(qdf)).crossJoin(F.broadcast(nrow))
             .filter(F.col("cum") >= target)
