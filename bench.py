@@ -119,6 +119,10 @@ HEADLINE = [
     # (one scan -> 64-row partials), Bloom bitmap probe (broadcast bit
     # join), and the three-way Kneser–Ney count aggregation
     "sketch_hll_portable", "sketch_bloom_decontam", "lm_kneser_ney_bigram",
+    # round-4 (late): exact set-similarity self-join via prefix
+    # filtering — the lossless full-corpus near-dup shape (df rank +
+    # prefix candidate join + array_intersect verify)
+    "dedup_setsim_prefix",
 ]
 
 

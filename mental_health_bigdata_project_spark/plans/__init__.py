@@ -136,6 +136,10 @@ _CONVERTED_FRONT = [
     "ml_linreg_closed_form", "lm_kneser_ney_bigram",
     "vec_jl_distortion", "sim_jl_topk_recall", "sketch_hdr_merge",
     "sketch_hll_setops", "assoc_rules_pairs", "dq_profile_columns",
+    # new in round 4 (late): prefix-filtered exact set-similarity join,
+    # sorted-neighborhood ER, TWAP, incremental aggregate refresh
+    "dedup_setsim_prefix", "er_sorted_neighborhood", "ts_twap",
+    "ivm_agg_refresh",
 ]
 
 

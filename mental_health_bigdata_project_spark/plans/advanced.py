@@ -530,6 +530,61 @@ def ts_ewma(spark, sf_dir):
                     ewma.alias("ewma20")))
 
 
+@query("ts_twap", f"""
+    WITH e AS (SELECT * FROM {EVENTS_TS}),
+    s AS (SELECT user_id, value,
+                 date_diff('microsecond', ts,
+                           lead(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)) AS dur_us
+          FROM e)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dur_us) AS BIGINT) AS span_us,
+           round(CAST(SUM(CAST(CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+                               AS DECIMAL(19,0))
+                          * CAST(dur_us AS DECIMAL(19,0))) AS DOUBLE)
+                 / CAST(SUM(dur_us) AS DOUBLE) / 1000000.0, 6) AS twap
+    FROM s WHERE dur_us IS NOT NULL AND dur_us > 0
+    GROUP BY user_id
+""")
+def ts_twap(spark, sf_dir):
+    """Time-weighted average value per user (TWAP): each reading holds
+    until the user's next event, so its weight is that holding
+    duration — the correct mean for irregularly-sampled series, where
+    the row-mean over-weights bursts (a sensor that reports 100x/s
+    while failing would dominate a plain AVG).  The last reading has
+    no successor and contributes no interval (standard
+    finite-horizon TWAP).
+
+    Exactness recipe: values quantize to integer micro-units (floor
+    +0.5 — IEEE multiply+floor agree cross-engine), durations are
+    exact integer microseconds from the lead() difference, and the
+    weighted sum accumulates DECIMAL(19,0)xDECIMAL(19,0) products —
+    an exact int128-backed DECIMAL(38,0) sum, order-free
+    (18-digit operands keep DuckDB's product in int64, which the
+    microsecond durations overflow) — with ONE double division and
+    round at the end.  At 100 TB this is one user_id shuffle + sort
+    (the same exchange every per-user window op shares) followed by a
+    map-side-combinable aggregate; no state beyond the window frame."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    s = (ev.withColumn("nxt_ts", nxt)
+         .select("user_id", "value",
+                 F.expr("timestampdiff(MICROSECOND, ts, nxt_ts)")
+                 .alias("dur_us"))
+         .filter(F.col("dur_us").isNotNull() & (F.col("dur_us") > 0)))
+    v_us = F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("bigint")
+    num = F.sum(v_us.cast("decimal(19,0)")
+                * F.col("dur_us").cast("decimal(19,0)"))
+    den = F.sum("dur_us")
+    return s.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_intervals"),
+        den.cast("bigint").alias("span_us"),
+        F.round(num.cast("double") / den.cast("double") / 1_000_000.0, 6)
+        .alias("twap"))
+
+
 _EDGES_SQL = """
     seq AS (
       SELECT user_id, event_type,

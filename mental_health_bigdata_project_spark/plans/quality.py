@@ -960,6 +960,58 @@ def merge_upsert_cdc(spark, sf_dir):
                 .alias("n_changes")))
 
 
+@query("ivm_agg_refresh", """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders GROUP BY o_orderpriority
+""")
+def ivm_agg_refresh(spark, sf_dir):
+    """Incremental view maintenance for a grouped aggregate: refresh a
+    materialized per-priority (count, sum) rollup by FOLDING a delta
+    batch's partial aggregates into the stored base state — one full
+    outer join on the group key, counts add, exact decimal sums add —
+    instead of re-aggregating history.  The oracle is the full
+    recompute over all of ``orders``; the fold produces it bitwise
+    because count and decimal-sum are the mergeable-by-addition state
+    family (the same algebra streaming/momentstate.py exploits
+    per-micro-batch; this is its batch refresh face, and the reason
+    the base aggregate can be STORED: fold(state, agg(delta)) ==
+    agg(base UNION delta)).
+
+    Here base/delta both derive from the table with a date cutoff —
+    in production the base side is the previously-materialized
+    aggregate readback, so refresh cost is O(delta) + a join against a
+    #groups-sized table: at 100 TB the delta agg map-side-combines
+    within the new partition's files and the history is never
+    rescanned.  MIN/MAX fold the same way; AVG ships as (sum, count);
+    quantiles/distincts need the sketch family (HDR/HLL) — the
+    non-mergeable exact forms are exactly what this pattern cannot
+    refresh, which is why those live as sketches in this repo."""
+    o = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("date")
+    def part(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"))
+    base = part(o.filter(F.col("o_orderdate") < cutoff))
+    delta = part(o.filter(F.col("o_orderdate") >= cutoff))
+    b, d = base.alias("b"), delta.alias("d")
+    return (b.join(d, F.col("b.o_orderpriority") == F.col("d.o_orderpriority"),
+                   "full_outer")
+            .select(
+                F.coalesce(F.col("b.o_orderpriority"),
+                           F.col("d.o_orderpriority"))
+                .alias("o_orderpriority"),
+                (F.coalesce(F.col("b.n"), F.lit(0))
+                 + F.coalesce(F.col("d.n"), F.lit(0)))
+                .cast("bigint").alias("n_orders"),
+                (F.coalesce(F.col("b.s"), F.lit(0).cast("decimal(18,2)"))
+                 + F.coalesce(F.col("d.s"), F.lit(0).cast("decimal(18,2)")))
+                .cast("double").alias("total_price")))
+
+
 @query("privacy_k_anonymity", """
     WITH qi AS (
       SELECT c_custkey, c_nationkey, c_mktsegment,

@@ -278,6 +278,146 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+_SETSIM_T = 0.5
+
+@query("dedup_setsim_prefix", f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(toks) >= 3 THEN
+                list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            ELSE [] END)) AS shingle
+        FROM d),
+    cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+    SELECT p.doc_a, p.doc_b,
+           CAST(p.inter AS DOUBLE) / (ca.c + cb.c - p.inter) AS jaccard
+    FROM pairs p
+    JOIN cnt ca ON p.doc_a = ca.doc_id
+    JOIN cnt cb ON p.doc_b = cb.doc_id
+    WHERE CAST(p.inter AS DOUBLE) / (ca.c + cb.c - p.inter) >= {_SETSIM_T}
+""")
+def dedup_setsim_prefix(spark, sf_dir):
+    """EXACT set-similarity self-join (token-3-gram Jaccard >= 0.5)
+    over the FULL corpus via prefix filtering (PPJoin-family:
+    Chaudhuri et al. SSJoin / Xiao et al. PPJoin) — the lossless scale
+    path between ``dedup_ngram_jaccard`` (naive co-shingle join,
+    oracle-bounded to doc_id < 200 because common shingles make the
+    candidate set quadratic) and ``dedup_minhash_near`` (LSH,
+    approximate).
+
+    Mechanics: order each doc's shingle set rarest-first by global
+    document frequency (ties by shingle text); a pair with
+    J >= t MUST share an element within the first
+    |s| - ceil(t*|s|) + 1 elements of each side, so candidates form
+    only on shared PREFIX elements — the frequent shingles that
+    explode the naive join sit at the suffix end and never generate
+    pairs.  A size filter (t*|a| <= |b|) prunes further; survivors
+    get ONE exact array_intersect verification against the full
+    sorted sets.  The oracle is the brute-force join — prefix
+    filtering is lossless, so outputs hash-match it bitwise.
+
+    At 100 TB: df ranking is one hash agg on the shingle vocabulary;
+    the candidate join keys on rare prefix shingles (bounded fan-out
+    by construction, no LSH tuning, no false negatives); the per-doc
+    sorted-set table is built once and checkpointed as the stored
+    index artifact (three consumers).  Candidate pruning measured in
+    SCALING.md."""
+    d = _docs(spark, sf_dir).select("doc_id", tokens_col().alias("toks"))
+    per_doc = setsim_index(setsim_shingles(d))
+    return setsim_verify(per_doc, setsim_candidates(per_doc))
+
+
+def setsim_shingles(d: DataFrame) -> DataFrame:
+    """(doc_id, shingle): each doc's DISTINCT token 3-grams, from a
+    (doc_id, toks) frame — the set elements of the setsim join."""
+    shingles = F.when(
+        F.size("toks") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 2),
+            lambda i: F.concat_ws(" ", F.element_at("toks", i),
+                                  F.element_at("toks", i + 1),
+                                  F.element_at("toks", i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select("doc_id",
+                    F.explode(F.array_distinct(shingles)).alias("shingle"))
+
+
+def setsim_index(sh: DataFrame) -> DataFrame:
+    """(doc_id, arr, sz): the per-doc rarest-first sorted element
+    array — the stored setsim index.  Consumed three times downstream
+    (prefix explode + both verify sides), so materialize once
+    (round-3 gotcha: reused subframes re-execute)."""
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    return (sh.join(dfreq, "shingle")
+            .groupBy("doc_id")
+            .agg(F.transform(
+                F.sort_array(F.collect_list(F.struct("df", "shingle"))),
+                lambda s: s["shingle"]).alias("arr"))
+            .withColumn("sz", F.size("arr"))
+            .localCheckpoint(eager=True))
+
+
+def setsim_candidates(per_doc: DataFrame,
+                      t: float = _SETSIM_T) -> DataFrame:
+    """(doc_a, doc_b): candidate pairs sharing a PREFIX element, with
+    the size filter and PPJoin's POSITIONAL upper bound applied — the
+    lossless pruned pair space.
+
+    The positional filter: a shared prefix element at (1-based)
+    positions i of a / j of b caps the achievable overlap at
+    1 + min(sz_a - i, sz_b - j) (everything before the match on
+    either side is disjoint under the shared total order); J >= t
+    needs overlap >= ceil(t/(1+t) * (sz_a+sz_b)), so occurrences
+    whose cap falls short generate no pair.  The first shared prefix
+    element carries the loosest cap, so keeping pairs where ANY
+    occurrence passes is exact — both filters prune only on true
+    upper bounds (the oracle equality pins losslessness at three
+    SFs; SCALING.md measures the candidate cut)."""
+    plen = F.col("sz") - F.ceil(F.lit(t) * F.col("sz")).cast("int") + 1
+    pre = per_doc.select(
+        "doc_id", "sz",
+        F.posexplode(F.slice("arr", F.lit(1), plen)).alias("p", "shingle"))
+    a, b = pre.alias("a"), pre.alias("b")
+    alpha = F.ceil(F.lit(t / (1.0 + t))
+                   * (F.col("a.sz") + F.col("b.sz")))
+    ub = F.lit(1) + F.least(F.col("a.sz") - (F.col("a.p") + 1),
+                            F.col("b.sz") - (F.col("b.p") + 1))
+    return (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .filter((F.col("b.sz") >= F.lit(t) * F.col("a.sz"))
+                    & (F.col("a.sz") >= F.lit(t) * F.col("b.sz"))
+                    & (ub >= alpha))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
+def setsim_verify(per_doc: DataFrame, cand: DataFrame,
+                  t: float = _SETSIM_T) -> DataFrame:
+    """Exact verification: join candidates back to the full sorted
+    sets, one array_intersect per pair, keep J >= t."""
+    arr_a = per_doc.select(F.col("doc_id").alias("doc_a"),
+                           F.col("arr").alias("arr_a"),
+                           F.col("sz").alias("sz_a"))
+    arr_b = per_doc.select(F.col("doc_id").alias("doc_b"),
+                           F.col("arr").alias("arr_b"),
+                           F.col("sz").alias("sz_b"))
+    inter = F.size(F.array_intersect("arr_a", "arr_b"))
+    jac = (F.col("inter").cast("double")
+           / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+    return (cand.join(arr_a, "doc_a").join(arr_b, "doc_b")
+            .withColumn("inter", inter)
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= t)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
 # --- TF-IDF ---------------------------------------------------------------
 
 @query("text_tfidf", f"""
@@ -715,6 +855,64 @@ def dedup_levenshtein_blocked(spark, sf_dir):
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"),
                     dist.cast("int").alias("dist")))
+
+
+@query("er_sorted_neighborhood", """
+    WITH d AS (SELECT doc_id, lang, substr(lower(text), 1, 40) AS head
+               FROM documents),
+    n AS (SELECT doc_id, head,
+                 lead(doc_id, 1) OVER w AS d1, lead(head, 1) OVER w AS h1,
+                 lead(doc_id, 2) OVER w AS d2, lead(head, 2) OVER w AS h2,
+                 lead(doc_id, 3) OVER w AS d3, lead(head, 3) OVER w AS h3
+          FROM d WINDOW w AS (PARTITION BY lang ORDER BY head, doc_id)),
+    u AS (
+      SELECT doc_id AS doc_a, d1 AS doc_b, 1 AS gap,
+             levenshtein(head, h1) AS dist FROM n WHERE d1 IS NOT NULL
+      UNION ALL
+      SELECT doc_id, d2, 2, levenshtein(head, h2) FROM n WHERE d2 IS NOT NULL
+      UNION ALL
+      SELECT doc_id, d3, 3, levenshtein(head, h3) FROM n WHERE d3 IS NOT NULL)
+    SELECT doc_a, doc_b, CAST(gap AS INTEGER) AS gap,
+           CAST(dist AS INTEGER) AS dist
+    FROM u WHERE dist <= 20
+""")
+def er_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood entity resolution (Hernandez-Stolfo merge/
+    purge): sort records by a blocking key (normalized 40-char text
+    head) within each lang partition and compare each record only to
+    its next w=3 neighbors in sort order — candidate generation is
+    O(n·w) regardless of block-size skew, the classic fix for
+    hash-blocking's giant-bucket problem (``dedup_levenshtein_blocked``
+    blocks on lang alone, so one dominant lang degrades to quadratic;
+    here a hot key costs exactly 3 comparisons per row).
+
+    Implementation is window-native: lead(1..3) within the sort — no
+    self-join, no candidate materialization; unpivot + the edit-
+    distance gate run in the same stage.  At 100 TB the sort is
+    repartitionByRange on (lang, head) — Spark's window exchange
+    already range-splits per partition key; multi-pass production
+    deployments re-run with a second key (e.g. reversed head) to
+    catch prefix-divergent pairs, each pass this same plan."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang",
+        F.substring(F.lower("text"), 1, 40).alias("head"))
+    w = Window.partitionBy("lang").orderBy("head", "doc_id")
+    n = d.select(
+        "doc_id", "head",
+        *[c for k in (1, 2, 3) for c in
+          (F.lead("doc_id", k).over(w).alias(f"d{k}"),
+           F.lead("head", k).over(w).alias(f"h{k}"))])
+    parts = [
+        n.filter(F.col(f"d{k}").isNotNull()).select(
+            F.col("doc_id").alias("doc_a"),
+            F.col(f"d{k}").alias("doc_b"),
+            F.lit(k).alias("gap"),
+            F.levenshtein("head", f"h{k}").alias("dist"))
+        for k in (1, 2, 3)]
+    u = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    return (u.filter(F.col("dist") <= 20)
+            .select("doc_a", "doc_b", F.col("gap").cast("int").alias("gap"),
+                    F.col("dist").cast("int").alias("dist")))
 
 
 _TRIGRAMS_SQL = f"""

@@ -97,6 +97,19 @@ GUARDED = [
     # assoc_rules_pairs: one 1-row basket-count aggregate
     ("assoc_rules_pairs", 1, 0),
     ("dq_profile_columns", 0, 0),
+    # round-4 (late) additions.
+    #   dedup_setsim_prefix: all joins key on shingles / doc ids (hash
+    #     strategies); no global aggregate anywhere;
+    #   er_sorted_neighborhood: window partitioned by lang — no global
+    #     sort, no join at all;
+    #   ivm_agg_refresh: the state fold is one FULL OUTER join of two
+    #     #groups-sized aggregate tables, where SMJ is the only
+    #     physical strategy (the merge_upsert_cdc class);
+    #   ts_twap: one user_id window + grouped aggregate, same exchange.
+    ("dedup_setsim_prefix", 0, 0),
+    ("er_sorted_neighborhood", 0, 0),
+    ("ivm_agg_refresh", 0, 1),
+    ("ts_twap", 0, 0),
 ]
 
 

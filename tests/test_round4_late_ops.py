@@ -1,0 +1,132 @@
+"""Semantic tests for the round-4 (late) operators: prefix-filtered
+exact set-similarity join, sorted-neighborhood entity resolution,
+time-weighted averaging, and incremental aggregate-view refresh.
+Value-parity vs DuckDB is scripts/check_oracles.py; these pin the
+*semantics* on hand-built inputs plus cross-query invariants at
+sf0.001."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from mental_health_bigdata_project_spark.plans import QUERIES
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        [(i, t, lang, "src0", len(t)) for i, t, lang in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint")
+    d = str(tmp_path / "docs")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+# --- dedup_setsim_prefix ---------------------------------------------------
+
+def test_setsim_prefix_finds_exact_jaccard_pair(spark, tmp_path):
+    # doc 2's token stream is doc 1's minus the last token: shingle
+    # sets are 10 vs 9 with all 9 shared -> J = 9/10.
+    toks = [f"w{i}" for i in range(12)]
+    d = _write_docs(spark, tmp_path, [
+        (1, " ".join(toks), "en"),
+        (2, " ".join(toks[:-1]), "en"),
+        (3, " ".join(f"z{i}" for i in range(12)), "en"),
+    ])
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in QUERIES["dedup_setsim_prefix"](spark, d).collect()}
+    assert set(out) == {(1, 2)}
+    assert abs(out[(1, 2)] - 0.9) < 1e-12
+
+
+def test_setsim_prefix_matches_naive_join_on_shared_scope(spark, sf_dir):
+    """Prefix filtering is LOSSLESS: restricted to the naive query's
+    doc_id < 200 scope, the full-corpus prefix join must produce the
+    bitwise-identical pair set (dedup_ngram_jaccard is itself
+    oracle-checked, so this transitively pins the filter's
+    no-false-negative guarantee on real data)."""
+    naive = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()}
+    pref = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in QUERIES["dedup_setsim_prefix"](spark, sf_dir)
+            .filter((F.col("doc_a") < 200) & (F.col("doc_b") < 200))
+            .collect()}
+    assert pref == naive
+
+
+# --- er_sorted_neighborhood ------------------------------------------------
+
+def test_sorted_neighborhood_windows_within_lang(spark, tmp_path):
+    # Sort order within lang 'en' by head: doc 3 ("aaa..."), doc 1
+    # ("abc..."), doc 2 ("abd...").  Window w=3 covers all in-lang
+    # pairs here; the de doc never pairs with en docs.
+    d = _write_docs(spark, tmp_path, [
+        (1, "abc " + "x " * 30, "en"),
+        (2, "abd " + "x " * 30, "en"),
+        (3, "aaa " + "y " * 30, "en"),
+        (4, "abc " + "x " * 30, "de"),
+    ])
+    rows = QUERIES["er_sorted_neighborhood"](spark, d).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): (r["gap"], r["dist"]) for r in rows}
+    assert (4, 1) not in pairs and (1, 4) not in pairs  # lang blocks
+    assert pairs[(3, 1)][0] == 1          # adjacent in sort order
+    assert pairs[(1, 2)] == (1, 1)        # abc vs abd: one substitution
+    assert pairs[(3, 2)][0] == 2          # two apart
+    assert all(1 <= g <= 3 and d_ <= 20 for g, d_ in pairs.values())
+
+
+def test_sorted_neighborhood_cost_is_linear_in_rows(spark, sf_dir):
+    # O(n*w) candidates: never more than 3 emitted pairs per doc.
+    out = QUERIES["er_sorted_neighborhood"](spark, sf_dir)
+    per_doc = out.groupBy("doc_a").agg(F.count("*").alias("n")).collect()
+    assert per_doc and max(r["n"] for r in per_doc) <= 3
+
+
+# --- ts_twap ---------------------------------------------------------------
+
+def test_twap_weights_by_holding_duration(spark, tmp_path):
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10, 10.0),
+        (2, t0 + datetime.timedelta(seconds=10), 10, 20.0),
+        (3, t0 + datetime.timedelta(seconds=40), 10, 30.0),  # no successor
+        (4, t0, 11, 5.0),                                    # single event
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, "view", v, "{}") for i, ts, u, v in rows],
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string")
+    d = str(tmp_path / "ev")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r["user_id"]: r for r in QUERIES["ts_twap"](spark, d).collect()}
+    # user 10: 10 held 10s, 20 held 30s -> (100+600)/40 = 17.5
+    assert out[10]["n_intervals"] == 2
+    assert out[10]["span_us"] == 40_000_000
+    assert abs(out[10]["twap"] - 17.5) < 1e-9
+    assert 11 not in out  # a lone reading has no holding interval
+
+
+def test_twap_bounded_by_value_range(spark, sf_dir):
+    from mental_health_bigdata_project_spark.sources import load_table
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+    out = QUERIES["ts_twap"](spark, sf_dir)
+    bad = out.filter((F.col("twap") < lo - 1e-6)
+                     | (F.col("twap") > hi + 1e-6)).count()
+    assert bad == 0 and out.count() > 0
+
+
+# --- ivm_agg_refresh -------------------------------------------------------
+
+def test_ivm_refresh_equals_full_recompute(spark, sf_dir):
+    from mental_health_bigdata_project_spark.sources import load_table
+    o = load_table(spark, sf_dir, "orders")
+    direct = {r["o_orderpriority"]: (r["n"], float(r["s"]))
+              for r in o.groupBy("o_orderpriority").agg(
+                  F.count("*").alias("n"),
+                  F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .cast("double").alias("s")).collect()}
+    folded = {r["o_orderpriority"]: (r["n_orders"], r["total_price"])
+              for r in QUERIES["ivm_agg_refresh"](spark, sf_dir).collect()}
+    assert folded == direct
