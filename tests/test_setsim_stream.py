@@ -1,0 +1,127 @@
+"""Incremental streaming EXACT set-similarity dedup
+(streaming/setsimdedup.py): batch-level semantics against the persisted
+prefix/arrs index, exactness (no LSH false positives), crash-replay
+content equality, and the end-to-end Structured Streaming plumbing."""
+
+from __future__ import annotations
+
+import json
+import time
+
+from mental_health_bigdata_project_spark.streaming import setsimdedup
+
+BASE = ("the quick brown fox jumps over the lazy dog while seventeen "
+        "sleepy pandas watch from a bamboo grove near the old river "
+        "bridge under a pale autumn moon tonight").split()
+assert len(BASE) == 29
+TEXT_A = " ".join(BASE)
+TEXT_B = " ".join(BASE[:-1] + ["yesterday"])    # J(A,B) = 24/30 = 0.8
+TEXT_C = ("completely different content about spark physical plans and "
+          "shuffle partitioning strategies for large clusters with "
+          "adaptive execution enabled everywhere all the time")
+TEXT_D = ("unrelated corpus entry describing tokenizer training merge "
+          "steps and byte pair encodings applied to word frequency "
+          "tables during preprocessing")
+# shares A's first 12 tokens only: inter=10 of 28/28 shingles ->
+# J = 10/46 ~ 0.22 < 0.5 — a near-miss an LSH band can false-positive
+# on, but exact verification must KEEP
+TEXT_E = " ".join(BASE[:12] + [f"fresh{i}" for i in range(18)])
+TEXT_SHORT = "hi there"                          # <3 tokens: no shingles
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_incremental_setsim_batches(spark, tmp_path):
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+
+    # batch 0: A, its exact copy (id 9, within-batch dup), unrelated D,
+    # and a shingle-less short doc (auto-accepted)
+    setsimdedup.dedup_setsim_batch_against_index(
+        _df(spark, [(1, TEXT_A), (9, TEXT_A), (4, TEXT_D),
+                    (7, TEXT_SHORT)]), 0, out, idx)
+    acc0 = {r.doc_id for r in
+            spark.read.parquet(f"{out}/accepted").collect()}
+    assert acc0 == {1, 4, 7}
+
+    # batch 1: B is an exact-Jaccard dup of accepted A (prior-index
+    # hit); E overlaps A but J ~ 0.22 — exactness keeps it; C fresh
+    setsimdedup.dedup_setsim_batch_against_index(
+        _df(spark, [(2, TEXT_B), (3, TEXT_C), (8, TEXT_E)]), 1, out, idx)
+    acc = {r.doc_id for r in spark.read.parquet(f"{out}/accepted").collect()}
+    assert acc == {1, 4, 7, 3, 8}
+
+    # crash replay of batch 1: identical CONTENT, not just ids (an
+    # all-dropped replay leaves stale-but-correct partitions behind —
+    # the round-4 replay-bug class the content assert exists to catch)
+    setsimdedup.dedup_setsim_batch_against_index(
+        _df(spark, [(2, TEXT_B), (3, TEXT_C), (8, TEXT_E)]), 1, out, idx)
+    rows = spark.read.parquet(f"{out}/accepted").collect()
+    assert {r.doc_id for r in rows} == {1, 4, 7, 3, 8}
+    assert len(rows) == 5
+    by_id = {r.doc_id: r.text for r in rows}
+    assert by_id[3] == TEXT_C and by_id[8] == TEXT_E and by_id[1] == TEXT_A
+
+
+def test_setsim_stream_matches_batch_query_pairs(spark, tmp_path):
+    """The stream's cross-batch drops are exactly the batch query's
+    verified pairs, applied greedily in arrival order: every dropped
+    doc must appear as the partner of an accepted doc in
+    dedup_setsim_prefix's (oracle-checked) output over the full
+    corpus."""
+    from pyspark.sql import functions as F
+
+    from mental_health_bigdata_project_spark.plans import QUERIES
+
+    corpus = [(1, TEXT_A), (9, TEXT_A), (4, TEXT_D), (7, TEXT_SHORT),
+              (2, TEXT_B), (3, TEXT_C), (8, TEXT_E)]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in corpus],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in QUERIES["dedup_setsim_prefix"](spark, d).collect()}
+    assert pairs == {(1, 9), (1, 2), (2, 9)}
+
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+    setsimdedup.dedup_setsim_batch_against_index(
+        _df(spark, corpus[:4]), 0, out, idx)
+    setsimdedup.dedup_setsim_batch_against_index(
+        _df(spark, corpus[4:]), 1, out, idx)
+    acc = {r.doc_id for r in spark.read.parquet(f"{out}/accepted").collect()}
+    dropped = {i for i, _ in corpus} - acc
+    # every drop is justified by a batch-query pair with an accepted doc
+    for doc in dropped:
+        assert any((a in acc and b == doc) or (b in acc and a == doc)
+                   for a, b in pairs)
+    assert dropped == {9, 2}
+
+
+def test_incremental_setsim_streaming(spark, tmp_path):
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    with open(in_dir / "b0.json", "w") as f:
+        for i, t in [(1, TEXT_A), (4, TEXT_D)]:
+            f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+    time.sleep(1.1)  # distinct mtime so the file source can split batches
+    with open(in_dir / "b1.json", "w") as f:
+        for i, t in [(2, TEXT_B), (3, TEXT_C)]:
+            f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    stream = (spark.readStream.schema("doc_id bigint, text string")
+              .option("maxFilesPerTrigger", 1).json(str(in_dir)))
+    q = setsimdedup.run_incremental_setsim_dedup(
+        stream, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        str(tmp_path / "idx"))
+    q.awaitTermination(120)
+
+    acc = {r.doc_id for r in
+           spark.read.parquet(str(tmp_path / "out" / "accepted")).collect()}
+    # B duplicates A whichever micro-batch boundary the source picked
+    # (prior-index hit or within-batch keep-min) — batching-invariant
+    assert acc == {1, 3, 4}
