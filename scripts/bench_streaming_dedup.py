@@ -47,6 +47,8 @@ def run(spark, sf_dir: str, n_batches: int = 4) -> dict:
         rewrite_batch_against_index)
     from mental_health_bigdata_project_spark.streaming.neardup import (
         dedup_batch_against_index, dedup_embeddings_against_index)
+    from mental_health_bigdata_project_spark.streaming.setsimdedup import (
+        dedup_setsim_batch_against_index)
     from mental_health_bigdata_project_spark.streaming.spandedup import (
         rewrite_spans_batch_against_index)
 
@@ -102,6 +104,12 @@ def run(spark, sf_dir: str, n_batches: int = 4) -> dict:
             # partition overwrites per batch
             "keyed_upsert": (cdc_batches, n_events, lambda bdf, bid:
                              upsert_batch(bdf, bid, f"{root}/upsert")),
+            # exact setsim: prefix-index probe + array_intersect
+            # verify — the only EXACT near-dup stream (no LSH bands)
+            "setsim_exact_dedup": (doc_batches, n_docs, lambda bdf, bid:
+                                   dedup_setsim_batch_against_index(
+                                       bdf, bid, f"{root}/setsim/out",
+                                       f"{root}/setsim/idx")),
         }
         for name, (batches, n_rows, body) in paths.items():
             stats = _run_path(name, batches, body)
