@@ -220,8 +220,13 @@ def dedup_exact_docs(spark, sf_dir):
             .select("doc_id", "fingerprint"))
 
 
-@query("dedup_ngram_jaccard", f"""
-    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE doc_id < 200),
+def _naive_jaccard_pairs_sql(scope: str, t: float) -> str:
+    """Brute-force exact-Jaccard pair SQL (all pairs sharing any
+    shingle) — the shared oracle of dedup_ngram_jaccard (bounded
+    scope) and dedup_setsim_prefix (full corpus; the prefix filter is
+    lossless so its output IS the brute-force answer)."""
+    return f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents{scope}),
     sh AS (
         SELECT doc_id, unnest(list_distinct(
             CASE WHEN len(toks) >= 3 THEN
@@ -239,26 +244,21 @@ def dedup_exact_docs(spark, sf_dir):
     FROM pairs p
     JOIN cnt ca ON p.doc_a = ca.doc_id
     JOIN cnt cb ON p.doc_b = cb.doc_id
-    WHERE CAST(p.inter AS DOUBLE) / (ca.c + cb.c - p.inter) >= 0.5
-""")
+    WHERE CAST(p.inter AS DOUBLE) / (ca.c + cb.c - p.inter) >= {t}
+"""
+
+
+@query("dedup_ngram_jaccard",
+       _naive_jaccard_pairs_sql(" WHERE doc_id < 200", 0.5))
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact token-3-gram Jaccard near-dup pairs (restricted to
     doc_id < 200 to bound the pair space for the oracle; the unbounded
-    scale path is dedup_minhash_near, which prunes candidates by LSH
-    banding instead of joining every co-shingled pair)."""
-    toks = tokens_col()
+    scale paths are dedup_setsim_prefix — exact, prefix-filtered — and
+    dedup_minhash_near, which prunes candidates by LSH banding
+    instead of joining every co-shingled pair)."""
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select(
-        "doc_id", toks.alias("toks"))
-    shingles = F.when(
-        F.size("toks") >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks") - 2),
-            lambda i: F.concat_ws(" ", F.element_at("toks", i),
-                                  F.element_at("toks", i + 1),
-                                  F.element_at("toks", i + 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    sh = d.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+        "doc_id", tokens_col().alias("toks"))
+    sh = setsim_shingles(d)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -280,27 +280,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 _SETSIM_T = 0.5
 
-@query("dedup_setsim_prefix", f"""
-    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
-    sh AS (
-        SELECT doc_id, unnest(list_distinct(
-            CASE WHEN len(toks) >= 3 THEN
-                list_transform(range(1, len(toks) - 1),
-                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-            ELSE [] END)) AS shingle
-        FROM d),
-    cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
-    pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id)
-    SELECT p.doc_a, p.doc_b,
-           CAST(p.inter AS DOUBLE) / (ca.c + cb.c - p.inter) AS jaccard
-    FROM pairs p
-    JOIN cnt ca ON p.doc_a = ca.doc_id
-    JOIN cnt cb ON p.doc_b = cb.doc_id
-    WHERE CAST(p.inter AS DOUBLE) / (ca.c + cb.c - p.inter) >= {_SETSIM_T}
-""")
+@query("dedup_setsim_prefix", _naive_jaccard_pairs_sql("", _SETSIM_T))
 def dedup_setsim_prefix(spark, sf_dir):
     """EXACT set-similarity self-join (token-3-gram Jaccard >= 0.5)
     over the FULL corpus via prefix filtering (PPJoin-family:
@@ -363,59 +343,97 @@ def setsim_index(sh: DataFrame) -> DataFrame:
             .localCheckpoint(eager=True))
 
 
-def setsim_candidates(per_doc: DataFrame,
-                      t: float = _SETSIM_T) -> DataFrame:
-    """(doc_a, doc_b): candidate pairs sharing a PREFIX element, with
-    the size filter and PPJoin's POSITIONAL upper bound applied — the
-    lossless pruned pair space.
+# Pruning bounds below loosen by this slack before comparing, so a
+# float rounding ABOVE the exact rational bound can never discard a
+# true pair (e.g. ceil(0.18/1.18 * 413) = 64 in doubles vs 63 exact).
+# All corpus quantities are integers, so 1e-9 is orders of magnitude
+# below the spacing that could ever admit a wrong candidate — and a
+# too-loose bound only costs a verify probe, never correctness.
+_SETSIM_EPS = 1e-9
+
+
+def setsim_prefix_rows(per_doc: DataFrame,
+                       t: float = _SETSIM_T) -> DataFrame:
+    """(doc_id, sz, p, shingle): each doc's prefix elements (the first
+    |s| - ceil(t*|s|) + 1 under the index's total order) with their
+    0-based positions — the probe rows of the prefix filter."""
+    plen = (F.col("sz")
+            - F.ceil(F.lit(t) * F.col("sz") - F.lit(_SETSIM_EPS))
+            .cast("int") + 1)
+    return per_doc.select(
+        "doc_id", "sz",
+        F.posexplode(F.slice("arr", F.lit(1), plen)).alias("p", "shingle"))
+
+
+def setsim_candidates_between(pa: DataFrame, pb: DataFrame, pair_filter,
+                              t: float = _SETSIM_T) -> DataFrame:
+    """(doc_a, doc_b): candidate pairs between two prefix-row frames
+    sharing a PREFIX element, with the size filter and PPJoin's
+    POSITIONAL upper bound applied — the lossless pruned pair space
+    (``pair_filter`` dedups the self-join case, e.g. doc_a < doc_b).
 
     The positional filter: a shared prefix element at (1-based)
     positions i of a / j of b caps the achievable overlap at
     1 + min(sz_a - i, sz_b - j) (everything before the match on
     either side is disjoint under the shared total order); J >= t
-    needs overlap >= ceil(t/(1+t) * (sz_a+sz_b)), so occurrences
-    whose cap falls short generate no pair.  The first shared prefix
-    element carries the loosest cap, so keeping pairs where ANY
-    occurrence passes is exact — both filters prune only on true
-    upper bounds (the oracle equality pins losslessness at three
-    SFs; SCALING.md measures the candidate cut)."""
-    plen = F.col("sz") - F.ceil(F.lit(t) * F.col("sz")).cast("int") + 1
-    pre = per_doc.select(
-        "doc_id", "sz",
-        F.posexplode(F.slice("arr", F.lit(1), plen)).alias("p", "shingle"))
-    a, b = pre.alias("a"), pre.alias("b")
-    alpha = F.ceil(F.lit(t / (1.0 + t))
-                   * (F.col("a.sz") + F.col("b.sz")))
-    ub = F.lit(1) + F.least(F.col("a.sz") - (F.col("a.p") + 1),
-                            F.col("b.sz") - (F.col("b.p") + 1))
-    return (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .filter((F.col("b.sz") >= F.lit(t) * F.col("a.sz"))
-                    & (F.col("a.sz") >= F.lit(t) * F.col("b.sz"))
-                    & (ub >= alpha))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
+    needs overlap >= t/(1+t) * (sz_a+sz_b), so occurrences whose cap
+    falls short generate no pair.  The first shared prefix element
+    carries the loosest cap, so keeping pairs where ANY occurrence
+    passes is exact — both filters prune only on true upper bounds,
+    compared with _SETSIM_EPS slack so float rounding cannot tighten
+    them (the oracle equality pins losslessness at three SFs;
+    SCALING.md measures the candidate cut)."""
+    a = pa.select(F.col("shingle"), F.col("doc_id").alias("doc_a"),
+                  F.col("p").alias("_pa"), F.col("sz").alias("_sa"))
+    b = pb.select(F.col("shingle").alias("_sh_b"),
+                  F.col("doc_id").alias("doc_b"),
+                  F.col("p").alias("_pb"), F.col("sz").alias("_sb"))
+    eps = F.lit(_SETSIM_EPS)
+    ub = F.lit(1) + F.least(F.col("_sa") - (F.col("_pa") + 1),
+                            F.col("_sb") - (F.col("_pb") + 1))
+    return (a.join(b, (F.col("shingle") == F.col("_sh_b")) & pair_filter)
+            .filter((F.col("_sb") >= F.lit(t) * F.col("_sa") - eps)
+                    & (F.col("_sa") >= F.lit(t) * F.col("_sb") - eps)
+                    & (ub * F.lit(1.0 + t)
+                       >= F.lit(t) * (F.col("_sa") + F.col("_sb")) - eps))
+            .select("doc_a", "doc_b")
             .distinct())
 
 
-def setsim_verify(per_doc: DataFrame, cand: DataFrame,
-                  t: float = _SETSIM_T) -> DataFrame:
-    """Exact verification: join candidates back to the full sorted
-    sets, one array_intersect per pair, keep J >= t."""
-    arr_a = per_doc.select(F.col("doc_id").alias("doc_a"),
-                           F.col("arr").alias("arr_a"),
-                           F.col("sz").alias("sz_a"))
-    arr_b = per_doc.select(F.col("doc_id").alias("doc_b"),
-                           F.col("arr").alias("arr_b"),
-                           F.col("sz").alias("sz_b"))
+def setsim_candidates(per_doc: DataFrame,
+                      t: float = _SETSIM_T) -> DataFrame:
+    """Self-join candidates over one per-doc index (doc_a < doc_b)."""
+    pre = setsim_prefix_rows(per_doc, t)
+    return setsim_candidates_between(
+        pre, pre, F.col("doc_a") < F.col("doc_b"), t)
+
+
+def setsim_verify_pairs(cand: DataFrame, arrs_a: DataFrame,
+                        arrs_b: DataFrame,
+                        t: float = _SETSIM_T) -> DataFrame:
+    """Exact verification: join (doc_a, doc_b) candidates back to the
+    full sorted sets on each side, one array_intersect per pair, keep
+    J >= t.  Output: (doc_a, doc_b, jaccard)."""
+    aa = arrs_a.select(F.col("doc_id").alias("doc_a"),
+                       F.col("arr").alias("arr_a"),
+                       F.col("sz").alias("sz_a"))
+    ab = arrs_b.select(F.col("doc_id").alias("doc_b"),
+                       F.col("arr").alias("arr_b"),
+                       F.col("sz").alias("sz_b"))
     inter = F.size(F.array_intersect("arr_a", "arr_b"))
     jac = (F.col("inter").cast("double")
            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
-    return (cand.join(arr_a, "doc_a").join(arr_b, "doc_b")
+    return (cand.join(aa, "doc_a").join(ab, "doc_b")
             .withColumn("inter", inter)
             .withColumn("jaccard", jac)
             .filter(F.col("jaccard") >= t)
             .select("doc_a", "doc_b", "jaccard"))
+
+
+def setsim_verify(per_doc: DataFrame, cand: DataFrame,
+                  t: float = _SETSIM_T) -> DataFrame:
+    """Self-join verification against one per-doc index."""
+    return setsim_verify_pairs(cand, per_doc, per_doc, t)
 
 
 # --- TF-IDF ---------------------------------------------------------------

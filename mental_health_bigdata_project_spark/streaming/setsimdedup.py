@@ -43,7 +43,8 @@ import os
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..plans.textops import setsim_shingles, tokens_col
+from ..plans.textops import (setsim_candidates_between, setsim_prefix_rows,
+                             setsim_shingles, setsim_verify_pairs, tokens_col)
 from .neardup import _read_index
 
 _T = 0.5
@@ -73,56 +74,6 @@ def setsim_arrays(df: DataFrame, id_col: str = "doc_id",
             .withColumn("sz", F.size("arr")))
 
 
-def prefix_rows(arrs: DataFrame, t: float = _T) -> DataFrame:
-    """(shingle, doc_id, p, sz): each doc's prefix elements with their
-    0-based position — the probe/index rows of the prefix filter."""
-    plen = F.col("sz") - F.ceil(F.lit(t) * F.col("sz")).cast("int") + 1
-    return arrs.select(
-        "doc_id", "sz",
-        F.posexplode(F.slice("arr", F.lit(1), plen)).alias("p", "shingle"))
-
-
-def _verified_dup_pairs(cand: DataFrame, arrs_a: DataFrame,
-                        arrs_b: DataFrame, t: float = _T) -> DataFrame:
-    """(doc_a, doc_b) pairs from ``cand`` whose exact Jaccard >= t;
-    arrs_a/arrs_b supply (doc_id, arr, sz) for each side."""
-    aa = arrs_a.select(F.col("doc_id").alias("doc_a"),
-                       F.col("arr").alias("_arr_a"),
-                       F.col("sz").alias("_sz_a"))
-    ab = arrs_b.select(F.col("doc_id").alias("doc_b"),
-                       F.col("arr").alias("_arr_b"),
-                       F.col("sz").alias("_sz_b"))
-    inter = F.size(F.array_intersect("_arr_a", "_arr_b"))
-    return (cand.join(aa, "doc_a").join(ab, "doc_b")
-            .withColumn("_i", inter)
-            .filter(F.col("_i").cast("double")
-                    / (F.col("_sz_a") + F.col("_sz_b") - F.col("_i"))
-                    >= t)
-            .select("doc_a", "doc_b"))
-
-
-def _candidates(pa: DataFrame, pb: DataFrame, pair_filter,
-                t: float = _T) -> DataFrame:
-    """Prefix-join candidates between two prefix-row frames, with the
-    size filter and the PPJoin positional bound (both true upper
-    bounds — lossless; see the batch twin's docstring)."""
-    a = pa.select(F.col("shingle"), F.col("doc_id").alias("doc_a"),
-                  F.col("p").alias("_pa"), F.col("sz").alias("_sa"))
-    b = pb.select(F.col("shingle").alias("_sh_b"),
-                  F.col("doc_id").alias("doc_b"),
-                  F.col("p").alias("_pb"), F.col("sz").alias("_sb"))
-    alpha = F.ceil(F.lit(t / (1.0 + t)) * (F.col("_sa") + F.col("_sb")))
-    ub = F.lit(1) + F.least(F.col("_sa") - (F.col("_pa") + 1),
-                            F.col("_sb") - (F.col("_pb") + 1))
-    return (a.join(b, (F.col("shingle") == F.col("_sh_b"))
-                   & pair_filter)
-            .filter((F.col("_sb") >= F.lit(t) * F.col("_sa"))
-                    & (F.col("_sa") >= F.lit(t) * F.col("_sb"))
-                    & (ub >= alpha))
-            .select("doc_a", "doc_b")
-            .distinct())
-
-
 def dedup_setsim_batch_against_index(batch_df: DataFrame, batch_id: int,
                                      out_dir: str, index_dir: str,
                                      id_col: str = "doc_id",
@@ -135,7 +86,7 @@ def dedup_setsim_batch_against_index(batch_df: DataFrame, batch_id: int,
     # deltas, and the verify joins — materialize once
     arrs = setsim_arrays(batch_df, id_col, text_col) \
         .localCheckpoint(eager=True)
-    pre = prefix_rows(arrs, t)
+    pre = setsim_prefix_rows(arrs, t)
     # <3-token docs have no element set: nothing can reach J >= t
     # against them, so they are auto-accepted (mirrors the batch twin,
     # whose per_doc index simply never contains them)
@@ -156,20 +107,25 @@ def dedup_setsim_batch_against_index(batch_df: DataFrame, batch_id: int,
         # batch side probes the accepted-corpus index: pin a shuffled
         # hash join — the index outgrows broadcast (the SCALING.md §2b
         # flapping lesson from the LSH twin)
-        cand = _candidates(pre, prior_pre.hint("shuffle_hash"),
-                           F.lit(True), t)
-        dup_prior = _verified_dup_pairs(cand, arrs, prior_arrs, t)
+        cand = setsim_candidates_between(
+            pre, prior_pre.hint("shuffle_hash"), F.lit(True), t)
+        dup_prior = setsim_verify_pairs(cand, arrs, prior_arrs, t)
         dropped = dup_prior.select(F.col("doc_a").alias("doc_id")).distinct()
-        live = arrs.join(dropped, "doc_id", "left_anti")
+        # the prior-probe join + verify is the batch's expensive cross-
+        # corpus work and `live` feeds FIVE consumers below (the
+        # within-batch prefix rows, both verify sides, the kept
+        # anti-join) — materialize it once
+        live = (arrs.join(dropped, "doc_id", "left_anti")
+                .localCheckpoint(eager=True))
     else:
         live = arrs
 
     # within-batch greedy keep-min among survivors of the prior probe:
     # any verified pair drops its higher id
-    live_pre = prefix_rows(live, t)
-    wcand = _candidates(live_pre, live_pre,
-                        F.col("doc_a") > F.col("doc_b"), t)
-    wdup = _verified_dup_pairs(wcand, live, live, t)
+    live_pre = setsim_prefix_rows(live, t)
+    wcand = setsim_candidates_between(live_pre, live_pre,
+                                      F.col("doc_a") > F.col("doc_b"), t)
+    wdup = setsim_verify_pairs(wcand, live, live, t)
     losers = wdup.select(F.col("doc_a").alias("doc_id")).distinct()
     kept = live.join(losers, "doc_id", "left_anti") \
         .localCheckpoint(eager=True)
@@ -182,7 +138,7 @@ def dedup_setsim_batch_against_index(batch_df: DataFrame, batch_id: int,
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("batch_id")
      .parquet(os.path.join(out_dir, "accepted")))
-    (prefix_rows(kept, t)
+    (setsim_prefix_rows(kept, t)
      .withColumn("batch_id", F.lit(batch_id))
      .write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")

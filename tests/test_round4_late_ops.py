@@ -55,6 +55,51 @@ def test_setsim_prefix_matches_naive_join_on_shared_scope(spark, sf_dir):
     assert pref == naive
 
 
+def test_setsim_prefix_lossless_at_awkward_thresholds(spark, tmp_path):
+    """The pruning bounds compare with epsilon slack so float rounding
+    can never tighten them past the exact rational bound (e.g.
+    ceil(0.18/1.18 * 413) = 64 in doubles vs 63 exact).  Pin the
+    lossless contract at thresholds where t/(1+t) and t*sz are
+    non-representable, against in-test brute force."""
+    from pyspark.sql import functions as F
+
+    from mental_health_bigdata_project_spark.plans.textops import (
+        setsim_candidates, setsim_index, setsim_shingles, setsim_verify,
+        tokens_col)
+
+    # overlapping token windows: doc i = tokens [2i, 2i+24) over a
+    # shared vocabulary, so neighbors overlap at a sliding range of
+    # jaccards crossing any threshold
+    rows = [(i, " ".join(f"w{j}" for j in range(2 * i, 2 * i + 24)), "en")
+            for i in range(40)]
+    d = _write_docs(spark, tmp_path, rows)
+    docs = spark.read.parquet(f"{d}/documents.parquet").select(
+        "doc_id", tokens_col().alias("toks"))
+    sh = setsim_shingles(docs)
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
+    naive = (sh.alias("a").join(
+                 sh.alias("b"),
+                 (F.col("a.shingle") == F.col("b.shingle"))
+                 & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("inter"))
+             .join(cnt.select(F.col("doc_id").alias("doc_a"),
+                              F.col("c").alias("ca")), "doc_a")
+             .join(cnt.select(F.col("doc_id").alias("doc_b"),
+                              F.col("c").alias("cb")), "doc_b")
+             .withColumn("j", F.col("inter")
+                         / (F.col("ca") + F.col("cb") - F.col("inter"))))
+    per_doc = setsim_index(sh)
+    for t in (0.18, 0.5, 0.73):
+        want = {(r["doc_a"], r["doc_b"])
+                for r in naive.filter(F.col("j") >= t).collect()}
+        got = {(r["doc_a"], r["doc_b"]) for r in
+               setsim_verify(per_doc, setsim_candidates(per_doc, t), t)
+               .collect()}
+        assert got == want, f"t={t}: prefix filter dropped true pairs"
+
+
 # --- er_sorted_neighborhood ------------------------------------------------
 
 def test_sorted_neighborhood_windows_within_lang(spark, tmp_path):

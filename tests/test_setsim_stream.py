@@ -22,9 +22,9 @@ TEXT_C = ("completely different content about spark physical plans and "
 TEXT_D = ("unrelated corpus entry describing tokenizer training merge "
           "steps and byte pair encodings applied to word frequency "
           "tables during preprocessing")
-# shares A's first 12 tokens only: inter=10 of 28/28 shingles ->
-# J = 10/46 ~ 0.22 < 0.5 — a near-miss an LSH band can false-positive
-# on, but exact verification must KEEP
+# shares A's first 12 tokens only: inter=10 of A's 27 / E's 28
+# shingles -> J = 10/45 ~ 0.22 < 0.5 — a near-miss an LSH band can
+# false-positive on, but exact verification must KEEP
 TEXT_E = " ".join(BASE[:12] + [f"fresh{i}" for i in range(18)])
 TEXT_SHORT = "hi there"                          # <3 tokens: no shingles
 
