@@ -913,6 +913,81 @@ def dedup_minhash_portable(spark, sf_dir):
     return portable_neardup_pairs(load_table(spark, sf_dir, "documents"))
 
 
+@query("neardup_lsh_eval", f"""
+    WITH {_PORTABLE_PAIRS_CTES},
+    cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+    xp AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    exact AS (
+      SELECT doc_a, doc_b FROM xp p
+      JOIN cnt ca ON p.doc_a = ca.doc_id
+      JOIN cnt cb ON p.doc_b = cb.doc_id
+      WHERE CAST(p.inter AS DOUBLE) / (ca.c + cb.c - p.inter) >= 0.5),
+    j AS (
+      SELECT CAST(e.doc_a IS NOT NULL AS INT) AS in_est,
+             CAST(x.doc_a IS NOT NULL AS INT) AS in_exact
+      FROM ppairs e FULL OUTER JOIN exact x
+        ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b)
+    SELECT CAST(SUM(in_exact) AS BIGINT) AS n_exact,
+           CAST(SUM(in_est) AS BIGINT) AS n_est,
+           CAST(SUM(in_est * in_exact) AS BIGINT) AS tp,
+           CAST(SUM(in_est * (1 - in_exact)) AS BIGINT) AS fp,
+           CAST(SUM((1 - in_est) * in_exact) AS BIGINT) AS fn,
+           round(CAST(SUM(in_est * in_exact) AS DOUBLE)
+                 / SUM(in_est), 6) AS prec,
+           round(CAST(SUM(in_est * in_exact) AS DOUBLE)
+                 / SUM(in_exact), 6) AS rec,
+           round(2.0 * SUM(in_est * in_exact)
+                 / (SUM(in_est) + SUM(in_exact)), 6) AS f1
+    FROM j
+""")
+def neardup_lsh_eval(spark, sf_dir):
+    """Precision/recall of the LSH near-dup pipeline against EXACT
+    ground truth — computable corpus-wide for the first time because
+    dedup_setsim_prefix makes the exact J >= 0.5 pair set tractable
+    (sim_ann_recall_eval is the embedding-side analog; this closes the
+    measure-don't-guess loop for text dedup).  Both arms share the
+    shingle relation, so the eval isolates exactly the LSH
+    approximation (16-sample Jaccard estimate + 4-band candidate
+    recall), not tokenization drift.  FP pairs are docs the 16-hash
+    estimate pushed over 0.5; FN pairs are true duplicates no band
+    caught or the estimate under-scored — the two knobs (bands x rows,
+    estimate threshold) this one row tunes.  F1 folds to
+    2tp/(n_est + n_exact), one integer division.
+
+    Plan: the two pair pipelines keep their banded / prefix-pruned
+    shapes; the comparison is one full-outer join on the narrow id
+    pair (SMJ — correct for full-outer) into a 1-row rollup."""
+    from .textops import (setsim_candidates, setsim_index, setsim_shingles,
+                          setsim_verify)
+    docs = load_table(spark, sf_dir, "documents")
+    est = portable_neardup_pairs(docs).select("doc_a", "doc_b") \
+        .withColumn("in_est", F.lit(1))
+    d = docs.select("doc_id", tokens_col().alias("toks"))
+    per_doc = setsim_index(setsim_shingles(d))
+    exact = (setsim_verify(per_doc, setsim_candidates(per_doc))
+             .select("doc_a", "doc_b").withColumn("in_exact", F.lit(1)))
+    j = (est.join(exact, ["doc_a", "doc_b"], "full_outer")
+         .select(F.coalesce("in_est", F.lit(0)).alias("in_est"),
+                 F.coalesce("in_exact", F.lit(0)).alias("in_exact")))
+    tp = F.sum(F.col("in_est") * F.col("in_exact"))
+    n_est = F.sum("in_est")
+    n_exact = F.sum("in_exact")
+    return j.agg(
+        n_exact.cast("bigint").alias("n_exact"),
+        n_est.cast("bigint").alias("n_est"),
+        tp.cast("bigint").alias("tp"),
+        F.sum(F.col("in_est") * (1 - F.col("in_exact")))
+        .cast("bigint").alias("fp"),
+        F.sum((1 - F.col("in_est")) * F.col("in_exact"))
+        .cast("bigint").alias("fn"),
+        F.round(tp.cast("double") / n_est, 6).alias("prec"),
+        F.round(tp.cast("double") / n_exact, 6).alias("rec"),
+        F.round(F.lit(2.0) * tp / (n_est + n_exact), 6).alias("f1"))
+
+
 def pairs_with_estimates(docs: DataFrame) -> DataFrame:
     """UNFILTERED LSH candidate pairs with their 16-minhash Jaccard
     estimates — the single implementation behind both the production

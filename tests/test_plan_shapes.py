@@ -110,6 +110,9 @@ GUARDED = [
     ("er_sorted_neighborhood", 0, 0),
     ("ivm_agg_refresh", 0, 1),
     ("ts_twap", 0, 0),
+    #   neardup_lsh_eval: one full-outer join of the two pair sets
+    #     (SMJ is the only full-outer strategy) into a 1-row rollup.
+    ("neardup_lsh_eval", 1, 1),
 ]
 
 
