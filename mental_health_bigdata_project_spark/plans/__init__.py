@@ -139,7 +139,7 @@ _CONVERTED_FRONT = [
     # new in round 4 (late): prefix-filtered exact set-similarity join,
     # sorted-neighborhood ER, TWAP, incremental aggregate refresh
     "dedup_setsim_prefix", "er_sorted_neighborhood", "ts_twap",
-    "ivm_agg_refresh", "neardup_lsh_eval",
+    "ivm_agg_refresh", "neardup_lsh_eval", "split_group_holdout",
 ]
 
 

@@ -633,6 +633,80 @@ def split_train_val_test(spark, sf_dir):
          .otherwise("test").alias("split"))
 
 
+@query("split_group_holdout", f"""
+    WITH e AS (SELECT event_id, user_id FROM events),
+    tagged AS (
+      SELECT user_id, event_id,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                       BETWEEN '0' AND 'c' THEN 'train'
+                  WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                       IN ('d', 'e') THEN 'val'
+                  ELSE 'test' END AS g_split,
+             CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1)
+                       BETWEEN '0' AND 'c' THEN 'train'
+                  WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1)
+                       IN ('d', 'e') THEN 'val'
+                  ELSE 'test' END AS r_split
+      FROM e),
+    u AS (
+      SELECT 'group' AS strategy, g_split AS split, user_id,
+             count(*) AS n_events FROM tagged GROUP BY 2, 3
+      UNION ALL
+      SELECT 'row', r_split, user_id, count(*) FROM tagged GROUP BY 2, 3),
+    spans AS (
+      SELECT strategy, user_id, count(*) AS n_splits
+      FROM u GROUP BY strategy, user_id)
+    SELECT u.strategy, u.split,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(SUM(u.n_events) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN s.n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS users_leaked
+    FROM u JOIN spans s
+      ON s.strategy = u.strategy AND s.user_id = u.user_id
+    GROUP BY u.strategy, u.split
+""")
+def split_group_holdout(spark, sf_dir):
+    """GROUP-level train/val/test holdout vs naive row-level splitting,
+    with the leakage measured: assigning by md5(user_id) keeps every
+    user's events in ONE split (users_leaked = 0 by construction —
+    the GroupKFold discipline that stops a model from memorizing a
+    user in train and being graded on the same user in val), while
+    the row-level md5(event_id) split leaks almost every active user
+    across splits (users_leaked ~ n_users for 13/2/1 proportions).
+    Same 13/2/1 hex-nibble rule as split_train_val_test so the two
+    strategies differ only in the hashed KEY.
+
+    At 100 TB both taggings are per-row expressions riding the scan;
+    the audit is one (strategy, user) agg + a count-distinct-splits
+    self-join — shuffle keyed on user_id, never event-sized output."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+
+    def tag(c):
+        b = F.substring(F.md5(F.col(c).cast("string")), 1, 1)
+        return (F.when(b.between("0", "c"), "train")
+                .when(b.isin("d", "e"), "val")
+                .otherwise("test"))
+
+    tagged = ev.select("user_id", "event_id",
+                       tag("user_id").alias("g_split"),
+                       tag("event_id").alias("r_split"))
+    u = (tagged.groupBy(F.lit("group").alias("strategy"),
+                        F.col("g_split").alias("split"), "user_id")
+         .agg(F.count("*").alias("n_events"))
+         .unionByName(
+             tagged.groupBy(F.lit("row").alias("strategy"),
+                            F.col("r_split").alias("split"), "user_id")
+             .agg(F.count("*").alias("n_events"))))
+    spans = (u.groupBy("strategy", "user_id")
+             .agg(F.count("*").alias("n_splits")))
+    return (u.join(spans, ["strategy", "user_id"])
+            .groupBy("strategy", "split")
+            .agg(F.count("*").cast("bigint").alias("n_users"),
+                 F.sum("n_events").cast("bigint").alias("n_events"),
+                 F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+                 .cast("bigint").alias("users_leaked")))
+
+
 @query("pack_sequences", f"""
     WITH d AS (
       SELECT doc_id, source, len({_TOKS_SQL}) AS n_tok FROM documents),
