@@ -102,6 +102,39 @@ def test_setsim_stream_matches_batch_query_pairs(spark, tmp_path):
     assert dropped == {9, 2}
 
 
+def test_setsim_index_compacts_and_still_dedups(spark, tmp_path):
+    """The setsim prefix/arrs indexes are ordinary batch_id-partitioned
+    delta tables, so compaction.compact_index consolidates them with
+    no fold transform and _read_index's manifest-aware view keeps the
+    probe correct: a post-compaction batch still drops duplicates of
+    pre-compaction accepted docs, and replaying a batch at or below
+    the horizon refuses."""
+    import pytest
+
+    from mental_health_bigdata_project_spark.streaming.compaction import (
+        compact_index)
+
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+    setsimdedup.dedup_setsim_batch_against_index(
+        _df(spark, [(1, TEXT_A)]), 0, out, idx)
+    setsimdedup.dedup_setsim_batch_against_index(
+        _df(spark, [(4, TEXT_D)]), 1, out, idx)
+    compact_index(spark, f"{idx}/prefix", through=1)
+    compact_index(spark, f"{idx}/arrs", through=1)
+
+    # post-compaction batch: B still hits A through the compacted view
+    setsimdedup.dedup_setsim_batch_against_index(
+        _df(spark, [(2, TEXT_B), (3, TEXT_C)]), 2, out, idx)
+    acc = {r.doc_id for r in spark.read.parquet(f"{out}/accepted").collect()}
+    assert acc == {1, 4, 3}
+
+    # replay at/below the horizon must refuse (its delta is gone)
+    with pytest.raises(ValueError, match="compaction"):
+        setsimdedup.dedup_setsim_batch_against_index(
+            _df(spark, [(4, TEXT_D)]), 1, out, idx)
+
+
 def test_incremental_setsim_streaming(spark, tmp_path):
     in_dir = tmp_path / "in"
     in_dir.mkdir()
