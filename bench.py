@@ -164,6 +164,29 @@ def main() -> None:
         WW.partitionBy("k").orderBy("v")).alias("rn"))
      .write.format("noop").mode("overwrite").save())
 
+    # Host-speed calibration: a fixed synthetic workload that never
+    # touches engine code or testdata (range -> hash agg -> shuffle ->
+    # rollup), timed after warm-up.  BENCH totals proved to be a
+    # property of the host era (SCALING.md §5: the SAME commit ran
+    # 65 s one week and 109 s the next on this shared-infra machine),
+    # so cross-round comparisons divide by this number instead of
+    # trusting absolute walls.  Median of 3 to shed scheduler noise.
+    def _calibrate() -> float:
+        c = (spark.range(30_000_000)
+             .select((WF.col("id") % 1009).alias("k"),
+                     (WF.col("id") * 2654435761 % 97).cast("double")
+                     .alias("v"))
+             .groupBy("k").agg(WF.sum("v").alias("s"), WF.count("*")
+                               .alias("n"))
+             .groupBy((WF.col("k") % 7).alias("g")).agg(WF.sum("s"),
+                                                        WF.sum("n")))
+        t0 = time.perf_counter()
+        c.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    _calibrate()  # warm its codegen
+    calibration_sec = round(sorted(_calibrate() for _ in range(3))[1], 3)
+
     # Two executions per query: the first (untimed beyond `cold`) pays
     # plan analysis + whole-stage-codegen compile for this query's
     # generated classes; the second reuses them and measures
@@ -215,6 +238,7 @@ def main() -> None:
         "total_cold_sec": round(sum(cold.values()), 3),
         "sf": sf_val,
         "cpus": int(cpus),
+        "calibration_sec": calibration_sec,
         "streaming_dedup": streaming_detail,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -226,6 +250,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "calibration_sec": calibration_sec,
         "streaming_dedup_rows_per_sec": streaming_line,
     }, separators=(",", ":"))
     print(line, flush=True)
