@@ -35,7 +35,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 def curate_corpus(spark: SparkSession, sf_dir: str, out_dir: str,
                   min_kept_chunk_frac: float = 0.0,
-                  span_dedup: bool = False) -> DataFrame:
+                  span_dedup: bool = False,
+                  exact_near_dedup: bool = False) -> DataFrame:
     """Run the full curation pipeline over ``{sf_dir}/documents.parquet``
     and write the surviving corpus to ``{out_dir}/corpus`` partitioned
     by shard.  Returns the per-stage attrition report (one row per
@@ -50,6 +51,14 @@ def curate_corpus(spark: SparkSession, sf_dir: str, out_dir: str,
     the chunk rewrite — catches duplicated passages at token offsets
     the NON-overlapping 30-token chunk alignment misses; documents
     whose every token is a later duplicate occurrence drop out here.
+
+    ``exact_near_dedup``: replace the LSH survivor selection in stage 3
+    with the EXACT prefix-filtered setsim join (dedup_setsim_prefix's
+    pipeline): verified Jaccard >= 0.5 pairs feed the same min-label
+    component propagation, and the min doc_id of each component
+    survives.  No LSH false positives can delete a unique document and
+    no banding miss can keep a duplicate — at the cost of the exact
+    join's verify stage (pruning measured in SCALING.md §11).
     """
     from ..plans.similarity import survivor_select_df
     from ..plans.textops import (_span_frames, chunk_rewrite_df,
@@ -105,7 +114,22 @@ def curate_corpus(spark: SparkSession, sf_dir: str, out_dir: str,
     # 3. near-dup survivor selection ON the rewritten text — chunk
     #    removal turns shared-boilerplate docs into tighter near-dups,
     #    which is exactly when survivor selection should see them
-    survivors = survivor_select_df(rw_docs).select("doc_id")
+    if exact_near_dedup:
+        from ..plans.similarity import _min_label_components
+        from ..plans.textops import (setsim_candidates, setsim_index,
+                                     setsim_shingles, setsim_verify,
+                                     tokens_col)
+        d = rw_docs.select("doc_id", tokens_col("text").alias("toks"))
+        per_doc = setsim_index(setsim_shingles(d))
+        pairs = (setsim_verify(per_doc, setsim_candidates(per_doc))
+                 .select("doc_a", "doc_b"))
+        labels = _min_label_components(pairs)
+        losers = (labels.filter(F.col("doc_id") != F.col("label"))
+                  .select("doc_id"))
+        survivors = (rw_docs.select("doc_id")
+                     .join(losers, "doc_id", "left_anti"))
+    else:
+        survivors = survivor_select_df(rw_docs).select("doc_id")
     deduped = (rewritten.join(survivors, "doc_id", "semi")
                .localCheckpoint())
     n3 = deduped.count()

@@ -246,6 +246,41 @@ def test_curate_corpus_end_to_end(spark, sf_dir, tmp_path):
     assert again == report
 
 
+def test_curate_corpus_exact_near_dedup(spark, tmp_path):
+    """exact_near_dedup swaps the LSH survivor stage for the verified
+    setsim component pass: an exact duplicate loses to the lower id,
+    a below-threshold near-miss survives (no LSH false positive can
+    delete it), and chains collapse to one survivor per component."""
+    from mental_health_bigdata_project_spark.operators.curation import (
+        curate_corpus)
+
+    base = [f"tok{i}" for i in range(60)]
+    # A and its exact copy; C shares ~1/7 of A's shingles
+    # (J ~ 0.14 < 0.5); D unrelated.  All pass the quality gate
+    # (>=50 words, 3-10 char tokens, "the a" stopword hits).
+    mk = lambda toks: "the a " + " ".join(toks)
+    rows = [
+        (1, mk(base)),
+        (9, mk(base)),                                        # exact dup of 1
+        (3, mk(base[:15] + [f"zed{i}" for i in range(45)])),  # near-miss
+        (4, mk([f"quux{i}" for i in range(60)])),             # unrelated
+    ]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in rows],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    out = str(tmp_path / "curated")
+    report = {r["stage"]: r["docs"] for r in
+              curate_corpus(spark, d, out, exact_near_dedup=True).collect()}
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(f"{out}/corpus").collect()}
+    assert kept == {1, 3, 4}          # 9 lost to 1; near-miss 3 kept
+    assert report["near_dedup"] == 3
+
+
 def test_incremental_chunk_dedup_batches(spark, tmp_path):
     from mental_health_bigdata_project_spark.streaming import chunkdedup
 
