@@ -2495,6 +2495,38 @@ def _cms_bucket_sql(i: int) -> str:
             f" % {_CMS_W}")
 
 
+def cms_bucket_col(i: int, col: str = "token"):
+    """Spark twin of ``_cms_bucket_sql``: row ``i``'s bucket for a
+    token — first byte of the salted md5, reduced mod w.  Portable
+    nibble math (no conv(); see verify recipe)."""
+    nib = "(instr('0123456789abcdef', substr({h}, {p}, 1)) - 1)"
+    h = f"md5(concat({col}, ':{i}'))"
+    return F.expr(
+        f"(({nib.format(h=h, p=1)}) * 16 + ({nib.format(h=h, p=2)}))"
+        f" % {_CMS_W}").cast("int")
+
+
+def cms_bucket_rows(toks: DataFrame) -> DataFrame:
+    """(token, b0..b{d-1}): each token occurrence with its d bucket
+    ids — the map-side input of both the batch sketch and the
+    streaming per-batch delta."""
+    return toks.select(
+        "token", *[cms_bucket_col(i).alias(f"b{i}") for i in range(_CMS_D)])
+
+
+def cms_table(buckets: DataFrame) -> DataFrame:
+    """(row_i, bucket, n): the d x w CMS counter table — bounded at
+    d*w rows regardless of corpus size, and mergeable by plain
+    addition (the property the streaming state exploits)."""
+    cms = None
+    for i in range(_CMS_D):
+        c = (buckets.groupBy(F.col(f"b{i}").alias("bucket"))
+             .agg(F.count("*").alias("n"))
+             .select(F.lit(i).alias("row_i"), "bucket", "n"))
+        cms = c if cms is None else cms.unionByName(c)
+    return cms
+
+
 @query("sketch_cms_token_freq", f"""
     WITH tok AS (SELECT unnest({_TOKS_SQL}) AS token FROM documents),
     buckets AS (
@@ -2544,22 +2576,8 @@ def sketch_cms_token_freq(spark, sf_dir):
     count suffices (skew pre-detection, heavy-hitter routing)."""
     toks = (_docs(spark, sf_dir)
             .select(F.explode(tokens_col()).alias("token")))
-    nib = "(instr('0123456789abcdef', substr({h}, {p}, 1)) - 1)"
-
-    def bucket(i: int):
-        h = f"md5(concat(token, ':{i}'))"
-        return F.expr(
-            f"(({nib.format(h=h, p=1)}) * 16 + ({nib.format(h=h, p=2)}))"
-            f" % {_CMS_W}").cast("int")
-
-    buckets = toks.select(
-        "token", *[bucket(i).alias(f"b{i}") for i in range(_CMS_D)])
-    cms = None
-    for i in range(_CMS_D):
-        c = (buckets.groupBy(F.col(f"b{i}").alias("bucket"))
-             .agg(F.count("*").alias("n"))
-             .select(F.lit(i).alias("row_i"), "bucket", "n"))
-        cms = c if cms is None else cms.unionByName(c)
+    buckets = cms_bucket_rows(toks)
+    cms = cms_table(buckets)
     exact = (buckets.groupBy("token")
              .agg(F.count("*").alias("exact_n"),
                   *[F.min(f"b{i}").alias(f"b{i}") for i in range(_CMS_D)]))

@@ -1,0 +1,101 @@
+"""Streaming Count-Min Sketch state: approximate hot-token counts over
+an unbounded document stream with bounded (d x w) state.
+
+The fourth member of the mergeable-state family and the streaming face
+of plans/textops.sketch_cms_token_freq: each micro-batch reduces its
+token stream to the SAME d x w counter table the batch sketch builds
+(cms_bucket_rows / cms_table — the expressions the oracle gate
+value-checks), written as a ``batch_id=N`` delta of at most d*w rows.
+Serving sums the deltas per (row_i, bucket) — CMS counters merge by
+plain addition — and answers point queries with the standard
+min-over-rows read, so the served estimate equals the batch sketch
+computed over the union of every ingested batch, by construction.
+
+Family ledger: hllcount.py merges registers by MAX, momentstate.py
+moments by SUM, histstate.py bucket counts by SUM, this merges CMS
+counters by SUM.  Exactly-once/compaction mechanics identical to the
+siblings: deltas depend only on their own batch (no prior-state read,
+so replay needs no before_batch pruning — a retried batch just
+rewrites its own partition with identical rows), and
+``compact_cms_index`` sum-folds the delta log back to one row per
+live counter.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..plans.textops import (_CMS_D, cms_bucket_col, cms_bucket_rows,
+                             cms_table, tokens_col)
+
+
+def _cms_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "cms")
+
+
+def cms_batch(batch_df: DataFrame, batch_id: int, index_dir: str,
+              text_col: str = "text") -> None:
+    """One micro-batch of CMS maintenance (the foreachBatch body,
+    callable directly for tests / backfills)."""
+    toks = batch_df.select(F.explode(tokens_col(text_col)).alias("token"))
+    (cms_table(cms_bucket_rows(toks))
+     .withColumn("batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id")
+     .parquet(_cms_path(index_dir)))
+
+
+def read_estimates(spark, index_dir: str, tokens: list[str]) -> DataFrame:
+    """(token, est_n) point queries against the summed counter table —
+    the min-over-d-rows CMS read.  est_n never undercounts the true
+    stream frequency (pinned by test, as in the batch sketch)."""
+    from .neardup import _read_index
+
+    cms = _read_index(spark, _cms_path(index_dir),
+                      ["row_i", "bucket", "n"])
+    if cms is None:
+        raise FileNotFoundError(f"no CMS index at {_cms_path(index_dir)}")
+    merged = (cms.groupBy("row_i", "bucket")
+              .agg(F.sum("n").cast("bigint").alias("n")))
+    probe = spark.createDataFrame([(t,) for t in tokens], "token string") \
+        .select("token", *[cms_bucket_col(i).alias(f"b{i}")
+                           for i in range(_CMS_D)])
+    est = probe
+    for i in range(_CMS_D):
+        ci = merged.filter(F.col("row_i") == i).select(
+            F.col("bucket").alias(f"_bk{i}"), F.col("n").alias(f"_n{i}"))
+        est = est.join(F.broadcast(ci), F.col(f"b{i}") == F.col(f"_bk{i}"),
+                       "left")
+    est_n = F.least(*[F.coalesce(F.col(f"_n{i}"), F.lit(0))
+                      for i in range(_CMS_D)])
+    return est.select("token", est_n.cast("bigint").alias("est_n"))
+
+
+def run_incremental_cms(stream: DataFrame, checkpoint_dir: str,
+                        index_dir: str, **kwargs):
+    """Attach the CMS-maintenance sink to a document stream and drain
+    available input (availableNow)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        cms_batch(batch_df, batch_id, index_dir, **kwargs)
+
+    return (stream.writeStream
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def compact_cms_index(spark, index_dir: str, through: int) -> dict:
+    """Sum-fold compaction to one row per live (row_i, bucket)."""
+    from .compaction import compact_index
+
+    def fold(live: DataFrame) -> DataFrame:
+        grp = [c for c in live.columns if c != "n"]
+        return live.groupBy(*grp).agg(F.sum("n").cast("bigint").alias("n"))
+
+    return compact_index(spark, _cms_path(index_dir), through,
+                         transform=fold)

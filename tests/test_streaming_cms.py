@@ -1,0 +1,115 @@
+"""Streaming CMS state: served estimates equal the batch sketch over
+the ingested union, never undercount exact stream frequencies,
+replay is bit-identical, compaction sum-folds, and the availableNow
+runner drains files."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from mental_health_bigdata_project_spark.plans.textops import (
+    cms_bucket_rows, cms_table, tokens_col)
+from mental_health_bigdata_project_spark.sources import load_table
+from mental_health_bigdata_project_spark.streaming.cmsstate import (
+    cms_batch, compact_cms_index, read_estimates, run_incremental_cms)
+
+N_BATCHES = 3
+PROBE = ["the", "tok1", "never-seen-token"]
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+def _feed(spark, sf_dir, index_dir):
+    d = _docs(spark, sf_dir)
+    for b in range(N_BATCHES):
+        cms_batch(d.filter(F.pmod("doc_id", F.lit(N_BATCHES)) == b),
+                  b, index_dir)
+    return d
+
+
+def _rows(df):
+    return sorted((r.token, r.est_n) for r in df.collect())
+
+
+def test_streaming_cms_equals_batch_sketch_on_union(spark, sf_dir, tmp_path):
+    index_dir = str(tmp_path / "idx")
+    d = _feed(spark, sf_dir, index_dir)
+    served = _rows(read_estimates(spark, index_dir, PROBE))
+
+    # batch CMS over the same union, probed at the same tokens
+    from mental_health_bigdata_project_spark.plans.textops import (
+        _CMS_D, cms_bucket_col)
+
+    toks = d.select(F.explode(tokens_col()).alias("token"))
+    m = {(r.row_i, r.bucket): r.n
+         for r in cms_table(cms_bucket_rows(toks)).collect()}
+    probe = spark.createDataFrame([(t,) for t in PROBE], "token string")
+    bk = probe.select("token", *[cms_bucket_col(i).alias(f"b{i}")
+                                 for i in range(_CMS_D)]).collect()
+    batch = [(r.token,
+              min(m.get((i, r[f"b{i}"]), 0) for i in range(_CMS_D)))
+             for r in bk]
+    assert served == sorted(batch)
+
+
+def test_streaming_cms_never_undercounts(spark, sf_dir, tmp_path):
+    index_dir = str(tmp_path / "idx")
+    d = _feed(spark, sf_dir, index_dir)
+    exact = {r.token: r.n for r in
+             d.select(F.explode(tokens_col()).alias("token"))
+             .filter(F.col("token").isin(PROBE))
+             .groupBy("token").agg(F.count("*").alias("n")).collect()}
+    for token, est in _rows(read_estimates(spark, index_dir, PROBE)):
+        assert est >= exact.get(token, 0)
+
+
+def test_replay_is_bit_identical(spark, sf_dir, tmp_path):
+    index_dir = str(tmp_path / "idx")
+    d = _feed(spark, sf_dir, index_dir)
+    before = _rows(read_estimates(spark, index_dir, PROBE))
+    cms_batch(d.filter(F.pmod("doc_id", F.lit(N_BATCHES)) == 1),
+              1, index_dir)  # crash-retry of batch 1
+    assert _rows(read_estimates(spark, index_dir, PROBE)) == before
+
+
+def test_compaction_sum_folds_and_preserves_estimates(
+        spark, sf_dir, tmp_path):
+    index_dir = str(tmp_path / "idx")
+    _feed(spark, sf_dir, index_dir)
+    before = _rows(read_estimates(spark, index_dir, PROBE))
+    path = os.path.join(index_dir, "cms")
+    n_before = len(glob.glob(f"{path}/batch_id=*/*.parquet"))
+    compact_cms_index(spark, index_dir, through=N_BATCHES - 1)
+    assert _rows(read_estimates(spark, index_dir, PROBE)) == before
+    # the delta log is gone; one consolidated store remains
+    assert not glob.glob(f"{path}/batch_id=*/*.parquet") and n_before > 0
+    merged = spark.read.parquet(glob.glob(f"{path}/_compacted_v*")[0])
+    assert (merged.groupBy("row_i", "bucket").count()
+            .filter("count > 1").count() == 0)
+
+
+def test_available_now_runner(spark, sf_dir, tmp_path):
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    d = _docs(spark, sf_dir).limit(40).collect()
+    with open(in_dir / "b0.json", "w") as f:
+        for r in d[:20]:
+            f.write(json.dumps({"doc_id": r.doc_id, "text": r.text}) + "\n")
+    time.sleep(1.1)
+    with open(in_dir / "b1.json", "w") as f:
+        for r in d[20:]:
+            f.write(json.dumps({"doc_id": r.doc_id, "text": r.text}) + "\n")
+    stream = (spark.readStream.schema("doc_id bigint, text string")
+              .option("maxFilesPerTrigger", 1).json(str(in_dir)))
+    q = run_incremental_cms(stream, str(tmp_path / "ckpt"),
+                            str(tmp_path / "idx"))
+    q.awaitTermination(120)
+    got = _rows(read_estimates(spark, str(tmp_path / "idx"), PROBE))
+    assert all(n >= 0 for _, n in got) and len(got) == len(PROBE)
