@@ -44,21 +44,24 @@ def main() -> None:
     from mental_health_bigdata_project_spark.session import get_spark
     from mental_health_bigdata_project_spark.sources import load_table
     from mental_health_bigdata_project_spark.streaming import (
-        histstate, hllcount, momentstate)
+        cmsstate, histstate, hllcount, momentstate)
 
     spark = get_spark("scaleup-mergeable", master="local[32]",
                       shuffle_partitions=32)
     tmp = tempfile.mkdtemp(prefix="mergeable_scale_")
     out: dict = {"sf_dir": sf_dir, "n_batches": n_batches,
-                 "hll": {}, "moments": {}, "hist": {}}
+                 "hll": {}, "moments": {}, "hist": {}, "cms": {}}
     try:
         ev = load_table(spark, sf_dir, "events").select(
             "event_type", "user_id")
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+        dc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         hll_dir = os.path.join(tmp, "hll")
         mom_dir = os.path.join(tmp, "mom")
         hist_dir = os.path.join(tmp, "hist")
+        cms_dir = os.path.join(tmp, "cms")
+        cms_probe = ["the", "tok1", "data"]
 
         checkpoints = sorted({8, n_batches // 2, n_batches})
         for b in range(n_batches):
@@ -71,6 +74,9 @@ def main() -> None:
             histstate.hist_batch(
                 li.filter(F.pmod("l_orderkey", F.lit(n_batches)) == b),
                 b, hist_dir)
+            cmsstate.cms_batch(
+                dc.filter(F.pmod("doc_id", F.lit(n_batches)) == b),
+                b, cms_dir)
             done = b + 1
             if done in checkpoints:
                 out["hll"][f"serve_wall_{done}b"] = _serve_wall(
@@ -79,6 +85,9 @@ def main() -> None:
                     lambda: momentstate.read_linreg(spark, mom_dir))
                 out["hist"][f"serve_wall_{done}b"] = _serve_wall(
                     lambda: histstate.read_quantiles(spark, hist_dir))
+                out["cms"][f"serve_wall_{done}b"] = _serve_wall(
+                    lambda: cmsstate.read_estimates(spark, cms_dir,
+                                                    cms_probe))
 
         out["hll"]["rows_pre_compact"] = spark.read.parquet(
             os.path.join(hll_dir, "hll_regs")).count()
@@ -86,6 +95,8 @@ def main() -> None:
             os.path.join(mom_dir, "moments")).count()
         out["hist"]["rows_pre_compact"] = spark.read.parquet(
             os.path.join(hist_dir, "hdr_hist")).count()
+        out["cms"]["rows_pre_compact"] = spark.read.parquet(
+            os.path.join(cms_dir, "cms")).count()
         out["hll"]["files_pre_compact"] = len(glob.glob(
             os.path.join(hll_dir, "hll_regs", "batch_id=*", "*.parquet")))
 
@@ -96,6 +107,9 @@ def main() -> None:
                           momentstate.read_linreg(spark, mom_dir).collect())
         before_q = sorted(tuple(r) for r in
                           histstate.read_quantiles(spark, hist_dir).collect())
+        before_c = sorted(tuple(r) for r in
+                          cmsstate.read_estimates(spark, cms_dir,
+                                                  cms_probe).collect())
 
         t0 = time.monotonic()
         hllcount.compact_hll_index(spark, hll_dir, through=n_batches - 1)
@@ -108,6 +122,9 @@ def main() -> None:
         histstate.compact_hist_index(spark, hist_dir,
                                      through=n_batches - 1)
         out["hist"]["compact_wall"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        cmsstate.compact_cms_index(spark, cms_dir, through=n_batches - 1)
+        out["cms"]["compact_wall"] = round(time.monotonic() - t0, 3)
 
         out["hll"]["serve_wall_post_compact"] = _serve_wall(
             lambda: hllcount.read_distinct_estimates(spark, hll_dir))
@@ -121,6 +138,15 @@ def main() -> None:
             lambda: histstate.read_quantiles(spark, hist_dir))
         out["hist"]["rows_post_compact"] = spark.read.parquet(glob.glob(
             os.path.join(hist_dir, "hdr_hist", "_compacted_v*"))[0]).count()
+        out["cms"]["serve_wall_post_compact"] = _serve_wall(
+            lambda: cmsstate.read_estimates(spark, cms_dir, cms_probe))
+        out["cms"]["rows_post_compact"] = spark.read.parquet(glob.glob(
+            os.path.join(cms_dir, "cms", "_compacted_v*"))[0]).count()
+        after_c = sorted(tuple(r) for r in
+                         cmsstate.read_estimates(spark, cms_dir,
+                                                 cms_probe).collect())
+        out["cms"]["answers_identical_post_compact"] = int(
+            before_c == after_c)
 
         after_h = sorted(tuple(r) for r in
                          hllcount.read_distinct_estimates(
