@@ -140,6 +140,7 @@ _CONVERTED_FRONT = [
     # sorted-neighborhood ER, TWAP, incremental aggregate refresh
     "dedup_setsim_prefix", "er_sorted_neighborhood", "ts_twap",
     "ivm_agg_refresh", "neardup_lsh_eval", "split_group_holdout",
+    "anomaly_cusum_shift",
 ]
 
 

@@ -1105,6 +1105,85 @@ def anomaly_rate_spike(spark, sf_dir):
         .otherwise(0).alias("is_spike"))
 
 
+@query("anomaly_cusum_shift", f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM {EVENTS_TS} GROUP BY event_type, date_trunc('day', ts)),
+    mu AS (
+      SELECT event_type,
+             CAST(round(CAST(SUM(n) AS DOUBLE) / COUNT(n), 6)
+                  AS DECIMAL(18,6)) AS mu
+      FROM daily GROUP BY event_type),
+    dev AS (
+      SELECT d.event_type, d.day, d.n,
+             CAST(d.n AS DECIMAL(18,6)) - m.mu
+               - CAST(round(CAST(m.mu AS DOUBLE) * 0.1, 6)
+                      AS DECIMAL(18,6)) AS dv,
+             CAST(round(CAST(m.mu AS DOUBLE) * 0.3, 6)
+                  AS DECIMAL(18,6)) AS h
+      FROM daily d JOIN mu m ON m.event_type = d.event_type),
+    psum AS (
+      SELECT event_type, day, n, h,
+             SUM(dv) OVER (PARTITION BY event_type ORDER BY day) AS p
+      FROM dev),
+    pre AS (
+      SELECT event_type, day, n, h, p,
+             MIN(p) OVER (PARTITION BY event_type ORDER BY day) AS mn
+      FROM psum),
+    cus AS (
+      SELECT event_type, day, n,
+             p - LEAST(mn, CAST(0 AS DECIMAL(18,6))) AS s, h
+      FROM pre)
+    SELECT event_type, day, n,
+           CAST(round(s, 6) AS DOUBLE) AS cusum,
+           CAST(s > h AS INTEGER) AS alarm
+    FROM cus
+""")
+def anomaly_cusum_shift(spark, sf_dir):
+    """CUSUM level-shift detection per event type — the sequential
+    recurrence S_t = max(0, S_{t-1} + (n_t - mu - k)) rewritten as
+    pure windows via the prefix-sum identity
+    S_t = P_t - min(0, min_{i<=t} P_i): one running sum and one
+    running min over the daily rollup, no recursion, no UDF — the
+    standard trick that makes classically-sequential control charts
+    distributable (same family as sessionize's flag-prefix-sum).
+    Slack k = 0.1*mu absorbs normal variation; alarm when the
+    accumulated positive drift exceeds h = 0.3*mu — a sustained rate
+    shift, where anomaly_rate_spike's trailing-window test only sees
+    single-day spikes.
+
+    Exactness: counts are integers, mu/k/h are 6dp-rounded decimals,
+    the prefix sums accumulate DECIMAL(18,6) exactly, and the alarm
+    compares decimals — no float fold anywhere.  The windows run over
+    the |types| x |days| rollup: metadata-sized at any corpus
+    scale."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type",
+                        F.date_trunc("day", "ts").alias("day"))
+             .agg(F.count("*").cast("bigint").alias("n")))
+    mu = daily.groupBy("event_type").agg(
+        F.round(F.sum("n").cast("double") / F.count("n"), 6)
+        .cast("decimal(18,6)").alias("mu"))
+    k = F.round(F.col("mu").cast("double") * 0.1, 6).cast("decimal(18,6)")
+    h = F.round(F.col("mu").cast("double") * 0.3, 6).cast("decimal(18,6)")
+    dev = (daily.join(F.broadcast(mu), "event_type")
+           .select("event_type", "day", "n",
+                   (F.col("n").cast("decimal(18,6)") - F.col("mu") - k)
+                   .alias("dv"), h.alias("h")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    pre = dev.select(
+        "event_type", "day", "n", "h",
+        F.sum("dv").over(w).alias("p")).withColumn(
+        "mn", F.min("p").over(w))
+    s = F.col("p") - F.least(F.col("mn"), F.lit(0).cast("decimal(18,6)"))
+    return pre.select(
+        "event_type", "day", "n",
+        F.round(s, 6).cast("double").alias("cusum"),
+        (s > F.col("h")).cast("int").alias("alarm"))
+
+
 @query("session_path_topn", f"""
     WITH e AS (
       SELECT user_id, event_id, ts, substr(event_type, 1, 1) AS c,

@@ -113,6 +113,9 @@ GUARDED = [
     #   neardup_lsh_eval: one full-outer join of the two pair sets
     #     (SMJ is the only full-outer strategy) into a 1-row rollup.
     ("neardup_lsh_eval", 1, 1),
+    #   anomaly_cusum_shift: windows over the |types|x|days| rollup,
+    #     per-type mu broadcast — no global sort, no SMJ.
+    ("anomaly_cusum_shift", 0, 0),
 ]
 
 

@@ -162,6 +162,44 @@ def test_twap_bounded_by_value_range(spark, sf_dir):
     assert bad == 0 and out.count() > 0
 
 
+# --- anomaly_cusum_shift ---------------------------------------------------
+
+def test_cusum_matches_sequential_recurrence_and_alarms_on_shift(
+        spark, tmp_path):
+    """The window identity S_t = P_t - min(0, min P_i) must equal the
+    sequential recurrence max(0, S+dev) day by day, and a sustained
+    level shift must alarm where a stationary series never does."""
+    t0 = datetime.datetime(2024, 1, 1)
+    # 10 days at ~10 events/day, then 8 days at 20/day (the shift)
+    counts = [10, 11, 9, 10, 10, 11, 9, 10, 11, 9] + [20] * 8
+    rows, eid = [], 0
+    for d, c in enumerate(counts):
+        for i in range(c):
+            rows.append((eid, t0 + datetime.timedelta(days=d, seconds=i),
+                         1, "view", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    d = str(tmp_path / "ev")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = sorted(QUERIES["anomaly_cusum_shift"](spark, d).collect(),
+                 key=lambda r: r["day"])
+
+    # independent sequential CUSUM with the query's mu/k rule
+    mu = round(sum(counts) / len(counts), 6)
+    k, h = round(mu * 0.1, 6), round(mu * 0.3, 6)
+    s, expect = 0.0, []
+    for c in counts:
+        s = max(0.0, s + (c - mu - k))
+        expect.append(round(s, 6))
+    got = [r["cusum"] for r in out]
+    assert all(abs(g - e) < 1e-6 for g, e in zip(got, expect))
+    alarms = [r["day"].day for r in out if r["alarm"] == 1]
+    assert alarms and min(alarms) >= 11   # fires only after the shift
+    assert all(r["alarm"] == 0 for r in out[:10])
+
+
 # --- ivm_agg_refresh -------------------------------------------------------
 
 def test_ivm_refresh_equals_full_recompute(spark, sf_dir):
