@@ -52,13 +52,15 @@ def curate_corpus(spark: SparkSession, sf_dir: str, out_dir: str,
     the NON-overlapping 30-token chunk alignment misses; documents
     whose every token is a later duplicate occurrence drop out here.
 
-    ``exact_near_dedup``: replace the LSH survivor selection in stage 3
+    ``exact_near_dedup``: replace the LSH pair detection in stage 3
     with the EXACT prefix-filtered setsim join (dedup_setsim_prefix's
     pipeline): verified Jaccard >= 0.5 pairs feed the same min-label
-    component propagation, and the min doc_id of each component
-    survives.  No LSH false positives can delete a unique document and
-    no banding miss can keep a duplicate — at the cost of the exact
-    join's verify stage (pruning measured in SCALING.md §11).
+    component propagation, and each component keeps its longest
+    member (doc_id tiebreak) — the identical survivor heuristic as
+    the LSH path, so the flag changes only DETECTION.  No LSH false
+    positives can delete a unique document and no banding miss can
+    keep a duplicate — at the cost of the exact join's verify stage
+    (pruning measured in SCALING.md §11).
     """
     from ..plans.similarity import survivor_select_df
     from ..plans.textops import (_span_frames, chunk_rewrite_df,
@@ -124,8 +126,21 @@ def curate_corpus(spark: SparkSession, sf_dir: str, out_dir: str,
         pairs = (setsim_verify(per_doc, setsim_candidates(per_doc))
                  .select("doc_a", "doc_b"))
         labels = _min_label_components(pairs)
-        losers = (labels.filter(F.col("doc_id") != F.col("label"))
-                  .select("doc_id"))
+        # SAME survivor heuristic as the LSH path (survivor_select_df:
+        # longest doc wins, doc_id breaks ties) so the flag changes
+        # only pair DETECTION, never which member of an agreed cluster
+        # survives — expressed as a skew-safe min(struct) aggregate
+        nt = rw_docs.select(
+            "doc_id", F.size(tokens_col("text")).cast("int").alias("nt"))
+        clustered = nt.join(labels, "doc_id")   # docs in no pair survive
+        winners = (clustered
+                   .groupBy("label")
+                   .agg(F.min(F.struct((-F.col("nt")).alias("neg_nt"),
+                                       F.col("doc_id").alias("doc_id")))
+                        .alias("w"))
+                   .select(F.col("w.doc_id").alias("doc_id")))
+        losers = (clustered.select("doc_id")
+                  .join(winners, "doc_id", "left_anti"))
         survivors = (rw_docs.select("doc_id")
                      .join(losers, "doc_id", "left_anti"))
     else:

@@ -1106,10 +1106,18 @@ def anomaly_rate_spike(spark, sf_dir):
 
 
 @query("anomaly_cusum_shift", f"""
-    WITH daily AS (
+    WITH observed AS (
       SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
              CAST(count(*) AS BIGINT) AS n
       FROM {EVENTS_TS} GROUP BY event_type, date_trunc('day', ts)),
+    spine AS (
+      SELECT event_type, unnest(generate_series(
+               min(day), max(day), INTERVAL 1 DAY)) AS day
+      FROM observed GROUP BY event_type),
+    daily AS (
+      SELECT s.event_type, s.day, COALESCE(o.n, 0) AS n
+      FROM spine s LEFT JOIN observed o
+        ON o.event_type = s.event_type AND o.day = s.day),
     mu AS (
       SELECT event_type,
              CAST(round(CAST(SUM(n) AS DOUBLE) / COUNT(n), 6)
@@ -1153,15 +1161,31 @@ def anomaly_cusum_shift(spark, sf_dir):
     shift, where anomaly_rate_spike's trailing-window test only sees
     single-day spikes.
 
+    Zero-event days MATTER for CUSUM (silence is strong negative
+    drift that resets S; skipping absent rollup rows would let
+    isolated bursts weeks apart ratchet S upward forever), so the
+    rollup is densified against each type's min..max day spine with
+    n = 0 before anything else — mu likewise averages over the full
+    span, not just observed days.
+
     Exactness: counts are integers, mu/k/h are 6dp-rounded decimals,
     the prefix sums accumulate DECIMAL(18,6) exactly, and the alarm
     compares decimals — no float fold anywhere.  The windows run over
     the |types| x |days| rollup: metadata-sized at any corpus
     scale."""
     ev = _t(spark, sf_dir, "events")
-    daily = (ev.groupBy("event_type",
-                        F.date_trunc("day", "ts").alias("day"))
-             .agg(F.count("*").cast("bigint").alias("n")))
+    observed = (ev.groupBy("event_type",
+                           F.date_trunc("day", "ts").alias("day"))
+                .agg(F.count("*").cast("bigint").alias("n")))
+    spine = (observed.groupBy("event_type")
+             .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+             .select("event_type",
+                     F.explode(F.sequence(
+                         "d0", "d1", F.expr("INTERVAL 1 DAY")))
+                     .alias("day")))
+    daily = (spine.join(observed, ["event_type", "day"], "left")
+             .select("event_type", "day",
+                     F.coalesce("n", F.lit(0)).cast("bigint").alias("n")))
     mu = daily.groupBy("event_type").agg(
         F.round(F.sum("n").cast("double") / F.count("n"), 6)
         .cast("decimal(18,6)").alias("mu"))

@@ -51,7 +51,17 @@ def cms_batch(batch_df: DataFrame, batch_id: int, index_dir: str,
 def read_estimates(spark, index_dir: str, tokens: list[str]) -> DataFrame:
     """(token, est_n) point queries against the summed counter table —
     the min-over-d-rows CMS read.  est_n never undercounts the true
-    stream frequency (pinned by test, as in the batch sketch)."""
+    stream frequency (pinned by test, as in the batch sketch).
+
+    Probe tokens are lowercased before hashing: ingestion tokenizes
+    through ``tokens_col`` (which lowercases), so a verbatim-hashed
+    uppercase probe would silently query the wrong buckets and
+    UNDERCOUNT — violating the one guarantee CMS gives.
+
+    One plan, one scan: the probe explodes to (token, row_i, bucket)
+    rows and joins the merged counter table ONCE — building the d
+    row-tables as separate joins would re-aggregate the whole delta
+    log d times per serve (the reused-subframes-re-execute rule)."""
     from .neardup import _read_index
 
     cms = _read_index(spark, _cms_path(index_dir),
@@ -60,18 +70,15 @@ def read_estimates(spark, index_dir: str, tokens: list[str]) -> DataFrame:
         raise FileNotFoundError(f"no CMS index at {_cms_path(index_dir)}")
     merged = (cms.groupBy("row_i", "bucket")
               .agg(F.sum("n").cast("bigint").alias("n")))
-    probe = spark.createDataFrame([(t,) for t in tokens], "token string") \
-        .select("token", *[cms_bucket_col(i).alias(f"b{i}")
-                           for i in range(_CMS_D)])
-    est = probe
-    for i in range(_CMS_D):
-        ci = merged.filter(F.col("row_i") == i).select(
-            F.col("bucket").alias(f"_bk{i}"), F.col("n").alias(f"_n{i}"))
-        est = est.join(F.broadcast(ci), F.col(f"b{i}") == F.col(f"_bk{i}"),
-                       "left")
-    est_n = F.least(*[F.coalesce(F.col(f"_n{i}"), F.lit(0))
-                      for i in range(_CMS_D)])
-    return est.select("token", est_n.cast("bigint").alias("est_n"))
+    probe = (spark.createDataFrame([(t,) for t in tokens], "token string")
+             .withColumn("_lt", F.lower("token"))
+             .select("token", F.posexplode(F.array(*[
+                 cms_bucket_col(i, "_lt") for i in range(_CMS_D)]))
+                 .alias("row_i", "bucket")))
+    return (probe.join(F.broadcast(merged), ["row_i", "bucket"], "left")
+            .groupBy("token")
+            .agg(F.min(F.coalesce("n", F.lit(0))).cast("bigint")
+                 .alias("est_n")))
 
 
 def run_incremental_cms(stream: DataFrame, checkpoint_dir: str,

@@ -1,12 +1,16 @@
-"""Batch-count scaling for the mergeable streaming state family
-(streaming/hllcount.py, streaming/momentstate.py): how do index size
-and serve wall grow with the number of ingested micro-batches, and
-what does sketch-aware compaction recover?
+"""Batch-count scaling for the mergeable streaming state family —
+all four members: HLL registers (streaming/hllcount.py, max-merge),
+OLS moments (streaming/momentstate.py, sum-merge), HDR buckets
+(streaming/histstate.py, sum-merge), and CMS counters
+(streaming/cmsstate.py, sum-merge): how do index size and serve wall
+grow with the number of ingested micro-batches, and what does
+sketch-aware compaction recover?
 
 The claim under test: per-batch deltas are METADATA-SIZED (<= 64
-registers / 6 moments per group), so the index grows linearly in
-BATCHES (not rows), serve-side merge cost grows with delta count until
-compaction folds it back to one row per register/group — after which
+registers / 6 moments per group / ~2k HDR buckets / <= 256 CMS
+counters), so the index grows linearly in BATCHES (not rows),
+serve-side merge cost grows with delta count until compaction folds
+it back to one row per register/group/bucket/counter — after which
 serving is flat no matter how many batches were ingested.
 
 Usage: python scripts/scaleup_mergeable_state.py [sf_dir] [n_batches]

@@ -255,15 +255,28 @@ def test_curate_corpus_exact_near_dedup(spark, tmp_path):
         curate_corpus)
 
     base = [f"tok{i}" for i in range(60)]
-    # A and its exact copy; C shares ~1/7 of A's shingles
-    # (J ~ 0.14 < 0.5); D unrelated.  All pass the quality gate
-    # (>=50 words, 3-10 char tokens, "the a" stopword hits).
+    quux = [f"quux{i}" for i in range(60)]
+
+    def subst(toks, positions):
+        # one substitution inside each 30-token chunk window, so the
+        # C4 chunk rewrite (stage 2) sees NO identical chunk and the
+        # near-dup reaches stage 3 intact — only the shingle-level
+        # exact join can catch these
+        out = list(toks)
+        for p in positions:
+            out[p] = f"sub{p}x"
+        return out
+
+    # All pass the quality gate (>=50 words, 3-10 char tokens,
+    # "the a" stopword hits).
     mk = lambda toks: "the a " + " ".join(toks)
     rows = [
         (1, mk(base)),
-        (9, mk(base)),                                        # exact dup of 1
+        (9, mk(subst(base, [15, 45]))),                       # near-dup of 1
         (3, mk(base[:15] + [f"zed{i}" for i in range(45)])),  # near-miss
-        (4, mk([f"quux{i}" for i in range(60)])),             # unrelated
+        (4, mk(quux)),
+        # LONGER near-dup of 4 (J ~ 0.63): longest-wins must keep 5
+        (5, mk(subst(quux, [15, 45]) + [f"extra{i}" for i in range(20)])),
     ]
     d = str(tmp_path / "docs")
     spark.createDataFrame(
@@ -277,7 +290,9 @@ def test_curate_corpus_exact_near_dedup(spark, tmp_path):
               curate_corpus(spark, d, out, exact_near_dedup=True).collect()}
     kept = {r["doc_id"] for r in
             spark.read.parquet(f"{out}/corpus").collect()}
-    assert kept == {1, 3, 4}          # 9 lost to 1; near-miss 3 kept
+    # 9 lost to equal-length 1 (doc_id tiebreak); 4 lost to LONGER 5
+    # (same longest-wins heuristic as the LSH path); near-miss 3 kept
+    assert kept == {1, 3, 5}
     assert report["near_dedup"] == 3
 
 

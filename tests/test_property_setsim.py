@@ -54,15 +54,13 @@ def test_prefix_filter_matches_brute_force(spark, corpus, t):
     df = spark.createDataFrame(docs, "doc_id bigint, text string") \
         .select("doc_id", tokens_col().alias("toks"))
     per_doc = setsim_index(setsim_shingles(df))
-    got = {(r["doc_a"], r["doc_b"]) for r in
-           setsim_verify(per_doc, setsim_candidates(per_doc, t), t)
-           .collect()}
+    out = setsim_verify(per_doc, setsim_candidates(per_doc, t), t).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in out}
     want = _py_pairs([(i, [f"tok{v}" for v in toks])
                       for i, toks in enumerate(corpus)], t)
     assert got == want
     # and the reported jaccards are the true ratios (spot the math too)
-    for r in (setsim_verify(per_doc, setsim_candidates(per_doc, t), t)
-              .collect()):
+    for r in out:
         a = _py_shingles([f"tok{v}" for v in corpus[r["doc_a"]]])
         b = _py_shingles([f"tok{v}" for v in corpus[r["doc_b"]]])
         inter = len(a & b)

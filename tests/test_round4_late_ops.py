@@ -200,6 +200,37 @@ def test_cusum_matches_sequential_recurrence_and_alarms_on_shift(
     assert all(r["alarm"] == 0 for r in out[:10])
 
 
+def test_cusum_zero_event_days_reset_isolated_bursts(spark, tmp_path):
+    """Days with NO events are real CUSUM observations (strong
+    negative drift): isolated bursts separated by silence must not
+    ratchet S upward across the gaps, so the densified series never
+    alarms — and the gap days appear in the output with n = 0."""
+    t0 = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for d in (0, 10, 20):               # 3 one-day bursts, 9 silent days
+        for i in range(30):             # between each
+            rows.append((eid, t0 + datetime.timedelta(days=d, seconds=i),
+                         1, "view", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    d = str(tmp_path / "ev")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = sorted(QUERIES["anomaly_cusum_shift"](spark, d).collect(),
+                 key=lambda r: r["day"])
+    assert len(out) == 21                       # densified 21-day spine
+    assert sum(1 for r in out if r["n"] == 0) == 18
+    # the silent gaps drain S back to zero, so each burst starts from
+    # scratch: identical cusum on every burst day, zero on the eve of
+    # the next burst — no ratcheting across unrelated spikes (a single
+    # 7x-mean day alarming on its own day is correct chart behavior)
+    by_idx = {i: r for i, r in enumerate(out)}
+    assert by_idx[9]["cusum"] == 0.0 and by_idx[19]["cusum"] == 0.0
+    assert (by_idx[0]["cusum"] == by_idx[10]["cusum"]
+            == by_idx[20]["cusum"] > 0.0)
+
+
 # --- ivm_agg_refresh -------------------------------------------------------
 
 def test_ivm_refresh_equals_full_recompute(spark, sf_dir):

@@ -70,6 +70,17 @@ def test_streaming_cms_never_undercounts(spark, sf_dir, tmp_path):
         assert est >= exact.get(token, 0)
 
 
+def test_probe_case_normalized_like_ingestion(spark, sf_dir, tmp_path):
+    """Ingestion lowercases via tokens_col, so an uppercase probe must
+    hit the same buckets as its lowercase form — a verbatim-hashed
+    'The' would silently undercount."""
+    index_dir = str(tmp_path / "idx")
+    _feed(spark, sf_dir, index_dir)
+    lo = dict(_rows(read_estimates(spark, index_dir, ["the"])))
+    up = dict(_rows(read_estimates(spark, index_dir, ["The"])))
+    assert up["The"] == lo["the"] > 0
+
+
 def test_replay_is_bit_identical(spark, sf_dir, tmp_path):
     index_dir = str(tmp_path / "idx")
     d = _feed(spark, sf_dir, index_dir)
