@@ -28,21 +28,20 @@ from . import retrieval  # noqa: F401,E402
 from . import sketches  # noqa: F401,E402
 
 
-# --- driver-sample ordering (VERDICT r2 item 2, r3 item 3) ----------------
+# --- driver-sample ordering (VERDICT r2 item 2, r3 item 3, r4 item 1) -----
 #
 # The driver samples the FIRST ~50 registered queries per round
-# (registration order steered all three prior samples).  Round-4
+# (registration order steered all four prior samples).  Round-5
 # ordering, in priority:
-#   1. the 11 queries whose oracle SQL was re-typed this round (the two
-#      r3 hash-fail rows plus nine never-sampled queries with the same
-#      uncast-int128 defect, found by the new DESCRIBE lint) — each
-#      needs a fresh green driver row against the fixed SQL,
-#   2. every id with no driver row in CORRECTNESS_r01 ∪ r02 ∪ r03
-#      (127 of 272), oracle-backed before rows-only, north-star
-#      modules first,
+#   1. the ~50 highest-priority ids with no driver row in
+#      CORRECTNESS_r01 ∪ r02 ∪ r03 ∪ r04 (107 remain of 293
+#      oracle-backed): the TPC-H sweep, the sql_* surface, UDTF/UDAF,
+#      and the ts/window pool, per the r4 verdict's action list —
+#      plus any query NEW this round,
+#   2. the remaining never-checked ids (picked up next round),
 #   3. ids already driver-checked, last.
 
-# Cumulative driver coverage: keys of CORRECTNESS_r01 ∪ r02 ∪ r03.
+# Cumulative driver coverage: keys of CORRECTNESS_r01 ∪ r02 ∪ r03 ∪ r04.
 _DRIVER_CHECKED = {
     "agg_approx_distinct", "agg_approx_percentile", "agg_arg_extremes",
     "agg_avg_risk", "agg_cube", "agg_distinct_users", "agg_grouping_sets",
@@ -95,6 +94,26 @@ _DRIVER_CHECKED = {
     "vec_normalize", "vec_pq_encode", "vec_pq_residual_mse",
     "vec_quantize_int8", "win_lag_value", "win_rank_orders_by_price",
     "win_running_sum",
+    # round 4 (CORRECTNESS_r04.json, 50/50 green)
+    "anomaly_cusum_shift", "anomaly_mad_outliers", "assoc_rules_pairs",
+    "bpe_fertility_by_lang", "concurrency_peak",
+    "concurrency_peak_bucketed", "corpus_shard_shuffle",
+    "dedup_modality_agreement",
+    "dedup_setsim_prefix", "doc_length_survival", "dq_key_skew",
+    "dq_profile_columns", "emb_cell_balance", "er_sorted_neighborhood",
+    "ivm_agg_refresh", "layout_zorder_skipping", "lm_kneser_ney_bigram",
+    "mixture_token_budget", "ml_kmeans_lloyd_portable",
+    "ml_linreg_closed_form", "neardup_lsh_eval", "ngram_novelty_decay",
+    "quality_ppl_buckets", "quality_rule_funnel", "rank_fusion_rrf",
+    "retrieval_eval_ndcg", "sample_weighted_reservoir",
+    "sample_weighted_systematic", "sessionize_lag_gaps",
+    "sim_ann_ivf_kmeans", "sim_bm25_topk", "sim_jl_topk_recall",
+    "sim_mmr_rerank", "sketch_bloom_decontam", "sketch_cms_token_freq",
+    "sketch_hdr_merge", "sketch_hdr_quantiles", "sketch_hll_merge",
+    "sketch_hll_portable", "sketch_hll_setops", "split_group_holdout",
+    "state_duration_total", "text_gopher_rules",
+    "transform_fim", "ts_twap",
+    "vec_jl_distortion", "win_cumulative_distinct",
 }
 
 _MODULE_PRIORITY = [
@@ -103,44 +122,38 @@ _MODULE_PRIORITY = [
     "udtf_udaf", "tpch_more", "relational", "scalars", "core",
 ]
 
-# Head of the round-4 sample window, in order: every query whose oracle
-# SQL changed this round (CAST ... AS BIGINT on int128 outputs).
+# Head of the round-5 sample window, in order: ~52 of the 107
+# oracle-backed ids with no driver row in r01–r04, prioritized per the
+# r4 verdict (TPC-H sweep, sql_* surface, UDTF/UDAF, ts/window pool,
+# then the judge-spot-checked misc pool).  Queries NEW in round 5 are
+# prepended as they land.
 _CONVERTED_FRONT = [
-    # r3 hash-fail rows — locally bitwise-correct, oracle re-typed
-    "text_repetition_stats", "dedup_chunk_exact",
-    # never-sampled queries fixed by the same sweep (plain SUM)
-    "anomaly_mad_outliers", "state_duration_total", "dq_key_skew",
-    # windowed SUM() OVER sites the DESCRIBE lint surfaced
-    "win_cumulative_distinct", "concurrency_peak",
-    "concurrency_peak_bucketed", "sessionize_lag_gaps",
-    "sample_weighted_systematic",
-    # leaked_grams INT -> BIGINT widening (both engines)
-    "split_leakage_audit",
-    # new in round 4: CCNet perplexity head/middle/tail partitioning
-    # and the cross-modality dedup agreement table
-    "quality_ppl_buckets", "dedup_modality_agreement",
-    "bpe_fertility_by_lang", "emb_cell_balance", "doc_length_survival",
-    "ngram_novelty_decay",
-    # new in round 4: the sparse/hybrid retrieval surface
-    "sim_bm25_topk", "rank_fusion_rrf", "sim_mmr_rerank",
-    "retrieval_eval_ndcg",
-    # new in round 4 (late): Z-order layout clustering + skipping eval
-    "layout_zorder_skipping",
-    # new in round 4 (late): oracle-checked Lloyd k-means training and
-    # the learned-quantizer IVF probe built on it
-    "ml_kmeans_lloyd_portable", "sim_ann_ivf_kmeans",
-    # new in round 4 (late): portable sketches / weighted sampling /
-    # closed-form statistics (plans/sketches.py)
-    "sketch_hll_portable", "sketch_hll_merge", "sketch_hdr_quantiles",
-    "sketch_bloom_decontam", "sample_weighted_reservoir",
-    "ml_linreg_closed_form", "lm_kneser_ney_bigram",
-    "vec_jl_distortion", "sim_jl_topk_recall", "sketch_hdr_merge",
-    "sketch_hll_setops", "assoc_rules_pairs", "dq_profile_columns",
-    # new in round 4 (late): prefix-filtered exact set-similarity join,
-    # sorted-neighborhood ER, TWAP, incremental aggregate refresh
-    "dedup_setsim_prefix", "er_sorted_neighborhood", "ts_twap",
-    "ivm_agg_refresh", "neardup_lsh_eval", "split_group_holdout",
-    "anomaly_cusum_shift",
+    # --- new in round 5 (prepend here) ---
+    # --- TPC-H sweep (plans/tpch_more.py) ---
+    "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",
+    "q5_region_revenue", "q6_revenue_forecast", "q7_volume_shipping",
+    "q8_market_share", "q9_profit_by_nation", "q10_returned_items",
+    "q11_important_parts", "q12_ship_latency", "q13_custdist",
+    "q14_promo_share", "q15_top_supplier", "q16_supplier_variety",
+    "q17_small_qty_revenue", "q18_large_orders", "q19_disjunctive",
+    "q20_dominant_suppliers", "q21_waiting_supplier",
+    "q22_idle_customers",
+    # --- SQL-surface queries ---
+    "sql_lateral_topn", "sql_parameterized", "sql_pipe_aggregate",
+    "sql_udf_len_bucket", "sql_session_variables", "sql_in_subquery",
+    "sql_hint_broadcast",
+    # --- UDTF / UDAF surface ---
+    "udtf_chunk_documents", "udaf_geomean_chars", "udtf_unpack_props",
+    # --- time-series / window pool ---
+    "ts_gapfill_interpolate", "ts_resample_ohlc", "ts_ewma",
+    "ts_mom_yoy_growth", "ts_rollup_two_level", "wau_sliding_distinct",
+    "win_moving_avg", "win_ntile_percentrank", "win_range_frame",
+    "win_ratio_to_report", "win_last_ignore_nulls",
+    # --- judge-spot-checked misc pool (all locally green) ---
+    "join_asof_nearest", "scd2_build", "join_temporal_scd2",
+    "recursive_date_spine", "histogram_equidepth", "cohort_retention",
+    "variant_extract", "multimodal_dedup_bytes",
+    "interval_merge_overlaps", "graph_triangle_count",
 ]
 
 
