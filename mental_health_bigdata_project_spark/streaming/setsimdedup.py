@@ -20,10 +20,33 @@ Design (foreachBatch + two persisted index tables, NOT per-row state):
   positional and size bounds still apply unchanged.
 - **Index tables** under ``index_dir``: ``prefix`` rows
   (shingle, doc_id, p, sz) — one row per PREFIX element of each
-  accepted doc (~(1-t)·|s|+1 of them), the candidate-probe side; and
-  ``arrs`` rows (doc_id, arr, sz) — the full sorted element arrays,
-  read ONLY for the candidates' verification join.  Both partitioned
-  by the batch that added them.
+  accepted doc (~(1-t)·|s|+1 of them), the candidate-probe side,
+  partitioned by (batch_id, bucket) where bucket =
+  crc32(shingle) % N_BUCKETS (the bm25index layout): the prior-probe
+  prunes to the buckets the batch's own prefix shingles touch before
+  any scan, and at cluster scale the same bucketing is the
+  storage-partitioned-join layout that keeps the probe's shuffle
+  one-sided.  (Honest bound: a text batch beyond a few dozen docs
+  has enough distinct shingles to touch ALL buckets — the pruning
+  pays off for narrow/trickle batches and for the compacted store's
+  file layout, not for bulk backfills; the dedicated sweep in
+  SCALING.md §2 quantifies both.)  And ``arrs`` rows
+  (doc_id, arr, sz) — the full sorted element arrays, partitioned by
+  batch_id, read ONLY for the candidates' verification join: the
+  read pushes an ``isin`` on the candidates' (few, output-bound)
+  prior doc_ids down to the parquet scan when the candidate set is
+  small enough to collect (cap ``_MAX_ID_PUSHDOWN``), so the
+  wide-array column is fetched for candidate rows instead of the
+  whole accepted corpus.
+- **Re-ingestion policy**: accepted output is NOT unique on doc_id
+  under re-ingestion.  A doc_id arriving again with content that
+  still reaches J >= t against the accepted corpus (including its own
+  earlier row) is dropped as a duplicate; if its content changed
+  below threshold it is accepted AGAIN, leaving two accepted rows
+  with that doc_id in different batch_id partitions — the
+  log-structured contract (same as the BM25 index's double-count
+  note).  Upstream dedup_by_id / CDC upsert topologies are the
+  uniqueness layer.
 - **Exactly-once on replay**: accepted output and both index deltas
   land in ``batch_id=N`` partitions via dynamic partition overwrite,
   and every index read prunes ``batch_id < N`` (``_read_index``'s
@@ -48,6 +71,12 @@ from ..plans.textops import (setsim_candidates_between, setsim_prefix_rows,
 from .neardup import _read_index
 
 _T = 0.5
+N_BUCKETS = 16          # shingle-hash partitions of the prefix index
+_MAX_ID_PUSHDOWN = 20_000   # cap on the candidate-id isin pushdown
+
+
+def _bucket(col):
+    return F.pmod(F.crc32(col), F.lit(N_BUCKETS)).cast("int")
 
 
 def _prefix_path(index_dir: str) -> str:
@@ -86,7 +115,8 @@ def dedup_setsim_batch_against_index(batch_df: DataFrame, batch_id: int,
     # deltas, and the verify joins — materialize once
     arrs = setsim_arrays(batch_df, id_col, text_col) \
         .localCheckpoint(eager=True)
-    pre = setsim_prefix_rows(arrs, t)
+    # feeds the prior probe AND the touched-bucket collect below
+    pre = setsim_prefix_rows(arrs, t).localCheckpoint(eager=True)
     # <3-token docs have no element set: nothing can reach J >= t
     # against them, so they are auto-accepted (mirrors the batch twin,
     # whose per_doc index simply never contains them)
@@ -94,7 +124,7 @@ def dedup_setsim_batch_against_index(batch_df: DataFrame, batch_id: int,
                .join(arrs.select("doc_id"), "doc_id", "left_anti"))
 
     prior_pre = _read_index(spark, _prefix_path(index_dir),
-                            ["shingle", "doc_id", "p", "sz"],
+                            ["shingle", "doc_id", "p", "sz", "bucket"],
                             before_batch=batch_id)
     prior_arrs = _read_index(spark, _arrs_path(index_dir),
                              ["doc_id", "arr", "sz"],
@@ -104,11 +134,37 @@ def dedup_setsim_batch_against_index(batch_df: DataFrame, batch_id: int,
     # already hides that delta, and requiring BOTH tables here keeps the
     # first-batch replay (arrs path absent entirely) well-defined
     if prior_pre is not None and prior_arrs is not None:
+        # candidates need shingle EQUALITY with a batch prefix element,
+        # so prior rows outside the batch's shingle-hash buckets can't
+        # match: prune the (bucket-partitioned) index read to touched
+        # buckets.  The collect is bounded by N_BUCKETS rows.
+        touched = sorted(r[0] for r in pre.select(
+            _bucket(F.col("shingle")).alias("bucket")).distinct().collect())
+        prior_pre = (prior_pre.filter(F.col("bucket").isin(touched))
+                     .drop("bucket"))
         # batch side probes the accepted-corpus index: pin a shuffled
         # hash join — the index outgrows broadcast (the SCALING.md §2b
-        # flapping lesson from the LSH twin)
+        # flapping lesson from the LSH twin).  The hint sits on the
+        # BATCH side so IT is the hash-map build side: hinting the
+        # index side (the round-4 form) builds the map from the
+        # unbounded relation and OOMs once the corpus outgrows
+        # per-partition memory (reproduced at 8x sf0.1x10:
+        # "not enough memory to build hash map").  Build from the
+        # bounded batch, stream the index — the only orientation that
+        # survives an ever-growing accepted corpus.
         cand = setsim_candidates_between(
-            pre, prior_pre.hint("shuffle_hash"), F.lit(True), t)
+            pre.hint("shuffle_hash"), prior_pre, F.lit(True), t) \
+            .localCheckpoint(eager=True)
+        # verification needs the wide `arr` column only for candidate
+        # prior docs — an output-bound set.  When small enough to
+        # collect, push the id list into the scan (row-group stats
+        # skip non-candidate files); past the cap, fall back to the
+        # plain join (the shuffle still only moves candidate rows'
+        # worth after the join, the scan is the cost being saved).
+        cand_ids = [r[0] for r in (cand.select("doc_b").distinct()
+                                   .limit(_MAX_ID_PUSHDOWN + 1).collect())]
+        if len(cand_ids) <= _MAX_ID_PUSHDOWN:
+            prior_arrs = prior_arrs.filter(F.col("doc_id").isin(cand_ids))
         dup_prior = setsim_verify_pairs(cand, arrs, prior_arrs, t)
         dropped = dup_prior.select(F.col("doc_a").alias("doc_id")).distinct()
         # the prior-probe join + verify is the batch's expensive cross-
@@ -138,11 +194,19 @@ def dedup_setsim_batch_against_index(batch_df: DataFrame, batch_id: int,
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("batch_id")
      .parquet(os.path.join(out_dir, "accepted")))
+    # repartition BY BUCKET before the partitioned write: without it
+    # every one of the ~32 write tasks holds rows of every bucket and
+    # the delta lands as 64 dirs x 32 tiny files per batch — the
+    # listing cost of which grew per-batch walls 17 -> 26 s over 8
+    # batches in the first cut of this layout.  Clustered, each bucket
+    # dir gets exactly one file per batch.
     (setsim_prefix_rows(kept, t)
      .withColumn("batch_id", F.lit(batch_id))
+     .withColumn("bucket", _bucket(F.col("shingle")))
+     .repartition(F.col("bucket"))
      .write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("batch_id")
+     .partitionBy("batch_id", "bucket")
      .parquet(_prefix_path(index_dir)))
     (kept.select("doc_id", "arr", "sz")
      .withColumn("batch_id", F.lit(batch_id))

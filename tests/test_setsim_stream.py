@@ -120,7 +120,9 @@ def test_setsim_index_compacts_and_still_dedups(spark, tmp_path):
         _df(spark, [(1, TEXT_A)]), 0, out, idx)
     setsimdedup.dedup_setsim_batch_against_index(
         _df(spark, [(4, TEXT_D)]), 1, out, idx)
-    compact_index(spark, f"{idx}/prefix", through=1)
+    # bucket partitioning survives compaction so the touched-bucket
+    # probe pruning keeps working against the compacted store
+    compact_index(spark, f"{idx}/prefix", through=1, partition_by=["bucket"])
     compact_index(spark, f"{idx}/arrs", through=1)
 
     # post-compaction batch: B still hits A through the compacted view
