@@ -56,7 +56,13 @@ def read_estimates(spark, index_dir: str, tokens: list[str]) -> DataFrame:
     Probe tokens are lowercased before hashing: ingestion tokenizes
     through ``tokens_col`` (which lowercases), so a verbatim-hashed
     uppercase probe would silently query the wrong buckets and
-    UNDERCOUNT — violating the one guarantee CMS gives.
+    UNDERCOUNT — violating the one guarantee CMS gives.  For the same
+    reason every probe must survive its OWN tokenization unchanged
+    (modulo case): a probe containing whitespace or characters the
+    tokenizer splits/strips can never correspond to an ingested
+    token, and its min-over-buckets read would return some other
+    tokens' collision counts as a meaningless "estimate" — such
+    probes raise ValueError instead.
 
     One plan, one scan: the probe explodes to (token, row_i, bucket)
     rows and joins the merged counter table ONCE — building the d
@@ -70,7 +76,18 @@ def read_estimates(spark, index_dir: str, tokens: list[str]) -> DataFrame:
         raise FileNotFoundError(f"no CMS index at {_cms_path(index_dir)}")
     merged = (cms.groupBy("row_i", "bucket")
               .agg(F.sum("n").cast("bigint").alias("n")))
-    probe = (spark.createDataFrame([(t,) for t in tokens], "token string")
+    raw = spark.createDataFrame([(t,) for t in tokens], "token string")
+    bad = [r[0] for r in (raw.withColumn("_toks", tokens_col("token"))
+                          .filter(~((F.size("_toks") == 1)
+                                    & (F.element_at("_toks", 1)
+                                       == F.lower("token"))))
+                          .select("token").collect())]  # bounded: len(tokens)
+    if bad:
+        raise ValueError(
+            f"probe tokens are not single tokenizer tokens: {bad!r}; "
+            f"CMS estimates are only meaningful for tokens tokens_col "
+            f"can produce")
+    probe = (raw
              .withColumn("_lt", F.lower("token"))
              .select("token", F.posexplode(F.array(*[
                  cms_bucket_col(i, "_lt") for i in range(_CMS_D)]))

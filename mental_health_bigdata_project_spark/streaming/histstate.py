@@ -33,9 +33,21 @@ def _hist_path(index_dir: str) -> str:
 def hist_batch(batch_df: DataFrame, batch_id: int, index_dir: str,
                value_expr=None) -> None:
     """One micro-batch of histogram maintenance (the foreachBatch
-    body, callable directly for tests / backfills)."""
-    c = batch_df.select((value_expr if value_expr is not None
-                         else hdr_cents_expr()).alias("c"))
+    body, callable directly for tests / backfills).
+
+    ``value_expr`` must evaluate to a POSITIVE integer: the HDR
+    bucketing keys on bit length, and a negative value's 64-char
+    two's-complement F.bin would silently collapse all negatives into
+    one giant bucket, skewing every served quantile.  A non-positive
+    value therefore fails the batch loudly (native raise_error — the
+    checkpoint retries after the caller fixes the expression) instead
+    of corrupting the persisted histogram."""
+    raw = (value_expr if value_expr is not None
+           else hdr_cents_expr()).cast("bigint")
+    guarded = F.when(raw > 0, raw).otherwise(F.raise_error(F.concat(
+        F.lit("hist_batch: value_expr must be a positive integer, got "),
+        F.coalesce(raw.cast("string"), F.lit("NULL")))))
+    c = batch_df.select(guarded.alias("c"))
     (hdr_histogram(c)
      .withColumn("batch_id", F.lit(batch_id))
      .write.mode("overwrite")

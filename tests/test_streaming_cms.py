@@ -81,6 +81,21 @@ def test_probe_case_normalized_like_ingestion(spark, sf_dir, tmp_path):
     assert up["The"] == lo["the"] > 0
 
 
+def test_probe_must_be_a_single_tokenizer_token(spark, sf_dir, tmp_path):
+    """A probe the tokenizer would split (whitespace) can never equal
+    an ingested token, so its min-over-buckets read would return other
+    tokens' collision counts as a meaningless estimate — it must raise
+    instead (ADVICE r4)."""
+    import pytest
+
+    index_dir = str(tmp_path / "idx")
+    _feed(spark, sf_dir, index_dir)
+    with pytest.raises(ValueError, match="single tokenizer token"):
+        read_estimates(spark, index_dir, ["the", "two words"])
+    # a valid mixed-case single token still serves
+    assert dict(_rows(read_estimates(spark, index_dir, ["The"])))["The"] > 0
+
+
 def test_replay_is_bit_identical(spark, sf_dir, tmp_path):
     index_dir = str(tmp_path / "idx")
     d = _feed(spark, sf_dir, index_dir)

@@ -43,6 +43,23 @@ def test_streaming_quantiles_equal_batch_sketch(spark, sf_dir, tmp_path):
     assert served == batch
 
 
+def test_non_positive_value_expr_fails_loudly(spark, sf_dir, tmp_path):
+    """The HDR bucketing keys on bit length, so a negative value's
+    64-char two's-complement bin() would silently collapse every
+    negative into one giant bucket — a bad custom value_expr must fail
+    the batch, not corrupt the persisted histogram (ADVICE r4)."""
+    import pytest
+
+    index_dir = str(tmp_path / "idx")
+    neg = _li(spark, sf_dir).limit(10)
+    with pytest.raises(Exception, match="positive integer"):
+        hist_batch(neg, 0, index_dir,
+                   value_expr=-F.col("l_orderkey").cast("bigint"))
+    with pytest.raises(Exception, match="positive integer"):
+        hist_batch(neg, 0, index_dir,
+                   value_expr=F.lit(None).cast("bigint"))
+
+
 def test_replay_is_bit_identical(spark, sf_dir, tmp_path):
     index_dir = str(tmp_path / "idx")
     li = _feed(spark, sf_dir, index_dir)
