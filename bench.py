@@ -185,7 +185,7 @@ def main() -> None:
         return time.perf_counter() - t0
 
     _calibrate()  # warm its codegen
-    calibration_sec = round(sorted(_calibrate() for _ in range(3))[1], 3)
+    calibration_pre = round(sorted(_calibrate() for _ in range(3))[1], 3)
 
     # Two executions per query: the first (untimed beyond `cold`) pays
     # plan analysis + whole-stage-codegen compile for this query's
@@ -209,6 +209,17 @@ def main() -> None:
               file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # Host-normalized total (VERDICT r4 item 3): totals divided by the
+    # calibration workload's wall, so cross-round readers compare ONE
+    # dimensionless number instead of re-deriving host drift (same
+    # commit measured 65 s one week, 109 s the next — SCALING.md §5).
+    # The probe runs BEFORE and AFTER the query loop and the mean is
+    # the divisor: same-day calibration walls were observed drifting
+    # 2x within an hour on this shared-infra host, so a single
+    # point-in-time probe over- or under-corrects a ~5-min run.
+    calibration_post = round(sorted(_calibrate() for _ in range(3))[1], 3)
+    calibration_sec = round((calibration_pre + calibration_post) / 2, 3)
+    normalized_total = round(total / calibration_sec, 1)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     sf_val = float(sf) if sf else None
 
@@ -228,7 +239,11 @@ def main() -> None:
     # Full detail (cold runs, totals) goes to a file; stdout gets ONE
     # compact line in exactly the driver's schema.  r1's line carried the
     # cold map too and overflowed the driver's capture buffer
-    # ("parsed": null) — keep this line short.
+    # ("parsed": null), and r4's 76-query 3dp map overflowed it AGAIN
+    # (~2.2k chars vs the ~2k capture -> BENCH_r04 "parsed": false).
+    # Hard budget: the whole line stays under 1900 chars — top-55
+    # queries by wall at 2dp, the rest rolled into "_other", streaming
+    # rows/s as integers; BENCH_LOCAL.json keeps every query at 3dp.
     detail = {
         "metric": "headline_query_wall_sec",
         "value": total,
@@ -239,20 +254,30 @@ def main() -> None:
         "sf": sf_val,
         "cpus": int(cpus),
         "calibration_sec": calibration_sec,
+        "calibration_pre": calibration_pre,
+        "calibration_post": calibration_post,
+        "normalized_total": normalized_total,
         "streaming_dedup": streaming_detail,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_LOCAL.json"), "w") as fh:
         json.dump(detail, fh, indent=1)
+    ranked = sorted(timings.items(), key=lambda kv: -kv[1])
+    line_queries = {k: round(v, 2) for k, v in ranked[:55]}
+    if len(ranked) > 55:
+        line_queries["_other"] = round(sum(v for _, v in ranked[55:]), 2)
     line = json.dumps({
         "metric": "headline_query_wall_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": line_queries,
         "sf": sf_val,
         "calibration_sec": calibration_sec,
-        "streaming_dedup_rows_per_sec": streaming_line,
+        "normalized_total": normalized_total,
+        "streaming_dedup_rows_per_sec": {k: round(v)
+                                         for k, v in streaming_line.items()},
     }, separators=(",", ":"))
+    assert len(line) < 1900, f"bench line {len(line)} chars overflows driver capture"
     print(line, flush=True)
     spark.stop()
 
