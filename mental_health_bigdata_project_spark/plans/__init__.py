@@ -28,20 +28,17 @@ from . import retrieval  # noqa: F401,E402
 from . import sketches  # noqa: F401,E402
 
 
-# --- driver-sample ordering (VERDICT r2 item 2, r3 item 3, r4 item 1) -----
+# --- driver-sample ordering (VERDICT r2 item 2 … r5 item 1) ---------------
 #
 # The driver samples the FIRST ~50 registered queries per round
-# (registration order steered all four prior samples).  Round-5
+# (registration order steered all five prior samples).  Round-6
 # ordering, in priority:
-#   1. the ~50 highest-priority ids with no driver row in
-#      CORRECTNESS_r01 ∪ r02 ∪ r03 ∪ r04 (107 remain of 293
-#      oracle-backed): the TPC-H sweep, the sql_* surface, UDTF/UDAF,
-#      and the ts/window pool, per the r4 verdict's action list —
-#      plus any query NEW this round,
-#   2. the remaining never-checked ids (picked up next round),
-#   3. ids already driver-checked, last.
+#   1. the 64 ids with no driver row in CORRECTNESS_r01 ∪ … ∪ r05
+#      (57 oracle-backed + 7 rows-only ml_*), per the r5 verdict's
+#      action item 1 — plus any query NEW this round,
+#   2. ids already driver-checked, last.
 
-# Cumulative driver coverage: keys of CORRECTNESS_r01 ∪ r02 ∪ r03 ∪ r04.
+# Cumulative driver coverage: keys of CORRECTNESS_r01 ∪ … ∪ r05.
 _DRIVER_CHECKED = {
     "agg_approx_distinct", "agg_approx_percentile", "agg_arg_extremes",
     "agg_avg_risk", "agg_cube", "agg_distinct_users", "agg_grouping_sets",
@@ -114,6 +111,24 @@ _DRIVER_CHECKED = {
     "state_duration_total", "text_gopher_rules",
     "transform_fim", "ts_twap",
     "vec_jl_distortion", "win_cumulative_distinct",
+    # round 5 (CORRECTNESS_r05.json, 50/50 green)
+    "cohort_retention", "histogram_equidepth", "join_asof_nearest",
+    "join_temporal_scd2", "multimodal_dedup_bytes", "q10_returned_items",
+    "q11_important_parts", "q12_ship_latency", "q13_custdist",
+    "q14_promo_share", "q15_top_supplier", "q16_supplier_variety",
+    "q17_small_qty_revenue", "q18_large_orders", "q19_disjunctive",
+    "q20_dominant_suppliers", "q21_waiting_supplier", "q22_idle_customers",
+    "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",
+    "q5_region_revenue", "q6_revenue_forecast", "q7_volume_shipping",
+    "q8_market_share", "q9_profit_by_nation", "recursive_date_spine",
+    "scd2_build", "sql_hint_broadcast", "sql_in_subquery",
+    "sql_lateral_topn", "sql_parameterized", "sql_pipe_aggregate",
+    "sql_session_variables", "sql_udf_len_bucket", "ts_ewma",
+    "ts_gapfill_interpolate", "ts_mom_yoy_growth", "ts_resample_ohlc",
+    "ts_rollup_two_level", "udaf_geomean_chars", "udtf_chunk_documents",
+    "udtf_unpack_props", "variant_extract", "wau_sliding_distinct",
+    "win_last_ignore_nulls", "win_moving_avg", "win_ntile_percentrank",
+    "win_range_frame", "win_ratio_to_report",
 }
 
 _MODULE_PRIORITY = [
@@ -122,38 +137,40 @@ _MODULE_PRIORITY = [
     "udtf_udaf", "tpch_more", "relational", "scalars", "core",
 ]
 
-# Head of the round-5 sample window, in order: ~52 of the 107
-# oracle-backed ids with no driver row in r01–r04, prioritized per the
-# r4 verdict (TPC-H sweep, sql_* surface, UDTF/UDAF, ts/window pool,
-# then the judge-spot-checked misc pool).  Queries NEW in round 5 are
-# prepended as they land.
+# Head of the round-6 sample window, in order: the LAST 64 ids with no
+# driver row in r01–r05 (57 oracle-backed first, then the 7 rows-only
+# ml_* twins), per the r5 verdict's action item 1.  The driver samples
+# the first ~50, so ~50 of the oracle-backed pool land this round and
+# the remainder (+ ml_*) finish in round 7.  Queries NEW in round 6 go
+# in the marked slot so they still get a driver row in r7.
 _CONVERTED_FRONT = [
-    # --- new in round 5 (prepend here) ---
-    # --- TPC-H sweep (plans/tpch_more.py) ---
-    "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",
-    "q5_region_revenue", "q6_revenue_forecast", "q7_volume_shipping",
-    "q8_market_share", "q9_profit_by_nation", "q10_returned_items",
-    "q11_important_parts", "q12_ship_latency", "q13_custdist",
-    "q14_promo_share", "q15_top_supplier", "q16_supplier_variety",
-    "q17_small_qty_revenue", "q18_large_orders", "q19_disjunctive",
-    "q20_dominant_suppliers", "q21_waiting_supplier",
-    "q22_idle_customers",
-    # --- SQL-surface queries ---
-    "sql_lateral_topn", "sql_parameterized", "sql_pipe_aggregate",
-    "sql_udf_len_bucket", "sql_session_variables", "sql_in_subquery",
-    "sql_hint_broadcast",
-    # --- UDTF / UDAF surface ---
-    "udtf_chunk_documents", "udaf_geomean_chars", "udtf_unpack_props",
-    # --- time-series / window pool ---
-    "ts_gapfill_interpolate", "ts_resample_ohlc", "ts_ewma",
-    "ts_mom_yoy_growth", "ts_rollup_two_level", "wau_sliding_distinct",
-    "win_moving_avg", "win_ntile_percentrank", "win_range_frame",
-    "win_ratio_to_report", "win_last_ignore_nulls",
-    # --- judge-spot-checked misc pool (all locally green) ---
-    "join_asof_nearest", "scd2_build", "join_temporal_scd2",
-    "recursive_date_spine", "histogram_equidepth", "cohort_retention",
-    "variant_extract", "multimodal_dedup_bytes",
-    "interval_merge_overlaps", "graph_triangle_count",
+    # --- never-checked, oracle-backed (57) ---
+    "abc_classification", "agg_bitmap_distinct", "agg_boolean",
+    "agg_grouping_id", "agg_listagg_ordered", "agg_median_exact",
+    "agg_mode_deterministic", "agg_percentile_disc", "agg_salted_skew",
+    "anomaly_rate_spike", "arr_higher_order", "assign_contiguous_ids",
+    "attribution_linear", "cogroup_asof_enrich", "collate_group_ci",
+    "dedup_containment", "dq_expectations", "events_heatmap_dow_hour",
+    "filter_quality_percentile", "freq_of_freq", "funnel_ordered_steps",
+    "gini_concentration", "graph_bfs_sql", "graph_triangle_count",
+    "grouped_iqr_arrow", "grouped_zscore_by_user",
+    "histogram_dynamic_bins", "interval_merge_overlaps",
+    "join_interval_events", "join_null_safe", "join_range_bucketed",
+    "join_salted_skew", "markov_event_transitions", "multimodal_bytes",
+    "multimodal_bytes_arrow", "overlap_matrix_users",
+    "pivot_multi_measure", "pivot_priority_by_segment",
+    "privacy_l_diversity", "rest_poll_dedup", "rfm_segmentation",
+    "sample_stratified", "sample_systematic", "seq_pattern_regex",
+    "session_path_topn", "skyline_pareto_orders", "snapshot_diff",
+    "source_rest_poll", "stat_corr_cov", "stat_crosstab",
+    "stat_regr_trend", "text_readability", "text_token_count_iter",
+    "transform_span_corruption", "transpose_metrics",
+    "unpivot_lineitem_measures", "winsorized_avg",
+    # --- new in round 6 (append here; driver row lands r7) ---
+    # --- never-checked, rows-only ml_* twins (7) ---
+    "ml_als_recommend", "ml_classify_embeddings", "ml_fpgrowth_itemsets",
+    "ml_kmeans_embeddings", "ml_minhash_lsh", "ml_pca_embeddings",
+    "ml_tfidf_hashed",
 ]
 
 

@@ -26,10 +26,21 @@ Scope: a local-environment bootstrap, not shipped behavior — a real
 cluster installs protobuf from requirements and ``install()`` returns
 "native" without touching sys.path.  Worker processes are covered
 because the streaming.stateful module calls ``install()`` at import
-time, and pyspark's worker unpickles the user function (importing
-that module) BEFORE constructing StatefulProcessorApiClient, whose
-proto imports are lazy (worker.py:3035, stateful_processor_api_client
-imports StateMessage_pb2 inside methods).
+time, and pyspark's workers unpickle the user function/processor —
+importing that module, provided the processor class pickles BY
+REFERENCE (module-level class; see stateful.RunningTotals) — BEFORE
+constructing StatefulProcessorApiClient, whose proto imports are lazy
+(stateful_processor_api_client imports StateMessage_pb2 inside
+methods).  Two worker-side traps this module handles:
+
+- Spark puts its JARS on worker sys.path, and jars carrying
+  ``google/protobuf/*.proto`` (spark-core does) make
+  ``import google.protobuf`` succeed as an EMPTY namespace package —
+  so the native probe imports ``descriptor``, not just the package.
+- transformWithState state items each live in their own column
+  family, which only the RocksDB state store provider supports — set
+  ``spark.sql.streaming.stateStore.providerClass`` to
+  ``...state.RocksDBStateStoreProvider`` for those queries.
 """
 
 from __future__ import annotations
@@ -81,15 +92,28 @@ def install() -> str | bool:
     (no usable runtime on this host — callers keep the skip path).
     Idempotent; the result is cached."""
     global _result
+    if os.environ.get("PB_COMPAT_DEBUG"):
+        print(f"PB_COMPAT install() pid={os.getpid()} cached={_result} "
+              f"path0={sys.path[:4]}", flush=True)
     if _result is not None:
         return _result
 
     try:
-        import google.protobuf  # noqa: F401
+        # `descriptor`, not just the package: on Spark WORKERS the jars
+        # are on sys.path, and jars shipping `google/protobuf/*.proto`
+        # (e.g. spark-core) satisfy `import google.protobuf` as an
+        # empty NAMESPACE package ("unknown location") with no Python
+        # modules in it — a false-positive "native" that later crashes
+        # StateMessage_pb2's `from google.protobuf import descriptor`.
+        from google.protobuf import descriptor  # noqa: F401
         _result = "native"
         return _result
     except ImportError:
-        pass
+        # Evict any jar-backed namespace residue so the SDK candidate's
+        # REGULAR google package (has __init__.py) resolves freshly.
+        for name in [n for n in sys.modules
+                     if n == "google" or n.startswith("google.")]:
+            sys.modules.pop(name, None)
 
     for google_dir, root_dir in _SDK_CANDIDATES:
         if not os.path.isdir(os.path.join(google_dir, "google", "protobuf")):

@@ -14,6 +14,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from . import protobuf_compat
+
+# Import-time bootstrap (idempotent, cached): Python WORKERS unpickle
+# the stateful processor, which re-imports this module BEFORE pyspark
+# constructs StatefulProcessorApiClient (whose StateMessage_pb2 imports
+# are lazy) — so installing here covers driver and workers alike.
+protobuf_compat.install()
+
 RUNNING_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double"
 RUNNING_STATE_SCHEMA = "n bigint, s double"
 
@@ -59,27 +67,28 @@ def running_user_totals(events: DataFrame,
 
 def transform_with_state_available() -> bool:
     """Spark 4's ``transformWithStateInPandas`` control channel speaks
-    protobuf; this environment ships no ``google.protobuf``, so the
-    operator is gated (environment constraint, not an engine one)."""
-    try:
-        import google.protobuf  # noqa: F401
-        return True
-    except ImportError:
-        return False
+    protobuf; this environment ships no installed ``google.protobuf``
+    wheel, so the operator is gated (environment constraint, not an
+    engine one).  ``protobuf_compat.install()`` first tries a native
+    install, then bootstraps the public Cloud-SDK runtime and proves it
+    with a StateMessage round-trip; only if both fail do we gate."""
+    from . import protobuf_compat
+
+    return bool(protobuf_compat.install())
 
 
-def running_user_totals_tws(events: DataFrame) -> DataFrame:
-    """Forward path for `running_user_totals` on the Spark 4
-    ``transformWithStateInPandas`` API: composable typed state (value/
-    list/map per key), native TTL on each state item, and timers —
-    richer than applyInPandasWithState's single tuple + one timeout.
+def _make_running_totals_processor():
+    """Build the module-level stateful processor class.
 
-    Same semantics as `running_user_totals` (per-user running count and
-    sum emitted each micro-batch the user appears in); state is a
-    2-field value state with the store-managed RocksDB backend.  Gated:
-    call sites must check ``transform_with_state_available()`` first
-    (see tests/test_streaming.py — skipped where protobuf is absent).
-    """
+    Deliberately a MODULE-LEVEL definition (via this factory, so the
+    pyspark import stays lazy): a function-local class would be
+    cloudpickled BY VALUE, and the tws driver/executor workers would
+    then unpickle it without ever importing this module — skipping the
+    import-time ``protobuf_compat.install()`` those processes need
+    before their first lazy ``StateMessage_pb2`` import (observed as
+    "driver worker exited unexpectedly (crashed)" during state-schema
+    validation).  A module-level class pickles by reference, so every
+    worker imports this module — and bootstraps protobuf — first."""
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor, StatefulProcessorHandle)
@@ -100,6 +109,26 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         def close(self):
             pass
 
+    RunningTotals.__module__ = __name__
+    RunningTotals.__qualname__ = "RunningTotals"
+    return RunningTotals
+
+
+RunningTotals = _make_running_totals_processor()
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Forward path for `running_user_totals` on the Spark 4
+    ``transformWithStateInPandas`` API: composable typed state (value/
+    list/map per key), native TTL on each state item, and timers —
+    richer than applyInPandasWithState's single tuple + one timeout.
+
+    Same semantics as `running_user_totals` (per-user running count and
+    sum emitted each micro-batch the user appears in); state is a
+    2-field value state with the store-managed RocksDB backend.  Gated:
+    call sites must check ``transform_with_state_available()`` first
+    (see tests/test_streaming.py — skipped where protobuf is absent).
+    """
     return (
         events.select("user_id", "value")
         .groupBy("user_id")

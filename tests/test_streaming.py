@@ -214,6 +214,15 @@ def test_transform_with_state_running_totals(spark, sf_dir, tmp_path):
     src = str(tmp_path / "events_src_tws")
     events.write.parquet(src)
     stream = spark.readStream.schema(events.schema).parquet(src)
+    # transformWithState keeps each state item in its own column
+    # family; only the RocksDB provider supports that (the default
+    # HDFS-backed store raises STATE_STORE_MULTIPLE_COLUMN_FAMILIES).
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
     q = (
         running_user_totals_tws(stream).writeStream.outputMode("update")
         .format("memory").queryName("tws_out")
@@ -221,7 +230,14 @@ def test_transform_with_state_running_totals(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    try:
+        q.awaitTermination(180)
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider)
     got = {r.user_id: (r.n_events, round(r.sum_value, 2))
            for r in spark.sql("SELECT * FROM tws_out").collect()}
     batch = {r.user_id: (r.n, round(r.s, 2))
