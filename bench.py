@@ -263,24 +263,45 @@ def main() -> None:
                            "BENCH_LOCAL.json"), "w") as fh:
         json.dump(detail, fh, indent=1)
     ranked = sorted(timings.items(), key=lambda kv: -kv[1])
-    line_queries = {k: round(v, 2) for k, v in ranked[:55]}
-    if len(ranked) > 55:
-        line_queries["_other"] = round(sum(v for _, v in ranked[55:]), 2)
-    line = json.dumps({
-        "metric": "headline_query_wall_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": line_queries,
-        "sf": sf_val,
-        "calibration_sec": calibration_sec,
-        "normalized_total": normalized_total,
-        "streaming_dedup_rows_per_sec": {k: round(v)
-                                         for k, v in streaming_line.items()},
-    }, separators=(",", ":"))
-    assert len(line) < 1900, f"bench line {len(line)} chars overflows driver capture"
+
+    def build_line(top_n: int) -> str:
+        line_queries = {k: round(v, 2) for k, v in ranked[:top_n]}
+        if len(ranked) > top_n:
+            line_queries["_other"] = round(
+                sum(v for _, v in ranked[top_n:]), 2)
+        return json.dumps({
+            "metric": "headline_query_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": line_queries,
+            "sf": sf_val,
+            "calibration_sec": calibration_sec,
+            "normalized_total": normalized_total,
+            "streaming_dedup_rows_per_sec": {k: round(v)
+                                             for k, v in
+                                             streaming_line.items()},
+        }, separators=(",", ":"))
+
+    # the driver's capture buffer truncates ~2k chars (r1 and r4 both
+    # produced "parsed": false lines) — shrink the per-query map until
+    # the line fits instead of dying line-less (a bare assert here once
+    # killed the run pre-print and pre-stop, and vanishes under -O)
+    line = build_line(55)
+    top_n = 55
+    while len(line) >= 1900 and top_n > 0:
+        top_n -= 5
+        line = build_line(top_n)
     print(line, flush=True)
     spark.stop()
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    finally:
+        # shut the JVM down even when a run dies mid-bench — a leaked
+        # local[32] session would contend with (and skew) the next run
+        from pyspark.sql import SparkSession
+        _active = SparkSession.getActiveSession()
+        if _active is not None:
+            _active.stop()

@@ -77,10 +77,14 @@ def read_estimates(spark, index_dir: str, tokens: list[str]) -> DataFrame:
     merged = (cms.groupBy("row_i", "bucket")
               .agg(F.sum("n").cast("bigint").alias("n")))
     raw = spark.createDataFrame([(t,) for t in tokens], "token string")
+    # NULL-safe: for a None probe the == predicate is NULL, ~NULL is
+    # NULL, and a bare filter() would silently DROP the row instead of
+    # rejecting it — catch NULL probes explicitly
     bad = [r[0] for r in (raw.withColumn("_toks", tokens_col("token"))
-                          .filter(~((F.size("_toks") == 1)
-                                    & (F.element_at("_toks", 1)
-                                       == F.lower("token"))))
+                          .filter(F.col("token").isNull()
+                                  | ~((F.size("_toks") == 1)
+                                      & (F.element_at("_toks", 1)
+                                         == F.lower("token"))))
                           .select("token").collect())]  # bounded: len(tokens)
     if bad:
         raise ValueError(

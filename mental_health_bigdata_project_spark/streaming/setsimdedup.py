@@ -103,6 +103,59 @@ def setsim_arrays(df: DataFrame, id_col: str = "doc_id",
             .withColumn("sz", F.size("arr")))
 
 
+def _read_prefix_index(spark, index_dir: str, batch_id: int):
+    """Read the prior prefix index with its ``bucket`` partition
+    column; returns ``(df_or_None, legacy)``.
+
+    Migration shim: indexes written before the bucketed layout carry no
+    ``bucket`` column, and selecting it would fail EVERY retry of the
+    batch (a deterministic poison pill for an upgrading stream) — so on
+    an unresolved-column failure re-read the legacy layout and BACKFILL
+    ``bucket = crc32(shingle) % N_BUCKETS``.  Values are identical by
+    construction; only the partition-pruning benefit is lost until
+    ``compact_setsim_index`` rewrites the store bucketed.  The caller
+    must keep DELTA WRITES in the detected layout too (Spark refuses a
+    root read over dirs with conflicting partition-column lists), so
+    ``legacy=True`` means "this store migrates at compaction, not
+    mid-stream"."""
+    from pyspark.errors import AnalysisException
+
+    cols = ["shingle", "doc_id", "p", "sz"]
+    try:
+        return (_read_index(spark, _prefix_path(index_dir),
+                            cols + ["bucket"], before_batch=batch_id),
+                False)
+    except AnalysisException as e:
+        if "bucket" not in str(e):
+            raise
+        legacy = _read_index(spark, _prefix_path(index_dir), cols,
+                             before_batch=batch_id)
+        return ((None if legacy is None
+                 else legacy.withColumn("bucket", _bucket(F.col("shingle")))),
+                True)
+
+
+def compact_setsim_index(spark, index_dir: str, through: int) -> dict:
+    """Compact both setsim index tables through ``through``.
+
+    The prefix store MUST keep ``partition_by=["bucket"]`` (the probe's
+    partition pruning — and the path that re-buckets a legacy store);
+    this helper exists so callers can't forget it."""
+    from .compaction import compact_index
+
+    return {
+        "prefix": compact_index(
+            spark, _prefix_path(index_dir), through,
+            partition_by=["bucket"],
+            # recompute from shingle: identical where bucket already
+            # exists, and it adds the column when folding a legacy
+            # (pre-bucketed-layout) store
+            transform=lambda df: df.withColumn(
+                "bucket", _bucket(F.col("shingle")))),
+        "arrs": compact_index(spark, _arrs_path(index_dir), through),
+    }
+
+
 def dedup_setsim_batch_against_index(batch_df: DataFrame, batch_id: int,
                                      out_dir: str, index_dir: str,
                                      id_col: str = "doc_id",
@@ -123,9 +176,7 @@ def dedup_setsim_batch_against_index(batch_df: DataFrame, batch_id: int,
     setless = (batch_df.select(F.col(id_col).alias("doc_id"))
                .join(arrs.select("doc_id"), "doc_id", "left_anti"))
 
-    prior_pre = _read_index(spark, _prefix_path(index_dir),
-                            ["shingle", "doc_id", "p", "sz", "bucket"],
-                            before_batch=batch_id)
+    prior_pre, legacy_layout = _read_prefix_index(spark, index_dir, batch_id)
     prior_arrs = _read_index(spark, _arrs_path(index_dir),
                              ["doc_id", "arr", "sz"],
                              before_batch=batch_id)
@@ -199,14 +250,19 @@ def dedup_setsim_batch_against_index(batch_df: DataFrame, batch_id: int,
     # the delta lands as 64 dirs x 32 tiny files per batch — the
     # listing cost of which grew per-batch walls 17 -> 26 s over 8
     # batches in the first cut of this layout.  Clustered, each bucket
-    # dir gets exactly one file per batch.
-    (setsim_prefix_rows(kept, t)
-     .withColumn("batch_id", F.lit(batch_id))
-     .withColumn("bucket", _bucket(F.col("shingle")))
-     .repartition(F.col("bucket"))
-     .write.mode("overwrite")
+    # dir gets exactly one file per batch.  A LEGACY (pre-bucketed)
+    # store keeps receiving legacy-layout deltas — mixing layouts
+    # breaks the root read's partition discovery — until
+    # compact_setsim_index migrates the whole store at once.
+    delta = (setsim_prefix_rows(kept, t)
+             .withColumn("batch_id", F.lit(batch_id)))
+    if not legacy_layout:
+        delta = (delta.withColumn("bucket", _bucket(F.col("shingle")))
+                 .repartition(F.col("bucket")))
+    (delta.write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("batch_id", "bucket")
+     .partitionBy(*(["batch_id"] if legacy_layout
+                    else ["batch_id", "bucket"]))
      .parquet(_prefix_path(index_dir)))
     (kept.select("doc_id", "arr", "sz")
      .withColumn("batch_id", F.lit(batch_id))

@@ -61,9 +61,14 @@ def main() -> None:
     walls = []
     try:
         for b in range(n_batches):
+            # last batch takes the divisor remainder — without the
+            # fold, n_docs % n_batches trailing docs were silently
+            # never fed and the sweep measured a smaller corpus than
+            # reported
+            hi = n_docs if b == n_batches - 1 else (b + 1) * per_batch
             bdf = (docs.filter(
                 (F.col("doc_id") >= b * per_batch)
-                & (F.col("doc_id") < (b + 1) * per_batch))
+                & (F.col("doc_id") < hi))
                 .localCheckpoint(eager=True))
             n = bdf.count()
             t0 = time.monotonic()

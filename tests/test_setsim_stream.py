@@ -111,9 +111,6 @@ def test_setsim_index_compacts_and_still_dedups(spark, tmp_path):
     the horizon refuses."""
     import pytest
 
-    from mental_health_bigdata_project_spark.streaming.compaction import (
-        compact_index)
-
     out = str(tmp_path / "out")
     idx = str(tmp_path / "idx")
     setsimdedup.dedup_setsim_batch_against_index(
@@ -121,9 +118,9 @@ def test_setsim_index_compacts_and_still_dedups(spark, tmp_path):
     setsimdedup.dedup_setsim_batch_against_index(
         _df(spark, [(4, TEXT_D)]), 1, out, idx)
     # bucket partitioning survives compaction so the touched-bucket
-    # probe pruning keeps working against the compacted store
-    compact_index(spark, f"{idx}/prefix", through=1, partition_by=["bucket"])
-    compact_index(spark, f"{idx}/arrs", through=1)
+    # probe pruning keeps working against the compacted store; the
+    # helper pins partition_by=["bucket"] so callers can't forget it
+    setsimdedup.compact_setsim_index(spark, idx, through=1)
 
     # post-compaction batch: B still hits A through the compacted view
     setsimdedup.dedup_setsim_batch_against_index(
@@ -135,6 +132,49 @@ def test_setsim_index_compacts_and_still_dedups(spark, tmp_path):
     with pytest.raises(ValueError, match="compaction"):
         setsimdedup.dedup_setsim_batch_against_index(
             _df(spark, [(4, TEXT_D)]), 1, out, idx)
+
+
+def test_setsim_legacy_index_without_bucket_column(spark, tmp_path):
+    """A prefix index persisted by the pre-bucketed layout (batch_id
+    partitions only, no bucket column) must not poison-pill the stream:
+    the probe backfills bucket = crc32(shingle) % N_BUCKETS on read,
+    and compact_setsim_index rewrites the store bucketed."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mental_health_bigdata_project_spark.plans.textops import (
+        setsim_prefix_rows)
+
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+    # hand-write batch 0's index exactly as the OLD writer did:
+    # batch_id-only partitioning, no bucket column
+    arrs = setsimdedup.setsim_arrays(_df(spark, [(1, TEXT_A)]))
+    (setsim_prefix_rows(arrs, 0.5).withColumn("batch_id", F.lit(0))
+     .write.partitionBy("batch_id").parquet(f"{idx}/prefix"))
+    (arrs.select("doc_id", "arr", "sz").withColumn("batch_id", F.lit(0))
+     .write.partitionBy("batch_id").parquet(f"{idx}/arrs"))
+
+    # upgrading stream's next batch reads the legacy store: B must
+    # still hit A (backfilled bucket), C accepted
+    setsimdedup.dedup_setsim_batch_against_index(
+        _df(spark, [(2, TEXT_B), (3, TEXT_C)]), 1, out, idx)
+    acc = {r.doc_id for r in spark.read.parquet(f"{out}/accepted").collect()}
+    assert acc == {3}
+
+    # compaction migrates the store to the bucketed layout
+    setsimdedup.compact_setsim_index(spark, idx, through=1)
+    compacted = [d for d in os.listdir(f"{idx}/prefix")
+                 if d.startswith("_compacted")]
+    assert compacted
+    assert any(sub.startswith("bucket=") for sub in
+               os.listdir(os.path.join(f"{idx}/prefix", compacted[0])))
+    # and the migrated store still dedups: an exact copy of A drops
+    setsimdedup.dedup_setsim_batch_against_index(
+        _df(spark, [(9, TEXT_A), (4, TEXT_D)]), 2, out, idx)
+    acc = {r.doc_id for r in spark.read.parquet(f"{out}/accepted").collect()}
+    assert acc == {3, 4}
 
 
 def test_incremental_setsim_streaming(spark, tmp_path):

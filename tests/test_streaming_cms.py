@@ -92,6 +92,10 @@ def test_probe_must_be_a_single_tokenizer_token(spark, sf_dir, tmp_path):
     _feed(spark, sf_dir, index_dir)
     with pytest.raises(ValueError, match="single tokenizer token"):
         read_estimates(spark, index_dir, ["the", "two words"])
+    # a NULL probe must be rejected loudly too — the predicate is
+    # NULL-safe, so it can't be silently filter()ed into no output row
+    with pytest.raises(ValueError, match="single tokenizer token"):
+        read_estimates(spark, index_dir, ["the", None])
     # a valid mixed-case single token still serves
     assert dict(_rows(read_estimates(spark, index_dir, ["The"])))["The"] > 0
 
