@@ -2250,7 +2250,14 @@ def sim_ivfpq_topk(spark, sf_dir):
            .join(F.broadcast(dt), ["sub", "code"])
            .groupBy("vec_id", "cell")
            .agg(F.round(dsum9(F.col("d")), 6).alias("adc_dist")))
-    exact = (assigned.join(F.broadcast(qe), ["sub", "j"])
+    # the final inner join keeps only probed-cell candidates anyway,
+    # but Catalyst can't push that join back through the exact-distance
+    # aggregate — without this semi-join the exact branch scans and
+    # aggregates the FULL corpus to keep ~nprobe/16 of it (the one
+    # plan weakness the r5 audit found).  Output provably identical.
+    cand_ids = cellmap.join(F.broadcast(probe), "cell").select("vec_id")
+    exact = (assigned.join(cand_ids, "vec_id", "left_semi")
+             .join(F.broadcast(qe), ["sub", "j"])
              .groupBy("vec_id")
              .agg(F.round(dsum9((F.col("xv") - F.col("qx"))
                                 * (F.col("xv") - F.col("qx"))), 6)
