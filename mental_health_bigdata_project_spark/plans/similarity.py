@@ -747,24 +747,14 @@ def dedup_minhash_near(spark, sf_dir):
     This is the scale path for dedup_ngram_jaccard: the only shuffle
     keys are (band_idx, band_hash), so co-bucketed docs are compared
     without the all-pairs co-shingle join."""
-    toks = tokens_col()
-    d = load_table(spark, sf_dir, "documents").select("doc_id", toks.alias("toks"))
-    shingles = F.when(
-        F.size("toks") >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks") - 2),
-            lambda i: F.concat_ws(" ", F.element_at("toks", i),
-                                  F.element_at("toks", i + 1),
-                                  F.element_at("toks", i + 2))),
-    ).otherwise(F.array().cast("array<string>"))
+    from .textops import corpus_shingles
     # hash each shingle string ONCE; derive the 16 minhash functions by
     # re-hashing the resulting 8-byte long with a seed column — 16
     # fixed-width hashes per shingle instead of 16 full string hashes
     # (the dominant cost at scale), and no ANSI long-overflow risk.
-    sh = (
-        d.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
-        .select("doc_id", F.xxhash64("shingle").alias("h"))
-    )
+    # The gram relation itself is the session-memoized checkpoint.
+    sh = (corpus_shingles(spark, sf_dir)
+          .select("doc_id", F.xxhash64("shingle").alias("h")))
     mins = sh.groupBy("doc_id").agg(*[
         F.min(F.xxhash64(F.col("h"), F.lit(s))).alias(f"h{s}")
         for s in range(N_MINHASH)
@@ -960,13 +950,12 @@ def neardup_lsh_eval(spark, sf_dir):
     Plan: the two pair pipelines keep their banded / prefix-pruned
     shapes; the comparison is one full-outer join on the narrow id
     pair (SMJ — correct for full-outer) into a 1-row rollup."""
-    from .textops import (setsim_candidates, setsim_index, setsim_shingles,
+    from .textops import (corpus_setsim_index, setsim_candidates,
                           setsim_verify)
     docs = load_table(spark, sf_dir, "documents")
     est = portable_neardup_pairs(docs).select("doc_a", "doc_b") \
         .withColumn("in_est", F.lit(1))
-    d = docs.select("doc_id", tokens_col().alias("toks"))
-    per_doc = setsim_index(setsim_shingles(d))
+    per_doc = corpus_setsim_index(spark, sf_dir)
     exact = (setsim_verify(per_doc, setsim_candidates(per_doc))
              .select("doc_a", "doc_b").withColumn("in_exact", F.lit(1)))
     j = (est.join(exact, ["doc_a", "doc_b"], "full_outer")
@@ -1099,20 +1088,9 @@ def dedup_simhash_portable(spark, sf_dir):
     by pigeonhole, so blocking is LOSSLESS at this radius) and the
     final filter keeps hamming <= 3.  All shuffle keys are
     (band_idx, band_key) — never all pairs."""
-    toks = tokens_col()
-    d = load_table(spark, sf_dir, "documents").select("doc_id", toks.alias("toks"))
-    shingles = F.when(
-        F.size("toks") >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks") - 2),
-            lambda i: F.concat_ws(" ", F.element_at("toks", i),
-                                  F.element_at("toks", i + 1),
-                                  F.element_at("toks", i + 2))),
-    ).otherwise(F.array().cast("array<string>"))
-    t = (
-        d.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
-        .select("doc_id", F.md5("shingle").alias("h"))
-    )
+    from .textops import corpus_shingles
+    t = (corpus_shingles(spark, sf_dir)
+         .select("doc_id", F.md5("shingle").alias("h")))
     votes = t.groupBy("doc_id").agg(*[
         F.sum(F.when(F.substring("h", i + 1, 1) >= "8", 1).otherwise(-1))
         .alias(f"s{i}") for i in range(_SIM_BITS)

@@ -49,7 +49,7 @@ from pyspark.sql.window import Window
 from ..functions.vectors import to_double_array
 from ..sources import load_table
 from .registry import query
-from .textops import _TOKS_SQL, tokens_col
+from .textops import _TOKS_SQL, corpus_shingles, tokens_col
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -525,24 +525,11 @@ def sketch_bloom_decontam(spark, sf_dir):
     bitmap probe; the physical bitmap lives in the broadcast hash
     table.  Spark's own BloomFilterAggregate does this engine-side;
     the md5 bit derivation keeps it oracle-checkable."""
-    toks = tokens_col()
-    d = _t(spark, sf_dir, "documents").select("doc_id", toks.alias("toks"))
-    shingles = F.when(
-        F.size("toks") >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks") - 2),
-            lambda i: F.concat_ws(" ", F.element_at("toks", i),
-                                  F.element_at("toks", i + 1),
-                                  F.element_at("toks", i + 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     # the exploded shingle table feeds FOUR consumers (bench bits,
-    # probe, exact verdict, train rows): checkpoint it once — this is
-    # the materialized gram table a deployment would store anyway
-    # (the dedup_semdedup reuse recipe; ~25s -> ~7s at sf0.1)
-    sh = (d.select("doc_id",
-                   F.explode(F.array_distinct(shingles)).alias("shingle"))
-          .localCheckpoint(eager=True))
+    # probe, exact verdict, train rows) — and three OTHER queries
+    # consume the same relation, so it comes from the session-wide
+    # memoized checkpoint (textops.corpus_shingles)
+    sh = corpus_shingles(spark, sf_dir)
     bench = sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
     # (doc_id, shingle) is already distinct: sh explodes
     # array_distinct per doc — no dedup shuffle needed here

@@ -307,8 +307,7 @@ def dedup_setsim_prefix(spark, sf_dir):
     sorted-set table is built once and checkpointed as the stored
     index artifact (three consumers).  Candidate pruning measured in
     SCALING.md."""
-    d = _docs(spark, sf_dir).select("doc_id", tokens_col().alias("toks"))
-    per_doc = setsim_index(setsim_shingles(d))
+    per_doc = corpus_setsim_index(spark, sf_dir)
     return setsim_verify(per_doc, setsim_candidates(per_doc))
 
 
@@ -326,6 +325,54 @@ def setsim_shingles(d: DataFrame) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     return d.select("doc_id",
                     F.explode(F.array_distinct(shingles)).alias("shingle"))
+
+
+# corpus (doc_id, shingle) relation per (session, sf_dir) — see
+# corpus_shingles.  Same lifetime discipline as _BPE_MERGES_MEMO: the
+# key holds the session, so a new session gets a fresh checkpoint and
+# stale entries are unreachable through any live session.
+_CORPUS_SHINGLES_MEMO: dict = {}
+
+
+def corpus_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full-corpus (doc_id, shingle) distinct token-3-gram table,
+    materialized ONCE per (session, dataset) and shared by every
+    full-corpus gram consumer (dedup_setsim_prefix, decontam_benchmark,
+    decontam_fuzzy_overlap, sketch_bloom_decontam, dedup_minhash_near,
+    dedup_simhash_near) — previously each query re-tokenized and
+    re-exploded the whole corpus (VERDICT r4 item 6 / r5 item 3).
+
+    This is the stored-artifact shape at 100 TB: the gram table is
+    written once (partitioned by doc_id range) and every dedup /
+    decontam / sketch pipeline reads it instead of re-scanning raw
+    text.  localCheckpoint stands in for that materialization in a
+    single session.  Queries that only need a doc_id-bounded slice
+    (dedup_ngram_jaccard, dedup_containment) deliberately do NOT use
+    this: their filter belongs on the parquet scan, not after a
+    corpus-wide materialization."""
+    key = (spark, sf_dir)
+    sh = _CORPUS_SHINGLES_MEMO.get(key)
+    if sh is None:
+        d = _docs(spark, sf_dir).select("doc_id", tokens_col().alias("toks"))
+        sh = setsim_shingles(d).localCheckpoint(eager=True)
+        _CORPUS_SHINGLES_MEMO[key] = sh
+    return sh
+
+
+_CORPUS_SETSIM_INDEX_MEMO: dict = {}
+
+
+def corpus_setsim_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-doc rarest-first sorted-set index over corpus_shingles,
+    built once per (session, dataset) — dedup_setsim_prefix and
+    neardup_lsh_eval consume the identical index, and setsim_index's
+    own eager checkpoint previously re-ran per call."""
+    key = (spark, sf_dir)
+    idx = _CORPUS_SETSIM_INDEX_MEMO.get(key)
+    if idx is None:
+        idx = setsim_index(corpus_shingles(spark, sf_dir))
+        _CORPUS_SETSIM_INDEX_MEMO[key] = idx
+    return idx
 
 
 def setsim_index(sh: DataFrame) -> DataFrame:
@@ -763,18 +810,7 @@ def decontam_benchmark(spark, sf_dir):
     shingle set and the training side never shuffles.  At 100 TB:
     hash the shingles (xxhash64) instead of shipping strings, and the
     broadcast stays MB-sized regardless of corpus size."""
-    toks = tokens_col()
-    d = _docs(spark, sf_dir).select("doc_id", toks.alias("toks"))
-    shingles = F.when(
-        F.size("toks") >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks") - 2),
-            lambda i: F.concat_ws(" ", F.element_at("toks", i),
-                                  F.element_at("toks", i + 1),
-                                  F.element_at("toks", i + 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    sh = d.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+    sh = corpus_shingles(spark, sf_dir)
     bench = sh.filter(F.col("doc_id") % 97 == 0).select("shingle")
     train = sh.filter(F.col("doc_id") % 97 != 0)
     return (train.join(F.broadcast(bench), "shingle", "left_semi")
@@ -816,18 +852,7 @@ def decontam_fuzzy_overlap(spark, sf_dir):
     max).  At 100 TB: xxhash64 the shingles so the broadcast ships
     8-byte keys, and cap per-shingle fan-out by dropping stop-shingles
     (df above a threshold) exactly like the sparse-cosine IDF floor."""
-    toks = tokens_col()
-    d = _docs(spark, sf_dir).select("doc_id", toks.alias("toks"))
-    shingles = F.when(
-        F.size("toks") >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks") - 2),
-            lambda i: F.concat_ws(" ", F.element_at("toks", i),
-                                  F.element_at("toks", i + 1),
-                                  F.element_at("toks", i + 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    sh = d.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+    sh = corpus_shingles(spark, sf_dir)
     ns = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     bench = (sh.filter(F.col("doc_id") % 97 == 0)
              .select(F.col("doc_id").alias("b_id"), "shingle"))
