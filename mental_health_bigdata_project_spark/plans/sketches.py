@@ -279,6 +279,109 @@ def sketch_hll_merge(spark, sf_dir):
                     .cast("int").alias("merge_lossless")))
 
 
+# --- engine-native Datasketches twins (rows-only) --------------------------
+#
+# Spark >= 3.5 ships Apache DataSketches HLL (hll_sketch_agg /
+# hll_sketch_estimate / hll_union_agg) and Spark 4 adds approx_top_k.
+# These are the PRODUCTION twins of the portable sketches above: the
+# sketch binaries and their estimates are engine internals (no DuckDB
+# equivalent), so they register rows-only, and the tolerance-verdict
+# tests in tests/test_sketches.py pin each one against its oracle-green
+# sibling (VERDICT r4 item 7 / r5 item 7).
+
+_HLL_NATIVE_TOL = 0.05  # default lgK=12 -> RSE 1.04/sqrt(4096) ~ 1.6%; 3 sigma
+
+
+@query("sketch_hll_native")
+def sketch_hll_native(spark, sf_dir):
+    """Engine-side Datasketches HLL: distinct ordering customers per
+    year via hll_sketch_agg + hll_sketch_estimate — the production twin
+    of ``sketch_hll_portable`` (oracle-green md5-register HLL, same
+    grouping).  Rows-only: the HLL_4 sketch and its estimator are
+    engine internals; the ``within_tol`` verdict column (3-sigma bound
+    at the default lgK=12) and the exact count riding along pin the
+    semantics, plus the ledger test vs the portable sibling.
+
+    At 100 TB this is the path to PREFER over the portable one: the
+    sketch partials are JVM-side byte arrays merged map-side (no md5
+    per row, no register explode), and the shuffle carries <= 2^lgK
+    bytes per group."""
+    o = _t(spark, sf_dir, "orders")
+    est = (o.groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+           .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))")
+                .alias("est"),
+                F.countDistinct("o_custkey").cast("bigint")
+                .alias("n_exact")))
+    rel = F.abs(F.col("est") - F.col("n_exact")) / F.col("n_exact")
+    return est.select(
+        "yr", "est", "n_exact", F.round(rel, 4).alias("rel_err"),
+        (rel <= _HLL_NATIVE_TOL).cast("int").alias("within_tol"))
+
+
+@query("sketch_hll_native_merge")
+def sketch_hll_native_merge(spark, sf_dir):
+    """Engine-side HLL rollup: per-(year, month) Datasketches sketches
+    union-merged to year (hll_union_agg) vs the sketch built directly
+    at year grain — the production twin of ``sketch_hll_merge``
+    (oracle-green).  The INSTRUCTIVE difference, measured by the
+    ``merge_vs_direct_rel`` column: the portable md5-register merge is
+    BIT-lossless (merge_lossless pinned = 1 by per-register max), while
+    the Datasketches union is only STATISTICALLY lossless — union
+    promotes sketch mode/target-lgK internally, so merged and direct
+    estimates differ by a fraction of the error bound (observed ~0.3%
+    at sf0.01) without violating it.  Both verdict flags bound the
+    estimates against the exact count; the rollup itself never re-reads
+    the fact table — monthly sketch partials merge in a
+    metadata-sized agg."""
+    o = _t(spark, sf_dir, "orders")
+    keyed = o.select(F.year("o_orderdate").cast("int").alias("yr"),
+                     F.month("o_orderdate").alias("mo"), "o_custkey")
+    monthly = (keyed.groupBy("yr", "mo")
+               .agg(F.expr("hll_sketch_agg(o_custkey)").alias("sk")))
+    merged = (monthly.groupBy("yr")
+              .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+                   .alias("merged_est"),
+                   F.count("*").cast("bigint").alias("n_months")))
+    direct = (keyed.groupBy("yr")
+              .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))")
+                   .alias("direct_est"),
+                   F.countDistinct("o_custkey").cast("bigint")
+                   .alias("n_exact")))
+    m_rel = F.abs(F.col("merged_est") - F.col("n_exact")) / F.col("n_exact")
+    d_rel = F.abs(F.col("direct_est") - F.col("n_exact")) / F.col("n_exact")
+    return (merged.join(direct, "yr")
+            .select("yr", "n_months", "merged_est", "direct_est", "n_exact",
+                    F.round(F.abs(F.col("merged_est") - F.col("direct_est"))
+                            / F.col("n_exact"), 4)
+                    .alias("merge_vs_direct_rel"),
+                    (m_rel <= _HLL_NATIVE_TOL).cast("int")
+                    .alias("merged_within_tol"),
+                    (d_rel <= _HLL_NATIVE_TOL).cast("int")
+                    .alias("direct_within_tol")))
+
+
+@query("sketch_topk_native")
+def sketch_topk_native(spark, sf_dir):
+    """Engine-side frequent-items top-k (Spark 4 approx_top_k,
+    Datasketches frequent-items): the 20 most frequent corpus tokens
+    with counts — the production twin of the exact ``text_token_freq``
+    (oracle-green).  maxItemsTracked is set far above the corpus
+    vocabulary, so the sketch runs in its exact regime here and the
+    parity test pins every returned (token, count) against the exact
+    aggregate; past capacity at real corpus scale the same plan
+    degrades gracefully to guaranteed-error estimates instead of
+    OOMing on the vocabulary — THE reason to prefer it over an exact
+    top-k once the item domain stops fitting in an executor."""
+    from .textops import tokens_col
+    toks = (_t(spark, sf_dir, "documents")
+            .select(F.explode(tokens_col()).alias("token")))
+    sk = toks.agg(F.expr("approx_top_k(token, 20, 100000)").alias("tk"))
+    return (sk.select(F.posexplode("tk").alias("pos", "e"))
+            .select((F.col("pos") + 1).cast("int").alias("rnk"),
+                    F.col("e.item").alias("token"),
+                    F.col("e.count").cast("bigint").alias("n")))
+
+
 # --- HDR-histogram quantile sketch ----------------------------------------
 #
 # Bucket a positive integer c by its binary exponent e = bitlength - 1

@@ -37,6 +37,53 @@ def test_hll_monthly_merge_is_lossless(spark, sf_dir):
         assert r.merged_s == r.direct_s
 
 
+# --- engine-native Datasketches twins (rows-only ledger pins) -------------
+
+def test_hll_native_tracks_exact_within_tolerance(spark, sf_dir):
+    """sketch_hll_native is the rows-only engine twin of the
+    oracle-green sketch_hll_portable: same per-year grouping, 3-sigma
+    tolerance verdict against the exact distinct count."""
+    rows = QUERIES["sketch_hll_native"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.within_tol == 1, (r.yr, r.est, r.n_exact)
+        assert r.est > 0
+
+
+def test_hll_native_merge_statistically_lossless(spark, sf_dir):
+    """sketch_hll_native_merge twins the oracle-green sketch_hll_merge.
+    The portable merge is BIT-lossless; the Datasketches union is only
+    statistically lossless — merged and direct estimates must each sit
+    inside the error bound, and their mutual gap must be a fraction of
+    it (not a second error budget)."""
+    rows = QUERIES["sketch_hll_native_merge"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.merged_within_tol == 1, (r.yr, r.merged_est, r.n_exact)
+        assert r.direct_within_tol == 1, (r.yr, r.direct_est, r.n_exact)
+        assert r.merge_vs_direct_rel <= 0.05, (r.yr, r.merge_vs_direct_rel)
+
+
+def test_topk_native_matches_exact_counts(spark, sf_dir):
+    """sketch_topk_native twins the oracle-green text_token_freq: with
+    maxItemsTracked far above the corpus vocabulary the sketch runs in
+    its exact regime, so every returned (token, count) must equal the
+    exact aggregate and the returned count multiset must be the exact
+    top-20 count multiset (multiset comparison makes boundary ties
+    order-proof)."""
+    got = QUERIES["sketch_topk_native"](spark, sf_dir).collect()
+    assert len(got) == 20
+    exact = {r.token: r.n
+             for r in QUERIES["text_token_freq"](spark, sf_dir).collect()}
+    for r in got:
+        assert exact.get(r.token) == r.n, (r.token, r.n, exact.get(r.token))
+    top20 = sorted(exact.values(), reverse=True)[:20]
+    assert sorted((r.n for r in got), reverse=True) == top20
+    # ranks follow counts (ties may order arbitrarily within a count)
+    ns = [r.n for r in sorted(got, key=lambda r: r.rnk)]
+    assert ns == sorted(ns, reverse=True)
+
+
 # --- HDR quantiles --------------------------------------------------------
 
 def test_hdr_quantiles_within_relative_error_bound(spark, sf_dir):
