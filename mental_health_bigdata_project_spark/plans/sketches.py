@@ -382,6 +382,73 @@ def sketch_topk_native(spark, sf_dir):
                     F.col("e.count").cast("bigint").alias("n")))
 
 
+@query("sketch_theta_setops_native")
+def sketch_theta_setops_native(spark, sf_dir):
+    """Engine-side Datasketches THETA set algebra (Spark 4
+    theta_sketch_agg / theta_union / theta_intersection /
+    theta_difference): customers active in 1996 (A) and 1997 (B), with
+    |A ∪ B|, |A ∩ B| and |A \\ B| read off the sketches — the
+    production twin of ``sketch_hll_setops`` (oracle-green), and the
+    upgrade over it: HLL only supports union, so that query derives the
+    intersection by inclusion-exclusion (compounding three estimates'
+    errors); theta sketches carry their sampling threshold, so
+    intersection and difference are FIRST-CLASS operations with their
+    own bounded error.  Rows-only: the sketch binaries and estimator
+    are engine internals; exact counts ride along with relative-error
+    columns and tolerance verdicts, pinned by the ledger test.
+
+    At 100 TB: one theta sketch per (source, slice) answers any
+    overlap/rollout/churn question between any pair of slices from
+    kilobyte-sized state — the exact comparator is the audit, not the
+    serving path (same economics note as sketch_hll_setops)."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("int").alias("yr"), "o_custkey")
+    oy = o.filter(F.col("yr").isin(1996, 1997))
+    keyed = oy.select(
+        F.when(F.col("yr") == 1996, "a").otherwise("b").alias("tag"),
+        "o_custkey")
+    # one sketch per tag; the conditional max just pivots the single
+    # non-null binary per branch into columns (max over one value)
+    sks = (keyed.groupBy("tag")
+           .agg(F.expr("theta_sketch_agg(o_custkey)").alias("sk"))
+           .agg(F.max(F.when(F.col("tag") == "a", F.col("sk")))
+                .alias("sk_a"),
+                F.max(F.when(F.col("tag") == "b", F.col("sk")))
+                .alias("sk_b")))
+    est = sks.select(
+        F.expr("theta_sketch_estimate(sk_a)").alias("est_a"),
+        F.expr("theta_sketch_estimate(sk_b)").alias("est_b"),
+        F.expr("theta_sketch_estimate(theta_union(sk_a, sk_b))")
+        .alias("est_union"),
+        F.expr("theta_sketch_estimate(theta_intersection(sk_a, sk_b))")
+        .alias("est_inter"),
+        F.expr("theta_sketch_estimate(theta_difference(sk_a, sk_b))")
+        .alias("est_diff"))
+    exact = oy.agg(
+        F.countDistinct(F.when(F.col("yr") == 1996, F.col("o_custkey")))
+        .cast("bigint").alias("exact_a"),
+        F.countDistinct(F.when(F.col("yr") == 1997, F.col("o_custkey")))
+        .cast("bigint").alias("exact_b"),
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_union"))
+    rel = lambda e, x: F.abs(F.col(e) - F.col(x)) / F.col(x)  # noqa: E731
+    return (est.crossJoin(exact)
+            .withColumn("exact_inter",
+                        (F.col("exact_a") + F.col("exact_b")
+                         - F.col("exact_union")).cast("bigint"))
+            .withColumn("exact_diff",
+                        (F.col("exact_a") - F.col("exact_inter"))
+                        .cast("bigint"))
+            .select("est_a", "est_b", "est_union", "est_inter", "est_diff",
+                    "exact_a", "exact_b", "exact_union", "exact_inter",
+                    "exact_diff",
+                    F.round(rel("est_inter", "exact_inter"), 4)
+                    .alias("inter_rel_err"),
+                    (rel("est_union", "exact_union") <= _HLL_NATIVE_TOL)
+                    .cast("int").alias("union_within_tol"),
+                    (rel("est_inter", "exact_inter") <= 0.15)
+                    .cast("int").alias("inter_within_tol")))
+
+
 # --- HDR-histogram quantile sketch ----------------------------------------
 #
 # Bucket a positive integer c by its binary exponent e = bitlength - 1

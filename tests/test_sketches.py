@@ -64,6 +64,22 @@ def test_hll_native_merge_statistically_lossless(spark, sf_dir):
         assert r.merge_vs_direct_rel <= 0.05, (r.yr, r.merge_vs_direct_rel)
 
 
+def test_theta_setops_native_bounded(spark, sf_dir):
+    """sketch_theta_setops_native twins the oracle-green
+    sketch_hll_setops: union within the sketch error bound,
+    intersection within the (looser) compounded bound — and unlike the
+    HLL inclusion-exclusion derivation, intersection/difference are
+    first-class theta operations.  Identity: est_a ~ est_inter +
+    est_diff (exact in the sketch's exact regime)."""
+    rows = QUERIES["sketch_theta_setops_native"](spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.union_within_tol == 1, (r.est_union, r.exact_union)
+    assert r.inter_within_tol == 1, (r.est_inter, r.exact_inter)
+    assert r.exact_diff == r.exact_a - r.exact_inter
+    assert abs(r.est_inter + r.est_diff - r.est_a) <= 0.05 * r.est_a + 1e-9
+
+
 def test_topk_native_matches_exact_counts(spark, sf_dir):
     """sketch_topk_native twins the oracle-green text_token_freq: with
     maxItemsTracked far above the corpus vocabulary the sketch runs in
