@@ -382,6 +382,37 @@ def sketch_topk_native(spark, sf_dir):
                     F.col("e.count").cast("bigint").alias("n")))
 
 
+@query("sketch_topk_native_merge")
+def sketch_topk_native_merge(spark, sf_dir):
+    """Mergeable top-k rollup (Spark 4 approx_top_k_accumulate /
+    _combine / _estimate): one frequent-items sketch per SOURCE,
+    combined to the corpus answer without re-reading the fact table —
+    the rollup face of ``sketch_topk_native`` (whose exact sibling is
+    the oracle-green ``text_token_freq``), and the top-k analog of
+    ``sketch_hll_native_merge``.  In the exact regime (maxItemsTracked
+    above the vocabulary) the combine is lossless, so the parity test
+    pins the merged output against both the single-pass sketch and the
+    exact aggregate.
+
+    At 100 TB this is the shape that matters: per-partition/per-source
+    sketch states are kilobytes, persist as a metadata-sized rollup
+    table, and answer "top tokens last month / per source / overall"
+    by combining states — never re-scanning text."""
+    from .textops import tokens_col
+    toks = (_t(spark, sf_dir, "documents")
+            .select("source", F.explode(tokens_col()).alias("token")))
+    per_src = (toks.groupBy("source")
+               .agg(F.expr("approx_top_k_accumulate(token, 100000)")
+                    .alias("st")))
+    sk = per_src.agg(
+        F.expr("approx_top_k_estimate(approx_top_k_combine(st), 20)")
+        .alias("tk"))
+    return (sk.select(F.posexplode("tk").alias("pos", "e"))
+            .select((F.col("pos") + 1).cast("int").alias("rnk"),
+                    F.col("e.item").alias("token"),
+                    F.col("e.count").cast("bigint").alias("n")))
+
+
 @query("sketch_theta_setops_native")
 def sketch_theta_setops_native(spark, sf_dir):
     """Engine-side Datasketches THETA set algebra (Spark 4

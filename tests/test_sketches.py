@@ -100,6 +100,21 @@ def test_topk_native_matches_exact_counts(spark, sf_dir):
     assert ns == sorted(ns, reverse=True)
 
 
+def test_topk_native_merge_lossless_in_exact_regime(spark, sf_dir):
+    """sketch_topk_native_merge combines per-source frequent-items
+    states; in the exact regime the combine is lossless, so every
+    (token, count) must match the exact aggregate and the count
+    multiset must equal the single-pass sketch's."""
+    merged = QUERIES["sketch_topk_native_merge"](spark, sf_dir).collect()
+    assert len(merged) == 20
+    exact = {r.token: r.n
+             for r in QUERIES["text_token_freq"](spark, sf_dir).collect()}
+    for r in merged:
+        assert exact.get(r.token) == r.n, (r.token, r.n, exact.get(r.token))
+    single = QUERIES["sketch_topk_native"](spark, sf_dir).collect()
+    assert sorted(r.n for r in merged) == sorted(r.n for r in single)
+
+
 # --- HDR quantiles --------------------------------------------------------
 
 def test_hdr_quantiles_within_relative_error_bound(spark, sf_dir):
