@@ -123,6 +123,13 @@ HEADLINE = [
     # filtering — the lossless full-corpus near-dup shape (df rank +
     # prefix candidate join + array_intersect verify)
     "dedup_setsim_prefix",
+    # round-6 additions: the nprobe sweep (one ADC pass + 3 re-ranks —
+    # the index-tuning shape), and the engine-native Datasketches
+    # surface (JVM sketch aggs: HLL scan, theta set algebra, mergeable
+    # frequent-items rollup)
+    "sim_ivfpq_recall_sweep",
+    "sketch_hll_native", "sketch_theta_setops_native",
+    "sketch_topk_native_merge",
 ]
 
 
