@@ -116,6 +116,21 @@ GUARDED = [
     #   anomaly_cusum_shift: windows over the |types|x|days| rollup,
     #     per-type mu broadcast — no global sort, no SMJ.
     ("anomaly_cusum_shift", 0, 0),
+    # round-6 additions.
+    #   sim_ivfpq_recall_sweep: candidate scoring joins are broadcast;
+    #     the 16-row cell-rank window and 10-row top-k selections stay
+    #     out of the final plan's exchanges at sf0.001;
+    #   sketch_theta_setops_native: two 1-row summary aggregates (the
+    #     sketch pivot and the exact counts) cross-joined into the
+    #     single output row;
+    #   sketch_topk_native(_merge): one 1-row corpus-sketch aggregate
+    #     (the combine/estimate fold — state is KB-sized by design).
+    ("sim_ivfpq_recall_sweep", 0, 0),
+    ("sketch_hll_native", 0, 0),
+    ("sketch_hll_native_merge", 0, 0),
+    ("sketch_theta_setops_native", 2, 0),
+    ("sketch_topk_native", 1, 0),
+    ("sketch_topk_native_merge", 1, 0),
 ]
 
 
