@@ -244,3 +244,23 @@ def test_ivm_refresh_equals_full_recompute(spark, sf_dir):
     folded = {r["o_orderpriority"]: (r["n_orders"], r["total_price"])
               for r in QUERIES["ivm_agg_refresh"](spark, sf_dir).collect()}
     assert folded == direct
+
+
+# --- corpus_shingles session memo (round 6) --------------------------------
+
+def test_corpus_shingles_memoized_and_identical_to_fresh(spark, sf_dir):
+    """The session-wide gram-table memo (VERDICT r5 item 3) must hand
+    every consumer the SAME materialized relation (one checkpoint per
+    (session, sf_dir)) and that relation must equal a fresh
+    un-memoized computation row-for-row."""
+    from mental_health_bigdata_project_spark.plans.textops import (
+        _docs, corpus_shingles, setsim_shingles, tokens_col)
+
+    a = corpus_shingles(spark, sf_dir)
+    b = corpus_shingles(spark, sf_dir)
+    assert a is b  # memo hit: the checkpointed frame itself is reused
+    fresh = setsim_shingles(
+        _docs(spark, sf_dir).select("doc_id", tokens_col().alias("toks")))
+    assert a.count() == fresh.count()
+    assert a.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(a).count() == 0
