@@ -528,7 +528,7 @@ def sim_ann_ivf_portable(spark, sf_dir):
     partition-pruned — but with a quantizer any engine (or a plain SQL
     warehouse) reproduces exactly, which is also what makes the index
     REBUILD-FREE across engine migrations."""
-    cells = _ivf_cells(_emb(spark, sf_dir))
+    cells = corpus_ivf_cells(spark, sf_dir)
     probe = _ivf_probe(cells)
     qv = (cells.filter(F.col("vec_id") == 1)
           .select(F.col("ve").alias("qvec")))
@@ -620,6 +620,38 @@ def _pq_assign(e: DataFrame,
     return assigned, cen
 
 
+# session-wide vector-index memos (the corpus_shingles pattern from
+# plans/textops.py, applied to the embedding index): the IVF cell
+# assignment and the PQ (assigned, cen) pair are the STORED index
+# artifacts of a deployment — seven queries consume them identically,
+# so they materialize once per (session, sf_dir).
+_IVF_CELLS_MEMO: dict = {}
+_PQ_INDEX_MEMO: dict = {}
+
+
+def corpus_ivf_cells(spark, sf_dir) -> DataFrame:
+    """(vec_id, ve, q, cell) for the sf corpus, checkpointed once per
+    (session, dataset) — the stored IVF partition key."""
+    key = (spark, sf_dir)
+    cells = _IVF_CELLS_MEMO.get(key)
+    if cells is None:
+        cells = _ivf_cells(_emb(spark, sf_dir)).localCheckpoint(eager=True)
+        _IVF_CELLS_MEMO[key] = cells
+    return cells
+
+
+def corpus_pq_index(spark, sf_dir) -> tuple[DataFrame, DataFrame]:
+    """(assigned, cen) for the sf corpus, materialized once per
+    (session, dataset) — the stored PQ index artifact (codes +
+    codebook)."""
+    key = (spark, sf_dir)
+    v = _PQ_INDEX_MEMO.get(key)
+    if v is None:
+        v = _pq_assign(_emb(spark, sf_dir), materialize=True)
+        _PQ_INDEX_MEMO[key] = v
+    return v
+
+
 # Shared PQ CTE chain (assignment + codebook) — used by the encode
 # oracle AND the ADC search oracle.
 _PQ_CTES = f"""v AS (
@@ -681,7 +713,7 @@ def vec_pq_encode(spark, sf_dir):
     scan density of the raw doubles, and — as with the IVF twin — an
     md5-derived codebook recipe is reproducible on any engine, so the
     compressed index never needs a cross-engine rebuild."""
-    assigned, cen = _pq_assign(_emb(spark, sf_dir))
+    assigned, cen = corpus_pq_index(spark, sf_dir)
     return (assigned.join(F.broadcast(cen), ["sub", "code", "j"])
             .groupBy("vec_id", "sub", "code")
             .agg((F.sum(F.round((F.col("xv") - F.col("cv"))
@@ -733,7 +765,7 @@ def sim_pq_adc_topk(spark, sf_dir):
     densier than the embedding column) plus one broadcast join and a
     per-vec_id sum.  All sums are 9dp-decimal (order-free), so ADC and
     exact distances both hash-match DuckDB."""
-    assigned, cen = _pq_assign(_emb(spark, sf_dir), materialize=True)
+    assigned, cen = corpus_pq_index(spark, sf_dir)
     dsum9 = lambda c: (F.sum(F.round(c, 9).cast("decimal(28,9)"))  # noqa: E731
                        .cast("double"))
     qe = (assigned.filter(F.col("vec_id") == 1)
@@ -2230,12 +2262,9 @@ def sim_ivfpq_topk(spark, sf_dir):
     composition quantizes raw vectors (IVF-Flat+PQ) — one subtraction
     away, same plan shape, kept raw so both halves reuse their
     oracle-green twins unchanged."""
-    e = _emb(spark, sf_dir)
-    # cells feed both the probe ranking and the candidate cell map —
-    # one pass; this is the stored IVF partition key at deployment
-    cells = _ivf_cells(e).localCheckpoint(eager=True)
+    cells = corpus_ivf_cells(spark, sf_dir)
     probe = _ivf_probe(cells)
-    assigned, cen = _pq_assign(e, materialize=True)
+    assigned, cen = corpus_pq_index(spark, sf_dir)
     dsum9 = lambda c: (F.sum(F.round(c, 9).cast("decimal(28,9)"))  # noqa: E731
                        .cast("double"))
     qe = (assigned.filter(F.col("vec_id") == 1)
@@ -2310,12 +2339,9 @@ def sim_ivfpq_recall(spark, sf_dir):
     windows here span the ADC candidate set / exact score table of ONE
     query — bounded by corpus/k x nprobe, and in a real deployment by
     the per-query candidate budget."""
-    e = _emb(spark, sf_dir)
-    # cells feed both the probe ranking and the candidate cell map —
-    # one pass; this is the stored IVF partition key at deployment
-    cells = _ivf_cells(e).localCheckpoint(eager=True)
+    cells = corpus_ivf_cells(spark, sf_dir)
     probe = _ivf_probe(cells)
-    assigned, cen = _pq_assign(e, materialize=True)
+    assigned, cen = corpus_pq_index(spark, sf_dir)
     dsum9 = lambda c: (F.sum(F.round(c, 9).cast("decimal(28,9)"))  # noqa: E731
                        .cast("double"))
     qe = (assigned.filter(F.col("vec_id") == 1)
@@ -2445,10 +2471,9 @@ def sim_ivfpq_recall_sweep(spark, sf_dir):
     mass rather than saturating early the way clustered real-world
     embeddings do; the sweep exists precisely to MEASURE that tradeoff
     instead of guessing (VERDICT r4 item 5 / r5 item 5)."""
-    e = _emb(spark, sf_dir)
-    cells = _ivf_cells(e).localCheckpoint(eager=True)
+    cells = corpus_ivf_cells(spark, sf_dir)
     ranked = _ivf_cell_ranks(cells)
-    assigned, cen = _pq_assign(e, materialize=True)
+    assigned, cen = corpus_pq_index(spark, sf_dir)
     dsum9 = lambda c: (F.sum(F.round(c, 9).cast("decimal(28,9)"))  # noqa: E731
                        .cast("double"))
     qe = (assigned.filter(F.col("vec_id") == 1)
@@ -2576,9 +2601,8 @@ def sim_ivfpq_batch(spark, sf_dir):
     (WindowGroupLimit pushes the rank cut below the exchange).  At
     100 TB with cell-partitioned storage, the 8 probe lists union to
     at most 8 x nprobe partitions read once."""
-    e = _emb(spark, sf_dir)
-    cells = _ivf_cells(e).localCheckpoint(eager=True)
-    assigned, cen = _pq_assign(e, materialize=True)
+    cells = corpus_ivf_cells(spark, sf_dir)
+    assigned, cen = corpus_pq_index(spark, sf_dir)
     dsum9_38 = lambda c: (F.sum(F.round(c, 9).cast("decimal(38,9)"))  # noqa: E731
                           .cast("double"))
     dsum9 = lambda c: (F.sum(F.round(c, 9).cast("decimal(28,9)"))  # noqa: E731
@@ -2715,9 +2739,8 @@ def vec_pq_residual_mse(spark, sf_dir):
     PQ assignment; both codebooks are single hash aggs to 1024 rows.
     Everything is the proven decimal-summed recipe, so raw and
     residual MSEs BOTH hash-match DuckDB."""
-    e = _emb(spark, sf_dir)
-    cells = _ivf_cells(e).localCheckpoint(eager=True)
-    assigned, cen = _pq_assign(e, materialize=True)
+    cells = corpus_ivf_cells(spark, sf_dir)
+    assigned, cen = corpus_pq_index(spark, sf_dir)
     dsum9 = lambda c: (F.sum(F.round(c, 9).cast("decimal(28,9)"))  # noqa: E731
                        .cast("double"))
     d = _PQ_SUBS * _PQ_SUBDIM
