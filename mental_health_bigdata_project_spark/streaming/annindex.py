@@ -127,15 +127,23 @@ def search_topk(spark, index_dir: str, query_vec_id: int = 1) -> DataFrame:
     probe = (sc.orderBy(F.desc(F.col("dot") / F.sqrt(F.col("cnorm2"))),
                         "cell")
              .limit(_IVF_N_PROBE).select("cell"))
+    # the probe list is <= _IVF_N_PROBE rows BY CONSTRUCTION — collect
+    # it and push the cell predicate down as a literal isin so the
+    # compacted cell-partitioned codes store is PARTITION-PRUNED at
+    # plan time (a broadcast join on the partition column does not
+    # trigger DPP in this shape — verified; the setsimdedup
+    # touched-bucket pushdown, bounded edition)
+    probe_cells = [r["cell"] for r in probe.collect()]
+    codes_probed = codes.filter(F.col("cell").isin(probe_cells))
     dt = (cen.join(F.broadcast(qe), ["sub", "j"])
           .groupBy("sub", "code")
           .agg(dsum9((F.col("cv") - F.col("qx"))
                      * (F.col("cv") - F.col("qx"))).alias("d")))
-    adc = (codes.join(F.broadcast(probe), "cell")
+    adc = (codes_probed
            .join(F.broadcast(dt), ["sub", "code"])
            .groupBy("vec_id", "cell")
            .agg(F.round(dsum9(F.col("d")), 6).alias("adc_dist")))
-    cand_ids = codes.join(F.broadcast(probe), "cell").select("vec_id")
+    cand_ids = codes_probed.select("vec_id")
     exact = (vecs.join(cand_ids, "vec_id", "left_semi")
              .join(F.broadcast(qe), ["sub", "j"])
              .groupBy("vec_id")
