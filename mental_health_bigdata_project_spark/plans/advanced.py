@@ -1655,3 +1655,124 @@ def layout_zorder_skipping(spark, sf_dir):
                     F.lit(64).cast("int").alias("files_total"),
                     (F.lit(1.0) - F.col("files_scanned").cast("double")
                      / F.lit(64)).alias("skip_frac")))
+
+
+_PR_ITERS = 5
+
+
+def _pagerank_oracle_sql() -> str:
+    """Unrolled fixed-iteration PageRank CTE chain (the bpe_train /
+    unrolled-Lloyd oracle recipe: the loop is mechanical, so both
+    engines run the same generated text)."""
+    its = []
+    for k in range(1, _PR_ITERS + 1):
+        its.append(f"""
+    s{k} AS (
+      SELECT e.dst,
+             CAST(SUM(CAST(round(r.rank / o.outdeg, 15)
+                           AS DECIMAL(38,15))) AS DOUBLE) AS s
+      FROM edges e
+      JOIN r{k - 1} r ON r.node = e.src
+      JOIN outdeg o ON o.src = e.src
+      GROUP BY e.dst),
+    d{k} AS (
+      SELECT coalesce(CAST(SUM(CAST(round(r.rank, 15)
+                                    AS DECIMAL(38,15))) AS DOUBLE),
+                      CAST(0.0 AS DOUBLE)) AS dang
+      FROM r{k - 1} r WHERE r.node NOT IN (SELECT src FROM outdeg)),
+    r{k} AS (
+      SELECT n.node,
+             CAST(0.15 AS DOUBLE) / nn.nn
+               + CAST(0.85 AS DOUBLE) * d{k}.dang / nn.nn
+               + CAST(0.85 AS DOUBLE)
+                 * coalesce(s{k}.s, CAST(0.0 AS DOUBLE)) AS rank
+      FROM nodes n
+      LEFT JOIN s{k} ON s{k}.dst = n.node
+      CROSS JOIN d{k} CROSS JOIN nn)""")
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS nxt
+      FROM {EVENTS_TS}),
+    edges AS (SELECT DISTINCT event_type AS src, nxt AS dst
+              FROM seq WHERE nxt IS NOT NULL),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.nn AS rank
+           FROM nodes CROSS JOIN nn),{",".join(its)}
+    SELECT r{_PR_ITERS}.node,
+           CAST(coalesce(o.outdeg, 0) AS BIGINT) AS outdeg,
+           round(r{_PR_ITERS}.rank, 6) AS pagerank
+    FROM r{_PR_ITERS} LEFT JOIN outdeg o ON o.src = r{_PR_ITERS}.node
+"""
+
+
+@query("graph_pagerank_fixed", _pagerank_oracle_sql())
+def graph_pagerank_fixed(spark, sf_dir):
+    """PageRank (damping 0.85, dangling mass redistributed uniformly)
+    over the event-transition graph, FIVE fixed iterations, fully
+    oracle-checked — the third oracle-green iterative algorithm in the
+    registry after ml_kmeans_lloyd_portable and dedup_cluster_portable.
+    The Spark side runs the textbook driver loop (each pass one
+    edge-join + two bounded aggregates, localCheckpoint truncating
+    lineage); the DuckDB oracle runs the same five passes as an
+    UNROLLED CTE chain, and every rank hash-matches because in-rank
+    sums fold through 15dp decimals (exact, order-free) and the scalar
+    damping arithmetic is a fixed-order double expression identical on
+    both engines.
+
+    Scale shape: the loop never touches the corpus after the first
+    windowed pass — edges/nodes/outdeg are distinct-transition-sized
+    (k^2 for k event types here; page-graph-sized in general), each
+    iteration shuffles only the edge relation on dst, and the dangling
+    aggregate is one metadata-sized row.  At web scale this is exactly
+    Pregel-on-DataFrames: checkpoint cadence and AQE skew-split on hot
+    dst keys are the only knobs that change."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("event_type",
+                    F.lead("event_type").over(w).alias("nxt"))
+    edges = (seq.filter(F.col("nxt").isNotNull())
+             .select(F.col("event_type").alias("src"),
+                     F.col("nxt").alias("dst"))
+             .distinct().localCheckpoint(eager=True))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node"))).distinct()
+             .localCheckpoint(eager=True))
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nn = nodes.agg(F.count("*").cast("double").alias("nn"))
+    dsum15 = lambda c: F.coalesce(  # noqa: E731
+        F.sum(F.round(c, 15).cast("decimal(38,15)")).cast("double"),
+        F.lit(0.0))
+    ranks = (nodes.crossJoin(F.broadcast(nn))
+             .select("node", (F.lit(1.0) / F.col("nn")).alias("rank")))
+    for _ in range(_PR_ITERS):
+        contrib = (edges
+                   .join(ranks.select(F.col("node").alias("src"), "rank"),
+                         "src")
+                   .join(outdeg, "src")
+                   .groupBy("dst")
+                   .agg(dsum15(F.col("rank") / F.col("outdeg"))
+                        .alias("s")))
+        dang = (ranks.join(outdeg,
+                           ranks["node"] == outdeg["src"], "left_anti")
+                .agg(dsum15(F.col("rank")).alias("dang")))
+        ranks = (nodes
+                 .join(contrib, nodes["node"] == contrib["dst"], "left")
+                 .crossJoin(F.broadcast(dang))
+                 .crossJoin(F.broadcast(nn))
+                 .select("node",
+                         (F.lit(0.15) / F.col("nn")
+                          + F.lit(0.85) * F.col("dang") / F.col("nn")
+                          + F.lit(0.85)
+                          * F.coalesce(F.col("s"), F.lit(0.0)))
+                         .alias("rank"))
+                 .localCheckpoint(eager=True))
+    return (ranks.join(outdeg, ranks["node"] == outdeg["src"], "left")
+            .select("node",
+                    F.coalesce("outdeg", F.lit(0)).cast("bigint")
+                    .alias("outdeg"),
+                    F.round("rank", 6).alias("pagerank")))
