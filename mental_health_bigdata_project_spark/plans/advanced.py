@@ -1669,7 +1669,7 @@ def _pagerank_oracle_sql() -> str:
         its.append(f"""
     s{k} AS (
       SELECT e.dst,
-             CAST(SUM(CAST(round(r.rank / o.outdeg, 15)
+             CAST(SUM(CAST(round(r.rank * e.w / o.outw, 15)
                            AS DECIMAL(38,15))) AS DOUBLE) AS s
       FROM edges e
       JOIN r{k - 1} r ON r.node = e.src
@@ -1695,11 +1695,15 @@ def _pagerank_oracle_sql() -> str:
              lead(event_type) OVER (PARTITION BY user_id
                ORDER BY ts, event_id) AS nxt
       FROM {EVENTS_TS}),
-    edges AS (SELECT DISTINCT event_type AS src, nxt AS dst
-              FROM seq WHERE nxt IS NOT NULL),
+    edges AS (SELECT event_type AS src, nxt AS dst,
+                     CAST(count(*) AS DOUBLE) AS w
+              FROM seq WHERE nxt IS NOT NULL
+              GROUP BY event_type, nxt),
     nodes AS (SELECT DISTINCT src AS node FROM edges
               UNION SELECT DISTINCT dst FROM edges),
-    outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg,
+                      SUM(w) AS outw
+               FROM edges GROUP BY src),
     nn AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes),
     r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.nn AS rank
            FROM nodes CROSS JOIN nn),{",".join(its)}
@@ -1712,10 +1716,15 @@ def _pagerank_oracle_sql() -> str:
 
 @query("graph_pagerank_fixed", _pagerank_oracle_sql())
 def graph_pagerank_fixed(spark, sf_dir):
-    """PageRank (damping 0.85, dangling mass redistributed uniformly)
-    over the event-transition graph, FIVE fixed iterations, fully
+    """WEIGHTED PageRank (damping 0.85, dangling mass redistributed
+    uniformly, edge weight = observed transition count) over the
+    event-transition graph, FIVE fixed iterations, fully
     oracle-checked — the third oracle-green iterative algorithm in the
     registry after ml_kmeans_lloyd_portable and dedup_cluster_portable.
+    Weights matter beyond realism: the unweighted transition graph of
+    this corpus is COMPLETE, where uniform ranks are a fixed point and
+    any uniformity-preserving bug would pass — the weighted ranks are
+    non-trivial, so the hash pins all five propagation passes.
     The Spark side runs the textbook driver loop (each pass one
     edge-join + two bounded aggregates, localCheckpoint truncating
     lineage); the DuckDB oracle runs the same five passes as an
@@ -1736,13 +1745,16 @@ def graph_pagerank_fixed(spark, sf_dir):
     seq = ev.select("event_type",
                     F.lead("event_type").over(w).alias("nxt"))
     edges = (seq.filter(F.col("nxt").isNotNull())
-             .select(F.col("event_type").alias("src"),
-                     F.col("nxt").alias("dst"))
-             .distinct().localCheckpoint(eager=True))
+             .groupBy(F.col("event_type").alias("src"),
+                      F.col("nxt").alias("dst"))
+             .agg(F.count("*").cast("double").alias("w"))
+             .localCheckpoint(eager=True))
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node"))).distinct()
              .localCheckpoint(eager=True))
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    outdeg = edges.groupBy("src").agg(
+        F.count("*").cast("bigint").alias("outdeg"),
+        F.sum("w").alias("outw"))
     nn = nodes.agg(F.count("*").cast("double").alias("nn"))
     dsum15 = lambda c: F.coalesce(  # noqa: E731
         F.sum(F.round(c, 15).cast("decimal(38,15)")).cast("double"),
@@ -1755,7 +1767,7 @@ def graph_pagerank_fixed(spark, sf_dir):
                          "src")
                    .join(outdeg, "src")
                    .groupBy("dst")
-                   .agg(dsum15(F.col("rank") / F.col("outdeg"))
+                   .agg(dsum15(F.col("rank") * F.col("w") / F.col("outw"))
                         .alias("s")))
         dang = (ranks.join(outdeg,
                            ranks["node"] == outdeg["src"], "left_anti")

@@ -131,6 +131,10 @@ GUARDED = [
     ("sketch_theta_setops_native", 2, 0),
     ("sketch_topk_native", 1, 0),
     ("sketch_topk_native_merge", 1, 0),
+    #   graph_pagerank_fixed: the per-pass 1-row aggregates land on
+    #     checkpointed 5-row frames, so the final plan carries no
+    #     single-partition exchange and no SMJ
+    ("graph_pagerank_fixed", 1, 0),
 ]
 
 

@@ -264,3 +264,21 @@ def test_corpus_shingles_memoized_and_identical_to_fresh(spark, sf_dir):
     assert a.count() == fresh.count()
     assert a.exceptAll(fresh).count() == 0
     assert fresh.exceptAll(a).count() == 0
+
+
+# --- graph_pagerank_fixed (round 6) -----------------------------------------
+
+def test_pagerank_mass_conserved_and_nonuniform(spark, sf_dir):
+    """Weighted PageRank invariants the oracle hash can't see: total
+    rank mass stays 1 (damping + dangling redistribution conserve it)
+    and the weighted graph yields NON-uniform ranks — the complete
+    unweighted transition graph has uniform ranks as a fixed point, so
+    uniformity here would mean the weights aren't reaching the
+    propagation."""
+    from mental_health_bigdata_project_spark.plans import QUERIES
+
+    rows = QUERIES["graph_pagerank_fixed"](spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r.pagerank for r in rows) - 1.0) < 1e-6
+    assert len({r.pagerank for r in rows}) > 1
+    assert all(r.pagerank > 0 for r in rows)
