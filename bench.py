@@ -130,6 +130,9 @@ HEADLINE = [
     "sim_ivfpq_recall_sweep",
     "sketch_hll_native", "sketch_theta_setops_native",
     "sketch_topk_native_merge",
+    # round-6 (late): the oracle-checked iterative graph shape —
+    # five weighted-PageRank passes over the transition edge relation
+    "graph_pagerank_fixed",
 ]
 
 
