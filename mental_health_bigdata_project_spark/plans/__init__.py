@@ -170,6 +170,7 @@ _CONVERTED_FRONT = [
     "sim_ivfpq_recall_sweep", "sketch_hll_native", "sketch_hll_native_merge",
     "sketch_topk_native", "sketch_theta_setops_native",
     "sketch_topk_native_merge", "graph_pagerank_fixed",
+    "graph_hits_fixed",
     # --- never-checked, rows-only ml_* twins (7) ---
     "ml_als_recommend", "ml_classify_embeddings", "ml_fpgrowth_itemsets",
     "ml_kmeans_embeddings", "ml_minhash_lsh", "ml_pca_embeddings",

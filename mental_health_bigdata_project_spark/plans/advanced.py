@@ -1667,7 +1667,7 @@ def _pagerank_oracle_sql() -> str:
     its = []
     for k in range(1, _PR_ITERS + 1):
         its.append(f"""
-    s{k} AS (
+    s{k} AS MATERIALIZED (
       SELECT e.dst,
              CAST(SUM(CAST(round(r.rank * e.w / o.outw, 15)
                            AS DECIMAL(38,15))) AS DOUBLE) AS s
@@ -1675,12 +1675,12 @@ def _pagerank_oracle_sql() -> str:
       JOIN r{k - 1} r ON r.node = e.src
       JOIN outdeg o ON o.src = e.src
       GROUP BY e.dst),
-    d{k} AS (
+    d{k} AS MATERIALIZED (
       SELECT coalesce(CAST(SUM(CAST(round(r.rank, 15)
                                     AS DECIMAL(38,15))) AS DOUBLE),
                       CAST(0.0 AS DOUBLE)) AS dang
       FROM r{k - 1} r WHERE r.node NOT IN (SELECT src FROM outdeg)),
-    r{k} AS (
+    r{k} AS MATERIALIZED (
       SELECT n.node,
              CAST(0.15 AS DOUBLE) / nn.nn
                + CAST(0.85 AS DOUBLE) * d{k}.dang / nn.nn
@@ -1788,3 +1788,120 @@ def graph_pagerank_fixed(spark, sf_dir):
                     F.coalesce("outdeg", F.lit(0)).cast("bigint")
                     .alias("outdeg"),
                     F.round("rank", 6).alias("pagerank")))
+
+
+_HITS_ITERS = 5
+
+
+def _hits_oracle_sql() -> str:
+    """Unrolled weighted-HITS CTE chain (5 iterations, max-normalized
+    per pass — see graph_hits_fixed for why max, not L2)."""
+    its = []
+    for k in range(1, _HITS_ITERS + 1):
+        its.append(f"""
+    ar{k} AS MATERIALIZED (
+      SELECT e.dst AS node,
+             CAST(SUM(CAST(round(h.hub * e.w, 15)
+                           AS DECIMAL(38,15))) AS DOUBLE) AS v
+      FROM edges e JOIN h{k - 1} h ON h.node = e.src
+      GROUP BY e.dst),
+    am{k} AS MATERIALIZED (SELECT MAX(v) AS m FROM ar{k}),
+    a{k} AS MATERIALIZED (SELECT n.node,
+                    coalesce(ar{k}.v, CAST(0.0 AS DOUBLE)) / am{k}.m
+                      AS auth
+             FROM nodes n LEFT JOIN ar{k} ON ar{k}.node = n.node
+             CROSS JOIN am{k}),
+    hr{k} AS MATERIALIZED (
+      SELECT e.src AS node,
+             CAST(SUM(CAST(round(a.auth * e.w, 15)
+                           AS DECIMAL(38,15))) AS DOUBLE) AS v
+      FROM edges e JOIN a{k} a ON a.node = e.dst
+      GROUP BY e.src),
+    hm{k} AS MATERIALIZED (SELECT MAX(v) AS m FROM hr{k}),
+    h{k} AS MATERIALIZED (SELECT n.node,
+                    coalesce(hr{k}.v, CAST(0.0 AS DOUBLE)) / hm{k}.m
+                      AS hub
+             FROM nodes n LEFT JOIN hr{k} ON hr{k}.node = n.node
+             CROSS JOIN hm{k})""")
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS nxt
+      FROM {EVENTS_TS}),
+    edges AS (SELECT event_type AS src, nxt AS dst,
+                     CAST(count(*) AS DOUBLE) AS w
+              FROM seq WHERE nxt IS NOT NULL
+              GROUP BY event_type, nxt),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes),{",".join(its)}
+    SELECT a{_HITS_ITERS}.node,
+           round(a{_HITS_ITERS}.auth, 6) AS authority,
+           round(h{_HITS_ITERS}.hub, 6) AS hub
+    FROM a{_HITS_ITERS}
+    JOIN h{_HITS_ITERS} ON h{_HITS_ITERS}.node = a{_HITS_ITERS}.node
+"""
+
+
+@query("graph_hits_fixed", _hits_oracle_sql())
+def graph_hits_fixed(spark, sf_dir):
+    """Weighted HITS (Kleinberg 1999) hubs/authorities over the
+    event-transition graph, FIVE fixed iterations, oracle-checked —
+    the fourth oracle-green iterative algorithm, and the two-vector
+    mutual recursion PageRank's single vector can't express.  Each
+    pass: authority(v) = sum of in-neighbors' hub * edge weight,
+    hub(u) = sum of out-neighbors' fresh authority * weight, each
+    vector normalized by its MAX (not the textbook L2): max of doubles
+    is order-free and division is a fixed-order scalar op, where an
+    L2 norm would re-introduce an order-dependent float sum-of-squares
+    — and without per-pass normalization the raw scores grow ~W^k,
+    past the magnitude where Spark's shortest-repr decimal rounding
+    and DuckDB's binary rounding agree.  Max-normalization is the
+    standard HITS variant and changes only the scale, not the ranking.
+
+    Scale shape: identical to graph_pagerank_fixed — after the first
+    windowed pass everything iterates over the distinct-transition
+    edge relation; two metadata-sized max aggregates per pass."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("event_type",
+                    F.lead("event_type").over(w).alias("nxt"))
+    edges = (seq.filter(F.col("nxt").isNotNull())
+             .groupBy(F.col("event_type").alias("src"),
+                      F.col("nxt").alias("dst"))
+             .agg(F.count("*").cast("double").alias("w"))
+             .localCheckpoint(eager=True))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node"))).distinct()
+             .localCheckpoint(eager=True))
+    dsum15 = lambda c: (F.sum(F.round(c, 15).cast("decimal(38,15)"))  # noqa: E731
+                        .cast("double"))
+    hub = nodes.select("node", F.lit(1.0).alias("hub"))
+    auth = None
+    for _ in range(_HITS_ITERS):
+        ar = (edges.join(hub.select(F.col("node").alias("src"), "hub"),
+                         "src")
+              .groupBy(F.col("dst").alias("node"))
+              .agg(dsum15(F.col("hub") * F.col("w")).alias("v")))
+        am = ar.agg(F.max("v").alias("m"))
+        auth = (nodes.join(ar, "node", "left")
+                .crossJoin(F.broadcast(am))
+                .select("node", (F.coalesce("v", F.lit(0.0)) / F.col("m"))
+                        .alias("auth"))
+                .localCheckpoint(eager=True))
+        hr = (edges.join(auth.select(F.col("node").alias("dst"), "auth"),
+                         "dst")
+              .groupBy(F.col("src").alias("node"))
+              .agg(dsum15(F.col("auth") * F.col("w")).alias("v")))
+        hm = hr.agg(F.max("v").alias("m"))
+        hub = (nodes.join(hr, "node", "left")
+               .crossJoin(F.broadcast(hm))
+               .select("node", (F.coalesce("v", F.lit(0.0)) / F.col("m"))
+                       .alias("hub"))
+               .localCheckpoint(eager=True))
+    # both sides are node-count-sized checkpoints with no stats —
+    # broadcast explicitly so the final join never plans as SMJ
+    return (auth.join(F.broadcast(hub), "node")
+            .select("node", F.round("auth", 6).alias("authority"),
+                    F.round("hub", 6).alias("hub")))

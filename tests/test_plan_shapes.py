@@ -135,6 +135,7 @@ GUARDED = [
     #     checkpointed 5-row frames, so the final plan carries no
     #     single-partition exchange and no SMJ
     ("graph_pagerank_fixed", 1, 0),
+    ("graph_hits_fixed", 1, 0),
 ]
 
 

@@ -282,3 +282,19 @@ def test_pagerank_mass_conserved_and_nonuniform(spark, sf_dir):
     assert abs(sum(r.pagerank for r in rows) - 1.0) < 1e-6
     assert len({r.pagerank for r in rows}) > 1
     assert all(r.pagerank > 0 for r in rows)
+
+
+def test_hits_scores_bounded_and_nonuniform(spark, sf_dir):
+    """Weighted HITS invariants: max-normalized scores sit in (0, 1]
+    with at least one exact 1.0 per vector, and the weighted graph
+    yields non-uniform scores (the unweighted complete transition
+    graph has uniform scores as a fixed point)."""
+    from mental_health_bigdata_project_spark.plans import QUERIES
+
+    rows = QUERIES["graph_hits_fixed"](spark, sf_dir).collect()
+    assert rows
+    for col in ("authority", "hub"):
+        vals = [getattr(r, col) for r in rows]
+        assert all(0 < v <= 1.0 for v in vals), (col, vals)
+        assert max(vals) == 1.0
+        assert len(set(vals)) > 1, (col, vals)
