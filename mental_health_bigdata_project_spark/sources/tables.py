@@ -35,7 +35,11 @@ _NANOS_COLS = {"events": ["ts"]}
 # same tables.  No .persist() here: queries must keep their native scan
 # plans (pushed filters, column pruning) — caching would replace them
 # with InMemoryTableScan and mask the very plan properties we assert.
-_TABLE_MEMO: dict[tuple[SparkSession, str, str], DataFrame] = {}
+# Weak-keyed on the session (ADVICE r6): a stopped session's entries
+# become collectable instead of pinned for process lifetime.
+from ..artifacts import SessionMemo  # noqa: E402
+
+_TABLE_MEMO = SessionMemo()
 
 # Only the driver's read-only testdata is memoized: the cached
 # DataFrame pins the file listing made at first read, so a directory
@@ -49,20 +53,19 @@ def _memoizable(sf_dir: str) -> bool:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (spark, sf_dir, name)
-    if not _memoizable(sf_dir):
-        key = None
-    hit = _TABLE_MEMO.get(key) if key is not None else None
-    if hit is not None:
-        return hit
+    memoizable = _memoizable(sf_dir)
+    if memoizable:
+        hit = _TABLE_MEMO.get(spark, (sf_dir, name))
+        if hit is not None:
+            return hit
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANOS_COLS.get(name, ()):
         if dict(df.dtypes).get(c) == "bigint":
             # ns -> us by integer division (floor; matches DuckDB's
             # CAST(TIMESTAMP_NS AS TIMESTAMP) truncation).
             df = df.withColumn(c, F.expr(f"CAST(timestamp_micros({c} div 1000) AS TIMESTAMP_NTZ)"))
-    if key is not None:
-        _TABLE_MEMO[key] = df
+    if memoizable:
+        _TABLE_MEMO.put(spark, (sf_dir, name), df)
     return df
 
 

@@ -99,11 +99,21 @@ def _read_deltas(spark, table_path: str, after_batch: int):
     return df.filter(F.col("batch_id") > F.lit(after_batch))
 
 
-def read_live(spark, table_path: str) -> DataFrame:
+def read_live(spark, table_path: str,
+              allow_missing_delta_columns: bool = False) -> DataFrame:
     """The manifest-aware live view of a delta-indexed table: the
     consolidated store (if any) unioned with the delta partitions it
     does not cover.  Without a manifest this is exactly
-    ``spark.read.parquet(table_path)``."""
+    ``spark.read.parquet(table_path)``.
+
+    ``allow_missing_delta_columns`` reconciles a LAYOUT-DRIFTED store
+    (deltas missing columns the consolidated store has, e.g. a
+    half-migrated pre-bucketed setsim prefix index) by union-by-name
+    with NULL backfill.  Off by default: an ordinary reader handed
+    silent NULLs in a partition-pruning column would drop rows — only
+    a caller that REPAIRS the missing columns afterwards (a
+    ``compact_index`` transform recomputing them from content) may
+    turn it on."""
     m = load_manifest(table_path)
     if m is None:
         return spark.read.parquet(table_path)
@@ -111,12 +121,15 @@ def read_live(spark, table_path: str) -> DataFrame:
     deltas = _read_deltas(spark, table_path, m["through"])
     if deltas is None:
         return comp
+    if allow_missing_delta_columns:
+        return comp.unionByName(deltas, allowMissingColumns=True)
     return comp.unionByName(deltas.select(*comp.columns))
 
 
 def compact_index(spark, table_path: str, through: int,
                   partition_by: list[str] | None = None,
-                  transform=None) -> dict:
+                  transform=None,
+                  reconcile_schema: bool = False) -> dict:
     """Consolidate every live row with batch_id <= ``through`` into a
     new ``_compacted_v{k}`` store, commit the manifest, then garbage-
     collect superseded delta partitions and older compacted versions.
@@ -129,7 +142,11 @@ def compact_index(spark, table_path: str, through: int,
     preserved row-for-row; it must not depend on ``batch_id`` (the
     column is rewritten to ``through`` afterwards).  Re-compaction is
     supported: the previous compacted store (batch_id = old through <=
-    new through) folds into the new one.  Returns the new manifest."""
+    new through) folds into the new one.  ``reconcile_schema`` reads
+    the live view with NULL backfill for delta-missing columns (see
+    ``read_live``) — pass it ONLY together with a ``transform`` that
+    recomputes those columns from content, or the NULLs land in the
+    consolidated store.  Returns the new manifest."""
     m = load_manifest(table_path)
     if m is not None and through < m["through"]:
         raise ValueError(
@@ -159,7 +176,9 @@ def compact_index(spark, table_path: str, through: int,
     version = (m["version"] + 1) if m else 1
     dest_name = f"_compacted_v{version}"
 
-    live = read_live(spark, table_path).filter(
+    live = read_live(
+        spark, table_path,
+        allow_missing_delta_columns=reconcile_schema).filter(
         F.col("batch_id") <= F.lit(through))
     if transform is not None:
         live = transform(live.drop("batch_id"))

@@ -109,10 +109,18 @@ def install() -> str | bool:
         _result = "native"
         return _result
     except ImportError:
-        # Evict any jar-backed namespace residue so the SDK candidate's
+        # Evict jar-backed namespace residue so the SDK candidate's
         # REGULAR google package (has __init__.py) resolves freshly.
+        # Scope the eviction to `google` itself and `google.protobuf*`:
+        # blanket-evicting google.* would hand unrelated, legitimately
+        # imported namespace siblings (google.auth, google.cloud.*)
+        # fresh duplicate module objects on their next import,
+        # breaking isinstance/module-global state other code holds
+        # (ADVICE r6).  `google` is safe to evict because a namespace
+        # package object carries no state beyond its __path__, which
+        # re-resolves to a superset after the sys.path append below.
         for name in [n for n in sys.modules
-                     if n == "google" or n.startswith("google.")]:
+                     if n == "google" or n.startswith("google.protobuf")]:
             sys.modules.pop(name, None)
 
     for google_dir, root_dir in _SDK_CANDIDATES:

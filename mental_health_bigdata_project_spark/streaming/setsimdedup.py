@@ -103,6 +103,21 @@ def setsim_arrays(df: DataFrame, id_col: str = "doc_id",
             .withColumn("sz", F.size("arr")))
 
 
+def _is_missing_bucket(e) -> bool:
+    """True iff ``e`` is specifically "the column `bucket` does not
+    resolve" — matched on the error CONDITION plus the quoted column
+    name, not a bare ``"bucket" in str(e)`` substring test (which would
+    misclassify any unrelated analysis error whose message merely
+    mentions the word, e.g. a corrupt file under a path containing
+    'bucket', as a legacy store)."""
+    get = getattr(e, "getCondition", None) or getattr(
+        e, "getErrorClass", None)
+    cond = get() if get is not None else None
+    if cond is not None and not str(cond).startswith("UNRESOLVED_COLUMN"):
+        return False
+    return "`bucket`" in str(e)
+
+
 def _read_prefix_index(spark, index_dir: str, batch_id: int):
     """Read the prior prefix index with its ``bucket`` partition
     column; returns ``(df_or_None, legacy)``.
@@ -117,22 +132,61 @@ def _read_prefix_index(spark, index_dir: str, batch_id: int):
     must keep DELTA WRITES in the detected layout too (Spark refuses a
     root read over dirs with conflicting partition-column lists), so
     ``legacy=True`` means "this store migrates at compaction, not
-    mid-stream"."""
+    mid-stream".
+
+    The fallback reads the compacted store and the delta partitions
+    DIRECTLY (not through ``read_live``'s column union) and backfills
+    ``bucket`` per-side: a half-migrated store — ``compact_setsim_index``
+    ran with ``through`` below the newest batch, or a batch landed a
+    legacy delta while compaction was in flight — has a BUCKETED
+    compacted dir alongside bucket-less deltas, and ``read_live``'s
+    ``comp.unionByName(deltas.select(*comp.columns))`` fails on the
+    missing column no matter which layout the caller asks for.  Going
+    through ``_read_index`` again here would re-raise that same error
+    outside this except and deterministically fail every retry of the
+    batch — the exact poison pill this shim exists to prevent."""
     from pyspark.errors import AnalysisException
 
+    from .compaction import _read_deltas, load_manifest
+
     cols = ["shingle", "doc_id", "p", "sz"]
+    path = _prefix_path(index_dir)
     try:
-        return (_read_index(spark, _prefix_path(index_dir),
-                            cols + ["bucket"], before_batch=batch_id),
+        return (_read_index(spark, path, cols + ["bucket"],
+                            before_batch=batch_id),
                 False)
     except AnalysisException as e:
-        if "bucket" not in str(e):
+        if not _is_missing_bucket(e):
             raise
-        legacy = _read_index(spark, _prefix_path(index_dir), cols,
-                             before_batch=batch_id)
+    m = load_manifest(path)
+    if m is None:
+        # pure legacy store, no compaction yet: read_live is a plain
+        # root read here, so _read_index is safe — only the column
+        # list changes
+        legacy = _read_index(spark, path, cols, before_batch=batch_id)
         return ((None if legacy is None
                  else legacy.withColumn("bucket", _bucket(F.col("shingle")))),
                 True)
+    # half-migrated: bucketed compacted store + legacy deltas above the
+    # horizon.  Replicate _read_index's replay guard, then assemble the
+    # live view side-by-side with per-side bucket backfill.
+    if batch_id <= m["through"]:
+        raise ValueError(
+            f"batch {batch_id} is at or below the compaction horizon "
+            f"{m['through']} of {path}; compact only through "
+            f"checkpoint-committed batches")
+    view = spark.read.parquet(os.path.join(path, m["dir"]))
+    if "bucket" not in view.columns:
+        view = view.withColumn("bucket", _bucket(F.col("shingle")))
+    deltas = _read_deltas(spark, path, m["through"])
+    if deltas is not None:
+        if "bucket" not in deltas.columns:
+            deltas = deltas.withColumn("bucket", _bucket(F.col("shingle")))
+        view = (view.select(*cols, "bucket", "batch_id")
+                .unionByName(deltas.select(*cols, "bucket", "batch_id")))
+    return (view.filter(F.col("batch_id") < F.lit(batch_id))
+            .select(*cols, "bucket"),
+            True)
 
 
 def compact_setsim_index(spark, index_dir: str, through: int) -> dict:
@@ -149,9 +203,15 @@ def compact_setsim_index(spark, index_dir: str, through: int) -> dict:
             partition_by=["bucket"],
             # recompute from shingle: identical where bucket already
             # exists, and it adds the column when folding a legacy
-            # (pre-bucketed-layout) store
+            # (pre-bucketed-layout) store — which is also what makes
+            # reconcile_schema safe here: a HALF-migrated store
+            # (bucketed compacted dir + legacy deltas from a prior
+            # partial-horizon compaction) reads with NULL-backfilled
+            # bucket, and this transform overwrites every NULL before
+            # the write
             transform=lambda df: df.withColumn(
-                "bucket", _bucket(F.col("shingle")))),
+                "bucket", _bucket(F.col("shingle"))),
+            reconcile_schema=True),
         "arrs": compact_index(spark, _arrs_path(index_dir), through),
     }
 

@@ -1,0 +1,132 @@
+"""On-disk corpus-artifact store (artifacts.py, VERDICT r6 item 2):
+build-once/commit semantics, cross-session disk hits (no recompute),
+fingerprint invalidation on source rewrite, and value equality between
+the persisted artifact and a fresh derivation."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from mental_health_bigdata_project_spark import artifacts
+
+
+def _counting_build(df):
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return df
+
+    return calls, build
+
+
+def test_read_or_build_builds_once_then_reads_disk(
+        spark, sf_dir, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path / "store"))
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
+    calls, build = _counting_build(src)
+
+    a = artifacts.read_or_build(spark, sf_dir, "t_art", ("documents",),
+                                build)
+    assert calls["n"] == 1
+    assert {(r.id, r.v) for r in a.collect()} == {(1, "a"), (2, "b")}
+    # second call (fresh handle, same process stands in for a second
+    # session): served from the committed snapshot, not recomputed
+    b = artifacts.read_or_build(spark, sf_dir, "t_art", ("documents",),
+                                build)
+    assert calls["n"] == 1
+    assert {(r.id, r.v) for r in b.collect()} == {(1, "a"), (2, "b")}
+    # manifest committed exactly once
+    adir = os.path.join(artifacts.artifact_root(),
+                        artifacts._dataset_key(sf_dir), "t_art")
+    with open(os.path.join(adir, "manifest.json")) as f:
+        m = json.load(f)
+    assert m["version"] == 1 and m["tables"] == ["documents"]
+
+
+def test_fingerprint_invalidates_on_source_rewrite(
+        spark, sf_dir, tmp_path, monkeypatch):
+    """A rewritten source dataset must invalidate the artifact instead
+    of silently serving stale rows — the staleness honesty rule."""
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path / "store"))
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    shutil.copy(os.path.join(sf_dir, "documents.parquet"),
+                os.path.join(data, "documents.parquet"))
+    src = spark.createDataFrame([(1,)], "id bigint")
+    calls, build = _counting_build(src)
+
+    artifacts.read_or_build(spark, data, "t_fp", ("documents",), build)
+    artifacts.read_or_build(spark, data, "t_fp", ("documents",), build)
+    assert calls["n"] == 1
+    # touch the source: mtime_ns changes -> fingerprint changes
+    os.utime(os.path.join(data, "documents.parquet"))
+    artifacts.read_or_build(spark, data, "t_fp", ("documents",), build)
+    assert calls["n"] == 2
+    adir = os.path.join(artifacts.artifact_root(),
+                        artifacts._dataset_key(data), "t_fp")
+    with open(os.path.join(adir, "manifest.json")) as f:
+        m = json.load(f)
+    assert m["version"] == 2
+    # superseded snapshot garbage-collected
+    vdirs = [d for d in os.listdir(adir) if d.startswith("_v")]
+    assert vdirs == [m["dir"]]
+
+
+def test_corpus_shingles_disk_artifact_matches_fresh(
+        spark, sf_dir, tmp_path, monkeypatch):
+    """The real corpus_shingles artifact: first call commits a
+    snapshot; after the session memo is dropped (a new session), the
+    next call reads the SAME committed version from disk and its rows
+    equal a fresh un-memoized derivation."""
+    from mental_health_bigdata_project_spark.plans import textops
+
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path / "store"))
+    # session memos would otherwise serve the pre-monkeypatch handle
+    textops._CORPUS_SHINGLES_MEMO.clear()
+    try:
+        first = textops.corpus_shingles(spark, sf_dir)
+        adir = os.path.join(artifacts.artifact_root(),
+                            artifacts._dataset_key(sf_dir),
+                            "corpus_shingles")
+        with open(os.path.join(adir, "manifest.json")) as f:
+            v1 = json.load(f)["version"]
+
+        textops._CORPUS_SHINGLES_MEMO.clear()   # "second session"
+        second = textops.corpus_shingles(spark, sf_dir)
+        with open(os.path.join(adir, "manifest.json")) as f:
+            assert json.load(f)["version"] == v1   # read, not rebuilt
+
+        fresh = textops.setsim_shingles(
+            textops._docs(spark, sf_dir).select(
+                "doc_id", textops.tokens_col().alias("toks")))
+        assert second.count() == fresh.count()
+        assert second.exceptAll(fresh).count() == 0
+        assert fresh.exceptAll(second).count() == 0
+        assert first.count() == second.count()
+    finally:
+        # drop handles into the tmp store so later tests rebuild
+        # against the default root instead of a deleted directory
+        textops._CORPUS_SHINGLES_MEMO.clear()
+        textops._CORPUS_SETSIM_INDEX_MEMO.clear()
+
+
+def test_session_memo_weak_keyed():
+    """SessionMemo entries die with their session object (ADVICE r6:
+    plain dicts keyed on the session pinned stopped sessions and their
+    checkpointed DataFrames for process lifetime)."""
+    import gc
+
+    class FakeSession:     # stands in for SparkSession (weakref-able)
+        pass
+
+    m = artifacts.SessionMemo()
+    s = FakeSession()
+    m.put(s, "k", "v")
+    assert m.get(s, "k") == "v"
+    assert len(m._store) == 1
+    del s
+    gc.collect()
+    assert len(m._store) == 0
