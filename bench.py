@@ -205,6 +205,19 @@ def main() -> None:
     # amortizes to noise at 100 TB).  Both are reported: `queries` is
     # steady-state (the headline), `queries_cold` the first-run wall
     # incl. compile, so the one-shot cost stays visible.
+    # Disclose the artifact-store state BEFORE the loop: with the
+    # on-disk corpus artifacts (artifacts.py) a later bench run serves
+    # the gram/setsim/IVF/PQ/pair tables from committed snapshots, so
+    # even "cold" walls exclude the index builds.  The count of
+    # pre-committed manifests rides the stdout line — 0 means this run
+    # paid the builds, >0 means it read them from disk.
+    import glob as _glob
+
+    from mental_health_bigdata_project_spark import artifacts as _arts
+    artifacts_prebuilt = len(_glob.glob(os.path.join(
+        _arts.artifact_root(), _arts._dataset_key(sf_dir),
+        "*", "manifest.json")))
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for qid in HEADLINE:
@@ -261,6 +274,7 @@ def main() -> None:
         "queries": timings,
         "queries_cold": cold,
         "total_cold_sec": round(sum(cold.values()), 3),
+        "artifacts_prebuilt": artifacts_prebuilt,
         "sf": sf_val,
         "cpus": int(cpus),
         "calibration_sec": calibration_sec,
@@ -287,6 +301,11 @@ def main() -> None:
             "sf": sf_val,
             "calibration_sec": calibration_sec,
             "normalized_total": normalized_total,
+            # cold totals on the DRIVER-VISIBLE line too (VERDICT r6
+            # item 6): cross-round readers get warm AND cold from the
+            # same record, so comparisons can't pick the flattering one
+            "total_cold_sec": round(sum(cold.values()), 3),
+            "artifacts_prebuilt": artifacts_prebuilt,
             "streaming_dedup_rows_per_sec": {k: round(v)
                                              for k, v in
                                              streaming_line.items()},

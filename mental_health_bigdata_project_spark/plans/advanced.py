@@ -1742,19 +1742,33 @@ def graph_pagerank_fixed(spark, sf_dir):
     aggregate is one metadata-sized row.  At web scale this is exactly
     Pregel-on-DataFrames: checkpoint cadence and AQE skew-split on hot
     dst keys are the only knobs that change."""
-    ev = _t(spark, sf_dir, "events")
+    return pagerank_fixed_from_edges(transition_edges(
+        _t(spark, sf_dir, "events")))
+
+
+def transition_edges(ev: DataFrame) -> DataFrame:
+    """(src, dst, w): the weighted event-transition edge relation —
+    consecutive event_type pairs per user in (ts, event_id) order,
+    weight = observed count.  NULL event_type would put a NULL
+    src/node into the graph; the engines' NULL-join semantics then
+    diverge silently (ADVICE r6) — drop it on BOTH sides before
+    building edges."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select("event_type",
                     F.lead("event_type").over(w).alias("nxt"))
-    # NULL event_type would put a NULL src/node into the graph; the
-    # engines' NULL-join semantics then diverge silently (ADVICE r6) —
-    # drop it on BOTH sides before building edges
-    edges = (seq.filter(F.col("nxt").isNotNull()
-                        & F.col("event_type").isNotNull())
-             .groupBy(F.col("event_type").alias("src"),
-                      F.col("nxt").alias("dst"))
-             .agg(F.count("*").cast("double").alias("w"))
-             .localCheckpoint(eager=True))
+    return (seq.filter(F.col("nxt").isNotNull()
+                       & F.col("event_type").isNotNull())
+            .groupBy(F.col("event_type").alias("src"),
+                     F.col("nxt").alias("dst"))
+            .agg(F.count("*").cast("double").alias("w")))
+
+
+def pagerank_fixed_from_edges(edges: DataFrame) -> DataFrame:
+    """The five fixed weighted-PageRank passes over an
+    (src, dst, w) edge relation — shared verbatim by the batch query
+    above and the streaming serve path (streaming/graphstate.py), so
+    streaming-equals-batch parity reduces to edge-relation equality."""
+    edges = edges.localCheckpoint(eager=True)
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node"))).distinct()
              .localCheckpoint(eager=True))
@@ -1870,19 +1884,15 @@ def graph_hits_fixed(spark, sf_dir):
     Scale shape: identical to graph_pagerank_fixed — after the first
     windowed pass everything iterates over the distinct-transition
     edge relation; two metadata-sized max aggregates per pass."""
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select("event_type",
-                    F.lead("event_type").over(w).alias("nxt"))
-    # NULL event_type would put a NULL src/node into the graph; the
-    # engines' NULL-join semantics then diverge silently (ADVICE r6) —
-    # drop it on BOTH sides before building edges
-    edges = (seq.filter(F.col("nxt").isNotNull()
-                        & F.col("event_type").isNotNull())
-             .groupBy(F.col("event_type").alias("src"),
-                      F.col("nxt").alias("dst"))
-             .agg(F.count("*").cast("double").alias("w"))
-             .localCheckpoint(eager=True))
+    return hits_fixed_from_edges(transition_edges(
+        _t(spark, sf_dir, "events")))
+
+
+def hits_fixed_from_edges(edges: DataFrame) -> DataFrame:
+    """The five fixed weighted-HITS passes over an (src, dst, w) edge
+    relation — shared verbatim by the batch query above and the
+    streaming serve path (streaming/graphstate.py)."""
+    edges = edges.localCheckpoint(eager=True)
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node"))).distinct()
              .localCheckpoint(eager=True))
@@ -1916,3 +1926,128 @@ def graph_hits_fixed(spark, sf_dir):
     return (auth.join(F.broadcast(hub), "node")
             .select("node", F.round("auth", 6).alias("authority"),
                     F.round("hub", 6).alias("hub")))
+
+
+def _ppr_oracle_sql() -> str:
+    """Unrolled fixed-iteration PERSONALIZED PageRank CTE chain —
+    graph_pagerank_fixed's recipe with the teleport vector concentrated
+    on the seed node (min node, deterministic) and dangling mass
+    returned to the seed instead of spread uniformly."""
+    its = []
+    for k in range(1, _PR_ITERS + 1):
+        its.append(f"""
+    s{k} AS MATERIALIZED (
+      SELECT e.dst,
+             CAST(SUM(CAST(round(r.rank * e.w / o.outw, 15)
+                           AS DECIMAL(38,15))) AS DOUBLE) AS cs
+      FROM edges e
+      JOIN r{k - 1} r ON r.node = e.src
+      JOIN outdeg o ON o.src = e.src
+      GROUP BY e.dst),
+    d{k} AS MATERIALIZED (
+      SELECT coalesce(CAST(SUM(CAST(round(r.rank, 15)
+                                    AS DECIMAL(38,15))) AS DOUBLE),
+                      CAST(0.0 AS DOUBLE)) AS dang
+      FROM r{k - 1} r
+      WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = r.node)),
+    r{k} AS MATERIALIZED (
+      SELECT n.node,
+             (CASE WHEN n.node = seed.s
+                   THEN CAST(0.15 AS DOUBLE)
+                        + CAST(0.85 AS DOUBLE) * d{k}.dang
+                   ELSE CAST(0.0 AS DOUBLE) END)
+               + CAST(0.85 AS DOUBLE)
+                 * coalesce(s{k}.cs, CAST(0.0 AS DOUBLE)) AS rank
+      FROM nodes n
+      LEFT JOIN s{k} ON s{k}.dst = n.node
+      CROSS JOIN d{k} CROSS JOIN seed)""")
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS nxt
+      FROM {EVENTS_TS}),
+    edges AS (SELECT event_type AS src, nxt AS dst,
+                     CAST(count(*) AS DOUBLE) AS w
+              FROM seq
+              WHERE event_type IS NOT NULL AND nxt IS NOT NULL
+              GROUP BY event_type, nxt),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    outdeg AS (SELECT src, SUM(w) AS outw FROM edges GROUP BY src),
+    seed AS (SELECT min(node) AS s FROM nodes),
+    r0 AS (SELECT node,
+                  CASE WHEN node = seed.s THEN CAST(1.0 AS DOUBLE)
+                       ELSE CAST(0.0 AS DOUBLE) END AS rank
+           FROM nodes CROSS JOIN seed),{",".join(its)}
+    SELECT r{_PR_ITERS}.node,
+           round(r{_PR_ITERS}.rank, 6) AS ppr
+    FROM r{_PR_ITERS}
+"""
+
+
+@query("graph_ppr_fixed", _ppr_oracle_sql())
+def graph_ppr_fixed(spark, sf_dir):
+    """PERSONALIZED PageRank (Jeh & Widom 2003 / the random-walk-with-
+    restart form): the walker teleports with probability 0.15 to ONE
+    seed node — the min event_type, deterministic — instead of
+    uniformly, and dangling mass returns to the seed; the stationary
+    vector measures proximity TO THE SEED, the primitive behind
+    related-item recommendation and local graph exploration.  Five
+    fixed weighted iterations, oracle-checked through the same
+    unrolled-CTE / 15dp-decimal-sum recipe as graph_pagerank_fixed —
+    the fifth oracle-green iterative algorithm in the registry.
+
+    Scale shape: identical to graph_pagerank_fixed (edge-relation
+    joins, broadcast scalar aggregates, localCheckpoint per pass).  At
+    web scale per-seed PPR is the textbook case for batching many
+    seeds into one rank MATRIX (node x seed) sharing the single edge
+    scan per pass — noted, not needed for the single-seed contract
+    here."""
+    return ppr_fixed_from_edges(transition_edges(
+        _t(spark, sf_dir, "events")))
+
+
+def ppr_fixed_from_edges(edges) -> "DataFrame":
+    """The five fixed personalized-PageRank passes over an
+    (src, dst, w) edge relation — shared by the batch query above and
+    the streaming serve path (streaming/graphstate.py)."""
+    edges = edges.localCheckpoint(eager=True)
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node"))).distinct()
+             .localCheckpoint(eager=True))
+    outdeg = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    seed = nodes.agg(F.min("node").alias("s"))
+    dsum15 = lambda c: F.coalesce(  # noqa: E731
+        F.sum(F.round(c, 15).cast("decimal(38,15)")).cast("double"),
+        F.lit(0.0))
+    is_seed = F.col("node") == F.col("s")
+    ranks = (nodes.crossJoin(F.broadcast(seed))
+             .select("node",
+                     F.when(is_seed, F.lit(1.0)).otherwise(F.lit(0.0))
+                     .alias("rank")))
+    for _ in range(_PR_ITERS):
+        contrib = (edges
+                   .join(ranks.select(F.col("node").alias("src"), "rank"),
+                         "src")
+                   .join(outdeg, "src")
+                   .groupBy("dst")
+                   .agg(dsum15(F.col("rank") * F.col("w") / F.col("outw"))
+                        .alias("cs")))
+        dang = (ranks.join(outdeg,
+                           ranks["node"] == outdeg["src"], "left_anti")
+                .agg(dsum15(F.col("rank")).alias("dang")))
+        ranks = (nodes
+                 .join(contrib, nodes["node"] == contrib["dst"], "left")
+                 .crossJoin(F.broadcast(dang))
+                 .crossJoin(F.broadcast(seed))
+                 .select("node",
+                         (F.when(is_seed,
+                                 F.lit(0.15)
+                                 + F.lit(0.85) * F.col("dang"))
+                          .otherwise(F.lit(0.0))
+                          + F.lit(0.85)
+                          * F.coalesce(F.col("cs"), F.lit(0.0)))
+                         .alias("rank"))
+                 .localCheckpoint(eager=True))
+    return ranks.select("node", F.round("rank", 6).alias("ppr"))

@@ -1052,13 +1052,11 @@ def neardup_lsh_eval(spark, sf_dir):
     Plan: the two pair pipelines keep their banded / prefix-pruned
     shapes; the comparison is one full-outer join on the narrow id
     pair (SMJ — correct for full-outer) into a 1-row rollup."""
-    from .textops import (corpus_setsim_index, setsim_candidates,
-                          setsim_verify)
+    from .textops import corpus_setsim_pairs
     est = (corpus_neardup_pairs(spark, sf_dir)
            .filter(F.col("est_jaccard") >= 0.5)
            .select("doc_a", "doc_b").withColumn("in_est", F.lit(1)))
-    per_doc = corpus_setsim_index(spark, sf_dir)
-    exact = (setsim_verify(per_doc, setsim_candidates(per_doc))
+    exact = (corpus_setsim_pairs(spark, sf_dir)
              .select("doc_a", "doc_b").withColumn("in_exact", F.lit(1)))
     j = (est.join(exact, ["doc_a", "doc_b"], "full_outer")
          .select(F.coalesce("in_est", F.lit(0)).alias("in_est"),
@@ -3275,3 +3273,86 @@ def sim_ann_ivf_kmeans(spark, sf_dir):
                     .alias("cosine"))
             .orderBy(F.desc("cosine"), "vec_id")
             .limit(10))
+
+
+_KCENTER_M = 8
+_KC_COS = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+           " * sqrt(list_dot_product({b}, {b})))")
+
+
+def _kcenter_oracle_sql() -> str:
+    """Unrolled greedy k-center CTE chain: c1 = min vec_id, then each
+    step picks the point maximizing its min cosine-distance to the
+    chosen set (tie-break min vec_id) — the same mechanical-loop
+    oracle recipe as bpe_train / the graph queries."""
+    ctes = ["""v AS (SELECT vec_id, embedding::DOUBLE[] AS ve
+           FROM embeddings),
+    c1 AS (SELECT vec_id, ve FROM v ORDER BY vec_id LIMIT 1),
+    d1 AS (SELECT v.vec_id, v.ve,
+                  1 - (""" + _KC_COS.format(a="v.ve", b="c1.ve") + """)
+                    AS mind
+           FROM v CROSS JOIN c1)"""]
+    for k in range(2, _KCENTER_M + 1):
+        ctes.append(f"""
+    c{k} AS (SELECT vec_id, ve, mind FROM d{k - 1}
+           ORDER BY mind DESC, vec_id LIMIT 1),
+    d{k} AS (SELECT d.vec_id, d.ve,
+                  least(d.mind,
+                        1 - ({_KC_COS.format(a='d.ve', b=f'c{k}.ve')}))
+                    AS mind
+           FROM d{k - 1} d CROSS JOIN c{k})""")
+    picks = ["SELECT CAST(1 AS INT) AS step, c1.vec_id, "
+             "CAST(0.0 AS DOUBLE) AS sep FROM c1"]
+    for k in range(2, _KCENTER_M + 1):
+        picks.append(f"SELECT CAST({k} AS INT), c{k}.vec_id, "
+                     f"round(c{k}.mind, 6) FROM c{k}")
+    return ("    WITH " + ",".join(ctes) + "\n    "
+            + "\n    UNION ALL ".join(picks) + "\n    ORDER BY step\n")
+
+
+@query("sample_coreset_kcenter", _kcenter_oracle_sql())
+def sample_coreset_kcenter(spark, sf_dir):
+    """Greedy k-center (farthest-point / Gonzalez 1985) coreset
+    selection over the embedding corpus: start from the min vec_id,
+    then 7 passes each pick the point with the LARGEST min
+    cosine-distance to the chosen set — the classic 2-approximation
+    for diversity-maximizing data selection (diverse few-shot pools,
+    eval-set seeding, cluster-initialization).  Output: (step, vec_id,
+    sep) where sep is the covering radius at selection — the monotone
+    non-increasing sequence a curator reads as "how much diversity the
+    next pick still buys".
+
+    Greedy k-center is inherently sequential in k, so the driver loop
+    is the algorithm, not a shortcut: each pass is one corpus-wide
+    max-reduce (argmax by (mind, vec_id) — TakeOrderedAndProject),
+    and the only thing collected is the 1-row winner (bounded, the
+    bpe_train_merges precedent).  The running min-distance column is
+    re-checkpointed per pass so pass N+1 scans a (vec_id, ve, mind)
+    relation, never recomputing prior distances — at 100 TB each pass
+    is one scan + one topK, k scans total.  The distance to the fresh
+    center rides as a LITERAL 64-double array (broadcast-by-plan), so
+    no join is needed."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", to_double_array("embedding").alias("ve"))
+    first = e.orderBy("vec_id").limit(1).collect()[0]
+    picked = [(1, first.vec_id, 0.0)]
+    center = first.ve
+    cur = e.select("vec_id", "ve", F.lit(None).cast("double")
+                   .alias("mind"))
+    for step in range(2, _KCENTER_M + 1):
+        lit_c = F.array(*[F.lit(float(x)) for x in center])
+        d = F.lit(1.0) - cosine_similarity(F.col("ve"), lit_c)
+        cur = (cur.select("vec_id", "ve",
+                          F.least(F.coalesce("mind", F.lit(2.0)), d)
+                          .alias("mind"))
+               .localCheckpoint(eager=True))
+        win = (cur.orderBy(F.desc("mind"), "vec_id").limit(1)
+               .collect()[0])
+        picked.append((step, win.vec_id, win.mind))
+        center = win.ve
+    # round through F.round (HALF_UP, the engine-pinned behavior) —
+    # python round() is HALF_EVEN and could diverge on a 6dp half-way
+    return (spark.createDataFrame(
+        picked, "step int, vec_id bigint, sep double")
+        .select("step", "vec_id", F.round("sep", 6).alias("sep"))
+        .orderBy("step"))

@@ -309,8 +309,32 @@ def dedup_setsim_prefix(spark, sf_dir):
     sorted-set table is built once and checkpointed as the stored
     index artifact (three consumers).  Candidate pruning measured in
     SCALING.md."""
-    per_doc = corpus_setsim_index(spark, sf_dir)
-    return setsim_verify(per_doc, setsim_candidates(per_doc))
+    return corpus_setsim_pairs(spark, sf_dir)
+
+
+_CORPUS_SETSIM_PAIRS_MEMO = SessionMemo()
+
+
+def corpus_setsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jaccard): the EXACT verified J >= 0.5 duplicate
+    pair set over the corpus — the terminal setsim artifact.  Both
+    dedup_setsim_prefix (which returns it) and neardup_lsh_eval (which
+    uses it as ground truth for the LSH arm) previously re-ran the
+    candidate+verify join per call (VERDICT r6 item 5); like the other
+    corpus artifacts it now persists on disk for the read-only roots
+    and recomputes only when the source parquet changes."""
+    p = _CORPUS_SETSIM_PAIRS_MEMO.get(spark, sf_dir)
+    if p is None:
+        def build():
+            per_doc = corpus_setsim_index(spark, sf_dir)
+            return setsim_verify(per_doc, setsim_candidates(per_doc))
+        if _memoizable(sf_dir):
+            p = read_or_build(spark, sf_dir, "corpus_setsim_pairs",
+                              ("documents",), build)
+        else:
+            p = build()
+        _CORPUS_SETSIM_PAIRS_MEMO.put(spark, sf_dir, p)
+    return p
 
 
 def setsim_shingles(d: DataFrame) -> DataFrame:

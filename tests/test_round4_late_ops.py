@@ -298,3 +298,59 @@ def test_hits_scores_bounded_and_nonuniform(spark, sf_dir):
         assert all(0 < v <= 1.0 for v in vals), (col, vals)
         assert max(vals) == 1.0
         assert len(set(vals)) > 1, (col, vals)
+
+
+# --- graph_ppr_fixed / sample_coreset_kcenter (round 7) ---------------------
+
+def test_ppr_mass_conserved_and_seed_concentrated(spark, sf_dir):
+    """Personalized PageRank invariants: teleport + dangling both
+    return to the seed, so total mass stays 1; the seed holds the
+    largest rank on this diffusive graph; non-seed ranks are strictly
+    positive only via propagation (>= 0 always)."""
+    from mental_health_bigdata_project_spark.plans import QUERIES
+
+    rows = QUERIES["graph_ppr_fixed"](spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r.ppr for r in rows) - 1.0) < 1e-6
+    seed = min(r.node for r in rows)
+    by_node = {r.node: r.ppr for r in rows}
+    assert by_node[seed] == max(by_node.values())
+    assert all(v >= 0 for v in by_node.values())
+    assert len(set(by_node.values())) > 1
+
+
+def test_ppr_streaming_serve_equals_batch(spark, sf_dir, tmp_path):
+    """The folded streaming edge state serves PPR too — third
+    algorithm over one edge relation."""
+    from mental_health_bigdata_project_spark.plans import QUERIES
+    from mental_health_bigdata_project_spark.streaming.graphstate import (
+        edges_batch, read_ppr)
+    from mental_health_bigdata_project_spark.sources import load_table
+
+    idx = str(tmp_path / "idx")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    edges_batch(ev, 0, idx)   # single batch: ordering contract trivial
+    got = sorted(tuple(r) for r in read_ppr(spark, idx).collect())
+    want = sorted(tuple(r) for r in
+                  QUERIES["graph_ppr_fixed"](spark, sf_dir).collect())
+    assert got == want
+
+
+def test_kcenter_radius_monotone_and_distinct(spark, sf_dir):
+    """Greedy k-center invariants the oracle hash can't see: the
+    covering radius (sep) is non-increasing after step 2, all picks
+    are distinct, and step 1 is the deterministic min-vec_id start."""
+    from mental_health_bigdata_project_spark.plans import QUERIES
+    from mental_health_bigdata_project_spark.sources import load_table
+
+    rows = sorted(QUERIES["sample_coreset_kcenter"](spark, sf_dir)
+                  .collect(), key=lambda r: r.step)
+    assert [r.step for r in rows] == list(range(1, 9))
+    assert len({r.vec_id for r in rows}) == 8
+    seps = [r.sep for r in rows[1:]]
+    assert all(a >= b for a, b in zip(seps, seps[1:]))
+    assert all(s > 0 for s in seps)
+    min_vec = load_table(spark, sf_dir, "embeddings") \
+        .agg({"vec_id": "min"}).collect()[0][0]
+    assert rows[0].vec_id == min_vec and rows[0].sep == 0.0

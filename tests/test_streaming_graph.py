@@ -1,0 +1,129 @@
+"""Incremental event-transition graph state (streaming/graphstate.py):
+folded streaming edges equal the batch edge relation, streaming
+PageRank serve equals the oracle-green batch query bit-for-bit,
+crash-replay is content-identical, and compaction folds the edge
+store to one row per transition without changing the served ranks."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mental_health_bigdata_project_spark.sources import load_table
+from mental_health_bigdata_project_spark.streaming.graphstate import (
+    compact_graph_index, edges_batch, read_edges, read_pagerank,
+    run_incremental_pagerank)
+
+N_BATCHES = 3
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+
+
+def _batched(spark, sf_dir):
+    """Split the event log into N_BATCHES slices that respect the
+    global (ts, event_id) order — the ordering contract the module
+    documents (each user's events arrive in time order across
+    batches)."""
+    w = Window.orderBy("ts", "event_id")
+    b = _events(spark, sf_dir).withColumn("b", F.ntile(N_BATCHES).over(w))
+    return [b.filter(F.col("b") == i + 1).drop("b")
+            for i in range(N_BATCHES)]
+
+
+def _feed(spark, sf_dir, index_dir):
+    for i, part in enumerate(_batched(spark, sf_dir)):
+        edges_batch(part, i, index_dir)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_streaming_edges_equal_batch_edges(spark, sf_dir, tmp_path):
+    from mental_health_bigdata_project_spark.plans.advanced import (
+        transition_edges)
+
+    idx = str(tmp_path / "idx")
+    _feed(spark, sf_dir, idx)
+    got = _rows(read_edges(spark, idx))
+    want = _rows(transition_edges(_events(spark, sf_dir)))
+    assert got == want
+    assert got   # non-degenerate corpus
+
+
+def test_streaming_pagerank_equals_batch_query(spark, sf_dir, tmp_path):
+    """The headline parity: serve over folded deltas == the
+    oracle-green batch query, node-for-node at full 6dp precision."""
+    from mental_health_bigdata_project_spark.plans import QUERIES
+
+    idx = str(tmp_path / "idx")
+    _feed(spark, sf_dir, idx)
+    got = _rows(read_pagerank(spark, idx))
+    want = _rows(QUERIES["graph_pagerank_fixed"](spark, sf_dir))
+    assert got == want
+
+
+def test_streaming_hits_equals_batch_query(spark, sf_dir, tmp_path):
+    """One edge state serves BOTH graph algorithms: HITS over the
+    folded deltas equals its oracle-green batch query too."""
+    from mental_health_bigdata_project_spark.plans import QUERIES
+    from mental_health_bigdata_project_spark.streaming.graphstate import (
+        read_hits)
+
+    idx = str(tmp_path / "idx")
+    _feed(spark, sf_dir, idx)
+    got = _rows(read_hits(spark, idx))
+    want = _rows(QUERIES["graph_hits_fixed"](spark, sf_dir))
+    assert got == want
+
+
+def test_replay_is_content_identical(spark, sf_dir, tmp_path):
+    idx = str(tmp_path / "idx")
+    parts = _batched(spark, sf_dir)
+    for i, part in enumerate(parts):
+        edges_batch(part, i, idx)
+    before_edges = _rows(read_edges(spark, idx))
+    before_ranks = _rows(read_pagerank(spark, idx))
+    edges_batch(parts[1], 1, idx)   # crash-retry of batch 1
+    assert _rows(read_edges(spark, idx)) == before_edges
+    assert _rows(read_pagerank(spark, idx)) == before_ranks
+
+
+def test_compaction_folds_and_preserves_ranks(spark, sf_dir, tmp_path):
+    idx = str(tmp_path / "idx")
+    _feed(spark, sf_dir, idx)
+    before = _rows(read_pagerank(spark, idx))
+    n_transitions = len(_rows(read_edges(spark, idx)))
+    compact_graph_index(spark, idx, through=N_BATCHES - 1)
+    # edge store collapsed to one row per distinct transition
+    comp = glob.glob(os.path.join(idx, "edges", "_compacted_v*"))
+    assert len(comp) == 1
+    assert spark.read.parquet(comp[0]).count() == n_transitions
+    # no un-compacted deltas remain
+    assert not glob.glob(os.path.join(idx, "edges", "batch_id=*"))
+    assert _rows(read_pagerank(spark, idx)) == before
+    # and the stream continues cleanly past the compaction horizon:
+    # replaying the last slice as a NEW batch id adds its edges once
+    parts = _batched(spark, sf_dir)
+    edges_batch(parts[2], N_BATCHES, idx)
+    served = read_edges(spark, idx)
+    assert served.count() >= n_transitions
+
+
+def test_availablenow_runner_drains(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "src")
+    (_events(spark, sf_dir)
+     .withColumn("ts", F.col("ts").cast("timestamp"))
+     .write.parquet(src))
+    ev = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    idx = str(tmp_path / "idx")
+    q = run_incremental_pagerank(ev, str(tmp_path / "ckpt"), idx)
+    q.awaitTermination(180)
+    assert read_pagerank(spark, idx).count() > 0
