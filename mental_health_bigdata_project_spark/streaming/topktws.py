@@ -126,14 +126,21 @@ def topk_tokens_tws(tokens: DataFrame, k: int = 20,
                     idle_timer_ms: int | None = None) -> DataFrame:
     """Attach the top-k processor to a (source, token) stream.
 
-    ``timeMode="ProcessingTime"`` is required for both the per-entry
-    TTL and the idle-group timers; the state store must be the RocksDB
-    provider (per-state column families) — see the parity test for the
-    session conf."""
+    ``timeMode="ProcessingTime"`` is required for the per-entry TTL
+    and the idle-group timers — but it is requested ONLY when one of
+    them is configured: under ProcessingTime an availableNow drain
+    keeps scheduling EMPTY micro-batches after the input is exhausted
+    (~100 observed, each paying the full per-partition state-store
+    commit overhead — measured as the dominant wall in
+    scripts/compare_state_archs.py before this guard).  The state
+    store must be the RocksDB provider (per-state column families) —
+    see the parity test for the session conf."""
+    time_mode = ("ProcessingTime" if (ttl_ms or idle_timer_ms)
+                 else "None")
     return (tokens.select("source", "token")
             .groupBy("source")
             .transformWithStateInPandas(
                 TopKTokensProcessor(k, ttl_ms, idle_timer_ms),
                 outputStructType=TOPK_TWS_OUTPUT_SCHEMA,
                 outputMode="Update",
-                timeMode="ProcessingTime"))
+                timeMode=time_mode))
