@@ -179,7 +179,7 @@ _CONVERTED_FRONT = [
     "ml_kmeans_embeddings", "ml_minhash_lsh", "ml_pca_embeddings",
     "ml_tfidf_hashed",
     # --- new in round 7 (append here; driver row lands this round) ---
-    "graph_ppr_fixed", "sample_coreset_kcenter",
+    "graph_ppr_fixed", "sample_coreset_kcenter", "vec_matryoshka_recall",
 ]
 
 

@@ -3356,3 +3356,71 @@ def sample_coreset_kcenter(spark, sf_dir):
         picked, "step int, vec_id bigint, sep double")
         .select("step", "vec_id", F.round("sep", 6).alias("sep"))
         .orderBy("step"))
+
+
+_MRL_DIMS = (8, 16, 32, 64)
+
+
+def _mrl_oracle_sql() -> str:
+    """Per-budget truncated-cosine top-10 CTEs vs the full-dim top-10
+    ground truth; recall = |overlap| / 10."""
+    arms = []
+    for d in _MRL_DIMS:
+        cos = _KC_COS.format(a=f"(e.ve[1:{d}])", b=f"(q.qe[1:{d}])")
+        arms.append(f"""
+    t{d} AS (SELECT vec_id FROM (
+        SELECT e.vec_id, {cos} AS c
+        FROM v e CROSS JOIN q WHERE e.vec_id <> 1
+      ) ORDER BY c DESC, vec_id LIMIT 10)""")
+    unions = "\n    UNION ALL ".join(
+        f"SELECT CAST({d} AS INT) AS dims, "
+        f"round(CAST((SELECT count(*) FROM t{d} a "
+        f"JOIN t{_MRL_DIMS[-1]} b ON a.vec_id = b.vec_id) AS DOUBLE) "
+        f"/ 10, 6) AS recall_at_10 FROM (VALUES (1))" for d in _MRL_DIMS)
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+    q AS (SELECT ve AS qe FROM v WHERE vec_id = 1),{",".join(arms)}
+    SELECT * FROM ({unions}) ORDER BY dims
+"""
+
+
+@query("vec_matryoshka_recall", _mrl_oracle_sql())
+def vec_matryoshka_recall(spark, sf_dir):
+    """Matryoshka-style dimension-truncation evaluation (Kusupati et
+    al. 2022): cosine top-10 for the query vector under the first
+    8/16/32/64 dimensions, scored by recall against the full-dim
+    top-10 — the measurement behind "how many dims can the ANN
+    pre-filter drop before re-ranking", i.e. the budget knob for
+    shipping a short-vector index tier.  The 64-dim arm is the ground
+    truth itself (recall 1.0 by construction, kept as the table's
+    anchor row).
+
+    Plan shape: each arm is one corpus scan + TakeOrderedAndProject
+    (no shuffle of the corpus); the recall join is 10x10 row
+    broadcast.  At 100 TB the truncated columns would be stored
+    head-sliced (the Matryoshka layout), so each arm's scan reads
+    d/64 of the vector bytes."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", to_double_array("embedding").alias("ve"))
+    q = e.filter(F.col("vec_id") == 1).select(F.col("ve").alias("qe"))
+
+    def topk(d: int):
+        return (e.filter(F.col("vec_id") != 1)
+                .crossJoin(F.broadcast(q))
+                .select("vec_id",
+                        cosine_similarity(F.slice("ve", 1, d),
+                                          F.slice("qe", 1, d)).alias("c"))
+                .orderBy(F.desc("c"), "vec_id").limit(10)
+                .select("vec_id"))
+
+    truth = topk(_MRL_DIMS[-1]).localCheckpoint(eager=True)
+    arms = [
+        topk(d).join(truth, "vec_id", "left_semi")
+        .agg(F.lit(d).cast("int").alias("dims"),
+             F.round(F.count("*").cast("double") / F.lit(10), 6)
+             .alias("recall_at_10"))
+        for d in _MRL_DIMS]
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("dims")

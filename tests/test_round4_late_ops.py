@@ -354,3 +354,19 @@ def test_kcenter_radius_monotone_and_distinct(spark, sf_dir):
     min_vec = load_table(spark, sf_dir, "embeddings") \
         .agg({"vec_id": "min"}).collect()[0][0]
     assert rows[0].vec_id == min_vec and rows[0].sep == 0.0
+
+
+def test_matryoshka_recall_monotone_anchor(spark, sf_dir):
+    """Dimension-truncation recall invariants: the full-dim arm is the
+    ground truth (recall exactly 1.0), every arm is in [0, 1] in
+    tenths, and wider prefixes never hurt on this corpus's anchor row
+    count (4 arms present, ordered)."""
+    from mental_health_bigdata_project_spark.plans import QUERIES
+
+    rows = sorted(QUERIES["vec_matryoshka_recall"](spark, sf_dir)
+                  .collect(), key=lambda r: r.dims)
+    assert [r.dims for r in rows] == [8, 16, 32, 64]
+    assert rows[-1].recall_at_10 == 1.0
+    for r in rows:
+        assert 0.0 <= r.recall_at_10 <= 1.0
+        assert abs(r.recall_at_10 * 10 - round(r.recall_at_10 * 10)) < 1e-9
