@@ -133,8 +133,9 @@ HEADLINE = [
     # round-6 (late): the oracle-checked iterative graph shape —
     # five weighted-PageRank passes over the transition edge relation
     "graph_pagerank_fixed",
-    # round-7: seeded walk + greedy farthest-point selection
-    "graph_ppr_fixed", "sample_coreset_kcenter",
+    # round-7: seeded walk, greedy farthest-point selection,
+    # dimension-truncation recall
+    "graph_ppr_fixed", "sample_coreset_kcenter", "vec_matryoshka_recall",
 ]
 
 
