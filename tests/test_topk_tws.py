@@ -30,18 +30,26 @@ def _require_tws():
 
 @pytest.fixture
 def rocksdb(spark):
-    prev = spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass", None)
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider")
+    confs = {
+        "spark.sql.streaming.stateStore.providerClass":
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        # under timeMode=ProcessingTime an availableNow drain otherwise
+        # schedules ~100 EMPTY no-data micro-batches after input
+        # exhaustion, each paying the full per-partition store commit
+        # (the SCALING.md §15 finding) — expired timers still fire on
+        # data-carrying batches, which is all these tests need
+        "spark.sql.streaming.noDataMicroBatches.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
     yield
-    if prev is None:
-        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    else:
-        spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass", prev)
+    for k, v in prev.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
 
 
 def _drain(spark, src, ckpt, name, **tws_kwargs):
