@@ -2051,3 +2051,128 @@ def ppr_fixed_from_edges(edges) -> "DataFrame":
                          .alias("rank"))
                  .localCheckpoint(eager=True))
     return ranks.select("node", F.round("rank", 6).alias("ppr"))
+
+
+def _ppr_multi_oracle_sql() -> str:
+    """Unrolled seed-batched PPR CTE chain: the rank MATRIX
+    (seed, node) iterated as one relation — every seed's walk shares
+    the single edge join per pass."""
+    its = []
+    for k in range(1, _PR_ITERS + 1):
+        its.append(f"""
+    s{k} AS MATERIALIZED (
+      SELECT r.seed, e.dst,
+             CAST(SUM(CAST(round(r.rank * e.w / o.outw, 15)
+                           AS DECIMAL(38,15))) AS DOUBLE) AS cs
+      FROM edges e
+      JOIN r{k - 1} r ON r.node = e.src
+      JOIN outdeg o ON o.src = e.src
+      GROUP BY r.seed, e.dst),
+    d{k} AS MATERIALIZED (
+      SELECT sd.seed,
+             coalesce(CAST(SUM(CAST(round(r.rank, 15)
+                                    AS DECIMAL(38,15))) AS DOUBLE),
+                      CAST(0.0 AS DOUBLE)) AS dang
+      FROM (SELECT DISTINCT seed FROM r0) sd
+      LEFT JOIN r{k - 1} r ON r.seed = sd.seed
+        AND NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = r.node)
+      GROUP BY sd.seed),
+    r{k} AS MATERIALIZED (
+      SELECT m.seed, m.node,
+             (CASE WHEN m.node = m.seed
+                   THEN CAST(0.15 AS DOUBLE)
+                        + CAST(0.85 AS DOUBLE) * d{k}.dang
+                   ELSE CAST(0.0 AS DOUBLE) END)
+               + CAST(0.85 AS DOUBLE)
+                 * coalesce(s{k}.cs, CAST(0.0 AS DOUBLE)) AS rank
+      FROM (SELECT DISTINCT seed, node
+            FROM (SELECT seed FROM r0) CROSS JOIN nodes) m
+      LEFT JOIN s{k} ON s{k}.seed = m.seed AND s{k}.dst = m.node
+      JOIN d{k} ON d{k}.seed = m.seed)""")
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS nxt
+      FROM {EVENTS_TS}),
+    edges AS (SELECT event_type AS src, nxt AS dst,
+                     CAST(count(*) AS DOUBLE) AS w
+              FROM seq
+              WHERE event_type IS NOT NULL AND nxt IS NOT NULL
+              GROUP BY event_type, nxt),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    outdeg AS (SELECT src, SUM(w) AS outw FROM edges GROUP BY src),
+    r0 AS (SELECT s.node AS seed, n.node,
+                  CASE WHEN n.node = s.node THEN CAST(1.0 AS DOUBLE)
+                       ELSE CAST(0.0 AS DOUBLE) END AS rank
+           FROM nodes s CROSS JOIN nodes n),{",".join(its)}
+    SELECT seed, node, round(rank, 6) AS ppr
+    FROM r{_PR_ITERS}
+"""
+
+
+@query("graph_ppr_multi", _ppr_multi_oracle_sql())
+def graph_ppr_multi(spark, sf_dir):
+    """SEED-BATCHED personalized PageRank: the (seed, node) rank
+    MATRIX iterated as one relation, every node its own seed — the
+    scale path graph_ppr_fixed's docstring promises.  Each pass is
+    ONE join of the edge relation against the whole matrix (grouped
+    by (seed, dst)) plus one per-seed dangling aggregate, so adding
+    seeds adds rows to a shuffle that already exists instead of
+    re-running the walk per seed — at web scale this is how
+    related-items tables for every page are built in k passes total.
+    Oracle: the same unrolled-CTE recipe with seed carried through
+    every relation; hash-matched at 6dp like the single-seed query.
+
+    Output is the full proximity matrix (seed, node, ppr); each
+    seed's row-slice equals graph_ppr_fixed run from that seed
+    (pinned for the min seed by test)."""
+    edges = transition_edges(_t(spark, sf_dir, "events")) \
+        .localCheckpoint(eager=True)
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node"))).distinct()
+             .localCheckpoint(eager=True))
+    outdeg = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    dsum15 = lambda c: F.coalesce(  # noqa: E731
+        F.sum(F.round(c, 15).cast("decimal(38,15)")).cast("double"),
+        F.lit(0.0))
+    matrix = (nodes.select(F.col("node").alias("seed"))
+              .crossJoin(nodes)
+              .select("seed", "node",
+                      F.when(F.col("node") == F.col("seed"), F.lit(1.0))
+                      .otherwise(F.lit(0.0)).alias("rank"))
+              .localCheckpoint(eager=True))
+    seeds = nodes.select(F.col("node").alias("seed"))
+    ranks = matrix
+    for _ in range(_PR_ITERS):
+        contrib = (edges
+                   .join(ranks.select("seed",
+                                      F.col("node").alias("src"), "rank"),
+                         "src")
+                   .join(outdeg, "src")
+                   .groupBy("seed", "dst")
+                   .agg(dsum15(F.col("rank") * F.col("w") / F.col("outw"))
+                        .alias("cs")))
+        dang = (seeds.join(
+                    ranks.join(outdeg,
+                               ranks["node"] == outdeg["src"],
+                               "left_anti"),
+                    "seed", "left")
+                .groupBy("seed").agg(dsum15(F.col("rank")).alias("dang")))
+        ranks = (ranks.select("seed", "node")
+                 .join(contrib,
+                       (contrib["seed"] == ranks["seed"])
+                       & (contrib["dst"] == ranks["node"]), "left")
+                 .drop(contrib["seed"]).drop("dst")
+                 .join(F.broadcast(dang), "seed")
+                 .select("seed", "node",
+                         (F.when(F.col("node") == F.col("seed"),
+                                 F.lit(0.15)
+                                 + F.lit(0.85) * F.col("dang"))
+                          .otherwise(F.lit(0.0))
+                          + F.lit(0.85)
+                          * F.coalesce(F.col("cs"), F.lit(0.0)))
+                         .alias("rank"))
+                 .localCheckpoint(eager=True))
+    return ranks.select("seed", "node", F.round("rank", 6).alias("ppr"))

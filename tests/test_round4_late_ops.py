@@ -370,3 +370,25 @@ def test_matryoshka_recall_monotone_anchor(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.recall_at_10 <= 1.0
         assert abs(r.recall_at_10 * 10 - round(r.recall_at_10 * 10)) < 1e-9
+
+
+def test_ppr_multi_slice_equals_single_seed(spark, sf_dir):
+    """The seed-batched matrix's min-seed slice must equal
+    graph_ppr_fixed bit-for-bit (same loop arithmetic, batched), and
+    every seed's slice conserves unit mass."""
+    from collections import defaultdict
+
+    from mental_health_bigdata_project_spark.plans import QUERIES
+
+    multi = QUERIES["graph_ppr_multi"](spark, sf_dir).collect()
+    single = {(r.node): r.ppr for r in
+              QUERIES["graph_ppr_fixed"](spark, sf_dir).collect()}
+    seed0 = min(r.seed for r in multi)
+    slice0 = {r.node: r.ppr for r in multi if r.seed == seed0}
+    assert slice0 == single
+    mass = defaultdict(float)
+    for r in multi:
+        mass[r.seed] += r.ppr
+    assert len(mass) >= 2
+    for s, m in mass.items():
+        assert abs(m - 1.0) < 1e-5, (s, m)
