@@ -6,8 +6,12 @@ proof that per-batch cost is flat in stream depth (a batch touches
 its own rows + the user frontier, never the accumulated corpus) and
 that serving reads edge-relation-sized state.
 
-Usage: python scripts/scaleup_graphstate.py [sf_dir] [n_batches]
-Prints one JSON line; paste into SCALING.md §16.
+Usage: python scripts/scaleup_graphstate.py [sf_dir] [n_batches] [factor]
+``factor`` > 1 replicates the event log with shifted user_ids (same
+graph shape, factor x rows and edge weights) — per-batch walls should
+grow sub-linearly (the windowed pass is embarrassingly parallel by
+user) and stay flat in depth.  Prints one JSON line; paste into
+SCALING.md §16.
 """
 
 from __future__ import annotations
@@ -36,8 +40,17 @@ def main() -> None:
         .appName("scaleup-graphstate").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type")
+    if factor > 1:
+        shift = (ev.agg(F.max("user_id")).collect()[0][0] or 0) + 1
+        eshift = (ev.agg(F.max("event_id")).collect()[0][0] or 0) + 1
+        ev = ev.sparkSession.range(factor).crossJoin(ev).select(
+            (F.col("user_id") + F.col("id") * shift).alias("user_id"),
+            "ts",
+            (F.col("event_id") + F.col("id") * eshift).alias("event_id"),
+            "event_type")
     n_rows = ev.count()
     # time-ordered slices (the module's ordering contract)
     w = Window.orderBy("ts", "event_id")
@@ -46,8 +59,8 @@ def main() -> None:
 
     work = tempfile.mkdtemp(prefix="graphstate_")
     out: dict = {"sf_dir": sf_dir, "n_batches": n_batches,
-                 "event_rows": n_rows, "ingest_sec": [],
-                 "serve_sec": {}}
+                 "factor": factor, "event_rows": n_rows,
+                 "ingest_sec": [], "serve_sec": {}}
     try:
         for i in range(n_batches):
             part = sliced.filter(F.col("b") == i + 1).drop("b")
