@@ -180,7 +180,7 @@ _CONVERTED_FRONT = [
     "ml_tfidf_hashed",
     # --- new in round 7 (append here; driver row lands this round) ---
     "graph_ppr_fixed", "sample_coreset_kcenter", "vec_matryoshka_recall",
-    "graph_ppr_multi",
+    "graph_ppr_multi", "dq_benford_deviation", "stat_ks_two_sample",
 ]
 
 

@@ -1304,3 +1304,146 @@ def ts_forecast_snaive(spark, sf_dir):
             .select("day", "actual", "forecast",
                     F.round(F.abs(F.col("actual") - F.col("forecast")), 4)
                     .alias("abs_err")))
+
+
+import math as _math
+
+_BENFORD_EXPECTED = {d: round(_math.log10(1.0 + 1.0 / d), 12)
+                     for d in range(1, 10)}
+_BENFORD_CASE = ("CASE digit " + " ".join(
+    f"WHEN {d} THEN CAST({_BENFORD_EXPECTED[d]!r} AS DOUBLE)"
+    for d in range(1, 10)) + " END")
+
+
+@query("dq_benford_deviation", f"""
+    WITH s AS (SELECT CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1)
+                           AS INT) AS digit
+               FROM orders WHERE o_totalprice > 0),
+    g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM s
+          GROUP BY digit),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g)
+    SELECT digit, n,
+           round(CAST(n AS DOUBLE) / total, 6) AS share,
+           round({_BENFORD_CASE}, 6) AS expected,
+           round(abs(CAST(n AS DOUBLE) / total - {_BENFORD_CASE}), 6)
+             AS abs_dev
+    FROM g CROSS JOIN t ORDER BY digit
+""")
+def dq_benford_deviation(spark, sf_dir):
+    """Benford's-law first-digit audit of order totals — the classic
+    fraud/synthetic-data forensic: naturally-occurring amounts follow
+    P(d) = log10(1 + 1/d), and a per-digit share that deviates flags
+    fabricated or truncated values.  The expected shares are a single
+    Python-computed constant table injected VERBATIM into both
+    engines' expressions (no cross-engine log10 in the hash path);
+    the digit comes from the decimal's string form, not float log10.
+
+    Plan: one scan -> 9-group hash agg -> broadcast of the 1-row
+    total.  At 100 TB this is a metadata-cheap monitor to run per
+    ingest partition."""
+    digit = F.substring(F.col("o_totalprice").cast("string"), 1, 1) \
+        .cast("int").alias("digit")
+    g = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_totalprice") > 0)
+         .select(digit)
+         .groupBy("digit").agg(F.count("*").cast("bigint").alias("n")))
+    t = g.agg(F.sum("n").cast("bigint").alias("total"))
+    expected = F.lit(None).cast("double")
+    for d in range(1, 10):
+        expected = F.when(F.col("digit") == d,
+                          F.lit(_BENFORD_EXPECTED[d])).otherwise(expected)
+    share = F.col("n").cast("double") / F.col("total")
+    return (g.crossJoin(F.broadcast(t))
+            .select("digit", "n",
+                    F.round(share, 6).alias("share"),
+                    F.round(expected, 6).alias("expected"),
+                    F.round(F.abs(share - expected), 6).alias("abs_dev"))
+            .orderBy("digit"))
+
+
+@query("stat_ks_two_sample", """
+    WITH s AS (SELECT l_extendedprice AS v,
+                      CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS a,
+                      CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS b
+               FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+    g AS (SELECT v, CAST(SUM(a) AS BIGINT) AS ca,
+                 CAST(SUM(b) AS BIGINT) AS cb
+          FROM s GROUP BY v),
+    t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                 CAST(SUM(cb) AS BIGINT) AS nb FROM g),
+    c AS (SELECT v,
+                 CAST(SUM(ca) OVER (ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cca,
+                 CAST(SUM(cb) OVER (ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ccb
+          FROM g),
+    d AS (SELECT v, abs(cca * nb - ccb * na) AS num
+          FROM c CROSS JOIN t),
+    w AS (SELECT v, num FROM d ORDER BY num DESC, v LIMIT 1)
+    SELECT round(CAST(w.num AS DOUBLE) / (t.na * t.nb), 6) AS d_stat,
+           t.na AS n_a, t.nb AS n_b,
+           CAST(w.v AS DOUBLE) AS at_value
+    FROM w CROSS JOIN t
+""")
+def stat_ks_two_sample(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov statistic between the returned
+    ('R') and delivered ('N') lineitems' price distributions — the
+    standard nonparametric drift detector (training-data distribution
+    shift between snapshots, A/B sanity).  D = max_x |F_A(x) - F_B(x)|
+    computed EXACTLY: counts per distinct value, integer cumulative
+    sums, and the sup as max |cumA*nb - cumB*na| over the common
+    value grid — one integer division at the end, so both engines
+    hash-match with no float accumulation anywhere.
+
+    Plan: hash agg on the distinct value grid, then the repo's
+    two-phase running sum (range partition + per-partition window +
+    P-row broadcast offsets — no single-partition window over the
+    grid), then a TakeOrderedAndProject argmax.  At 100 TB the grid
+    is value-cardinality-sized and the wide data moves through one
+    range exchange."""
+    s = (_t(spark, sf_dir, "lineitem")
+         .filter(F.col("l_returnflag").isin("R", "N"))
+         .select(F.col("l_extendedprice").alias("v"),
+                 F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+                 .alias("a"),
+                 F.when(F.col("l_returnflag") == "N", 1).otherwise(0)
+                 .alias("b")))
+    g = s.groupBy("v").agg(F.sum("a").cast("bigint").alias("ca"),
+                           F.sum("b").cast("bigint").alias("cb"))
+    t = g.agg(F.sum("ca").cast("bigint").alias("na"),
+              F.sum("cb").cast("bigint").alias("nb"))
+    # two-phase global running sums over the value grid (the
+    # assign_contiguous_ids pattern: no single-partition window)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    with_pid = (g.repartitionByRange(n_parts, "v")
+                .withColumn("pid", F.spark_partition_id())
+                .localCheckpoint())
+    wrun = (Window.partitionBy("pid").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    local = with_pid.select(
+        "v", "pid",
+        F.sum("ca").over(wrun).alias("lca"),
+        F.sum("cb").over(wrun).alias("lcb"))
+    woff = (Window.orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = (with_pid.groupBy("pid")
+            .agg(F.sum("ca").alias("pa"), F.sum("cb").alias("pb"))
+            .select("pid",
+                    F.coalesce(F.sum("pa").over(woff), F.lit(0))
+                    .alias("offa"),
+                    F.coalesce(F.sum("pb").over(woff), F.lit(0))
+                    .alias("offb")))
+    c = (local.join(F.broadcast(offs), "pid")
+         .select("v",
+                 (F.col("lca") + F.col("offa")).cast("bigint").alias("cca"),
+                 (F.col("lcb") + F.col("offb")).cast("bigint").alias("ccb")))
+    d = (c.crossJoin(F.broadcast(t))
+         .select("v", F.abs(F.col("cca") * F.col("nb")
+                            - F.col("ccb") * F.col("na")).alias("num")))
+    w = d.orderBy(F.desc("num"), "v").limit(1)
+    return (w.crossJoin(F.broadcast(t))
+            .select(F.round(F.col("num").cast("double")
+                            / (F.col("na") * F.col("nb")), 6)
+                    .alias("d_stat"),
+                    F.col("na").alias("n_a"), F.col("nb").alias("n_b"),
+                    F.col("v").cast("double").alias("at_value")))

@@ -392,3 +392,40 @@ def test_ppr_multi_slice_equals_single_seed(spark, sf_dir):
     assert len(mass) >= 2
     for s, m in mass.items():
         assert abs(m - 1.0) < 1e-5, (s, m)
+
+
+def test_benford_shares_sum_to_one(spark, sf_dir):
+    from mental_health_bigdata_project_spark.plans import QUERIES
+
+    rows = QUERIES["dq_benford_deviation"](spark, sf_dir).collect()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.expected for r in rows) - 1.0) < 1e-4
+    assert all(r.abs_dev >= 0 for r in rows)
+
+
+def test_ks_statistic_matches_exact_recompute(spark, sf_dir):
+    """D recomputed in pure Python over collected samples (exact
+    integer arithmetic, same sup-over-grid definition) must equal the
+    distributed two-phase result — pins the running-sum offsets."""
+    from mental_health_bigdata_project_spark.plans import QUERIES
+    from mental_health_bigdata_project_spark.sources import load_table
+    from fractions import Fraction
+
+    row = QUERIES["stat_ks_two_sample"](spark, sf_dir).collect()[0]
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter("l_returnflag IN ('R','N')")
+          .select("l_extendedprice", "l_returnflag").collect())
+    from collections import Counter
+    ca, cb = Counter(), Counter()
+    for r in li:
+        (ca if r.l_returnflag == "R" else cb)[r.l_extendedprice] += 1
+    na, nb = sum(ca.values()), sum(cb.values())
+    assert (row.n_a, row.n_b) == (na, nb)
+    cum_a = cum_b = 0
+    best = Fraction(0)
+    for v in sorted(set(ca) | set(cb)):
+        cum_a += ca.get(v, 0)
+        cum_b += cb.get(v, 0)
+        best = max(best, abs(Fraction(cum_a, na) - Fraction(cum_b, nb)))
+    assert abs(row.d_stat - float(best)) < 5e-7
