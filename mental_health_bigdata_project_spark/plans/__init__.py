@@ -181,6 +181,8 @@ _CONVERTED_FRONT = [
     # --- new in round 7 (append here; driver row lands this round) ---
     "graph_ppr_fixed", "sample_coreset_kcenter", "vec_matryoshka_recall",
     "graph_ppr_multi", "dq_benford_deviation", "stat_ks_two_sample",
+    "dedup_bbit_minhash", "stat_mann_whitney", "stat_chi_square",
+    "text_ttr_mattr",
 ]
 
 

@@ -1447,3 +1447,170 @@ def stat_ks_two_sample(spark, sf_dir):
                     .alias("d_stat"),
                     F.col("na").alias("n_a"), F.col("nb").alias("n_b"),
                     F.col("v").cast("double").alias("at_value")))
+
+
+@query("stat_mann_whitney", """
+    WITH s AS (SELECT value AS v,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a,
+                      CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS b
+               FROM events
+               WHERE event_type IN ('purchase', 'click')
+                 AND value IS NOT NULL),
+    g AS (SELECT v, CAST(SUM(a) AS BIGINT) AS ca,
+                 CAST(SUM(b) AS BIGINT) AS cb
+          FROM s GROUP BY v),
+    t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                 CAST(SUM(cb) AS BIGINT) AS nb FROM g),
+    c AS (SELECT v, ca, cb,
+                 CAST(SUM(ca + cb) OVER (ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cab
+          FROM g),
+    r AS (SELECT
+            CAST(SUM(ca * (2 * (cab - ca - cb) + ca + cb + 1)) AS BIGINT)
+              AS two_ra,
+            CAST(SUM((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))
+              AS BIGINT) AS ties
+          FROM c)
+    SELECT t.na AS n_a, t.nb AS n_b,
+           (r.two_ra - t.na * (t.na + 1)) / 2.0 AS u_stat,
+           t.na * t.nb / 2.0 AS mu_u,
+           round(sqrt((t.na * t.nb / 12.0)
+                 * ((t.na + t.nb + 1)
+                    - CAST(r.ties AS DOUBLE)
+                      / ((t.na + t.nb) * (t.na + t.nb - 1.0)))), 6)
+             AS sigma_u,
+           round(((r.two_ra - t.na * (t.na + 1)) / 2.0
+                  - t.na * t.nb / 2.0)
+                 / sqrt((t.na * t.nb / 12.0)
+                   * ((t.na + t.nb + 1)
+                      - CAST(r.ties AS DOUBLE)
+                        / ((t.na + t.nb) * (t.na + t.nb - 1.0)))), 6)
+             AS z_score
+    FROM r CROSS JOIN t
+""")
+def stat_mann_whitney(spark, sf_dir):
+    """Exact two-sample Mann-Whitney U (tie-corrected normal
+    approximation) between the purchase and click event-value
+    distributions — the rank-based sibling of stat_ks_two_sample for
+    drift detection when the difference is a location shift rather
+    than an arbitrary shape change.  The rank sum uses the all-integer
+    identity 2*R_A = sum_v ca*(2*prev + t + 1) over the distinct-value
+    grid (prev = items strictly below v, t = tied count), so U and
+    mu are exact halves of integers; only sigma and z take a sqrt,
+    each a single float expression rounded at 6dp on both engines.
+
+    Plan: the same shape as stat_ks_two_sample — hash agg onto the
+    value grid, the repo's two-phase running sum (no single-partition
+    window), then a 1-row rollup; at 100 TB the only wide exchange is
+    the range partition of the value-cardinality grid."""
+    s = (_t(spark, sf_dir, "events")
+         .filter(F.col("event_type").isin("purchase", "click")
+                 & F.col("value").isNotNull())
+         .select(F.col("value").alias("v"),
+                 F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                 .alias("a"),
+                 F.when(F.col("event_type") == "click", 1).otherwise(0)
+                 .alias("b")))
+    g = s.groupBy("v").agg(F.sum("a").cast("bigint").alias("ca"),
+                           F.sum("b").cast("bigint").alias("cb"))
+    t = g.agg(F.sum("ca").cast("bigint").alias("na"),
+              F.sum("cb").cast("bigint").alias("nb"))
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    with_pid = (g.repartitionByRange(n_parts, "v")
+                .withColumn("pid", F.spark_partition_id())
+                .localCheckpoint())
+    wrun = (Window.partitionBy("pid").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    local = with_pid.select(
+        "v", "ca", "cb", "pid",
+        F.sum(F.col("ca") + F.col("cb")).over(wrun).alias("lcab"))
+    woff = (Window.orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = (with_pid.groupBy("pid")
+            .agg(F.sum(F.col("ca") + F.col("cb")).alias("pab"))
+            .select("pid",
+                    F.coalesce(F.sum("pab").over(woff), F.lit(0))
+                    .alias("offab")))
+    tied = F.col("ca") + F.col("cb")
+    c = (local.join(F.broadcast(offs), "pid")
+         .select("v", "ca", "cb",
+                 (F.col("lcab") + F.col("offab")).cast("bigint")
+                 .alias("cab")))
+    r = c.agg(
+        F.sum(F.col("ca") * (2 * (F.col("cab") - tied) + tied + 1))
+        .cast("bigint").alias("two_ra"),
+        F.sum(tied * tied * tied - tied).cast("bigint").alias("ties"))
+    na, nb = F.col("na"), F.col("nb")
+    n_tot = na + nb
+    u_stat = (F.col("two_ra") - na * (na + 1)) / F.lit(2.0)
+    mu = na * nb / F.lit(2.0)
+    sigma = F.sqrt((na * nb / F.lit(12.0))
+                   * ((n_tot + 1)
+                      - F.col("ties").cast("double")
+                      / (n_tot * (n_tot - F.lit(1.0)))))
+    return (r.crossJoin(F.broadcast(t))
+            .select(na.alias("n_a"), nb.alias("n_b"),
+                    u_stat.alias("u_stat"), mu.alias("mu_u"),
+                    F.round(sigma, 6).alias("sigma_u"),
+                    F.round((u_stat - mu) / sigma, 6).alias("z_score")))
+
+
+@query("stat_chi_square", """
+    WITH g AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+               FROM documents GROUP BY lang, source),
+    r AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rt FROM g GROUP BY lang),
+    c AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ct FROM g
+          GROUP BY source),
+    t AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                 CAST(count(DISTINCT lang) AS INT) AS n_langs,
+                 CAST(count(DISTINCT source) AS INT) AS n_sources
+          FROM g),
+    s AS (SELECT CAST(SUM(CAST(
+                 CAST(g.o AS DOUBLE) * g.o / (r.rt * c.ct)
+                 AS DECIMAL(38, 18))) AS DOUBLE) AS ratio_sum
+          FROM g JOIN r USING (lang) JOIN c USING (source))
+    SELECT t.n, t.n_langs, t.n_sources,
+           (t.n_langs - 1) * (t.n_sources - 1) AS dof,
+           round(t.n * (s.ratio_sum - 1.0), 6) AS chi2,
+           round(sqrt((s.ratio_sum - 1.0)
+                 / least(t.n_langs - 1, t.n_sources - 1)), 6)
+             AS cramers_v
+    FROM s CROSS JOIN t
+""")
+def stat_chi_square(spark, sf_dir):
+    """Chi-square test of independence on the documents lang x source
+    contingency table, plus Cramer's V effect size — the categorical
+    drift/bias monitor (is a crawl source over-representing a
+    language?).  Uses the identity chi2 = N*(sum_cells o^2/(rt*ct) - 1),
+    which needs NO dense cell grid: absent cells contribute 0 to the
+    sum exactly as they should, so sparse group-by output is the whole
+    computation.  Each cell ratio is one deterministic double; the
+    cross-engine sum goes through DECIMAL(38,18) per the registry's
+    decimal-accumulation rule.
+
+    Plan: one scan -> (lang,source) hash agg, two metadata-sized
+    rollups re-joined broadcast, 1-row result.  At 100 TB the wide
+    exchange is the first agg only; everything after is
+    cell-cardinality-sized."""
+    g = (_t(spark, sf_dir, "documents")
+         .groupBy("lang", "source")
+         .agg(F.count("*").cast("bigint").alias("o")))
+    r = g.groupBy("lang").agg(F.sum("o").cast("bigint").alias("rt"))
+    c = g.groupBy("source").agg(F.sum("o").cast("bigint").alias("ct"))
+    t = g.agg(F.sum("o").cast("bigint").alias("n"),
+              F.countDistinct("lang").cast("int").alias("n_langs"),
+              F.countDistinct("source").cast("int").alias("n_sources"))
+    ratio = (F.col("o").cast("double") * F.col("o")
+             / (F.col("rt") * F.col("ct")))
+    s = (g.join(F.broadcast(r), "lang").join(F.broadcast(c), "source")
+         .agg(F.sum(ratio.cast("decimal(38,18)")).cast("double")
+              .alias("ratio_sum")))
+    excess = F.col("ratio_sum") - F.lit(1.0)
+    return (s.crossJoin(F.broadcast(t))
+            .select("n", "n_langs", "n_sources",
+                    ((F.col("n_langs") - 1) * (F.col("n_sources") - 1))
+                    .alias("dof"),
+                    F.round(F.col("n") * excess, 6).alias("chi2"),
+                    F.round(F.sqrt(excess / F.least(
+                        F.col("n_langs") - 1, F.col("n_sources") - 1)), 6)
+                    .alias("cramers_v")))

@@ -1138,6 +1138,67 @@ def corpus_neardup_pairs(spark, sf_dir) -> DataFrame:
     return p
 
 
+# b = 2 bits of each of the 16 minhashes: the value of the LAST hex
+# nibble mod 4, identically derivable from the md5 hex string in both
+# engines (DuckDB casts '0x<nibble>'; Spark conv()s the nibble).
+_BBIT_AGREE_SQL = " + ".join(
+    f"(CASE WHEN CAST('0x' || right(x.m{s}, 1) AS INT) % 4"
+    f" = CAST('0x' || right(y.m{s}, 1) AS INT) % 4 THEN 1 ELSE 0 END)"
+    for s in range(N_MINHASH))
+
+
+@query("dedup_bbit_minhash", f"""
+    WITH {_portable_pairs_ctes("TRUE")}
+    SELECT p.doc_a, p.doc_b,
+           round(p.est_jaccard, 6) AS est_full,
+           round((({_BBIT_AGREE_SQL}) - 4) / 12.0, 6) AS est_b2,
+           round(abs((({_BBIT_AGREE_SQL}) - 4) / 12.0 - p.est_jaccard), 6)
+             AS abs_gap
+    FROM ppairs p
+    JOIN mins x ON x.doc_id = p.doc_a
+    JOIN mins y ON y.doc_id = p.doc_b
+""")
+def dedup_bbit_minhash(spark, sf_dir):
+    """b-bit minhash (Li & Koenig, WWW 2010): store only the lowest
+    b=2 bits of each minhash and unbias the collision rate with
+    J = (P - 2^-b) / (1 - 2^-b) — here (agree - 4)/12 over the 16
+    hashes, all integer-derived so both engines hash-match.  The point
+    at 100 TB is storage: a 16x32-bit signature register becomes
+    16x2 bits (4 bytes/doc), an 8x cut in the state every LSH probe
+    and every shuffle of the dedup pipeline carries, at the price of
+    estimator variance the abs_gap column measures directly against
+    the full-width estimate on the same candidate pairs.
+
+    Plan: the memoized LSH candidate-pair artifact supplies the pairs
+    (no new band join); the signature relation joins in twice by
+    doc id (shuffle on a bigint key); the 16-term nibble comparison is
+    pure codegen projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    mins = portable_minhash_sigs(docs, "doc_id", "text")
+
+    def bit2(c: str) -> Column:
+        return F.conv(F.substring(c, 32, 1), 16, 10).cast("int") % 4
+
+    x = mins.select(F.col("doc_id").alias("doc_a"),
+                    *[bit2(f"m{s}").alias(f"bx{s}")
+                      for s in range(N_MINHASH)])
+    y = mins.select(F.col("doc_id").alias("doc_b"),
+                    *[bit2(f"m{s}").alias(f"by{s}")
+                      for s in range(N_MINHASH)])
+    j = (corpus_neardup_pairs(spark, sf_dir)
+         .join(x, "doc_a").join(y, "doc_b"))
+    agree = None
+    for s in range(N_MINHASH):
+        term = (F.col(f"bx{s}") == F.col(f"by{s}")).cast("int")
+        agree = term if agree is None else agree + term
+    est_b2 = (agree - F.lit(4)) / F.lit(12.0)
+    return j.select(
+        "doc_a", "doc_b",
+        F.round("est_jaccard", 6).alias("est_full"),
+        F.round(est_b2, 6).alias("est_b2"),
+        F.round(F.abs(est_b2 - F.col("est_jaccard")), 6).alias("abs_gap"))
+
+
 @query("dedup_simhash")  # rows-only: xxhash64 is engine-specific
 def dedup_simhash(spark, sf_dir):
     """32-bit SimHash signatures from token xxhash64s: per-bit majority

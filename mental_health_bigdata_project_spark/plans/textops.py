@@ -3627,3 +3627,57 @@ def source_overlap_matrix(spark, sf_dir):
                     F.round(F.col("shared_fps").cast("double")
                             / (F.col("fps_a") + F.col("fps_b")
                                - F.col("shared_fps")), 6).alias("jaccard")))
+
+
+@query("text_ttr_mattr", f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+               WHERE len({_TOKS_SQL}) > 0)
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INT) AS n_types,
+           round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+             AS ttr,
+           round(CASE WHEN len(toks) >= 50 THEN
+                   CAST(list_sum(list_transform(
+                        generate_series(1, len(toks) - 49),
+                        i -> len(list_distinct(toks[i:i+49])))) AS DOUBLE)
+                   / ((len(toks) - 49) * 50.0)
+                 ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                 END, 6) AS mattr_w50
+    FROM t
+""")
+def text_ttr_mattr(spark, sf_dir):
+    """Lexical diversity per document: raw type-token ratio plus MATTR
+    (moving-average TTR, Covington & McFall 2010, window 50) — the
+    curation-grade signal, because raw TTR falls with document length
+    while MATTR is length-invariant, so one threshold works across a
+    corpus of mixed-length docs.  Every window statistic is computed
+    INSIDE the row over the token array (sequence -> slice ->
+    array_distinct -> fold), so the whole query is one scan with zero
+    shuffles and zero Python — at 100 TB it rides whole-stage codegen
+    at scan speed like the Gopher battery.  Docs shorter than the
+    window fall back to raw TTR (the MATTR convention).
+
+    O(n * w) per row is the honest cost; at w=50 on ~100-token docs
+    that is ~5k cell-compares per row, far below the explode+window
+    alternative's two corpus shuffles."""
+    toks = F.col("toks")
+    n = F.size(toks)
+    types = F.size(F.array_distinct(toks))
+    ttr = types.cast("double") / n
+    wins = F.transform(
+        F.sequence(F.lit(1), n - 49),
+        lambda i: F.size(F.array_distinct(F.slice(toks, i, 50))))
+    mattr = F.when(
+        n >= 50,
+        F.aggregate(wins, F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).cast("double")
+        / ((n - 49) * F.lit(50.0))).otherwise(ttr)
+    return (_docs(spark, sf_dir)
+            .select("doc_id", tokens_col().alias("toks"))
+            .filter(F.size("toks") > 0)
+            .select("doc_id",
+                    n.cast("int").alias("n_tokens"),
+                    types.cast("int").alias("n_types"),
+                    F.round(ttr, 6).alias("ttr"),
+                    F.round(mattr, 6).alias("mattr_w50")))

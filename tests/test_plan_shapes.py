@@ -136,6 +136,19 @@ GUARDED = [
     #     single-partition exchange and no SMJ
     ("graph_pagerank_fixed", 1, 0),
     ("graph_hits_fixed", 1, 0),
+    # round-7 additions.
+    #   stat_mann_whitney: the stat_ks class — the P-row offset
+    #     prefix-sum window plus the 1-row totals and 1-row rollup
+    #     aggregates (all metadata-sized; the wide data moves through
+    #     the one range exchange of the value grid);
+    #   stat_chi_square: two 1-row summary aggregates (totals pivot,
+    #     decimal ratio sum) cross-joined into the single output row;
+    #   dedup_bbit_minhash / text_ttr_mattr: no global aggregate — the
+    #     pair artifact joins hash on doc ids, MATTR is pure scan.
+    ("stat_mann_whitney", 3, 0),
+    ("stat_chi_square", 2, 0),
+    ("dedup_bbit_minhash", 0, 0),
+    ("text_ttr_mattr", 0, 0),
 ]
 
 

@@ -1,0 +1,175 @@
+"""Semantic tests for the round-7 statistics/curation operators:
+Mann-Whitney U, chi-square independence, b-bit minhash, and MATTR
+lexical diversity.  Value-parity vs DuckDB is scripts/check_oracles.py;
+these pin the *semantics* against exact pure-Python recomputes and
+hand-built inputs at sf0.001."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+from fractions import Fraction
+
+from mental_health_bigdata_project_spark.plans import QUERIES
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint")
+    d = str(tmp_path / "docs")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+# --- stat_mann_whitney ------------------------------------------------------
+
+def test_mann_whitney_matches_exact_recompute(spark, sf_dir):
+    """U, mu, sigma, z recomputed in pure Python with Fraction rank
+    sums over the collected samples must equal the distributed
+    two-phase result — pins the all-integer 2*R_A identity AND the
+    running-sum offsets."""
+    from mental_health_bigdata_project_spark.sources import load_table
+
+    row = QUERIES["stat_mann_whitney"](spark, sf_dir).collect()[0]
+    ev = (load_table(spark, sf_dir, "events")
+          .filter("event_type IN ('purchase','click') AND value IS NOT NULL")
+          .select("event_type", "value").collect())
+    ca, cb = Counter(), Counter()
+    for r in ev:
+        (ca if r.event_type == "purchase" else cb)[r.value] += 1
+    na, nb = sum(ca.values()), sum(cb.values())
+    assert (row.n_a, row.n_b) == (na, nb)
+    # exact rank sum for group A with average ranks on ties
+    prev = 0
+    two_ra = 0
+    ties = 0
+    for v in sorted(set(ca) | set(cb)):
+        t = ca.get(v, 0) + cb.get(v, 0)
+        two_ra += ca.get(v, 0) * (2 * prev + t + 1)
+        ties += t ** 3 - t
+        prev += t
+    u = Fraction(two_ra - na * (na + 1), 2)
+    assert row.u_stat == float(u)
+    assert row.mu_u == na * nb / 2.0
+    n_tot = na + nb
+    var = (na * nb / 12.0) * ((n_tot + 1)
+                              - ties / (n_tot * (n_tot - 1.0)))
+    assert abs(row.sigma_u - var ** 0.5) < 5e-7
+    assert abs(row.z_score - (float(u) - na * nb / 2.0) / var ** 0.5) < 5e-7
+
+
+# --- stat_chi_square --------------------------------------------------------
+
+def test_chi_square_matches_exact_recompute(spark, sf_dir):
+    from mental_health_bigdata_project_spark.sources import load_table
+
+    row = QUERIES["stat_chi_square"](spark, sf_dir).collect()[0]
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("lang", "source").collect())
+    cells = Counter((r.lang, r.source) for r in docs)
+    rt = Counter()
+    ct = Counter()
+    for (lg, src), o in cells.items():
+        rt[lg] += o
+        ct[src] += o
+    n = sum(cells.values())
+    assert (row.n, row.n_langs, row.n_sources) == (n, len(rt), len(ct))
+    assert row.dof == (len(rt) - 1) * (len(ct) - 1)
+    # classic (o-e)^2/e over the DENSE grid (including absent cells)
+    chi2 = 0.0
+    for lg in rt:
+        for src in ct:
+            e = rt[lg] * ct[src] / n
+            o = cells.get((lg, src), 0)
+            chi2 += (o - e) ** 2 / e
+    assert abs(row.chi2 - chi2) < 1e-4
+    v = (chi2 / (n * min(len(rt) - 1, len(ct) - 1))) ** 0.5
+    assert abs(row.cramers_v - v) < 1e-6
+
+
+def test_chi_square_zero_for_perfect_independence(spark, tmp_path):
+    # 2 langs x 2 sources, every cell 2 docs: chi2 exactly 0.
+    rows = []
+    i = 0
+    for lang in ("en", "fr"):
+        for src in ("s0", "s1"):
+            for _ in range(2):
+                rows.append((i, f"tok{i} a b", lang, src, 9))
+                i += 1
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint")
+    d = str(tmp_path / "ind")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    row = QUERIES["stat_chi_square"](spark, d).collect()[0]
+    assert row.chi2 == 0.0
+    assert row.cramers_v == 0.0
+    assert row.dof == 1
+
+
+# --- dedup_bbit_minhash -----------------------------------------------------
+
+def _minhash_sigs(text: str) -> list[str]:
+    toks = text.lower().split()
+    shingles = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+    hs = [hashlib.md5(s.encode()).hexdigest() for s in shingles]
+    return [min(hashlib.md5(f"{h}-{s}".encode()).hexdigest() for h in hs)
+            for s in range(16)]
+
+
+def test_bbit_estimates_match_hand_recompute(spark, tmp_path):
+    # near-identical pair (one trailing token differs) -> LSH candidate.
+    toks = [f"w{i}" for i in range(20)]
+    a_text = " ".join(toks)
+    b_text = " ".join(toks[:-1] + ["zz"])
+    d = _write_docs(spark, tmp_path, [(1, a_text), (2, b_text),
+                                      (3, " ".join(f"q{i}" for i in range(20)))])
+    out = {(r.doc_a, r.doc_b): r
+           for r in QUERIES["dedup_bbit_minhash"](spark, d).collect()}
+    assert (1, 2) in out
+    r = out[(1, 2)]
+    sa, sb = _minhash_sigs(a_text), _minhash_sigs(b_text)
+    agree_full = sum(x == y for x, y in zip(sa, sb))
+    agree_b2 = sum(int(x[-1], 16) % 4 == int(y[-1], 16) % 4
+                   for x, y in zip(sa, sb))
+    assert abs(r.est_full - agree_full / 16.0) < 1e-9
+    assert abs(r.est_b2 - (agree_b2 - 4) / 12.0) < 1e-9
+    assert abs(r.abs_gap - abs(r.est_b2 - r.est_full)) < 5e-7
+
+
+def test_bbit_identical_docs_estimate_one(spark, tmp_path):
+    text = " ".join(f"w{i}" for i in range(15))
+    d = _write_docs(spark, tmp_path, [(1, text), (2, text)])
+    r = QUERIES["dedup_bbit_minhash"](spark, d).collect()[0]
+    assert r.est_full == 1.0
+    assert r.est_b2 == 1.0
+    assert r.abs_gap == 0.0
+
+
+# --- text_ttr_mattr ---------------------------------------------------------
+
+def test_mattr_window_semantics(spark, tmp_path):
+    all_same = " ".join(["dup"] * 60)          # 1 type per window
+    all_distinct = " ".join(f"u{i}" for i in range(60))
+    short = "a b b"                            # < window: falls back to TTR
+    d = _write_docs(spark, tmp_path,
+                    [(1, all_same), (2, all_distinct), (3, short)])
+    out = {r.doc_id: r for r in QUERIES["text_ttr_mattr"](spark, d).collect()}
+    assert out[1].n_tokens == 60 and out[1].n_types == 1
+    assert abs(out[1].mattr_w50 - 1 / 50) < 1e-6
+    assert abs(out[1].ttr - 1 / 60) < 1e-6
+    assert out[2].mattr_w50 == 1.0 and out[2].ttr == 1.0
+    assert out[3].n_tokens == 3 and out[3].n_types == 2
+    assert abs(out[3].mattr_w50 - out[3].ttr) < 1e-12
+
+def test_mattr_is_length_invariant_where_ttr_is_not(spark, tmp_path):
+    """The reason MATTR exists: repeat the same 50-token pattern 1x vs
+    4x — TTR falls with length, MATTR stays put."""
+    base = [f"t{i}" for i in range(25)] * 2    # 50 tokens, 25 types
+    d = _write_docs(spark, tmp_path,
+                    [(1, " ".join(base)), (2, " ".join(base * 4))])
+    out = {r.doc_id: r for r in QUERIES["text_ttr_mattr"](spark, d).collect()}
+    assert out[2].ttr < out[1].ttr             # raw TTR length-biased
+    assert abs(out[1].mattr_w50 - out[2].mattr_w50) < 1e-6
