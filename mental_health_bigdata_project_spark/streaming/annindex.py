@@ -27,12 +27,26 @@ index — exactly the 100 TB vector-serving layout, built online:
   store partition-pruned; the codebook partials fold to one row per
   (sub, code, j).
 
-Three log-structured tables under ``index_dir``:
+- **Deletes are EXACT UNLEARNING**: a tombstone batch records the
+  deleted ids with the ingest horizon it covers, and writes NEGATIVE
+  codebook / coarse-centroid partials computed from the stored
+  components of the doomed rows.  Integer sums cancel exactly, so
+  after deleting B from an A∪B index, every served distance is
+  bit-identical to an index that never ingested B (pinned in
+  tests/test_streaming_ann.py) — the GDPR/right-to-be-forgotten path
+  without a single index rebuild.  Re-ingest after delete works: a
+  tombstone kills only rows at or below its recorded horizon.
+
+Log-structured tables under ``index_dir`` (ingest-stream counter):
   codes/    (vec_id, cell, sub, code)        — the 4-bit PQ index rows
   vecs/     (vec_id, sub, j, qv, xv)         — raw components (exact
                                                rescoring / refinement)
   cbook/    (sub, code, j, s_qv, n)          — codebook partials
   cellcen/  (cell, pos, s_qv, n)             — coarse-centroid partials
+Delete-stream counter (independent micro-batch sequence):
+  tombs/       (vec_id, thru_ingest)         — tombstones + horizon
+  cbook_neg/   (sub, code, j, s_qv, n)       — negative partials
+  cellcen_neg/ (cell, pos, s_qv, n)          — negative partials
 """
 
 from __future__ import annotations
@@ -87,6 +101,113 @@ def _read(spark, index_dir: str, name: str, cols) -> DataFrame:
     return df
 
 
+def _read_opt(spark, index_dir: str, name: str, cols):
+    """Like ``_read`` but a missing table is a legitimate state (no
+    delete has ever run): returns None instead of raising."""
+    from .neardup import _read_index
+
+    return _read_index(spark, _p(index_dir, name), cols)
+
+
+def _max_ingest_batch(spark, index_dir: str) -> int:
+    """Newest live ingest batch of the vecs table (delta partitions
+    plus, if compacted, the manifest horizon) — the horizon a
+    tombstone freezes so replays of the delete batch subtract the
+    SAME contributions even if ingest advanced in between."""
+    from .compaction import _batch_dirs, _batch_id_of, load_manifest
+
+    path = _p(index_dir, "vecs")
+    bids = [b for b in (_batch_id_of(d) for d in _batch_dirs(path))
+            if b is not None]
+    m = load_manifest(path)
+    if m is not None:
+        bids.append(int(m["through"]))
+    if not bids:
+        raise FileNotFoundError(f"no ingested batches under {index_dir}")
+    return max(bids)
+
+
+def _kill_filter(rows: DataFrame, tombs: DataFrame | None) -> DataFrame:
+    """Drop rows a tombstone covers: dead iff the row's ingest
+    ``batch_id`` <= some tombstone's ``thru_ingest`` for that vec_id.
+    Re-ingests above the horizon survive.  ``rows`` must carry
+    batch_id; the column passes through."""
+    if tombs is None:
+        return rows
+    kill = tombs.groupBy("vec_id").agg(
+        F.max("thru_ingest").alias("_ktb"))
+    return (rows.join(kill, "vec_id", "left")
+            .filter(F.col("_ktb").isNull()
+                    | (F.col("batch_id") > F.col("_ktb")))
+            .drop("_ktb"))
+
+
+def delete_batch(spark, ids_df: DataFrame, batch_id: int,
+                 index_dir: str) -> None:
+    """One micro-batch of tombstone deletes (the foreachBatch body of
+    the delete stream, an INDEPENDENT batch counter from ingest).
+
+    Exact unlearning in three writes, crash-safe in this order:
+    negative codebook partials, negative coarse-centroid partials,
+    then the tombstones themselves (the commit point — the horizon is
+    re-read from an already-committed ``batch_id=N`` tombstone
+    partition on replay, so retried negatives are bit-identical even
+    if ingest advanced between attempts; a crash before the tombstone
+    write leaves unreferenced negatives the retry overwrites in
+    place via dynamic partition overwrite).
+
+    Contract: deletes apply to data ingested at or below the horizon
+    taken when the delete is processed; an ingest batch racing the
+    delete with a smaller-or-equal batch_id is covered by it."""
+    from .neardup import _read_index
+
+    ids = ids_df.select("vec_id").distinct().localCheckpoint(eager=True)
+    tombs_path = _p(index_dir, "tombs")
+    own_dir = os.path.join(tombs_path, f"batch_id={batch_id}")
+    if os.path.isdir(own_dir):  # crash-retry: reuse the committed horizon
+        thru = spark.read.parquet(own_dir).agg(
+            F.max("thru_ingest")).collect()[0][0]
+    else:
+        thru = _max_ingest_batch(spark, index_dir)
+    prior = _read_index(spark, tombs_path, ["vec_id", "thru_ingest"],
+                        before_batch=batch_id)
+    vecs = _read(spark, index_dir, "vecs",
+                 ["vec_id", "sub", "j", "qv", "batch_id"])
+    codes = _read(spark, index_dir, "codes",
+                  ["vec_id", "cell", "sub", "code", "batch_id"])
+    doomed_v = _kill_filter(
+        vecs.filter(F.col("batch_id") <= F.lit(int(thru)))
+        .join(ids, "vec_id", "left_semi"), prior)
+    doomed_c = _kill_filter(
+        codes.filter(F.col("batch_id") <= F.lit(int(thru)))
+        .join(ids, "vec_id", "left_semi"), prior)
+    # negative codebook partials: the doomed components keyed by their
+    # stored code assignment (join multiplicity-exact on the ingest
+    # batch so a twice-ingested, once-deleted id subtracts twice)
+    neg_cb = (doomed_v
+              .join(doomed_c.select("vec_id", "sub", "code", "batch_id"),
+                    ["vec_id", "sub", "batch_id"])
+              .groupBy("sub", "code", "j")
+              .agg((-F.sum("qv")).alias("s_qv"),
+                   (-F.count("qv")).alias("n")))
+    _write_delta(neg_cb, batch_id, _p(index_dir, "cbook_neg"))
+    # negative coarse-centroid partials: same components re-keyed to
+    # (cell, flat position) — cellcen's q[pos] IS vecs.qv at
+    # pos = sub*SUBDIM + j (both are floor(x*1e6) of the embedding)
+    neg_cc = (doomed_v
+              .join(doomed_c.select("vec_id", "cell", "sub", "batch_id")
+                    .dropDuplicates(["vec_id", "sub", "batch_id"]),
+                    ["vec_id", "sub", "batch_id"])
+              .select((F.col("sub") * _PQ_SUBDIM + F.col("j"))
+                      .alias("pos"), "cell", "qv")
+              .groupBy("cell", "pos")
+              .agg((-F.sum("qv")).alias("s_qv"),
+                   (-F.count("qv")).alias("n")))
+    _write_delta(neg_cc, batch_id, _p(index_dir, "cellcen_neg"))
+    _write_delta(ids.withColumn("thru_ingest", F.lit(int(thru))),
+                 batch_id, tombs_path)  # the commit point
+
+
 def search_topk(spark, index_dir: str, query_vec_id: int = 1) -> DataFrame:
     """Serve the IVFADC search from the persisted index: candidates in
     the query's top-``_IVF_N_PROBE`` cells scored by ADC, exact
@@ -97,26 +218,46 @@ def search_topk(spark, index_dir: str, query_vec_id: int = 1) -> DataFrame:
                        .cast("double"))
     dsum9_38 = lambda c: (F.sum(F.round(c, 9).cast("decimal(38,9)"))  # noqa: E731
                           .cast("double"))
-    vecs = _read(spark, index_dir, "vecs",
-                 ["vec_id", "sub", "j", "qv", "xv"])
-    codes = _read(spark, index_dir, "codes",
-                  ["vec_id", "cell", "sub", "code"])
+    tombs = _read_opt(spark, index_dir, "tombs", ["vec_id", "thru_ingest"])
+    vecs = _kill_filter(
+        _read(spark, index_dir, "vecs",
+              ["vec_id", "sub", "j", "qv", "xv", "batch_id"]),
+        tombs).drop("batch_id")
+    codes = _kill_filter(
+        _read(spark, index_dir, "codes",
+              ["vec_id", "cell", "sub", "code", "batch_id"]),
+        tombs).drop("batch_id")
     # exact integer-mean codebook from the folded partials (sum of
-    # per-batch sums == corpus sum: merge-lossless)
-    cen = (_read(spark, index_dir, "cbook",
-                 ["sub", "code", "j", "s_qv", "n"])
-           .groupBy("sub", "code", "j")
-           .agg((F.sum("s_qv").cast("double") / F.sum("n")
-                 / F.lit(1_000_000.0)).alias("cv")))
+    # per-batch sums == corpus sum: merge-lossless; delete batches'
+    # NEGATIVE partials cancel doomed contributions exactly, so the
+    # folded means equal a never-ingested-the-deleted index bit for
+    # bit; n = 0 rows are fully-unlearned codes with no members left)
+    cb = _read(spark, index_dir, "cbook", ["sub", "code", "j", "s_qv", "n"])
+    cb_neg = _read_opt(spark, index_dir, "cbook_neg",
+                       ["sub", "code", "j", "s_qv", "n"])
+    if cb_neg is not None:
+        cb = cb.unionByName(cb_neg)
+    cen = (cb.groupBy("sub", "code", "j")
+           .agg(F.sum("s_qv").alias("s_qv"), F.sum("n").alias("n"))
+           .filter(F.col("n") > 0)
+           .select("sub", "code", "j",
+                   (F.col("s_qv").cast("double") / F.col("n")
+                    / F.lit(1_000_000.0)).alias("cv")))
     qe = (vecs.filter(F.col("vec_id") == query_vec_id)
           .select("sub", "j", F.col("xv").alias("qx"))
           .localCheckpoint(eager=True))
     # coarse probe: rank cells by decimal-summed centroid cosine
-    cellcen = (_read(spark, index_dir, "cellcen",
-                     ["cell", "pos", "s_qv", "n"])
-               .groupBy("cell", "pos")
-               .agg((F.sum("s_qv").cast("double") / F.sum("n")
-                     / F.lit(1_000_000.0)).alias("centroid_val")))
+    cc = _read(spark, index_dir, "cellcen", ["cell", "pos", "s_qv", "n"])
+    cc_neg = _read_opt(spark, index_dir, "cellcen_neg",
+                       ["cell", "pos", "s_qv", "n"])
+    if cc_neg is not None:
+        cc = cc.unionByName(cc_neg)
+    cellcen = (cc.groupBy("cell", "pos")
+               .agg(F.sum("s_qv").alias("s_qv"), F.sum("n").alias("n"))
+               .filter(F.col("n") > 0)
+               .select("cell", "pos",
+                       (F.col("s_qv").cast("double") / F.col("n")
+                        / F.lit(1_000_000.0)).alias("centroid_val")))
     qpos = qe.select((F.col("sub") * _PQ_SUBDIM + F.col("j")).alias("pos"),
                      F.col("qx"))
     sc = (cellcen.join(F.broadcast(qpos), "pos")
@@ -170,12 +311,39 @@ def run_incremental_ann(stream: DataFrame, checkpoint_dir: str,
             .start())
 
 
-def compact_ann_index(spark, index_dir: str, through: int) -> dict:
+def run_ann_deletes(stream: DataFrame, checkpoint_dir: str,
+                    index_dir: str):
+    """Attach the tombstone-delete sink to a stream of (vec_id) rows
+    and drain available input.  Independent checkpoint (and therefore
+    batch counter) from the ingest stream; the tombstone horizon ties
+    the two together.  Run deletes and compaction mutually exclusive —
+    a delete racing a compaction can see the codes/vecs manifests swap
+    mid-join and under-subtract (the usual offline-maintenance
+    contract, stated here because this sink READS the index)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        delete_batch(batch_df.sparkSession, batch_df, batch_id, index_dir)
+
+    return (stream.writeStream
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def compact_ann_index(spark, index_dir: str, through: int,
+                      through_deletes: int | None = None) -> dict:
     """Cell-aware compaction: codes and raw components consolidate
     PARTITIONED BY CELL (codes) so steady-state probes read nprobe/k
     of the store partition-pruned; the codebook / coarse-centroid
-    partials FOLD by integer sum to one row per key.  Returns the four
-    new manifests."""
+    partials FOLD by integer sum to one row per key.  Tombstoned rows
+    are PHYSICALLY dropped from codes/vecs (the kill rule sees each
+    row's pre-compaction batch_id via ``transform_keeps_batch``); the
+    tombstones themselves stay — folded to one max-horizon row per
+    vec_id — because post-horizon ingest deltas may still hold rows
+    they cover.  ``through_deletes`` additionally compacts the
+    delete-stream tables (their own batch counter) through that
+    checkpoint-committed delete batch.  Returns the new manifests."""
     from .compaction import compact_index
 
     def fold(keys):
@@ -184,13 +352,36 @@ def compact_ann_index(spark, index_dir: str, through: int) -> dict:
                 F.sum("s_qv").alias("s_qv"), F.sum("n").alias("n"))
         return f
 
+    tombs = _read_opt(spark, index_dir, "tombs", ["vec_id", "thru_ingest"])
+    if tombs is not None:
+        tombs = tombs.localCheckpoint(eager=True)  # pre-GC snapshot
+
+    def purge(live: DataFrame) -> DataFrame:
+        return _kill_filter(live, tombs)
+
     out = {
         "codes": compact_index(spark, _p(index_dir, "codes"), through,
-                               partition_by=["cell"]),
-        "vecs": compact_index(spark, _p(index_dir, "vecs"), through),
+                               partition_by=["cell"], transform=purge,
+                               transform_keeps_batch=True),
+        "vecs": compact_index(spark, _p(index_dir, "vecs"), through,
+                              transform=purge,
+                              transform_keeps_batch=True),
         "cbook": compact_index(spark, _p(index_dir, "cbook"), through,
                                transform=fold(["sub", "code", "j"])),
         "cellcen": compact_index(spark, _p(index_dir, "cellcen"), through,
                                  transform=fold(["cell", "pos"])),
     }
+    if through_deletes is not None and tombs is not None:
+        out["tombs"] = compact_index(
+            spark, _p(index_dir, "tombs"), through_deletes,
+            transform=lambda live: live.groupBy("vec_id").agg(
+                F.max("thru_ingest").alias("thru_ingest")))
+        for t in ("cbook_neg", "cellcen_neg"):
+            if _read_opt(spark, index_dir, t,
+                         ["s_qv"]) is not None:
+                keys = (["sub", "code", "j"] if t == "cbook_neg"
+                        else ["cell", "pos"])
+                out[t] = compact_index(spark, _p(index_dir, t),
+                                       through_deletes,
+                                       transform=fold(keys))
     return out

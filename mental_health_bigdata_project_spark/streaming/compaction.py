@@ -129,7 +129,8 @@ def read_live(spark, table_path: str,
 def compact_index(spark, table_path: str, through: int,
                   partition_by: list[str] | None = None,
                   transform=None,
-                  reconcile_schema: bool = False) -> dict:
+                  reconcile_schema: bool = False,
+                  transform_keeps_batch: bool = False) -> dict:
     """Consolidate every live row with batch_id <= ``through`` into a
     new ``_compacted_v{k}`` store, commit the manifest, then garbage-
     collect superseded delta partitions and older compacted versions.
@@ -140,7 +141,12 @@ def compact_index(spark, table_path: str, through: int,
     for MERGEABLE state like HLL registers, where deltas collapse by
     an associative combine (per-register max) instead of being
     preserved row-for-row; it must not depend on ``batch_id`` (the
-    column is rewritten to ``through`` afterwards).  Re-compaction is
+    column is rewritten to ``through`` afterwards).
+    ``transform_keeps_batch`` hands the transform the rows WITH their
+    ``batch_id`` — for transforms whose row filter compares ingest
+    position against external state (tombstone application needs
+    "row batch <= tombstone horizon"); the output's batch_id is still
+    rewritten to ``through``.  Re-compaction is
     supported: the previous compacted store (batch_id = old through <=
     new through) folds into the new one.  ``reconcile_schema`` reads
     the live view with NULL backfill for delta-missing columns (see
@@ -181,7 +187,10 @@ def compact_index(spark, table_path: str, through: int,
         allow_missing_delta_columns=reconcile_schema).filter(
         F.col("batch_id") <= F.lit(through))
     if transform is not None:
-        live = transform(live.drop("batch_id"))
+        live = transform(live if transform_keeps_batch
+                         else live.drop("batch_id"))
+        if transform_keeps_batch and "batch_id" in live.columns:
+            live = live.drop("batch_id")
     consolidated = live.withColumn("batch_id",
                                    F.lit(int(through)).cast("int"))
     if partition_by:

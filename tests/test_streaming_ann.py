@@ -90,3 +90,78 @@ def test_available_now_runner(spark, sf_dir, tmp_path):
     served = _rows(search_topk(spark, index_dir))
     batch = _rows(QUERIES["sim_ivfpq_topk"](spark, sf_dir))
     assert served == batch
+
+
+# --- tombstone deletes (exact unlearning) -----------------------------------
+
+from mental_health_bigdata_project_spark.streaming.annindex import (  # noqa: E402
+    delete_batch)
+
+
+def _doomed(e):
+    return e.filter(F.pmod("vec_id", F.lit(3)) == 0)
+
+
+def test_delete_is_exact_unlearning(spark, sf_dir, tmp_path):
+    """Ingest A∪B, delete B -> every served row (ids AND distances,
+    ADC and exact, which fold through the codebook/centroid partials)
+    is bit-identical to an index that NEVER ingested B."""
+    full_dir, clean_dir = str(tmp_path / "full"), str(tmp_path / "clean")
+    e = _emb(spark, sf_dir)
+    for b in range(N_BATCHES):
+        part = e.filter(F.pmod("vec_id", F.lit(N_BATCHES)) == b)
+        index_batch(part, b, full_dir)
+        index_batch(part.filter(F.pmod("vec_id", F.lit(3)) != 0),
+                    b, clean_dir)
+    delete_batch(spark, _doomed(e).select("vec_id"), 0, full_dir)
+    assert _rows(search_topk(spark, full_dir)) == \
+        _rows(search_topk(spark, clean_dir))
+
+
+def test_delete_excludes_ids_and_replay_reuses_horizon(
+        spark, sf_dir, tmp_path):
+    index_dir = str(tmp_path / "ann")
+    e = _feed(spark, sf_dir, index_dir)
+    delete_batch(spark, _doomed(e).select("vec_id"), 0, index_dir)
+    after = _rows(search_topk(spark, index_dir))
+    assert after, "non-deleted candidates must remain"
+    assert all(r[0] % 3 != 0 for r in after)
+    # ingest ADVANCES, then the delete batch crash-replays: the
+    # committed tombstone horizon (3) pins the replayed negatives to
+    # the prefix, so the post-replay index still serves the new rows
+    index_batch(e.select((F.col("vec_id") + 10_000_000).alias("vec_id"),
+                         "embedding"),
+                N_BATCHES, index_dir)
+    with_new = _rows(search_topk(spark, index_dir))
+    delete_batch(spark, _doomed(e).select("vec_id"), 0, index_dir)
+    assert _rows(search_topk(spark, index_dir)) == with_new
+
+
+def test_reingest_after_delete_comes_back_alive(spark, sf_dir, tmp_path):
+    index_dir = str(tmp_path / "ann")
+    e = _feed(spark, sf_dir, index_dir)
+    before = _rows(search_topk(spark, index_dir))
+    delete_batch(spark, _doomed(e).select("vec_id"), 0, index_dir)
+    assert all(r[0] % 3 != 0 for r in _rows(search_topk(spark, index_dir)))
+    # tombstones kill only rows at or below their horizon: re-ingest
+    # restores the exact pre-delete index (same content, same folds)
+    index_batch(_doomed(e), N_BATCHES, index_dir)
+    assert _rows(search_topk(spark, index_dir)) == before
+
+
+def test_compaction_purges_tombstoned_rows_preserving_answers(
+        spark, sf_dir, tmp_path):
+    index_dir = str(tmp_path / "ann")
+    e = _feed(spark, sf_dir, index_dir)
+    delete_batch(spark, _doomed(e).select("vec_id"), 0, index_dir)
+    before = _rows(search_topk(spark, index_dir))
+    compact_ann_index(spark, index_dir, through=N_BATCHES - 1,
+                      through_deletes=0)
+    assert _rows(search_topk(spark, index_dir)) == before
+    codes = spark.read.parquet(glob.glob(
+        os.path.join(index_dir, "codes", "_compacted_v*"))[0])
+    assert codes.filter("vec_id % 3 = 0").count() == 0, \
+        "tombstoned rows must be physically gone after compaction"
+    tombs = spark.read.parquet(glob.glob(
+        os.path.join(index_dir, "tombs", "_compacted_v*"))[0])
+    assert tombs.groupBy("vec_id").count().filter("count > 1").count() == 0
