@@ -136,6 +136,11 @@ HEADLINE = [
     # round-7: seeded walk, greedy farthest-point selection,
     # dimension-truncation recall
     "graph_ppr_fixed", "sample_coreset_kcenter", "vec_matryoshka_recall",
+    # round-7 (late): the rank-statistic value-grid shape (two-phase
+    # running sums over the distinct-value grid), the b-bit signature
+    # compare over the memoized pair artifact, and the in-row window
+    # battery (MATTR: ~n*w cell compares per row at scan speed)
+    "stat_mann_whitney", "dedup_bbit_minhash", "text_ttr_mattr",
 ]
 
 

@@ -93,6 +93,27 @@ def main() -> None:
         after = sorted(tuple(r) for r in
                        annindex.search_topk(spark, idx).collect())
         out["answers_identical_post_compact"] = int(before == after)
+        # delete phase: tombstone a third of the corpus in one delete
+        # batch (exact unlearning — negative partials + tombstones),
+        # serve with the tombstone semi-join, then compact the purge
+        doomed = e.filter(F.pmod("vec_id", F.lit(3)) == 0) \
+            .select("vec_id")
+        out["n_deleted"] = doomed.count()
+        t0 = time.monotonic()
+        annindex.delete_batch(spark, doomed, 0, idx)
+        out["delete_wall"] = round(time.monotonic() - t0, 3)
+        out["serve_wall_post_delete"] = _serve_wall(
+            lambda: annindex.search_topk(spark, idx))
+        t0 = time.monotonic()
+        annindex.compact_ann_index(spark, idx, through=n_batches - 1,
+                                   through_deletes=0)
+        out["compact_wall_post_delete"] = round(time.monotonic() - t0, 3)
+        out["serve_wall_post_purge"] = _serve_wall(
+            lambda: annindex.search_topk(spark, idx))
+        survivors = sorted(tuple(r) for r in
+                           annindex.search_topk(spark, idx).collect())
+        out["deleted_absent"] = int(
+            all(r[0] % 3 != 0 for r in survivors))
         print(json.dumps(out, separators=(",", ":")), flush=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

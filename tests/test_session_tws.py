@@ -1,0 +1,161 @@
+"""Event-time sessionization via transformWithStateInPandas
+(streaming/sessiontws.py): watermark-driven timers finalize sessions,
+and the emitted rows match the oracle-green batch query
+``sessionize_lag_gaps`` row-for-row (user, session number, bounds,
+counts) over the same events."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mental_health_bigdata_project_spark.plans import QUERIES
+from mental_health_bigdata_project_spark.sources import load_table
+from mental_health_bigdata_project_spark.streaming.sessiontws import (
+    GAP_US_DEFAULT, _merge_intervals, sessionize_tws, ts_micros)
+from mental_health_bigdata_project_spark.streaming.stateful import (
+    transform_with_state_available)
+
+
+def _require_tws():
+    if not transform_with_state_available():
+        pytest.skip("google.protobuf not installed; "
+                    "transformWithStateInPandas unavailable in this env")
+
+
+@pytest.fixture
+def rocksdb(spark):
+    confs = {
+        "spark.sql.streaming.stateStore.providerClass":
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        "spark.sql.streaming.noDataMicroBatches.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    yield
+    for k, v in prev.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+# --- pure merge logic --------------------------------------------------------
+
+GAP = GAP_US_DEFAULT
+
+
+def test_merge_intervals_bridging_and_exact_gap_boundary():
+    m = 60 * 1_000_000
+    # exact 30-minute gap stays in-session (the batch query's strict >)
+    assert _merge_intervals([(0, 0, 1), (30 * m, 30 * m, 1)], GAP) == \
+        [(0, 30 * m, 2)]
+    # one microsecond past the gap starts a new session
+    assert _merge_intervals([(0, 0, 1), (30 * m + 1, 30 * m + 1, 1)],
+                            GAP) == [(0, 0, 1), (30 * m + 1, 30 * m + 1, 1)]
+    # a late middle event BRIDGES two open sessions
+    assert _merge_intervals(
+        [(0, 10 * m, 3), (70 * m, 80 * m, 2), (40 * m, 40 * m, 1)],
+        GAP) == [(0, 80 * m, 6)]
+
+
+# --- end-to-end parity with the batch query ----------------------------------
+
+def _drain(spark, src, ckpt, out):
+    stream = (spark.readStream
+              .schema("user_id bigint, ts timestamp")
+              .parquet(src))
+
+    def sink(bdf, bid):
+        if bdf.count():
+            bdf.write.mode("append").parquet(out)
+
+    q = (sessionize_tws(stream)
+         .writeStream.outputMode("append")
+         .foreachBatch(sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(300)
+
+
+def test_session_tws_matches_batch_query(spark, sf_dir, tmp_path, rocksdb):
+    _require_tws()
+    ev = load_table(spark, sf_dir, "events")
+    mic = ev.select("user_id", ts_micros(ev, "ts").alias("us"))
+    hi = mic.agg(F.max("us")).collect()[0][0]
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+    # batch 0: ALL real events in one micro-batch (watermark starts at
+    # -inf, so arrival order within the batch is irrelevant)
+    (mic.select("user_id", F.timestamp_micros("us").alias("ts"))
+     .write.mode("overwrite").parquet(src))
+    _drain(spark, src, ckpt, out)
+    # two sentinel batches for a throwaway user: the first advances the
+    # max event time past every real close point, the second runs with
+    # that watermark so every real user's timer fires and finalizes
+    for step in (1, 2):
+        (spark.range(1)
+         .select(F.lit(-1).cast("bigint").alias("user_id"),
+                 F.timestamp_micros(
+                     F.lit(hi + step * 3_600_000_000 * 24)).alias("ts"))
+         .write.mode("append").parquet(src))
+        _drain(spark, src, ckpt, out)
+
+    got = sorted(
+        tuple(r) for r in
+        spark.read.parquet(out).filter("user_id >= 0").collect())
+    exp_df = QUERIES["sessionize_lag_gaps"](spark, sf_dir)
+    exp = sorted(
+        tuple(r) for r in
+        exp_df.select(
+            "user_id", "session_no",
+            ts_micros(exp_df, "session_start").alias("s"),
+            ts_micros(exp_df, "session_end").alias("e"),
+            "n_events").collect())
+    assert got == exp
+
+
+def test_session_tws_emits_each_session_exactly_once(
+        spark, sf_dir, tmp_path, rocksdb):
+    """Append-mode finality: across ALL drains, no (user, session_no)
+    is emitted twice — sessions finalize exactly once."""
+    _require_tws()
+    ev = load_table(spark, sf_dir, "events")
+    mic = ev.select("user_id", ts_micros(ev, "ts").alias("us"))
+    hi = mic.agg(F.max("us")).collect()[0][0]
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+    # two time-ordered real batches, then the sentinel pair: sessions
+    # straddling the split must not double-emit
+    cut = mic.agg(F.expr("percentile(us, 0.5)")).collect()[0][0]
+    (mic.filter(F.col("us") <= cut)
+     .select("user_id", F.timestamp_micros("us").alias("ts"))
+     .write.mode("overwrite").parquet(src))
+    _drain(spark, src, ckpt, out)
+    (mic.filter(F.col("us") > cut)
+     .select("user_id", F.timestamp_micros("us").alias("ts"))
+     .write.mode("append").parquet(src))
+    _drain(spark, src, ckpt, out)
+    for step in (1, 2):
+        (spark.range(1)
+         .select(F.lit(-1).cast("bigint").alias("user_id"),
+                 F.timestamp_micros(
+                     F.lit(hi + step * 3_600_000_000 * 24)).alias("ts"))
+         .write.mode("append").parquet(src))
+        _drain(spark, src, ckpt, out)
+    emitted = spark.read.parquet(out).filter("user_id >= 0")
+    assert emitted.groupBy("user_id", "session_no").count() \
+        .filter("count > 1").count() == 0
+    # and the union still equals the batch answer
+    got = sorted(tuple(r) for r in emitted.collect())
+    exp_df = QUERIES["sessionize_lag_gaps"](spark, sf_dir)
+    exp = sorted(
+        tuple(r) for r in
+        exp_df.select(
+            "user_id", "session_no",
+            ts_micros(exp_df, "session_start").alias("s"),
+            ts_micros(exp_df, "session_end").alias("e"),
+            "n_events").collect())
+    assert got == exp
