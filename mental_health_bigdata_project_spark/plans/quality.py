@@ -1614,3 +1614,165 @@ def stat_chi_square(spark, sf_dir):
                     F.round(F.sqrt(excess / F.least(
                         F.col("n_langs") - 1, F.col("n_sources") - 1)), 6)
                     .alias("cramers_v")))
+
+
+@query("privacy_t_closeness", """
+    WITH qi AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             c_mktsegment AS sens
+      FROM customer),
+    per_sens AS (
+      SELECT c_nationkey, bal_band, sens,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM qi GROUP BY c_nationkey, bal_band, sens),
+    gtot AS (SELECT sens, CAST(SUM(cnt) AS BIGINT) AS tot
+             FROM per_sens GROUP BY sens),
+    n AS (SELECT CAST(SUM(tot) AS BIGINT) AS n FROM gtot),
+    per_group AS (
+      SELECT c_nationkey, bal_band, CAST(SUM(cnt) AS BIGINT) AS g
+      FROM per_sens GROUP BY c_nationkey, bal_band),
+    pres AS (
+      SELECT p.c_nationkey, p.bal_band,
+             CAST(SUM(abs(p.cnt * n.n - gl.tot * pg.g)) AS BIGINT)
+               AS num_pres,
+             CAST(SUM(gl.tot) AS BIGINT) AS tot_pres
+      FROM per_sens p
+      JOIN gtot gl USING (sens)
+      JOIN per_group pg USING (c_nationkey, bal_band)
+      CROSS JOIN n
+      GROUP BY p.c_nationkey, p.bal_band)
+    SELECT pg.c_nationkey, pg.bal_band, pg.g AS group_size,
+           round((pr.num_pres + (n.n - pr.tot_pres) * pg.g)
+                 / (2.0 * pg.g * n.n), 6) AS tv_dist,
+           CAST(CASE WHEN (pr.num_pres + (n.n - pr.tot_pres) * pg.g)
+                          <= 0.2 * (2.0 * pg.g * n.n)
+                THEN 1 ELSE 0 END AS INTEGER) AS meets_t
+    FROM pres pr
+    JOIN per_group pg USING (c_nationkey, bal_band)
+    CROSS JOIN n
+""")
+def privacy_t_closeness(spark, sf_dir):
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007, t=0.2)
+    completing the privacy trio: l-diversity still leaks when a QI
+    class's sensitive DISTRIBUTION skews far from the corpus (skewness
+    attack), so each (nation, balance-band) class is scored by the
+    variation distance — for categorical sensitive attributes the EMD
+    under uniform ground distance — between its market-segment
+    distribution and the global one.  Computed EXACTLY in integers:
+    TV = (sum_present |cnt*N - tot*g| + (N - sum_present tot) * g)
+    / (2*g*N), where the second term folds in every sensitive value
+    ABSENT from the class without materializing a dense class x value
+    grid.  One double division at the end.
+
+    Plan: the same two stacked map-side-combinable aggs as
+    l-diversity, plus a broadcast of the |domain|-row global table and
+    the 1-row N — shuffles bounded by QI-product x domain size, never
+    by people."""
+    c = _t(spark, sf_dir, "customer")
+    per_sens = (c.select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint")
+        .alias("bal_band"),
+        F.col("c_mktsegment").alias("sens"))
+        .groupBy("c_nationkey", "bal_band", "sens")
+        .agg(F.count("*").cast("bigint").alias("cnt")))
+    per_sens = per_sens.localCheckpoint(eager=True)  # 3 consumers
+    glob = per_sens.groupBy("sens").agg(
+        F.sum("cnt").cast("bigint").alias("tot"))
+    n = glob.agg(F.sum("tot").cast("bigint").alias("n"))
+    per_group = per_sens.groupBy("c_nationkey", "bal_band").agg(
+        F.sum("cnt").cast("bigint").alias("g"))
+    pres = (per_sens
+            .join(F.broadcast(glob), "sens")
+            .join(per_group, ["c_nationkey", "bal_band"])
+            .crossJoin(F.broadcast(n))
+            .groupBy("c_nationkey", "bal_band")
+            .agg(F.sum(F.abs(F.col("cnt") * F.col("n")
+                             - F.col("tot") * F.col("g")))
+                 .cast("bigint").alias("num_pres"),
+                 F.sum("tot").cast("bigint").alias("tot_pres")))
+    num = (F.col("num_pres")
+           + (F.col("n") - F.col("tot_pres")) * F.col("g"))
+    den = 2.0 * F.col("g") * F.col("n")
+    return (pres
+            .join(per_group, ["c_nationkey", "bal_band"])
+            .crossJoin(F.broadcast(n))
+            .select("c_nationkey", "bal_band",
+                    F.col("g").alias("group_size"),
+                    F.round(num / den, 6).alias("tv_dist"),
+                    F.when(num <= 0.2 * den, 1).otherwise(0).cast("int")
+                    .alias("meets_t")))
+
+
+@query("stat_anova_oneway", """
+    WITH s AS (SELECT event_type AS grp,
+                      CAST(value AS DECIMAL(28,12)) AS v,
+                      CAST(value * value AS DECIMAL(38,12)) AS v2
+               FROM events WHERE value IS NOT NULL),
+    g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+                 SUM(v) AS s_g, SUM(v2) AS q_g
+          FROM s GROUP BY grp),
+    t AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+                 CAST(count(*) AS INT) AS k,
+                 CAST(SUM(s_g) AS DOUBLE) AS s_tot,
+                 CAST(SUM(CAST((CAST(q_g AS DOUBLE)
+                      - CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g)
+                      AS DECIMAL(38,12))) AS DOUBLE) AS ssw,
+                 CAST(SUM(CAST(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                               / n_g AS DECIMAL(38,12))) AS DOUBLE)
+                   AS sum_sq_over_n
+          FROM g)
+    SELECT k, n, k - 1 AS dof_between, n - k AS dof_within,
+           round(sum_sq_over_n - s_tot * s_tot / n, 6) AS ssb,
+           round(ssw, 6) AS ssw,
+           round(((sum_sq_over_n - s_tot * s_tot / n) / (k - 1))
+                 / (ssw / (n - k)), 6) AS f_stat,
+           round((sum_sq_over_n - s_tot * s_tot / n)
+                 / (ssw + sum_sq_over_n - s_tot * s_tot / n), 6)
+             AS eta_sq
+    FROM t
+""")
+def stat_anova_oneway(spark, sf_dir):
+    """One-way ANOVA F-test across the five event types' value
+    distributions — the k-group generalization of the two-sample
+    tests (KS, Mann-Whitney) in this suite, plus the eta-squared
+    effect size.  Group sums and sums-of-squares accumulate in exact
+    decimals (the registry rule: per-row casts are deterministic,
+    decimal addition is exact), the per-group quadratic terms are one
+    double expression each re-cast to decimal for the cross-group
+    sum, and F/eta take single double divisions rounded at 6dp.
+
+    Plan: one scan -> 5-group hash agg (map-side combinable) -> 1-row
+    rollup; at 100 TB this is the cheapest possible shape — the wide
+    data never shuffles, only 5 partial rows per task do."""
+    s = (_t(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull())
+         .select(F.col("event_type").alias("grp"),
+                 F.col("value").cast("decimal(28,12)").alias("v"),
+                 (F.col("value") * F.col("value"))
+                 .cast("decimal(38,12)").alias("v2")))
+    g = s.groupBy("grp").agg(F.count("*").cast("bigint").alias("n_g"),
+                             F.sum("v").alias("s_g"),
+                             F.sum("v2").alias("q_g"))
+    sq_over_n = (F.col("s_g").cast("double") * F.col("s_g").cast("double")
+                 / F.col("n_g"))
+    t = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count("*").cast("int").alias("k"),
+        F.sum("s_g").cast("double").alias("s_tot"),
+        F.sum((F.col("q_g").cast("double") - sq_over_n)
+              .cast("decimal(38,12)")).cast("double").alias("ssw"),
+        F.sum(sq_over_n.cast("decimal(38,12)")).cast("double")
+        .alias("sum_sq_over_n"))
+    ssb = F.col("sum_sq_over_n") - F.col("s_tot") * F.col("s_tot") / F.col("n")
+    return t.select(
+        "k", "n",
+        (F.col("k") - 1).alias("dof_between"),
+        (F.col("n") - F.col("k")).alias("dof_within"),
+        F.round(ssb, 6).alias("ssb"),
+        F.round(F.col("ssw"), 6).alias("ssw"),
+        F.round((ssb / (F.col("k") - 1))
+                / (F.col("ssw") / (F.col("n") - F.col("k"))), 6)
+        .alias("f_stat"),
+        F.round(ssb / (F.col("ssw") + ssb), 6).alias("eta_sq"))

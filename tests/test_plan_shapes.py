@@ -149,6 +149,10 @@ GUARDED = [
     ("stat_chi_square", 2, 0),
     ("dedup_bbit_minhash", 0, 0),
     ("text_ttr_mattr", 0, 0),
+    #   privacy_t_closeness / stat_anova_oneway: one 1-row global
+    #     aggregate each (the N scalar / the k-group rollup)
+    ("privacy_t_closeness", 1, 0),
+    ("stat_anova_oneway", 1, 0),
 ]
 
 

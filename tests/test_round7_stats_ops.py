@@ -173,3 +173,82 @@ def test_mattr_is_length_invariant_where_ttr_is_not(spark, tmp_path):
     out = {r.doc_id: r for r in QUERIES["text_ttr_mattr"](spark, d).collect()}
     assert out[2].ttr < out[1].ttr             # raw TTR length-biased
     assert abs(out[1].mattr_w50 - out[2].mattr_w50) < 1e-6
+
+
+# --- privacy_t_closeness ------------------------------------------------------
+
+def test_t_closeness_matches_exact_recompute(spark, sf_dir):
+    from mental_health_bigdata_project_spark.sources import load_table
+    from fractions import Fraction
+    import math
+
+    rows = QUERIES["privacy_t_closeness"](spark, sf_dir).collect()
+    cust = (load_table(spark, sf_dir, "customer")
+            .select("c_nationkey", "c_acctbal", "c_mktsegment").collect())
+    cells = Counter()
+    glob = Counter()
+    for r in cust:
+        band = math.floor(r.c_acctbal / 1000.0)
+        cells[(r.c_nationkey, band, r.c_mktsegment)] += 1
+        glob[r.c_mktsegment] += 1
+    n = sum(glob.values())
+    got = {(r.c_nationkey, r.bal_band): r for r in rows}
+    groups = {}
+    for (nk, band, s), c in cells.items():
+        groups.setdefault((nk, band), {})[s] = c
+    assert set(got) == set(groups)
+    for key, dist in groups.items():
+        g = sum(dist.values())
+        tv = sum(abs(Fraction(dist.get(s, 0), g) - Fraction(glob[s], n))
+                 for s in glob) / 2
+        assert got[key].group_size == g
+        assert abs(got[key].tv_dist - float(tv)) < 5e-7, key
+        assert got[key].meets_t == int(tv <= Fraction(2, 10))
+
+
+def test_t_closeness_zero_when_class_matches_global(spark, tmp_path):
+    # every QI class carries the global sensitive distribution exactly
+    rows = []
+    i = 0
+    for nk in (0, 1):
+        for seg, reps in (("A", 2), ("B", 1)):
+            for _ in range(reps):
+                rows.append((i, f"c{i}", "addr", nk, "p", 100.0 * nk,
+                             seg, "x"))
+                i += 1
+    df = spark.createDataFrame(
+        rows, "c_custkey bigint, c_name string, c_address string, "
+              "c_nationkey bigint, c_phone string, c_acctbal double, "
+              "c_mktsegment string, c_comment string")
+    d = str(tmp_path / "tc")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/customer.parquet")
+    out = QUERIES["privacy_t_closeness"](spark, d).collect()
+    assert out and all(r.tv_dist == 0.0 and r.meets_t == 1 for r in out)
+
+
+# --- stat_anova_oneway --------------------------------------------------------
+
+def test_anova_matches_exact_recompute(spark, sf_dir):
+    from mental_health_bigdata_project_spark.sources import load_table
+
+    row = QUERIES["stat_anova_oneway"](spark, sf_dir).collect()[0]
+    ev = (load_table(spark, sf_dir, "events")
+          .filter("value IS NOT NULL")
+          .select("event_type", "value").collect())
+    groups = {}
+    for r in ev:
+        groups.setdefault(r.event_type, []).append(r.value)
+    k = len(groups)
+    n = sum(len(v) for v in groups.values())
+    assert (row.k, row.n) == (k, n)
+    assert (row.dof_between, row.dof_within) == (k - 1, n - k)
+    mean = sum(sum(v) for v in groups.values()) / n
+    ssb = sum(len(v) * (sum(v) / len(v) - mean) ** 2
+              for v in groups.values())
+    ssw = sum(sum((x - sum(v) / len(v)) ** 2 for x in v)
+              for v in groups.values())
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert abs(row.ssb - ssb) < 1e-3
+    assert abs(row.ssw - ssw) < 1e-3
+    assert abs(row.f_stat - f) < 1e-4
+    assert abs(row.eta_sq - ssb / (ssb + ssw)) < 1e-6
