@@ -1776,3 +1776,85 @@ def stat_anova_oneway(spark, sf_dir):
                 / (F.col("ssw") / (F.col("n") - F.col("k"))), 6)
         .alias("f_stat"),
         F.round(ssb / (F.col("ssw") + ssb), 6).alias("eta_sq"))
+
+
+@query("ts_holt_linear", f"""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM {EVENTS_TS} GROUP BY 1),
+    mx AS (SELECT max(day) AS last_day FROM daily),
+    train AS (
+      SELECT day, total, row_number() OVER (ORDER BY day) AS i
+      FROM daily CROSS JOIN mx WHERE day <= last_day - INTERVAL 7 DAY),
+    nt AS (SELECT CAST(max(i) AS BIGINT) AS n, max(day) AS d0 FROM train),
+    hw AS (
+      SELECT 1 AS i, t1.total AS l, t2.total - t1.total AS b
+      FROM train t1 JOIN train t2 ON t1.i = 1 AND t2.i = 2
+      UNION ALL
+      SELECT hw.i + 1,
+             0.5 * t.total + 0.5 * (hw.l + hw.b),
+             0.3 * ((0.5 * t.total + 0.5 * (hw.l + hw.b)) - hw.l)
+               + 0.7 * hw.b
+      FROM hw JOIN train t ON t.i = hw.i + 1),
+    fin AS (SELECT l, b FROM hw CROSS JOIN nt WHERE i = n),
+    test AS (SELECT day, total AS actual FROM daily CROSS JOIN mx
+             WHERE day > last_day - INTERVAL 7 DAY)
+    SELECT test.day, test.actual,
+           round(fin.l + datediff('day', nt.d0, test.day) * fin.b, 4)
+             AS forecast,
+           round(abs(test.actual
+                 - (fin.l + datediff('day', nt.d0, test.day) * fin.b)), 4)
+             AS abs_err
+    FROM test CROSS JOIN fin CROSS JOIN nt
+""")
+def ts_holt_linear(spark, sf_dir):
+    """Holt's linear-trend exponential smoothing (alpha=0.5, beta=0.3)
+    backtested against the last held-out week — the first ITERATIVE
+    forecaster in the ts family (snaive repeats, q6 fits one global
+    line; Holt adapts level and trend through time).  The recurrence
+    l_t = a*v_t + (1-a)(l+b), b_t = B(l_t - l) + (1-B)b folds once
+    over the day-ordered training series with IDENTICAL literal
+    arithmetic on both engines: Spark as an F.aggregate lambda over
+    the collected (bounded, #days-sized) series, DuckDB as a recursive
+    CTE — float determinism holds because both execute the same ops
+    in the same order.
+
+    Plan: one corpus-scale agg to daily rows; the fold runs on a 1-row
+    collected array (the bpe_train precedent: a deliberate bounded
+    single-partition step over metadata-sized state, NOT corpus
+    data); forecasts re-join the 7-row test split."""
+    e = _t(spark, sf_dir, "events")
+    daily = (e.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+             .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                  .alias("total")))
+    mx = daily.agg(F.max("day").alias("last_day"))
+    d = daily.crossJoin(F.broadcast(mx))
+    train = d.filter(F.col("day") <= F.date_sub(F.col("last_day"), 7))
+    test = (d.filter(F.col("day") > F.date_sub(F.col("last_day"), 7))
+            .select("day", F.col("total").alias("actual")))
+    nt = train.agg(F.max("day").alias("d0"))
+    arr = train.agg(F.sort_array(F.collect_list(
+        F.struct("day", "total"))).alias("arr"))
+    a = F.col("arr")
+    init = F.struct(
+        a[0]["total"].alias("l"),
+        (a[1]["total"] - a[0]["total"]).alias("b"))
+    fold = F.aggregate(
+        F.slice(a, 2, F.size(a) - 1), init,
+        lambda acc, x: F.struct(
+            (F.lit(0.5) * x["total"]
+             + F.lit(0.5) * (acc["l"] + acc["b"])).alias("l"),
+            (F.lit(0.3) * ((F.lit(0.5) * x["total"]
+                            + F.lit(0.5) * (acc["l"] + acc["b"]))
+                           - acc["l"])
+             + F.lit(0.7) * acc["b"]).alias("b")))
+    fin = arr.select(fold["l"].alias("l"), fold["b"].alias("b"))
+    fc = (test.crossJoin(F.broadcast(fin)).crossJoin(F.broadcast(nt))
+          .select("day", "actual",
+                  (F.col("l") + F.datediff("day", F.col("d0"))
+                   * F.col("b")).alias("raw")))
+    return fc.select("day", "actual",
+                     F.round("raw", 4).alias("forecast"),
+                     F.round(F.abs(F.col("actual") - F.col("raw")), 4)
+                     .alias("abs_err"))

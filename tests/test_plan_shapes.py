@@ -153,6 +153,10 @@ GUARDED = [
     #     aggregate each (the N scalar / the k-group rollup)
     ("privacy_t_closeness", 1, 0),
     ("stat_anova_oneway", 1, 0),
+    #   ts_holt_linear: the 1-row last-day max, the 1-row collected
+    #     day-series fold (bpe_train precedent — metadata-sized), and
+    #     the 1-row train-horizon max
+    ("ts_holt_linear", 3, 0),
 ]
 
 

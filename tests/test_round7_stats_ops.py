@@ -252,3 +252,43 @@ def test_anova_matches_exact_recompute(spark, sf_dir):
     assert abs(row.ssw - ssw) < 1e-3
     assert abs(row.f_stat - f) < 1e-4
     assert abs(row.eta_sq - ssb / (ssb + ssw)) < 1e-6
+
+
+# --- ts_holt_linear -----------------------------------------------------------
+
+def test_holt_linear_matches_python_fold(spark, sf_dir):
+    """The Holt recurrence replayed in pure Python over the same daily
+    series must reproduce every forecast — pins the fold init (l1=v1,
+    b1=v2-v1), the update order, and the h-step projection."""
+    import datetime
+
+    from mental_health_bigdata_project_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    got = {r.day: (r.actual, r.forecast, r.abs_err)
+           for r in QUERIES["ts_holt_linear"](spark, sf_dir).collect()}
+    assert len(got) == 7
+    ev = load_table(spark, sf_dir, "events")
+    daily = {r.day: float(r.total) for r in
+             (ev.groupBy(F.date_trunc("day", "ts").cast("date")
+                         .alias("day"))
+              .agg(F.sum(F.col("value").cast("decimal(18,2)"))
+                   .cast("double").alias("total"))).collect()}
+    days = sorted(daily)
+    last = days[-1]
+    train = [d for d in days if d <= last - datetime.timedelta(days=7)]
+    test = [d for d in days if d > last - datetime.timedelta(days=7)]
+    v = [daily[d] for d in train]
+    l, b = v[0], v[1] - v[0]
+    for x in v[1:]:
+        l_new = 0.5 * x + 0.5 * (l + b)
+        b = 0.3 * (l_new - l) + 0.7 * b
+        l = l_new
+    d0 = train[-1]
+    for d in test:
+        h = (d - d0).days
+        fc = l + h * b
+        actual, forecast, abs_err = got[d]
+        assert actual == daily[d]
+        assert abs(forecast - fc) < 5e-5, d
+        assert abs(abs_err - abs(daily[d] - fc)) < 5e-5, d
