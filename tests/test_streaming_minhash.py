@@ -1,0 +1,106 @@
+"""Streaming per-group MinHash signature state: streaming-equals-batch
+signature parity, IDEMPOTENT fold under duplicated deltas (the
+property the sum-combined siblings cannot claim), exactly-once replay,
+min-fold compaction, the availableNow runner, and overlap-estimate
+sanity against the exact source_overlap_matrix ordering."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from mental_health_bigdata_project_spark.sources import load_table
+from mental_health_bigdata_project_spark.streaming.minhashstate import (
+    compact_minhash_index, group_minhash_sigs, minhash_batch,
+    read_group_sigs, read_overlap, run_incremental_minhash)
+
+N_BATCHES = 3
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+
+
+def _feed(spark, sf_dir, index_dir):
+    d = _docs(spark, sf_dir)
+    for b in range(N_BATCHES):
+        minhash_batch(d.filter(F.pmod("doc_id", F.lit(N_BATCHES)) == b),
+                      b, index_dir)
+    return d
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_folded_stream_sigs_equal_batch_sigs(spark, sf_dir, tmp_path):
+    index_dir = str(tmp_path / "idx")
+    d = _feed(spark, sf_dir, index_dir)
+    served = _rows(read_group_sigs(spark, index_dir))
+    batch = _rows(group_minhash_sigs(d))
+    assert served == batch  # min over batch minima == min over union
+
+
+def test_min_fold_is_idempotent_under_duplicate_deltas(
+        spark, sf_dir, tmp_path):
+    """The idempotence claim, pinned: fold the SAME delta in twice
+    (an at-least-once sink, an overlapping backfill) — served state
+    is unchanged.  No SUM-combined state survives this test."""
+    index_dir = str(tmp_path / "idx")
+    d = _feed(spark, sf_dir, index_dir)
+    before = _rows(read_group_sigs(spark, index_dir))
+    # re-ingest batch 1's DATA under a brand-new batch id: a true
+    # duplicate delta, not a partition overwrite
+    minhash_batch(d.filter(F.pmod("doc_id", F.lit(N_BATCHES)) == 1),
+                  N_BATCHES, index_dir)
+    assert _rows(read_group_sigs(spark, index_dir)) == before
+    assert _rows(read_overlap(spark, index_dir)) == \
+        _rows(read_overlap(spark, index_dir))
+
+
+def test_replay_is_bit_identical(spark, sf_dir, tmp_path):
+    index_dir = str(tmp_path / "idx")
+    d = _feed(spark, sf_dir, index_dir)
+    before = _rows(read_group_sigs(spark, index_dir))
+    minhash_batch(d.filter(F.pmod("doc_id", F.lit(N_BATCHES)) == 1),
+                  1, index_dir)  # crash-retry of batch 1
+    assert _rows(read_group_sigs(spark, index_dir)) == before
+
+
+def test_compaction_min_folds_and_preserves_sigs(spark, sf_dir, tmp_path):
+    index_dir = str(tmp_path / "idx")
+    _feed(spark, sf_dir, index_dir)
+    before = _rows(read_group_sigs(spark, index_dir))
+    path = os.path.join(index_dir, "sigs")
+    n_before = spark.read.parquet(path).count()
+    compact_minhash_index(spark, index_dir, through=N_BATCHES - 1)
+    assert _rows(read_group_sigs(spark, index_dir)) == before
+    compacted = glob.glob(os.path.join(path, "_compacted_v*"))
+    assert len(compacted) == 1
+    folded = spark.read.parquet(compacted[0])
+    assert folded.count() < n_before
+    assert folded.groupBy("source").count().filter("count > 1").count() == 0
+
+
+def test_available_now_runner_and_overlap_sanity(spark, sf_dir, tmp_path):
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    d = _docs(spark, sf_dir)
+    for half in (0, 1):
+        (d.filter(F.pmod("doc_id", F.lit(2)) == half)
+         .write.mode("overwrite").parquet(str(in_dir / f"half={half}")))
+    stream = (spark.readStream.schema(d.schema)
+              .option("maxFilesPerTrigger", 100)
+              .parquet(str(in_dir) + "/half=*"))
+    index_dir = str(tmp_path / "idx")
+    q = run_incremental_minhash(stream, str(tmp_path / "ckpt"), index_dir)
+    q.awaitTermination(180)
+    served = _rows(read_group_sigs(spark, index_dir))
+    assert served == _rows(group_minhash_sigs(d))
+    ov = read_overlap(spark, index_dir).collect()
+    n_groups = len(served)
+    assert len(ov) == n_groups * (n_groups - 1) // 2
+    assert all(0.0 <= r.est_jaccard <= 1.0 for r in ov)
