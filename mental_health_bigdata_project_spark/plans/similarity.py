@@ -1138,6 +1138,30 @@ def corpus_neardup_pairs(spark, sf_dir) -> DataFrame:
     return p
 
 
+# The per-doc signature table itself is ALSO a stored artifact (it is
+# the 16x32-bit signature register a deployment keeps next to the
+# corpus); consumers that need raw signatures rather than pairs (the
+# b-bit compare) read it instead of re-hashing the corpus.
+_MINHASH_SIGS_MEMO = SessionMemo()
+
+
+def corpus_minhash_sigs(spark, sf_dir) -> DataFrame:
+    """(doc_id, m0..m15) portable minhash signatures over the sf
+    documents corpus, materialized once per dataset."""
+    v = _MINHASH_SIGS_MEMO.get(spark, sf_dir)
+    if v is None:
+        def build():
+            return portable_minhash_sigs(
+                load_table(spark, sf_dir, "documents"), "doc_id", "text")
+        if _memoizable(sf_dir):
+            v = read_or_build(spark, sf_dir, "corpus_minhash_sigs",
+                              ("documents",), build)
+        else:
+            v = build().localCheckpoint(eager=True)
+        _MINHASH_SIGS_MEMO.put(spark, sf_dir, v)
+    return v
+
+
 # b = 2 bits of each of the 16 minhashes: the value of the LAST hex
 # nibble mod 4, identically derivable from the md5 hex string in both
 # engines (DuckDB casts '0x<nibble>'; Spark conv()s the nibble).
@@ -1170,11 +1194,11 @@ def dedup_bbit_minhash(spark, sf_dir):
     the full-width estimate on the same candidate pairs.
 
     Plan: the memoized LSH candidate-pair artifact supplies the pairs
-    (no new band join); the signature relation joins in twice by
-    doc id (shuffle on a bigint key); the 16-term nibble comparison is
-    pure codegen projection."""
-    docs = load_table(spark, sf_dir, "documents")
-    mins = portable_minhash_sigs(docs, "doc_id", "text")
+    and the memoized signature artifact the registers (no re-hash of
+    the corpus); the signature relation joins in twice by doc id
+    (shuffle on a bigint key); the 16-term nibble comparison is pure
+    codegen projection."""
+    mins = corpus_minhash_sigs(spark, sf_dir)
 
     def bit2(c: str) -> Column:
         return F.conv(F.substring(c, 32, 1), 16, 10).cast("int") % 4
