@@ -1858,3 +1858,93 @@ def ts_holt_linear(spark, sf_dir):
                      F.round("raw", 4).alias("forecast"),
                      F.round(F.abs(F.col("actual") - F.col("raw")), 4)
                      .alias("abs_err"))
+
+
+@query("stat_spearman_rho", """
+    WITH s AS (SELECT l_quantity AS x, l_extendedprice AS y
+               FROM lineitem),
+    gx AS (SELECT x, CAST(count(*) AS BIGINT) AS t FROM s GROUP BY x),
+    cx AS (SELECT x, t,
+                  CAST(SUM(t) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS c
+           FROM gx),
+    rx AS (SELECT x, 2 * (c - t) + t + 1 AS r2x FROM cx),
+    gy AS (SELECT y, CAST(count(*) AS BIGINT) AS t FROM s GROUP BY y),
+    cy AS (SELECT y, t,
+                  CAST(SUM(t) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS c
+           FROM gy),
+    ry AS (SELECT y, 2 * (c - t) + t + 1 AS r2y FROM cy),
+    j AS (SELECT r2x, r2y FROM s JOIN rx USING (x) JOIN ry USING (y)),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(r2x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(r2y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(r2x * r2y AS DECIMAL(38,0))) AS DOUBLE)
+                   AS sxy,
+                 CAST(SUM(CAST(r2x * r2x AS DECIMAL(38,0))) AS DOUBLE)
+                   AS sxx,
+                 CAST(SUM(CAST(r2y * r2y AS DECIMAL(38,0))) AS DOUBLE)
+                   AS syy
+          FROM j)
+    SELECT n,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS spearman_rho
+    FROM m
+""")
+def stat_spearman_rho(spark, sf_dir):
+    """Exact tie-aware Spearman rank correlation between lineitem
+    quantity and extended price — the nonparametric monotone-
+    association statistic completing the suite (KS and Mann-Whitney
+    compare distributions, ANOVA compares means, chi-square tests
+    independence of categoricals; Spearman measures monotone
+    dependence of two numerics).  Average ranks with ties are kept in
+    INTEGERS via 2*rank = 2*cnt_less + t + 1, so the Pearson-on-ranks
+    identity runs on exact decimal sums of integer products (scale
+    invariance of Pearson absorbs the factor 2); one double division
+    and sqrt at the end.
+
+    Plan: two value-grid aggregations (one per variable, each with the
+    repo's two-phase running sum instead of a single-partition window)
+    broadcast back onto the fact rows, then one 1-row decimal rollup.
+    At 100 TB the fact table shuffles ONCE per variable onto its
+    value grid; the grids themselves are value-cardinality-sized."""
+    s = (_t(spark, sf_dir, "lineitem")
+         .select(F.col("l_quantity").alias("x"),
+                 F.col("l_extendedprice").alias("y")))
+    s = s.localCheckpoint(eager=True)  # feeds two grids + the join
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def ranks(col: str, out: str):
+        g = s.groupBy(col).agg(F.count("*").cast("bigint").alias("t"))
+        with_pid = (g.repartitionByRange(n_parts, col)
+                    .withColumn("pid", F.spark_partition_id())
+                    .localCheckpoint())
+        wrun = (Window.partitionBy("pid").orderBy(col)
+                .rowsBetween(Window.unboundedPreceding, 0))
+        local = with_pid.select(col, "t", "pid",
+                                F.sum("t").over(wrun).alias("lc"))
+        woff = (Window.orderBy("pid")
+                .rowsBetween(Window.unboundedPreceding, -1))
+        offs = (with_pid.groupBy("pid").agg(F.sum("t").alias("pt"))
+                .select("pid",
+                        F.coalesce(F.sum("pt").over(woff), F.lit(0))
+                        .alias("off")))
+        return (local.join(F.broadcast(offs), "pid")
+                .select(col,
+                        (2 * (F.col("lc") + F.col("off") - F.col("t"))
+                         + F.col("t") + 1).cast("bigint").alias(out)))
+
+    j = (s.join(ranks("x", "r2x"), "x").join(ranks("y", "r2y"), "y"))
+    dec = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
+    m = j.agg(F.count("*").cast("bigint").alias("n"),
+              dec(F.col("r2x")).alias("sx"),
+              dec(F.col("r2y")).alias("sy"),
+              dec(F.col("r2x") * F.col("r2y")).alias("sxy"),
+              dec(F.col("r2x") * F.col("r2x")).alias("sxx"),
+              dec(F.col("r2y") * F.col("r2y")).alias("syy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = n * F.col("sxy") - sx * sy
+    den = F.sqrt((n * F.col("sxx") - sx * sx)
+                 * (n * F.col("syy") - sy * sy))
+    return m.select("n", F.round(num / den, 6).alias("spearman_rho"))

@@ -157,6 +157,9 @@ GUARDED = [
     #     day-series fold (bpe_train precedent — metadata-sized), and
     #     the 1-row train-horizon max
     ("ts_holt_linear", 3, 0),
+    #   stat_spearman_rho: two P-row offset prefix-sum windows (one
+    #     per variable's value grid) and the 1-row decimal rollup
+    ("stat_spearman_rho", 3, 0),
 ]
 
 

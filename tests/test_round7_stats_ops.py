@@ -292,3 +292,60 @@ def test_holt_linear_matches_python_fold(spark, sf_dir):
         assert actual == daily[d]
         assert abs(forecast - fc) < 5e-5, d
         assert abs(abs_err - abs(daily[d] - fc)) < 5e-5, d
+
+
+# --- stat_spearman_rho ----------------------------------------------------------
+
+def test_spearman_matches_exact_recompute(spark, sf_dir):
+    """Tie-aware Spearman replayed in pure Python (average ranks via
+    Fractions, Pearson on ranks) must match the distributed result."""
+    from mental_health_bigdata_project_spark.sources import load_table
+
+    row = QUERIES["stat_spearman_rho"](spark, sf_dir).collect()[0]
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_quantity", "l_extendedprice").collect())
+    xs = [r.l_quantity for r in li]
+    ys = [r.l_extendedprice for r in li]
+
+    def avg_ranks(vals):
+        cnt = Counter(vals)
+        rank = {}
+        prev = 0
+        for v in sorted(cnt):
+            t = cnt[v]
+            rank[v] = Fraction(2 * prev + t + 1, 2)
+            prev += t
+        return [rank[v] for v in vals]
+
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(rx)
+    assert row.n == n
+    sx, sy = sum(rx), sum(ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    sxx = sum(a * a for a in rx)
+    syy = sum(b * b for b in ry)
+    num = n * sxy - sx * sy
+    den = ((n * sxx - sx * sx) * (n * syy - sy * sy)) ** 0.5
+    assert abs(row.spearman_rho - float(num) / float(den)) < 5e-7
+
+
+def test_spearman_is_plus_minus_one_on_monotone_data(spark, tmp_path):
+    rows = [(i, i, float(i * i + 1), "x", "2025-01-01", 1.0, 2.0,
+             "N", "O", "d", "d", "d", "s", "m", "c")
+            for i in range(1, 40)]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_partkey bigint, l_extendedprice double, "
+        "l_comment string, l_shipdate string, l_quantity double, "
+        "l_discount double, l_returnflag string, l_linestatus string, "
+        "l_commitdate string, l_receiptdate string, l_shipdates string, "
+        "l_shipinstruct string, l_shipmode string, l_container string")
+    d = str(tmp_path / "mono")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    # quantity constant -> undefined denominator? no: quantity = 1.0
+    # for all rows makes den 0; use l_partkey-driven quantity instead
+    import pyspark.sql.functions as F2
+    df2 = df.withColumn("l_quantity", F2.col("l_partkey").cast("double"))
+    df2.coalesce(1).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    row = QUERIES["stat_spearman_rho"](spark, d).collect()[0]
+    assert row.spearman_rho == 1.0  # strictly increasing in each other
