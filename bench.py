@@ -141,6 +141,9 @@ HEADLINE = [
     # compare over the memoized pair artifact, and the in-row window
     # battery (MATTR: ~n*w cell compares per row at scan speed)
     "stat_mann_whitney", "dedup_bbit_minhash", "text_ttr_mattr",
+    # round-7 (late): double value-grid rank shape over the widest
+    # fact table (two range exchanges of lineitem onto its grids)
+    "stat_spearman_rho",
 ]
 
 
