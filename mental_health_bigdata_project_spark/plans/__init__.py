@@ -183,7 +183,8 @@ _CONVERTED_FRONT = [
     "graph_ppr_multi", "dq_benford_deviation", "stat_ks_two_sample",
     "dedup_bbit_minhash", "stat_mann_whitney", "stat_chi_square",
     "text_ttr_mattr", "privacy_t_closeness", "stat_anova_oneway",
-    "ts_holt_linear", "stat_spearman_rho",
+    "ts_holt_linear", "stat_spearman_rho", "win_sliding_median",
+    "agg_theil_inequality",
 ]
 
 

@@ -2176,3 +2176,65 @@ def graph_ppr_multi(spark, sf_dir):
                          .alias("rank"))
                  .localCheckpoint(eager=True))
     return ranks.select("seed", "node", F.round("rank", 6).alias("ppr"))
+
+
+@query("agg_theil_inequality", """
+    WITH cs AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS spend
+      FROM orders GROUP BY o_custkey),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) AS tot
+          FROM cs),
+    terms AS (
+      SELECT CAST(SUM(CAST((spend / (tot / n))
+                           * ln(spend / (tot / n))
+                           AS DECIMAL(38,18))) AS DOUBLE) AS s_theil,
+             CAST(SUM(CAST(ln(spend) AS DECIMAL(38,18))) AS DOUBLE)
+               AS s_log
+      FROM cs CROSS JOIN t)
+    SELECT t.n,
+           round(t.tot / t.n, 2) AS mean_spend,
+           round(terms.s_theil / t.n, 6) AS theil_t,
+           round(1.0 - exp(terms.s_log / t.n) / (t.tot / t.n), 6)
+             AS atkinson_1
+    FROM terms CROSS JOIN t
+""")
+def agg_theil_inequality(spark, sf_dir):
+    """Theil T index and Atkinson(eps=1) over per-customer spend — the
+    decomposable inequality measures complementing gini_concentration
+    (Theil is the one that splits exactly into within-group +
+    between-group terms, which is what a mixture-governance report
+    needs; Atkinson(1) = 1 - geomean/mean is its welfare-normalized
+    twin).  Spend folds through exact decimals; each customer's
+    ln-term is one deterministic double re-cast to DECIMAL(38,18) for
+    the cross-engine sum (the 6dp-transcendental convention); two
+    double divisions and one exp at the end.
+
+    Plan: one orders-scale hash agg to customer spend, a 1-row totals
+    broadcast, a 1-row rollup — no window, no sort (gini needs the
+    global rank; Theil deliberately doesn't)."""
+    cs = (_t(spark, sf_dir, "orders")
+          .groupBy("o_custkey")
+          .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+               .cast("double").alias("spend")))
+    t = cs.agg(F.count("*").cast("bigint").alias("n"),
+               F.sum(F.col("spend").cast("decimal(18,2)")).cast("double")
+               .alias("tot"))
+    mu = F.col("tot") / F.col("n")
+    terms = (cs.crossJoin(F.broadcast(t))
+             .agg(F.sum(((F.col("spend") / mu)
+                         * F.log(F.col("spend") / mu))
+                        .cast("decimal(38,18)")).cast("double")
+                  .alias("s_theil"),
+                  F.sum(F.log("spend").cast("decimal(38,18)"))
+                  .cast("double").alias("s_log")))
+    return (terms.crossJoin(F.broadcast(t))
+            .select("n",
+                    F.round(mu, 2).alias("mean_spend"),
+                    F.round(F.col("s_theil") / F.col("n"), 6)
+                    .alias("theil_t"),
+                    F.round(F.lit(1.0)
+                            - F.exp(F.col("s_log") / F.col("n")) / mu, 6)
+                    .alias("atkinson_1")))

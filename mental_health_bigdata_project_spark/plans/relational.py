@@ -977,3 +977,37 @@ def agg_mode_deterministic(spark, sf_dir):
             .filter(F.col("rk") == 1)
             .select("event_type", F.col("hr").cast("int").alias("modal_hour"),
                     "n"))
+
+
+@query("win_sliding_median", f"""
+    SELECT event_id, user_id,
+           median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+             AS med_4
+    FROM {EVENTS_TS}
+""")
+def win_sliding_median(spark, sf_dir):
+    """Sliding exact MEDIAN per user over the trailing 4-row frame —
+    the order-statistic sibling of win_moving_avg (means smear
+    outliers; the rolling median is the robust smoother monitoring
+    pipelines actually want).  Spark has no median window function, so
+    the frame is collected (bounded: <= 4 elements), sorted in-row,
+    and the middle element (odd) or the exact mean of the two middles
+    (even) is picked — the same continuous-interpolation rule DuckDB's
+    windowed median applies, so values hash-match.
+
+    Plan: ONE user_id exchange serves the window; the per-row work is
+    a <= 4-element insertion sort inside codegen.  At 100 TB a
+    constant-size frame is the only rolling statistic worth shipping:
+    O(1) state per row, no re-sort of the partition."""
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-3, Window.currentRow))
+    frame = F.sort_array(F.collect_list("value").over(w))
+    n = F.size(frame)
+    mid_hi = frame[(n / 2).cast("int")]           # 0-based upper middle
+    mid_lo = frame[((n - 1) / 2).cast("int")]
+    return ev.select(
+        "event_id", "user_id",
+        F.when(n % 2 == 1, mid_hi)
+        .otherwise((mid_lo + mid_hi) / F.lit(2.0)).alias("med_4"))

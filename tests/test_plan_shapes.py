@@ -160,6 +160,11 @@ GUARDED = [
     #   stat_spearman_rho: two P-row offset prefix-sum windows (one
     #     per variable's value grid) and the 1-row decimal rollup
     ("stat_spearman_rho", 3, 0),
+    #   win_sliding_median: one user_id window exchange, no global sort;
+    #   agg_theil_inequality: two 1-row summary aggregates (totals,
+    #     decimal term rollup)
+    ("win_sliding_median", 0, 0),
+    ("agg_theil_inequality", 2, 0),
 ]
 
 

@@ -349,3 +349,63 @@ def test_spearman_is_plus_minus_one_on_monotone_data(spark, tmp_path):
     df2.coalesce(1).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
     row = QUERIES["stat_spearman_rho"](spark, d).collect()[0]
     assert row.spearman_rho == 1.0  # strictly increasing in each other
+
+
+# --- win_sliding_median / agg_theil_inequality --------------------------------
+
+def test_sliding_median_matches_python_frames(spark, sf_dir):
+    from mental_health_bigdata_project_spark.sources import load_table
+
+    got = {r.event_id: r.med_4 for r in
+           QUERIES["win_sliding_median"](spark, sf_dir).collect()}
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "user_id", "ts", "value").collect())
+    by_user = {}
+    for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        by_user.setdefault(r.user_id, []).append(r)
+    checked = 0
+    for rows in by_user.values():
+        for i, r in enumerate(rows):
+            frame = sorted(x.value for x in rows[max(0, i - 3):i + 1])
+            k = len(frame)
+            med = (frame[k // 2] if k % 2 == 1
+                   else (frame[k // 2 - 1] + frame[k // 2]) / 2.0)
+            assert got[r.event_id] == med, r.event_id
+            checked += 1
+    assert checked == len(got)
+
+
+def test_theil_zero_on_equal_spend_and_matches_recompute(spark, sf_dir,
+                                                         tmp_path):
+    import math
+
+    from mental_health_bigdata_project_spark.sources import load_table
+
+    # (a) perfectly equal spends -> Theil = Atkinson = 0
+    rows = [(i, i % 4, "O", 100.0, "1995-01-01", "1-URGENT", "c", 0, "x")
+            for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+              "o_totalprice double, o_orderdate string, "
+              "o_orderpriority string, o_clerk string, "
+              "o_shippriority int, o_comment string")
+    d = str(tmp_path / "eq")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    r = QUERIES["agg_theil_inequality"](spark, d).collect()[0]
+    assert r.theil_t == 0.0 and r.atkinson_1 == 0.0
+
+    # (b) corpus recompute
+    row = QUERIES["agg_theil_inequality"](spark, sf_dir).collect()[0]
+    od = (load_table(spark, sf_dir, "orders")
+          .select("o_custkey", "o_totalprice").collect())
+    spend = Counter()
+    for o in od:
+        spend[o.o_custkey] += o.o_totalprice
+    vals = list(spend.values())
+    n = len(vals)
+    mu = sum(vals) / n
+    theil = sum((x / mu) * math.log(x / mu) for x in vals) / n
+    atk = 1.0 - math.exp(sum(math.log(x) for x in vals) / n) / mu
+    assert row.n == n
+    assert abs(row.theil_t - theil) < 1e-4
+    assert abs(row.atkinson_1 - atk) < 1e-4
