@@ -26,6 +26,17 @@ prior index state during indexing, so replay is exactly-once with no
 Assumes doc_ids are unique across the stream (upstream dedup_by_id /
 streaming dedup topologies enforce this); re-ingesting a doc_id would
 double-count exactly like any log-structured index before compaction.
+
+Deletes (round 7, the annindex.py recipe): a tombstone batch — its own
+micro-batch counter — records the doomed doc_ids and writes NEGATIVE
+corpus-stat partials computed from their stored doclen rows
+(``stats_neg/``).  Serving anti-joins postings/doclen against the
+tombstones and folds stats + stats_neg, so N, avgdl AND every
+per-token doc frequency (recomputed from the surviving postings) equal
+an index that never ingested the deleted docs — BM25 scores
+bit-identical to never-ingested, pinned in test.  Because doc_ids are
+unique, no ingest horizon is needed (unlike the ANN index): a doomed
+doc's rows are the same whenever the delete replays.
 """
 
 from __future__ import annotations
@@ -77,6 +88,65 @@ def index_batch(batch_df: DataFrame, batch_id: int,
      .parquet(os.path.join(index_dir, "stats")))
 
 
+def _read_tombs(spark, index_dir: str, before_batch: int | None = None):
+    from .neardup import _read_index
+
+    return _read_index(spark, os.path.join(index_dir, "tombs"),
+                       ["doc_id"], before_batch=before_batch)
+
+
+def delete_docs_batch(spark, ids_df: DataFrame, batch_id: int,
+                      index_dir: str) -> None:
+    """One micro-batch of tombstone deletes (the foreachBatch body of
+    the delete stream — an independent batch counter from ingest).
+    Writes the negative corpus-stat delta first and the tombstones
+    last (the commit point); a crash between the two leaves
+    unreferenced negatives the retry overwrites in place.  Already-
+    tombstoned ids are excluded so a double delete cannot
+    double-subtract."""
+    from .neardup import _read_index
+
+    ids = ids_df.select("doc_id").distinct().localCheckpoint(eager=True)
+    prior = _read_tombs(spark, index_dir, before_batch=batch_id)
+    if prior is not None:
+        ids = ids.join(prior, "doc_id", "left_anti")
+    dl = _read_index(spark, os.path.join(index_dir, "doclen"),
+                     ["doc_id", "dl"])
+    if dl is None:
+        raise FileNotFoundError(f"no doclen table under {index_dir}")
+    doomed = dl.join(ids, "doc_id", "left_semi")
+    (doomed.agg((-F.count("*")).cast("bigint").alias("n_docs"),
+                (-F.sum(F.col("dl").cast("decimal(18,0)")))
+                .cast("decimal(18,0)").alias("sum_dl"))
+     .withColumn("batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id")
+     .parquet(os.path.join(index_dir, "stats_neg")))
+    (ids.withColumn("batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id")
+     .parquet(os.path.join(index_dir, "tombs")))  # the commit point
+
+
+def run_bm25_deletes(stream: DataFrame, checkpoint_dir: str,
+                     index_dir: str):
+    """Attach the tombstone-delete sink to a (doc_id) stream and drain
+    available input.  Run deletes and compaction mutually exclusive
+    (the annindex.py contract — this sink reads the index)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        delete_docs_batch(batch_df.sparkSession, batch_df, batch_id,
+                          index_dir)
+
+    return (stream.writeStream
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
 def bm25_query(spark, index_dir: str,
                queries: list[tuple[int, str]], k: int = 10) -> DataFrame:
     """Serve BM25 top-k per query from the persisted index.
@@ -124,6 +194,12 @@ def bm25_query(spark, index_dir: str,
                 .filter(F.col("bucket").isin(buckets))
                 .filter(F.col("token").isin(terms))
                 .select("doc_id", "token", "tf"))
+    tombs = _read_tombs(spark, index_dir)
+    if tombs is not None:
+        # anti-join AFTER the term/bucket prune: the kill applies to
+        # probe-sized rows, and the doc frequencies recomputed from the
+        # survivors are exactly the never-ingested-the-deleted values
+        postings = postings.join(tombs, "doc_id", "left_anti")
     # doc lengths only for docs that matched a query term — the
     # doclen side is semi-join-pruned by the postings probe, so the
     # join never materializes corpus-wide lengths
@@ -131,8 +207,11 @@ def bm25_query(spark, index_dir: str,
               .select("doc_id", "dl"))
     dl = dl_all.join(postings.select("doc_id").distinct(), "doc_id",
                      "left_semi")
-    stats = (_live("stats",
-                   "n_docs bigint, sum_dl decimal(18,0), batch_id int")
+    stats_all = _live("stats",
+                      "n_docs bigint, sum_dl decimal(18,0), batch_id int")
+    neg = _live("stats_neg",
+                "n_docs bigint, sum_dl decimal(18,0), batch_id int")
+    stats = (stats_all.unionByName(neg)
              .agg(F.sum("n_docs").cast("bigint").alias("n"),
                   (F.sum("sum_dl").cast("double")
                    / F.sum("n_docs")).alias("avgdl")))

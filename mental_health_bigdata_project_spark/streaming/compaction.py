@@ -242,15 +242,50 @@ def compact_vector_index(spark, index_dir: str, through: int) -> dict:
                          through, partition_by=["cell"])
 
 
-def compact_bm25_index(spark, index_dir: str, through: int) -> dict:
+def compact_bm25_index(spark, index_dir: str, through: int,
+                       through_deletes: int | None = None) -> dict:
     """Compact all three BM25 index tables; postings keep their bucket
-    partitioning so probe-side partition pruning survives compaction."""
-    return {
+    partitioning so probe-side partition pruning survives compaction.
+    Tombstoned docs (bm25index.delete_docs_batch) are PHYSICALLY
+    purged from postings/doclen; the stats/stats_neg partials keep
+    cancelling after their independent sum-folds.  ``through_deletes``
+    additionally compacts the delete-stream tables (their own batch
+    counter)."""
+    from pyspark.sql import functions as F
+
+    from .bm25index import _read_tombs
+
+    tombs = _read_tombs(spark, index_dir)
+    if tombs is not None:
+        tombs = tombs.localCheckpoint(eager=True)  # pre-GC snapshot
+
+    def purge(live):
+        return (live if tombs is None
+                else live.join(tombs, "doc_id", "left_anti"))
+
+    out = {
         "postings": compact_index(spark,
                                   os.path.join(index_dir, "postings"),
-                                  through, partition_by=["bucket"]),
+                                  through, partition_by=["bucket"],
+                                  transform=purge),
         "doclen": compact_index(spark, os.path.join(index_dir, "doclen"),
-                                through),
-        "stats": compact_index(spark, os.path.join(index_dir, "stats"),
-                               through),
+                                through, transform=purge),
+        "stats": compact_index(
+            spark, os.path.join(index_dir, "stats"), through,
+            transform=lambda live: live.agg(
+                F.sum("n_docs").cast("bigint").alias("n_docs"),
+                F.sum("sum_dl").cast("decimal(18,0)").alias("sum_dl"))),
     }
+    if through_deletes is not None and tombs is not None:
+        out["tombs"] = compact_index(
+            spark, os.path.join(index_dir, "tombs"), through_deletes,
+            transform=lambda live: live.distinct())
+        neg_path = os.path.join(index_dir, "stats_neg")
+        if os.path.isdir(neg_path):
+            out["stats_neg"] = compact_index(
+                spark, neg_path, through_deletes,
+                transform=lambda live: live.agg(
+                    F.sum("n_docs").cast("bigint").alias("n_docs"),
+                    F.sum("sum_dl").cast("decimal(18,0)")
+                    .alias("sum_dl")))
+    return out

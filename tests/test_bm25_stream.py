@@ -113,3 +113,59 @@ def test_file_stream_topology_end_to_end(spark, sf_dir, tmp_path):
     served = bm25_query(spark, index_dir, _BM25_QUERIES, k=10)
     batch = QUERIES["sim_bm25_topk"](spark, sf_dir)
     assert _rows(served) == _rows(batch)
+
+
+# --- tombstone deletes (exact unlearning, the annindex recipe) ---------------
+
+from mental_health_bigdata_project_spark.streaming.bm25index import (  # noqa: E402
+    delete_docs_batch)
+from mental_health_bigdata_project_spark.streaming.compaction import (  # noqa: E402
+    compact_bm25_index)
+
+
+def test_delete_is_exact_unlearning_for_bm25(spark, sf_dir, tmp_path):
+    """Index A∪B, delete B -> every query's top-k (ids AND scores,
+    which fold through N, avgdl and per-token doc frequency) is
+    identical to an index that never ingested B."""
+    full_dir, clean_dir = str(tmp_path / "full"), str(tmp_path / "clean")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for b in range(3):
+        part = docs.filter(F.pmod("doc_id", F.lit(3)) == b)
+        index_batch(part, b, full_dir)
+        index_batch(part.filter(F.pmod("doc_id", F.lit(5)) != 0),
+                    b, clean_dir)
+    doomed = docs.filter(F.pmod("doc_id", F.lit(5)) == 0).select("doc_id")
+    delete_docs_batch(spark, doomed, 0, full_dir)
+    assert _rows(bm25_query(spark, full_dir, _BM25_QUERIES, k=10)) == \
+        _rows(bm25_query(spark, clean_dir, _BM25_QUERIES, k=10))
+
+
+def test_delete_replay_and_double_delete_are_noops(spark, sf_dir,
+                                                   tmp_path):
+    index_dir = str(tmp_path / "idx")
+    docs = _index_in_batches(spark, sf_dir, index_dir)
+    doomed = docs.filter(F.pmod("doc_id", F.lit(5)) == 0).select("doc_id")
+    delete_docs_batch(spark, doomed, 0, index_dir)
+    after = _rows(bm25_query(spark, index_dir, _BM25_QUERIES, k=10))
+    delete_docs_batch(spark, doomed, 0, index_dir)   # crash-retry
+    assert _rows(bm25_query(spark, index_dir, _BM25_QUERIES, k=10)) == after
+    delete_docs_batch(spark, doomed, 1, index_dir)   # double delete
+    assert _rows(bm25_query(spark, index_dir, _BM25_QUERIES, k=10)) == after
+
+
+def test_compaction_purges_deleted_docs_preserving_scores(
+        spark, sf_dir, tmp_path):
+    import glob
+    import os
+
+    index_dir = str(tmp_path / "idx")
+    docs = _index_in_batches(spark, sf_dir, index_dir)
+    doomed = docs.filter(F.pmod("doc_id", F.lit(5)) == 0).select("doc_id")
+    delete_docs_batch(spark, doomed, 0, index_dir)
+    before = _rows(bm25_query(spark, index_dir, _BM25_QUERIES, k=10))
+    compact_bm25_index(spark, index_dir, through=2, through_deletes=0)
+    assert _rows(bm25_query(spark, index_dir, _BM25_QUERIES, k=10)) == \
+        before
+    postings = spark.read.parquet(glob.glob(
+        os.path.join(index_dir, "postings", "_compacted_v*"))[0])
+    assert postings.filter("doc_id % 5 = 0").count() == 0
