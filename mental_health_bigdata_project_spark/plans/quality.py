@@ -1948,3 +1948,73 @@ def stat_spearman_rho(spark, sf_dir):
     den = F.sqrt((n * F.col("sxx") - sx * sx)
                  * (n * F.col("syy") - sy * sy))
     return m.select("n", F.round(num / den, 6).alias("spearman_rho"))
+
+
+@query("stat_kendall_tau", """
+    WITH s AS (SELECT l_quantity AS x, l_discount AS y FROM lineitem),
+    g AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY x, y),
+    t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM g),
+    tx AS (SELECT CAST(SUM(cx * (cx - 1)) AS BIGINT) AS n1_2 FROM
+           (SELECT CAST(SUM(c) AS BIGINT) AS cx FROM g GROUP BY x)),
+    ty AS (SELECT CAST(SUM(cy * (cy - 1)) AS BIGINT) AS n2_2 FROM
+           (SELECT CAST(SUM(c) AS BIGINT) AS cy FROM g GROUP BY y)),
+    cd AS (SELECT
+             CAST(SUM(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END)
+               AS BIGINT) AS conc,
+             CAST(SUM(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END)
+               AS BIGINT) AS disc
+           FROM g a JOIN g b ON a.x < b.x)
+    SELECT t.n, cd.conc, cd.disc,
+           round(2.0 * (cd.conc - cd.disc)
+                 / sqrt(CAST(t.n * (t.n - 1) - tx.n1_2 AS DOUBLE)
+                        * (t.n * (t.n - 1) - ty.n2_2)), 6)
+             AS kendall_tau_b
+    FROM cd CROSS JOIN t CROSS JOIN tx CROSS JOIN ty
+""")
+def stat_kendall_tau(spark, sf_dir):
+    """Exact Kendall tau-b between lineitem quantity and discount —
+    the concordance-based association statistic beside Spearman (rank
+    correlation weights by rank distance; Kendall counts pair
+    orderings, the more robust choice under heavy ties).  The naive
+    O(n^2) pair count collapses to the JOINT VALUE GRID: with 50 x 11
+    distinct values the <=550-cell table self-joins (x1 < x2), and
+    concordant/discordant pair counts are integer products of cell
+    counts — exact at any corpus size, with the doubled-ties identity
+    2(C-D)/sqrt((n(n-1)-sum tx(tx-1))(n(n-1)-sum ty(ty-1))) keeping
+    everything integer until one double sqrt.
+
+    Plan: one fact-scale hash agg onto the joint grid, then a
+    broadcast self-join of the ~550-row grid and three metadata
+    rollups.  At 100 TB the fact table shuffles once; the quadratic
+    work is grid-sized, never data-sized."""
+    s = (_t(spark, sf_dir, "lineitem")
+         .select(F.col("l_quantity").alias("x"),
+                 F.col("l_discount").alias("y")))
+    g = (s.groupBy("x", "y").agg(F.count("*").cast("bigint").alias("c"))
+         .localCheckpoint(eager=True))  # grid feeds 4 consumers
+    t = g.agg(F.sum("c").cast("bigint").alias("n"))
+    tx = (g.groupBy("x").agg(F.sum("c").cast("bigint").alias("cx"))
+          .agg(F.sum(F.col("cx") * (F.col("cx") - 1)).cast("bigint")
+               .alias("n1_2")))
+    ty = (g.groupBy("y").agg(F.sum("c").cast("bigint").alias("cy"))
+          .agg(F.sum(F.col("cy") * (F.col("cy") - 1)).cast("bigint")
+               .alias("n2_2")))
+    a = g.select(F.col("x").alias("xa"), F.col("y").alias("ya"),
+                 F.col("c").alias("ca"))
+    b = g.select(F.col("x").alias("xb"), F.col("y").alias("yb"),
+                 F.col("c").alias("cb"))
+    cd = (a.join(F.broadcast(b), F.col("xa") < F.col("xb"))
+          .agg(F.sum(F.when(F.col("ya") < F.col("yb"),
+                            F.col("ca") * F.col("cb")).otherwise(0))
+               .cast("bigint").alias("conc"),
+               F.sum(F.when(F.col("ya") > F.col("yb"),
+                            F.col("ca") * F.col("cb")).otherwise(0))
+               .cast("bigint").alias("disc")))
+    n = F.col("n")
+    tau = (2.0 * (F.col("conc") - F.col("disc"))
+           / F.sqrt((n * (n - 1) - F.col("n1_2")).cast("double")
+                    * (n * (n - 1) - F.col("n2_2"))))
+    return (cd.crossJoin(F.broadcast(t)).crossJoin(F.broadcast(tx))
+            .crossJoin(F.broadcast(ty))
+            .select("n", "conc", "disc",
+                    F.round(tau, 6).alias("kendall_tau_b")))

@@ -165,6 +165,10 @@ GUARDED = [
     #     decimal term rollup)
     ("win_sliding_median", 0, 0),
     ("agg_theil_inequality", 2, 0),
+    #   stat_kendall_tau: four 1-row rollups (totals, x-ties, y-ties,
+    #     concordance) cross-joined into the single output row; the
+    #     quadratic self-join is the broadcast ~550-row grid
+    ("stat_kendall_tau", 4, 0),
 ]
 
 

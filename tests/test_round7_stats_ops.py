@@ -409,3 +409,68 @@ def test_theil_zero_on_equal_spend_and_matches_recompute(spark, sf_dir,
     assert row.n == n
     assert abs(row.theil_t - theil) < 1e-4
     assert abs(row.atkinson_1 - atk) < 1e-4
+
+
+# --- stat_kendall_tau ---------------------------------------------------------
+
+def test_kendall_matches_brute_force_on_sample(spark, tmp_path):
+    """Brute-force O(n^2) tau-b over a small hand-built table equals
+    the grid-collapsed distributed computation."""
+    import itertools
+
+    vals = [(1.0, 0.00), (1.0, 0.05), (2.0, 0.00), (2.0, 0.10),
+            (3.0, 0.05), (3.0, 0.05), (4.0, 0.10), (5.0, 0.00),
+            (5.0, 0.10), (2.0, 0.05)]
+    rows = [(i, i, 10.0, "c", "1995-01-01", q, d, "N", "O", "a", "b",
+             "c", "d", "e", "f")
+            for i, (q, d) in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_partkey bigint, l_extendedprice double, "
+        "l_comment string, l_shipdate string, l_quantity double, "
+        "l_discount double, l_returnflag string, l_linestatus string, "
+        "l_commitdate string, l_receiptdate string, l_shipdates string, "
+        "l_shipinstruct string, l_shipmode string, l_container string")
+    d = str(tmp_path / "kt")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    row = QUERIES["stat_kendall_tau"](spark, d).collect()[0]
+    conc = disc = tx = ty = 0
+    for (xa, ya), (xb, yb) in itertools.combinations(vals, 2):
+        if xa == xb:
+            tx += 1
+            if ya == yb:
+                ty += 1
+            continue
+        if ya == yb:
+            ty += 1
+            continue
+        if (xa < xb) == (ya < yb):
+            conc += 1
+        else:
+            disc += 1
+    n = len(vals)
+    n0 = n * (n - 1) // 2
+    # note: tx/ty above count ties among COMPARED pairs; recompute the
+    # marginals the standard way
+    from collections import Counter as C2
+    n1 = sum(c * (c - 1) // 2 for c in C2(x for x, _ in vals).values())
+    n2 = sum(c * (c - 1) // 2 for c in C2(y for _, y in vals).values())
+    tau = (conc - disc) / (((n0 - n1) * (n0 - n2)) ** 0.5)
+    assert (row.n, row.conc, row.disc) == (n, conc, disc)
+    assert abs(row.kendall_tau_b - tau) < 5e-7
+
+
+def test_kendall_perfect_concordance_is_one(spark, tmp_path):
+    rows = [(i, i, 10.0, "c", "1995-01-01", float(i), i / 100.0, "N",
+             "O", "a", "b", "c", "d", "e", "f") for i in range(1, 20)]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_partkey bigint, l_extendedprice double, "
+        "l_comment string, l_shipdate string, l_quantity double, "
+        "l_discount double, l_returnflag string, l_linestatus string, "
+        "l_commitdate string, l_receiptdate string, l_shipdates string, "
+        "l_shipinstruct string, l_shipmode string, l_container string")
+    d = str(tmp_path / "mono")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    row = QUERIES["stat_kendall_tau"](spark, d).collect()[0]
+    assert row.kendall_tau_b == 1.0 and row.disc == 0
