@@ -184,7 +184,7 @@ _CONVERTED_FRONT = [
     "dedup_bbit_minhash", "stat_mann_whitney", "stat_chi_square",
     "text_ttr_mattr", "privacy_t_closeness", "stat_anova_oneway",
     "ts_holt_linear", "stat_spearman_rho", "win_sliding_median",
-    "agg_theil_inequality", "stat_kendall_tau",
+    "agg_theil_inequality", "stat_kendall_tau", "text_rake_keywords",
 ]
 
 

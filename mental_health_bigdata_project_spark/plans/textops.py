@@ -3681,3 +3681,97 @@ def text_ttr_mattr(spark, sf_dir):
                     types.cast("int").alias("n_types"),
                     F.round(ttr, 6).alias("ttr"),
                     F.round(mattr, 6).alias("mattr_w50")))
+
+
+_RAKE_STOPS = ["the", "a", "and", "of", "to", "be"]
+_RAKE_STOPS_SQL = ", ".join(f"'{w}'" for w in _RAKE_STOPS)
+_RAKE_MAX_LEN = 4
+
+
+@query("text_rake_keywords", f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    pos AS (SELECT doc_id, unnest(toks) AS token,
+                   CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos
+            FROM t),
+    marked AS (SELECT doc_id, token, pos,
+                      CASE WHEN token IN ({_RAKE_STOPS_SQL})
+                           THEN 1 ELSE 0 END AS is_stop
+               FROM pos),
+    chained AS (SELECT doc_id, token, pos, is_stop,
+                       CAST(SUM(is_stop) OVER (PARTITION BY doc_id
+                            ORDER BY pos ROWS UNBOUNDED PRECEDING)
+                            AS BIGINT) AS phrase_id
+                FROM marked),
+    members AS (SELECT doc_id, phrase_id, pos, token
+                FROM chained WHERE is_stop = 0),
+    phr AS (SELECT doc_id, phrase_id,
+                   CAST(count(*) AS BIGINT) AS plen,
+                   string_agg(token, ' ' ORDER BY pos) AS phrase
+            FROM members GROUP BY doc_id, phrase_id
+            HAVING count(*) <= {_RAKE_MAX_LEN}),
+    m2 AS (SELECT m.doc_id, m.phrase_id, m.token, p.plen, p.phrase
+           FROM members m
+           JOIN phr p USING (doc_id, phrase_id)),
+    wstats AS (SELECT token, CAST(count(*) AS BIGINT) AS freq,
+                      CAST(SUM(plen) AS BIGINT) AS deg
+               FROM m2 GROUP BY token),
+    occ AS (SELECT m2.doc_id, m2.phrase_id, m2.phrase,
+                   CAST(SUM(CAST(CAST(w.deg AS DOUBLE) / w.freq
+                        AS DECIMAL(28,12))) AS DOUBLE) AS occ_score
+            FROM m2 JOIN wstats w USING (token)
+            GROUP BY m2.doc_id, m2.phrase_id, m2.phrase)
+    SELECT phrase, CAST(count(*) AS BIGINT) AS n_occs,
+           round(max(occ_score), 6) AS score
+    FROM occ GROUP BY phrase
+    ORDER BY max(occ_score) DESC, phrase LIMIT 20
+""")
+def text_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal non-stopword token runs (capped at 4 tokens), each
+    word scored deg/freq over the candidate corpus (degree = summed
+    length of phrases it appears in — rewards co-occurrence), each
+    phrase scored as the sum of its members — the zero-training
+    keyphrase baseline every extraction pipeline starts from.  Member
+    scores are rationals of integers cast to DECIMAL(28,12) before the
+    per-phrase sum, so both engines fold identically; top-20 is
+    tie-pinned on the phrase string.
+
+    Plan: posexplode -> per-doc window (partitioned by doc_id, no
+    global sort) assigns phrase ids as the running stop count; phrase
+    assembly and word stats are two hash aggs; the word-stats join is
+    a broadcast (vocabulary-sized).  At 100 TB everything shuffles on
+    doc or token keys — the quadratic-looking 'degree' is one SUM."""
+    stops = [F.lit(w) for w in _RAKE_STOPS]
+    pos = (_docs(spark, sf_dir)
+           .select("doc_id", F.posexplode(tokens_col())
+                   .alias("pos", "token")))
+    marked = pos.select(
+        "doc_id", "token", "pos",
+        F.when(F.col("token").isin(*[w for w in _RAKE_STOPS]), 1)
+        .otherwise(0).alias("is_stop"))
+    w = (Window.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    chained = marked.select(
+        "doc_id", "token", "pos", "is_stop",
+        F.sum("is_stop").over(w).cast("bigint").alias("phrase_id"))
+    members = (chained.filter(F.col("is_stop") == 0)
+               .select("doc_id", "phrase_id", "pos", "token"))
+    phr = (members.groupBy("doc_id", "phrase_id")
+           .agg(F.count("*").cast("bigint").alias("plen"),
+                F.expr("listagg(token, ' ') WITHIN GROUP (ORDER BY pos)")
+                .alias("phrase"))
+           .filter(F.col("plen") <= _RAKE_MAX_LEN))
+    m2 = members.join(phr, ["doc_id", "phrase_id"])
+    wstats = (m2.groupBy("token")
+              .agg(F.count("*").cast("bigint").alias("freq"),
+                   F.sum("plen").cast("bigint").alias("deg")))
+    occ = (m2.join(F.broadcast(wstats), "token")
+           .groupBy("doc_id", "phrase_id", "phrase")
+           .agg(F.sum((F.col("deg").cast("double") / F.col("freq"))
+                      .cast("decimal(28,12)")).cast("double")
+                .alias("occ_score")))
+    return (occ.groupBy("phrase")
+            .agg(F.count("*").cast("bigint").alias("n_occs"),
+                 F.max("occ_score").alias("raw"))
+            .orderBy(F.desc("raw"), "phrase").limit(20)
+            .select("phrase", "n_occs", F.round("raw", 6).alias("score")))

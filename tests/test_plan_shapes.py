@@ -169,6 +169,9 @@ GUARDED = [
     #     concordance) cross-joined into the single output row; the
     #     quadratic self-join is the broadcast ~550-row grid
     ("stat_kendall_tau", 4, 0),
+    #   text_rake_keywords: per-doc windows + hash aggs + broadcast
+    #     vocab join; TakeOrderedAndProject for the top-20
+    ("text_rake_keywords", 0, 0),
 ]
 
 

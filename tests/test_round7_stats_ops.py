@@ -474,3 +474,36 @@ def test_kendall_perfect_concordance_is_one(spark, tmp_path):
     df.coalesce(1).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
     row = QUERIES["stat_kendall_tau"](spark, d).collect()[0]
     assert row.kendall_tau_b == 1.0 and row.disc == 0
+
+
+# --- text_rake_keywords --------------------------------------------------------
+
+def test_rake_scores_match_hand_recompute(spark, tmp_path):
+    """Classic RAKE walkthrough on a tiny corpus: phrases split at
+    stopwords, word score = deg/freq, phrase score = sum of members."""
+    d = _write_docs(spark, tmp_path, [
+        (1, "deep learning of deep networks and fast learning"),
+        (2, "fast networks the deep learning"),
+    ])
+    rows = {r.phrase: r for r in
+            QUERIES["text_rake_keywords"](spark, d).collect()}
+    # phrases: doc1 -> [deep learning], [deep networks], [fast learning]
+    #          doc2 -> [fast networks], [deep learning]
+    # freq: deep 3, learning 3, networks 2, fast 2
+    # deg (sum of plen over occurrences): deep 6, learning 6,
+    #      networks 4, fast 4  -> every word scores 2.0
+    assert set(rows) == {"deep learning", "deep networks",
+                         "fast learning", "fast networks"}
+    for r in rows.values():
+        assert r.score == 4.0          # two words x 2.0 each
+    assert rows["deep learning"].n_occs == 2
+    assert rows["fast networks"].n_occs == 1
+
+
+def test_rake_caps_phrase_length(spark, tmp_path):
+    d = _write_docs(spark, tmp_path, [
+        (1, "w1 w2 w3 w4 w5 the x1 x2"),   # 5-token run must be dropped
+    ])
+    rows = [r.phrase for r in
+            QUERIES["text_rake_keywords"](spark, d).collect()]
+    assert rows == ["x1 x2"]
