@@ -144,6 +144,9 @@ HEADLINE = [
     # round-7 (late): double value-grid rank shape over the widest
     # fact table (two range exchanges of lineitem onto its grids)
     "stat_spearman_rho",
+    # round-7 (late): grid-collapsed concordance and the stopword-run
+    # phrase pipeline (posexplode + per-doc window + vocab broadcast)
+    "stat_kendall_tau", "text_rake_keywords",
 ]
 
 
