@@ -106,7 +106,7 @@ def delete_docs_batch(spark, ids_df: DataFrame, batch_id: int,
     double-subtract."""
     from .neardup import _read_index
 
-    ids = ids_df.select("doc_id").distinct().localCheckpoint(eager=True)
+    ids = ids_df.select("doc_id").distinct()
     prior = _read_tombs(spark, index_dir, before_batch=batch_id)
     if prior is not None:
         ids = ids.join(prior, "doc_id", "left_anti")
@@ -114,6 +114,13 @@ def delete_docs_batch(spark, ids_df: DataFrame, batch_id: int,
                      ["doc_id", "dl"])
     if dl is None:
         raise FileNotFoundError(f"no doclen table under {index_dir}")
+    # tombstone only ids the index actually holds: a delete of a
+    # never-ingested id must be a NO-OP, or a later ingest of that id
+    # would be killed by the anti-join while its stats contribution
+    # was never subtracted (the drift the ANN index prevents with its
+    # horizon; doc uniqueness lets BM25 prevent it by intersection)
+    ids = (ids.join(dl.select("doc_id"), "doc_id", "left_semi")
+           .localCheckpoint(eager=True))
     doomed = dl.join(ids, "doc_id", "left_semi")
     (doomed.agg((-F.count("*")).cast("bigint").alias("n_docs"),
                 (-F.sum(F.col("dl").cast("decimal(18,0)")))

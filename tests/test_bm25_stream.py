@@ -169,3 +169,24 @@ def test_compaction_purges_deleted_docs_preserving_scores(
     postings = spark.read.parquet(glob.glob(
         os.path.join(index_dir, "postings", "_compacted_v*"))[0])
     assert postings.filter("doc_id % 5 = 0").count() == 0
+
+
+def test_delete_of_never_ingested_id_is_noop_for_later_ingest(
+        spark, sf_dir, tmp_path):
+    """Tombstoning an id the index never held must NOT poison a later
+    ingest of that id: the tombstone is only written for ids actually
+    present (otherwise the anti-join would kill the new doc's postings
+    while its stats contribution was never subtracted)."""
+    index_dir = str(tmp_path / "idx")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    first = docs.filter(F.pmod("doc_id", F.lit(2)) == 0)
+    later = docs.filter(F.pmod("doc_id", F.lit(2)) == 1)
+    index_batch(first, 0, index_dir)
+    delete_docs_batch(spark, later.select("doc_id"), 0, index_dir)
+    index_batch(later, 1, index_dir)
+    # reference: the same two batches with no delete in between
+    ref_dir = str(tmp_path / "ref")
+    index_batch(first, 0, ref_dir)
+    index_batch(later, 1, ref_dir)
+    assert _rows(bm25_query(spark, index_dir, _BM25_QUERIES, k=10)) == \
+        _rows(bm25_query(spark, ref_dir, _BM25_QUERIES, k=10))
