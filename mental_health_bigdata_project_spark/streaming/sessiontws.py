@@ -167,6 +167,7 @@ def sessionize_tws(events: DataFrame, watermark_delay: str = "0 seconds",
     rows are FINAL (append semantics): each session is emitted exactly
     once, when the watermark passes its close point."""
     tagged = (events
+              .filter(F.col("ts").isNotNull())  # no event time, no session
               .withWatermark("ts", watermark_delay)
               .select("ts", F.col("user_id").cast("bigint").alias("user_id"),
                       ts_micros(events, "ts").alias("ts_us")))
