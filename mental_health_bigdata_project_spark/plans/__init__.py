@@ -185,6 +185,8 @@ _CONVERTED_FRONT = [
     "text_ttr_mattr", "privacy_t_closeness", "stat_anova_oneway",
     "ts_holt_linear", "stat_spearman_rho", "win_sliding_median",
     "agg_theil_inequality", "stat_kendall_tau", "text_rake_keywords",
+    "stat_bootstrap_ci", "dq_referential_integrity",
+    "win_streak_islands",
 ]
 
 

@@ -2018,3 +2018,164 @@ def stat_kendall_tau(spark, sf_dir):
             .crossJoin(F.broadcast(ty))
             .select("n", "conc", "disc",
                     F.round(tau, 6).alias("kendall_tau_b")))
+
+
+_POIS_CUM = [0.3678794412, 0.7357588823, 0.9196986029, 0.9810118431,
+             0.9963401532, 0.9994058152, 0.9999167589, 0.9999897508]
+_N_BOOT = 32
+
+
+def _pois_w_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(_POIS_CUM))
+    return f"(CASE {branches} ELSE {len(_POIS_CUM)} END)"
+
+
+@query("stat_bootstrap_ci", f"""
+    WITH s AS (SELECT event_id, value FROM events
+               WHERE value IS NOT NULL),
+    reps AS (SELECT CAST(unnest(generate_series(0, {_N_BOOT - 1}))
+                    AS INT) AS rep),
+    w AS (SELECT r.rep, s.value,
+                 {_pois_w_sql(
+                     "(CAST('0x' || substr(md5(s.event_id || '-' || r.rep),"
+                     " 1, 8) AS BIGINT) / 4294967296.0)")} AS wt
+          FROM s CROSS JOIN reps r)
+    SELECT rep, CAST(SUM(wt) AS BIGINT) AS n_eff,
+           round(CAST(SUM(CAST(wt * value AS DECIMAL(28,12))) AS DOUBLE)
+                 / SUM(wt), 6) AS boot_mean
+    FROM w GROUP BY rep ORDER BY rep
+""")
+def stat_bootstrap_ci(spark, sf_dir):
+    """Poisson bootstrap (Chamandy et al. 2012 — THE resampling scheme
+    for data too large to index): each of 32 replicates reweights
+    every row by an independent Poisson(1) draw derived
+    deterministically from md5(event_id, rep), so resampling needs no
+    shuffle of the data and no global row count.  The oracle
+    formulates it as a rep x rows cross join; the Spark side computes
+    ALL 32 replicate sums in ONE scan as 64 conditional aggregates —
+    zero row blowup, which is the entire point at 100 TB (the
+    replicate spread is the standard error of the mean, free with the
+    pass you were already making).
+
+    Determinism: the Poisson inverse-CDF thresholds are shared decimal
+    literals; the uniform is an 8-hex-digit md5 prefix over 2^32; the
+    weighted sums fold through DECIMAL(28,12)."""
+    s = (_t(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull())
+         .select("event_id", "value"))
+
+    def weight(rep: int):
+        u = (F.conv(F.substring(
+            F.md5(F.concat_ws("-", F.col("event_id").cast("string"),
+                              F.lit(str(rep)))), 1, 8), 16, 10)
+            .cast("bigint") / F.lit(4294967296.0))
+        w = F.lit(len(_POIS_CUM))
+        for k in range(len(_POIS_CUM) - 1, -1, -1):
+            w = F.when(u < F.lit(_POIS_CUM[k]), F.lit(k)).otherwise(w)
+        return w
+
+    aggs = []
+    for r in range(_N_BOOT):
+        w = weight(r)
+        aggs.append(F.sum(w).cast("bigint").alias(f"n{r}"))
+        aggs.append(F.sum((w * F.col("value"))
+                          .cast("decimal(28,12)")).cast("double")
+                    .alias(f"s{r}"))
+    one = s.agg(*aggs)
+    pairs = ", ".join(f"{r}, n{r}, s{r}" for r in range(_N_BOOT))
+    return (one.selectExpr(
+        f"stack({_N_BOOT}, {pairs}) AS (rep, n_eff, wsum)")
+        .select(F.col("rep").cast("int").alias("rep"), "n_eff",
+                F.round(F.col("wsum") / F.col("n_eff"), 6)
+                .alias("boot_mean"))
+        .orderBy("rep"))
+
+
+@query("dq_referential_integrity", """
+    SELECT 'lineitem->orders' AS fk,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT)
+             AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT)
+    FROM orders od LEFT JOIN customer c ON od.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'customer->nation',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT)
+    FROM customer cu LEFT JOIN nation n ON cu.c_nationkey = n.n_nationkey
+""")
+def dq_referential_integrity(spark, sf_dir):
+    """Foreign-key orphan audit across the fact->dim chain — the DQ
+    battery's missing referential check (dq_profile/dq_expectations
+    cover columns; this covers RELATIONSHIPS).  Each edge is one left
+    join counting rows whose key finds no parent; on healthy TPC-H
+    data every orphan count is 0, and the zero IS the assertion a
+    pipeline gates on before joining these tables innerly (an inner
+    join silently DROPS orphans — this query is how you notice).
+
+    Plan: the dim sides broadcast (orders at sf is the one real
+    shuffle); counts are 1-row aggregates unioned."""
+    def edge(name, fact, fkey, dim, pkey):
+        f = _t(spark, sf_dir, fact)
+        d = _t(spark, sf_dir, dim).select(pkey)
+        j = f.join(d, f[fkey] == d[pkey], "left")
+        return j.agg(
+            F.lit(name).alias("fk"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.count(F.when(F.col(pkey).isNull(), 1)).cast("bigint")
+            .alias("n_orphans")).select("fk", "n_rows", "n_orphans")
+
+    return (edge("lineitem->orders", "lineitem", "l_orderkey",
+                 "orders", "o_orderkey")
+            .unionByName(edge("orders->customer", "orders", "o_custkey",
+                              "customer", "c_custkey"))
+            .unionByName(edge("customer->nation", "customer",
+                              "c_nationkey", "nation", "n_nationkey")))
+
+
+@query("win_streak_islands", f"""
+    WITH d AS (SELECT DISTINCT user_id,
+                      CAST(date_trunc('day', ts) AS DATE) AS day
+               FROM {EVENTS_TS}),
+    r AS (SELECT user_id, day,
+                 row_number() OVER (PARTITION BY user_id ORDER BY day)
+                   AS rn
+          FROM d),
+    i AS (SELECT user_id, day - CAST(rn AS INT) AS anchor FROM r),
+    g AS (SELECT user_id, anchor, CAST(count(*) AS BIGINT) AS len
+          FROM i GROUP BY user_id, anchor)
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM g GROUP BY user_id
+""")
+def win_streak_islands(spark, sf_dir):
+    """Longest consecutive-day activity streak per user — the
+    canonical GAPS-AND-ISLANDS pattern (day minus its per-user rank is
+    constant exactly along a consecutive run), the engagement metric
+    behind every retention dashboard.  No self-join and no per-day
+    state: one distinct, one per-user window, two hash aggs.
+
+    Plan: the (user, day) distinct and the window share the user
+    exchange; everything after is active-days-sized.  At 100 TB the
+    pattern matters because the naive alternative (self-join on
+    day+1) is a fact-squared join."""
+    ev = _t(spark, sf_dir, "events")
+    d = (ev.select("user_id",
+                   F.date_trunc("day", "ts").cast("date").alias("day"))
+         .distinct())
+    w = Window.partitionBy("user_id").orderBy("day")
+    i = d.select("user_id",
+                 F.date_sub("day", F.row_number().over(w)).alias("anchor"))
+    g = (i.groupBy("user_id", "anchor")
+         .agg(F.count("*").cast("bigint").alias("len")))
+    return (g.groupBy("user_id")
+            .agg(F.sum("len").cast("bigint").alias("n_active_days"),
+                 F.max("len").cast("bigint").alias("longest_streak"),
+                 F.count("*").cast("bigint").alias("n_streaks")))

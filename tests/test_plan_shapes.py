@@ -172,6 +172,13 @@ GUARDED = [
     #   text_rake_keywords: per-doc windows + hash aggs + broadcast
     #     vocab join; TakeOrderedAndProject for the top-20
     ("text_rake_keywords", 0, 0),
+    #   stat_bootstrap_ci: one 1-row 64-aggregate rollup (the whole
+    #     point — all 32 replicates in a single scan);
+    #   dq_referential_integrity: three 1-row orphan-count aggregates
+    #     unioned; win_streak_islands: per-user window + hash aggs only
+    ("stat_bootstrap_ci", 1, 0),
+    ("dq_referential_integrity", 3, 0),
+    ("win_streak_islands", 0, 0),
 ]
 
 

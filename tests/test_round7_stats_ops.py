@@ -507,3 +507,100 @@ def test_rake_caps_phrase_length(spark, tmp_path):
     rows = [r.phrase for r in
             QUERIES["text_rake_keywords"](spark, d).collect()]
     assert rows == ["x1 x2"]
+
+
+# --- stat_bootstrap_ci ---------------------------------------------------------
+
+def test_bootstrap_replicate_zero_matches_hand_weights(spark, sf_dir):
+    """Replicate 0 recomputed in Python with the same md5-derived
+    Poisson(1) weights must match exactly; the replicate spread must
+    bracket the true mean."""
+    from mental_health_bigdata_project_spark.plans.quality import (
+        _POIS_CUM)
+    from mental_health_bigdata_project_spark.sources import load_table
+
+    rows = QUERIES["stat_bootstrap_ci"](spark, sf_dir).collect()
+    assert [r.rep for r in rows] == list(range(32))
+    ev = (load_table(spark, sf_dir, "events")
+          .filter("value IS NOT NULL")
+          .select("event_id", "value").collect())
+
+    def w(event_id, rep):
+        u = int(hashlib.md5(f"{event_id}-{rep}".encode())
+                .hexdigest()[:8], 16) / 4294967296.0
+        for k, c in enumerate(_POIS_CUM):
+            if u < c:
+                return k
+        return len(_POIS_CUM)
+
+    n0 = sum(w(r.event_id, 0) for r in ev)
+    s0 = sum(w(r.event_id, 0) * r.value for r in ev)
+    got0 = rows[0]
+    assert got0.n_eff == n0
+    assert abs(got0.boot_mean - s0 / n0) < 5e-6
+    # Poisson(1) weights: n_eff ~ n +- O(sqrt(n))
+    n = len(ev)
+    assert all(abs(r.n_eff - n) < 6 * n ** 0.5 for r in rows)
+    true_mean = sum(r.value for r in ev) / n
+    means = [r.boot_mean for r in rows]
+    assert min(means) <= true_mean <= max(means)
+
+
+# --- dq_referential_integrity --------------------------------------------------
+
+def test_referential_integrity_clean_and_orphan_detection(spark, sf_dir,
+                                                          tmp_path):
+    from mental_health_bigdata_project_spark.sources import load_table
+
+    rows = {r.fk: r for r in
+            QUERIES["dq_referential_integrity"](spark, sf_dir).collect()}
+    assert set(rows) == {"lineitem->orders", "orders->customer",
+                        "customer->nation"}
+    assert all(r.n_orphans == 0 for r in rows.values())
+    # inject an orphan order (customer key that does not exist)
+    import shutil
+    d = str(tmp_path / "dirty")
+    import os
+    os.makedirs(d)
+    for t in ("lineitem", "orders", "customer", "nation"):
+        shutil.copy(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+    from pyspark.sql import functions as F
+
+    od = load_table(spark, sf_dir, "orders")
+    bad = od.limit(1).withColumn(
+        "o_custkey", F.lit(-99).cast(od.schema["o_custkey"].dataType))
+    od.unionByName(bad).coalesce(1).write.mode("overwrite") \
+        .parquet(f"{d}/orders.parquet.tmp")
+    os.remove(f"{d}/orders.parquet")
+    os.rename(f"{d}/orders.parquet.tmp", f"{d}/orders.parquet")
+    dirty = {r.fk: r for r in
+             QUERIES["dq_referential_integrity"](spark, d).collect()}
+    assert dirty["orders->customer"].n_orphans == 1
+
+
+# --- win_streak_islands ---------------------------------------------------------
+
+def test_streaks_on_hand_built_days(spark, tmp_path):
+    import datetime
+
+    base = datetime.datetime(2025, 1, 1)
+    # user 1: days 1,2,3, 7,8  -> streaks 3 and 2
+    # user 2: days 1, 3, 5     -> three 1-day streaks
+    evs = []
+    eid = 0
+    for u, offs in ((1, [0, 1, 2, 6, 7]), (2, [0, 2, 4])):
+        for o in offs:
+            for rep in range(2):   # two events same day: distinct folds
+                evs.append((eid, base + datetime.timedelta(days=o, hours=rep),
+                            u, "click", 1.0, "{}"))
+                eid += 1
+    df = spark.createDataFrame(
+        evs, "event_id bigint, ts timestamp_ntz, user_id bigint, "
+             "event_type string, value double, props string")
+    d = str(tmp_path / "ev")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r.user_id: r for r in
+           QUERIES["win_streak_islands"](spark, d).collect()}
+    assert out[1].n_active_days == 5
+    assert out[1].longest_streak == 3 and out[1].n_streaks == 2
+    assert out[2].longest_streak == 1 and out[2].n_streaks == 3
