@@ -1,0 +1,79 @@
+"""Streaming Poisson-bootstrap state: streaming-equals-batch parity
+against the oracle-checked stat_bootstrap_ci, exactly-once replay,
+sum-fold compaction, and the availableNow runner."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from mental_health_bigdata_project_spark.plans import QUERIES
+from mental_health_bigdata_project_spark.sources import load_table
+from mental_health_bigdata_project_spark.streaming.bootstrapstate import (
+    bootstrap_batch, compact_bootstrap_index, read_bootstrap_ci,
+    run_incremental_bootstrap)
+
+N_BATCHES = 3
+
+
+def _ev(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").select("event_id", "value")
+
+
+def _feed(spark, sf_dir, index_dir):
+    ev = _ev(spark, sf_dir)
+    for b in range(N_BATCHES):
+        bootstrap_batch(ev.filter(F.pmod("event_id", F.lit(N_BATCHES)) == b),
+                        b, index_dir)
+    return ev
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_streaming_equals_oracle_checked_batch(spark, sf_dir, tmp_path):
+    index_dir = str(tmp_path / "idx")
+    _feed(spark, sf_dir, index_dir)
+    served = _rows(read_bootstrap_ci(spark, index_dir))
+    batch = _rows(QUERIES["stat_bootstrap_ci"](spark, sf_dir))
+    assert served == batch  # replicate means bit-identical
+
+
+def test_replay_is_bit_identical(spark, sf_dir, tmp_path):
+    index_dir = str(tmp_path / "idx")
+    ev = _feed(spark, sf_dir, index_dir)
+    before = _rows(read_bootstrap_ci(spark, index_dir))
+    bootstrap_batch(ev.filter(F.pmod("event_id", F.lit(N_BATCHES)) == 1),
+                    1, index_dir)  # crash-retry of batch 1
+    assert _rows(read_bootstrap_ci(spark, index_dir)) == before
+
+
+def test_compaction_folds_to_one_row(spark, sf_dir, tmp_path):
+    index_dir = str(tmp_path / "idx")
+    _feed(spark, sf_dir, index_dir)
+    before = _rows(read_bootstrap_ci(spark, index_dir))
+    compact_bootstrap_index(spark, index_dir, through=N_BATCHES - 1)
+    assert _rows(read_bootstrap_ci(spark, index_dir)) == before
+    folded = spark.read.parquet(glob.glob(
+        os.path.join(index_dir, "boot", "_compacted_v*"))[0])
+    assert folded.count() == 1
+
+
+def test_available_now_runner(spark, sf_dir, tmp_path):
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ev = _ev(spark, sf_dir)
+    for half in (0, 1):
+        (ev.filter(F.pmod("event_id", F.lit(2)) == half)
+         .write.mode("overwrite").parquet(str(in_dir / f"half={half}")))
+    stream = (spark.readStream.schema("event_id bigint, value double")
+              .option("maxFilesPerTrigger", 100)
+              .parquet(str(in_dir) + "/half=*"))
+    index_dir = str(tmp_path / "idx")
+    q = run_incremental_bootstrap(stream, str(tmp_path / "ckpt"), index_dir)
+    q.awaitTermination(180)
+    assert _rows(read_bootstrap_ci(spark, index_dir)) == \
+        _rows(QUERIES["stat_bootstrap_ci"](spark, sf_dir))
