@@ -174,30 +174,32 @@ def delete_batch(spark, ids_df: DataFrame, batch_id: int,
     vecs = _read(spark, index_dir, "vecs",
                  ["vec_id", "sub", "j", "qv", "batch_id"])
     codes = _read(spark, index_dir, "codes",
-                  ["vec_id", "cell", "sub", "code", "batch_id"])
+                  ["vec_id", "cell", "sub", "code"])
+    # doomed MULTIPLICITY comes from vecs alone; codes is a pure
+    # (vec_id, sub) -> (cell, code) LOOKUP deduplicated across batches
+    # — legal because the quantizers are per-vector deterministic
+    # (every copy of a vec_id carries identical cell/codes), and
+    # necessary so a crash between the per-table compactions (codes
+    # rewritten to the horizon batch_id, vecs not yet) cannot
+    # misalign a batch-keyed join and silently under-subtract
     doomed_v = _kill_filter(
         vecs.filter(F.col("batch_id") <= F.lit(int(thru)))
         .join(ids, "vec_id", "left_semi"), prior)
-    doomed_c = _kill_filter(
-        codes.filter(F.col("batch_id") <= F.lit(int(thru)))
-        .join(ids, "vec_id", "left_semi"), prior)
+    code_lut = (codes.join(ids, "vec_id", "left_semi")
+                .dropDuplicates(["vec_id", "sub"])
+                .select("vec_id", "cell", "sub", "code"))
     # negative codebook partials: the doomed components keyed by their
-    # stored code assignment (join multiplicity-exact on the ingest
-    # batch so a twice-ingested, once-deleted id subtracts twice)
-    neg_cb = (doomed_v
-              .join(doomed_c.select("vec_id", "sub", "code", "batch_id"),
-                    ["vec_id", "sub", "batch_id"])
-              .groupBy("sub", "code", "j")
+    # stored code assignment (a twice-ingested, once-deleted id
+    # subtracts twice — two vecs rows, one lookup row)
+    doomed = doomed_v.join(code_lut, ["vec_id", "sub"])
+    neg_cb = (doomed.groupBy("sub", "code", "j")
               .agg((-F.sum("qv")).alias("s_qv"),
                    (-F.count("qv")).alias("n")))
     _write_delta(neg_cb, batch_id, _p(index_dir, "cbook_neg"))
     # negative coarse-centroid partials: same components re-keyed to
     # (cell, flat position) — cellcen's q[pos] IS vecs.qv at
     # pos = sub*SUBDIM + j (both are floor(x*1e6) of the embedding)
-    neg_cc = (doomed_v
-              .join(doomed_c.select("vec_id", "cell", "sub", "batch_id")
-                    .dropDuplicates(["vec_id", "sub", "batch_id"]),
-                    ["vec_id", "sub", "batch_id"])
+    neg_cc = (doomed
               .select((F.col("sub") * _PQ_SUBDIM + F.col("j"))
                       .alias("pos"), "cell", "qv")
               .groupBy("cell", "pos")

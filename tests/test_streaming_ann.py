@@ -165,3 +165,26 @@ def test_compaction_purges_tombstoned_rows_preserving_answers(
     tombs = spark.read.parquet(glob.glob(
         os.path.join(index_dir, "tombs", "_compacted_v*"))[0])
     assert tombs.groupBy("vec_id").count().filter("count > 1").count() == 0
+
+
+def test_delete_survives_partial_compaction_crash(spark, sf_dir, tmp_path):
+    """A compaction that crashed between per-table rewrites leaves
+    codes at the horizon batch_id while vecs still carries original
+    ids; a delete in that state must still unlearn exactly (the code
+    lookup is batch-free by quantizer determinism)."""
+    from mental_health_bigdata_project_spark.streaming.compaction import (
+        compact_index)
+
+    full_dir, clean_dir = str(tmp_path / "full"), str(tmp_path / "clean")
+    e = _emb(spark, sf_dir)
+    for b in range(N_BATCHES):
+        part = e.filter(F.pmod("vec_id", F.lit(N_BATCHES)) == b)
+        index_batch(part, b, full_dir)
+        index_batch(part.filter(F.pmod("vec_id", F.lit(3)) != 0),
+                    b, clean_dir)
+    # simulate the crash window: ONLY codes compacted
+    compact_index(spark, os.path.join(full_dir, "codes"),
+                  through=N_BATCHES - 1, partition_by=["cell"])
+    delete_batch(spark, _doomed(e).select("vec_id"), 0, full_dir)
+    assert _rows(search_topk(spark, full_dir)) == \
+        _rows(search_topk(spark, clean_dir))
