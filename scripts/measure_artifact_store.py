@@ -53,6 +53,8 @@ def main() -> None:
          lambda: similarity.corpus_pq_index(spark, sf_dir)[0]),
         ("corpus_neardup_pairs",
          lambda: similarity.corpus_neardup_pairs(spark, sf_dir)),
+        ("corpus_minhash_sigs",
+         lambda: similarity.corpus_minhash_sigs(spark, sf_dir)),
     ]
     walls = {}
     rows = {}
