@@ -1909,10 +1909,12 @@ def stat_spearman_rho(spark, sf_dir):
     broadcast back onto the fact rows, then one 1-row decimal rollup.
     At 100 TB the fact table shuffles ONCE per variable onto its
     value grid; the grids themselves are value-cardinality-sized."""
+    # s feeds two grids + the final join, but it is a bare projection
+    # of the scan — re-reading parquet per consumer is cheaper than an
+    # eager checkpoint materialization (measured at sf0.1)
     s = (_t(spark, sf_dir, "lineitem")
          .select(F.col("l_quantity").alias("x"),
                  F.col("l_extendedprice").alias("y")))
-    s = s.localCheckpoint(eager=True)  # feeds two grids + the join
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     def ranks(col: str, out: str):
