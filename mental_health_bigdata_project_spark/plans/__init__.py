@@ -186,7 +186,8 @@ _CONVERTED_FRONT = [
     "ts_holt_linear", "stat_spearman_rho", "win_sliding_median",
     "agg_theil_inequality", "stat_kendall_tau", "text_rake_keywords",
     "stat_bootstrap_ci", "dq_referential_integrity",
-    "win_streak_islands",
+    "win_streak_islands", "stat_ab_srm", "text_burstiness",
+    "graph_adamic_adar",
 ]
 
 

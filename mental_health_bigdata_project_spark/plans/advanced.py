@@ -2238,3 +2238,76 @@ def agg_theil_inequality(spark, sf_dir):
                     F.round(F.lit(1.0)
                             - F.exp(F.col("s_log") / F.col("n")) / mu, 6)
                     .alias("atkinson_1")))
+
+
+@query("graph_adamic_adar", f"""
+    WITH t AS (SELECT doc_id,
+                      list_distinct(list_filter(
+                          regexp_split_to_array(lower(text), '\\s+'),
+                          x -> x <> '')) AS toks
+               FROM documents),
+    m AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    e AS (SELECT DISTINCT a.token AS u, b.token AS v
+          FROM m a JOIN m b
+            ON a.doc_id = b.doc_id AND a.token < b.token),
+    deg AS (SELECT token, CAST(count(*) AS BIGINT) AS d FROM
+            (SELECT u AS token FROM e UNION ALL SELECT v FROM e)
+            GROUP BY token),
+    und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    aa AS (SELECT x.u AS a, y.u AS b,
+                  CAST(SUM(CAST(1.0 / ln(d.d) AS DECIMAL(38,18)))
+                       AS DOUBLE) AS score,
+                  CAST(count(*) AS BIGINT) AS n_common
+           FROM und x
+           JOIN und y ON x.v = y.v AND x.u < y.u
+           JOIN deg d ON d.token = x.v
+           GROUP BY x.u, y.u)
+    SELECT a, b, n_common, round(score, 6) AS aa_score
+    FROM aa ORDER BY score DESC, a, b LIMIT 25
+""")
+def graph_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction over the token co-occurrence graph
+    (two tokens are adjacent iff they share a document): for every
+    token pair, sum 1/ln(deg) over their COMMON NEIGHBORS — the
+    classic "who should be connected" score that discounts promiscuous
+    hubs logarithmically where common-neighbor counting cannot.  One
+    wedge join on the shared-neighbor key produces all pairs at once
+    (the triangle-count shape re-used for prediction); the per-wedge
+    1/ln(deg) terms fold through DECIMAL(38,18).
+
+    Plan: doc-keyed self-join builds the distinct edge set, a wedge
+    join on the neighbor key scores every pair, degree table
+    broadcast.  At 100 TB the wedge join is bounded by sum(deg^2) —
+    the quantity you cap by dropping hub nodes, exactly as
+    triangle counting does."""
+    from .textops import tokens_col
+
+    m = (_t(spark, sf_dir, "documents")
+         .select("doc_id", F.explode(F.array_distinct(tokens_col()))
+                 .alias("token")))
+    a = m.select("doc_id", F.col("token").alias("ta"))
+    b = m.select("doc_id", F.col("token").alias("tb"))
+    e = (a.join(b, "doc_id")
+         .filter(F.col("ta") < F.col("tb"))
+         .select(F.col("ta").alias("u"), F.col("tb").alias("v"))
+         .distinct())
+    deg = (e.select(F.col("u").alias("token"))
+           .unionAll(e.select(F.col("v").alias("token")))
+           .groupBy("token").agg(F.count("*").cast("bigint").alias("d")))
+    und = (e.select("u", "v")
+           .unionAll(e.select(F.col("v").alias("u"),
+                              F.col("u").alias("v"))))
+    x = und.select(F.col("u").alias("a"), F.col("v").alias("z"))
+    y = und.select(F.col("u").alias("b"), F.col("v").alias("z2"))
+    aa = (x.join(y, (F.col("z") == F.col("z2"))
+                 & (F.col("a") < F.col("b")))
+          .join(F.broadcast(deg.select(F.col("token").alias("z"),
+                                       "d")), "z")
+          .groupBy("a", "b")
+          .agg(F.sum((F.lit(1.0) / F.log(F.col("d")))
+                     .cast("decimal(38,18)")).cast("double")
+               .alias("score"),
+               F.count("*").cast("bigint").alias("n_common")))
+    return (aa.orderBy(F.desc("score"), "a", "b").limit(25)
+            .select("a", "b", "n_common",
+                    F.round("score", 6).alias("aa_score")))

@@ -2181,3 +2181,49 @@ def win_streak_islands(spark, sf_dir):
             .agg(F.sum("len").cast("bigint").alias("n_active_days"),
                  F.max("len").cast("bigint").alias("longest_streak"),
                  F.count("*").cast("bigint").alias("n_streaks")))
+
+
+@query("stat_ab_srm", """
+    WITH a AS (SELECT user_id,
+                      CAST(CAST('0x' || substr(md5('exp1-' || user_id), 1, 8)
+                           AS BIGINT) % 2 AS INT) AS arm
+               FROM (SELECT DISTINCT user_id FROM events)),
+    g AS (SELECT arm, CAST(count(*) AS BIGINT) AS n FROM a GROUP BY arm),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM g)
+    SELECT CAST(SUM(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_control,
+           CAST(SUM(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_treat,
+           round(CAST(SUM(CAST(CAST((n - tot / 2.0) * (n - tot / 2.0)
+                      AS DOUBLE) / (tot / 2.0) AS DECIMAL(38,18)))
+                 AS DOUBLE), 6) AS srm_chi2
+    FROM g CROSS JOIN t
+""")
+def stat_ab_srm(spark, sf_dir):
+    """Deterministic hash-based A/B assignment plus the sample-ratio-
+    mismatch chi-square — the first gate every experiment readout must
+    pass (a biased split invalidates all downstream deltas; SRM is the
+    standard detector).  Assignment is md5('exp1-' || user_id) mod 2:
+    stable across sessions, engines and reruns, no state, no
+    coordination — exactly how bucketing works at fleet scale.  The
+    chi2 against the 50/50 expectation folds through DECIMAL(38,18).
+
+    Plan: distinct users -> 2-group agg -> 1-row rollup; the expensive
+    step is the distinct, which shares the user exchange every cohort
+    query already pays."""
+    users = (_t(spark, sf_dir, "events")
+             .select("user_id").distinct())
+    arm = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("exp1-"), F.col("user_id").cast("string"))),
+        1, 8), 16, 10).cast("bigint") % 2).cast("int")
+    g = (users.select(arm.alias("arm"))
+         .groupBy("arm").agg(F.count("*").cast("bigint").alias("n")))
+    t = g.agg(F.sum("n").cast("bigint").alias("tot"))
+    exp = F.col("tot") / F.lit(2.0)
+    term = (((F.col("n") - exp) * (F.col("n") - exp)).cast("double")
+            / exp).cast("decimal(38,18)")
+    return (g.crossJoin(F.broadcast(t))
+            .agg(F.sum(F.when(F.col("arm") == 0, F.col("n")))
+                 .cast("bigint").alias("n_control"),
+                 F.sum(F.when(F.col("arm") == 1, F.col("n")))
+                 .cast("bigint").alias("n_treat"),
+                 F.round(F.sum(term).cast("double"), 6)
+                 .alias("srm_chi2")))

@@ -3775,3 +3775,59 @@ def text_rake_keywords(spark, sf_dir):
                  F.max("occ_score").alias("raw"))
             .orderBy(F.desc("raw"), "phrase").limit(20)
             .select("phrase", "n_occs", F.round("raw", 6).alias("score")))
+
+
+@query("text_burstiness", f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM t),
+    c AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    dc AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS c
+           FROM c GROUP BY token, doc_id),
+    w AS (SELECT token,
+                 CAST(SUM(c) AS BIGINT) AS tot,
+                 CAST(SUM(c * c) AS BIGINT) AS tot2,
+                 CAST(count(*) AS BIGINT) AS df
+          FROM dc GROUP BY token)
+    SELECT token, tot, df,
+           round((CAST(tot2 AS DOUBLE) / n_docs
+                  - (CAST(tot AS DOUBLE) / n_docs)
+                    * (CAST(tot AS DOUBLE) / n_docs))
+                 / (CAST(tot AS DOUBLE) / n_docs), 6) AS vmr,
+           round(CAST(tot AS DOUBLE) / df, 6) AS burstiness
+    FROM w CROSS JOIN n
+    WHERE tot >= 50
+    ORDER BY vmr DESC, token LIMIT 25
+""")
+def text_burstiness(spark, sf_dir):
+    """Token dispersion statistics (Church & Gale 1995): the
+    variance-to-mean ratio of a token's per-document count across the
+    corpus (Fano factor; 1 = Poisson scatter, >1 = bursty — content
+    words clump, function words spread) plus the classic burstiness
+    tot/df (mean occurrences per document that HAS the token).  The
+    curation use: bursty high-VMR tokens mark topical/boilerplate
+    clusters that per-doc quality rules miss.  Documents where the
+    token is ABSENT contribute zero to both sums, so the sparse
+    (token, doc) table is the whole computation — no dense grid.
+
+    Plan: explode -> (token, doc) hash agg -> token hash agg ->
+    broadcast of the 1-row doc count; TakeOrderedAndProject for the
+    tie-pinned top-25."""
+    t = _docs(spark, sf_dir).select("doc_id", tokens_col().alias("toks"))
+    n = t.agg(F.count("*").cast("bigint").alias("n_docs"))
+    dc = (t.select("doc_id", F.explode("toks").alias("token"))
+          .groupBy("token", "doc_id")
+          .agg(F.count("*").cast("bigint").alias("c")))
+    w = dc.groupBy("token").agg(
+        F.sum("c").cast("bigint").alias("tot"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("tot2"),
+        F.count("*").cast("bigint").alias("df"))
+    mean = F.col("tot").cast("double") / F.col("n_docs")
+    vmr = (F.col("tot2").cast("double") / F.col("n_docs")
+           - mean * mean) / mean
+    return (w.crossJoin(F.broadcast(n))
+            .filter(F.col("tot") >= 50)
+            .orderBy(F.desc(F.round(vmr, 6)), "token").limit(25)
+            .select("token", "tot", "df",
+                    F.round(vmr, 6).alias("vmr"),
+                    F.round(F.col("tot").cast("double") / F.col("df"), 6)
+                    .alias("burstiness")))

@@ -179,6 +179,13 @@ GUARDED = [
     ("stat_bootstrap_ci", 1, 0),
     ("dq_referential_integrity", 3, 0),
     ("win_streak_islands", 0, 0),
+    #   stat_ab_srm: the 1-row total + 1-row chi2 rollup;
+    #   text_burstiness: the 1-row doc-count broadcast;
+    #   graph_adamic_adar: all joins key on doc/neighbor/degree — no
+    #     global aggregate (top-25 is TakeOrderedAndProject)
+    ("stat_ab_srm", 2, 0),
+    ("text_burstiness", 1, 0),
+    ("graph_adamic_adar", 0, 0),
 ]
 
 

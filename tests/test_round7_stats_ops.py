@@ -604,3 +604,65 @@ def test_streaks_on_hand_built_days(spark, tmp_path):
     assert out[1].n_active_days == 5
     assert out[1].longest_streak == 3 and out[1].n_streaks == 2
     assert out[2].longest_streak == 1 and out[2].n_streaks == 3
+
+
+# --- stat_ab_srm ----------------------------------------------------------------
+
+def test_srm_matches_hand_assignment(spark, sf_dir):
+    from mental_health_bigdata_project_spark.sources import load_table
+
+    row = QUERIES["stat_ab_srm"](spark, sf_dir).collect()[0]
+    users = {r.user_id for r in
+             (load_table(spark, sf_dir, "events")
+              .select("user_id").distinct().collect())}
+    arms = Counter(
+        int(hashlib.md5(f"exp1-{u}".encode()).hexdigest()[:8], 16) % 2
+        for u in users)
+    assert (row.n_control, row.n_treat) == (arms[0], arms[1])
+    tot = arms[0] + arms[1]
+    chi2 = sum((n - tot / 2) ** 2 / (tot / 2) for n in arms.values())
+    assert abs(row.srm_chi2 - chi2) < 1e-6
+    # 2-arm identity: chi2 == (n0-n1)^2 / tot
+    assert abs(row.srm_chi2 - (arms[0] - arms[1]) ** 2 / tot) < 1e-6
+
+
+# --- text_burstiness ------------------------------------------------------------
+
+def test_burstiness_separates_clumped_from_spread(spark, tmp_path):
+    # 'spread' once per doc in 10 docs (VMR ~ Poisson-ish <= 1);
+    # 'clump' 60 times in ONE doc (VMR >> 1); both tot >= 50
+    docs = []
+    for i in range(10):
+        base = ["spread"] * 5 + [f"u{i}{j}" for j in range(3)]
+        docs.append((i, " ".join(base)))
+    docs[0] = (0, docs[0][1] + " " + " ".join(["clump"] * 60))
+    d = _write_docs(spark, tmp_path, docs)
+    out = {r.token: r for r in QUERIES["text_burstiness"](spark, d).collect()}
+    assert set(out) == {"spread", "clump"}
+    n_docs = 10
+    # spread: c=5 in every doc -> variance 0 -> VMR 0
+    assert out["spread"].vmr == 0.0
+    assert out["spread"].burstiness == 5.0
+    # clump: tot=60 in one doc: mean 6, E[c^2]=360, var=324, VMR=54
+    assert out["clump"].tot == 60 and out["clump"].df == 1
+    assert abs(out["clump"].vmr - 54.0) < 1e-6
+    assert out["clump"].burstiness == 60.0
+
+
+# --- graph_adamic_adar -----------------------------------------------------------
+
+def test_adamic_adar_hand_graph(spark, tmp_path):
+    import math
+
+    d = _write_docs(spark, tmp_path, [(1, "a b c"), (2, "a b d")])
+    rows = {(r.a, r.b): r for r in
+            QUERIES["graph_adamic_adar"](spark, d).collect()}
+    # edges: ab, ac, bc, ad, bd; deg a=3, b=3, c=2, d=2
+    # AA(c,d): common {a,b} -> 2/ln(3)
+    # AA(a,b): common {c,d} -> 1/ln2 + 1/ln2
+    assert rows[("c", "d")].n_common == 2
+    assert abs(rows[("c", "d")].aa_score - 2 / math.log(3)) < 1e-6
+    assert abs(rows[("a", "b")].aa_score - 2 / math.log(2)) < 1e-6
+    # adjacent-but-no-extra-common pairs score via their wedge only
+    assert rows[("a", "c")].n_common == 1   # common neighbor b
+    assert abs(rows[("a", "c")].aa_score - 1 / math.log(3)) < 1e-6
