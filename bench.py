@@ -147,6 +147,9 @@ HEADLINE = [
     # round-7 (late): grid-collapsed concordance and the stopword-run
     # phrase pipeline (posexplode + per-doc window + vocab broadcast)
     "stat_kendall_tau", "text_rake_keywords",
+    # round-7 (late): the single-scan 64-aggregate bootstrap rollup
+    # and the wedge-join link-prediction shape
+    "stat_bootstrap_ci", "graph_adamic_adar",
 ]
 
 

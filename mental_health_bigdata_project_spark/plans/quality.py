@@ -2025,12 +2025,35 @@ def stat_kendall_tau(spark, sf_dir):
 _POIS_CUM = [0.3678794412, 0.7357588823, 0.9196986029, 0.9810118431,
              0.9963401532, 0.9994058152, 0.9999167589, 0.9999897508]
 _N_BOOT = 32
+_BOOT_HASHES = _N_BOOT // 4   # one md5 yields FOUR 8-hex uniforms
 
 
 def _pois_w_sql(u: str) -> str:
     branches = " ".join(
         f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(_POIS_CUM))
     return f"(CASE {branches} ELSE {len(_POIS_CUM)} END)"
+
+
+def boot_hash_cols():
+    """The 8 per-row md5 columns every replicate's uniform is sliced
+    from — computed ONCE per row in a codegen'd projection (32 md5s
+    per row measured 4x slower; shared with the streaming state)."""
+    return [F.md5(F.concat_ws("-", F.col("event_id").cast("string"),
+                              F.lit(str(g)))).alias(f"h{g}")
+            for g in range(_BOOT_HASHES)]
+
+
+def boot_weight(rep: int):
+    """Poisson(1) weight for replicate ``rep`` over the projected hash
+    columns: uniform = 8 hex chars at slot rep%4 of md5 column
+    h{rep//4}, thresholded by the shared inverse-CDF literals."""
+    g, slot = rep // 4, rep % 4
+    u = (F.conv(F.substring(F.col(f"h{g}"), slot * 8 + 1, 8), 16, 10)
+         .cast("bigint") / F.lit(4294967296.0))
+    w = F.lit(len(_POIS_CUM))
+    for k in range(len(_POIS_CUM) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS_CUM[k]), F.lit(k)).otherwise(w)
+    return w
 
 
 @query("stat_bootstrap_ci", f"""
@@ -2040,8 +2063,9 @@ def _pois_w_sql(u: str) -> str:
                     AS INT) AS rep),
     w AS (SELECT r.rep, s.value,
                  {_pois_w_sql(
-                     "(CAST('0x' || substr(md5(s.event_id || '-' || r.rep),"
-                     " 1, 8) AS BIGINT) / 4294967296.0)")} AS wt
+                     "(CAST('0x' || substr(md5(s.event_id || '-' ||"
+                     " (r.rep // 4)), (r.rep % 4) * 8 + 1, 8)"
+                     " AS BIGINT) / 4294967296.0)")} AS wt
           FROM s CROSS JOIN reps r)
     SELECT rep, CAST(SUM(wt) AS BIGINT) AS n_eff,
            round(CAST(SUM(CAST(wt * value AS DECIMAL(28,12))) AS DOUBLE)
@@ -2052,39 +2076,39 @@ def stat_bootstrap_ci(spark, sf_dir):
     """Poisson bootstrap (Chamandy et al. 2012 — THE resampling scheme
     for data too large to index): each of 32 replicates reweights
     every row by an independent Poisson(1) draw derived
-    deterministically from md5(event_id, rep), so resampling needs no
-    shuffle of the data and no global row count.  The oracle
+    deterministically from md5(event_id, rep-group), so resampling
+    needs no shuffle of the data and no global row count.  The oracle
     formulates it as a rep x rows cross join; the Spark side computes
-    ALL 32 replicate sums in ONE scan as 64 conditional aggregates —
-    zero row blowup, which is the entire point at 100 TB (the
-    replicate spread is the standard error of the mean, free with the
-    pass you were already making).
+    ALL 32 replicate sums in ONE scan — zero row blowup, which is the
+    entire point at 100 TB (the replicate spread is the standard
+    error of the mean, free with the pass you were already making).
+
+    Performance shape, measured at sf0.1 (18 s -> 1.3 s warm): one
+    md5 per row per FOUR replicates (each digest yields four 8-hex
+    uniforms), weights computed once in a codegen'd projection rather
+    than inside 64 aggregate expressions, and an explicit repartition
+    so the per-row expression work rides every core (a single-file
+    local scan otherwise runs the whole projection on one task; a
+    100 TB scan is naturally thousands of partitions).
 
     Determinism: the Poisson inverse-CDF thresholds are shared decimal
-    literals; the uniform is an 8-hex-digit md5 prefix over 2^32; the
+    literals; the uniforms are 8-hex md5 slices over 2^32; the
     weighted sums fold through DECIMAL(28,12)."""
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     s = (_t(spark, sf_dir, "events")
          .filter(F.col("value").isNotNull())
-         .select("event_id", "value"))
-
-    def weight(rep: int):
-        u = (F.conv(F.substring(
-            F.md5(F.concat_ws("-", F.col("event_id").cast("string"),
-                              F.lit(str(rep)))), 1, 8), 16, 10)
-            .cast("bigint") / F.lit(4294967296.0))
-        w = F.lit(len(_POIS_CUM))
-        for k in range(len(_POIS_CUM) - 1, -1, -1):
-            w = F.when(u < F.lit(_POIS_CUM[k]), F.lit(k)).otherwise(w)
-        return w
-
+         .select("event_id", "value")
+         .repartition(n_parts))
+    proj = (s.select("value", *boot_hash_cols())
+            .select("value", *[boot_weight(r).alias(f"w{r}")
+                               for r in range(_N_BOOT)]))
     aggs = []
     for r in range(_N_BOOT):
-        w = weight(r)
-        aggs.append(F.sum(w).cast("bigint").alias(f"n{r}"))
-        aggs.append(F.sum((w * F.col("value"))
+        aggs.append(F.sum(f"w{r}").cast("bigint").alias(f"n{r}"))
+        aggs.append(F.sum((F.col(f"w{r}") * F.col("value"))
                           .cast("decimal(28,12)")).cast("double")
                     .alias(f"s{r}"))
-    one = s.agg(*aggs)
+    one = proj.agg(*aggs)
     pairs = ", ".join(f"{r}, n{r}, s{r}" for r in range(_N_BOOT))
     return (one.selectExpr(
         f"stack({_N_BOOT}, {pairs}) AS (rep, n_eff, wsum)")

@@ -24,7 +24,7 @@ import os
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..plans.quality import _N_BOOT, _POIS_CUM
+from ..plans.quality import _N_BOOT, boot_hash_cols, boot_weight
 
 _DEC = "decimal(28,12)"
 
@@ -33,36 +33,26 @@ def _boot_path(index_dir: str) -> str:
     return os.path.join(index_dir, "boot")
 
 
-def _weight(rep: int):
-    u = (F.conv(F.substring(
-        F.md5(F.concat_ws("-", F.col("event_id").cast("string"),
-                          F.lit(str(rep)))), 1, 8), 16, 10)
-        .cast("bigint") / F.lit(4294967296.0))
-    w = F.lit(len(_POIS_CUM))
-    for k in range(len(_POIS_CUM) - 1, -1, -1):
-        w = F.when(u < F.lit(_POIS_CUM[k]), F.lit(k)).otherwise(w)
-    return w
-
-
-def _partial_aggs():
-    aggs = []
-    for r in range(_N_BOOT):
-        w = _weight(r)
-        aggs.append(F.sum(w).cast("bigint").alias(f"n{r}"))
-        aggs.append(F.sum((w * F.col("value")).cast(_DEC)).cast(_DEC)
-                    .alias(f"s{r}"))
-    return aggs
-
-
 _COLS = [c for r in range(_N_BOOT) for c in (f"n{r}", f"s{r}")]
 
 
 def bootstrap_batch(batch_df: DataFrame, batch_id: int,
                     index_dir: str) -> None:
     """One micro-batch of replicate-partial maintenance (the
-    foreachBatch body).  ``batch_df`` needs (event_id, value)."""
-    (batch_df.filter(F.col("value").isNotNull())
-     .agg(*_partial_aggs())
+    foreachBatch body).  ``batch_df`` needs (event_id, value).  The
+    weight machinery is the batch query's exactly (shared hash
+    projection — one md5 per row per four replicates — and shared
+    inverse-CDF literals), so the parity below is structural."""
+    proj = (batch_df.filter(F.col("value").isNotNull())
+            .select("value", *boot_hash_cols())
+            .select("value", *[boot_weight(r).alias(f"w{r}")
+                               for r in range(_N_BOOT)]))
+    aggs = []
+    for r in range(_N_BOOT):
+        aggs.append(F.sum(f"w{r}").cast("bigint").alias(f"n{r}"))
+        aggs.append(F.sum((F.col(f"w{r}") * F.col("value")).cast(_DEC))
+                    .cast(_DEC).alias(f"s{r}"))
+    (proj.agg(*aggs)
      .withColumn("batch_id", F.lit(batch_id))
      .write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")

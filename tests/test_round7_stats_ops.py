@@ -526,8 +526,9 @@ def test_bootstrap_replicate_zero_matches_hand_weights(spark, sf_dir):
           .select("event_id", "value").collect())
 
     def w(event_id, rep):
-        u = int(hashlib.md5(f"{event_id}-{rep}".encode())
-                .hexdigest()[:8], 16) / 4294967296.0
+        g, slot = rep // 4, rep % 4
+        hx = hashlib.md5(f"{event_id}-{g}".encode()).hexdigest()
+        u = int(hx[slot * 8:slot * 8 + 8], 16) / 4294967296.0
         for k, c in enumerate(_POIS_CUM):
             if u < c:
                 return k
