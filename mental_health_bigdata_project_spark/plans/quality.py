@@ -1841,7 +1841,12 @@ def ts_holt_linear(spark, sf_dir):
         a[0]["total"].alias("l"),
         (a[1]["total"] - a[0]["total"]).alias("b"))
     fold = F.aggregate(
-        F.slice(a, 2, F.size(a) - 1), init,
+        # greatest(...,0): a degenerate train (<2 days) must not hand
+        # F.slice a negative length (runtime error); the size>=2
+        # filter below then drops the 1-row agg so the query emits 0
+        # rows — matching the oracle, whose t1.i=1/t2.i=2 init join
+        # finds no rows on the same degenerate input
+        F.slice(a, 2, F.greatest(F.size(a) - 1, F.lit(0))), init,
         lambda acc, x: F.struct(
             (F.lit(0.5) * x["total"]
              + F.lit(0.5) * (acc["l"] + acc["b"])).alias("l"),
@@ -1849,7 +1854,8 @@ def ts_holt_linear(spark, sf_dir):
                             + F.lit(0.5) * (acc["l"] + acc["b"]))
                            - acc["l"])
              + F.lit(0.7) * acc["b"]).alias("b")))
-    fin = arr.select(fold["l"].alias("l"), fold["b"].alias("b"))
+    fin = (arr.filter(F.size(a) >= 2)
+           .select(fold["l"].alias("l"), fold["b"].alias("b")))
     fc = (test.crossJoin(F.broadcast(fin)).crossJoin(F.broadcast(nt))
           .select("day", "actual",
                   (F.col("l") + F.datediff("day", F.col("d0"))
@@ -1879,11 +1885,14 @@ def ts_holt_linear(spark, sf_dir):
     m AS (SELECT CAST(count(*) AS BIGINT) AS n,
                  CAST(SUM(CAST(r2x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
                  CAST(SUM(CAST(r2y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
-                 CAST(SUM(CAST(r2x * r2y AS DECIMAL(38,0))) AS DOUBLE)
+                 CAST(SUM(CAST(r2x AS DECIMAL(19,0))
+                          * CAST(r2y AS DECIMAL(19,0))) AS DOUBLE)
                    AS sxy,
-                 CAST(SUM(CAST(r2x * r2x AS DECIMAL(38,0))) AS DOUBLE)
+                 CAST(SUM(CAST(r2x AS DECIMAL(19,0))
+                          * CAST(r2x AS DECIMAL(19,0))) AS DOUBLE)
                    AS sxx,
-                 CAST(SUM(CAST(r2y * r2y AS DECIMAL(38,0))) AS DOUBLE)
+                 CAST(SUM(CAST(r2y AS DECIMAL(19,0))
+                          * CAST(r2y AS DECIMAL(19,0))) AS DOUBLE)
                    AS syy
           FROM j)
     SELECT n,
@@ -1939,12 +1948,19 @@ def stat_spearman_rho(spark, sf_dir):
 
     j = (s.join(ranks("x", "r2x"), "x").join(ranks("y", "r2y"), "y"))
     dec = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
+    # products form in decimal(19,0) x decimal(19,0) -> decimal(38,0),
+    # NOT bigint: 2n-scaled ranks square to ~4n^2, which overflows
+    # int64 beyond ~1.5e9 rows while decimal carries exactly to ~1e19
+    # rows (and the decimal(38,0) running sum holds 4n^3 ~ 4e36 at a
+    # 1e12-row / 100 TB lineitem)
+    dx = F.col("r2x").cast("decimal(19,0)")
+    dy = F.col("r2y").cast("decimal(19,0)")
     m = j.agg(F.count("*").cast("bigint").alias("n"),
               dec(F.col("r2x")).alias("sx"),
               dec(F.col("r2y")).alias("sy"),
-              dec(F.col("r2x") * F.col("r2y")).alias("sxy"),
-              dec(F.col("r2x") * F.col("r2x")).alias("sxx"),
-              dec(F.col("r2y") * F.col("r2y")).alias("syy"))
+              dec(dx * dy).alias("sxy"),
+              dec(dx * dx).alias("sxx"),
+              dec(dy * dy).alias("syy"))
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     num = n * F.col("sxy") - sx * sy
     den = F.sqrt((n * F.col("sxx") - sx * sx)
@@ -1956,20 +1972,24 @@ def stat_spearman_rho(spark, sf_dir):
     WITH s AS (SELECT l_quantity AS x, l_discount AS y FROM lineitem),
     g AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY x, y),
     t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM g),
-    tx AS (SELECT CAST(SUM(cx * (cx - 1)) AS BIGINT) AS n1_2 FROM
+    tx AS (SELECT SUM(CAST(cx AS HUGEINT) * (cx - 1)) AS n1_2 FROM
            (SELECT CAST(SUM(c) AS BIGINT) AS cx FROM g GROUP BY x)),
-    ty AS (SELECT CAST(SUM(cy * (cy - 1)) AS BIGINT) AS n2_2 FROM
+    ty AS (SELECT SUM(CAST(cy AS HUGEINT) * (cy - 1)) AS n2_2 FROM
            (SELECT CAST(SUM(c) AS BIGINT) AS cy FROM g GROUP BY y)),
     cd AS (SELECT
-             CAST(SUM(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END)
-               AS BIGINT) AS conc,
-             CAST(SUM(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END)
-               AS BIGINT) AS disc
+             CAST(SUM(CASE WHEN a.y < b.y
+                           THEN CAST(a.c AS HUGEINT) * b.c
+                           ELSE 0 END) AS DECIMAL(38,0)) AS conc,
+             CAST(SUM(CASE WHEN a.y > b.y
+                           THEN CAST(a.c AS HUGEINT) * b.c
+                           ELSE 0 END) AS DECIMAL(38,0)) AS disc
            FROM g a JOIN g b ON a.x < b.x)
     SELECT t.n, cd.conc, cd.disc,
-           round(2.0 * (cd.conc - cd.disc)
-                 / sqrt(CAST(t.n * (t.n - 1) - tx.n1_2 AS DOUBLE)
-                        * (t.n * (t.n - 1) - ty.n2_2)), 6)
+           round(2.0 * CAST(cd.conc - cd.disc AS DOUBLE)
+                 / sqrt(CAST(CAST(t.n AS HUGEINT) * (t.n - 1)
+                             - tx.n1_2 AS DOUBLE)
+                        * CAST(CAST(t.n AS HUGEINT) * (t.n - 1)
+                               - ty.n2_2 AS DOUBLE)), 6)
              AS kendall_tau_b
     FROM cd CROSS JOIN t CROSS JOIN tx CROSS JOIN ty
 """)
@@ -1995,11 +2015,16 @@ def stat_kendall_tau(spark, sf_dir):
     g = (s.groupBy("x", "y").agg(F.count("*").cast("bigint").alias("c"))
          .localCheckpoint(eager=True))  # grid feeds 4 consumers
     t = g.agg(F.sum("c").cast("bigint").alias("n"))
+    # tie terms and pair counts multiply in decimal(19,0), never
+    # bigint: cell counts scale with n, so cx*(cx-1) and ca*cb reach
+    # ~n^2 — past int64 at n > ~3e9 rows; decimal(38,0) carries the
+    # products (and their grid-sized sums) exactly to ~1e19 rows
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     tx = (g.groupBy("x").agg(F.sum("c").cast("bigint").alias("cx"))
-          .agg(F.sum(F.col("cx") * (F.col("cx") - 1)).cast("bigint")
+          .agg(F.sum(d19("cx") * (d19("cx") - 1)).cast("decimal(38,0)")
                .alias("n1_2")))
     ty = (g.groupBy("y").agg(F.sum("c").cast("bigint").alias("cy"))
-          .agg(F.sum(F.col("cy") * (F.col("cy") - 1)).cast("bigint")
+          .agg(F.sum(d19("cy") * (d19("cy") - 1)).cast("decimal(38,0)")
                .alias("n2_2")))
     a = g.select(F.col("x").alias("xa"), F.col("y").alias("ya"),
                  F.col("c").alias("ca"))
@@ -2007,15 +2032,15 @@ def stat_kendall_tau(spark, sf_dir):
                  F.col("c").alias("cb"))
     cd = (a.join(F.broadcast(b), F.col("xa") < F.col("xb"))
           .agg(F.sum(F.when(F.col("ya") < F.col("yb"),
-                            F.col("ca") * F.col("cb")).otherwise(0))
-               .cast("bigint").alias("conc"),
+                            d19("ca") * d19("cb")).otherwise(0))
+               .cast("decimal(38,0)").alias("conc"),
                F.sum(F.when(F.col("ya") > F.col("yb"),
-                            F.col("ca") * F.col("cb")).otherwise(0))
-               .cast("bigint").alias("disc")))
-    n = F.col("n")
-    tau = (2.0 * (F.col("conc") - F.col("disc"))
-           / F.sqrt((n * (n - 1) - F.col("n1_2")).cast("double")
-                    * (n * (n - 1) - F.col("n2_2"))))
+                            d19("ca") * d19("cb")).otherwise(0))
+               .cast("decimal(38,0)").alias("disc")))
+    dn = F.col("n").cast("decimal(19,0)")
+    tau = (2.0 * (F.col("conc") - F.col("disc")).cast("double")
+           / F.sqrt((dn * (dn - 1) - F.col("n1_2")).cast("double")
+                    * (dn * (dn - 1) - F.col("n2_2")).cast("double")))
     return (cd.crossJoin(F.broadcast(t)).crossJoin(F.broadcast(tx))
             .crossJoin(F.broadcast(ty))
             .select("n", "conc", "disc",

@@ -3796,7 +3796,10 @@ def text_rake_keywords(spark, sf_dir):
            round(CAST(tot AS DOUBLE) / df, 6) AS burstiness
     FROM w CROSS JOIN n
     WHERE tot >= 50
-    ORDER BY vmr DESC, token LIMIT 25
+    ORDER BY round((CAST(tot2 AS DOUBLE) / n_docs
+                    - (CAST(tot AS DOUBLE) / n_docs)
+                      * (CAST(tot AS DOUBLE) / n_docs))
+                   / (CAST(tot AS DOUBLE) / n_docs), 6) DESC, token LIMIT 25
 """)
 def text_burstiness(spark, sf_dir):
     """Token dispersion statistics (Church & Gale 1995): the

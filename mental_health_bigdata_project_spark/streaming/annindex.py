@@ -149,43 +149,58 @@ def delete_batch(spark, ids_df: DataFrame, batch_id: int,
 
     Exact unlearning in three writes, crash-safe in this order:
     negative codebook partials, negative coarse-centroid partials,
-    then the tombstones themselves (the commit point — the horizon is
-    re-read from an already-committed ``batch_id=N`` tombstone
-    partition on replay, so retried negatives are bit-identical even
-    if ingest advanced between attempts; a crash before the tombstone
-    write leaves unreferenced negatives the retry overwrites in
-    place via dynamic partition overwrite).
+    then the tombstones themselves (the commit point); a crash before
+    the tombstone write leaves unreferenced negatives the retry
+    overwrites in place via dynamic partition overwrite.  A replay
+    whose OWN tombstone partition is already committed is a NO-OP:
+    the write order guarantees its negatives committed first, and
+    recomputing them against an index a compaction may since have
+    physically purged would find no doomed rows and overwrite the
+    partition with empty partials — silently undoing the unlearning.
+    The short-circuit is what lets ``compact_ann_index`` purge
+    codes/vecs with ALL tombstones, committed to the delete-stream
+    checkpoint or not (gating the purge on committed batches instead
+    would let the compaction batch_id rewrite raise an unpurged dead
+    row's ingest position above its tombstone horizon and resurrect
+    it at serve time).
 
     Contract: deletes apply to data ingested at or below the horizon
     taken when the delete is processed; an ingest batch racing the
     delete with a smaller-or-equal batch_id is covered by it."""
     from .neardup import _read_index
 
-    ids = ids_df.select("vec_id").distinct().localCheckpoint(eager=True)
     tombs_path = _p(index_dir, "tombs")
     own_dir = os.path.join(tombs_path, f"batch_id={batch_id}")
-    if os.path.isdir(own_dir):  # crash-retry: reuse the committed horizon
-        thru = spark.read.parquet(own_dir).agg(
-            F.max("thru_ingest")).collect()[0][0]
-    else:
-        thru = _max_ingest_batch(spark, index_dir)
+    if os.path.isdir(own_dir):  # replay of a committed delete: no-op
+        return
+    ids = ids_df.select("vec_id").distinct().localCheckpoint(eager=True)
+    thru = _max_ingest_batch(spark, index_dir)
     prior = _read_index(spark, tombs_path, ["vec_id", "thru_ingest"],
                         before_batch=batch_id)
     vecs = _read(spark, index_dir, "vecs",
                  ["vec_id", "sub", "j", "qv", "batch_id"])
     codes = _read(spark, index_dir, "codes",
-                  ["vec_id", "cell", "sub", "code"])
+                  ["vec_id", "cell", "sub", "code", "batch_id"])
     # doomed MULTIPLICITY comes from vecs alone; codes is a pure
     # (vec_id, sub) -> (cell, code) LOOKUP deduplicated across batches
-    # — legal because the quantizers are per-vector deterministic
-    # (every copy of a vec_id carries identical cell/codes), and
-    # necessary so a crash between the per-table compactions (codes
-    # rewritten to the horizon batch_id, vecs not yet) cannot
-    # misalign a batch-keyed join and silently under-subtract
+    # after passing the SAME horizon + prior-tombstone filters as the
+    # doomed vecs rows, so a re-ingest that followed an earlier delete
+    # keys the negatives to its LIVE assignment, not a dead one.  The
+    # join is deliberately not batch-keyed so a crash between the
+    # per-table compactions (codes rewritten to the horizon batch_id,
+    # vecs not yet) cannot misalign it and silently under-subtract —
+    # safe because compaction only ever rewrites batch_id UPWARD to a
+    # horizon <= the current max ingest batch, and purges rows a prior
+    # tombstone covers before rewriting.  Two live copies of a vec_id
+    # must carry identical embeddings (quantizers are per-vector
+    # deterministic); in-place updates without an intervening delete
+    # are unsupported.
     doomed_v = _kill_filter(
         vecs.filter(F.col("batch_id") <= F.lit(int(thru)))
         .join(ids, "vec_id", "left_semi"), prior)
-    code_lut = (codes.join(ids, "vec_id", "left_semi")
+    code_lut = (_kill_filter(
+        codes.filter(F.col("batch_id") <= F.lit(int(thru)))
+        .join(ids, "vec_id", "left_semi"), prior)
                 .dropDuplicates(["vec_id", "sub"])
                 .select("vec_id", "cell", "sub", "code"))
     # negative codebook partials: the doomed components keyed by their
@@ -345,7 +360,15 @@ def compact_ann_index(spark, index_dir: str, through: int,
     vec_id — because post-horizon ingest deltas may still hold rows
     they cover.  ``through_deletes`` additionally compacts the
     delete-stream tables (their own batch counter) through that
-    checkpoint-committed delete batch.  Returns the new manifests."""
+    checkpoint-committed delete batch.  Returns the new manifests.
+
+    Purging with ALL tombstones — even delete batches the delete
+    stream's checkpoint has not committed — is safe because
+    ``delete_batch`` short-circuits a replay whose own tombstone
+    partition is committed (it cannot re-key negatives against purged
+    rows), and REQUIRED: an unpurged dead row would have its batch_id
+    rewritten up to the compaction horizon, potentially above its
+    tombstone's thru_ingest, resurrecting it at serve time."""
     from .compaction import compact_index
 
     def fold(keys):

@@ -103,9 +103,22 @@ def delete_docs_batch(spark, ids_df: DataFrame, batch_id: int,
     last (the commit point); a crash between the two leaves
     unreferenced negatives the retry overwrites in place.  Already-
     tombstoned ids are excluded so a double delete cannot
-    double-subtract."""
+    double-subtract.
+
+    Replay short-circuit: if this batch's OWN tombstone partition is
+    already committed, the write order guarantees its stats_neg delta
+    committed before it, so the whole batch is a NO-OP.  This is what
+    makes compaction free to purge postings/doclen with ALL
+    tombstones (including delete batches the stream checkpoint has
+    not yet committed): without it, a replay after such a purge would
+    find no doclen rows for its ids and overwrite its stats_neg
+    partition with zero partials — silently undoing the deletion in
+    served N/avgdl while the positive stats still count the docs."""
     from .neardup import _read_index
 
+    own_dir = os.path.join(index_dir, "tombs", f"batch_id={batch_id}")
+    if os.path.isdir(own_dir):
+        return
     ids = ids_df.select("doc_id").distinct()
     prior = _read_tombs(spark, index_dir, before_batch=batch_id)
     if prior is not None:

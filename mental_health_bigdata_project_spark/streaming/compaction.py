@@ -250,7 +250,13 @@ def compact_bm25_index(spark, index_dir: str, through: int,
     purged from postings/doclen; the stats/stats_neg partials keep
     cancelling after their independent sum-folds.  ``through_deletes``
     additionally compacts the delete-stream tables (their own batch
-    counter)."""
+    counter).
+
+    Purging with ALL tombstones — including delete batches the delete
+    stream's checkpoint has not committed yet — is safe because
+    ``delete_docs_batch`` short-circuits a replay whose own tombstone
+    partition is committed: the replay can no longer recompute (and
+    zero out) its stats_neg partial against the purged doclen."""
     from pyspark.sql import functions as F
 
     from .bm25index import _read_tombs

@@ -190,3 +190,28 @@ def test_delete_of_never_ingested_id_is_noop_for_later_ingest(
     index_batch(later, 1, ref_dir)
     assert _rows(bm25_query(spark, index_dir, _BM25_QUERIES, k=10)) == \
         _rows(bm25_query(spark, ref_dir, _BM25_QUERIES, k=10))
+
+
+def test_delete_replay_after_compaction_keeps_unlearning(
+        spark, sf_dir, tmp_path):
+    """The ADVICE-flagged window: compaction purges postings/doclen
+    with a tombstone batch the delete stream's checkpoint has NOT
+    committed, then that delete batch replays.  Without the replay
+    short-circuit the replay finds no doclen rows for its ids and
+    overwrites its stats_neg partition with zero partials — silently
+    undoing the deletion in served N/avgdl.  The replay must be a
+    no-op and every served score must stay exact-unlearning-true."""
+    index_dir = str(tmp_path / "idx")
+    docs = _index_in_batches(spark, sf_dir, index_dir)
+    doomed = docs.filter(F.pmod("doc_id", F.lit(5)) == 0).select("doc_id")
+    delete_docs_batch(spark, doomed, 0, index_dir)
+    before = _rows(bm25_query(spark, index_dir, _BM25_QUERIES, k=10))
+    # purge with ALL tombstones, delete-stream tables left uncompacted
+    # (through_deletes omitted == the delete batch is uncommitted)
+    compact_bm25_index(spark, index_dir, through=2)
+    delete_docs_batch(spark, doomed, 0, index_dir)   # checkpoint replay
+    assert _rows(bm25_query(spark, index_dir, _BM25_QUERIES, k=10)) == \
+        before
+    neg = spark.read.parquet(os.path.join(index_dir, "stats_neg"))
+    assert neg.agg(F.sum("n_docs")).collect()[0][0] < 0, \
+        "replay must not zero the committed negative partials"

@@ -188,3 +188,30 @@ def test_delete_survives_partial_compaction_crash(spark, sf_dir, tmp_path):
     delete_batch(spark, _doomed(e).select("vec_id"), 0, full_dir)
     assert _rows(search_topk(spark, full_dir)) == \
         _rows(search_topk(spark, clean_dir))
+
+
+def test_delete_replay_after_compaction_keeps_unlearning(
+        spark, sf_dir, tmp_path):
+    """Compaction purges codes/vecs with a tombstone batch the delete
+    stream's checkpoint has NOT committed, then that batch replays.
+    Without the replay short-circuit the replay would key its
+    negatives against the purged rows (finding none) and overwrite
+    the committed cbook_neg/cellcen_neg partials with empties —
+    resurrecting the deleted vectors' mass in the folded codebook and
+    centroids.  The replay must be a no-op."""
+    from mental_health_bigdata_project_spark.streaming.annindex import (
+        delete_batch)
+
+    index_dir = str(tmp_path / "ann")
+    e = _feed(spark, sf_dir, index_dir)
+    delete_batch(spark, _doomed(e).select("vec_id"), 0, index_dir)
+    before = _rows(search_topk(spark, index_dir))
+    # through_deletes omitted: the delete batch counts as uncommitted,
+    # yet the purge still uses its tombstones (required — see
+    # compact_ann_index docstring on batch_id-rewrite resurrection)
+    compact_ann_index(spark, index_dir, through=N_BATCHES - 1)
+    delete_batch(spark, _doomed(e).select("vec_id"), 0, index_dir)
+    assert _rows(search_topk(spark, index_dir)) == before
+    neg = spark.read.parquet(os.path.join(index_dir, "cbook_neg"))
+    assert neg.agg(F.sum("n")).collect()[0][0] < 0, \
+        "replay must not empty the committed negative partials"
