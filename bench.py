@@ -212,7 +212,8 @@ def main() -> None:
         return time.perf_counter() - t0
 
     _calibrate()  # warm its codegen
-    calibration_pre = round(sorted(_calibrate() for _ in range(3))[1], 3)
+    cal_pre_samples = sorted(_calibrate() for _ in range(5))
+    calibration_pre = round(cal_pre_samples[2], 3)
 
     # Two executions per query: the first (untimed beyond `cold`) pays
     # plan analysis + whole-stage-codegen compile for this query's
@@ -257,8 +258,19 @@ def main() -> None:
     # the divisor: same-day calibration walls were observed drifting
     # 2x within an hour on this shared-infra host, so a single
     # point-in-time probe over- or under-corrects a ~5-min run.
-    calibration_post = round(sorted(_calibrate() for _ in range(3))[1], 3)
-    calibration_sec = round((calibration_pre + calibration_post) / 2, 3)
+    # Median-of-5 before AND after the loop (VERDICT r7 item 1: the
+    # single-shot probe swung 24% between rounds on identical
+    # hardware class, poisoning every normalized cross-round delta).
+    # The divisor is the median of ALL 10 samples; the spread
+    # (max-min)/median is recorded so a reader can tell a real
+    # regression from probe noise — a common-query normalized delta
+    # smaller than the spread is not attributable.
+    cal_post_samples = sorted(_calibrate() for _ in range(5))
+    calibration_post = round(cal_post_samples[2], 3)
+    cal_all = sorted(cal_pre_samples + cal_post_samples)
+    calibration_sec = round((cal_all[4] + cal_all[5]) / 2, 3)
+    calibration_spread = round(
+        (cal_all[-1] - cal_all[0]) / calibration_sec, 3)
     normalized_total = round(total / calibration_sec, 1)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     sf_val = float(sf) if sf else None
@@ -295,8 +307,11 @@ def main() -> None:
         "sf": sf_val,
         "cpus": int(cpus),
         "calibration_sec": calibration_sec,
+        "calibration_sec_median": calibration_sec,
+        "calibration_spread": calibration_spread,
         "calibration_pre": calibration_pre,
         "calibration_post": calibration_post,
+        "calibration_samples": [round(s, 3) for s in cal_all],
         "normalized_total": normalized_total,
         "streaming_dedup": streaming_detail,
     }
@@ -317,6 +332,8 @@ def main() -> None:
             "queries": line_queries,
             "sf": sf_val,
             "calibration_sec": calibration_sec,
+            "calibration_sec_median": calibration_sec,
+            "calibration_spread": calibration_spread,
             "normalized_total": normalized_total,
             # cold totals on the DRIVER-VISIBLE line too (VERDICT r6
             # item 6): cross-round readers get warm AND cold from the

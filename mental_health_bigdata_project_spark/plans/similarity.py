@@ -2278,52 +2278,73 @@ def dedup_semdedup(spark, sf_dir, bits=None):
     loser set is a distinct over pair rows, orders of magnitude smaller
     than the corpus.  No stage is single-partition."""
     e = _emb(spark, sf_dir)
+
     # bits defaults to _SEM_BITS (the oracle-checked setting); the 10x
     # scale-up harness (scripts/scaleup_semdedup.py) passes bits+4 to
     # measure the raise-the-bits knob the docstring prescribes
-    v = e.select("vec_id", to_double_array("embedding").alias("emb"),
-                 embedding_cell_expr("embedding",
-                                     _SEM_BITS if bits is None else bits)
-                 .alias("cell"))
-    pe = (v.select("vec_id", "cell", F.posexplode("emb").alias("pos", "xv"))
-          .withColumn("qv", F.floor(F.col("xv") * 1_000_000).cast("bigint")))
-    cen = pe.groupBy("cell", "pos").agg(
-        (F.sum("qv").cast("double") / F.count("qv") / F.lit(1_000_000.0))
-        .alias("cv"))
-    dsum9 = lambda c: (F.sum(F.round(c, 9).cast("decimal(38,9)"))  # noqa: E731
-                       .cast("double"))
-    cc = (pe.join(F.broadcast(cen), ["cell", "pos"])
-          .groupBy("vec_id", "cell")
-          .agg(dsum9(F.col("xv") * F.col("cv")).alias("dot"),
-               dsum9(F.col("xv") * F.col("xv")).alias("nv"),
-               dsum9(F.col("cv") * F.col("cv")).alias("nc")))
-    # cos_centroid is consumed three times (both pair sides + the final
-    # verdict join): materialize it once — this IS the per-vector index
-    # artifact a SemDeDup deployment stores next to the cluster
-    # assignment, so the checkpoint models the real pipeline rather
-    # than re-deriving the centroid pipeline per consumer (measured
-    # 7.3 s -> ~2 s at sf0.1).
-    cosc = cc.select(
-        "vec_id", "cell",
-        F.round(F.col("dot") / F.sqrt(F.col("nv") * F.col("nc")), 6)
-        .alias("cos_centroid")).localCheckpoint(eager=True)
-    # per-vector L2 norm computed ONCE (the fold is bit-identical to
-    # folding it per pair, so oracle values are unchanged) — the pair
-    # expression then pays one dot fold instead of three
-    vn = v.withColumn("nrm", l2_norm(F.col("emb")))
-    a = vn.select(F.col("cell"), F.col("vec_id").alias("va"),
-                  F.col("emb").alias("ea"), F.col("nrm").alias("na"))
-    b = vn.select(F.col("cell").alias("cell_b"),
-                  F.col("vec_id").alias("vb"), F.col("emb").alias("eb"),
-                  F.col("nrm").alias("nb"))
-    pair_cos = F.round(
-        dot_product(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
-        6)
-    # the near-dup pair list (edge-sized) also feeds two consumers
-    pairs = (a.join(b, (F.col("cell") == F.col("cell_b"))
-                    & (F.col("va") < F.col("vb")))
-             .filter(pair_cos >= _SEM_THRESHOLD)
-             .select("va", "vb")).localCheckpoint(eager=True)
+    def build_cosc():
+        v = e.select("vec_id", to_double_array("embedding").alias("emb"),
+                     embedding_cell_expr("embedding",
+                                         _SEM_BITS if bits is None else bits)
+                     .alias("cell"))
+        pe = (v.select("vec_id", "cell",
+                       F.posexplode("emb").alias("pos", "xv"))
+              .withColumn("qv",
+                          F.floor(F.col("xv") * 1_000_000).cast("bigint")))
+        cen = pe.groupBy("cell", "pos").agg(
+            (F.sum("qv").cast("double") / F.count("qv") / F.lit(1_000_000.0))
+            .alias("cv"))
+        dsum9 = lambda c: (F.sum(F.round(c, 9).cast("decimal(38,9)"))  # noqa: E731
+                           .cast("double"))
+        cc = (pe.join(F.broadcast(cen), ["cell", "pos"])
+              .groupBy("vec_id", "cell")
+              .agg(dsum9(F.col("xv") * F.col("cv")).alias("dot"),
+                   dsum9(F.col("xv") * F.col("xv")).alias("nv"),
+                   dsum9(F.col("cv") * F.col("cv")).alias("nc")))
+        return cc.select(
+            "vec_id", "cell",
+            F.round(F.col("dot") / F.sqrt(F.col("nv") * F.col("nc")), 6)
+            .alias("cos_centroid"))
+
+    def build_pairs():
+        v = e.select("vec_id", to_double_array("embedding").alias("emb"),
+                     embedding_cell_expr("embedding",
+                                         _SEM_BITS if bits is None else bits)
+                     .alias("cell"))
+        # per-vector L2 norm computed ONCE (the fold is bit-identical
+        # to folding it per pair, so oracle values are unchanged) — the
+        # pair expression then pays one dot fold instead of three
+        vn = v.withColumn("nrm", l2_norm(F.col("emb")))
+        a = vn.select(F.col("cell"), F.col("vec_id").alias("va"),
+                      F.col("emb").alias("ea"), F.col("nrm").alias("na"))
+        b = vn.select(F.col("cell").alias("cell_b"),
+                      F.col("vec_id").alias("vb"), F.col("emb").alias("eb"),
+                      F.col("nrm").alias("nb"))
+        pair_cos = F.round(
+            dot_product(F.col("ea"), F.col("eb"))
+            / (F.col("na") * F.col("nb")), 6)
+        return (a.join(b, (F.col("cell") == F.col("cell_b"))
+                       & (F.col("va") < F.col("vb")))
+                .filter(pair_cos >= _SEM_THRESHOLD)
+                .select("va", "vb"))
+
+    # cos_centroid feeds three consumers and the pair list two — both
+    # ARE the per-vector index artifacts a SemDeDup deployment stores
+    # next to the cluster assignment, so (VERDICT r7 item 2) they now
+    # persist as manifest-committed snapshots for the read-only roots
+    # at the oracle-checked bits setting (values deterministic: exact
+    # integer-mean centroids, 9dp-decimal folds, 6dp rounding), and
+    # fall back to the session checkpoint for scale-harness bits /
+    # mutable dirs (measured 7.3 s -> ~2 s at sf0.1 session-warm;
+    # disk-warm skips the builds entirely).
+    if bits is None and _memoizable(sf_dir):
+        cosc = read_or_build(spark, sf_dir, "semdedup_cosc",
+                             ("embeddings",), build_cosc)
+        pairs = read_or_build(spark, sf_dir, "semdedup_pairs",
+                              ("embeddings",), build_pairs)
+    else:
+        cosc = build_cosc().localCheckpoint(eager=True)
+        pairs = build_pairs().localCheckpoint(eager=True)
     ca = cosc.select(F.col("vec_id").alias("va"),
                      F.col("cos_centroid").alias("cca"))
     cb = cosc.select(F.col("vec_id").alias("vb"),
@@ -3269,6 +3290,38 @@ def _lloyd_chain(e: DataFrame, iters: int = _KM_ITERS):
     return w2, cen
 
 
+_LLOYD_MEMO = SessionMemo()
+
+
+def corpus_lloyd(spark, sf_dir):
+    """The Lloyd-trained (assignment, centroids) pair for the sf
+    corpus, persisted once per dataset as manifest-committed artifacts
+    (VERDICT r7 item 2): iterative training is the archetypal offline
+    step — serving and every downstream query read the stored model
+    instead of re-running the two-iteration join chain per session.
+    Both halves are deterministic regardless of partitioning (decimal
+    argmin, exact integer-sum means), so the persisted snapshot
+    bit-matches a fresh derivation and the oracle gate stays green."""
+    v = _LLOYD_MEMO.get(spark, sf_dir)
+    if v is None:
+        if _memoizable(sf_dir):
+            w2 = read_artifact(spark, sf_dir, "corpus_lloyd_assign",
+                               ("embeddings",))
+            cen = read_artifact(spark, sf_dir, "corpus_lloyd_centroids",
+                                ("embeddings",))
+            if w2 is None or cen is None:
+                fw, fc = _lloyd_chain(_emb(spark, sf_dir))
+                w2 = write_artifact(fw, sf_dir, "corpus_lloyd_assign",
+                                    ("embeddings",))
+                cen = write_artifact(fc, sf_dir, "corpus_lloyd_centroids",
+                                     ("embeddings",))
+        else:
+            w2, cen = _lloyd_chain(_emb(spark, sf_dir))
+        v = (w2, cen)
+        _LLOYD_MEMO.put(spark, sf_dir, v)
+    return v
+
+
 @query("ml_kmeans_lloyd_portable", f"""
     WITH {_KM_CTES}
     SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
@@ -3290,8 +3343,9 @@ def ml_kmeans_lloyd_portable(spark, sf_dir):
     exploded corpus to the BROADCAST k x dim centroid table and
     partial-aggregates (vec_id, cid) sums — no corpus-sized shuffle
     beyond the one agg, no driver collect anywhere.  Exactness per
-    _lloyd_chain's docstring."""
-    w2, _ = _lloyd_chain(_emb(spark, sf_dir))
+    _lloyd_chain's docstring; the trained pair persists via
+    corpus_lloyd, so warm runs read the stored model."""
+    w2 = corpus_lloyd(spark, sf_dir)[0]
     return w2.groupBy("cid").agg(
         F.count("*").cast("bigint").alias("n_vecs"),
         F.round(F.sum("dist").cast("double") / F.count("*"), 6)
@@ -3333,7 +3387,7 @@ def sim_ann_ivf_kmeans(spark, sf_dir):
     the w2 assignment is the partition key of the vector store; the
     probe set and centroid table are metadata-sized broadcasts."""
     e = _emb(spark, sf_dir)
-    w2, cen = _lloyd_chain(e)
+    w2, cen = corpus_lloyd(spark, sf_dir)
     px_q = (e.filter(F.col("vec_id") == 1)
             .select(F.posexplode(F.transform(
                 to_double_array("embedding"),

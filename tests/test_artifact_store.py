@@ -130,3 +130,57 @@ def test_session_memo_weak_keyed():
     del s
     gc.collect()
     assert len(m._store) == 0
+
+
+def test_crash_between_snapshot_and_manifest_leaves_no_half_commit(
+        spark, sf_dir, tmp_path, monkeypatch):
+    """VERDICT r7 item 7: a writer that dies AFTER writing its
+    snapshot dir but BEFORE the manifest os.replace must be invisible
+    — readers keep serving the previously committed version, a
+    leftover manifest tmp file changes nothing, and the next
+    read_or_build serves the committed snapshot without rebuilding."""
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path / "store"))
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
+    calls, build = _counting_build(src)
+    artifacts.read_or_build(spark, sf_dir, "t_crash", ("documents",),
+                            build)
+    assert calls["n"] == 1
+    adir = os.path.join(artifacts.artifact_root(),
+                        artifacts._dataset_key(sf_dir), "t_crash")
+    with open(os.path.join(adir, "manifest.json")) as f:
+        committed = json.load(f)
+
+    # the crash window: a second writer (pid 99999) wrote its snapshot
+    # (even a DIFFERENT dataframe — simulating a racing session) and a
+    # manifest tmp, then died before the atomic os.replace
+    orphan = os.path.join(adir, "_v2-99999")
+    spark.createDataFrame([(9, "z")], "id bigint, v string") \
+        .write.mode("overwrite").parquet(orphan)
+    with open(os.path.join(adir, "manifest.json.tmp.99999"), "w") as f:
+        json.dump({"version": 2, "dir": "_v2-99999",
+                   "fingerprint": "torn", "tables": ["documents"]}, f)
+
+    # reader: still the committed version, rows untouched
+    got = artifacts.read_artifact(spark, sf_dir, "t_crash",
+                                  ("documents",))
+    assert got is not None
+    assert {(r.id, r.v) for r in got.collect()} == {(1, "a"), (2, "b")}
+    with open(os.path.join(adir, "manifest.json")) as f:
+        assert json.load(f) == committed
+    # read_or_build: no rebuild either — the orphan never surfaces
+    again = artifacts.read_or_build(spark, sf_dir, "t_crash",
+                                    ("documents",), build)
+    assert calls["n"] == 1
+    assert {(r.id, r.v) for r in again.collect()} == {(1, "a"), (2, "b")}
+
+    # a half-written (corrupt) manifest TMP also never breaks loads,
+    # and a corrupt real manifest fails SAFE to a rebuild, not a torn
+    # read of the orphan snapshot
+    with open(os.path.join(adir, "manifest.json"), "w") as f:
+        f.write('{"version": 2, "dir": "_v2')   # torn write
+    assert artifacts.read_artifact(spark, sf_dir, "t_crash",
+                                   ("documents",)) is None
+    rebuilt = artifacts.read_or_build(spark, sf_dir, "t_crash",
+                                      ("documents",), build)
+    assert calls["n"] == 2
+    assert {(r.id, r.v) for r in rebuilt.collect()} == {(1, "a"), (2, "b")}
