@@ -17,14 +17,29 @@ DEFAULT_TOPIC = "reddit-posts"  # reference reddit_collector_kafka.py:15
 DEFAULT_TRIGGER = "10 seconds"  # reference preprocessing_streaming.py:169
 
 
+def parse_posts(raw: DataFrame) -> DataFrame:
+    """The Kafka value-parse stage, source-independent: CAST(value AS
+    STRING) -> from_json(schema) -> flatten (preprocessing_streaming
+    .py:102-104).  Factored out of ``read_posts_stream`` so a
+    broker-less environment can pipe ANY source with a Kafka-shaped
+    ``value`` column (rate/file/memory twin) through the LITERAL same
+    stage the Kafka path runs — plan equality by construction, pinned
+    by tests/test_kafka_path.py."""
+    return (
+        raw.selectExpr("CAST(value AS STRING) AS json")
+        .select(F.from_json("json", POST_SCHEMA).alias("data"))
+        .select("data.*")
+    )
+
+
 def read_posts_stream(spark: SparkSession, bootstrap_servers: str,
                       topic: str = DEFAULT_TOPIC,
                       starting_offsets: str = "latest") -> DataFrame:
     """Kafka JSON post stream -> typed columns.
 
     Mirrors the reference source (subscribe, startingOffsets=latest at
-    preprocessing_streaming.py:91-97) and its parse chain: CAST(value AS
-    STRING) -> from_json(schema) -> flatten (:102-104)."""
+    preprocessing_streaming.py:91-97) and its parse chain via
+    ``parse_posts``."""
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -32,11 +47,7 @@ def read_posts_stream(spark: SparkSession, bootstrap_servers: str,
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    return (
-        raw.selectExpr("CAST(value AS STRING) AS json")
-        .select(F.from_json("json", POST_SCHEMA).alias("data"))
-        .select("data.*")
-    )
+    return parse_posts(raw)
 
 
 def write_posts_kafka(df: DataFrame, bootstrap_servers: str, topic: str,
