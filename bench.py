@@ -150,6 +150,11 @@ HEADLINE = [
     # round-7 (late): the single-scan 64-aggregate bootstrap rollup
     # and the wedge-join link-prediction shape
     "stat_bootstrap_ci", "graph_adamic_adar",
+    # round-8: register-merge overlap (no fp join), rolling-hash CDC
+    # chunking (two doc-partitioned windows), the quantized-histogram
+    # PSI drift gate, and the grid-interval packing planner
+    "source_overlap_hll", "dedup_cdc_chunks", "dq_psi_drift",
+    "pack_sequences_pairwise",
 ]
 
 

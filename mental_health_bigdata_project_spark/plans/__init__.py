@@ -148,6 +148,26 @@ _DRIVER_CHECKED = {
     "sample_stratified", "sample_systematic", "seq_pattern_regex",
     "session_path_topn", "skyline_pareto_orders", "snapshot_diff",
     "source_rest_poll", "stat_corr_cov", "stat_crosstab",
+    # round 7 (CORRECTNESS_r07.json, 50/50 clean) — closes cumulative
+    # coverage: every id registered through r7 now has a driver row
+    "agg_theil_inequality", "dedup_bbit_minhash", "dedup_embedding_cells",
+    "dedup_embedding_cosine", "dq_benford_deviation",
+    "dq_referential_integrity", "graph_adamic_adar", "graph_hits_fixed",
+    "graph_pagerank_fixed", "graph_ppr_fixed", "graph_ppr_multi",
+    "ml_als_recommend", "ml_classify_embeddings", "ml_fpgrowth_itemsets",
+    "ml_kmeans_embeddings", "ml_minhash_lsh", "ml_pca_embeddings",
+    "ml_tfidf_hashed", "privacy_t_closeness", "sample_coreset_kcenter",
+    "sim_ann_lsh_portable", "sim_cosine_topk", "sim_ivfpq_recall_sweep",
+    "sketch_hll_native", "sketch_hll_native_merge",
+    "sketch_theta_setops_native", "sketch_topk_native",
+    "sketch_topk_native_merge", "stat_ab_srm", "stat_anova_oneway",
+    "stat_bootstrap_ci", "stat_chi_square", "stat_kendall_tau",
+    "stat_ks_two_sample", "stat_mann_whitney", "stat_regr_trend",
+    "stat_spearman_rho", "text_burstiness", "text_rake_keywords",
+    "text_readability", "text_token_count_iter", "text_ttr_mattr",
+    "transform_span_corruption", "transpose_metrics", "ts_holt_linear",
+    "unpivot_lineitem_measures", "vec_matryoshka_recall",
+    "win_sliding_median", "win_streak_islands", "winsorized_avg",
 }
 
 _MODULE_PRIORITY = [
@@ -156,38 +176,23 @@ _MODULE_PRIORITY = [
     "udtf_udaf", "tpch_more", "relational", "scalars", "core",
 ]
 
-# Head of the round-7 sample window, in order: the 22 ids with no
-# driver row in r01–r06 (7 oracle-backed stragglers from the r6 window
-# first, then the 8 queries registered new in round 6, then the 7
-# rows-only ml_* twins), per the r6 verdict's action item 1.  The
-# driver samples the first ~50, so ALL 22 land this round and the
-# cumulative table closes at every-registered-id-has-a-driver-row.
-# Queries NEW in round 7 go in the marked slot so they get a driver
-# row this round too (window has ~28 spare slots).
+# Head of the round-8 sample window, in order.  Cumulative driver
+# coverage closed in r7 (every id registered through r7 has a driver
+# row), so the r8 window leads with the queries REGISTERED NEW in
+# round 8, then re-samples the ids whose implementations CHANGED this
+# round (sparse PPR rewrite, Lloyd/semdedup artifact reads, BPE
+# zero-collect rewrite, the ADVICE-fixed statistics) so the driver
+# re-certifies exactly the surface that moved; everything else keeps
+# its cumulative green row.
 _CONVERTED_FRONT = [
-    # --- never-checked, oracle-backed r6-window stragglers (7) ---
-    "stat_regr_trend", "text_readability", "text_token_count_iter",
-    "transform_span_corruption", "transpose_metrics",
-    "unpivot_lineitem_measures", "winsorized_avg",
-    # --- registered new in round 6, never sampled (8) ---
-    "sim_ivfpq_recall_sweep", "sketch_hll_native", "sketch_hll_native_merge",
-    "sketch_topk_native", "sketch_theta_setops_native",
-    "sketch_topk_native_merge", "graph_pagerank_fixed",
-    "graph_hits_fixed",
-    # --- never-checked, rows-only ml_* twins (7) ---
-    "ml_als_recommend", "ml_classify_embeddings", "ml_fpgrowth_itemsets",
-    "ml_kmeans_embeddings", "ml_minhash_lsh", "ml_pca_embeddings",
-    "ml_tfidf_hashed",
-    # --- new in round 7 (append here; driver row lands this round) ---
-    "graph_ppr_fixed", "sample_coreset_kcenter", "vec_matryoshka_recall",
-    "graph_ppr_multi", "dq_benford_deviation", "stat_ks_two_sample",
-    "dedup_bbit_minhash", "stat_mann_whitney", "stat_chi_square",
-    "text_ttr_mattr", "privacy_t_closeness", "stat_anova_oneway",
-    "ts_holt_linear", "stat_spearman_rho", "win_sliding_median",
-    "agg_theil_inequality", "stat_kendall_tau", "text_rake_keywords",
-    "stat_bootstrap_ci", "dq_referential_integrity",
-    "win_streak_islands", "stat_ab_srm", "text_burstiness",
-    "graph_adamic_adar",
+    # --- new in round 8 (first-time driver rows) ---
+    "source_overlap_hll", "dq_psi_drift", "dedup_cdc_chunks",
+    "pack_sequences_pairwise",
+    # --- round-8 behavior changes: re-certify ---
+    "graph_ppr_multi", "ml_kmeans_lloyd_portable", "sim_ann_ivf_kmeans",
+    "dedup_semdedup", "bpe_train_merges", "bpe_encode_apply",
+    "stat_spearman_rho", "stat_kendall_tau", "ts_holt_linear",
+    "text_burstiness",
 ]
 
 

@@ -1979,10 +1979,10 @@ def stat_spearman_rho(spark, sf_dir):
     cd AS (SELECT
              CAST(SUM(CASE WHEN a.y < b.y
                            THEN CAST(a.c AS HUGEINT) * b.c
-                           ELSE 0 END) AS DECIMAL(38,0)) AS conc,
+                           ELSE 0 END) AS DOUBLE) AS conc,
              CAST(SUM(CASE WHEN a.y > b.y
                            THEN CAST(a.c AS HUGEINT) * b.c
-                           ELSE 0 END) AS DECIMAL(38,0)) AS disc
+                           ELSE 0 END) AS DOUBLE) AS disc
            FROM g a JOIN g b ON a.x < b.x)
     SELECT t.n, cd.conc, cd.disc,
            round(2.0 * CAST(cd.conc - cd.disc AS DOUBLE)
@@ -2033,10 +2033,10 @@ def stat_kendall_tau(spark, sf_dir):
     cd = (a.join(F.broadcast(b), F.col("xa") < F.col("xb"))
           .agg(F.sum(F.when(F.col("ya") < F.col("yb"),
                             d19("ca") * d19("cb")).otherwise(0))
-               .cast("decimal(38,0)").alias("conc"),
+               .cast("decimal(38,0)").cast("double").alias("conc"),
                F.sum(F.when(F.col("ya") > F.col("yb"),
                             d19("ca") * d19("cb")).otherwise(0))
-               .cast("decimal(38,0)").alias("disc")))
+               .cast("decimal(38,0)").cast("double").alias("disc")))
     dn = F.col("n").cast("decimal(19,0)")
     tau = (2.0 * (F.col("conc") - F.col("disc")).cast("double")
            / F.sqrt((dn * (dn - 1) - F.col("n1_2")).cast("double")
@@ -2276,3 +2276,173 @@ def stat_ab_srm(spark, sf_dir):
                  .cast("bigint").alias("n_treat"),
                  F.round(F.sum(term).cast("double"), 6)
                  .alias("srm_chi2")))
+
+
+@query("dq_psi_drift", f"""
+    WITH e AS (SELECT event_type,
+                      CAST(ts AS DATE) AS day,
+                      CAST(floor(value * 10) AS BIGINT) AS cell
+               FROM {EVENTS_TS} WHERE value IS NOT NULL),
+    span AS (SELECT min(day) AS mn,
+                    CAST(datediff('day', min(day), max(day)) // 2
+                         AS BIGINT) AS half
+             FROM e),
+    p AS (SELECT event_type, cell,
+                 CASE WHEN datediff('day', mn, day) <= half
+                      THEN 'base' ELSE 'cur' END AS period
+          FROM e CROSS JOIN span),
+    cells AS (SELECT event_type, period, cell,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM p GROUP BY event_type, period, cell),
+    nb AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_base
+           FROM cells WHERE period = 'base' GROUP BY event_type),
+    cum AS (SELECT event_type, cell, cnt,
+                   CAST(SUM(cnt) OVER (PARTITION BY event_type
+                                       ORDER BY cell
+                                       ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS c
+            FROM cells WHERE period = 'base'),
+    bnd AS (SELECT cum.event_type, k.k, min(cum.cell) AS bk
+            FROM cum CROSS JOIN (SELECT unnest(range(1, 10)) AS k) k
+            JOIN nb ON nb.event_type = cum.event_type
+            WHERE cum.c * 10 >= k.k * nb.n_base
+            GROUP BY cum.event_type, k.k),
+    bucketed AS (
+      SELECT c.event_type, c.period,
+             CAST(COALESCE(SUM(CASE WHEN c.cell > b.bk THEN 1 END), 0)
+                  AS BIGINT) AS bucket,
+             any_value(c.cnt) AS cnt
+      FROM (SELECT event_type, period, cell, cnt,
+                   row_number() OVER () AS rid FROM cells) c
+      LEFT JOIN bnd b ON b.event_type = c.event_type
+      GROUP BY c.event_type, c.period, c.rid),
+    bcnt AS (SELECT event_type, period, bucket,
+                    CAST(SUM(cnt) AS BIGINT) AS cnt
+             FROM bucketed GROUP BY event_type, period, bucket),
+    totals AS (SELECT event_type, period, CAST(SUM(cnt) AS BIGINT) AS n
+               FROM bcnt GROUP BY event_type, period),
+    grid AS (SELECT t.event_type, b.bucket
+             FROM (SELECT DISTINCT event_type FROM e) t
+             CROSS JOIN (SELECT unnest(range(0, 10)) AS bucket) b),
+    probs AS (
+      SELECT g.event_type, g.bucket,
+             greatest(CAST(COALESCE(cb.cnt, 0) AS DOUBLE) / tb.n, 0.0001)
+               AS pb,
+             greatest(CAST(COALESCE(cc.cnt, 0) AS DOUBLE) / tc.n, 0.0001)
+               AS pc
+      FROM grid g
+      JOIN totals tb ON tb.event_type = g.event_type
+        AND tb.period = 'base'
+      JOIN totals tc ON tc.event_type = g.event_type
+        AND tc.period = 'cur'
+      LEFT JOIN bcnt cb ON cb.event_type = g.event_type
+        AND cb.period = 'base' AND cb.bucket = g.bucket
+      LEFT JOIN bcnt cc ON cc.event_type = g.event_type
+        AND cc.period = 'cur' AND cc.bucket = g.bucket),
+    psi AS (SELECT event_type,
+                   CAST(SUM(CAST((pc - pb) * ln(pc / pb)
+                                 AS DECIMAL(38,18))) AS DOUBLE) AS s
+            FROM probs GROUP BY event_type)
+    SELECT psi.event_type,
+           tb.n AS n_base, tc.n AS n_cur,
+           round(psi.s, 6) AS psi,
+           CAST(psi.s > 0.2 AS INT) AS drift_flag
+    FROM psi
+    JOIN totals tb ON tb.event_type = psi.event_type
+      AND tb.period = 'base'
+    JOIN totals tc ON tc.event_type = psi.event_type
+      AND tc.period = 'cur'
+""")
+def dq_psi_drift(spark, sf_dir):
+    """Population-Stability-Index drift gate (VERDICT r7 item 6: the
+    quantile-sketch drift check beside dq_schema_drift's structural
+    one): per event type, the value distribution of the corpus's
+    NEWER half (by day) is compared against the older half over the
+    older half's own decile buckets — PSI = sum (p_cur - p_base) *
+    ln(p_cur / p_base), the standard feature-drift score (>0.2 =
+    investigate), with the classic 1e-4 probability floor so empty
+    buckets stay finite.
+
+    The "sketch" making this 100 TB-safe: values are first quantized
+    to a FIXED-RESOLUTION histogram (cell = floor(value*10) — an
+    integer op bit-identical across engines, no rounding-mode
+    hazard), so the quantile boundaries are computed on a
+    cells-per-type relation bounded by the value range, not by the
+    row count; the corpus is touched by exactly ONE hash agg onto
+    that grid.  Boundaries are grid-exact deciles (min cell whose
+    running count clears k*n/10, integer comparison — no float
+    percentile); bucketing is a broadcast join of the 9-row boundary
+    table; PSI terms are deterministic doubles summed in
+    decimal(38,18) per the 6dp-transcendental convention."""
+    e = (_t(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull())
+         .select("event_type",
+                 F.col("ts").cast("date").alias("day"),
+                 F.floor(F.col("value") * 10).cast("bigint").alias("cell")))
+    span = e.agg(F.min("day").alias("mn"),
+                 F.floor(F.datediff(F.max("day"), F.min("day")) / 2)
+                 .cast("bigint").alias("half"))
+    p = (e.crossJoin(F.broadcast(span))
+         .select("event_type", "cell",
+                 F.when(F.datediff("day", F.col("mn")) <= F.col("half"),
+                        F.lit("base")).otherwise(F.lit("cur"))
+                 .alias("period")))
+    cells = (p.groupBy("event_type", "period", "cell")
+             .agg(F.count("*").cast("bigint").alias("cnt"))
+             .localCheckpoint(eager=True))     # feeds 3 consumers
+    base = cells.filter(F.col("period") == "base")
+    nb = base.groupBy("event_type").agg(F.sum("cnt").cast("bigint")
+                                        .alias("n_base"))
+    w = (Window.partitionBy("event_type").orderBy("cell")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = base.select("event_type", "cell",
+                      F.sum("cnt").over(w).cast("bigint").alias("c"))
+    ks = spark.range(1, 10).select(F.col("id").alias("k"))
+    bnd = (cum.crossJoin(F.broadcast(ks))
+           .join(F.broadcast(nb), "event_type")
+           .filter(F.col("c") * 10 >= F.col("k") * F.col("n_base"))
+           .groupBy("event_type", "k").agg(F.min("cell").alias("bk")))
+    bucketed = (cells.join(F.broadcast(bnd), "event_type")
+                .groupBy("event_type", "period", "cell")
+                .agg(F.sum(F.when(F.col("cell") > F.col("bk"), 1))
+                     .cast("bigint").alias("bsum"),
+                     F.first("cnt").alias("cnt"))
+                .select("event_type", "period",
+                        F.coalesce("bsum", F.lit(0)).alias("bucket"),
+                        "cnt"))
+    bcnt = (bucketed.groupBy("event_type", "period", "bucket")
+            .agg(F.sum("cnt").cast("bigint").alias("cnt")))
+    totals = (bcnt.groupBy("event_type", "period")
+              .agg(F.sum("cnt").cast("bigint").alias("n"))
+              .localCheckpoint(eager=True))
+    grid = (e.select("event_type").distinct()
+            .crossJoin(spark.range(0, 10).select(F.col("id")
+                                                 .alias("bucket"))))
+    tb = (totals.filter(F.col("period") == "base")
+          .select("event_type", F.col("n").alias("n_base")))
+    tc = (totals.filter(F.col("period") == "cur")
+          .select("event_type", F.col("n").alias("n_cur")))
+    cb = (bcnt.filter(F.col("period") == "base")
+          .select("event_type", "bucket", F.col("cnt").alias("cnt_b")))
+    cc = (bcnt.filter(F.col("period") == "cur")
+          .select("event_type", "bucket", F.col("cnt").alias("cnt_c")))
+    probs = (grid.join(F.broadcast(tb), "event_type")
+             .join(F.broadcast(tc), "event_type")
+             .join(F.broadcast(cb), ["event_type", "bucket"], "left")
+             .join(F.broadcast(cc), ["event_type", "bucket"], "left")
+             .select("event_type",
+                     F.greatest(F.coalesce("cnt_b", F.lit(0))
+                                .cast("double") / F.col("n_base"),
+                                F.lit(0.0001)).alias("pb"),
+                     F.greatest(F.coalesce("cnt_c", F.lit(0))
+                                .cast("double") / F.col("n_cur"),
+                                F.lit(0.0001)).alias("pc")))
+    psi = (probs.groupBy("event_type")
+           .agg(F.sum(((F.col("pc") - F.col("pb"))
+                       * F.log(F.col("pc") / F.col("pb")))
+                      .cast("decimal(38,18)")).cast("double").alias("s")))
+    return (psi.join(F.broadcast(tb), "event_type")
+            .join(F.broadcast(tc), "event_type")
+            .select("event_type", "n_base", "n_cur",
+                    F.round("s", 6).alias("psi"),
+                    (F.col("s") > 0.2).cast("int").alias("drift_flag")))

@@ -3640,6 +3640,131 @@ def source_overlap_matrix(spark, sf_dir):
                                - F.col("shared_fps")), 6).alias("jaccard")))
 
 
+def _hll_overlap_sql() -> str:
+    """Oracle for source_overlap_hll: per-source portable HLL
+    registers over the chunk fingerprints (the fp IS already an md5
+    hex string, so it is the register hash), pairwise max-merged for
+    the union estimate, inclusion-exclusion for the shared estimate."""
+    from .sketches import _HLL_CAP, _HLL_M, _HLL_REG_SQL_DUCK
+
+    harm = (f"CAST(SUM(1::BIGINT << ({_HLL_CAP} - mx))"
+            f" + ({_HLL_M} - COUNT(*)) * (1::BIGINT << {_HLL_CAP})"
+            f" AS BIGINT) AS harmonic_s,"
+            f" CAST({_HLL_M} - COUNT(*) AS BIGINT) AS n_zero_regs")
+    raw = (f"(0.7213 / (1.0 + 1.079 / {_HLL_M})) * {_HLL_M} * {_HLL_M}"
+           f" * CAST(1::BIGINT << {_HLL_CAP} AS DOUBLE)"
+           f" / CAST(harmonic_s AS DOUBLE)")
+    est = (f"round(CASE WHEN {raw} <= 2.5 * {_HLL_M} AND n_zero_regs > 0"
+           f" THEN CAST({_HLL_M} AS DOUBLE)"
+           f" * ln(CAST({_HLL_M} AS DOUBLE) / n_zero_regs)"
+           f" ELSE {raw} END, 4)")
+    return f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents),
+    flat AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(toks[u.idx * 30 + 1:u.idx * 30 + 30], ' '))
+               AS h
+      FROM (SELECT doc_id, source, toks,
+                   unnest(list_transform(
+                       range(0, CAST((len(toks) - 1) // 30 AS BIGINT) + 1),
+                       i -> {{'idx': i}})) AS u
+            FROM t WHERE len(toks) > 0)),
+    nib AS (SELECT source, {_HLL_REG_SQL_DUCK} FROM flat),
+    rho AS (SELECT source, b0 % {_HLL_M} AS idx,
+                   LEAST(CASE WHEN zp = 16 THEN 65
+                         ELSE 4 * zp + (CASE WHEN nv >= 8 THEN 0
+                                             WHEN nv >= 4 THEN 1
+                                             WHEN nv >= 2 THEN 2
+                                             ELSE 3 END) + 1
+                         END, {_HLL_CAP}) AS rr
+            FROM nib),
+    regs AS (SELECT source, idx, MAX(rr) AS mx
+             FROM rho GROUP BY source, idx),
+    prs AS (SELECT a.source AS source_a, b.source AS source_b
+            FROM (SELECT DISTINCT source FROM regs) a
+            JOIN (SELECT DISTINCT source FROM regs) b
+              ON a.source < b.source),
+    u AS (SELECT p.source_a, p.source_b, r.idx, r.mx
+          FROM prs p JOIN regs r ON r.source = p.source_a
+          UNION ALL
+          SELECT p.source_a, p.source_b, r.idx, r.mx
+          FROM prs p JOIN regs r ON r.source = p.source_b),
+    uregs AS (SELECT source_a, source_b, idx, MAX(mx) AS mx
+              FROM u GROUP BY source_a, source_b, idx),
+    agg1 AS (SELECT source, {harm} FROM regs GROUP BY source),
+    est1 AS (SELECT source, {est} AS est FROM agg1),
+    aggu AS (SELECT source_a, source_b, {harm}
+             FROM uregs GROUP BY source_a, source_b),
+    estu AS (SELECT source_a, source_b, {est} AS est_union FROM aggu)
+    SELECT e.source_a, e.source_b,
+           ea.est AS est_a, eb.est AS est_b, e.est_union,
+           round(ea.est + eb.est - e.est_union, 4) + 0.0 AS est_shared,
+           round(round(ea.est + eb.est - e.est_union, 4)
+                 / e.est_union, 4) + 0.0 AS jaccard_est
+    FROM estu e
+    JOIN est1 ea ON ea.source = e.source_a
+    JOIN est1 eb ON eb.source = e.source_b
+"""
+
+
+@query("source_overlap_hll", _hll_overlap_sql())
+def source_overlap_hll(spark, sf_dir):
+    """HLL-SKETCHED source-overlap matrix (VERDICT r7 item 6): the
+    scale path for ``source_overlap_matrix`` when the source count
+    grows past ~1e4 — per-source HyperLogLog registers over the same
+    chunk fingerprints, pairwise MAX-merged for a union estimate, and
+    inclusion-exclusion (|A|+|B|-|A∪B|) for the shared-chunk estimate.
+    No fp-keyed join anywhere: the pairwise work is over m=64-row
+    register tables (kilobytes per source), so a 1e4-source corpus
+    pairs 5e7 x 64 register rows instead of self-joining the
+    corpus-sized fingerprint relation — the estimate quality is the
+    standard 1.04/sqrt(64) = 13% sigma, disclosed by comparing
+    against the exact twin at small source counts.
+
+    Portability: the chunk fp is ALREADY an md5 hex string, so it is
+    the register hash itself (the sketch_hll_portable recipe);
+    harmonic sums are exact BIGINTs, one float division + ln per
+    estimate, rounded 4dp — hash-identical across engines."""
+    from .sketches import _hll_estimate, _hll_registers
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    flat = (chunk_fingerprints_df(_docs(spark, sf_dir))
+            .join(docs, "doc_id")
+            .select("source", F.col("fp").alias("h")).distinct())
+    regs = _hll_registers(flat, ["source"]).localCheckpoint(eager=True)
+    srcs = regs.select("source").distinct()
+    prs = (srcs.select(F.col("source").alias("source_a"))
+           .crossJoin(srcs.select(F.col("source").alias("source_b")))
+           .filter(F.col("source_a") < F.col("source_b")))
+    u = (regs.join(F.broadcast(prs),
+                   regs["source"] == prs["source_a"])
+         .select("source_a", "source_b", "idx", "mx")
+         .unionAll(regs.join(F.broadcast(prs),
+                             regs["source"] == prs["source_b"])
+                   .select("source_a", "source_b", "idx", "mx")))
+    uregs = (u.groupBy("source_a", "source_b", "idx")
+             .agg(F.max("mx").alias("mx")))
+    e1 = _hll_estimate(regs, ["source"]).select("source", "est")
+    eu = (_hll_estimate(uregs, ["source_a", "source_b"])
+          .select("source_a", "source_b",
+                  F.col("est").alias("est_union")))
+    ea = e1.select(F.col("source").alias("source_a"),
+                   F.col("est").alias("est_a"))
+    eb = e1.select(F.col("source").alias("source_b"),
+                   F.col("est").alias("est_b"))
+    shared = F.round(F.col("est_a") + F.col("est_b")
+                     - F.col("est_union"), 4)
+    return (eu.join(F.broadcast(ea), "source_a")
+            .join(F.broadcast(eb), "source_b")
+            .select("source_a", "source_b", "est_a", "est_b", "est_union",
+                    # + 0.0 collapses IEEE negative zero (a tiny
+                    # negative inclusion-exclusion estimate rounds to
+                    # -0.0 in DuckDB but 0.0 in Spark)
+                    (shared + F.lit(0.0)).alias("est_shared"),
+                    (F.round(shared / F.col("est_union"), 4)
+                     + F.lit(0.0)).alias("jaccard_est")))
+
+
 @query("text_ttr_mattr", f"""
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
                WHERE len({_TOKS_SQL}) > 0)
@@ -3845,3 +3970,206 @@ def text_burstiness(spark, sf_dir):
                     F.round(vmr, 6).alias("vmr"),
                     F.round(F.col("tot").cast("double") / F.col("df"), 6)
                     .alias("burstiness")))
+
+
+@query("dedup_cdc_chunks", f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS_SQL} AS toks
+               FROM documents),
+    pos AS (SELECT doc_id, source, unnest(toks) AS tok,
+                   CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos
+            FROM t WHERE len(toks) > 0),
+    lagged AS (
+      SELECT doc_id, source, tok, pos,
+             lag(tok, 4) OVER w AS l4, lag(tok, 3) OVER w AS l3,
+             lag(tok, 2) OVER w AS l2, lag(tok, 1) OVER w AS l1
+      FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    cuts AS (
+      SELECT doc_id, source, tok, pos,
+             CASE WHEN pos >= 5 AND substring(md5(concat_ws(' ',
+                       l4, l3, l2, l1, tok)), 1, 1) = '0'
+                  THEN 1 ELSE 0 END AS cut
+      FROM lagged),
+    chunked AS (
+      SELECT doc_id, source, tok, pos,
+             COALESCE(CAST(SUM(cut) OVER (PARTITION BY doc_id
+                  ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING) AS BIGINT), 0) AS chunk_id
+      FROM cuts),
+    chunks AS (
+      SELECT doc_id, source, chunk_id,
+             CAST(count(*) AS BIGINT) AS n_toks,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+      FROM chunked GROUP BY doc_id, source, chunk_id),
+    freq AS (SELECT fp, CAST(count(*) AS BIGINT) AS n
+             FROM chunks GROUP BY fp)
+    SELECT c.source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           round(CAST(SUM(CASE WHEN f.n > 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS dup_chunk_frac,
+           round(CAST(SUM(c.n_toks) AS DOUBLE) / count(*), 4)
+             AS mean_chunk_tokens
+    FROM chunks c JOIN freq f USING (fp)
+    GROUP BY c.source
+""")
+def dedup_cdc_chunks(spark, sf_dir):
+    """CONTENT-DEFINED chunking dedup (the rsync/LBFS recipe, Muthitacharoen
+    et al. 2001, as used by chunk-level corpus dedup): instead of fixed
+    30-token chunks (dedup_chunk_exact, whose boundaries shift under any
+    insertion), a chunk boundary falls wherever the rolling 5-token
+    window's md5 starts with hex '0' — a content-anchored cut with
+    expected chunk length 16 tokens that RE-SYNCHRONIZES after edits,
+    so a one-token insertion dirties only the chunk it lands in, not
+    every chunk downstream.  Output: per-source chunk counts, the
+    fraction duplicated elsewhere in the corpus, and the realized mean
+    chunk length (boundary-rate sanity).
+
+    Plan: one explode -> two doc-partitioned windows (lag window +
+    boundary prefix sum; doc-sized partitions, parallel across docs —
+    the RAKE chaining shape) -> per-chunk hash agg -> fp-keyed
+    frequency join.  At 100 TB the fp relation is ~1/16 of token
+    count and the only corpus-order shuffle is the (doc, chunk) agg;
+    the md5-prefix cut is engine-portable (no rolling-polynomial
+    state, the Rabin fingerprint's distributed-friendly stand-in)."""
+    t = (_docs(spark, sf_dir)
+         .select("doc_id", "source", tokens_col().alias("toks"))
+         .filter(F.size("toks") > 0))
+    pos = t.select("doc_id", "source",
+                   F.posexplode("toks").alias("pos0", "tok")) \
+           .select("doc_id", "source", "tok",
+                   (F.col("pos0") + 1).alias("pos"))
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    lagged = pos.select(
+        "doc_id", "source", "tok", "pos",
+        F.lag("tok", 4).over(wdoc).alias("l4"),
+        F.lag("tok", 3).over(wdoc).alias("l3"),
+        F.lag("tok", 2).over(wdoc).alias("l2"),
+        F.lag("tok", 1).over(wdoc).alias("l1"))
+    cut = F.when(
+        (F.col("pos") >= 5)
+        & (F.substring(F.md5(F.concat_ws(
+            " ", "l4", "l3", "l2", "l1", "tok")), 1, 1) == "0"),
+        1).otherwise(0)
+    cuts = lagged.select("doc_id", "source", "tok", "pos",
+                         cut.alias("cut"))
+    wrun = (Window.partitionBy("doc_id").orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    chunked = cuts.select(
+        "doc_id", "source", "tok", "pos",
+        F.coalesce(F.sum("cut").over(wrun).cast("bigint"), F.lit(0))
+        .alias("chunk_id"))
+    chunks = (chunked.groupBy("doc_id", "source", "chunk_id")
+              .agg(F.count("*").cast("bigint").alias("n_toks"),
+                   F.md5(F.expr(
+                       "listagg(tok, ' ') WITHIN GROUP (ORDER BY pos)"))
+                   .alias("fp"))
+              .localCheckpoint(eager=True))    # feeds freq + stats
+    freq = chunks.groupBy("fp").agg(F.count("*").cast("bigint")
+                                    .alias("n"))
+    dup = F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+    return (chunks.join(freq, "fp")
+            .groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("n_chunks"),
+                 dup.cast("bigint").alias("n_dup_chunks"),
+                 F.round(dup.cast("double") / F.count("*"), 6)
+                 .alias("dup_chunk_frac"),
+                 F.round(F.sum("n_toks").cast("double") / F.count("*"), 4)
+                 .alias("mean_chunk_tokens")))
+
+
+_PACK_L = 2048
+
+
+@query("pack_sequences_pairwise", f"""
+    WITH d AS (SELECT least(len({_TOKS_SQL}), {_PACK_L}) AS l
+               FROM documents WHERE len({_TOKS_SQL}) > 0),
+    g AS (SELECT l, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY l),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                 CAST(SUM(l * cnt) AS BIGINT) AS tot FROM g),
+    iv AS (SELECT l, cnt,
+                  CAST(SUM(cnt) OVER (ORDER BY l DESC
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS dend
+           FROM g),
+    iv2 AS (SELECT l, cnt, dend, dend - cnt + 1 AS dstart FROM iv),
+    pairs AS (
+      SELECT a.l AS la, b.l AS lb,
+             greatest(a.dstart, t.n + 1 - b.dend, 1) AS lo,
+             least(a.dend, t.n + 1 - b.dstart, t.n // 2) AS hi
+      FROM iv2 a CROSS JOIN iv2 b CROSS JOIN t
+      WHERE greatest(a.dstart, t.n + 1 - b.dend, 1)
+            <= least(a.dend, t.n + 1 - b.dstart, t.n // 2)),
+    pb AS (SELECT CAST(SUM((hi - lo + 1)
+                 * (CASE WHEN la + lb <= {_PACK_L} THEN 1 ELSE 2 END))
+                 AS BIGINT) AS pair_bins
+           FROM pairs)
+    SELECT t.n AS n_docs, t.tot AS total_tokens,
+           CAST((t.tot + {_PACK_L} - 1) // {_PACK_L} AS BIGINT)
+             AS lower_bound_bins,
+           CAST(pb.pair_bins + t.n % 2 AS BIGINT) AS packed_bins,
+           round(CAST(t.tot AS DOUBLE)
+                 / ((pb.pair_bins + t.n % 2) * {_PACK_L}), 6)
+             AS utilization,
+           round(CAST(t.tot AS DOUBLE) / (t.n * {_PACK_L}), 6)
+             AS naive_utilization
+    FROM t CROSS JOIN pb
+""")
+def pack_sequences_pairwise(spark, sf_dir):
+    """Training-batch SEQUENCE PACKING planner: how many fixed-length
+    context windows (L=2048 tokens) does the corpus need under
+    longest-with-shortest pair packing — the deterministic two-per-bin
+    variant of first-fit-decreasing used to kill padding waste when
+    assembling LLM training batches (cf. Krell et al. 2021's
+    histogram-based packing) — versus the ceil(total/L) lower bound
+    and the naive one-doc-per-bin utilization.
+
+    The scale trick: the pairing NEVER sorts documents.  Doc lengths
+    collapse to the <=L-row length GRID; descending-rank intervals
+    per length come from one cumulative sum over that grid; the
+    longest[r] / shortest[r] pairing becomes a grid x grid interval-
+    intersection join (bounded by L^2 CELLS, independent of corpus
+    size), with each cell contributing its rank-interval overlap as
+    an integer multiplicity.  One corpus-scale hash agg, then pure
+    metadata arithmetic — exact at any row count (all BIGINT)."""
+    d = (_docs(spark, sf_dir)
+         .select(tokens_col().alias("toks"))
+         .filter(F.size("toks") > 0)
+         .select(F.least(F.size("toks"), F.lit(_PACK_L)).cast("bigint")
+                 .alias("l")))
+    g = d.groupBy("l").agg(F.count("*").cast("bigint").alias("cnt"))
+    t = g.agg(F.sum("cnt").cast("bigint").alias("n"),
+              F.sum(F.col("l") * F.col("cnt")).cast("bigint").alias("tot"))
+    # grid-sized global window (<= L rows): the documented benign
+    # bounded-sort-width single-partition pattern
+    wd = Window.orderBy(F.desc("l")).rowsBetween(
+        Window.unboundedPreceding, 0)
+    iv = g.select("l", "cnt",
+                  F.sum("cnt").over(wd).cast("bigint").alias("dend"))
+    iv2 = (iv.withColumn("dstart", F.col("dend") - F.col("cnt") + 1)
+           .localCheckpoint(eager=True))       # both pair sides
+    a = iv2.select(F.col("l").alias("la"), F.col("dstart").alias("das"),
+                   F.col("dend").alias("dae"))
+    b = iv2.select(F.col("l").alias("lb"), F.col("dstart").alias("dbs"),
+                   F.col("dend").alias("dbe"))
+    half = (F.col("n") / 2).cast("bigint")
+    lo = F.greatest(F.col("das"), F.col("n") + 1 - F.col("dbe"), F.lit(1))
+    hi = F.least(F.col("dae"), F.col("n") + 1 - F.col("dbs"), half)
+    pairs = (a.crossJoin(b).crossJoin(F.broadcast(t))
+             .select("la", "lb", lo.alias("lo"), hi.alias("hi"))
+             .filter(F.col("lo") <= F.col("hi")))
+    pb = pairs.agg(F.sum(
+        (F.col("hi") - F.col("lo") + 1)
+        * F.when(F.col("la") + F.col("lb") <= _PACK_L, 1).otherwise(2))
+        .cast("bigint").alias("pair_bins"))
+    bins = F.col("pair_bins") + F.col("n") % 2
+    return (t.crossJoin(F.broadcast(pb))
+            .select(F.col("n").alias("n_docs"),
+                    F.col("tot").alias("total_tokens"),
+                    F.floor((F.col("tot") + _PACK_L - 1) / _PACK_L)
+                    .cast("bigint").alias("lower_bound_bins"),
+                    bins.cast("bigint").alias("packed_bins"),
+                    F.round(F.col("tot").cast("double")
+                            / (bins * _PACK_L), 6).alias("utilization"),
+                    F.round(F.col("tot").cast("double")
+                            / (F.col("n") * _PACK_L), 6)
+                    .alias("naive_utilization")))
