@@ -155,6 +155,10 @@ HEADLINE = [
     # PSI drift gate, and the grid-interval packing planner
     "source_overlap_hll", "dedup_cdc_chunks", "dq_psi_drift",
     "pack_sequences_pairwise",
+    # round-8 (late): oracle-checked power-iteration PCA (corpus
+    # touched once for the Gram matrix; iterations metadata-sized)
+    # and the grid-exact median/MAD robust outlier gate
+    "ml_power_iteration_portable", "dq_mad_outliers",
 ]
 
 

@@ -2446,3 +2446,191 @@ def dq_psi_drift(spark, sf_dir):
             .select("event_type", "n_base", "n_cur",
                     F.round("s", 6).alias("psi"),
                     (F.col("s") > 0.2).cast("int").alias("drift_flag")))
+
+
+@query("stat_welch_ttest", f"""
+    WITH s AS (SELECT event_type AS grp,
+                      CAST(value AS DECIMAL(28,12)) AS v,
+                      CAST(value * value AS DECIMAL(38,12)) AS v2
+               FROM events
+               WHERE value IS NOT NULL
+                 AND event_type IN ('purchase', 'click')),
+    g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(v) AS DOUBLE) AS s,
+                 CAST(SUM(v2) AS DOUBLE) AS q
+          FROM s GROUP BY grp),
+    m AS (SELECT grp, n, s / n AS mean,
+                 (q - s * s / n) / (n - 1) AS var
+          FROM g),
+    w AS (SELECT a.n AS n_a, b.n AS n_b,
+                 a.mean AS mean_a, b.mean AS mean_b,
+                 a.var AS var_a, b.var AS var_b,
+                 a.var / a.n + b.var / b.n AS se2
+          FROM (SELECT * FROM m WHERE grp = 'purchase') a
+          CROSS JOIN (SELECT * FROM m WHERE grp = 'click') b)
+    SELECT n_a, n_b,
+           round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+           round((mean_a - mean_b) / sqrt(se2), 6) AS t_stat,
+           round(se2 * se2
+                 / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+                    + (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 4)
+             AS dof_welch,
+           round((mean_a - mean_b)
+                 / sqrt(((n_a - 1) * var_a + (n_b - 1) * var_b)
+                        / (n_a + n_b - 2)), 6) AS cohens_d
+    FROM w
+""")
+def stat_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance two-sample t-test between purchase and
+    click event values, plus Cohen's d effect size — the parametric
+    location-shift member the statistics suite was missing beside its
+    rank-based twin (stat_mann_whitney tests the same pair
+    distribution-free; Welch is the power play when normality roughly
+    holds, and its Satterthwaite dof is what experiment dashboards
+    report).  Group sums and sums-of-squares accumulate in exact
+    decimals (the ANOVA recipe), then mean/variance/t/dof/d are a
+    fixed chain of scalar double ops on the 2-row group table —
+    deterministic on both engines, rounded at the end.
+
+    Plan: one scan -> 2-group hash agg (map-side combinable) -> 1-row
+    scalar algebra; at 100 TB the wide data never shuffles, only two
+    partial rows per task do."""
+    s = (_t(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull()
+                 & F.col("event_type").isin("purchase", "click"))
+         .select(F.col("event_type").alias("grp"),
+                 F.col("value").cast("decimal(28,12)").alias("v"),
+                 (F.col("value") * F.col("value"))
+                 .cast("decimal(38,12)").alias("v2")))
+    g = s.groupBy("grp").agg(F.count("*").cast("bigint").alias("n"),
+                             F.sum("v").cast("double").alias("s"),
+                             F.sum("v2").cast("double").alias("q"))
+    m = g.select("grp", "n",
+                 (F.col("s") / F.col("n")).alias("mean"),
+                 ((F.col("q") - F.col("s") * F.col("s") / F.col("n"))
+                  / (F.col("n") - 1)).alias("var"))
+    a = (m.filter(F.col("grp") == "purchase")
+         .select(F.col("n").alias("n_a"), F.col("mean").alias("mean_a"),
+                 F.col("var").alias("var_a")))
+    b = (m.filter(F.col("grp") == "click")
+         .select(F.col("n").alias("n_b"), F.col("mean").alias("mean_b"),
+                 F.col("var").alias("var_b")))
+    se2 = F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    w = a.crossJoin(b).withColumn("se2", se2)
+    pooled = (((F.col("n_a") - 1) * F.col("var_a")
+               + (F.col("n_b") - 1) * F.col("var_b"))
+              / (F.col("n_a") + F.col("n_b") - 2))
+    return w.select(
+        "n_a", "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round((F.col("mean_a") - F.col("mean_b"))
+                / F.sqrt(F.col("se2")), 6).alias("t_stat"),
+        F.round(F.col("se2") * F.col("se2")
+                / ((F.col("var_a") / F.col("n_a"))
+                   * (F.col("var_a") / F.col("n_a"))
+                   / (F.col("n_a") - 1)
+                   + (F.col("var_b") / F.col("n_b"))
+                   * (F.col("var_b") / F.col("n_b"))
+                   / (F.col("n_b") - 1)), 4).alias("dof_welch"),
+        F.round((F.col("mean_a") - F.col("mean_b")) / F.sqrt(pooled), 6)
+        .alias("cohens_d"))
+
+
+@query("dq_mad_outliers", f"""
+    WITH d AS (SELECT source,
+                      CAST(len(list_filter(regexp_split_to_array(
+                           lower(text), '\\s+'), x -> x <> ''))
+                           AS BIGINT) AS l
+               FROM documents),
+    g AS (SELECT source, l, CAST(count(*) AS BIGINT) AS cnt
+          FROM d GROUP BY source, l),
+    nt AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n
+           FROM g GROUP BY source),
+    cum AS (SELECT source, l, cnt,
+                   CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY l
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+            FROM g),
+    med AS (SELECT cum.source, min(cum.l) AS med
+            FROM cum JOIN nt ON nt.source = cum.source
+            WHERE cum.c * 2 >= nt.n
+            GROUP BY cum.source),
+    dev AS (SELECT g.source, abs(g.l - m.med) AS dv,
+                   CAST(SUM(g.cnt) AS BIGINT) AS cnt
+            FROM g JOIN med m ON m.source = g.source
+            GROUP BY g.source, abs(g.l - m.med)),
+    dcum AS (SELECT source, dv, cnt,
+                    CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY dv
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+             FROM dev),
+    mad AS (SELECT dcum.source, min(dcum.dv) AS mad
+            FROM dcum JOIN nt ON nt.source = dcum.source
+            WHERE dcum.c * 2 >= nt.n
+            GROUP BY dcum.source)
+    SELECT g.source, nt.n AS n_docs, m.med, a.mad,
+           CAST(SUM(CASE WHEN abs(g.l - m.med)
+                              > 3.0 * 1.4826 * a.mad
+                         THEN g.cnt ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(CAST(SUM(CASE WHEN abs(g.l - m.med)
+                                    > 3.0 * 1.4826 * a.mad
+                               THEN g.cnt ELSE 0 END) AS DOUBLE)
+                 / nt.n, 6) AS outlier_frac
+    FROM g
+    JOIN med m ON m.source = g.source
+    JOIN mad a ON a.source = g.source
+    JOIN nt ON nt.source = g.source
+    GROUP BY g.source, nt.n, m.med, a.mad
+""")
+def dq_mad_outliers(spark, sf_dir):
+    """Robust per-source length-outlier gate: median + MAD (median
+    absolute deviation) of document token counts, flagging docs beyond
+    the classic 3-sigma-equivalent 3 * 1.4826 * MAD band — the
+    curation rule that survives the heavy tails that wreck
+    mean/stddev gates (one 10M-token doc shifts a z-score gate's mean;
+    it cannot move the median).  Medians are GRID-EXACT lower medians
+    (smallest value whose doubled running count clears n — integer
+    comparison, no interpolation), so the statistic is deterministic
+    on both engines.
+
+    Plan: one scan -> per-source length-grid hash agg; both medians
+    are windows over the GRID (value-cardinality rows per source, not
+    doc rows), and the outlier count is a second pass over the same
+    grid — the corpus is touched exactly once."""
+    from .textops import _docs, tokens_col
+
+    d = (_docs(spark, sf_dir)
+         .select("source", tokens_col().alias("toks"))
+         .select("source", F.size("toks").cast("bigint").alias("l")))
+    g = (d.groupBy("source", "l")
+         .agg(F.count("*").cast("bigint").alias("cnt"))
+         .localCheckpoint(eager=True))         # feeds 3 consumers
+    nt = g.groupBy("source").agg(F.sum("cnt").cast("bigint").alias("n"))
+    wl = (Window.partitionBy("source").orderBy("l")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    cum = g.select("source", "l",
+                   F.sum("cnt").over(wl).cast("bigint").alias("c"))
+    med = (cum.join(F.broadcast(nt), "source")
+           .filter(F.col("c") * 2 >= F.col("n"))
+           .groupBy("source").agg(F.min("l").alias("med")))
+    dev = (g.join(F.broadcast(med), "source")
+           .groupBy("source", F.abs(F.col("l") - F.col("med")).alias("dv"))
+           .agg(F.sum("cnt").cast("bigint").alias("cnt")))
+    wd = (Window.partitionBy("source").orderBy("dv")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    dcum = dev.select("source", "dv",
+                      F.sum("cnt").over(wd).cast("bigint").alias("c"))
+    mad = (dcum.join(F.broadcast(nt), "source")
+           .filter(F.col("c") * 2 >= F.col("n"))
+           .groupBy("source").agg(F.min("dv").alias("mad")))
+    out = F.sum(F.when(F.abs(F.col("l") - F.col("med"))
+                       > 3.0 * 1.4826 * F.col("mad"),
+                       F.col("cnt")).otherwise(0))
+    return (g.join(F.broadcast(med), "source")
+            .join(F.broadcast(mad), "source")
+            .join(F.broadcast(nt), "source")
+            .groupBy("source", "n", "med", "mad")
+            .agg(out.cast("bigint").alias("n_outliers"),
+                 F.round(out.cast("double") / F.col("n"), 6)
+                 .alias("outlier_frac"))
+            .select(F.col("source"), F.col("n").alias("n_docs"),
+                    "med", "mad", "n_outliers", "outlier_frac"))

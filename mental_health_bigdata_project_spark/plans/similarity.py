@@ -3563,3 +3563,109 @@ def vec_matryoshka_recall(spark, sf_dir):
     for a in arms[1:]:
         out = out.unionByName(a)
     return out.orderBy("dims")
+
+
+_POW_ITERS = 3
+_POW_OUT_DIMS = 8
+
+
+def _power_iter_oracle_sql() -> str:
+    """Unrolled power-iteration CTE chain over the 64x64 Gram matrix
+    (the bpe_train / graph-loop mechanical-unroll oracle recipe)."""
+    its = []
+    for k in range(1, _POW_ITERS + 1):
+        its.append(f"""
+    w{k} AS MATERIALIZED (
+      SELECT a.i,
+             CAST(SUM(CAST(round(a.val * v.val, 12) AS DECIMAL(38,12)))
+                  AS DOUBLE) AS val
+      FROM a JOIN v{k - 1} v ON v.j = a.j
+      GROUP BY a.i),
+    l{k} AS (SELECT sqrt(CAST(SUM(CAST(round(val * val, 12)
+                          AS DECIMAL(38,12))) AS DOUBLE)) AS l
+             FROM w{k}),
+    v{k} AS MATERIALIZED (
+      SELECT w.i AS j, w.val / lam.l AS val
+      FROM w{k} w CROSS JOIN l{k} lam)""")
+    return f"""
+    WITH px AS (
+      SELECT vec_id, u.i - 1 AS pos, u.x
+      FROM (SELECT vec_id,
+                   unnest(list_transform(embedding::DOUBLE[],
+                          (x, i) -> {{'i': i, 'x': x}})) AS u
+            FROM embeddings)),
+    a AS MATERIALIZED (
+      SELECT p.pos AS i, q.pos AS j,
+             CAST(SUM(CAST(round(p.x * q.x, 12) AS DECIMAL(38,12)))
+                  AS DOUBLE) AS val
+      FROM px p JOIN px q ON p.vec_id = q.vec_id
+      GROUP BY p.pos, q.pos),
+    v0 AS (SELECT DISTINCT i AS j, 0.125 AS val FROM a),{",".join(its)},
+    sgn AS (SELECT CASE WHEN val < 0 THEN -1.0 ELSE 1.0 END AS s
+            FROM v{_POW_ITERS} WHERE j = 0)
+    SELECT v.j AS pos,
+           round(v.val * sgn.s, 6) + 0.0 AS loading,
+           round(lam.l, 4) AS eigenvalue
+    FROM v{_POW_ITERS} v CROSS JOIN l{_POW_ITERS} lam CROSS JOIN sgn
+    WHERE v.j < {_POW_OUT_DIMS}
+    ORDER BY pos
+"""
+
+
+@query("ml_power_iteration_portable", _power_iter_oracle_sql())
+def ml_power_iteration_portable(spark, sf_dir):
+    """Top principal direction of the embedding corpus by POWER
+    ITERATION, fully inside the verified perimeter — the second
+    iterative-ML counterexample beside ml_kmeans_lloyd_portable (the
+    mllib ledger keeps library PCA rows-only; here the training loop
+    itself hash-matches DuckDB).  Three matrix-vector passes over the
+    64x64 Gram matrix A = X^T X from the all-ones start, L2
+    renormalization each pass; output is the first 8 loadings
+    (sign-fixed so loading[0] >= 0 — eigenvectors are defined up to
+    sign) and the spectral-norm estimate from the final pass.
+
+    Scale shape: the corpus is touched ONCE — the Gram build joins
+    the exploded embedding relation to itself on vec_id (dim rows per
+    vector) and hash-aggregates to dim^2 = 4096 cells; at 100 TB the
+    production twin computes per-partition outer-product partials
+    map-side and sums them (same 4096-cell result, no join), which
+    the decimal term-sum makes bit-identical regardless of
+    partitioning.  Every iteration is metadata-sized: 4096-row joins
+    against a broadcast 64-row vector.  Determinism: per-term
+    products rounded at 12dp into DECIMAL(38,12) sums, one double
+    division and sqrt per pass (fixed op order both engines)."""
+    e = _emb(spark, sf_dir)
+    px = (e.select("vec_id", F.posexplode(to_double_array("embedding"))
+                   .alias("pos", "x")))
+    dsum12 = lambda c: (F.sum(F.round(c, 12).cast("decimal(38,12)"))  # noqa: E731
+                        .cast("double"))
+    p = px.select("vec_id", F.col("pos").alias("i"),
+                  F.col("x").alias("xi"))
+    q = px.select("vec_id", F.col("pos").alias("j"),
+                  F.col("x").alias("xj"))
+    a = (p.join(q, "vec_id")
+         .groupBy("i", "j")
+         .agg(dsum12(F.col("xi") * F.col("xj")).alias("val"))
+         .localCheckpoint(eager=True))          # 4096-row Gram matrix
+    v = (a.select("i").distinct()
+         .select(F.col("i").alias("j"), F.lit(0.125).alias("val")))
+    lam = None
+    for _ in range(_POW_ITERS):
+        w = (a.alias("a").join(F.broadcast(v.alias("v")), "j")
+             .groupBy("i")
+             .agg(dsum12(F.col("a.val") * F.col("v.val")).alias("val")))
+        lam = w.agg(F.sqrt(dsum12(F.col("val") * F.col("val")))
+                    .alias("l"))
+        v = (w.crossJoin(F.broadcast(lam))
+             .select(F.col("i").alias("j"),
+                     (F.col("val") / F.col("l")).alias("val")))
+    sgn = (v.filter(F.col("j") == 0)
+           .select(F.when(F.col("val") < 0, F.lit(-1.0))
+                   .otherwise(F.lit(1.0)).alias("s")))
+    return (v.crossJoin(F.broadcast(lam)).crossJoin(F.broadcast(sgn))
+            .filter(F.col("j") < _POW_OUT_DIMS)
+            .select(F.col("j").alias("pos"),
+                    (F.round(F.col("val") * F.col("s"), 6)
+                     + F.lit(0.0)).alias("loading"),
+                    F.round("l", 4).alias("eigenvalue"))
+            .orderBy("pos"))
