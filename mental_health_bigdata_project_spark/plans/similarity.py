@@ -3624,6 +3624,16 @@ def ml_power_iteration_portable(spark, sf_dir):
     (sign-fixed so loading[0] >= 0 — eigenvectors are defined up to
     sign) and the spectral-norm estimate from the final pass.
 
+    Honest convergence scope: k passes converge at (lambda2/lambda1)^k.
+    On a real embedding corpus (dominant structure, big gap) 3 passes
+    land within 1% of the exact eigenpair (pinned by the spiked-corpus
+    test); on this repo's adversarial near-uniform testdata the
+    spectrum is nearly flat (ratio ~0.93 at sf0.001) and the 3-pass
+    output is a monotone LOWER-BOUND estimate, ~22% under the true
+    spectral norm — the same disclosed regime as the ANN recall
+    numbers.  The oracle pins the algorithm (both engines run the
+    identical recurrence), not convergence.
+
     Scale shape: the corpus is touched ONCE — the Gram build joins
     the exploded embedding relation to itself on vec_id (dim rows per
     vector) and hash-aggregates to dim^2 = 4096 cells.  Gram entries

@@ -3972,6 +3972,43 @@ def text_burstiness(spark, sf_dir):
                     .alias("burstiness")))
 
 
+def cdc_chunk_fps(t: DataFrame) -> DataFrame:
+    """Content-defined chunk fingerprints for a (doc_id, source, toks)
+    relation: boundary wherever the rolling 5-token window's md5
+    starts with hex '0' (expected chunk length 16 tokens).  Returns
+    (doc_id, source, chunk_id, n_toks, fp).  Shared by the
+    dedup_cdc_chunks query and the edit-resilience property test."""
+    pos = t.select("doc_id", "source",
+                   F.posexplode("toks").alias("pos0", "tok")) \
+           .select("doc_id", "source", "tok",
+                   (F.col("pos0") + 1).alias("pos"))
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    lagged = pos.select(
+        "doc_id", "source", "tok", "pos",
+        F.lag("tok", 4).over(wdoc).alias("l4"),
+        F.lag("tok", 3).over(wdoc).alias("l3"),
+        F.lag("tok", 2).over(wdoc).alias("l2"),
+        F.lag("tok", 1).over(wdoc).alias("l1"))
+    cut = F.when(
+        (F.col("pos") >= 5)
+        & (F.substring(F.md5(F.concat_ws(
+            " ", "l4", "l3", "l2", "l1", "tok")), 1, 1) == "0"),
+        1).otherwise(0)
+    cuts = lagged.select("doc_id", "source", "tok", "pos",
+                         cut.alias("cut"))
+    wrun = (Window.partitionBy("doc_id").orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    chunked = cuts.select(
+        "doc_id", "source", "tok", "pos",
+        F.coalesce(F.sum("cut").over(wrun).cast("bigint"), F.lit(0))
+        .alias("chunk_id"))
+    return (chunked.groupBy("doc_id", "source", "chunk_id")
+            .agg(F.count("*").cast("bigint").alias("n_toks"),
+                 F.md5(F.expr(
+                     "listagg(tok, ' ') WITHIN GROUP (ORDER BY pos)"))
+                 .alias("fp")))
+
+
 @query("dedup_cdc_chunks", f"""
     WITH t AS (SELECT doc_id, source, {_TOKS_SQL} AS toks
                FROM documents),
@@ -4035,36 +4072,7 @@ def dedup_cdc_chunks(spark, sf_dir):
     t = (_docs(spark, sf_dir)
          .select("doc_id", "source", tokens_col().alias("toks"))
          .filter(F.size("toks") > 0))
-    pos = t.select("doc_id", "source",
-                   F.posexplode("toks").alias("pos0", "tok")) \
-           .select("doc_id", "source", "tok",
-                   (F.col("pos0") + 1).alias("pos"))
-    wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    lagged = pos.select(
-        "doc_id", "source", "tok", "pos",
-        F.lag("tok", 4).over(wdoc).alias("l4"),
-        F.lag("tok", 3).over(wdoc).alias("l3"),
-        F.lag("tok", 2).over(wdoc).alias("l2"),
-        F.lag("tok", 1).over(wdoc).alias("l1"))
-    cut = F.when(
-        (F.col("pos") >= 5)
-        & (F.substring(F.md5(F.concat_ws(
-            " ", "l4", "l3", "l2", "l1", "tok")), 1, 1) == "0"),
-        1).otherwise(0)
-    cuts = lagged.select("doc_id", "source", "tok", "pos",
-                         cut.alias("cut"))
-    wrun = (Window.partitionBy("doc_id").orderBy("pos")
-            .rowsBetween(Window.unboundedPreceding, -1))
-    chunked = cuts.select(
-        "doc_id", "source", "tok", "pos",
-        F.coalesce(F.sum("cut").over(wrun).cast("bigint"), F.lit(0))
-        .alias("chunk_id"))
-    chunks = (chunked.groupBy("doc_id", "source", "chunk_id")
-              .agg(F.count("*").cast("bigint").alias("n_toks"),
-                   F.md5(F.expr(
-                       "listagg(tok, ' ') WITHIN GROUP (ORDER BY pos)"))
-                   .alias("fp"))
-              .localCheckpoint(eager=True))    # feeds freq + stats
+    chunks = cdc_chunk_fps(t).localCheckpoint(eager=True)  # freq+stats
     freq = chunks.groupBy("fp").agg(F.count("*").cast("bigint")
                                     .alias("n"))
     dup = F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
