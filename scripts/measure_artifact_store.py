@@ -29,7 +29,9 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     from mental_health_bigdata_project_spark import artifacts
-    from mental_health_bigdata_project_spark.plans import similarity, textops
+    from mental_health_bigdata_project_spark.plans import (QUERIES,
+                                                           similarity,
+                                                           textops)
     from mental_health_bigdata_project_spark.session import configure
 
     store = os.path.join(artifacts.artifact_root(),
@@ -55,6 +57,11 @@ def main() -> None:
          lambda: similarity.corpus_neardup_pairs(spark, sf_dir)),
         ("corpus_minhash_sigs",
          lambda: similarity.corpus_minhash_sigs(spark, sf_dir)),
+        # round 8: the iterative-training artifacts (VERDICT r7 item 2)
+        ("corpus_lloyd",
+         lambda: similarity.corpus_lloyd(spark, sf_dir)[0]),
+        ("semdedup_query",
+         lambda: QUERIES["dedup_semdedup"](spark, sf_dir)),
     ]
     walls = {}
     rows = {}
