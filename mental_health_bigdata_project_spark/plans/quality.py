@@ -2373,12 +2373,15 @@ def dq_psi_drift(spark, sf_dir):
     running count clears k*n/10, integer comparison — no float
     percentile); bucketing is a broadcast join of the 9-row boundary
     table; PSI terms are deterministic doubles summed in
-    decimal(38,18) per the 6dp-transcendental convention."""
+    decimal(38,18) per the 6dp-transcendental convention.  The
+    quantize/boundary/bucket/psi helpers below are shared with the
+    streaming drift gate (streaming/driftgate.py), so stream == batch
+    is by construction."""
     e = (_t(spark, sf_dir, "events")
          .filter(F.col("value").isNotNull())
          .select("event_type",
                  F.col("ts").cast("date").alias("day"),
-                 F.floor(F.col("value") * 10).cast("bigint").alias("cell")))
+                 psi_quantize(F.col("value")).alias("cell")))
     span = e.agg(F.min("day").alias("mn"),
                  F.floor(F.datediff(F.max("day"), F.min("day")) / 2)
                  .cast("bigint").alias("half"))
@@ -2390,42 +2393,79 @@ def dq_psi_drift(spark, sf_dir):
     cells = (p.groupBy("event_type", "period", "cell")
              .agg(F.count("*").cast("bigint").alias("cnt"))
              .localCheckpoint(eager=True))     # feeds 3 consumers
-    base = cells.filter(F.col("period") == "base")
-    nb = base.groupBy("event_type").agg(F.sum("cnt").cast("bigint")
-                                        .alias("n_base"))
+    base = (cells.filter(F.col("period") == "base")
+            .select("event_type", "cell", "cnt"))
+    cur = (cells.filter(F.col("period") == "cur")
+           .select("event_type", "cell", "cnt"))
+    bnd = psi_decile_boundaries(base)
+    return psi_from_bucket_counts(psi_bucketize(base, bnd),
+                                  psi_bucketize(cur, bnd))
+
+
+def psi_quantize(value_col):
+    """The fixed-resolution histogram cell: floor(value*10) — an
+    integer op bit-identical across engines (no rounding-mode
+    hazard)."""
+    return F.floor(value_col * 10).cast("bigint")
+
+
+def psi_decile_boundaries(base_cells):
+    """(event_type, k, bk): grid-exact decile boundaries of a baseline
+    (event_type, cell, cnt) histogram — min cell whose running count
+    clears k*n/10, k = 1..9, pure integer comparisons.  The window
+    runs over the CELL GRID (bounded by the value range), never the
+    row count."""
+    spark = base_cells.sparkSession
+    nb = (base_cells.groupBy("event_type")
+          .agg(F.sum("cnt").cast("bigint").alias("n_base")))
     w = (Window.partitionBy("event_type").orderBy("cell")
          .rowsBetween(Window.unboundedPreceding, 0))
-    cum = base.select("event_type", "cell",
-                      F.sum("cnt").over(w).cast("bigint").alias("c"))
+    cum = base_cells.select(
+        "event_type", "cell",
+        F.sum("cnt").over(w).cast("bigint").alias("c"))
     ks = spark.range(1, 10).select(F.col("id").alias("k"))
-    bnd = (cum.crossJoin(F.broadcast(ks))
-           .join(F.broadcast(nb), "event_type")
-           .filter(F.col("c") * 10 >= F.col("k") * F.col("n_base"))
-           .groupBy("event_type", "k").agg(F.min("cell").alias("bk")))
+    return (cum.crossJoin(F.broadcast(ks))
+            .join(F.broadcast(nb), "event_type")
+            .filter(F.col("c") * 10 >= F.col("k") * F.col("n_base"))
+            .groupBy("event_type", "k").agg(F.min("cell").alias("bk")))
+
+
+def psi_bucketize(cells, bnd):
+    """(event_type, bucket, cnt): fold an (event_type, cell, cnt)
+    histogram into the 10 decile buckets of a boundary table —
+    bucket = #(boundaries below the cell), one broadcast join of the
+    9-rows-per-type boundary relation."""
     bucketed = (cells.join(F.broadcast(bnd), "event_type")
-                .groupBy("event_type", "period", "cell")
+                .groupBy("event_type", "cell")
                 .agg(F.sum(F.when(F.col("cell") > F.col("bk"), 1))
                      .cast("bigint").alias("bsum"),
                      F.first("cnt").alias("cnt"))
-                .select("event_type", "period",
+                .select("event_type",
                         F.coalesce("bsum", F.lit(0)).alias("bucket"),
                         "cnt"))
-    bcnt = (bucketed.groupBy("event_type", "period", "bucket")
+    return (bucketed.groupBy("event_type", "bucket")
             .agg(F.sum("cnt").cast("bigint").alias("cnt")))
-    totals = (bcnt.groupBy("event_type", "period")
-              .agg(F.sum("cnt").cast("bigint").alias("n"))
-              .localCheckpoint(eager=True))
-    grid = (e.select("event_type").distinct()
+
+
+def psi_from_bucket_counts(bcnt_base, bcnt_cur):
+    """(event_type, n_base, n_cur, psi, drift_flag) from two
+    (event_type, bucket, cnt) relations bucketed over the SAME
+    boundaries: probabilities floored at the classic 1e-4, terms
+    summed in decimal(38,18), flag at the standard 0.2 threshold.
+    Only event types present in BOTH relations are scored (a type
+    with zero current rows has no distribution to compare)."""
+    spark = bcnt_base.sparkSession
+    tb = (bcnt_base.groupBy("event_type")
+          .agg(F.sum("cnt").cast("bigint").alias("n_base")))
+    tc = (bcnt_cur.groupBy("event_type")
+          .agg(F.sum("cnt").cast("bigint").alias("n_cur")))
+    grid = (tb.join(tc, "event_type").select("event_type")
             .crossJoin(spark.range(0, 10).select(F.col("id")
                                                  .alias("bucket"))))
-    tb = (totals.filter(F.col("period") == "base")
-          .select("event_type", F.col("n").alias("n_base")))
-    tc = (totals.filter(F.col("period") == "cur")
-          .select("event_type", F.col("n").alias("n_cur")))
-    cb = (bcnt.filter(F.col("period") == "base")
-          .select("event_type", "bucket", F.col("cnt").alias("cnt_b")))
-    cc = (bcnt.filter(F.col("period") == "cur")
-          .select("event_type", "bucket", F.col("cnt").alias("cnt_c")))
+    cb = bcnt_base.select("event_type", "bucket",
+                          F.col("cnt").alias("cnt_b"))
+    cc = bcnt_cur.select("event_type", "bucket",
+                         F.col("cnt").alias("cnt_c"))
     probs = (grid.join(F.broadcast(tb), "event_type")
              .join(F.broadcast(tc), "event_type")
              .join(F.broadcast(cb), ["event_type", "bucket"], "left")

@@ -1,0 +1,116 @@
+"""Streaming PSI drift gate (streaming/driftgate.py): served PSI
+equals the oracle-checked batch query on the same split, replay is
+exactly-once, compaction folds, and injected drift fires the flag."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mental_health_bigdata_project_spark.plans import QUERIES
+from mental_health_bigdata_project_spark.plans.quality import psi_quantize
+from mental_health_bigdata_project_spark.sources import load_table
+from mental_health_bigdata_project_spark.streaming import driftgate
+
+N_BATCHES = 3
+
+
+def _halves(spark, sf_dir):
+    e = (load_table(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull())
+         .select("event_id", "event_type", "value",
+                 F.col("ts").cast("date").alias("day")))
+    span = e.agg(F.min("day").alias("mn"),
+                 F.floor(F.datediff(F.max("day"), F.min("day")) / 2)
+                 .cast("bigint").alias("half"))
+    e = e.crossJoin(F.broadcast(span))
+    base = e.filter(F.datediff("day", F.col("mn")) <= F.col("half"))
+    cur = e.filter(F.datediff("day", F.col("mn")) > F.col("half"))
+    return base, cur
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _feed(spark, sf_dir, tmp_path):
+    art = str(tmp_path / "art")
+    idx = str(tmp_path / "idx")
+    base, cur = _halves(spark, sf_dir)
+    n_types = driftgate.build_psi_baseline(base, art)
+    assert n_types >= 1
+    for b in range(N_BATCHES):
+        driftgate.drift_batch(
+            cur.filter(F.pmod("event_id", F.lit(N_BATCHES)) == b),
+            b, idx, art)
+    return art, idx, cur
+
+
+def test_served_psi_equals_batch_query(spark, sf_dir, tmp_path):
+    """The identity that makes the gate trustworthy: baseline = older
+    half, stream = newer half in 3 micro-batches -> serve_psi is
+    ROW-IDENTICAL to the oracle-green dq_psi_drift on the same
+    table (same helpers, same decimal folds)."""
+    art, idx, _ = _feed(spark, sf_dir, tmp_path)
+    served = _rows(driftgate.serve_psi(spark, art, idx))
+    batch = _rows(QUERIES["dq_psi_drift"](spark, sf_dir))
+    assert served == batch
+
+
+def test_replay_is_idempotent(spark, sf_dir, tmp_path):
+    art, idx, cur = _feed(spark, sf_dir, tmp_path)
+    before = _rows(driftgate.serve_psi(spark, art, idx))
+    driftgate.drift_batch(
+        cur.filter(F.pmod("event_id", F.lit(N_BATCHES)) == 1),
+        1, idx, art)                     # crash-retry of batch 1
+    assert _rows(driftgate.serve_psi(spark, art, idx)) == before
+
+
+def test_compaction_folds_state(spark, sf_dir, tmp_path):
+    import glob
+    import os
+
+    art, idx, _ = _feed(spark, sf_dir, tmp_path)
+    before = _rows(driftgate.serve_psi(spark, art, idx))
+    driftgate.compact_drift_state(spark, idx, through=N_BATCHES - 1)
+    assert _rows(driftgate.serve_psi(spark, art, idx)) == before
+    comp = spark.read.parquet(glob.glob(
+        os.path.join(idx, "buckets", "_compacted_v*"))[0])
+    # folded: one row per (type, bucket), not per batch
+    assert comp.groupBy("event_type", "bucket").count() \
+        .filter("count > 1").count() == 0
+
+
+def test_injected_shift_fires_flag(spark, sf_dir, tmp_path):
+    """Stream the SAME baseline rows shifted +200: every type must
+    flag; streaming the identical rows unshifted must not."""
+    art = str(tmp_path / "art")
+    base, _ = _halves(spark, sf_dir)
+    driftgate.build_psi_baseline(base, art)
+    idx_same = str(tmp_path / "same")
+    idx_shift = str(tmp_path / "shift")
+    driftgate.drift_batch(base, 0, idx_same, art)
+    driftgate.drift_batch(
+        base.withColumn("value", F.col("value") + 200.0),
+        0, idx_shift, art)
+    same = driftgate.serve_psi(spark, art, idx_same).collect()
+    shifted = driftgate.serve_psi(spark, art, idx_shift).collect()
+    assert all(r.drift_flag == 0 and r.psi < 0.001 for r in same), same
+    assert all(r.drift_flag == 1 and r.psi > 1.0 for r in shifted)
+
+
+def test_batch_delta_is_bucket_sized(spark, sf_dir, tmp_path):
+    """The mergeable-state claim: a batch's persisted delta is at most
+    #types x 10 rows no matter how many rows the batch held."""
+    import os
+
+    art, idx, _ = _feed(spark, sf_dir, tmp_path)
+    d = spark.read.parquet(os.path.join(idx, "buckets",
+                                        "batch_id=0"))
+    n_types = d.select("event_type").distinct().count()
+    assert d.count() <= n_types * 10
+
+
+def test_quantize_is_integer_floor(spark):
+    df = spark.createDataFrame([(0.31,), (-0.31,), (49.99,)], "v double")
+    got = [r[0] for r in df.select(psi_quantize(F.col("v"))).collect()]
+    assert got == [3, -4, 499]
