@@ -188,7 +188,7 @@ _CONVERTED_FRONT = [
     # --- new in round 8 (first-time driver rows) ---
     "source_overlap_hll", "dq_psi_drift", "dedup_cdc_chunks",
     "pack_sequences_pairwise", "stat_welch_ttest", "dq_mad_outliers",
-    "ml_power_iteration_portable",
+    "ml_power_iteration_portable", "dedup_cdc_rewrite",
     # --- round-8 behavior changes: re-certify ---
     "graph_ppr_multi", "ml_kmeans_lloyd_portable", "sim_ann_ivf_kmeans",
     "dedup_semdedup", "bpe_train_merges", "bpe_encode_apply",

@@ -4181,3 +4181,84 @@ def pack_sequences_pairwise(spark, sf_dir):
                     F.round(F.col("tot").cast("double")
                             / (F.col("n") * _PACK_L), 6)
                     .alias("naive_utilization")))
+
+
+@query("dedup_cdc_rewrite", f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS_SQL} AS toks
+               FROM documents),
+    pos AS (SELECT doc_id, source, unnest(toks) AS tok,
+                   CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos
+            FROM t WHERE len(toks) > 0),
+    lagged AS (
+      SELECT doc_id, source, tok, pos,
+             lag(tok, 4) OVER w AS l4, lag(tok, 3) OVER w AS l3,
+             lag(tok, 2) OVER w AS l2, lag(tok, 1) OVER w AS l1
+      FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    cuts AS (
+      SELECT doc_id, source, tok, pos,
+             CASE WHEN pos >= 5 AND substring(md5(concat_ws(' ',
+                       l4, l3, l2, l1, tok)), 1, 1) = '0'
+                  THEN 1 ELSE 0 END AS cut
+      FROM lagged),
+    chunked AS (
+      SELECT doc_id, source, tok, pos,
+             COALESCE(CAST(SUM(cut) OVER (PARTITION BY doc_id
+                  ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING) AS BIGINT), 0) AS chunk_id
+      FROM cuts),
+    chunks AS (
+      SELECT doc_id, source, chunk_id,
+             CAST(count(*) AS BIGINT) AS n_toks,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+      FROM chunked GROUP BY doc_id, source, chunk_id),
+    firsts AS (SELECT fp, MIN(doc_id * 100000 + chunk_id) AS first_key
+               FROM chunks GROUP BY fp)
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN c.doc_id * 100000 + c.chunk_id
+                              = f.first_key
+                         THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+           CAST(SUM(CASE WHEN c.doc_id * 100000 + c.chunk_id
+                              = f.first_key
+                         THEN c.n_toks ELSE 0 END) AS BIGINT)
+             AS kept_tokens,
+           CAST(SUM(CASE WHEN c.doc_id * 100000 + c.chunk_id
+                              = f.first_key
+                         THEN 0 ELSE c.n_toks END) AS BIGINT)
+             AS dropped_tokens
+    FROM chunks c JOIN firsts f USING (fp)
+    GROUP BY c.doc_id
+""")
+def dedup_cdc_rewrite(spark, sf_dir):
+    """The REWRITE half of content-defined chunk dedup (pairs with
+    dedup_cdc_chunks the way dedup_chunk_rewrite pairs with
+    dedup_chunk_exact): every CDC chunk keeps only its globally-FIRST
+    occurrence (min packed (doc_id, chunk_id) — the retain-one rule
+    shared by all the dedup rewrites), and each document reports how
+    many chunks/tokens survive.  Because CDC boundaries re-anchor
+    after edits, this rewrite removes duplicated PASSAGES at any
+    offset that fixed-width chunking would miss (pinned by the
+    resynchronization property test).
+
+    Plan: the shared cdc_chunk_fps core (two doc-partitioned windows +
+    one (doc, chunk) agg), a map-side-combinable (fp -> min key) hash
+    agg — never a row_number window over fp, so a viral boilerplate
+    chunk cannot land on one partition — and the join back on fp
+    reusing the agg's partitioning.  The packed occurrence key bounds
+    chunk_id < 1e5 (docs are token-capped far below 1e5 chunks)."""
+    t = (_docs(spark, sf_dir)
+         .select("doc_id", "source", tokens_col().alias("toks"))
+         .filter(F.size("toks") > 0))
+    chunks = cdc_chunk_fps(t)
+    okey = F.col("doc_id") * 100000 + F.col("chunk_id")
+    firsts = (chunks.select("fp", okey.alias("k"))
+              .groupBy("fp").agg(F.min("k").alias("first_key")))
+    kept = (okey == F.col("first_key")).cast("int")
+    return (chunks.join(firsts, "fp")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_chunks"),
+                 F.sum(kept).cast("bigint").alias("kept_chunks"),
+                 F.sum(kept * F.col("n_toks")).cast("bigint")
+                 .alias("kept_tokens"),
+                 F.sum((1 - kept) * F.col("n_toks")).cast("bigint")
+                 .alias("dropped_tokens")))
