@@ -2995,19 +2995,22 @@ _SPAN_K = 8  # tokens per window; published ExactSubstr uses 50 BPE tokens
 # Shared CTE chain: tokenized docs -> overlapping-gram occurrences ->
 # retained-duplicate windows -> merged per-doc spans.  Used by the span
 # REPORT below and the span-REMOVAL rewrite after it.
-_SPAN_CTES = f"""t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+def _span_ctes(k: int) -> str:
+    """The span-detection CTE chain at window width ``k`` — shared by
+    the 8-token default and the published-threshold 50-token twin."""
+    return f"""t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
     grams AS (
       SELECT doc_id, u.s AS s,
-             md5(array_to_string(toks[u.s:u.s+{_SPAN_K}-1], ' ')) AS h,
+             md5(array_to_string(toks[u.s:u.s+{k}-1], ' ')) AS h,
              doc_id * 1000000 + u.s AS occ_key
       FROM (SELECT doc_id, toks,
-                   unnest(list_transform(range(1, len(toks)-{_SPAN_K}+2),
+                   unnest(list_transform(range(1, len(toks)-{k}+2),
                           i -> {{'s': i}})) AS u
-            FROM t WHERE len(toks) >= {_SPAN_K})),
+            FROM t WHERE len(toks) >= {k})),
     gstat AS (SELECT h, count(*) AS cnt, min(occ_key) AS first_key
               FROM grams GROUP BY h),
     dupw AS (
-      SELECT g.doc_id, g.s, g.s + {_SPAN_K} - 1 AS e
+      SELECT g.doc_id, g.s, g.s + {k} - 1 AS e
       FROM grams g JOIN gstat USING (h)
       WHERE gstat.cnt >= 2 AND g.occ_key <> gstat.first_key),
     flagged AS (
@@ -3026,16 +3029,19 @@ _SPAN_CTES = f"""t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
       FROM grouped GROUP BY doc_id, grp)"""
 
 
+_SPAN_CTES = _span_ctes(_SPAN_K)
+
+
 def span_tokens_df(docs: DataFrame) -> DataFrame:
     """(doc_id, toks) — the tokenized face every span stage shares."""
     return docs.select("doc_id", tokens_col().alias("toks"))
 
 
-def span_grams_df(t: DataFrame) -> DataFrame:
+def span_grams_df(t: DataFrame, k: int = _SPAN_K) -> DataFrame:
     """Overlapping-window fingerprints: (doc_id, s, h, occ_key) — one
-    row per 8-token window at every token offset; occ_key packs
+    row per k-token window at every token offset; occ_key packs
     (doc_id, position) into one orderable bigint (positions < 1e6)."""
-    K = _SPAN_K
+    K = k
     n = F.size("toks")
     gram_structs = F.transform(
         F.sequence(F.lit(1), n - K + 1),
@@ -3106,20 +3112,21 @@ def span_rewrite_df(t: DataFrame, spans: DataFrame) -> DataFrame:
         .alias("text_rewritten"))
 
 
-def _span_frames(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _span_frames(docs: DataFrame,
+                 k: int = _SPAN_K) -> tuple[DataFrame, DataFrame]:
     """Spark twin of _SPAN_CTES: returns (t, spans) — t = (doc_id,
     toks); spans = merged per-doc duplicate spans (doc_id, span_s,
     span_e).  The first-occurrence rule is a map-side-combinable
     (count, min(occ_key)) hash agg, NOT a row_number window over the
     fingerprint (hot boilerplate grams stay skew-safe)."""
     t = span_tokens_df(docs)
-    grams = span_grams_df(t)
+    grams = span_grams_df(t, k)
     gstat = grams.groupBy("h").agg(F.count("*").alias("cnt"),
                                    F.min("occ_key").alias("first_key"))
     dupw = (grams.join(gstat, "h")
             .filter((F.col("cnt") >= 2)
                     & (F.col("occ_key") != F.col("first_key")))
-            .select("doc_id", "s", (F.col("s") + _SPAN_K - 1).alias("e")))
+            .select("doc_id", "s", (F.col("s") + k - 1).alias("e")))
     return t, merge_spans_df(dupw)
 
 
@@ -4262,3 +4269,52 @@ def dedup_cdc_rewrite(spark, sf_dir):
                  .alias("kept_tokens"),
                  F.sum((1 - kept) * F.col("n_toks")).cast("bigint")
                  .alias("dropped_tokens")))
+
+
+@query("dedup_substring_spans_w50", f"""
+    WITH {_span_ctes(50)}
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS INTEGER) AS n_tokens,
+           coalesce(rep.n_dup_spans, 0) AS n_dup_spans,
+           coalesce(rep.dup_tokens, 0) AS dup_tokens,
+           CASE WHEN len(t.toks) = 0 THEN 0.0
+                ELSE round(coalesce(rep.dup_tokens, 0)
+                           / CAST(len(t.toks) AS DOUBLE), 6)
+           END AS dup_frac
+    FROM t
+    LEFT JOIN (SELECT doc_id,
+                      CAST(count(*) AS INTEGER) AS n_dup_spans,
+                      CAST(SUM(span_e - span_s + 1) AS INTEGER)
+                        AS dup_tokens
+               FROM spans GROUP BY doc_id) rep USING (doc_id)
+""")
+def dedup_substring_spans_w50(spark, sf_dir):
+    """ExactSubstr span detection at the PUBLISHED 50-token threshold
+    (Lee et al. 2022 deduplicate substrings of >= 50 BPE tokens; the
+    8-token default `dedup_substring_spans` is the high-sensitivity
+    setting for this corpus's short docs) — the VERDICT-r7 larger-gram
+    twin.  Same retain-first rule, same skew-safe (count, min occ_key)
+    hash agg, same interval sweep; only the window width changes, so
+    the two queries bracket the precision/recall trade a deployment
+    tunes: w=50 flags only passages long enough to be provable copies
+    (near-zero false positives, misses short boilerplate), w=8 flags
+    everything at ~1 row per corpus token.
+
+    Scale note: LARGER windows are CHEAPER here — the gram relation
+    has n_tokens - k + 1 rows per doc either way, but far fewer
+    fingerprints recur at w=50, so the dup-window join carries less."""
+    t, spans = _span_frames(_docs(spark, sf_dir), k=50)
+    rep = (spans.groupBy("doc_id")
+           .agg(F.count("*").cast("int").alias("n_dup_spans"),
+                F.sum(F.col("span_e") - F.col("span_s") + 1).cast("int")
+                .alias("dup_tokens")))
+    nt = F.size("toks").cast("int")
+    return (t.join(rep, "doc_id", "left")
+            .select(
+                "doc_id", nt.alias("n_tokens"),
+                F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+                F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+                F.when(nt == 0, F.lit(0.0))
+                .otherwise(F.round(
+                    F.coalesce("dup_tokens", F.lit(0))
+                    / nt.cast("double"), 6)).alias("dup_frac")))
