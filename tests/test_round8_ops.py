@@ -210,3 +210,22 @@ def test_pack_sequences_matches_explicit_pairing(spark, sf_dir):
     assert row.n_docs == n
     assert row.packed_bins == bins, (row.packed_bins, bins)
     assert row.total_tokens == sum(lens)
+
+
+def test_cdc_rewrite_drops_exact_copy_keeps_first(spark, tmp_path):
+    """Retain-first semantics: a verbatim copy of a document keeps
+    ZERO tokens (every chunk's first occurrence is in the original),
+    the original keeps everything, and a unique doc is untouched."""
+    text_a = " ".join(f"w{(i * 13) % 997}" for i in range(200))
+    text_b = " ".join(f"u{(i * 17) % 991}" for i in range(150))
+    spark.createDataFrame(
+        [(1, "s", text_a, "en"), (2, "s", text_a, "en"),
+         (3, "s", text_b, "en")],
+        "doc_id bigint, source string, text string, lang string"
+    ).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    got = {r.doc_id: r for r in
+           QUERIES["dedup_cdc_rewrite"](spark, str(tmp_path)).collect()}
+    assert got[1].kept_tokens == 200 and got[1].dropped_tokens == 0
+    assert got[2].kept_tokens == 0 and got[2].dropped_tokens == 200
+    assert got[3].kept_tokens == 150 and got[3].dropped_tokens == 0
