@@ -2674,3 +2674,110 @@ def dq_mad_outliers(spark, sf_dir):
                  .alias("outlier_frac"))
             .select(F.col("source"), F.col("n").alias("n_docs"),
                     "med", "mad", "n_outliers", "outlier_frac"))
+
+
+@query("stat_conformal_interval", f"""
+    WITH s AS (SELECT event_id, event_type AS grp, value
+               FROM events WHERE value IS NOT NULL),
+    tr AS (SELECT grp,
+                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                    / count(*) AS mean_tr,
+                  CAST(count(*) AS BIGINT) AS n_train
+           FROM s WHERE event_id % 3 = 0 GROUP BY grp),
+    cal AS (SELECT s.grp,
+                   CAST(floor(abs(s.value - tr.mean_tr) * 100)
+                        AS BIGINT) AS cell
+            FROM s JOIN tr ON tr.grp = s.grp
+            WHERE s.event_id % 3 = 1),
+    cg AS (SELECT grp, cell, CAST(count(*) AS BIGINT) AS cnt
+           FROM cal GROUP BY grp, cell),
+    nc AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n_cal
+           FROM cg GROUP BY grp),
+    cum AS (SELECT grp, cell, cnt,
+                   CAST(SUM(cnt) OVER (PARTITION BY grp ORDER BY cell
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+            FROM cg),
+    qh AS (SELECT cum.grp, min(cum.cell) AS qhat_cell
+           FROM cum JOIN nc ON nc.grp = cum.grp
+           WHERE cum.c * 10 >= 9 * (nc.n_cal + 1)
+           GROUP BY cum.grp),
+    te AS (SELECT s.grp,
+                  CAST(count(*) AS BIGINT) AS n_test,
+                  CAST(SUM(CASE WHEN
+                       CAST(floor(abs(s.value - tr.mean_tr) * 100)
+                            AS BIGINT) <= qh.qhat_cell
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+           FROM s
+           JOIN tr ON tr.grp = s.grp
+           JOIN qh ON qh.grp = s.grp
+           WHERE s.event_id % 3 = 2
+           GROUP BY s.grp)
+    SELECT tr.grp AS event_type, tr.n_train, nc.n_cal, te.n_test,
+           round(tr.mean_tr, 6) AS mean_train,
+           qh.qhat_cell,
+           round(CAST(te.n_covered AS DOUBLE) / te.n_test, 6)
+             AS coverage
+    FROM tr JOIN nc ON nc.grp = tr.grp
+    JOIN qh ON qh.grp = tr.grp
+    JOIN te ON te.grp = tr.grp
+""")
+def stat_conformal_interval(spark, sf_dir):
+    """SPLIT-CONFORMAL prediction intervals (Vovk; Lei et al. 2018)
+    with measured empirical coverage — the distribution-free
+    uncertainty wrapper modern eval pipelines put around any point
+    predictor.  Three-way deterministic split by event_id mod 3:
+    train fits the per-type mean (the simplest predictor — the
+    conformal machinery is the subject), calibration takes the
+    ceil(0.9*(n+1))-smallest absolute residual as q_hat (the
+    finite-sample-corrected 90% quantile), test reports the fraction
+    of residuals within q_hat — guaranteed >= 90% in expectation by
+    exchangeability, whatever the value distribution.
+
+    Exactness recipe: residuals are quantized to integer cells
+    (floor(|y - mean|*100) — identical float ops both engines, the
+    PSI sketch rule), so the conformal quantile is a GRID-EXACT
+    integer rank threshold: min cell whose running count clears
+    0.9*(n_cal+1), integer comparison (quantizing scores DOWN can
+    only widen the interval, so the >=90% coverage guarantee is
+    preserved).  One scan feeds three metadata-sized aggregates; the
+    calibration window runs over the residual-cell grid, never rows."""
+    s = (_t(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull())
+         .select("event_id", F.col("event_type").alias("grp"), "value"))
+    tr = (s.filter(F.col("event_id") % 3 == 0)
+          .groupBy("grp")
+          .agg((F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double") / F.count("*")).alias("mean_tr"),
+               F.count("*").cast("bigint").alias("n_train"))
+          .localCheckpoint(eager=True))        # feeds cal + test
+    cell = F.floor(F.abs(F.col("value") - F.col("mean_tr")) * 100) \
+        .cast("bigint")
+    cg = (s.filter(F.col("event_id") % 3 == 1)
+          .join(F.broadcast(tr), "grp")
+          .select("grp", cell.alias("cell"))
+          .groupBy("grp", "cell")
+          .agg(F.count("*").cast("bigint").alias("cnt")))
+    nc = cg.groupBy("grp").agg(F.sum("cnt").cast("bigint").alias("n_cal"))
+    w = (Window.partitionBy("grp").orderBy("cell")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = cg.select("grp", "cell",
+                    F.sum("cnt").over(w).cast("bigint").alias("c"))
+    qh = (cum.join(F.broadcast(nc), "grp")
+          .filter(F.col("c") * 10 >= 9 * (F.col("n_cal") + 1))
+          .groupBy("grp").agg(F.min("cell").alias("qhat_cell")))
+    te = (s.filter(F.col("event_id") % 3 == 2)
+          .join(F.broadcast(tr), "grp")
+          .join(F.broadcast(qh), "grp")
+          .groupBy("grp")
+          .agg(F.count("*").cast("bigint").alias("n_test"),
+               F.sum(F.when(cell <= F.col("qhat_cell"), 1).otherwise(0))
+               .cast("bigint").alias("n_covered")))
+    return (tr.join(F.broadcast(nc), "grp")
+            .join(F.broadcast(qh), "grp")
+            .join(te, "grp")
+            .select(F.col("grp").alias("event_type"),
+                    "n_train", "n_cal", "n_test",
+                    F.round("mean_tr", 6).alias("mean_train"),
+                    "qhat_cell",
+                    F.round(F.col("n_covered").cast("double")
+                            / F.col("n_test"), 6).alias("coverage")))

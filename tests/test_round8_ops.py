@@ -229,3 +229,15 @@ def test_cdc_rewrite_drops_exact_copy_keeps_first(spark, tmp_path):
     assert got[1].kept_tokens == 200 and got[1].dropped_tokens == 0
     assert got[2].kept_tokens == 0 and got[2].dropped_tokens == 200
     assert got[3].kept_tokens == 150 and got[3].dropped_tokens == 0
+
+
+def test_conformal_coverage_near_nominal(spark, sf_dir):
+    """The distribution-free guarantee: per-type empirical coverage
+    on the held-out test split sits near the nominal 90% (finite-
+    sample fluctuation band; at sf0.1 all five types land 0.89-0.91)."""
+    rows = QUERIES["stat_conformal_interval"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.80 <= r.coverage <= 1.0, (r.event_type, r.coverage)
+    avg = sum(r.coverage for r in rows) / len(rows)
+    assert avg >= 0.85, avg
