@@ -190,6 +190,7 @@ _CONVERTED_FRONT = [
     "pack_sequences_pairwise", "stat_welch_ttest", "dq_mad_outliers",
     "ml_power_iteration_portable", "dedup_cdc_rewrite",
     "dedup_substring_spans_w50", "stat_conformal_interval",
+    "ml_logreg_newton_portable",
     # --- round-8 behavior changes: re-certify ---
     "graph_ppr_multi", "ml_kmeans_lloyd_portable", "sim_ann_ivf_kmeans",
     "dedup_semdedup", "bpe_train_merges", "bpe_encode_apply",

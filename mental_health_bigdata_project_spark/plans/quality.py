@@ -2781,3 +2781,109 @@ def stat_conformal_interval(spark, sf_dir):
                     "qhat_cell",
                     F.round(F.col("n_covered").cast("double")
                             / F.col("n_test"), 6).alias("coverage")))
+
+
+def _logreg_step_sql(k: int) -> str:
+    """One unrolled Newton-Raphson CTE: per-row sigmoid terms summed
+    in DECIMAL(38,18), closed-form 2x2 Hessian solve."""
+    return f"""
+    m{k} AS MATERIALIZED (
+      SELECT CAST(SUM(CAST((y - 1.0 / (1.0 + exp(-(b.b0 + b.b1 * x))))
+                           AS DECIMAL(38,18))) AS DOUBLE) AS g0,
+             CAST(SUM(CAST((y - 1.0 / (1.0 + exp(-(b.b0 + b.b1 * x))))
+                           * x AS DECIMAL(38,18))) AS DOUBLE) AS g1,
+             CAST(SUM(CAST((1.0 / (1.0 + exp(-(b.b0 + b.b1 * x))))
+                           * (1.0 - 1.0 / (1.0 + exp(-(b.b0 + b.b1 * x))))
+                           AS DECIMAL(38,18))) AS DOUBLE) AS h00,
+             CAST(SUM(CAST((1.0 / (1.0 + exp(-(b.b0 + b.b1 * x))))
+                           * (1.0 - 1.0 / (1.0 + exp(-(b.b0 + b.b1 * x))))
+                           * x AS DECIMAL(38,18))) AS DOUBLE) AS h01,
+             CAST(SUM(CAST((1.0 / (1.0 + exp(-(b.b0 + b.b1 * x))))
+                           * (1.0 - 1.0 / (1.0 + exp(-(b.b0 + b.b1 * x))))
+                           * x * x AS DECIMAL(38,18))) AS DOUBLE) AS h11
+      FROM s CROSS JOIN beta{k - 1} b),
+    beta{k} AS (
+      SELECT b.b0 + (m.h11 * m.g0 - m.h01 * m.g1)
+                    / (m.h00 * m.h11 - m.h01 * m.h01) AS b0,
+             b.b1 + (m.h00 * m.g1 - m.h01 * m.g0)
+                    / (m.h00 * m.h11 - m.h01 * m.h01) AS b1
+      FROM beta{k - 1} b CROSS JOIN m{k} m)"""
+
+
+_LOGREG_STEPS = 2
+
+
+@query("ml_logreg_newton_portable", f"""
+    WITH s AS (SELECT CASE WHEN event_type = 'purchase'
+                           THEN 1.0 ELSE 0.0 END AS y,
+                      value / 100.0 AS x
+               FROM events WHERE value IS NOT NULL),
+    beta0 AS (SELECT 0.0 AS b0, 0.0 AS b1),
+    {",".join(_logreg_step_sql(k) for k in range(1, _LOGREG_STEPS + 1))}
+    SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n,
+           round(b.b0, 6) AS b0, round(b.b1, 6) AS b1,
+           round((SELECT CAST(SUM(CAST(
+                    y * ln(1.0 / (1.0 + exp(-(b.b0 + b.b1 * x))))
+                    + (1.0 - y)
+                      * ln(1.0 - 1.0 / (1.0 + exp(-(b.b0 + b.b1 * x))))
+                    AS DECIMAL(38,18))) AS DOUBLE) FROM s), 4)
+             AS log_likelihood
+    FROM beta{_LOGREG_STEPS} b
+""")
+def ml_logreg_newton_portable(spark, sf_dir):
+    """Logistic regression TRAINED by two unrolled Newton-Raphson
+    steps, fully inside the verified perimeter — the third iterative
+    trainer beside ml_kmeans_lloyd_portable and
+    ml_power_iteration_portable (MLlib's LogisticRegression stays
+    rows-only; here every gradient, Hessian entry and update
+    hash-matches DuckDB).  Model: P(event is a purchase | value),
+    feature x = value/100, intercept + slope, start at beta = 0; each
+    step is ONE corpus scan producing five decimal-summed aggregates
+    (score residuals, weighted moments) and a closed-form 2x2 solve —
+    the classic IRLS shape with the normal equations small enough to
+    stay scalar.  Output: fitted coefficients and the final
+    log-likelihood.
+
+    Determinism: per-row sigmoid terms are deterministic doubles
+    (identical op order both engines) cast to DECIMAL(38,18) for the
+    sums (the agg_theil transcendental convention); the Newton update
+    is a fixed chain of scalar double ops on 1-row relations.  At
+    100 TB each step is a map-side-combinable 5-aggregate scan — the
+    training loop moves 5 numbers per step, never rows; steps are a
+    fixed small constant exactly like Lloyd's."""
+    s = (_t(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull())
+         .select(F.when(F.col("event_type") == "purchase", 1.0)
+                 .otherwise(0.0).alias("y"),
+                 (F.col("value") / 100.0).alias("x"))
+         .localCheckpoint(eager=True))          # feeds every step
+    d18 = lambda c: (F.sum(c.cast("decimal(38,18)"))  # noqa: E731
+                     .cast("double"))
+    beta = spark.createDataFrame([(0.0, 0.0)], "b0 double, b1 double")
+    for _ in range(_LOGREG_STEPS):
+        p = 1.0 / (1.0 + F.exp(-(F.col("b0") + F.col("b1") * F.col("x"))))
+        m = (s.crossJoin(F.broadcast(beta))
+             .agg(d18((F.col("y") - p)).alias("g0"),
+                  d18((F.col("y") - p) * F.col("x")).alias("g1"),
+                  d18(p * (1.0 - p)).alias("h00"),
+                  d18(p * (1.0 - p) * F.col("x")).alias("h01"),
+                  d18(p * (1.0 - p) * F.col("x") * F.col("x"))
+                  .alias("h11")))
+        det = F.col("h00") * F.col("h11") - F.col("h01") * F.col("h01")
+        beta = (beta.crossJoin(F.broadcast(m))
+                .select((F.col("b0") + (F.col("h11") * F.col("g0")
+                                        - F.col("h01") * F.col("g1"))
+                         / det).alias("b0"),
+                        (F.col("b1") + (F.col("h00") * F.col("g1")
+                                        - F.col("h01") * F.col("g0"))
+                         / det).alias("b1"))
+                .localCheckpoint(eager=True))   # 1-row model state
+    pf = 1.0 / (1.0 + F.exp(-(F.col("b0") + F.col("b1") * F.col("x"))))
+    ll = (s.crossJoin(F.broadcast(beta))
+          .agg(F.count("*").cast("bigint").alias("n"),
+               d18(F.col("y") * F.log(pf)
+                   + (1.0 - F.col("y")) * F.log(1.0 - pf)).alias("ll")))
+    return (ll.crossJoin(F.broadcast(beta))
+            .select("n", F.round("b0", 6).alias("b0"),
+                    F.round("b1", 6).alias("b1"),
+                    F.round("ll", 4).alias("log_likelihood")))

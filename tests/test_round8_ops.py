@@ -241,3 +241,35 @@ def test_conformal_coverage_near_nominal(spark, sf_dir):
         assert 0.80 <= r.coverage <= 1.0, (r.event_type, r.coverage)
     avg = sum(r.coverage for r in rows) / len(rows)
     assert avg >= 0.85, avg
+
+
+def test_logreg_newton_matches_numpy_replication(spark, sf_dir):
+    """The engine's two Newton steps must reproduce the same
+    recurrence run in numpy on the collected rows (identical start,
+    identical closed-form 2x2 solve) to float tolerance."""
+    import numpy as np
+
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("event_type", "value").collect())
+    y = np.array([1.0 if r.event_type == "purchase" else 0.0
+                  for r in ev])
+    x = np.array([r.value / 100.0 for r in ev])
+    b0 = b1 = 0.0
+    for _ in range(2):
+        p = 1.0 / (1.0 + np.exp(-(b0 + b1 * x)))
+        g0, g1 = float(np.sum(y - p)), float(np.sum((y - p) * x))
+        w = p * (1.0 - p)
+        h00, h01, h11 = (float(np.sum(w)), float(np.sum(w * x)),
+                         float(np.sum(w * x * x)))
+        det = h00 * h11 - h01 * h01
+        b0 += (h11 * g0 - h01 * g1) / det
+        b1 += (h00 * g1 - h01 * g0) / det
+    row = QUERIES["ml_logreg_newton_portable"](spark, sf_dir).collect()[0]
+    assert row.n == len(ev)
+    assert abs(row.b0 - b0) < 1e-5, (row.b0, b0)
+    assert abs(row.b1 - b1) < 1e-5, (row.b1, b1)
+    # and the fitted intercept sits near logit of the base rate when
+    # the feature is uninformative (the synthetic corpus regime)
+    base = float(np.mean(y))
+    assert abs(row.b0 - np.log(base / (1 - base))) < 0.5
