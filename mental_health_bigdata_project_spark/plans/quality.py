@@ -2744,17 +2744,46 @@ def stat_conformal_interval(spark, sf_dir):
     s = (_t(spark, sf_dir, "events")
          .filter(F.col("value").isNotNull())
          .select("event_id", F.col("event_type").alias("grp"), "value"))
-    tr = (s.filter(F.col("event_id") % 3 == 0)
+    model = conformal_fit(s.filter(F.col("event_id") % 3 == 0),
+                          s.filter(F.col("event_id") % 3 == 1))
+    te = (s.filter(F.col("event_id") % 3 == 2)
+          .join(F.broadcast(model), "grp")
           .groupBy("grp")
+          .agg(F.count("*").cast("bigint").alias("n_test"),
+               F.sum(F.when(conformal_cell() <= F.col("qhat_cell"), 1)
+                     .otherwise(0))
+               .cast("bigint").alias("n_covered")))
+    return (model.join(te, "grp")
+            .select(F.col("grp").alias("event_type"),
+                    "n_train", "n_cal", "n_test",
+                    F.round("mean_tr", 6).alias("mean_train"),
+                    "qhat_cell",
+                    F.round(F.col("n_covered").cast("double")
+                            / F.col("n_test"), 6).alias("coverage")))
+
+
+def conformal_cell():
+    """The quantized absolute-residual cell of a (value, mean_tr) row
+    — identical float ops on both engines (the PSI sketch rule)."""
+    return F.floor(F.abs(F.col("value") - F.col("mean_tr")) * 100) \
+        .cast("bigint")
+
+
+def conformal_fit(train, calib):
+    """(grp, mean_tr, n_train, n_cal, qhat_cell): fit the per-group
+    mean predictor on ``train`` and the finite-sample-corrected 90%
+    residual-cell quantile on ``calib`` (both (grp, value) relations)
+    — shared by the batch query and the streaming coverage monitor
+    (streaming/conformalmonitor.py), so stream == batch by
+    construction."""
+    tr = (train.groupBy("grp")
           .agg((F.sum(F.col("value").cast("decimal(18,2)"))
                 .cast("double") / F.count("*")).alias("mean_tr"),
                F.count("*").cast("bigint").alias("n_train"))
-          .localCheckpoint(eager=True))        # feeds cal + test
-    cell = F.floor(F.abs(F.col("value") - F.col("mean_tr")) * 100) \
-        .cast("bigint")
-    cg = (s.filter(F.col("event_id") % 3 == 1)
+          .localCheckpoint(eager=True))        # feeds calib + serving
+    cg = (calib
           .join(F.broadcast(tr), "grp")
-          .select("grp", cell.alias("cell"))
+          .select("grp", conformal_cell().alias("cell"))
           .groupBy("grp", "cell")
           .agg(F.count("*").cast("bigint").alias("cnt")))
     nc = cg.groupBy("grp").agg(F.sum("cnt").cast("bigint").alias("n_cal"))
@@ -2765,22 +2794,8 @@ def stat_conformal_interval(spark, sf_dir):
     qh = (cum.join(F.broadcast(nc), "grp")
           .filter(F.col("c") * 10 >= 9 * (F.col("n_cal") + 1))
           .groupBy("grp").agg(F.min("cell").alias("qhat_cell")))
-    te = (s.filter(F.col("event_id") % 3 == 2)
-          .join(F.broadcast(tr), "grp")
-          .join(F.broadcast(qh), "grp")
-          .groupBy("grp")
-          .agg(F.count("*").cast("bigint").alias("n_test"),
-               F.sum(F.when(cell <= F.col("qhat_cell"), 1).otherwise(0))
-               .cast("bigint").alias("n_covered")))
     return (tr.join(F.broadcast(nc), "grp")
-            .join(F.broadcast(qh), "grp")
-            .join(te, "grp")
-            .select(F.col("grp").alias("event_type"),
-                    "n_train", "n_cal", "n_test",
-                    F.round("mean_tr", 6).alias("mean_train"),
-                    "qhat_cell",
-                    F.round(F.col("n_covered").cast("double")
-                            / F.col("n_test"), 6).alias("coverage")))
+            .join(F.broadcast(qh), "grp"))
 
 
 def _logreg_step_sql(k: int) -> str:

@@ -1,0 +1,109 @@
+"""Streaming conformal-coverage monitor: the serving face of
+``plans/quality.stat_conformal_interval`` and the NINTH mergeable-
+state member — the model-monitoring pair to the PSI drift gate
+(driftgate.py watches the INPUT distribution; this watches whether
+the model's uncertainty intervals still COVER).
+
+``build_conformal_artifact`` freezes the fitted model (per-group mean
+predictor + finite-sample-corrected 90% residual-cell quantile, via
+the shared ``conformal_fit``) — a #groups-row reference table.
+``coverage_batch`` reduces each micro-batch to ONE (grp, covered,
+total) delta row per group (sum-mergeable, exactly-once via batch_id
+partitions); ``serve_coverage`` folds the deltas and flags any group
+whose empirical coverage has fallen materially below the nominal 90%
+— the distribution-free alarm that the world has drifted away from
+the calibration data, fired from two integers of state per group.
+
+Parity is by construction: the same fit helpers and the same quantized
+residual cell as the oracle-checked batch query, pinned by test
+(baseline = the query's train/calib splits, stream = its test split,
+served coverage == the query's coverage column bit-for-bit).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..plans.quality import conformal_cell, conformal_fit
+
+COVERAGE_ALARM = 0.85   # nominal 0.9 minus slack for sampling noise
+
+
+def build_conformal_artifact(train: DataFrame, calib: DataFrame,
+                             artifact_dir: str) -> int:
+    """Fit on (grp, value) train/calib relations and persist the
+    model table.  Returns the number of groups fitted."""
+    model = conformal_fit(train, calib)
+    model.write.mode("overwrite").parquet(
+        os.path.join(artifact_dir, "model"))
+    return model.count()
+
+
+def coverage_batch(batch_df: DataFrame, batch_id: int, index_dir: str,
+                   artifact_dir: str, type_col: str = "event_type",
+                   value_col: str = "value") -> None:
+    """One micro-batch of coverage maintenance: per group, how many
+    rows fell inside the frozen interval — two integers per group."""
+    spark = batch_df.sparkSession
+    model = spark.read.parquet(os.path.join(artifact_dir, "model"))
+    delta = (batch_df.filter(F.col(value_col).isNotNull())
+             .select(F.col(type_col).alias("grp"),
+                     F.col(value_col).alias("value"))
+             .join(F.broadcast(model), "grp")
+             .groupBy("grp")
+             .agg(F.sum(F.when(conformal_cell() <= F.col("qhat_cell"),
+                               1).otherwise(0))
+                  .cast("bigint").alias("covered"),
+                  F.count("*").cast("bigint").alias("total")))
+    (delta.withColumn("batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id")
+     .parquet(os.path.join(index_dir, "coverage")))
+
+
+def serve_coverage(spark: SparkSession, artifact_dir: str,
+                   index_dir: str) -> DataFrame:
+    """(event_type, n_test, n_covered, coverage, alarm) over
+    everything ingested so far."""
+    from .compaction import read_live
+
+    cur = (read_live(spark, os.path.join(index_dir, "coverage"))
+           .groupBy("grp")
+           .agg(F.sum("covered").cast("bigint").alias("n_covered"),
+                F.sum("total").cast("bigint").alias("n_test")))
+    return cur.select(
+        F.col("grp").alias("event_type"), "n_test", "n_covered",
+        F.round(F.col("n_covered").cast("double") / F.col("n_test"), 6)
+        .alias("coverage"),
+        (F.col("n_covered").cast("double") / F.col("n_test")
+         < COVERAGE_ALARM).cast("int").alias("alarm"))
+
+
+def compact_coverage_state(spark: SparkSession, index_dir: str,
+                           through: int) -> dict:
+    """Sum-fold the per-batch coverage deltas — state stays one row
+    per group forever."""
+    from .compaction import compact_index
+
+    return compact_index(
+        spark, os.path.join(index_dir, "coverage"), through,
+        transform=lambda live: live.groupBy("grp")
+        .agg(F.sum("covered").cast("bigint").alias("covered"),
+             F.sum("total").cast("bigint").alias("total")))
+
+
+def run_coverage_monitor(stream: DataFrame, checkpoint_dir: str,
+                         index_dir: str, artifact_dir: str):
+    """Attach the coverage sink to an events stream (availableNow)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        coverage_batch(batch_df, batch_id, index_dir, artifact_dir)
+
+    return (stream.writeStream
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

@@ -1,0 +1,87 @@
+"""Streaming conformal-coverage monitor: served coverage equals the
+oracle-checked batch query on the same splits, replay exactly-once,
+compaction folds, and a shifted stream fires the alarm."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mental_health_bigdata_project_spark.plans import QUERIES
+from mental_health_bigdata_project_spark.sources import load_table
+from mental_health_bigdata_project_spark.streaming import conformalmonitor
+
+N_BATCHES = 3
+
+
+def _splits(spark, sf_dir):
+    s = (load_table(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull())
+         .select("event_id", F.col("event_type").alias("grp"), "value"))
+    return (s.filter(F.col("event_id") % 3 == 0),
+            s.filter(F.col("event_id") % 3 == 1),
+            s.filter(F.col("event_id") % 3 == 2))
+
+
+def _feed(spark, sf_dir, tmp_path):
+    art, idx = str(tmp_path / "art"), str(tmp_path / "idx")
+    train, calib, test = _splits(spark, sf_dir)
+    assert conformalmonitor.build_conformal_artifact(train, calib,
+                                                     art) >= 1
+    stream = test.select("event_id", F.col("grp").alias("event_type"),
+                         "value")
+    for b in range(N_BATCHES):
+        conformalmonitor.coverage_batch(
+            stream.filter(F.pmod("event_id", F.lit(N_BATCHES)) == b),
+            b, idx, art)
+    return art, idx, stream
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_served_coverage_equals_batch_query(spark, sf_dir, tmp_path):
+    """Baseline = the batch query's train/calib splits, stream = its
+    test split in 3 micro-batches -> served (n_test, coverage) per
+    type is bit-identical to the oracle-green query's columns."""
+    art, idx, _ = _feed(spark, sf_dir, tmp_path)
+    served = {r.event_type: r for r in
+              conformalmonitor.serve_coverage(spark, art, idx).collect()}
+    batch = {r.event_type: r for r in
+             QUERIES["stat_conformal_interval"](spark, sf_dir).collect()}
+    assert set(served) == set(batch)
+    for t, b in batch.items():
+        assert served[t].n_test == b.n_test
+        assert served[t].coverage == b.coverage
+        # alarm is a pure function of coverage (tiny sf0.001 test
+        # splits CAN legitimately dip under the 0.85 slack band)
+        assert served[t].alarm == int(b.coverage < 0.85)
+
+
+def test_replay_and_compaction(spark, sf_dir, tmp_path):
+    art, idx, stream = _feed(spark, sf_dir, tmp_path)
+    before = _rows(conformalmonitor.serve_coverage(spark, art, idx))
+    conformalmonitor.coverage_batch(
+        stream.filter(F.pmod("event_id", F.lit(N_BATCHES)) == 1),
+        1, idx, art)                          # crash-retry
+    assert _rows(conformalmonitor.serve_coverage(spark, art, idx)) \
+        == before
+    conformalmonitor.compact_coverage_state(spark, idx,
+                                            through=N_BATCHES - 1)
+    assert _rows(conformalmonitor.serve_coverage(spark, art, idx)) \
+        == before
+
+
+def test_shifted_stream_fires_alarm(spark, sf_dir, tmp_path):
+    """Stream the test split shifted far outside the calibrated
+    residual band: coverage collapses and every group alarms."""
+    art = str(tmp_path / "art")
+    idx = str(tmp_path / "idx")
+    train, calib, test = _splits(spark, sf_dir)
+    conformalmonitor.build_conformal_artifact(train, calib, art)
+    shifted = test.select("event_id",
+                          F.col("grp").alias("event_type"),
+                          (F.col("value") + 10_000.0).alias("value"))
+    conformalmonitor.coverage_batch(shifted, 0, idx, art)
+    got = conformalmonitor.serve_coverage(spark, art, idx).collect()
+    assert got and all(r.alarm == 1 and r.coverage == 0.0 for r in got)
