@@ -159,6 +159,10 @@ HEADLINE = [
     # touched once for the Gram matrix; iterations metadata-sized)
     # and the grid-exact median/MAD robust outlier gate
     "ml_power_iteration_portable", "dq_mad_outliers",
+    # round-8 (late): the two newest scan-and-scalar trainers — the
+    # Newton logistic fit (two 5-aggregate scans) and split-conformal
+    # calibration + coverage (three scans, grid-exact quantile)
+    "ml_logreg_newton_portable", "stat_conformal_interval",
 ]
 
 
