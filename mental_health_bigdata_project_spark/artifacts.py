@@ -119,9 +119,18 @@ def _load_manifest(adir: str) -> dict | None:
 
 
 def read_artifact(spark: SparkSession, sf_dir: str, name: str,
-                  tables: tuple[str, ...]) -> DataFrame | None:
+                  tables: tuple[str, ...],
+                  recipe_version: int = 1) -> DataFrame | None:
     """The committed snapshot of ``name`` for ``sf_dir`` if present AND
-    its fingerprint still matches the source files, else None."""
+    its fingerprint still matches the source files AND it was built by
+    the same recipe version, else None.
+
+    ``recipe_version`` is the builder-code stamp (VERDICT r8 item 6):
+    the source fingerprint catches DATA changes, but a changed builder
+    (new shingle width, different survivor rule) would otherwise keep
+    serving rows computed by the old code.  Bumping the version in the
+    caller invalidates every committed snapshot of that artifact.
+    Manifests written before this field existed read as version 1."""
     adir = os.path.join(artifact_root(), _dataset_key(sf_dir), name)
     m = _load_manifest(adir)
     if m is None:
@@ -129,13 +138,16 @@ def read_artifact(spark: SparkSession, sf_dir: str, name: str,
     snap = os.path.join(adir, m["dir"])
     if not os.path.isdir(snap):
         return None
+    if m.get("recipe_version", 1) != recipe_version:
+        return None
     if m.get("fingerprint") != source_fingerprint(sf_dir, tables):
         return None
     return spark.read.parquet(snap)
 
 
 def write_artifact(df: DataFrame, sf_dir: str, name: str,
-                   tables: tuple[str, ...]) -> DataFrame:
+                   tables: tuple[str, ...],
+                   recipe_version: int = 1) -> DataFrame:
     """Snapshot ``df`` under the store, commit the manifest, GC older
     versions, and return the READ-BACK DataFrame (a plain parquet scan
     — the exact plan every later session gets, so first and later
@@ -152,7 +164,7 @@ def write_artifact(df: DataFrame, sf_dir: str, name: str,
     fp = source_fingerprint(sf_dir, tables)
     df.write.mode("overwrite").parquet(os.path.join(adir, dest_name))
     manifest = {"version": version, "dir": dest_name, "fingerprint": fp,
-                "tables": sorted(tables)}
+                "tables": sorted(tables), "recipe_version": recipe_version}
     tmp = _manifest_path(adir) + f".tmp.{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -164,13 +176,16 @@ def write_artifact(df: DataFrame, sf_dir: str, name: str,
 
 
 def read_or_build(spark: SparkSession, sf_dir: str, name: str,
-                  tables: tuple[str, ...], build) -> DataFrame:
+                  tables: tuple[str, ...], build,
+                  recipe_version: int = 1) -> DataFrame:
     """Disk-if-fresh, else build-and-commit.  ``build`` is a thunk
     returning the artifact DataFrame; ``tables`` names the source
-    parquet datasets whose bytes fingerprint it.  Callers layer their
-    own SessionMemo in front so repeated calls within a session hand
-    out the same object."""
-    hit = read_artifact(spark, sf_dir, name, tables)
+    parquet datasets whose bytes fingerprint it; ``recipe_version`` is
+    the builder-code stamp — bump it when the build logic changes so a
+    stale snapshot rebuilds instead of serving old-recipe rows.
+    Callers layer their own SessionMemo in front so repeated calls
+    within a session hand out the same object."""
+    hit = read_artifact(spark, sf_dir, name, tables, recipe_version)
     if hit is not None:
         return hit
-    return write_artifact(build(), sf_dir, name, tables)
+    return write_artifact(build(), sf_dir, name, tables, recipe_version)

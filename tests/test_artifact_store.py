@@ -113,6 +113,109 @@ def test_corpus_shingles_disk_artifact_matches_fresh(
         textops._CORPUS_SETSIM_INDEX_MEMO.clear()
 
 
+def test_recipe_version_bump_invalidates(spark, sf_dir, tmp_path,
+                                         monkeypatch):
+    """VERDICT r8 item 6: the source fingerprint catches DATA changes,
+    but a changed BUILDER must also invalidate — a snapshot committed
+    by recipe v1 may not be served to a caller running recipe v2 (same
+    bytes in, different rows out).  Bumping recipe_version rebuilds;
+    calling again at the same version serves the new snapshot; and a
+    pre-versioning manifest (no recipe_version key) reads as v1."""
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path / "store"))
+    src = spark.createDataFrame([(1, "a")], "id bigint, v string")
+    calls, build = _counting_build(src)
+
+    artifacts.read_or_build(spark, sf_dir, "t_ver", ("documents",), build,
+                            recipe_version=1)
+    artifacts.read_or_build(spark, sf_dir, "t_ver", ("documents",), build,
+                            recipe_version=1)
+    assert calls["n"] == 1
+    # builder changed: v2 must NOT serve the v1 snapshot
+    artifacts.read_or_build(spark, sf_dir, "t_ver", ("documents",), build,
+                            recipe_version=2)
+    assert calls["n"] == 2
+    adir = os.path.join(artifacts.artifact_root(),
+                        artifacts._dataset_key(sf_dir), "t_ver")
+    with open(os.path.join(adir, "manifest.json")) as f:
+        m = json.load(f)
+    assert m["recipe_version"] == 2 and m["version"] == 2
+    # steady state at v2: served from disk, no rebuild
+    artifacts.read_or_build(spark, sf_dir, "t_ver", ("documents",), build,
+                            recipe_version=2)
+    assert calls["n"] == 2
+    # legacy manifest without the key == version 1: v1 reads it, v2
+    # rebuilds (the backward-compat contract for pre-r9 stores)
+    del m["recipe_version"]
+    with open(os.path.join(adir, "manifest.json"), "w") as f:
+        json.dump(m, f)
+    assert artifacts.read_artifact(spark, sf_dir, "t_ver", ("documents",),
+                                   recipe_version=1) is not None
+    assert artifacts.read_artifact(spark, sf_dir, "t_ver", ("documents",),
+                                   recipe_version=2) is None
+
+
+def test_upstream_delete_propagates_to_served_artifacts(
+        spark, sf_dir, tmp_path, monkeypatch):
+    """VERDICT r8 item 7: a doc deleted from the corpus must never
+    appear in an artifact-backed result.  Policy (ARCHITECTURE.md
+    'Upstream deletes'): corpus artifacts are REBUILT on source
+    change — the manifest fingerprint covers every source file's
+    (path, size, mtime), so a delete-rewrite invalidates each derived
+    snapshot at its next read; no tombstone path is needed because
+    the artifacts are pure functions of the current corpus bytes.
+    This test proves it end to end on the real corpus_shingles
+    artifact (the relation feeding every gram consumer)."""
+    import pyarrow.parquet as pq
+
+    from mental_health_bigdata_project_spark.plans import textops
+    from mental_health_bigdata_project_spark.sources import tables
+
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path / "store"))
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    shutil.copy(os.path.join(sf_dir, "documents.parquet"),
+                os.path.join(data, "documents.parquet"))
+    # the tmp corpus must take the artifact path (normally reserved for
+    # the read-only testdata roots)
+    monkeypatch.setattr(tables, "_MEMO_ROOTS",
+                        tables._MEMO_ROOTS + (str(tmp_path),))
+
+    def fresh_session_memos():
+        # simulate a new session: drop every driver-side handle cache
+        textops._CORPUS_SHINGLES_MEMO.clear()
+        textops._CORPUS_SETSIM_INDEX_MEMO.clear()
+        tables._TABLE_MEMO.clear()
+
+    fresh_session_memos()
+    try:
+        first = textops.corpus_shingles(spark, data)
+        victim = first.select("doc_id").agg({"doc_id": "min"}).collect()[0][0]
+        assert first.filter(first.doc_id == victim).count() > 0
+        adir = os.path.join(artifacts.artifact_root(),
+                            artifacts._dataset_key(data), "corpus_shingles")
+        with open(os.path.join(adir, "manifest.json")) as f:
+            v1 = json.load(f)["version"]
+
+        # upstream delete: rewrite documents.parquet without the victim
+        src_path = os.path.join(data, "documents.parquet")
+        import pyarrow.compute as pc
+        t = pq.read_table(src_path)
+        kept = t.filter(pc.field("doc_id") != victim)
+        tmp_file = src_path + ".tmp"
+        pq.write_table(kept, tmp_file)
+        os.replace(tmp_file, src_path)
+
+        fresh_session_memos()
+        served = textops.corpus_shingles(spark, data)
+        # the deleted doc is gone from the served artifact...
+        assert served.filter(served.doc_id == victim).count() == 0
+        # ...because the fingerprint mismatch forced a rebuild
+        with open(os.path.join(adir, "manifest.json")) as f:
+            assert json.load(f)["version"] == v1 + 1
+    finally:
+        fresh_session_memos()
+
+
 def test_session_memo_weak_keyed():
     """SessionMemo entries die with their session object (ADVICE r6:
     plain dicts keyed on the session pinned stopped sessions and their
