@@ -2851,7 +2851,10 @@ def ml_logreg_newton_portable(spark, sf_dir):
     trainer beside ml_kmeans_lloyd_portable and
     ml_power_iteration_portable (MLlib's LogisticRegression stays
     rows-only; here every gradient, Hessian entry and update
-    hash-matches DuckDB).  Model: P(event is a purchase | value),
+    hash-matches DuckDB).  SCOPE: intercept + ONE feature, where the
+    Newton step has a closed-form 2x2 solve; the general d-feature
+    form (d x d Hessian, unrolled Gaussian elimination) is
+    ml_logreg_newton_d below.  Model: P(event is a purchase | value),
     feature x = value/100, intercept + slope, start at beta = 0; each
     step is ONE corpus scan producing five decimal-summed aggregates
     (score residuals, weighted moments) and a closed-form 2x2 solve —
@@ -2902,3 +2905,198 @@ def ml_logreg_newton_portable(spark, sf_dir):
             .select("n", F.round("b0", 6).alias("b0"),
                     F.round("b1", 6).alias("b1"),
                     F.round("ll", 4).alias("log_likelihood")))
+
+
+# --- d-feature Newton logistic regression (VERDICT r8 item 2) ------------
+#
+# The closed-form 2x2 solve above does not generalize; this is the
+# general form: d features + intercept, each Newton step one corpus
+# scan producing the O(d^2) gradient/Hessian aggregates, then the
+# (d+1)x(d+1) normal-equations solve as UNROLLED Gaussian elimination
+# over named scalar intermediates — generated ONCE and evaluated as
+# the IDENTICAL formula strings by both engines (Spark F.expr and
+# DuckDB SQL), so every intermediate double is bit-identical.
+
+_LOGREG_D_STEPS = 2
+_LOGREG_D_N = 5          # intercept + 4 features
+
+
+def _logreg_d_features() -> list[tuple[str, str]]:
+    """(name, formula) for label + feature columns — one SQL string
+    per column, shared verbatim by Spark selectExpr and the oracle, so
+    per-row doubles agree bitwise.  All four features are exact in
+    both engines (double division of exact integers / doubles)."""
+    return [
+        ("y", "CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END"),
+        ("x1", "value / 100.0"),
+        ("x2", "CAST(user_id % 97 AS DOUBLE) / 97.0"),
+        ("x3", "CAST(event_id % 11 AS DOUBLE) / 11.0"),
+        ("x4", "CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END"),
+    ]
+
+
+def _logreg_d_z(prefix: str = "") -> str:
+    """The linear predictor b0 + sum(bi * xi), left-associated — the
+    same op order on both engines."""
+    terms = [f"{prefix}b0"] + [f"{prefix}b{i} * x{i}"
+                               for i in range(1, _LOGREG_D_N)]
+    return " + ".join(terms)
+
+
+def _logreg_d_agg_terms() -> list[tuple[str, str]]:
+    """(name, per-row term) for the 5 gradient + 15 upper-triangle
+    Hessian aggregates (x0 == 1 is elided, keeping formulas minimal
+    and identical across engines)."""
+    xs = [None] + [f"x{i}" for i in range(1, _LOGREG_D_N)]
+    out = []
+    for i in range(_LOGREG_D_N):
+        t = "(y - p)" if xs[i] is None else f"(y - p) * {xs[i]}"
+        out.append((f"g{i}", t))
+    for i in range(_LOGREG_D_N):
+        for j in range(i, _LOGREG_D_N):
+            t = "p * (1.0 - p)"
+            for xc in (xs[i], xs[j]):
+                if xc is not None:
+                    t += f" * {xc}"
+            out.append((f"h{i}{j}", t))
+    return out
+
+
+def _gauss_stages(n: int) -> list[list[tuple[str, str]]]:
+    """Stages of named scalar assignments solving the symmetric system
+    H d = g by Gaussian elimination WITHOUT pivoting (valid here: the
+    IRLS Hessian is symmetric positive-definite, so every pivot is
+    positive).  Inputs are columns h{i}{j} (i <= j) and g{i}; outputs
+    d0..d{n-1}.  Assignments within a stage reference only earlier
+    stages, so each stage is one projection on a 1-row relation —
+    O(n^2) named intermediates total, no expression blow-up."""
+    a = {(i, j): f"h{i}{j}" for i in range(n) for j in range(i, n)}
+    yv = {i: f"g{i}" for i in range(n)}
+    fin_a: dict[tuple[int, int], str] = {}
+    fin_y: dict[int, str] = {}
+    stages: list[list[tuple[str, str]]] = []
+    for k in range(n - 1):
+        fin_y[k] = yv[k]
+        for j in range(k, n):
+            fin_a[(k, j)] = a[(k, j)]
+        stages.append([(f"l{i}{k}", f"{a[(k, i)]} / {a[(k, k)]}")
+                       for i in range(k + 1, n)])
+        upd = []
+        for i in range(k + 1, n):
+            for j in range(i, n):
+                upd.append((f"e{k + 1}_{i}{j}",
+                            f"{a[(i, j)]} - l{i}{k} * {a[(k, j)]}"))
+            upd.append((f"r{k + 1}_{i}", f"{yv[i]} - l{i}{k} * {yv[k]}"))
+        stages.append(upd)
+        for i in range(k + 1, n):
+            for j in range(i, n):
+                a[(i, j)] = f"e{k + 1}_{i}{j}"
+            yv[i] = f"r{k + 1}_{i}"
+    fin_y[n - 1] = yv[n - 1]
+    fin_a[(n - 1, n - 1)] = a[(n - 1, n - 1)]
+    for i in range(n - 1, -1, -1):
+        num = fin_y[i]
+        for j in range(i + 1, n):
+            num += f" - {fin_a[(i, j)]} * d{j}"
+        stages.append([(f"d{i}", f"({num}) / {fin_a[(i, i)]}")])
+    return stages
+
+
+def _logreg_d_step_sql(k: int) -> str:
+    """One unrolled d-feature Newton CTE pair: the 20-aggregate scan,
+    then the elimination stages as nested projections."""
+    aggs = ",\n             ".join(
+        f"CAST(SUM(CAST({t} AS DECIMAL(38,18))) AS DOUBLE) AS {nm}"
+        for nm, t in _logreg_d_agg_terms())
+    z = _logreg_d_z("b.")
+    inner = (f"SELECT s.*, 1.0 / (1.0 + exp(-({z}))) AS p"
+             f" FROM s CROSS JOIN beta{k - 1} b")
+    solve = f"SELECT m.*, b.* FROM m{k} m CROSS JOIN beta{k - 1} b"
+    for stage in _gauss_stages(_LOGREG_D_N):
+        cols = ", ".join(f"{e} AS {nm}" for nm, e in stage)
+        solve = f"SELECT *, {cols} FROM ({solve})"
+    upd = ", ".join(f"b{i} + d{i} AS b{i}" for i in range(_LOGREG_D_N))
+    return f"""
+    m{k} AS MATERIALIZED (
+      SELECT {aggs}
+      FROM ({inner})),
+    beta{k} AS (SELECT {upd} FROM ({solve}))"""
+
+
+def _logreg_d_oracle_sql() -> str:
+    feats = ", ".join(f"{e} AS {nm}" for nm, e in _logreg_d_features())
+    zeros = ", ".join(f"0.0 AS b{i}" for i in range(_LOGREG_D_N))
+    steps = ",".join(_logreg_d_step_sql(k)
+                     for k in range(1, _LOGREG_D_STEPS + 1))
+    z = _logreg_d_z("b.")
+    beta_sel = ", ".join(f"round(b.b{i}, 6) AS b{i}"
+                         for i in range(_LOGREG_D_N))
+    return f"""
+    WITH s AS (SELECT {feats} FROM events WHERE value IS NOT NULL),
+    beta0 AS (SELECT {zeros}),
+    {steps}
+    SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n,
+           {beta_sel},
+           round((SELECT CAST(SUM(CAST(
+                    y * ln(p) + (1.0 - y) * ln(1.0 - p)
+                    AS DECIMAL(38,18))) AS DOUBLE)
+                  FROM (SELECT s.*, 1.0 / (1.0 + exp(-({z}))) AS p
+                        FROM s CROSS JOIN beta{_LOGREG_D_STEPS} b)), 4)
+             AS log_likelihood
+    FROM beta{_LOGREG_D_STEPS} b
+"""
+
+
+@query("ml_logreg_newton_d", _logreg_d_oracle_sql())
+def ml_logreg_newton_d(spark, sf_dir):
+    """GENERAL d-feature Newton/IRLS logistic regression inside the
+    verified perimeter (VERDICT r8 item 2: the _portable variant's
+    closed-form 2x2 solve is intercept+one-feature only).  Model:
+    P(purchase | value, user bucket, id bucket, is-click), intercept +
+    4 features.  Each Newton step is ONE corpus scan producing the
+    d+1 gradient and (d+1)(d+2)/2 upper-triangle Hessian sums (decimal
+    accumulation, the agg_theil transcendental convention), then the
+    5x5 normal-equations solve runs as UNROLLED GAUSSIAN ELIMINATION
+    (no pivoting — the IRLS Hessian is SPD) over ~45 named scalar
+    intermediates on the 1-row aggregate relation.  Both engines
+    evaluate the SAME generated formula strings (_gauss_stages), so
+    every intermediate double is bit-identical and the fitted model
+    hash-matches.
+
+    At 100 TB: the scan is map-side combinable (20 partial aggregates
+    ride the corpus scan); training moves O(d^2) numbers per step —
+    never rows — and the solve is driver-free: it executes as chained
+    projections on the 1-row aggregate, exactly like the power-iteration
+    Gram recurrence.  For d in the thousands the same pattern holds
+    with the Gram as a (d^2)-cell relation (ml_power_iteration_portable
+    shows that shape); the unrolled solve here is the d <= ~32 regime
+    where elimination fits a projection chain."""
+    s = (_t(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull())
+         .selectExpr(*[f"{e} AS {nm}" for nm, e in _logreg_d_features()])
+         .localCheckpoint(eager=True))          # feeds every step
+    beta = spark.createDataFrame(
+        [(0.0,) * _LOGREG_D_N],
+        ", ".join(f"b{i} double" for i in range(_LOGREG_D_N)))
+    p_expr = f"1.0 / (1.0 + exp(-({_logreg_d_z()}))) AS p"
+    for _ in range(_LOGREG_D_STEPS):
+        rows = s.crossJoin(F.broadcast(beta)).selectExpr("*", p_expr)
+        m = rows.agg(*[
+            F.expr(f"CAST(SUM(CAST({t} AS DECIMAL(38,18))) AS DOUBLE)")
+            .alias(nm) for nm, t in _logreg_d_agg_terms()])
+        solved = m.crossJoin(F.broadcast(beta))
+        for stage in _gauss_stages(_LOGREG_D_N):
+            solved = solved.selectExpr(
+                "*", *[f"{e} AS {nm}" for nm, e in stage])
+        beta = (solved.selectExpr(*[f"b{i} + d{i} AS b{i}"
+                                    for i in range(_LOGREG_D_N)])
+                .localCheckpoint(eager=True))   # 1-row model state
+    ll = (s.crossJoin(F.broadcast(beta)).selectExpr("*", p_expr)
+          .agg(F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+               F.expr("CAST(SUM(CAST(y * ln(p) + (1.0 - y) * ln(1.0 - p)"
+                      " AS DECIMAL(38,18))) AS DOUBLE)").alias("ll")))
+    return (ll.crossJoin(F.broadcast(beta))
+            .selectExpr("n",
+                        *[f"round(b{i}, 6) AS b{i}"
+                          for i in range(_LOGREG_D_N)],
+                        "round(ll, 4) AS log_likelihood"))
