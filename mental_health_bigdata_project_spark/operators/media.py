@@ -5,15 +5,21 @@ with Arrow-batched ``mapInPandas`` — the pattern for decode / resize /
 frame-sample at 100 TB (payload bytes never leave the executor, batches
 stream through Python via Arrow, output schema is explicit).
 
-The actual media decode is STUBBED: this container has no image/audio
-libraries, so ``decode_media`` raises NotImplementedError and the
-feature extractor uses a deterministic fake (byte statistics).  The
-Spark-side plumbing — schema, batch iteration, partitioning — is real
-and tested.
+Decode status (round 9): WAV (RIFF/PCM, 8- and 16-bit) is REAL —
+``decode_wav`` is a pure-Python container parser needing no codec
+library, wired into the same Arrow-batched path as the fakes and
+value-checked against stdlib ``wave`` fixtures.  COMPRESSED codecs
+(jpeg/mp3/h264/non-PCM WAV) remain stubbed: ``decode_media`` raises
+NotImplementedError for those, and the generic feature extractor
+keeps its deterministic byte-statistics fake.  The Spark-side
+plumbing — schema, batch iteration, partitioning — is real and
+tested for every path.
 """
 
 from __future__ import annotations
 
+import struct
+import sys
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, functions as F
@@ -35,11 +41,119 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
 
 
 def decode_media(payload: bytes, mime: str) -> object:
-    """Real decode hook (image/audio/video).  STUB: no media libraries
-    in this environment."""
+    """Decode hook (image/audio/video).  WAV (RIFF/PCM) decodes for
+    real via ``decode_wav``; compressed codecs need libraries not
+    present in this environment and stay stubbed."""
+    if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
+        return decode_wav(payload)
     raise NotImplementedError(
-        "media decode requires image/audio libraries not present in this "
-        "environment; extract_features uses a deterministic fake instead")
+        f"decoding {mime!r} requires codec libraries not present in this "
+        "environment (only RIFF/PCM WAV decodes without one); "
+        "extract_features uses a deterministic fake instead")
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Pure-Python RIFF/PCM WAV decode — a REAL container parse, no
+    codec library: walks the RIFF chunk list (word-aligned, unknown
+    chunks skipped), reads the ``fmt `` descriptor, and decodes the
+    ``data`` chunk for 8-bit (unsigned, centered at 128) and 16-bit
+    (signed little-endian) PCM.  Returns container metadata plus exact
+    integer sample statistics (frame count, sum, peak magnitude) —
+    integers so downstream means divide exactly on any engine.
+    Non-PCM formats (IEEE float, ADPCM, extensible) raise
+    NotImplementedError: those are the compressed-codec boundary."""
+    if (len(payload) < 12 or payload[:4] != b"RIFF"
+            or payload[8:12] != b"WAVE"):
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt_body = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (csize,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8:pos + 8 + csize]
+        if cid == b"fmt ":
+            fmt_body = body
+        elif cid == b"data":
+            data = body
+            if fmt_body is not None:
+                break                      # fmt precedes data per spec
+        pos += 8 + csize + (csize & 1)     # chunks are word-aligned
+    if fmt_body is None or data is None:
+        raise ValueError("RIFF/WAVE payload missing fmt or data chunk")
+    (audio_format, n_channels, sample_rate, _byte_rate, _block_align,
+     bit_depth) = struct.unpack_from("<HHIIHH", fmt_body, 0)
+    if audio_format != 1:
+        raise NotImplementedError(
+            f"WAV format tag {audio_format} is not integer PCM; decoding "
+            "it needs codec libraries not present in this environment")
+    if bit_depth == 16:
+        import array
+        arr = array.array("h")
+        arr.frombytes(data[:len(data) - (len(data) % 2)])
+        if sys.byteorder == "big":
+            arr.byteswap()
+        samples: "list[int] | array.array" = arr
+    elif bit_depth == 8:
+        samples = [b - 128 for b in data]
+    else:
+        raise NotImplementedError(
+            f"{bit_depth}-bit PCM is outside the 8/16-bit decode path")
+    n_frames = len(samples) // max(n_channels, 1)
+    return {
+        "n_channels": n_channels,
+        "sample_rate": sample_rate,
+        "bit_depth": bit_depth,
+        "n_samples": n_frames,
+        "sum_samples": int(sum(samples)),
+        "peak_abs": int(max((abs(s) for s in samples), default=0)),
+    }
+
+
+def encode_wav_pcm16(samples, sample_rate: int = 8000) -> bytes:
+    """Canonical 44-byte-header mono PCM16 WAV container around an
+    int16 sample sequence — the synthesizer the media tests and the
+    fixture corpus use (stdlib ``wave`` produces byte-identical
+    containers; the fixture test asserts that)."""
+    import array
+    arr = array.array("h", samples)
+    if sys.byteorder == "big":
+        arr.byteswap()
+    data = arr.tobytes()
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                          sample_rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+WAV_FEATURE_SCHEMA = ("doc_id bigint, n_channels bigint, "
+                      "sample_rate bigint, bit_depth bigint, "
+                      "n_samples bigint, sum_samples bigint, "
+                      "peak_abs bigint")
+
+
+def decode_wav_features(payloads: DataFrame) -> DataFrame:
+    """REAL decode + featurize over a (doc_id, payload) frame of WAV
+    bytes: Arrow-batched mapInPandas, one container parse per row,
+    exact integer statistics out.  Same shape contract as
+    extract_features — payload bytes never leave the executor, no
+    shuffle, explicit schema."""
+
+    def featurize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "n_channels", "sample_rate",
+                                   "bit_depth", "n_samples", "sum_samples",
+                                   "peak_abs")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = decode_wav(bytes(payload))
+                out["doc_id"].append(doc_id)
+                for k in ("n_channels", "sample_rate", "bit_depth",
+                          "n_samples", "sum_samples", "peak_abs"):
+                    out[k].append(m[k])
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(featurize, WAV_FEATURE_SCHEMA)
 
 
 def extract_features(payloads: DataFrame) -> DataFrame:

@@ -73,3 +73,96 @@ def test_gauss_stages_solve_random_spd_systems():
                 env[name] = eval(expr, {}, env)  # noqa: S307 — test-only
         d = np.array([env[f"d{i}"] for i in range(n)])
         assert np.allclose(d, np.linalg.solve(H, g), atol=1e-9)
+
+
+# --- WAV decode (VERDICT r8 item 3: the media stub closed for RIFF/PCM) --
+
+def test_decode_wav_roundtrips_stdlib_wave_fixture(tmp_path):
+    """decode_wav must read containers produced by the stdlib wave
+    module (an independent writer) with value-exact sample stats, and
+    encode_wav_pcm16 must produce byte-identical containers to it."""
+    import wave
+
+    from mental_health_bigdata_project_spark.operators.media import (
+        decode_wav, encode_wav_pcm16)
+
+    samples = [0, 1000, -1000, 32767, -32768, 7, -7]
+    p = tmp_path / "fix.wav"
+    with wave.open(str(p), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        import array
+        w.writeframes(array.array("h", samples).tobytes())
+    payload = p.read_bytes()
+    m = decode_wav(payload)
+    assert m == {"n_channels": 1, "sample_rate": 8000, "bit_depth": 16,
+                 "n_samples": 7, "sum_samples": sum(samples),
+                 "peak_abs": 32768}
+    assert encode_wav_pcm16(samples, 8000) == payload
+
+
+def test_decode_wav_walks_unknown_chunks_and_8bit():
+    """A LIST chunk (and odd-size word padding) before data must be
+    skipped; 8-bit PCM decodes unsigned-centered-at-128."""
+    import struct
+
+    from mental_health_bigdata_project_spark.operators.media import (
+        decode_wav)
+
+    fmt = struct.pack("<IHHIIHH", 16, 1, 1, 4000, 4000, 1, 8)
+    info = b"xyz"                       # 3 bytes -> needs 1 pad byte
+    data = bytes([128, 129, 127, 255, 0])
+    body = (b"WAVEfmt " + fmt
+            + b"LIST" + struct.pack("<I", len(info)) + info + b"\x00"
+            + b"data" + struct.pack("<I", len(data)) + data)
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    m = decode_wav(payload)
+    assert m == {"n_channels": 1, "sample_rate": 4000, "bit_depth": 8,
+                 "n_samples": 5, "sum_samples": 1 - 1 + 127 - 128,
+                 "peak_abs": 128}
+
+
+def test_decode_wav_rejects_non_pcm_and_non_riff():
+    import struct
+
+    import pytest
+
+    from mental_health_bigdata_project_spark.operators.media import (
+        decode_media, decode_wav)
+
+    fmt = struct.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32)  # float
+    body = (b"WAVEfmt " + fmt + b"data" + struct.pack("<I", 0))
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(NotImplementedError):
+        decode_wav(payload)
+    with pytest.raises(ValueError):
+        decode_wav(b"not a riff container at all")
+    # decode_media dispatch: wav mime decodes, compressed stays stubbed
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff", "image/jpeg")
+    ok = decode_media(
+        __import__(
+            "mental_health_bigdata_project_spark.operators.media",
+            fromlist=["encode_wav_pcm16"]).encode_wav_pcm16([5, -5]),
+        "audio/wav")
+    assert ok["n_samples"] == 2 and ok["peak_abs"] == 5
+
+
+def test_media_decode_wav_query_matches_python_reference(spark, sf_dir):
+    """The Spark query's decoded stats equal a driver-side pure-Python
+    synth+decode over the same docs (independent of the oracle)."""
+    rows = {r.doc_id: r for r in
+            QUERIES["media_decode_wav"](spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text").limit(50).collect()
+    from mental_health_bigdata_project_spark.operators.media import (
+        decode_wav, encode_wav_pcm16)
+    for d in docs:
+        m = decode_wav(encode_wav_pcm16(
+            [(b - 64) * 256 for b in d.text.encode("utf-8")]))
+        r = rows[d.doc_id]
+        assert (r.n_samples, r.peak_abs) == (m["n_samples"], m["peak_abs"])
+        expect_mean = (m["sum_samples"] / m["n_samples"]
+                       if m["n_samples"] else 0.0)
+        assert r.mean_sample == expect_mean
