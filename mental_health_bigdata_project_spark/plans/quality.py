@@ -3100,3 +3100,118 @@ def ml_logreg_newton_d(spark, sf_dir):
                         *[f"round(b{i}, 6) AS b{i}"
                           for i in range(_LOGREG_D_N)],
                         "round(ll, 4) AS log_likelihood"))
+
+
+@query("stat_conformal_group_gap", """
+    WITH s AS (SELECT event_id, event_type AS grp, value
+               FROM events WHERE value IS NOT NULL),
+    tr AS (SELECT grp,
+                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                    / count(*) AS mean_tr
+           FROM s WHERE event_id % 3 = 0 GROUP BY grp),
+    cal AS (SELECT s.grp,
+                   CAST(floor(abs(s.value - tr.mean_tr) * 100)
+                        AS BIGINT) AS cell
+            FROM s JOIN tr ON tr.grp = s.grp
+            WHERE s.event_id % 3 = 1),
+    cg AS (SELECT grp, cell, CAST(count(*) AS BIGINT) AS cnt
+           FROM cal GROUP BY grp, cell),
+    nc AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n_cal
+           FROM cg GROUP BY grp),
+    cum AS (SELECT grp, cell, cnt,
+                   CAST(SUM(cnt) OVER (PARTITION BY grp ORDER BY cell
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+            FROM cg),
+    qh AS (SELECT cum.grp, min(cum.cell) AS qhat_group
+           FROM cum JOIN nc ON nc.grp = cum.grp
+           WHERE cum.c * 10 >= 9 * (nc.n_cal + 1)
+           GROUP BY cum.grp),
+    pg AS (SELECT cell, CAST(SUM(cnt) AS BIGINT) AS cnt
+           FROM cg GROUP BY cell),
+    np AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_pool FROM pg),
+    pcum AS (SELECT cell,
+                    CAST(SUM(cnt) OVER (ORDER BY cell
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+             FROM pg),
+    qm AS (SELECT min(cell) AS qhat_marginal
+           FROM pcum CROSS JOIN np
+           WHERE pcum.c * 10 >= 9 * (np.n_pool + 1)),
+    te AS (SELECT s.grp, qh.qhat_group, qm.qhat_marginal,
+                  CAST(count(*) AS BIGINT) AS n_test,
+                  CAST(SUM(CASE WHEN
+                       CAST(floor(abs(s.value - tr.mean_tr) * 100)
+                            AS BIGINT) <= qh.qhat_group
+                       THEN 1 ELSE 0 END) AS BIGINT) AS cov_g,
+                  CAST(SUM(CASE WHEN
+                       CAST(floor(abs(s.value - tr.mean_tr) * 100)
+                            AS BIGINT) <= qm.qhat_marginal
+                       THEN 1 ELSE 0 END) AS BIGINT) AS cov_m
+           FROM s
+           JOIN tr ON tr.grp = s.grp
+           JOIN qh ON qh.grp = s.grp
+           CROSS JOIN qm
+           WHERE s.event_id % 3 = 2
+           GROUP BY s.grp, qh.qhat_group, qm.qhat_marginal)
+    SELECT grp AS event_type, n_test, qhat_group, qhat_marginal,
+           round(CAST(cov_g AS DOUBLE) / n_test, 6) AS coverage_group,
+           round(CAST(cov_m AS DOUBLE) / n_test, 6) AS coverage_marginal,
+           round(CAST(cov_g AS DOUBLE) / n_test
+                 - CAST(cov_m AS DOUBLE) / n_test, 6) AS coverage_gap
+    FROM te
+""")
+def stat_conformal_group_gap(spark, sf_dir):
+    """GROUP-CONDITIONAL vs MARGINAL conformal coverage — the fairness
+    face of stat_conformal_interval (VERDICT r8 item 5c).  Split
+    conformal's guarantee is MARGINAL: one pooled quantile covers 90%
+    on average, but subgroups whose residual scale differs from the
+    pool get systematically under- or over-covered (the motivating
+    defect for Mondrian/group-conditional conformal — Vovk 2012;
+    Romano et al. 2020).  This query fits BOTH calibrations on the
+    same split (per-type qhat = the Mondrian arm; pooled qhat = the
+    marginal arm) and reports each type's test coverage under each,
+    plus the gap — the number a fairness audit reads.
+
+    Same exactness recipe as the parent: residuals quantize to
+    integer cells, both quantiles are grid-exact integer rank
+    thresholds.  The pooled running sum is a single-partition window
+    over the CELL GRID (value-cardinality rows, not events — benign
+    by the §5 grid rule); everything corpus-sized stays grouped.  At
+    100 TB the calibration state is two tiny grids (per-group and
+    pooled), and serving is a broadcast join of 2 integers per
+    group."""
+    s = (_t(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull())
+         .select("event_id", F.col("event_type").alias("grp"), "value"))
+    model = conformal_fit(s.filter(F.col("event_id") % 3 == 0),
+                          s.filter(F.col("event_id") % 3 == 1)) \
+        .localCheckpoint(eager=True)           # feeds pooled + test
+    pooled = (s.filter(F.col("event_id") % 3 == 1)
+              .join(F.broadcast(model.select("grp", "mean_tr")), "grp")
+              .select(conformal_cell().alias("cell"))
+              .groupBy("cell").agg(F.count("*").cast("bigint")
+                                   .alias("cnt")))
+    npool = pooled.agg(F.sum("cnt").cast("bigint").alias("n_pool"))
+    w = Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, 0)
+    qm = (pooled.select("cell",
+                        F.sum("cnt").over(w).cast("bigint").alias("c"))
+          .crossJoin(F.broadcast(npool))
+          .filter(F.col("c") * 10 >= 9 * (F.col("n_pool") + 1))
+          .agg(F.min("cell").alias("qhat_marginal")))
+    te = (s.filter(F.col("event_id") % 3 == 2)
+          .join(F.broadcast(model), "grp")
+          .crossJoin(F.broadcast(qm))
+          .groupBy("grp",
+                   F.col("qhat_cell").alias("qhat_group"),
+                   "qhat_marginal")
+          .agg(F.count("*").cast("bigint").alias("n_test"),
+               F.sum(F.when(conformal_cell() <= F.col("qhat_cell"), 1)
+                     .otherwise(0)).cast("bigint").alias("cov_g"),
+               F.sum(F.when(conformal_cell() <= F.col("qhat_marginal"), 1)
+                     .otherwise(0)).cast("bigint").alias("cov_m")))
+    covg = F.col("cov_g").cast("double") / F.col("n_test")
+    covm = F.col("cov_m").cast("double") / F.col("n_test")
+    return te.select(F.col("grp").alias("event_type"), "n_test",
+                     "qhat_group", "qhat_marginal",
+                     F.round(covg, 6).alias("coverage_group"),
+                     F.round(covm, 6).alias("coverage_marginal"),
+                     F.round(covg - covm, 6).alias("coverage_gap"))

@@ -4318,3 +4318,93 @@ def dedup_substring_spans_w50(spark, sf_dir):
                 .otherwise(F.round(
                     F.coalesce("dup_tokens", F.lit(0))
                     / nt.cast("double"), 6)).alias("dup_frac")))
+
+
+@query("mixture_doremi_weights", f"""
+    WITH tok AS (SELECT lang, unnest({_TOKS_SQL}) AS w FROM documents),
+    dg AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+           FROM tok GROUP BY lang, w),
+    nd AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM dg GROUP BY lang),
+    gw AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cg FROM dg GROUP BY w),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM dg),
+    kl AS (SELECT dg.lang,
+                  CAST(SUM(CAST(
+                    (CAST(dg.c AS DOUBLE) / nd.n)
+                    * ln((CAST(dg.c AS DOUBLE) / nd.n)
+                         / (CAST(gw.cg AS DOUBLE) / tot.n))
+                    AS DECIMAL(38,18))) AS DOUBLE) AS excess
+           FROM dg
+           JOIN nd ON nd.lang = dg.lang
+           JOIN gw ON gw.w = dg.w
+           CROSS JOIN tot
+           GROUP BY dg.lang),
+    raw AS (SELECT kl.lang, nd.n AS n_tokens,
+                   CAST(nd.n AS DOUBLE) / tot.n AS share,
+                   kl.excess,
+                   (CAST(nd.n AS DOUBLE) / tot.n) * exp(1.0 * kl.excess)
+                     AS r
+            FROM kl JOIN nd ON nd.lang = kl.lang CROSS JOIN tot),
+    z AS (SELECT CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS z
+          FROM raw)
+    SELECT raw.lang, raw.n_tokens,
+           round(raw.share, 6) AS token_share,
+           round(raw.excess, 6) AS excess_loss,
+           round(raw.r / z.z, 6) AS doremi_weight
+    FROM raw CROSS JOIN z
+""")
+def mixture_doremi_weights(spark, sf_dir):
+    """DoReMi-style domain-mixture reweighting (Xie et al. 2023,
+    'DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining'; VERDICT r8 item 5a): domains whose distribution the
+    reference mixture models WORST get upweighted by an
+    exponentiated-gradient step w_d <- share_d * exp(eta *
+    excess_loss_d), normalized.  The published excess loss is
+    proxy-model-minus-reference-model log-loss; the oracle-expressible
+    instantiation here uses its exact information-theoretic analogue:
+    excess_d = KL(P_d || P_global) under the domain's empirical
+    unigram distribution — precisely the extra nats per token a
+    reference model trained on the pooled mixture pays on domain d
+    (per-domain unigram LM = the proxy, pooled unigram LM = the
+    reference).  eta = 1.
+
+    Exactness: per-(domain, word) KL terms are doubles computed from
+    exact integer counts with identical op order on both engines,
+    summed in DECIMAL(38,18) (the transcendental-sum convention); the
+    5-row softmax normalizer is likewise a decimal sum.  Plan: ONE
+    corpus scan -> (lang, word) hash agg; the word-marginal join is
+    grouped algebra on the distinct-word relation (Zipf-sized, far
+    smaller than the corpus), and the final reweighting is arithmetic
+    on a #domains-row relation.  At 100 TB: map-side partial counts
+    ride the scan; nothing but (lang, word) count pairs ever
+    shuffles, and the EG step moves #domains numbers."""
+    d = _docs(spark, sf_dir).select("lang", tokens_col().alias("toks"))
+    dg = (d.select("lang", F.explode("toks").alias("w"))
+          .groupBy("lang", "w")
+          .agg(F.count("*").cast("bigint").alias("c"))
+          .localCheckpoint(eager=True))        # feeds nd/gw/kl
+    nd = dg.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n"))
+    gw = dg.groupBy("w").agg(F.sum("c").cast("bigint").alias("cg"))
+    tot = dg.agg(F.sum("c").cast("bigint").alias("nt"))
+    p_d = F.col("c").cast("double") / F.col("n")
+    p_g = F.col("cg").cast("double") / F.col("nt")
+    kl = (dg.join(F.broadcast(nd), "lang")
+          .join(gw, "w")
+          .crossJoin(F.broadcast(tot))
+          .groupBy("lang")
+          .agg(F.sum((p_d * F.log(p_d / p_g)).cast("decimal(38,18)"))
+               .cast("double").alias("excess")))
+    share = F.col("n").cast("double") / F.col("nt")
+    raw = (kl.join(F.broadcast(nd), "lang")
+           .crossJoin(F.broadcast(tot))
+           .select("lang", F.col("n").alias("n_tokens"),
+                   share.alias("share"), "excess",
+                   (share * F.exp(F.lit(1.0) * F.col("excess")))
+                   .alias("r")))
+    z = raw.agg(F.sum(F.col("r").cast("decimal(38,18)"))
+                .cast("double").alias("z"))
+    return (raw.crossJoin(F.broadcast(z))
+            .select("lang", "n_tokens",
+                    F.round("share", 6).alias("token_share"),
+                    F.round("excess", 6).alias("excess_loss"),
+                    F.round(F.col("r") / F.col("z"), 6)
+                    .alias("doremi_weight")))

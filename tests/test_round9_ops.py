@@ -166,3 +166,48 @@ def test_media_decode_wav_query_matches_python_reference(spark, sf_dir):
         expect_mean = (m["sum_samples"] / m["n_samples"]
                        if m["n_samples"] else 0.0)
         assert r.mean_sample == expect_mean
+
+
+# --- round-9 registry additions: semantic properties ---------------------
+
+def test_doremi_weights_are_a_distribution_with_nonneg_excess(spark, sf_dir):
+    """KL(P_d || P_pool) >= 0 for every domain; weights are a proper
+    distribution; and upweighting is monotone in excess loss given
+    near-equal shares (the EG-step direction DoReMi prescribes)."""
+    rows = QUERIES["mixture_doremi_weights"](spark, sf_dir).collect()
+    assert len(rows) == 5                       # one per language
+    assert abs(sum(r.doremi_weight for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r.excess_loss >= 0.0             # KL nonnegativity
+        assert r.doremi_weight > 0.0
+    # weight/share ratio must rank exactly like excess loss (shares
+    # cancel inside the EG step: w ∝ share * exp(excess))
+    by_excess = sorted(rows, key=lambda r: r.excess_loss)
+    ratios = [r.doremi_weight / r.token_share for r in by_excess]
+    assert ratios == sorted(ratios)
+
+
+def test_conformal_group_gap_consistency(spark, sf_dir):
+    """The Mondrian arm must reproduce stat_conformal_interval's
+    per-group qhat/coverage; pooled-arm coverage must rise with the
+    group's qhat ordering (a bigger marginal quantile than the
+    group's own means over-coverage and vice versa)."""
+    gap = {r.event_type: r for r in
+           QUERIES["stat_conformal_group_gap"](spark, sf_dir).collect()}
+    base = {r.event_type: r for r in
+            QUERIES["stat_conformal_interval"](spark, sf_dir).collect()}
+    assert set(gap) == set(base)
+    for t, g in gap.items():
+        assert g.qhat_group == base[t].qhat_cell
+        assert abs(g.coverage_group - base[t].coverage) < 1e-9
+        # each column is independently rounded at 6dp, so the
+        # recomputed gap can differ by up to 2 ulps of the rounding
+        assert abs(g.coverage_gap
+                   - (g.coverage_group - g.coverage_marginal)) < 2.1e-6
+        # marginal qhat is one number for all groups
+        assert g.qhat_marginal == next(iter(gap.values())).qhat_marginal
+        # coverage direction follows the quantile ordering
+        if g.qhat_marginal > g.qhat_group:
+            assert g.coverage_marginal >= g.coverage_group
+        elif g.qhat_marginal < g.qhat_group:
+            assert g.coverage_marginal <= g.coverage_group
