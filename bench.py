@@ -163,7 +163,19 @@ HEADLINE = [
     # Newton logistic fit (two 5-aggregate scans) and split-conformal
     # calibration + coverage (three scans, grid-exact quantile)
     "ml_logreg_newton_portable", "stat_conformal_interval",
+    # round-9: the d-feature Newton fit (20-aggregate scan + unrolled
+    # 5x5 elimination), the REAL RIFF/PCM decode through mapInPandas,
+    # the one-scan DoReMi EG reweighting, and the dual-quantile
+    # conformal fairness gap
+    "ml_logreg_newton_d", "media_decode_wav",
+    "mixture_doremi_weights", "stat_conformal_group_gap",
 ]
+
+# Queries per calibration group: a host-speed probe runs between
+# groups and each query normalizes by its group's LOCAL divisor
+# (VERDICT r8 item 1: one divisor per run cannot normalize intra-run
+# drift — r8 measured a 0.96 spread WITHIN one bench).
+GROUP_SIZE = 10
 
 
 def main() -> None:
@@ -249,18 +261,39 @@ def main() -> None:
         _arts.artifact_root(), _arts._dataset_key(sf_dir),
         "*", "manifest.json")))
 
+    # Per-GROUP calibration (VERDICT r8 item 1): a median-of-3 probe
+    # runs between every GROUP_SIZE queries, and each query's
+    # normalized time divides by the mean of the two probes BRACKETING
+    # its group — a local divisor that tracks intra-run host drift the
+    # single per-run median cannot (r8's own spread: the host moved
+    # ~2x WITHIN one run).  The probe is the same fixed workload as
+    # the run-level calibration, so group divisors and the run divisor
+    # share units.
+    def _probe() -> float:
+        return sorted(_calibrate() for _ in range(3))[1]
+
+    groups = [HEADLINE[i:i + GROUP_SIZE]
+              for i in range(0, len(HEADLINE), GROUP_SIZE)]
+    group_probes: list[float] = [calibration_pre]   # pre-loop median-of-5
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for qid in HEADLINE:
-        fn = qs[qid]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        cold[qid] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[qid] = round(time.perf_counter() - t0, 3)
-        print(f"# {qid}: {timings[qid]:.3f}s (cold {cold[qid]:.3f}s)",
-              file=sys.stderr)
+    group_of: dict[str, int] = {}
+    for gi, group in enumerate(groups):
+        for qid in group:
+            fn = qs[qid]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            cold[qid] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[qid] = round(time.perf_counter() - t0, 3)
+            group_of[qid] = gi
+            print(f"# {qid}: {timings[qid]:.3f}s (cold {cold[qid]:.3f}s)",
+                  file=sys.stderr)
+        if gi < len(groups) - 1:
+            group_probes.append(round(_probe(), 3))
+            print(f"# calibration probe after group {gi}: "
+                  f"{group_probes[-1]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     # Host-normalized total (VERDICT r4 item 3): totals divided by the
@@ -285,6 +318,21 @@ def main() -> None:
     calibration_spread = round(
         (cal_all[-1] - cal_all[0]) / calibration_sec, 3)
     normalized_total = round(total / calibration_sec, 1)
+    # per-group local divisors: mean of the two probes bracketing each
+    # group (the post-loop median-of-5 closes the last bracket).  A
+    # query's normalized time is dimensionless "multiples of the probe
+    # workload at the moment the query actually ran" — cross-round
+    # deltas in queries_normalized are attributable to code, not to
+    # when within the run the host slowed down.
+    group_probes.append(calibration_post)
+    group_div = [round((group_probes[i] + group_probes[i + 1]) / 2, 3)
+                 for i in range(len(group_probes) - 1)]
+    queries_normalized = {qid: round(t / group_div[group_of[qid]], 3)
+                          for qid, t in timings.items()}
+    normalized_total_grouped = round(sum(queries_normalized.values()), 1)
+    probe_med = sorted(group_probes)[len(group_probes) // 2]
+    calibration_group_spread = round(
+        (max(group_probes) - min(group_probes)) / probe_med, 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     sf_val = float(sf) if sf else None
 
@@ -325,7 +373,12 @@ def main() -> None:
         "calibration_pre": calibration_pre,
         "calibration_post": calibration_post,
         "calibration_samples": [round(s, 3) for s in cal_all],
+        "calibration_groups": group_probes,
+        "calibration_group_spread": calibration_group_spread,
+        "group_size": GROUP_SIZE,
+        "queries_normalized": queries_normalized,
         "normalized_total": normalized_total,
+        "normalized_total_grouped": normalized_total_grouped,
         "streaming_dedup": streaming_detail,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -347,7 +400,11 @@ def main() -> None:
             "calibration_sec": calibration_sec,
             "calibration_sec_median": calibration_sec,
             "calibration_spread": calibration_spread,
+            "calibration_group_spread": calibration_group_spread,
             "normalized_total": normalized_total,
+            # sum of per-query times each divided by its group's LOCAL
+            # probe divisor — the drift-robust cross-round number
+            "normalized_total_grouped": normalized_total_grouped,
             # cold totals on the DRIVER-VISIBLE line too (VERDICT r6
             # item 6): cross-round readers get warm AND cold from the
             # same record, so comparisons can't pick the flattering one
