@@ -168,6 +168,13 @@ _DRIVER_CHECKED = {
     "transform_span_corruption", "transpose_metrics", "ts_holt_linear",
     "unpivot_lineitem_measures", "vec_matryoshka_recall",
     "win_sliding_median", "win_streak_islands", "winsorized_avg",
+    # round 8 (CORRECTNESS_r08.json, 50/50 clean, first all-oracle
+    # window) — the 11 ids registered new in round 8
+    "source_overlap_hll", "dq_psi_drift", "dedup_cdc_chunks",
+    "pack_sequences_pairwise", "stat_welch_ttest", "dq_mad_outliers",
+    "ml_power_iteration_portable", "dedup_cdc_rewrite",
+    "dedup_substring_spans_w50", "stat_conformal_interval",
+    "ml_logreg_newton_portable",
 }
 
 _MODULE_PRIORITY = [
@@ -176,26 +183,25 @@ _MODULE_PRIORITY = [
     "udtf_udaf", "tpch_more", "relational", "scalars", "core",
 ]
 
-# Head of the round-8 sample window, in order.  Cumulative driver
-# coverage closed in r7 (every id registered through r7 has a driver
-# row), so the r8 window leads with the queries REGISTERED NEW in
-# round 8, then re-samples the ids whose implementations CHANGED this
-# round (sparse PPR rewrite, Lloyd/semdedup artifact reads, BPE
-# zero-collect rewrite, the ADVICE-fixed statistics) so the driver
-# re-certifies exactly the surface that moved; everything else keeps
-# its cumulative green row.
+# Head of the round-9 sample window, in order.  Cumulative driver
+# coverage stays total (349/349 through r8), so the r9 window leads
+# with the queries REGISTERED NEW in round 9, then re-samples the ids
+# whose implementation or docstring-adjacent code changed this round
+# (the 2-feature Newton fit shares its module with the new general
+# form; the artifact-backed families sit on the store whose manifest
+# format gained recipe_version) so the driver re-certifies exactly
+# the surface that moved; everything else keeps its cumulative row.
 _CONVERTED_FRONT = [
-    # --- new in round 8 (first-time driver rows) ---
-    "source_overlap_hll", "dq_psi_drift", "dedup_cdc_chunks",
-    "pack_sequences_pairwise", "stat_welch_ttest", "dq_mad_outliers",
-    "ml_power_iteration_portable", "dedup_cdc_rewrite",
-    "dedup_substring_spans_w50", "stat_conformal_interval",
-    "ml_logreg_newton_portable",
-    # --- round-8 behavior changes: re-certify ---
-    "graph_ppr_multi", "ml_kmeans_lloyd_portable", "sim_ann_ivf_kmeans",
-    "dedup_semdedup", "bpe_train_merges", "bpe_encode_apply",
-    "stat_spearman_rho", "stat_kendall_tau", "ts_holt_linear",
-    "text_burstiness",
+    # --- new in round 9 (first-time driver rows) ---
+    "ml_logreg_newton_d", "media_decode_wav",
+    "mixture_doremi_weights", "stat_conformal_group_gap",
+    # --- round-9 adjacency: re-certify ---
+    "ml_logreg_newton_portable", "stat_conformal_interval",
+    "multimodal_features", "multimodal_dedup_bytes",
+    "dedup_setsim_prefix", "dedup_semdedup", "dedup_minhash_portable",
+    "sim_ivfpq_topk", "ml_kmeans_lloyd_portable",
+    "sketch_bloom_decontam", "bpe_fertility_by_lang",
+    "mixture_token_budget",
 ]
 
 

@@ -121,7 +121,9 @@ def test_kafka_builder_wires_parse_posts():
 
 @pytest.mark.skipif(not os.environ.get(BROKER_ENV),
                     reason=f"no Kafka broker: set {BROKER_ENV}=host:port "
-                           "to activate the end-to-end smoke")
+                           "to activate the end-to-end smoke (README "
+                           "'Running against a real Kafka broker' is the "
+                           "one-command docker/redpanda recipe)")
 def test_kafka_end_to_end_with_real_broker(spark, tmp_path):
     """The real-broker smoke a deployment env runs by exporting
     SPARK_KAFKA_BROKERS (requires the spark-sql-kafka connector on the
