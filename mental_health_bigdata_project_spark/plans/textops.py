@@ -4408,3 +4408,105 @@ def mixture_doremi_weights(spark, sf_dir):
                     F.round("excess", 6).alias("excess_loss"),
                     F.round(F.col("r") / F.col("z"), 6)
                     .alias("doremi_weight")))
+
+
+@query("text_heaps_law", f"""
+    WITH d AS (SELECT doc_id, len({_TOKS_SQL}) AS nt FROM documents),
+    tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS w FROM documents),
+    fo AS (SELECT w, min(doc_id) AS fd FROM tok GROUP BY w),
+    vnew AS (SELECT fd AS doc_id, CAST(count(*) AS BIGINT) AS nv
+             FROM fo GROUP BY fd),
+    cum AS (SELECT d.doc_id,
+                   CAST(SUM(d.nt) OVER (ORDER BY d.doc_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS t,
+                   CAST(SUM(coalesce(vnew.nv, 0)) OVER (ORDER BY d.doc_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS v
+            FROM d LEFT JOIN vnew ON vnew.doc_id = d.doc_id),
+    pts AS (SELECT ln(CAST(t AS DOUBLE)) AS x, ln(CAST(v AS DOUBLE)) AS y
+            FROM cum WHERE t > 0 AND v > 0),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+          FROM pts),
+    fit AS (SELECT n,
+                   (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta,
+                   sx, sy FROM m)
+    SELECT fit.n AS n_points,
+           (SELECT CAST(SUM(nt) AS BIGINT) FROM d) AS total_tokens,
+           (SELECT CAST(count(*) AS BIGINT) FROM fo) AS vocab_size,
+           round(fit.beta, 6) AS heaps_beta,
+           round(exp((fit.sy - fit.beta * fit.sx) / fit.n), 6) AS heaps_k
+    FROM fit
+""")
+def text_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit (Heaps 1978; Herdan 1960):
+    V(T) ~ K * T^beta over the corpus read in doc_id order — the
+    curve that budgets tokenizer vocab size and predicts how much
+    NEW vocabulary another 10x of corpus will bring (the diminishing-
+    returns companion to ngram_novelty_decay, which tracks novel
+    n-grams; this tracks novel TYPES with the classic power-law fit).
+
+    Plan: per-doc token counts come straight off the scan (size(),
+    no explode); the explode happens once to find each word's FIRST
+    document (hash agg on the Zipf-sized vocab); both cumulative
+    curves (tokens, vocabulary) are the repo's TWO-PHASE running sum
+    over the doc grid — range partition + per-partition window +
+    P-row broadcast offsets, no single-partition window over docs —
+    and the log-log OLS fit is a 5-aggregate decimal-summed scan of
+    the (x, y) points, closed-form slope/intercept on a 1-row
+    relation.  At 100 TB: one explode-shuffle sized by distinct
+    (word, first-doc), one range exchange of doc-grid-sized rows, and
+    the fit moves 5 numbers."""
+    d = (_docs(spark, sf_dir)
+         .select("doc_id", F.size(tokens_col()).cast("bigint").alias("nt")))
+    fo = (_docs(spark, sf_dir)
+          .select("doc_id", F.explode(tokens_col()).alias("w"))
+          .groupBy("w").agg(F.min("doc_id").alias("fd")))
+    vocab = fo.agg(F.count("*").cast("bigint").alias("vocab_size"))
+    vnew = (fo.groupBy(F.col("fd").alias("doc_id"))
+            .agg(F.count("*").cast("bigint").alias("nv")))
+    base = (d.join(vnew, "doc_id", "left")
+            .select("doc_id", "nt",
+                    F.coalesce("nv", F.lit(0)).cast("bigint").alias("nv")))
+    tot = base.agg(F.sum("nt").cast("bigint").alias("total_tokens"))
+    # two-phase global running sums over the doc grid (the
+    # assign_contiguous_ids pattern: no single-partition window)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    with_pid = (base.repartitionByRange(n_parts, "doc_id")
+                .withColumn("pid", F.spark_partition_id())
+                .localCheckpoint())
+    wrun = (Window.partitionBy("pid").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    local = with_pid.select(
+        "pid", "doc_id",
+        F.sum("nt").over(wrun).cast("bigint").alias("lt"),
+        F.sum("nv").over(wrun).cast("bigint").alias("lv"))
+    woff = (Window.orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = (with_pid.groupBy("pid")
+            .agg(F.sum("nt").alias("pt"), F.sum("nv").alias("pv"))
+            .select("pid",
+                    F.coalesce(F.sum("pt").over(woff), F.lit(0))
+                    .alias("offt"),
+                    F.coalesce(F.sum("pv").over(woff), F.lit(0))
+                    .alias("offv")))
+    cum = (local.join(F.broadcast(offs), "pid")
+           .select((F.col("lt") + F.col("offt")).cast("bigint").alias("t"),
+                   (F.col("lv") + F.col("offv")).cast("bigint").alias("v")))
+    pts = (cum.filter((F.col("t") > 0) & (F.col("v") > 0))
+           .select(F.log(F.col("t").cast("double")).alias("x"),
+                   F.log(F.col("v").cast("double")).alias("y")))
+    d18 = lambda c: F.sum(c.cast("decimal(38,18)")).cast("double")  # noqa: E731
+    m = pts.agg(F.count("*").cast("bigint").alias("n"),
+                d18(F.col("x")).alias("sx"), d18(F.col("y")).alias("sy"),
+                d18(F.col("x") * F.col("x")).alias("sxx"),
+                d18(F.col("x") * F.col("y")).alias("sxy"))
+    fit = m.selectExpr(
+        "n", "sx", "sy",
+        "(n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta")
+    return (fit.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(vocab))
+            .selectExpr("n AS n_points", "total_tokens", "vocab_size",
+                        "round(beta, 6) AS heaps_beta",
+                        "round(exp((sy - beta * sx) / n), 6) AS heaps_k"))

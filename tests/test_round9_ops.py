@@ -211,3 +211,20 @@ def test_conformal_group_gap_consistency(spark, sf_dir):
             assert g.coverage_marginal >= g.coverage_group
         elif g.qhat_marginal < g.qhat_group:
             assert g.coverage_marginal <= g.coverage_group
+
+
+def test_heaps_law_fit_properties(spark, sf_dir):
+    """The vocabulary-growth fit must return a plausible power law:
+    0 < beta < 1 (sublinear growth — types accumulate slower than
+    tokens), K > 0, exact token/vocab totals, and the fitted curve
+    must land within 2x of the realized final vocabulary."""
+    r = QUERIES["text_heaps_law"](spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents")
+    from mental_health_bigdata_project_spark.plans.textops import tokens_col
+    toks = docs.select(F.explode(tokens_col()).alias("w"))
+    assert r.total_tokens == toks.count()
+    assert r.vocab_size == toks.distinct().count()
+    assert 0.0 < r.heaps_beta < 1.0
+    assert r.heaps_k > 0.0
+    predicted = r.heaps_k * r.total_tokens ** r.heaps_beta
+    assert 0.5 < predicted / r.vocab_size < 2.0
