@@ -3047,6 +3047,12 @@ def _logreg_d_oracle_sql() -> str:
 """
 
 
+from ..artifacts import SessionMemo as _SessionMemo  # noqa: E402
+
+# trained-model handle cache in front of the disk artifact
+_LOGREG_D_MODEL_MEMO = _SessionMemo()
+
+
 @query("ml_logreg_newton_d", _logreg_d_oracle_sql())
 def ml_logreg_newton_d(spark, sf_dir):
     """GENERAL d-feature Newton/IRLS logistic regression inside the
@@ -3065,33 +3071,56 @@ def ml_logreg_newton_d(spark, sf_dir):
 
     At 100 TB: the scan is map-side combinable (20 partial aggregates
     ride the corpus scan); training moves O(d^2) numbers per step —
-    never rows — and the solve is driver-free: it executes as chained
-    projections on the 1-row aggregate, exactly like the power-iteration
-    Gram recurrence.  For d in the thousands the same pattern holds
-    with the Gram as a (d^2)-cell relation (ml_power_iteration_portable
-    shows that shape); the unrolled solve here is the d <= ~32 regime
-    where elimination fits a projection chain."""
-    s = (_t(spark, sf_dir, "events")
-         .filter(F.col("value").isNotNull())
-         .selectExpr(*[f"{e} AS {nm}" for nm, e in _logreg_d_features()])
-         .localCheckpoint(eager=True))          # feeds every step
-    beta = spark.createDataFrame(
-        [(0.0,) * _LOGREG_D_N],
-        ", ".join(f"b{i} double" for i in range(_LOGREG_D_N)))
+    never rows — and the solve is driver-free: the whole elimination
+    program runs as ONE projection with lateral column aliases on the
+    1-row aggregate, exactly like the power-iteration Gram recurrence.
+    For d in the thousands the same pattern holds with the Gram as a
+    (d^2)-cell relation (ml_power_iteration_portable shows that
+    shape); the unrolled solve here is the d <= ~32 regime where
+    elimination fits a projection.  Like the Lloyd/PCA trainers, the
+    fitted model persists via the artifact store (1 parquet row —
+    doubles round-trip bit-exactly), so warm sessions pay only the
+    final log-likelihood scan; bench discloses artifacts_prebuilt."""
+    from ..artifacts import read_or_build
+    from ..sources.tables import _memoizable
+
+    feats = [f"{e} AS {nm}" for nm, e in _logreg_d_features()]
     p_expr = f"1.0 / (1.0 + exp(-({_logreg_d_z()}))) AS p"
-    for _ in range(_LOGREG_D_STEPS):
-        rows = s.crossJoin(F.broadcast(beta)).selectExpr("*", p_expr)
-        m = rows.agg(*[
-            F.expr(f"CAST(SUM(CAST({t} AS DECIMAL(38,18))) AS DOUBLE)")
-            .alias(nm) for nm, t in _logreg_d_agg_terms()])
-        solved = m.crossJoin(F.broadcast(beta))
-        for stage in _gauss_stages(_LOGREG_D_N):
-            solved = solved.selectExpr(
-                "*", *[f"{e} AS {nm}" for nm, e in stage])
-        beta = (solved.selectExpr(*[f"b{i} + d{i} AS b{i}"
-                                    for i in range(_LOGREG_D_N)])
-                .localCheckpoint(eager=True))   # 1-row model state
-    ll = (s.crossJoin(F.broadcast(beta)).selectExpr("*", p_expr)
+    solve_exprs = [f"{e} AS {nm}"
+                   for stage in _gauss_stages(_LOGREG_D_N)
+                   for nm, e in stage]
+
+    def s_frame():
+        return (_t(spark, sf_dir, "events")
+                .filter(F.col("value").isNotNull())
+                .selectExpr(*feats))
+
+    def train():
+        s = s_frame().localCheckpoint(eager=True)   # feeds every step
+        beta = spark.createDataFrame(
+            [(0.0,) * _LOGREG_D_N],
+            ", ".join(f"b{i} double" for i in range(_LOGREG_D_N)))
+        for _ in range(_LOGREG_D_STEPS):
+            rows = s.crossJoin(F.broadcast(beta)).selectExpr("*", p_expr)
+            m = rows.agg(*[
+                F.expr(f"CAST(SUM(CAST({t} AS DECIMAL(38,18))) AS DOUBLE)")
+                .alias(nm) for nm, t in _logreg_d_agg_terms()])
+            beta = (m.crossJoin(F.broadcast(beta))
+                    .selectExpr("*", *solve_exprs)
+                    .selectExpr(*[f"b{i} + d{i} AS b{i}"
+                                  for i in range(_LOGREG_D_N)])
+                    .localCheckpoint(eager=True))   # 1-row model state
+        return beta
+
+    beta = _LOGREG_D_MODEL_MEMO.get(spark, sf_dir)
+    if beta is None:
+        if _memoizable(sf_dir):
+            beta = read_or_build(spark, sf_dir, "logreg_newton_d_beta",
+                                 ("events",), train)
+        else:
+            beta = train()
+        _LOGREG_D_MODEL_MEMO.put(spark, sf_dir, beta)
+    ll = (s_frame().crossJoin(F.broadcast(beta)).selectExpr("*", p_expr)
           .agg(F.expr("CAST(count(*) AS BIGINT)").alias("n"),
                F.expr("CAST(SUM(CAST(y * ln(p) + (1.0 - y) * ln(1.0 - p)"
                       " AS DECIMAL(38,18))) AS DOUBLE)").alias("ll")))
