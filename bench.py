@@ -169,6 +169,9 @@ HEADLINE = [
     # conformal fairness gap
     "ml_logreg_newton_d", "media_decode_wav",
     "mixture_doremi_weights", "stat_conformal_group_gap",
+    # round-9 (late): Heaps-law fit — the two-phase cumulative-curve
+    # shape (range exchange of the doc grid) + log-log OLS
+    "text_heaps_law",
 ]
 
 # Queries per calibration group: a host-speed probe runs between
