@@ -3214,18 +3214,8 @@ def stat_conformal_group_gap(spark, sf_dir):
     model = conformal_fit(s.filter(F.col("event_id") % 3 == 0),
                           s.filter(F.col("event_id") % 3 == 1)) \
         .localCheckpoint(eager=True)           # feeds pooled + test
-    pooled = (s.filter(F.col("event_id") % 3 == 1)
-              .join(F.broadcast(model.select("grp", "mean_tr")), "grp")
-              .select(conformal_cell().alias("cell"))
-              .groupBy("cell").agg(F.count("*").cast("bigint")
-                                   .alias("cnt")))
-    npool = pooled.agg(F.sum("cnt").cast("bigint").alias("n_pool"))
-    w = Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, 0)
-    qm = (pooled.select("cell",
-                        F.sum("cnt").over(w).cast("bigint").alias("c"))
-          .crossJoin(F.broadcast(npool))
-          .filter(F.col("c") * 10 >= 9 * (F.col("n_pool") + 1))
-          .agg(F.min("cell").alias("qhat_marginal")))
+    qm = conformal_marginal_qhat(model,
+                                 s.filter(F.col("event_id") % 3 == 1))
     te = (s.filter(F.col("event_id") % 3 == 2)
           .join(F.broadcast(model), "grp")
           .crossJoin(F.broadcast(qm))
@@ -3244,3 +3234,25 @@ def stat_conformal_group_gap(spark, sf_dir):
                      F.round(covg, 6).alias("coverage_group"),
                      F.round(covm, 6).alias("coverage_marginal"),
                      F.round(covg - covm, 6).alias("coverage_gap"))
+
+
+def conformal_marginal_qhat(model, calib):
+    """1-row (qhat_marginal): the POOLED finite-sample-corrected 90%
+    residual-cell quantile over a (grp, value) calibration relation,
+    residuals taken against the per-group mean in ``model`` — shared
+    by stat_conformal_group_gap and the streaming coverage monitor's
+    fairness arm, so stream == batch by construction.  The running
+    sum is a single-partition window over the CELL GRID
+    (value-cardinality rows), benign by the grid rule."""
+    pooled = (calib
+              .join(F.broadcast(model.select("grp", "mean_tr")), "grp")
+              .select(conformal_cell().alias("cell"))
+              .groupBy("cell").agg(F.count("*").cast("bigint")
+                                   .alias("cnt")))
+    npool = pooled.agg(F.sum("cnt").cast("bigint").alias("n_pool"))
+    w = Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, 0)
+    return (pooled.select("cell",
+                          F.sum("cnt").over(w).cast("bigint").alias("c"))
+            .crossJoin(F.broadcast(npool))
+            .filter(F.col("c") * 10 >= 9 * (F.col("n_pool") + 1))
+            .agg(F.min("cell").alias("qhat_marginal")))

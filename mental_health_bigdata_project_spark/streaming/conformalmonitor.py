@@ -6,18 +6,22 @@ the model's uncertainty intervals still COVER).
 
 ``build_conformal_artifact`` freezes the fitted model (per-group mean
 predictor + finite-sample-corrected 90% residual-cell quantile, via
-the shared ``conformal_fit``) — a #groups-row reference table.
-``coverage_batch`` reduces each micro-batch to ONE (grp, covered,
-total) delta row per group (sum-mergeable, exactly-once via batch_id
-partitions); ``serve_coverage`` folds the deltas and flags any group
-whose empirical coverage has fallen materially below the nominal 90%
-— the distribution-free alarm that the world has drifted away from
-the calibration data, fired from two integers of state per group.
+the shared ``conformal_fit``, PLUS the pooled MARGINAL quantile via
+``conformal_marginal_qhat`` — the fairness arm) — a #groups-row
+reference table.  ``coverage_batch`` reduces each micro-batch to ONE
+(grp, covered, covered_marginal, total) delta row per group
+(sum-mergeable, exactly-once via batch_id partitions);
+``serve_coverage`` folds the deltas, flags any group whose empirical
+coverage has fallen materially below the nominal 90%, and reports the
+per-group GROUP-vs-MARGINAL coverage gap — the streaming face of
+``stat_conformal_group_gap``'s fairness audit, all from three
+integers of state per group.
 
 Parity is by construction: the same fit helpers and the same quantized
-residual cell as the oracle-checked batch query, pinned by test
+residual cell as the oracle-checked batch queries, pinned by test
 (baseline = the query's train/calib splits, stream = its test split,
-served coverage == the query's coverage column bit-for-bit).
+served coverage == the query's coverage column bit-for-bit, served
+gap == stat_conformal_group_gap's columns).
 """
 
 from __future__ import annotations
@@ -26,7 +30,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..plans.quality import conformal_cell, conformal_fit
+from ..plans.quality import (conformal_cell, conformal_fit,
+                             conformal_marginal_qhat)
 
 COVERAGE_ALARM = 0.85   # nominal 0.9 minus slack for sampling noise
 
@@ -34,8 +39,12 @@ COVERAGE_ALARM = 0.85   # nominal 0.9 minus slack for sampling noise
 def build_conformal_artifact(train: DataFrame, calib: DataFrame,
                              artifact_dir: str) -> int:
     """Fit on (grp, value) train/calib relations and persist the
-    model table.  Returns the number of groups fitted."""
-    model = conformal_fit(train, calib)
+    model table — per-group quantiles plus the pooled marginal
+    quantile as a constant column (the fairness-arm reference).
+    Returns the number of groups fitted."""
+    model = conformal_fit(train, calib).localCheckpoint(eager=True)
+    model = model.crossJoin(
+        F.broadcast(conformal_marginal_qhat(model, calib)))
     model.write.mode("overwrite").parquet(
         os.path.join(artifact_dir, "model"))
     return model.count()
@@ -56,6 +65,9 @@ def coverage_batch(batch_df: DataFrame, batch_id: int, index_dir: str,
              .agg(F.sum(F.when(conformal_cell() <= F.col("qhat_cell"),
                                1).otherwise(0))
                   .cast("bigint").alias("covered"),
+                  F.sum(F.when(conformal_cell()
+                               <= F.col("qhat_marginal"), 1).otherwise(0))
+                  .cast("bigint").alias("covered_marginal"),
                   F.count("*").cast("bigint").alias("total")))
     (delta.withColumn("batch_id", F.lit(batch_id))
      .write.mode("overwrite")
@@ -73,13 +85,17 @@ def serve_coverage(spark: SparkSession, artifact_dir: str,
     cur = (read_live(spark, os.path.join(index_dir, "coverage"))
            .groupBy("grp")
            .agg(F.sum("covered").cast("bigint").alias("n_covered"),
+                F.sum("covered_marginal").cast("bigint")
+                .alias("n_covered_marginal"),
                 F.sum("total").cast("bigint").alias("n_test")))
+    covg = F.col("n_covered").cast("double") / F.col("n_test")
+    covm = F.col("n_covered_marginal").cast("double") / F.col("n_test")
     return cur.select(
         F.col("grp").alias("event_type"), "n_test", "n_covered",
-        F.round(F.col("n_covered").cast("double") / F.col("n_test"), 6)
-        .alias("coverage"),
-        (F.col("n_covered").cast("double") / F.col("n_test")
-         < COVERAGE_ALARM).cast("int").alias("alarm"))
+        F.round(covg, 6).alias("coverage"),
+        F.round(covm, 6).alias("coverage_marginal"),
+        F.round(covg - covm, 6).alias("coverage_gap"),
+        (covg < COVERAGE_ALARM).cast("int").alias("alarm"))
 
 
 def compact_coverage_state(spark: SparkSession, index_dir: str,
@@ -92,6 +108,8 @@ def compact_coverage_state(spark: SparkSession, index_dir: str,
         spark, os.path.join(index_dir, "coverage"), through,
         transform=lambda live: live.groupBy("grp")
         .agg(F.sum("covered").cast("bigint").alias("covered"),
+             F.sum("covered_marginal").cast("bigint")
+             .alias("covered_marginal"),
              F.sum("total").cast("bigint").alias("total")))
 
 

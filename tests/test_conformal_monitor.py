@@ -85,3 +85,19 @@ def test_shifted_stream_fires_alarm(spark, sf_dir, tmp_path):
     conformalmonitor.coverage_batch(shifted, 0, idx, art)
     got = conformalmonitor.serve_coverage(spark, art, idx).collect()
     assert got and all(r.alarm == 1 and r.coverage == 0.0 for r in got)
+
+
+def test_served_gap_equals_group_gap_query(spark, sf_dir, tmp_path):
+    """The fairness arm (round 9): served coverage_marginal and
+    coverage_gap per type equal stat_conformal_group_gap's columns on
+    the same splits — the Mondrian-vs-marginal audit, streamed."""
+    art, idx, _ = _feed(spark, sf_dir, tmp_path)
+    served = {r.event_type: r for r in
+              conformalmonitor.serve_coverage(spark, art, idx).collect()}
+    batch = {r.event_type: r for r in
+             QUERIES["stat_conformal_group_gap"](spark, sf_dir).collect()}
+    assert set(served) == set(batch)
+    for t, b in batch.items():
+        assert served[t].coverage == b.coverage_group
+        assert served[t].coverage_marginal == b.coverage_marginal
+        assert served[t].coverage_gap == b.coverage_gap
