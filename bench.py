@@ -170,8 +170,9 @@ HEADLINE = [
     "ml_logreg_newton_d", "media_decode_wav",
     "mixture_doremi_weights", "stat_conformal_group_gap",
     # round-9 (late): Heaps-law fit — the two-phase cumulative-curve
-    # shape (range exchange of the doc grid) + log-log OLS
-    "text_heaps_law",
+    # shape (range exchange of the doc grid) + log-log OLS — and the
+    # RHO-loss cross-fitted selection (two LM scorings in one join)
+    "text_heaps_law", "sample_rho_excess_loss",
 ]
 
 # Queries per calibration group: a host-speed probe runs between

@@ -4510,3 +4510,106 @@ def text_heaps_law(spark, sf_dir):
             .selectExpr("n AS n_points", "total_tokens", "vocab_size",
                         "round(beta, 6) AS heaps_beta",
                         "round(exp((sy - beta * sx) / n), 6) AS heaps_k"))
+
+
+@query("sample_rho_excess_loss", f"""
+    WITH d AS (SELECT doc_id, doc_id % 2 AS half,
+                      unnest({_TOKS_SQL}) AS w FROM documents),
+    dg AS (SELECT doc_id, half, w, CAST(count(*) AS BIGINT) AS c
+           FROM d GROUP BY doc_id, half, w),
+    hw AS (SELECT w,
+             CAST(SUM(CASE WHEN half = 0 THEN c ELSE 0 END) AS BIGINT)
+               AS c0,
+             CAST(SUM(CASE WHEN half = 1 THEN c ELSE 0 END) AS BIGINT)
+               AS c1
+           FROM dg GROUP BY w),
+    tot AS (SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+                   CAST(SUM(c1) AS BIGINT) AS n1,
+                   CAST(count(*) AS BIGINT) AS v FROM hw),
+    model AS (SELECT w,
+                ln((CAST(c0 AS DOUBLE) + 1.0) / (n0 + v)) AS lnp0,
+                ln((CAST(c1 AS DOUBLE) + 1.0) / (n1 + v)) AS lnp1
+              FROM hw CROSS JOIN tot),
+    per AS (SELECT dg.doc_id, dg.half,
+              CAST(SUM(dg.c) AS BIGINT) AS n_tokens,
+              CAST(SUM(CAST(dg.c * (CASE WHEN dg.half = 0
+                                         THEN m.lnp0 ELSE m.lnp1 END)
+                       AS DECIMAL(38,18))) AS DOUBLE) AS s_own,
+              CAST(SUM(CAST(dg.c * (CASE WHEN dg.half = 0
+                                         THEN m.lnp1 ELSE m.lnp0 END)
+                       AS DECIMAL(38,18))) AS DOUBLE) AS s_other
+            FROM dg JOIN model m ON m.w = dg.w
+            GROUP BY dg.doc_id, dg.half),
+    sc AS (SELECT doc_id, half, n_tokens,
+                  -(s_other) / n_tokens AS hold,
+                  -(s_own) / n_tokens AS own
+           FROM per)
+    SELECT doc_id, CAST(half AS BIGINT) AS half, n_tokens,
+           round(hold, 6) AS holdout_loss,
+           round(own, 6) AS own_loss,
+           round(hold - own, 6) AS excess_loss
+    FROM sc ORDER BY hold - own DESC, doc_id LIMIT 20
+""")
+def sample_rho_excess_loss(spark, sf_dir):
+    """RHO-loss-style data selection (Mindermann et al. 2022,
+    'Prioritized Training on Points that are Learnable, Worth
+    Learning, and Not Yet Learnt'): rank documents by REDUCIBLE
+    holdout loss — loss under a model that has NOT seen the doc minus
+    loss under one that has.  High excess = novel-or-noisy content
+    the rest of the corpus does not explain; near-zero = redundant.
+    Cross-fitted instantiation inside the verified perimeter: docs
+    split by doc_id parity, each half gets an add-one-smoothed
+    unigram LM over the POOLED vocabulary, and every doc is scored
+    under both — its own half's model (irreducible arm) and the
+    other half's (holdout arm); output is the top-20 excess-loss
+    docs, the batch a RHO-style sampler would prioritize.
+
+    Exactness: both models' log-probs are computed ONCE per vocab
+    word as identical double op chains; per-doc sums weight them by
+    exact integer counts in DECIMAL(38,18); ranking orders on the
+    unrounded double with a doc_id tiebreak (duplicate docs tie
+    exactly).  Plan: one explode -> (doc, word) hash agg; the model
+    is vocab-sized grouped algebra; scoring is one join of the
+    per-doc-word counts to the 2-column model grid; top-20 is
+    TakeOrderedAndProject.  At 100 TB: nothing corpus-sized shuffles
+    except the (doc, word) agg, and the two 'trained models' are one
+    Zipf-sized relation built in the same pass."""
+    d = (_docs(spark, sf_dir)
+         .select("doc_id", (F.col("doc_id") % 2).alias("half"),
+                 F.explode(tokens_col()).alias("w")))
+    dg = (d.groupBy("doc_id", "half", "w")
+          .agg(F.count("*").cast("bigint").alias("c")))
+    hw = (dg.groupBy("w")
+          .agg(F.sum(F.when(F.col("half") == 0, F.col("c")).otherwise(0))
+               .cast("bigint").alias("c0"),
+               F.sum(F.when(F.col("half") == 1, F.col("c")).otherwise(0))
+               .cast("bigint").alias("c1"))
+          .localCheckpoint(eager=True))        # feeds tot + model
+    tot = hw.agg(F.sum("c0").cast("bigint").alias("n0"),
+                 F.sum("c1").cast("bigint").alias("n1"),
+                 F.count("*").cast("bigint").alias("v"))
+    model = (hw.crossJoin(F.broadcast(tot))
+             .selectExpr("w",
+                         "ln((CAST(c0 AS DOUBLE) + 1.0) / (n0 + v))"
+                         " AS lnp0",
+                         "ln((CAST(c1 AS DOUBLE) + 1.0) / (n1 + v))"
+                         " AS lnp1"))
+    own = F.when(F.col("half") == 0, F.col("lnp0")).otherwise(F.col("lnp1"))
+    oth = F.when(F.col("half") == 0, F.col("lnp1")).otherwise(F.col("lnp0"))
+    per = (dg.join(model, "w")
+           .groupBy("doc_id", "half")
+           .agg(F.sum("c").cast("bigint").alias("n_tokens"),
+                F.sum((F.col("c") * own).cast("decimal(38,18)"))
+                .cast("double").alias("s_own"),
+                F.sum((F.col("c") * oth).cast("decimal(38,18)"))
+                .cast("double").alias("s_other")))
+    sc = per.selectExpr("doc_id", "half", "n_tokens",
+                        "-(s_other) / n_tokens AS hold",
+                        "-(s_own) / n_tokens AS own")
+    return (sc.orderBy(F.desc(F.col("hold") - F.col("own")), "doc_id")
+            .limit(20)
+            .selectExpr("doc_id", "CAST(half AS BIGINT) AS half",
+                        "n_tokens",
+                        "round(hold, 6) AS holdout_loss",
+                        "round(own, 6) AS own_loss",
+                        "round(hold - own, 6) AS excess_loss"))

@@ -228,3 +228,34 @@ def test_heaps_law_fit_properties(spark, sf_dir):
     assert r.heaps_k > 0.0
     predicted = r.heaps_k * r.total_tokens ** r.heaps_beta
     assert 0.5 < predicted / r.vocab_size < 2.0
+
+
+def test_rho_excess_loss_ranks_alien_content_first(spark, tmp_path):
+    """On a controlled corpus, the one document whose vocabulary the
+    other half cannot explain must top the excess-loss ranking, and
+    near-duplicated boilerplate must sit at the bottom."""
+    common = "the cat sat on the mat and looked at the dog"
+    rows = [(i, common, "en", "src0") for i in range(8)]
+    rows.append((8, "zxqv wplk jrtm qqnn vbxz glorp snarf blick", "en",
+                 "src0"))                      # alien, half 0
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string")
+    data = str(tmp_path / "corpus")
+    import os
+    os.makedirs(data)
+    docs.coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(data, "documents.parquet"))
+    out = QUERIES["sample_rho_excess_loss"](spark, data).collect()
+    assert out[0].doc_id == 8
+    assert out[0].excess_loss > 0.5
+    # boilerplate docs: other half explains them as well as their own
+    assert all(abs(r.excess_loss) < 0.2 for r in out[1:])
+
+
+def test_rho_excess_loss_output_shape(spark, sf_dir):
+    out = QUERIES["sample_rho_excess_loss"](spark, sf_dir).collect()
+    assert len(out) == 20
+    ex = [r.excess_loss for r in out]
+    assert ex == sorted(ex, reverse=True)
+    for r in out:
+        assert r.n_tokens > 0 and r.holdout_loss > 0 and r.own_loss > 0
