@@ -3256,3 +3256,120 @@ def conformal_marginal_qhat(model, calib):
             .crossJoin(F.broadcast(npool))
             .filter(F.col("c") * 10 >= 9 * (F.col("n_pool") + 1))
             .agg(F.min("cell").alias("qhat_marginal")))
+
+
+@query("stat_cuped_adjustment", """
+    WITH s AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                      value
+               FROM events WHERE value IS NOT NULL),
+    b AS (SELECT min(us) AS mn, max(us) AS mx FROM s),
+    u AS (SELECT user_id,
+            CAST(SUM(CASE WHEN us <= (b.mn + b.mx) // 2
+                          THEN CAST(value AS DECIMAL(18,2))
+                          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+              AS x,
+            CAST(SUM(CASE WHEN us > (b.mn + b.mx) // 2
+                          THEN CAST(value AS DECIMAL(18,2))
+                          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+              AS y
+          FROM s CROSS JOIN b GROUP BY user_id),
+    ua AS (SELECT user_id, x, y,
+                  CAST(CAST('0x' || substr(md5('exp1-' || user_id), 1, 8)
+                       AS BIGINT) % 2 AS INT) AS arm
+           FROM u),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+            CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+            CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+            CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+          FROM ua),
+    t AS (SELECT n, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+                 sx / n AS mean_x FROM m),
+    adj AS (SELECT ua.arm, ua.y,
+                   ua.y - t.theta * (ua.x - t.mean_x) AS yadj
+            FROM ua CROSS JOIN t),
+    g AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+            CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+            CAST(SUM(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy,
+            CAST(SUM(CAST(yadj AS DECIMAL(38,18))) AS DOUBLE) AS sa,
+            CAST(SUM(CAST(yadj * yadj AS DECIMAL(38,18))) AS DOUBLE)
+              AS saa
+          FROM adj GROUP BY arm)
+    SELECT g.arm, g.n_users,
+           round(g.sy / g.n_users, 6) AS mean_y,
+           round(g.sa / g.n_users, 6) AS mean_y_adj,
+           round(t.theta, 6) AS theta,
+           round(1.0 - (g.saa / g.n_users
+                        - (g.sa / g.n_users) * (g.sa / g.n_users))
+                     / (g.syy / g.n_users
+                        - (g.sy / g.n_users) * (g.sy / g.n_users)), 6)
+             AS var_reduction
+    FROM g CROSS JOIN t
+""")
+def stat_cuped_adjustment(spark, sf_dir):
+    """CUPED variance reduction (Deng, Xu, Kohavi, Walker 2013 —
+    'Improving the Sensitivity of Online Controlled Experiments by
+    Utilizing Pre-Experiment Data'): the industry-standard experiment
+    readout companion to stat_ab_srm.  Each user's PRE-period spend
+    (events at or before the corpus time midpoint) is the covariate
+    X; the POST-period spend is the metric Y; theta = cov(X,Y)/var(X)
+    is fitted pooled, every user's Y is adjusted to
+    Y - theta*(X - mean(X)), and each md5-bucketed arm reports its
+    mean before/after adjustment plus the realized variance
+    reduction 1 - var(Y_adj)/var(Y) — the factor by which the
+    experiment's detectable-effect size shrinks for free.
+
+    Exactness: the period split is integer microsecond arithmetic
+    ((min+max) div 2 — no quantile needed); per-user period sums are
+    DECIMAL(18,2)-exact; all covariance/variance moments are
+    decimal-summed doubles with identical op order; arm assignment
+    is the stat_ab_srm md5 convention.  Plan: one scan -> per-user
+    2-conditional-sum agg (the user exchange every cohort query
+    pays), a 5-aggregate pooled moment pass, one broadcast of the
+    2-number model, and a per-arm moment agg — at 100 TB nothing
+    but per-user rows ever shuffles, and theta moves as two
+    numbers."""
+    s = (_t(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull())
+         .selectExpr("user_id",
+                     "unix_micros(CAST(ts AS TIMESTAMP)) AS us", "value"))
+    b = s.agg(F.min("us").alias("mn"), F.max("us").alias("mx"))
+    dsum = lambda c: F.sum(c).cast("double")  # noqa: E731
+    zero = F.lit(0).cast("decimal(18,2)")
+    u = (s.crossJoin(F.broadcast(b))
+         .groupBy("user_id")
+         .agg(dsum(F.when(F.expr("us <= (mn + mx) div 2"),
+                          F.col("value").cast("decimal(18,2)"))
+                   .otherwise(zero)).alias("x"),
+              dsum(F.when(F.expr("us > (mn + mx) div 2"),
+                          F.col("value").cast("decimal(18,2)"))
+                   .otherwise(zero)).alias("y")))
+    arm = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("exp1-"), F.col("user_id").cast("string"))),
+        1, 8), 16, 10).cast("bigint") % 2).cast("int")
+    ua = u.select("x", "y", arm.alias("arm")).localCheckpoint(eager=True)
+    d18 = lambda c: F.sum(c.cast("decimal(38,18)")).cast("double")  # noqa: E731
+    m = ua.agg(F.count("*").cast("bigint").alias("n"),
+               d18(F.col("x")).alias("sx"), d18(F.col("y")).alias("sy"),
+               d18(F.col("x") * F.col("x")).alias("sxx"),
+               d18(F.col("x") * F.col("y")).alias("sxy"))
+    t = m.selectExpr(
+        "(n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta",
+        "sx / n AS mean_x")
+    adj = (ua.crossJoin(F.broadcast(t))
+           .selectExpr("arm", "y",
+                       "y - theta * (x - mean_x) AS yadj", "theta"))
+    g = (adj.groupBy("arm", "theta")
+         .agg(F.count("*").cast("bigint").alias("n_users"),
+              d18(F.col("y")).alias("sy"),
+              d18(F.col("y") * F.col("y")).alias("syy"),
+              d18(F.col("yadj")).alias("sa"),
+              d18(F.col("yadj") * F.col("yadj")).alias("saa")))
+    return g.selectExpr(
+        "arm", "n_users",
+        "round(sy / n_users, 6) AS mean_y",
+        "round(sa / n_users, 6) AS mean_y_adj",
+        "round(theta, 6) AS theta",
+        "round(1.0 - (saa / n_users - (sa / n_users) * (sa / n_users))"
+        " / (syy / n_users - (sy / n_users) * (sy / n_users)), 6)"
+        " AS var_reduction")

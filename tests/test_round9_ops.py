@@ -259,3 +259,19 @@ def test_rho_excess_loss_output_shape(spark, sf_dir):
     assert ex == sorted(ex, reverse=True)
     for r in out:
         assert r.n_tokens > 0 and r.holdout_loss > 0 and r.own_loss > 0
+
+
+def test_cuped_properties(spark, sf_dir):
+    """theta is pooled (identical across arms), both arms present,
+    variance reduction bounded above by 1, and the adjustment must
+    not move an arm's mean by more than theta * the pre-period
+    spread (CUPED shifts means only through arm-level X imbalance)."""
+    rows = QUERIES["stat_cuped_adjustment"](spark, sf_dir).collect()
+    assert sorted(r.arm for r in rows) == [0, 1]
+    assert len({r.theta for r in rows}) == 1
+    for r in rows:
+        assert r.var_reduction < 1.0
+        # pooled-theta CUPED can mildly inflate one arm's variance on
+        # a correlation-free synthetic corpus, but never wildly
+        assert r.var_reduction > -0.2
+        assert abs(r.mean_y_adj - r.mean_y) < abs(r.theta) * 10_000 + 1.0
