@@ -4382,6 +4382,14 @@ def mixture_doremi_weights(spark, sf_dir):
           .groupBy("lang", "w")
           .agg(F.count("*").cast("bigint").alias("c"))
           .localCheckpoint(eager=True))        # feeds nd/gw/kl
+    return doremi_from_counts(dg)
+
+
+def doremi_from_counts(dg):
+    """The DoReMi reweighting algebra over a (lang, w, c) count
+    relation — shared by the batch query and the streaming mixture
+    monitor (streaming/mixturestate.py), so stream == batch by
+    construction on the same ingested counts."""
     nd = dg.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n"))
     gw = dg.groupBy("w").agg(F.sum("c").cast("bigint").alias("cg"))
     tot = dg.agg(F.sum("c").cast("bigint").alias("nt"))

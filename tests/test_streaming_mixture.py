@@ -1,0 +1,69 @@
+"""Streaming DoReMi mixture monitor (tenth mergeable-state member):
+served weights equal the oracle-checked batch query over the ingested
+union, replay is exactly-once, compaction sum-folds, and a new skewed
+domain shifts weight toward itself."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mental_health_bigdata_project_spark.plans import QUERIES
+from mental_health_bigdata_project_spark.sources import load_table
+from mental_health_bigdata_project_spark.streaming import mixturestate
+
+N_BATCHES = 3
+
+
+def _feed(spark, sf_dir, tmp_path):
+    idx = str(tmp_path / "idx")
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "lang", "text")
+    for b in range(N_BATCHES):
+        mixturestate.mixture_batch(
+            docs.filter(F.pmod("doc_id", F.lit(N_BATCHES)) == b), b, idx)
+    return idx, docs
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_served_weights_equal_batch_query(spark, sf_dir, tmp_path):
+    """Stream the whole corpus in 3 micro-batches -> served weights
+    are row-identical to mixture_doremi_weights (same algebra over
+    the same folded counts, by construction)."""
+    idx, _ = _feed(spark, sf_dir, tmp_path)
+    served = _rows(mixturestate.serve_weights(spark, idx))
+    batch = _rows(QUERIES["mixture_doremi_weights"](spark, sf_dir))
+    assert served == batch
+
+
+def test_replay_and_compaction(spark, sf_dir, tmp_path):
+    idx, docs = _feed(spark, sf_dir, tmp_path)
+    before = _rows(mixturestate.serve_weights(spark, idx))
+    mixturestate.mixture_batch(                 # crash-retry of batch 1
+        docs.filter(F.pmod("doc_id", F.lit(N_BATCHES)) == 1), 1, idx)
+    assert _rows(mixturestate.serve_weights(spark, idx)) == before
+    mixturestate.compact_mixture_state(spark, idx, through=N_BATCHES - 1)
+    assert _rows(mixturestate.serve_weights(spark, idx)) == before
+
+
+def test_new_skewed_domain_gains_weight(spark, sf_dir, tmp_path):
+    """A domain arriving mid-stream with vocabulary the pool does not
+    explain must surface with the highest excess loss — the live
+    reweighting signal the monitor exists to produce."""
+    idx, _ = _feed(spark, sf_dir, tmp_path)
+    alien = spark.createDataFrame(
+        [(10**9 + i, "xx", "zxqv wplk jrtm qqnn vbxz glorp snarf blick")
+         for i in range(5)],
+        "doc_id bigint, lang string, text string")
+    mixturestate.mixture_batch(alien, N_BATCHES, idx)
+    served = {r.lang: r for r in
+              mixturestate.serve_weights(spark, idx).collect()}
+    assert "xx" in served
+    assert served["xx"].excess_loss == max(r.excess_loss
+                                           for r in served.values())
+    # weight/share ratio maximal for the unexplained domain
+    ratios = {lang: r.doremi_weight / r.token_share
+              for lang, r in served.items()}
+    assert max(ratios, key=ratios.get) == "xx"
