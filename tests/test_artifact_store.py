@@ -287,3 +287,43 @@ def test_crash_between_snapshot_and_manifest_leaves_no_half_commit(
                                       ("documents",), build)
     assert calls["n"] == 2
     assert {(r.id, r.v) for r in rebuilt.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_racing_writers_degrade_to_rebuild_never_torn(
+        spark, sf_dir, tmp_path, monkeypatch):
+    """Two sessions racing to build the same artifact (the documented
+    single-writer-per-host assumption violated): last manifest commit
+    wins, and if the loser's commit lands AFTER the winner's GC
+    removed its snapshot dir, readers must degrade to a REBUILD — a
+    manifest pointing at a missing directory returns None, never a
+    torn read."""
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path / "store"))
+    a = spark.createDataFrame([(1, "A")], "id bigint, v string")
+    b = spark.createDataFrame([(2, "B")], "id bigint, v string")
+    # writer A commits normally (version 2 dirs simulate the race)
+    artifacts.write_artifact(a, sf_dir, "t_race", ("documents",))
+    adir = os.path.join(artifacts.artifact_root(),
+                        artifacts._dataset_key(sf_dir), "t_race")
+    # writer B (stale: read version 1 like A did) wrote its snapshot,
+    # then A's post-commit GC removed it, then B's manifest replace
+    # lands anyway — the exact loser-after-GC interleaving
+    with open(os.path.join(adir, "manifest.json")) as f:
+        committed = json.load(f)
+    loser_dir = "_v1-99999"
+    b.write.mode("overwrite").parquet(os.path.join(adir, loser_dir))
+    shutil.rmtree(os.path.join(adir, loser_dir))        # A's GC ran
+    loser_manifest = dict(committed, dir=loser_dir)
+    with open(os.path.join(adir, "manifest.json"), "w") as f:
+        json.dump(loser_manifest, f)                    # B's commit
+    # reader: missing snapshot -> None (no torn read, no exception)
+    assert artifacts.read_artifact(spark, sf_dir, "t_race",
+                                   ("documents",)) is None
+    # read_or_build: degrades to a rebuild and re-commits cleanly
+    calls, build = _counting_build(a)
+    got = artifacts.read_or_build(spark, sf_dir, "t_race",
+                                  ("documents",), build)
+    assert calls["n"] == 1
+    assert {(r.id, r.v) for r in got.collect()} == {(1, "A")}
+    with open(os.path.join(adir, "manifest.json")) as f:
+        m = json.load(f)
+    assert os.path.isdir(os.path.join(adir, m["dir"]))
