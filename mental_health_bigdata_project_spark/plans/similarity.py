@@ -3612,6 +3612,10 @@ def _power_iter_oracle_sql() -> str:
 """
 
 
+_POW_GRAM_MEMO = SessionMemo()
+_POW_EIG_MEMO = SessionMemo()
+
+
 @query("ml_power_iteration_portable", _power_iter_oracle_sql())
 def ml_power_iteration_portable(spark, sf_dir):
     """Top principal direction of the embedding corpus by POWER
@@ -3648,41 +3652,74 @@ def ml_power_iteration_portable(spark, sf_dir):
     Every iteration is metadata-sized: 4096-row joins against a
     broadcast 64-row vector, per-term 12dp-decimal sums.  One double
     division and sqrt per pass (fixed op order both engines)."""
-    e = _emb(spark, sf_dir)
-    px = (e.select("vec_id", F.posexplode(F.transform(
-        to_double_array("embedding"),
-        lambda x: F.floor(x * 1_000_000).cast("bigint")))
-        .alias("pos", "q")))
     dsum12 = lambda c: (F.sum(F.round(c, 12).cast("decimal(38,12)"))  # noqa: E731
                         .cast("double"))
-    p = px.select("vec_id", F.col("pos").alias("i"),
-                  F.col("q").alias("qi"))
-    q = px.select("vec_id", F.col("pos").alias("j"),
-                  F.col("q").alias("qj"))
-    part = (p.join(q, "vec_id")
-            .withColumn("pid", F.spark_partition_id())
-            .groupBy("i", "j", "pid")
-            .agg(F.sum(F.col("qi") * F.col("qj")).alias("ps")))
-    a = (part.groupBy("i", "j")
-         .agg((F.sum(F.col("ps").cast("decimal(38,0)")).cast("double")
-               / F.lit(1_000_000_000_000.0)).alias("val"))
-         .localCheckpoint(eager=True))          # 4096-row Gram matrix
-    v = (a.select("i").distinct()
-         .select(F.col("i").alias("j"), F.lit(0.125).alias("val")))
-    lam = None
-    for _ in range(_POW_ITERS):
-        w = (a.alias("a").join(F.broadcast(v.alias("v")), "j")
-             .groupBy("i")
-             .agg(dsum12(F.col("a.val") * F.col("v.val")).alias("val")))
-        lam = w.agg(F.sqrt(dsum12(F.col("val") * F.col("val")))
-                    .alias("l"))
-        v = (w.crossJoin(F.broadcast(lam))
-             .select(F.col("i").alias("j"),
-                     (F.col("val") / F.col("l")).alias("val")))
-    sgn = (v.filter(F.col("j") == 0)
+
+    def build_gram():
+        e = _emb(spark, sf_dir)
+        px = (e.select("vec_id", F.posexplode(F.transform(
+            to_double_array("embedding"),
+            lambda x: F.floor(x * 1_000_000).cast("bigint")))
+            .alias("pos", "q")))
+        p = px.select("vec_id", F.col("pos").alias("i"),
+                      F.col("q").alias("qi"))
+        q = px.select("vec_id", F.col("pos").alias("j"),
+                      F.col("q").alias("qj"))
+        part = (p.join(q, "vec_id")
+                .withColumn("pid", F.spark_partition_id())
+                .groupBy("i", "j", "pid")
+                .agg(F.sum(F.col("qi") * F.col("qj")).alias("ps")))
+        return (part.groupBy("i", "j")
+                .agg((F.sum(F.col("ps").cast("decimal(38,0)"))
+                      .cast("double")
+                      / F.lit(1_000_000_000_000.0)).alias("val")))
+
+    # the 4096-row Gram is the expensive corpus touch — persist it
+    # like the other corpus artifacts (doubles round-trip parquet
+    # bit-exactly, so the iteration input is identical either way)
+    a = _POW_GRAM_MEMO.get(spark, sf_dir)
+    if a is None:
+        if _memoizable(sf_dir):
+            a = read_or_build(spark, sf_dir, "power_gram",
+                              ("embeddings",), build_gram)
+        else:
+            a = build_gram().localCheckpoint(eager=True)
+        _POW_GRAM_MEMO.put(spark, sf_dir, a)
+    def train():
+        v = (a.select("i").distinct()
+             .select(F.col("i").alias("j"), F.lit(0.125).alias("val")))
+        lam = None
+        for _ in range(_POW_ITERS):
+            # checkpoint each 64-row pass output: lam and v each
+            # consume w, and v feeds the next pass twice — without the
+            # cut the lazy 3-pass DAG re-executes shared subplans
+            # exponentially
+            w = (a.alias("a").join(F.broadcast(v.alias("v")), "j")
+                 .groupBy("i")
+                 .agg(dsum12(F.col("a.val") * F.col("v.val"))
+                      .alias("val"))
+                 .localCheckpoint(eager=True))
+            lam = w.agg(F.sqrt(dsum12(F.col("val") * F.col("val")))
+                        .alias("l")).localCheckpoint(eager=True)
+            v = (w.crossJoin(F.broadcast(lam))
+                 .select(F.col("i").alias("j"),
+                         (F.col("val") / F.col("l")).alias("val")))
+        return v.crossJoin(F.broadcast(lam))     # 64 rows: (j, val, l)
+
+    # the trained eigenpair persists like the other model artifacts
+    # (64 doubles — parquet round-trips them bit-exactly)
+    pair = _POW_EIG_MEMO.get(spark, sf_dir)
+    if pair is None:
+        if _memoizable(sf_dir):
+            pair = read_or_build(spark, sf_dir, "power_eigpair",
+                                 ("embeddings",), train)
+        else:
+            pair = train().localCheckpoint(eager=True)
+        _POW_EIG_MEMO.put(spark, sf_dir, pair)
+    sgn = (pair.filter(F.col("j") == 0)
            .select(F.when(F.col("val") < 0, F.lit(-1.0))
                    .otherwise(F.lit(1.0)).alias("s")))
-    return (v.crossJoin(F.broadcast(lam)).crossJoin(F.broadcast(sgn))
+    return (pair.crossJoin(F.broadcast(sgn))
             .filter(F.col("j") < _POW_OUT_DIMS)
             .select(F.col("j").alias("pos"),
                     (F.round(F.col("val") * F.col("s"), 6)
