@@ -67,3 +67,43 @@ def test_new_skewed_domain_gains_weight(spark, sf_dir, tmp_path):
     ratios = {lang: r.doremi_weight / r.token_share
               for lang, r in served.items()}
     assert max(ratios, key=ratios.get) == "xx"
+
+
+def test_available_now_runner(spark, sf_dir, tmp_path):
+    """The real writeStream wiring: a 2-file JSON stream drains
+    through run_mixture_monitor and the served weights equal the
+    batch algebra over exactly those docs."""
+    import json as _json
+    import time
+
+    from mental_health_bigdata_project_spark.plans.textops import (
+        doremi_from_counts, tokens_col)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "text").limit(40).collect())
+    with open(in_dir / "b0.json", "w") as f:
+        for r in docs[:20]:
+            f.write(_json.dumps({"doc_id": r.doc_id, "lang": r.lang,
+                                 "text": r.text}) + "\n")
+    time.sleep(1.1)
+    with open(in_dir / "b1.json", "w") as f:
+        for r in docs[20:]:
+            f.write(_json.dumps({"doc_id": r.doc_id, "lang": r.lang,
+                                 "text": r.text}) + "\n")
+    stream = (spark.readStream
+              .schema("doc_id bigint, lang string, text string")
+              .option("maxFilesPerTrigger", 1).json(str(in_dir)))
+    q = mixturestate.run_mixture_monitor(stream, str(tmp_path / "ckpt"),
+                                         str(tmp_path / "idx"))
+    q.awaitTermination(120)
+    served = _rows(mixturestate.serve_weights(spark, str(tmp_path / "idx")))
+    ingested = spark.createDataFrame(
+        [(r.doc_id, r.lang, r.text) for r in docs],
+        "doc_id bigint, lang string, text string")
+    dg = (ingested.select("lang", F.explode(tokens_col()).alias("w"))
+          .groupBy("lang", "w")
+          .agg(F.count("*").cast("bigint").alias("c"))
+          .localCheckpoint(eager=True))
+    assert served == _rows(doremi_from_counts(dg))
