@@ -173,8 +173,10 @@ HEADLINE = [
     # shape (range exchange of the doc grid) + log-log OLS — and the
     # RHO-loss cross-fitted selection (two LM scorings in one join)
     "text_heaps_law", "sample_rho_excess_loss",
-    # round-9 (late): CUPED + the power/MDE readout over its moments
+    # round-9 (late): CUPED + the power/MDE readout over its moments,
+    # and the two-step DoReMi trajectory (moving-reference EG)
     "stat_cuped_adjustment", "stat_power_mde",
+    "mixture_doremi_trajectory",
 ]
 
 # Queries per calibration group: a host-speed probe runs between

@@ -4621,3 +4621,127 @@ def sample_rho_excess_loss(spark, sf_dir):
                         "round(hold, 6) AS holdout_loss",
                         "round(own, 6) AS own_loss",
                         "round(hold - own, 6) AS excess_loss"))
+
+
+@query("mixture_doremi_trajectory", f"""
+    WITH tok AS (SELECT lang, unnest({_TOKS_SQL}) AS w FROM documents),
+    dg AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+           FROM tok GROUP BY lang, w),
+    nd AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM dg GROUP BY lang),
+    gw AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cg FROM dg GROUP BY w),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM dg),
+    kl1 AS (SELECT dg.lang,
+                   CAST(SUM(CAST(
+                     (CAST(dg.c AS DOUBLE) / nd.n)
+                     * ln((CAST(dg.c AS DOUBLE) / nd.n)
+                          / (CAST(gw.cg AS DOUBLE) / tot.n))
+                     AS DECIMAL(38,18))) AS DOUBLE) AS e1
+            FROM dg
+            JOIN nd ON nd.lang = dg.lang
+            JOIN gw ON gw.w = dg.w
+            CROSS JOIN tot
+            GROUP BY dg.lang),
+    r1 AS (SELECT kl1.lang, kl1.e1,
+                  (CAST(nd.n AS DOUBLE) / tot.n) * exp(1.0 * kl1.e1)
+                    AS r
+           FROM kl1 JOIN nd ON nd.lang = kl1.lang CROSS JOIN tot),
+    z1 AS (SELECT CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS z
+           FROM r1),
+    w1 AS (SELECT r1.lang, r1.e1, r1.r / z1.z AS wt
+           FROM r1 CROSS JOIN z1),
+    q1 AS (SELECT dg.w,
+                  CAST(SUM(CAST(
+                    w1.wt * (CAST(dg.c AS DOUBLE) / nd.n)
+                    AS DECIMAL(38,18))) AS DOUBLE) AS q
+           FROM dg
+           JOIN nd ON nd.lang = dg.lang
+           JOIN w1 ON w1.lang = dg.lang
+           GROUP BY dg.w),
+    kl2 AS (SELECT dg.lang,
+                   CAST(SUM(CAST(
+                     (CAST(dg.c AS DOUBLE) / nd.n)
+                     * ln((CAST(dg.c AS DOUBLE) / nd.n) / q1.q)
+                     AS DECIMAL(38,18))) AS DOUBLE) AS e2
+            FROM dg
+            JOIN nd ON nd.lang = dg.lang
+            JOIN q1 ON q1.w = dg.w
+            GROUP BY dg.lang),
+    r2 AS (SELECT w1.lang, w1.e1, w1.wt, kl2.e2,
+                  w1.wt * exp(1.0 * kl2.e2) AS r
+           FROM w1 JOIN kl2 ON kl2.lang = w1.lang),
+    z2 AS (SELECT CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS z
+           FROM r2)
+    SELECT r2.lang,
+           round(r2.e1, 6) AS excess_loss_1,
+           round(r2.wt, 6) AS weight_1,
+           round(r2.e2, 6) AS excess_loss_2,
+           round(r2.r / z2.z, 6) AS weight_2
+    FROM r2 CROSS JOIN z2
+""")
+def mixture_doremi_trajectory(spark, sf_dir):
+    """TWO exponentiated-gradient steps of the DoReMi recurrence —
+    the TRAJECTORY the one-step mixture_doremi_weights starts: after
+    step 1 reweights the domains, step 2 measures each domain's
+    excess loss against the REWEIGHTED reference mixture
+    Q1 = sum_d w1_d * P_d (the published algorithm's moving
+    reference) and updates again.  The self-correcting direction is
+    the point: a domain boosted in step 1 contributes more to Q1, so
+    its step-2 excess falls — weights move toward the equilibrium
+    where no domain is under-represented (pinned by test: the step-1
+    argmax domain's excess strictly decreases).
+
+    Exactness: Q1's per-word mixture sum runs over the ~#domains
+    terms in DECIMAL(38,18) (order-free exact accumulation — a plain
+    double hash-agg would be partition-order-dependent); both KL
+    passes and both normalizers use the same decimal-sum convention
+    as the parent.  Plan: the SAME one-explode (lang, word) relation
+    feeds every pass (checkpointed once); each EG step adds one
+    vocab-sized grouped join — no corpus re-scan, no dense grid; the
+    per-step driver state is #domains numbers, exactly the
+    fixed-iteration contract of the PageRank/BPE loops."""
+    d = _docs(spark, sf_dir).select("lang", tokens_col().alias("toks"))
+    dg = (d.select("lang", F.explode("toks").alias("w"))
+          .groupBy("lang", "w")
+          .agg(F.count("*").cast("bigint").alias("c"))
+          .localCheckpoint(eager=True))        # feeds every pass
+    nd = (dg.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n"))
+          .localCheckpoint(eager=True))
+    gw = dg.groupBy("w").agg(F.sum("c").cast("bigint").alias("cg"))
+    tot = dg.agg(F.sum("c").cast("bigint").alias("nt"))
+    d18 = lambda c: F.sum(c.cast("decimal(38,18)")).cast("double")  # noqa: E731
+    p_dw = F.col("c").cast("double") / F.col("n")
+    kl1 = (dg.join(F.broadcast(nd), "lang")
+           .join(gw, "w")
+           .crossJoin(F.broadcast(tot))
+           .groupBy("lang")
+           .agg(d18(p_dw * F.log(p_dw / (F.col("cg").cast("double")
+                                         / F.col("nt")))).alias("e1")))
+    r1 = (kl1.join(F.broadcast(nd), "lang")
+          .crossJoin(F.broadcast(tot))
+          .select("lang", "e1",
+                  ((F.col("n").cast("double") / F.col("nt"))
+                   * F.exp(F.lit(1.0) * F.col("e1"))).alias("r")))
+    z1 = r1.agg(d18(F.col("r")).alias("z"))
+    w1 = (r1.crossJoin(F.broadcast(z1))
+          .select("lang", "e1", (F.col("r") / F.col("z")).alias("wt"))
+          .localCheckpoint(eager=True))        # step-1 model state
+    q1 = (dg.join(F.broadcast(nd), "lang")
+          .join(F.broadcast(w1.select("lang", "wt")), "lang")
+          .groupBy("w")
+          .agg(d18(F.col("wt") * p_dw).alias("q")))
+    kl2 = (dg.join(F.broadcast(nd), "lang")
+           .join(q1, "w")
+           .groupBy("lang")
+           .agg(d18(p_dw * F.log(p_dw / F.col("q"))).alias("e2")))
+    r2 = (w1.join(F.broadcast(kl2), "lang")
+          .select("lang", "e1", "wt", "e2",
+                  (F.col("wt") * F.exp(F.lit(1.0) * F.col("e2")))
+                  .alias("r")))
+    z2 = r2.agg(d18(F.col("r")).alias("z"))
+    return (r2.crossJoin(F.broadcast(z2))
+            .select("lang",
+                    F.round("e1", 6).alias("excess_loss_1"),
+                    F.round("wt", 6).alias("weight_1"),
+                    F.round("e2", 6).alias("excess_loss_2"),
+                    F.round(F.col("r") / F.col("z"), 6)
+                    .alias("weight_2")))

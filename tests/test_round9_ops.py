@@ -301,3 +301,24 @@ def test_power_mde_consistent_with_cuped(spark, sf_dir):
     assert mde.mde_ratio == round(mde.mde_cuped / mde.mde_raw, 6) or \
         abs(mde.mde_ratio - mde.mde_cuped / mde.mde_raw) < 1e-5
     assert math.isfinite(mde.mde_raw)
+
+
+def test_doremi_trajectory_moves_toward_equilibrium(spark, sf_dir):
+    """Step 2 measures excess against the REWEIGHTED reference: the
+    step-1 argmax domain contributes more to it, so its excess must
+    strictly decrease; step-1 columns must agree with the one-step
+    query; weights stay a distribution at both steps."""
+    traj = {r.lang: r for r in
+            QUERIES["mixture_doremi_trajectory"](spark, sf_dir).collect()}
+    one = {r.lang: r for r in
+           QUERIES["mixture_doremi_weights"](spark, sf_dir).collect()}
+    assert set(traj) == set(one)
+    for lang, r in traj.items():
+        assert r.excess_loss_1 == one[lang].excess_loss
+        assert r.weight_1 == one[lang].doremi_weight
+        assert r.excess_loss_2 >= 0.0            # KL nonnegativity
+    for col in ("weight_1", "weight_2"):
+        assert abs(sum(getattr(r, col) for r in traj.values()) - 1.0) \
+            < 1e-4
+    top = max(traj.values(), key=lambda r: r.excess_loss_1)
+    assert top.excess_loss_2 < top.excess_loss_1
