@@ -1,11 +1,12 @@
 """[EXT] Multimodal-column plumbing (SURVEY.md north star).
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
-metadata.  The decode/feature-extract step is a deterministic fake
-(this container has no image/audio libraries — see ``operators.media``),
-but the Spark-side plumbing is real: binary columns, Arrow-batched
-mapInPandas with an explicit output schema, and partition-preserving
-one-pass plans.
+metadata.  WAV (RIFF/PCM) decode is REAL as of round 9
+(``operators.media.decode_wav`` — pure-Python container parse, no
+codec library); compressed codecs keep a deterministic fake
+feature extractor.  The Spark-side plumbing is real throughout:
+binary columns, Arrow-batched mapInPandas with an explicit output
+schema, and partition-preserving one-pass plans.
 """
 
 from __future__ import annotations

@@ -322,3 +322,53 @@ def test_doremi_trajectory_moves_toward_equilibrium(spark, sf_dir):
             < 1e-4
     top = max(traj.values(), key=lambda r: r.excess_loss_1)
     assert top.excess_loss_2 < top.excess_loss_1
+
+
+def test_wav_files_ingest_through_binaryfile_and_decode(spark, tmp_path):
+    """END-TO-END media ingestion: real .wav FILES written by stdlib
+    wave -> the binaryFile source (read_media_dir) -> the real
+    decode_wav_features parse — the full path an audio corpus takes
+    into the engine, batch and streaming twins."""
+    import array
+    import wave
+
+    from mental_health_bigdata_project_spark.operators.media import (
+        decode_wav_features, read_media_dir, stream_media_dir)
+
+    media = tmp_path / "media"
+    media.mkdir()
+    fixtures = {"a.wav": [100, -100, 5000], "b.wav": [0, 32767],
+                "c.wav": [-1, -2, -3, -4]}
+    for name, samples in fixtures.items():
+        with wave.open(str(media / name), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(array.array("h", samples).tobytes())
+    (media / "notes.txt").write_text("not audio")   # pruned at listing
+
+    rows = read_media_dir(spark, str(media), glob="*.wav")
+    feats = decode_wav_features(rows.select("doc_id", "payload"))
+    got = {r.doc_id: r for r in feats.collect()}
+    metas = {r.media_meta.path.rsplit("/", 1)[-1]: r.doc_id
+             for r in rows.select("doc_id", "media_meta").collect()}
+    assert set(metas) == set(fixtures)
+    for name, samples in fixtures.items():
+        r = got[metas[name]]
+        assert r.sample_rate == 16000 and r.bit_depth == 16
+        assert r.n_samples == len(samples)
+        assert r.sum_samples == sum(samples)
+        assert r.peak_abs == max(abs(s) for s in samples)
+
+    # streaming twin: the same projection + decode over a file STREAM
+    out = []
+    q = (decode_wav_features(
+            stream_media_dir(spark, str(media), glob="*.wav")
+            .select("doc_id", "payload"))
+         .writeStream.foreachBatch(
+            lambda df, _bid: out.extend(df.collect()))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert {(r.doc_id, r.n_samples, r.sum_samples) for r in out} == \
+        {(r.doc_id, r.n_samples, r.sum_samples) for r in got.values()}
