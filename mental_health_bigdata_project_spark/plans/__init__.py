@@ -197,7 +197,7 @@ _CONVERTED_FRONT = [
     "mixture_doremi_weights", "stat_conformal_group_gap",
     "text_heaps_law", "sample_rho_excess_loss",
     "stat_cuped_adjustment", "stat_power_mde",
-    "mixture_doremi_trajectory",
+    "mixture_doremi_trajectory", "text_watermark_detect",
     # --- round-9 adjacency: re-certify ---
     "ml_logreg_newton_portable", "stat_conformal_interval",
     "multimodal_features", "multimodal_dedup_bytes",

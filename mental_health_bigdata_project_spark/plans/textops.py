@@ -4745,3 +4745,57 @@ def mixture_doremi_trajectory(spark, sf_dir):
                     F.round("e2", 6).alias("excess_loss_2"),
                     F.round(F.col("r") / F.col("z"), 6)
                     .alias("weight_2")))
+
+
+@query("text_watermark_detect", f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS w FROM documents),
+    g AS (SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(SUM(CASE WHEN substr(md5('wm1-' || w), 1, 1)
+                               IN ('0','1','2','3','4','5','6','7')
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_green
+          FROM tok GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_green,
+           round((CAST(n_green AS DOUBLE) - 0.5 * n_tokens)
+                 / (0.5 * sqrt(CAST(n_tokens AS DOUBLE))), 6) AS z_score,
+           CAST(CASE WHEN (CAST(n_green AS DOUBLE) - 0.5 * n_tokens)
+                          / (0.5 * sqrt(CAST(n_tokens AS DOUBLE))) >= 4.0
+                     THEN 1 ELSE 0 END AS INT) AS flagged
+    FROM g WHERE n_tokens > 0
+""")
+def text_watermark_detect(spark, sf_dir):
+    """Statistical WATERMARK detection (Kirchenbauer et al. 2023, 'A
+    Watermark for Large Language Models'): a watermarked generator
+    biases sampling toward a pseudorandom 'green list' of the vocab,
+    and the detector needs only the hash key — per document, count
+    tokens whose keyed hash lands green (gamma = 0.5 here: first md5
+    hex nibble < 8) and compute the one-proportion z-score
+    (g - gamma*n) / sqrt(n*gamma*(1-gamma)); z >= 4 flags the doc.
+    This is the curation gate a 100 TB pipeline runs to keep
+    watermarked MODEL OUTPUT out of training data — the contamination
+    direction decontam_benchmark (benchmark leakage) does not cover.
+
+    Exactness: the green-list membership is the engine-portable md5
+    convention (identical hex on both engines), the z arithmetic is
+    one fixed double op chain, and counts are exact integers — so the
+    whole detector hash-matches.  On THIS corpus nothing is
+    watermarked, so flags should be ~none at gamma-noise rates (the
+    honest negative control; the semantic test plants a green-only
+    doc and the z-score must explode).  Plan: one explode -> per-doc
+    hash agg riding the scan partitioning; no joins, no windows —
+    embarrassingly parallel at any scale."""
+    t = (_docs(spark, sf_dir)
+         .select("doc_id", F.explode(tokens_col()).alias("w")))
+    green = F.substring(F.md5(F.concat(F.lit("wm1-"), F.col("w"))), 1, 1) \
+        .isin(*"01234567")
+    g = (t.groupBy("doc_id")
+         .agg(F.count("*").cast("bigint").alias("n_tokens"),
+              F.sum(F.when(green, 1).otherwise(0)).cast("bigint")
+              .alias("n_green")))
+    z = ((F.col("n_green").cast("double") - 0.5 * F.col("n_tokens"))
+         / (0.5 * F.sqrt(F.col("n_tokens").cast("double"))))
+    return (g.filter(F.col("n_tokens") > 0)
+            .select("doc_id", "n_tokens", "n_green",
+                    F.round(z, 6).alias("z_score"),
+                    F.when(z >= 4.0, 1).otherwise(0).cast("int")
+                    .alias("flagged")))

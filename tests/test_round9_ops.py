@@ -372,3 +372,36 @@ def test_wav_files_ingest_through_binaryfile_and_decode(spark, tmp_path):
     q.awaitTermination(120)
     assert {(r.doc_id, r.n_samples, r.sum_samples) for r in out} == \
         {(r.doc_id, r.n_samples, r.sum_samples) for r in got.values()}
+
+
+def test_watermark_detector_flags_planted_green_doc(spark, tmp_path):
+    """Negative control on clean text plus a planted green-only doc:
+    the plant's z-score must clear the threshold while ordinary docs
+    sit at gamma-noise levels (|z| small, none flagged at 4-sigma
+    with ~100-token docs)."""
+    import hashlib
+
+    # mine some green words (keyed-hash nibble < 8) and red words
+    green_words, red_words, i = [], [], 0
+    while len(green_words) < 60 or len(red_words) < 60:
+        w = f"tok{i}"
+        nib = hashlib.md5(f"wm1-{w}".encode()).hexdigest()[0]
+        (green_words if nib in "01234567" else red_words).append(w)
+        i += 1
+    mixed = " ".join((green_words[k // 2] if k % 2 == 0
+                      else red_words[k // 2]) for k in range(100))
+    planted = " ".join(green_words[:60])
+    docs = spark.createDataFrame(
+        [(0, mixed, "en", "s0"), (1, planted, "en", "s0"),
+         (2, " ".join(red_words[:60]), "en", "s0")],
+        "doc_id bigint, text string, lang string, source string")
+    data = str(tmp_path / "corpus")
+    import os
+    os.makedirs(data)
+    docs.coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(data, "documents.parquet"))
+    out = {r.doc_id: r for r in
+           QUERIES["text_watermark_detect"](spark, data).collect()}
+    assert out[0].flagged == 0 and abs(out[0].z_score) < 1e-6
+    assert out[1].flagged == 1 and out[1].z_score > 7.0
+    assert out[2].flagged == 0 and out[2].z_score < -7.0
