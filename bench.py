@@ -177,8 +177,9 @@ HEADLINE = [
     # and the two-step DoReMi trajectory (moving-reference EG)
     "stat_cuped_adjustment", "stat_power_mde",
     "mixture_doremi_trajectory",
-    # round-9 (late): watermark z-scan — pure explode+agg riding the scan
-    "text_watermark_detect",
+    # round-9 (late): watermark z-scan — pure explode+agg riding the
+    # scan — and the adjacent-pair Self-BLEU diversity join
+    "text_watermark_detect", "text_self_bleu_adjacent",
 ]
 
 # Queries per calibration group: a host-speed probe runs between

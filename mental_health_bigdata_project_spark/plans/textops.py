@@ -4799,3 +4799,103 @@ def text_watermark_detect(spark, sf_dir):
                     F.round(z, 6).alias("z_score"),
                     F.when(z >= 4.0, 1).otherwise(0).cast("int")
                     .alias("flagged")))
+
+
+@query("text_self_bleu_adjacent", f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i + 1])) AS b
+           FROM d WHERE len(toks) >= 2),
+    bc AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+           FROM bg GROUP BY doc_id, b),
+    nb AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM bc
+           GROUP BY doc_id),
+    clip AS (SELECT a.doc_id AS cand,
+                    CAST(SUM(least(a.c, r.c)) AS BIGINT) AS clipped
+             FROM bc a JOIN bc r
+               ON r.doc_id = a.doc_id + 1 AND r.b = a.b
+             GROUP BY a.doc_id),
+    pairs AS (SELECT na.doc_id AS cand, na.n AS nc, nr.n AS nr,
+                     CAST(coalesce(clip.clipped, 0) AS BIGINT)
+                       AS clipped
+              FROM nb na
+              JOIN nb nr ON nr.doc_id = na.doc_id + 1
+              LEFT JOIN clip ON clip.cand = na.doc_id),
+    scored AS (SELECT cand, nc, nr, clipped,
+                      (CAST(clipped AS DOUBLE) / nc)
+                      * (CASE WHEN nc < nr
+                              THEN exp(1.0 - CAST(nr AS DOUBLE) / nc)
+                              ELSE 1.0 END) AS bleu2
+               FROM pairs)
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(SUM(CAST(bleu2 AS DECIMAL(38,18))) AS DOUBLE)
+                 / count(*), 6) AS avg_self_bleu2,
+           round(CAST(SUM(CAST(CAST(clipped AS DOUBLE) / nc
+                     AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6)
+             AS avg_bigram_precision,
+           CAST(SUM(CASE WHEN clipped = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_disjoint_pairs
+    FROM scored
+""")
+def text_self_bleu_adjacent(spark, sf_dir):
+    """Corpus DIVERSITY via Self-BLEU (Zhu et al. 2018, Texygen): how
+    much each document's bigrams are already present in another — a
+    repetitive/templated corpus scores high, a diverse one near zero.
+    Deterministic instantiation: each doc is scored against its
+    doc_id-successor (a fixed O(n) pairing instead of Texygen's
+    random references — every engine and every run picks the same
+    pairs), BLEU-2 = clipped bigram precision x brevity penalty.
+    Output: pair count, mean Self-BLEU-2, mean clipped bigram
+    precision, and the count of fully disjoint pairs (the diversity
+    floor).
+
+    Exactness: clipped counts are exact-integer min-sums; precision
+    and the brevity penalty are fixed double op chains; the corpus
+    mean accumulates in DECIMAL(38,18).  Plan: one explode -> per-doc
+    bigram counts, ONE self-join keyed on (successor doc_id, bigram)
+    — at 100 TB the join is bigram-vocabulary-shaped per adjacent
+    pair, not all-pairs (the all-pairs Texygen form is exactly what
+    cannot scale; the adjacent form keeps the diversity signal at
+    O(corpus))."""
+    d = (_docs(spark, sf_dir)
+         .select("doc_id", tokens_col().alias("toks"))
+         .filter(F.size("toks") >= 2))
+    bg = d.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(" ", F.element_at("toks", i),
+                                  F.element_at("toks", i + 1))))
+        .alias("b"))
+    bc = (bg.groupBy("doc_id", "b")
+          .agg(F.count("*").cast("bigint").alias("c"))
+          .localCheckpoint(eager=True))        # feeds nb + both join sides
+    nb = bc.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("n"))
+    a, r = bc.alias("a"), bc.alias("r")
+    clip = (a.join(r, (F.col("r.doc_id") == F.col("a.doc_id") + 1)
+                   & (F.col("r.b") == F.col("a.b")))
+            .groupBy(F.col("a.doc_id").alias("cand"))
+            .agg(F.sum(F.least("a.c", "r.c")).cast("bigint")
+                 .alias("clipped")))
+    na, nr = nb.alias("na"), nb.alias("nr")
+    pairs = (na.join(nr, F.col("nr.doc_id") == F.col("na.doc_id") + 1)
+             .join(clip, clip.cand == F.col("na.doc_id"), "left")
+             .select(F.col("na.n").alias("nc"), F.col("nr.n").alias("nr"),
+                     F.coalesce("clipped", F.lit(0)).cast("bigint")
+                     .alias("clipped")))
+    prec = F.col("clipped").cast("double") / F.col("nc")
+    bp = F.when(F.col("nc") < F.col("nr"),
+                F.exp(1.0 - F.col("nr").cast("double") / F.col("nc"))) \
+        .otherwise(F.lit(1.0))
+    scored = pairs.select("nc", "clipped", (prec * bp).alias("bleu2"),
+                          prec.alias("p"))
+    d18 = lambda c: F.sum(c.cast("decimal(38,18)")).cast("double")  # noqa: E731
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(d18(F.col("bleu2")) / F.count("*"), 6)
+        .alias("avg_self_bleu2"),
+        F.round(d18(F.col("p")) / F.count("*"), 6)
+        .alias("avg_bigram_precision"),
+        F.sum(F.when(F.col("clipped") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n_disjoint_pairs"))

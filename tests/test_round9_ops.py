@@ -405,3 +405,34 @@ def test_watermark_detector_flags_planted_green_doc(spark, tmp_path):
     assert out[0].flagged == 0 and abs(out[0].z_score) < 1e-6
     assert out[1].flagged == 1 and out[1].z_score > 7.0
     assert out[2].flagged == 0 and out[2].z_score < -7.0
+
+
+def test_self_bleu_extremes_on_controlled_corpora(spark, tmp_path):
+    """A corpus of identical docs must score Self-BLEU ~1 with zero
+    disjoint pairs; a corpus of disjoint-vocabulary docs must score 0
+    with every pair disjoint."""
+    import os
+
+    same = [(i, "alpha beta gamma delta epsilon zeta", "en", "s0")
+            for i in range(6)]
+    data1 = str(tmp_path / "same")
+    os.makedirs(data1)
+    spark.createDataFrame(
+        same, "doc_id bigint, text string, lang string, source string") \
+        .coalesce(1).write.parquet(os.path.join(data1,
+                                                "documents.parquet"))
+    r = QUERIES["text_self_bleu_adjacent"](spark, data1).collect()[0]
+    assert r.n_pairs == 5 and r.n_disjoint_pairs == 0
+    assert abs(r.avg_self_bleu2 - 1.0) < 1e-6
+
+    disj = [(i, " ".join(f"w{i}_{j}" for j in range(8)), "en", "s0")
+            for i in range(6)]
+    data2 = str(tmp_path / "disj")
+    os.makedirs(data2)
+    spark.createDataFrame(
+        disj, "doc_id bigint, text string, lang string, source string") \
+        .coalesce(1).write.parquet(os.path.join(data2,
+                                                "documents.parquet"))
+    r = QUERIES["text_self_bleu_adjacent"](spark, data2).collect()[0]
+    assert r.n_pairs == 5 and r.n_disjoint_pairs == 5
+    assert r.avg_self_bleu2 == 0.0
