@@ -198,7 +198,7 @@ _CONVERTED_FRONT = [
     "text_heaps_law", "sample_rho_excess_loss",
     "stat_cuped_adjustment", "stat_power_mde",
     "mixture_doremi_trajectory", "text_watermark_detect",
-    "text_self_bleu_adjacent",
+    "text_self_bleu_adjacent", "dq_freshness_lag",
     # --- round-9 adjacency: re-certify ---
     "ml_logreg_newton_portable", "stat_conformal_interval",
     "multimodal_features", "multimodal_dedup_bytes",

@@ -3462,3 +3462,47 @@ def stat_power_mde(spark, sf_dir):
         "round(2.801585 * sqrt(v0c / n0 + v1c / n1), 6) AS mde_cuped",
         "round(sqrt(v0c / n0 + v1c / n1)"
         " / sqrt(v0r / n0 + v1r / n1), 6) AS mde_ratio")
+
+
+@query("dq_freshness_lag", """
+    WITH s AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts
+               FROM events),
+    m AS (SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 max(ts) AS latest
+          FROM s GROUP BY event_type),
+    g AS (SELECT max(latest) AS corpus_latest FROM m)
+    SELECT m.event_type, m.n_events,
+           m.latest, g.corpus_latest,
+           CAST(epoch_us(g.corpus_latest) - epoch_us(m.latest)
+                AS BIGINT) // 1000000 AS lag_sec,
+           CAST(CASE WHEN epoch_us(g.corpus_latest) - epoch_us(m.latest)
+                          > 86400000000 THEN 1 ELSE 0 END AS INT)
+             AS stale
+    FROM m CROSS JOIN g
+""")
+def dq_freshness_lag(spark, sf_dir):
+    """Data-freshness audit: per event type, how far its newest event
+    lags the corpus watermark (max ts anywhere), with a 24 h
+    staleness flag — the first page of every ingestion runbook (a
+    source whose feed silently died keeps passing row-level DQ gates
+    while its lag grows).  Lag is exact integer microsecond
+    arithmetic floored to seconds; one scan, one 5-row max-agg, one
+    broadcast of the 1-row watermark.  At 100 TB: map-side max
+    partials make this metadata-cost on top of any scan that is
+    already running, and the streaming twin is just max-merge state —
+    the HLL register pattern with a single timestamp per group."""
+    s = _t(spark, sf_dir, "events").selectExpr(
+        "event_type", "CAST(ts AS TIMESTAMP) AS ts")
+    m = (s.groupBy("event_type")
+         .agg(F.count("*").cast("bigint").alias("n_events"),
+              F.max("ts").alias("latest")))
+    g = m.agg(F.max("latest").alias("corpus_latest"))
+    lag_us = F.expr("unix_micros(corpus_latest) - unix_micros(latest)")
+    return (m.crossJoin(F.broadcast(g))
+            .select("event_type", "n_events", "latest", "corpus_latest",
+                    F.expr("(unix_micros(corpus_latest)"
+                           " - unix_micros(latest)) div 1000000")
+                    .cast("bigint").alias("lag_sec"),
+                    F.when(lag_us > 86400 * 1_000_000, 1).otherwise(0)
+                    .cast("int").alias("stale")))
