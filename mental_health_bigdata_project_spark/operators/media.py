@@ -5,15 +5,16 @@ with Arrow-batched ``mapInPandas`` — the pattern for decode / resize /
 frame-sample at 100 TB (payload bytes never leave the executor, batches
 stream through Python via Arrow, output schema is explicit).
 
-Decode status (round 9): WAV (RIFF/PCM, 8- and 16-bit) is REAL —
+Decode status (round 10): WAV is REAL for integer PCM (8/16-bit),
+IEEE float32 (format tag 3) and G.711 mu-law (format tag 7) —
 ``decode_wav`` is a pure-Python container parser needing no codec
 library, wired into the same Arrow-batched path as the fakes and
 value-checked against stdlib ``wave`` fixtures.  COMPRESSED codecs
-(jpeg/mp3/h264/non-PCM WAV) remain stubbed: ``decode_media`` raises
-NotImplementedError for those, and the generic feature extractor
-keeps its deterministic byte-statistics fake.  The Spark-side
-plumbing — schema, batch iteration, partitioning — is real and
-tested for every path.
+(jpeg/mp3/h264, ADPCM, extensible WAV) remain stubbed:
+``decode_media`` raises NotImplementedError for those, and the
+generic feature extractor keeps its deterministic byte-statistics
+fake.  The Spark-side plumbing — schema, batch iteration,
+partitioning — is real and tested for every path.
 """
 
 from __future__ import annotations
@@ -41,27 +42,50 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
 
 
 def decode_media(payload: bytes, mime: str) -> object:
-    """Decode hook (image/audio/video).  WAV (RIFF/PCM) decodes for
-    real via ``decode_wav``; compressed codecs need libraries not
-    present in this environment and stay stubbed."""
+    """Decode hook (image/audio/video).  WAV (RIFF: integer PCM, IEEE
+    float32, G.711 mu-law) decodes for real via ``decode_wav``;
+    compressed codecs need libraries not present in this environment
+    and stay stubbed."""
     if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
         return decode_wav(payload)
     raise NotImplementedError(
         f"decoding {mime!r} requires codec libraries not present in this "
-        "environment (only RIFF/PCM WAV decodes without one); "
+        "environment (only RIFF WAV decodes without one); "
         "extract_features uses a deterministic fake instead")
 
 
+def mulaw_expand(code: int) -> int:
+    """G.711 mu-law byte -> 16-bit linear sample, the standard pure-
+    integer expansion (ITU-T G.711 table; matches CPython's audioop):
+    complement the byte, split sign/exponent/mantissa, rebuild the
+    biased magnitude.  Byte 0x00 -> -32124, 0xFF -> 0."""
+    u = ~code & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    return 0x84 - t if u & 0x80 else t - 0x84
+
+
 def decode_wav(payload: bytes) -> dict:
-    """Pure-Python RIFF/PCM WAV decode — a REAL container parse, no
-    codec library: walks the RIFF chunk list (word-aligned, unknown
-    chunks skipped), reads the ``fmt `` descriptor, and decodes the
-    ``data`` chunk for 8-bit (unsigned, centered at 128) and 16-bit
-    (signed little-endian) PCM.  Returns container metadata plus exact
-    integer sample statistics (frame count, sum, peak magnitude) —
-    integers so downstream means divide exactly on any engine.
-    Non-PCM formats (IEEE float, ADPCM, extensible) raise
-    NotImplementedError: those are the compressed-codec boundary."""
+    """Pure-Python RIFF WAV decode — a REAL container parse, no codec
+    library: walks the RIFF chunk list (word-aligned, unknown chunks
+    skipped, declared sizes validated against the remaining payload),
+    reads the ``fmt `` descriptor, and decodes the ``data`` chunk for
+
+    - integer PCM (format tag 1): 8-bit (unsigned, centered at 128)
+      and 16-bit (signed little-endian) — exact integer statistics;
+    - IEEE float (format tag 3): 32-bit little-endian — float
+      statistics (exact when samples are dyadic rationals, as the
+      synthetic corpus guarantees);
+    - G.711 mu-law (format tag 7): 8-bit log-companded telephony
+      audio, expanded to 16-bit linear by ``mulaw_expand`` (a pure
+      integer table — no codec library) — exact integer statistics.
+
+    Returns container metadata plus per-payload sample statistics
+    (frame count, sum, peak magnitude).  Remaining formats (ADPCM,
+    A-law, extensible) raise NotImplementedError: that is the
+    compressed-codec boundary.  Malformed containers — a chunk whose
+    declared size overruns the payload, or a short ``fmt `` body —
+    raise ValueError so corrupt files fail loudly instead of yielding
+    silently truncated statistics (ADVICE r9)."""
     if (len(payload) < 12 or payload[:4] != b"RIFF"
             or payload[8:12] != b"WAVE"):
         raise ValueError("not a RIFF/WAVE payload")
@@ -70,6 +94,10 @@ def decode_wav(payload: bytes) -> dict:
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
         (csize,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + csize > len(payload):
+            raise ValueError(
+                f"truncated RIFF chunk {cid!r}: declares {csize} bytes, "
+                f"{len(payload) - pos - 8} remain")
         body = payload[pos + 8:pos + 8 + csize]
         if cid == b"fmt ":
             fmt_body = body
@@ -80,32 +108,44 @@ def decode_wav(payload: bytes) -> dict:
         pos += 8 + csize + (csize & 1)     # chunks are word-aligned
     if fmt_body is None or data is None:
         raise ValueError("RIFF/WAVE payload missing fmt or data chunk")
+    if len(fmt_body) < 16:
+        raise ValueError(
+            f"short fmt chunk: {len(fmt_body)} bytes, 16 required")
     (audio_format, n_channels, sample_rate, _byte_rate, _block_align,
      bit_depth) = struct.unpack_from("<HHIIHH", fmt_body, 0)
-    if audio_format != 1:
-        raise NotImplementedError(
-            f"WAV format tag {audio_format} is not integer PCM; decoding "
-            "it needs codec libraries not present in this environment")
-    if bit_depth == 16:
-        import array
+    import array
+    if audio_format == 1 and bit_depth == 16:
         arr = array.array("h")
         arr.frombytes(data[:len(data) - (len(data) % 2)])
         if sys.byteorder == "big":
             arr.byteswap()
-        samples: "list[int] | array.array" = arr
-    elif bit_depth == 8:
+        samples: "list | array.array" = arr
+    elif audio_format == 1 and bit_depth == 8:
         samples = [b - 128 for b in data]
+    elif audio_format == 3 and bit_depth == 32:
+        arr = array.array("f")
+        arr.frombytes(data[:len(data) - (len(data) % 4)])
+        if sys.byteorder == "big":
+            arr.byteswap()
+        samples = arr
+    elif audio_format == 7 and bit_depth == 8:
+        samples = [mulaw_expand(b) for b in data]
     else:
         raise NotImplementedError(
-            f"{bit_depth}-bit PCM is outside the 8/16-bit decode path")
+            f"WAV format tag {audio_format} at {bit_depth}-bit is outside "
+            "the PCM-8/16, float32 and mu-law decode paths; other formats "
+            "need codec libraries not present in this environment")
     n_frames = len(samples) // max(n_channels, 1)
+    is_float = audio_format == 3
     return {
         "n_channels": n_channels,
         "sample_rate": sample_rate,
         "bit_depth": bit_depth,
+        "audio_format": audio_format,
         "n_samples": n_frames,
-        "sum_samples": int(sum(samples)),
-        "peak_abs": int(max((abs(s) for s in samples), default=0)),
+        "sum_samples": (float if is_float else int)(sum(samples)),
+        "peak_abs": (float if is_float else int)(
+            max((abs(s) for s in samples), default=0)),
     }
 
 
@@ -118,17 +158,72 @@ def encode_wav_pcm16(samples, sample_rate: int = 8000) -> bytes:
     arr = array.array("h", samples)
     if sys.byteorder == "big":
         arr.byteswap()
-    data = arr.tobytes()
+    return _wav_container(1, 16, arr.tobytes(), sample_rate)
+
+
+def _wav_container(fmt_tag: int, bit_depth: int, data: bytes,
+                   sample_rate: int) -> bytes:
+    """Canonical 44-byte-header mono WAV container around raw sample
+    bytes — shared by the three synthesizers below."""
+    bytes_per = bit_depth // 8
     return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
-            + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
-                          sample_rate * 2, 2, 16)
+            + struct.pack("<IHHIIHH", 16, fmt_tag, 1, sample_rate,
+                          sample_rate * bytes_per, bytes_per, bit_depth)
             + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def encode_wav_float32(samples, sample_rate: int = 8000) -> bytes:
+    """Mono IEEE-float32 WAV (format tag 3) around a float sequence —
+    the fixture synthesizer for the float decode path."""
+    import array
+    arr = array.array("f", samples)
+    if sys.byteorder == "big":
+        arr.byteswap()
+    return _wav_container(3, 32, arr.tobytes(), sample_rate)
+
+
+def encode_wav_mulaw(codes: bytes, sample_rate: int = 8000) -> bytes:
+    """Mono G.711 mu-law WAV (format tag 7) around raw 8-bit companded
+    codes — every byte value 0-255 is a valid mu-law code."""
+    return _wav_container(7, 8, bytes(codes), sample_rate)
 
 
 WAV_FEATURE_SCHEMA = ("doc_id bigint, n_channels bigint, "
                       "sample_rate bigint, bit_depth bigint, "
                       "n_samples bigint, sum_samples bigint, "
                       "peak_abs bigint")
+
+
+WAV_FEATURE_SCHEMA_F64 = ("doc_id bigint, n_channels bigint, "
+                          "sample_rate bigint, bit_depth bigint, "
+                          "n_samples bigint, sum_samples double, "
+                          "peak_abs double")
+
+
+def decode_wav_features_f64(payloads: DataFrame) -> DataFrame:
+    """Float-statistics twin of decode_wav_features for the IEEE-float
+    decode path (sum/peak are doubles; exact when the samples are the
+    synthetic corpus's dyadic rationals).  Same shape contract: Arrow-
+    batched mapInPandas, one container parse per row, no shuffle."""
+
+    def featurize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "n_channels", "sample_rate",
+                                   "bit_depth", "n_samples", "sum_samples",
+                                   "peak_abs")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = decode_wav(bytes(payload))
+                out["doc_id"].append(doc_id)
+                for k in ("n_channels", "sample_rate", "bit_depth",
+                          "n_samples"):
+                    out[k].append(m[k])
+                out["sum_samples"].append(float(m["sum_samples"]))
+                out["peak_abs"].append(float(m["peak_abs"]))
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(featurize, WAV_FEATURE_SCHEMA_F64)
 
 
 def decode_wav_features(payloads: DataFrame) -> DataFrame:

@@ -97,8 +97,8 @@ def test_decode_wav_roundtrips_stdlib_wave_fixture(tmp_path):
     payload = p.read_bytes()
     m = decode_wav(payload)
     assert m == {"n_channels": 1, "sample_rate": 8000, "bit_depth": 16,
-                 "n_samples": 7, "sum_samples": sum(samples),
-                 "peak_abs": 32768}
+                 "audio_format": 1, "n_samples": 7,
+                 "sum_samples": sum(samples), "peak_abs": 32768}
     assert encode_wav_pcm16(samples, 8000) == payload
 
 
@@ -119,8 +119,8 @@ def test_decode_wav_walks_unknown_chunks_and_8bit():
     payload = b"RIFF" + struct.pack("<I", len(body)) + body
     m = decode_wav(payload)
     assert m == {"n_channels": 1, "sample_rate": 4000, "bit_depth": 8,
-                 "n_samples": 5, "sum_samples": 1 - 1 + 127 - 128,
-                 "peak_abs": 128}
+                 "audio_format": 1, "n_samples": 5,
+                 "sum_samples": 1 - 1 + 127 - 128, "peak_abs": 128}
 
 
 def test_decode_wav_rejects_non_pcm_and_non_riff():
@@ -131,7 +131,7 @@ def test_decode_wav_rejects_non_pcm_and_non_riff():
     from mental_health_bigdata_project_spark.operators.media import (
         decode_media, decode_wav)
 
-    fmt = struct.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32)  # float
+    fmt = struct.pack("<IHHIIHH", 16, 2, 1, 8000, 32000, 4, 4)  # ADPCM
     body = (b"WAVEfmt " + fmt + b"data" + struct.pack("<I", 0))
     payload = b"RIFF" + struct.pack("<I", len(body)) + body
     with pytest.raises(NotImplementedError):
