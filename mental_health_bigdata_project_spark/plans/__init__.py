@@ -175,6 +175,13 @@ _DRIVER_CHECKED = {
     "ml_power_iteration_portable", "dedup_cdc_rewrite",
     "dedup_substring_spans_w50", "stat_conformal_interval",
     "ml_logreg_newton_portable",
+    # round 9 (CORRECTNESS_r09.json, 50/50 clean, all-oracle) — the
+    # 12 ids registered new in round 9
+    "ml_logreg_newton_d", "media_decode_wav", "mixture_doremi_weights",
+    "stat_conformal_group_gap", "text_heaps_law",
+    "sample_rho_excess_loss", "stat_cuped_adjustment", "stat_power_mde",
+    "mixture_doremi_trajectory", "text_watermark_detect",
+    "text_self_bleu_adjacent", "dq_freshness_lag",
 }
 
 _MODULE_PRIORITY = [
@@ -183,29 +190,31 @@ _MODULE_PRIORITY = [
     "udtf_udaf", "tpch_more", "relational", "scalars", "core",
 ]
 
-# Head of the round-9 sample window, in order.  Cumulative driver
-# coverage stays total (349/349 through r8), so the r9 window leads
-# with the queries REGISTERED NEW in round 9, then re-samples the ids
-# whose implementation or docstring-adjacent code changed this round
-# (the 2-feature Newton fit shares its module with the new general
-# form; the artifact-backed families sit on the store whose manifest
-# format gained recipe_version) so the driver re-certifies exactly
-# the surface that moved; everything else keeps its cumulative row.
+# Head of the round-10 sample window, in order.  Cumulative driver
+# coverage stays total (361/361 through r9), so the r10 window leads
+# with the queries REGISTERED NEW in round 10, then re-samples the
+# ids whose implementation or shared machinery changed this round
+# (media_decode_wav gained the ASCII gate + synth mask; the Newton
+# trainer was refactored behind _logreg_d_beta; sketch_bloom_decontam
+# sits on the generalized bit-fold helper; the Self-BLEU /
+# DoReMi-trajectory parents share their modules' new siblings) so the
+# driver re-certifies exactly the surface that moved; everything else
+# keeps its cumulative row.
 _CONVERTED_FRONT = [
-    # --- new in round 9 (first-time driver rows) ---
-    "ml_logreg_newton_d", "media_decode_wav",
-    "mixture_doremi_weights", "stat_conformal_group_gap",
-    "text_heaps_law", "sample_rho_excess_loss",
-    "stat_cuped_adjustment", "stat_power_mde",
-    "mixture_doremi_trajectory", "text_watermark_detect",
-    "text_self_bleu_adjacent", "dq_freshness_lag",
-    # --- round-9 adjacency: re-certify ---
-    "ml_logreg_newton_portable", "stat_conformal_interval",
+    # --- new in round 10 (first-time driver rows) ---
+    "media_decode_wav_float32", "media_decode_wav_mulaw",
+    "ml_influence_logo_newton", "ml_calibration_bins",
+    "stat_brier_decomposition", "decontam_ngram13_bloom",
+    "bpe_mixture_pareto", "text_self_bleu_ring",
+    "mixture_doremi_t5", "stat_delta_method_ratio",
+    "stat_sprt_ab", "ml_influence_linreg_logo",
+    # --- round-10 adjacency: re-certify ---
+    "media_decode_wav", "ml_logreg_newton_d",
+    "ml_logreg_newton_portable", "sketch_bloom_decontam",
+    "text_self_bleu_adjacent", "mixture_doremi_trajectory",
+    "mixture_doremi_weights", "bpe_fertility_by_lang",
     "multimodal_features", "multimodal_dedup_bytes",
-    "dedup_setsim_prefix", "dedup_semdedup", "dedup_minhash_portable",
-    "sim_ivfpq_topk", "ml_kmeans_lloyd_portable",
-    "sketch_bloom_decontam", "bpe_fertility_by_lang",
-    "mixture_token_budget",
+    "ml_linreg_closed_form", "stat_cuped_adjustment",
 ]
 
 

@@ -3051,18 +3051,26 @@ def _logreg_d_step_sql(k: int) -> str:
     beta{k} AS (SELECT {upd} FROM ({solve}))"""
 
 
-def _logreg_d_oracle_sql() -> str:
+def _logreg_d_train_ctes() -> str:
+    """The shared training-chain CTE prefix (design matrix ``s``,
+    ``beta0`` .. ``beta{STEPS}``) — reused by the trainer oracle and
+    every downstream consumer of the fitted model (calibration bins,
+    Brier decomposition, LOGO influence)."""
     feats = ", ".join(f"{e} AS {nm}" for nm, e in _logreg_d_features())
     zeros = ", ".join(f"0.0 AS b{i}" for i in range(_LOGREG_D_N))
     steps = ",".join(_logreg_d_step_sql(k)
                      for k in range(1, _LOGREG_D_STEPS + 1))
+    return f"""s AS (SELECT {feats} FROM events WHERE value IS NOT NULL),
+    beta0 AS (SELECT {zeros}),
+    {steps}"""
+
+
+def _logreg_d_oracle_sql() -> str:
     z = _logreg_d_z("b.")
     beta_sel = ", ".join(f"round(b.b{i}, 6) AS b{i}"
                          for i in range(_LOGREG_D_N))
     return f"""
-    WITH s AS (SELECT {feats} FROM events WHERE value IS NOT NULL),
-    beta0 AS (SELECT {zeros}),
-    {steps}
+    WITH {_logreg_d_train_ctes()}
     SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n,
            {beta_sel},
            round((SELECT CAST(SUM(CAST(
@@ -3077,6 +3085,58 @@ def _logreg_d_oracle_sql() -> str:
 
 # trained-model handle cache in front of the disk artifact
 _LOGREG_D_MODEL_MEMO = _SessionMemo()
+
+
+def _logreg_d_s_frame(spark, sf_dir, extra: tuple[str, ...] = ()):
+    """The d-feature design matrix (one SQL string per column, shared
+    verbatim with the oracle), optionally carrying extra grouping
+    columns the trainer itself ignores."""
+    feats = [f"{e} AS {nm}" for nm, e in _logreg_d_features()]
+    return (_t(spark, sf_dir, "events")
+            .filter(F.col("value").isNotNull())
+            .selectExpr(*extra, *feats))
+
+
+def _logreg_d_beta(spark, sf_dir):
+    """The FITTED d-feature Newton model (2 IRLS steps), shared by the
+    trainer query and its downstream consumers (calibration bins,
+    Brier decomposition, leave-one-group-out influence) — session-
+    memoized and artifact-persisted, so consumers pay only their own
+    scoring scan."""
+    from ..artifacts import read_or_build
+    from ..sources.tables import _memoizable
+
+    p_expr = f"1.0 / (1.0 + exp(-({_logreg_d_z()}))) AS p"
+    solve_exprs = [f"{e} AS {nm}"
+                   for stage in _gauss_stages(_LOGREG_D_N)
+                   for nm, e in stage]
+
+    def train():
+        s = _logreg_d_s_frame(spark, sf_dir).localCheckpoint(eager=True)
+        beta = spark.createDataFrame(
+            [(0.0,) * _LOGREG_D_N],
+            ", ".join(f"b{i} double" for i in range(_LOGREG_D_N)))
+        for _ in range(_LOGREG_D_STEPS):
+            rows = s.crossJoin(F.broadcast(beta)).selectExpr("*", p_expr)
+            m = rows.agg(*[
+                F.expr(f"CAST(SUM(CAST({t} AS DECIMAL(38,18))) AS DOUBLE)")
+                .alias(nm) for nm, t in _logreg_d_agg_terms()])
+            beta = (m.crossJoin(F.broadcast(beta))
+                    .selectExpr("*", *solve_exprs)
+                    .selectExpr(*[f"b{i} + d{i} AS b{i}"
+                                  for i in range(_LOGREG_D_N)])
+                    .localCheckpoint(eager=True))   # 1-row model state
+        return beta
+
+    beta = _LOGREG_D_MODEL_MEMO.get(spark, sf_dir)
+    if beta is None:
+        if _memoizable(sf_dir):
+            beta = read_or_build(spark, sf_dir, "logreg_newton_d_beta",
+                                 ("events",), train)
+        else:
+            beta = train()
+        _LOGREG_D_MODEL_MEMO.put(spark, sf_dir, beta)
+    return beta
 
 
 @query("ml_logreg_newton_d", _logreg_d_oracle_sql())
@@ -3107,46 +3167,10 @@ def ml_logreg_newton_d(spark, sf_dir):
     fitted model persists via the artifact store (1 parquet row —
     doubles round-trip bit-exactly), so warm sessions pay only the
     final log-likelihood scan; bench discloses artifacts_prebuilt."""
-    from ..artifacts import read_or_build
-    from ..sources.tables import _memoizable
-
-    feats = [f"{e} AS {nm}" for nm, e in _logreg_d_features()]
     p_expr = f"1.0 / (1.0 + exp(-({_logreg_d_z()}))) AS p"
-    solve_exprs = [f"{e} AS {nm}"
-                   for stage in _gauss_stages(_LOGREG_D_N)
-                   for nm, e in stage]
-
-    def s_frame():
-        return (_t(spark, sf_dir, "events")
-                .filter(F.col("value").isNotNull())
-                .selectExpr(*feats))
-
-    def train():
-        s = s_frame().localCheckpoint(eager=True)   # feeds every step
-        beta = spark.createDataFrame(
-            [(0.0,) * _LOGREG_D_N],
-            ", ".join(f"b{i} double" for i in range(_LOGREG_D_N)))
-        for _ in range(_LOGREG_D_STEPS):
-            rows = s.crossJoin(F.broadcast(beta)).selectExpr("*", p_expr)
-            m = rows.agg(*[
-                F.expr(f"CAST(SUM(CAST({t} AS DECIMAL(38,18))) AS DOUBLE)")
-                .alias(nm) for nm, t in _logreg_d_agg_terms()])
-            beta = (m.crossJoin(F.broadcast(beta))
-                    .selectExpr("*", *solve_exprs)
-                    .selectExpr(*[f"b{i} + d{i} AS b{i}"
-                                  for i in range(_LOGREG_D_N)])
-                    .localCheckpoint(eager=True))   # 1-row model state
-        return beta
-
-    beta = _LOGREG_D_MODEL_MEMO.get(spark, sf_dir)
-    if beta is None:
-        if _memoizable(sf_dir):
-            beta = read_or_build(spark, sf_dir, "logreg_newton_d_beta",
-                                 ("events",), train)
-        else:
-            beta = train()
-        _LOGREG_D_MODEL_MEMO.put(spark, sf_dir, beta)
-    ll = (s_frame().crossJoin(F.broadcast(beta)).selectExpr("*", p_expr)
+    beta = _logreg_d_beta(spark, sf_dir)
+    ll = (_logreg_d_s_frame(spark, sf_dir)
+          .crossJoin(F.broadcast(beta)).selectExpr("*", p_expr)
           .agg(F.expr("CAST(count(*) AS BIGINT)").alias("n"),
                F.expr("CAST(SUM(CAST(y * ln(p) + (1.0 - y) * ln(1.0 - p)"
                       " AS DECIMAL(38,18))) AS DOUBLE)").alias("ll")))
@@ -3506,3 +3530,479 @@ def dq_freshness_lag(spark, sf_dir):
                     .cast("bigint").alias("lag_sec"),
                     F.when(lag_us > 86400 * 1_000_000, 1).otherwise(0)
                     .cast("int").alias("stale")))
+
+
+# --- model calibration + influence over the Newton trainer (round 10) -----
+
+_CALIB_BINS = 10
+
+
+def _logreg_d_scored_sql(extra: str = "") -> str:
+    """CTE that scores the design matrix with the FITTED model:
+    per-row p = sigmoid(z) at beta{STEPS} — the shared front of the
+    calibration / Brier oracles.  ``extra`` threads grouping columns
+    that the trainer ignores."""
+    z = _logreg_d_z("b.")
+    sel = f"{extra}, " if extra else ""
+    return (f"scored AS (SELECT {sel}s.*, 1.0 / (1.0 + exp(-({z}))) AS p"
+            f" FROM s CROSS JOIN beta{_LOGREG_D_STEPS} b)")
+
+
+@query("ml_calibration_bins", f"""
+    WITH {_logreg_d_train_ctes()},
+    {_logreg_d_scored_sql()},
+    b AS (SELECT LEAST({_CALIB_BINS - 1},
+                       CAST(floor(p * {_CALIB_BINS}) AS INTEGER)) AS bin,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(p AS DECIMAL(38,18))) AS DOUBLE) AS sp,
+                 CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy
+          FROM scored GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM b),
+    g AS (SELECT bin, n, sp / n AS avg_pred, sy / n AS frac_pos FROM b),
+    e AS (SELECT CAST(SUM(CAST(
+            (CAST(n AS DOUBLE) / nt) * abs(avg_pred - frac_pos)
+            AS DECIMAL(38,18))) AS DOUBLE) AS ece
+          FROM g CROSS JOIN tot)
+    SELECT g.bin, g.n,
+           round(g.avg_pred, 6) AS avg_pred,
+           round(g.frac_pos, 6) AS frac_pos,
+           round(abs(g.avg_pred - g.frac_pos), 6) AS gap,
+           round(e.ece, 6) AS ece
+    FROM g CROSS JOIN e
+""")
+def ml_calibration_bins(spark, sf_dir):
+    """Reliability diagram + Expected Calibration Error over the
+    d-feature Newton trainer's predictions (Murphy & Winkler 1977
+    reliability tables; Guo et al. 2017's ECE formulation; VERDICT r9
+    item 1's calibration-curve candidate): score every row with the
+    FITTED model, bucket p into 10 equal-width bins, and report each
+    bin's population, mean predicted probability, empirical positive
+    rate and |gap| — plus the population-weighted mean gap (ECE)
+    repeated on every row.  This is the go/no-go readout before a
+    model's scores are used as sampling weights or quality gates: a
+    miscalibrated classifier silently distorts any score-thresholded
+    curation step.
+
+    Exactness: the trained beta is bit-identical on both engines (the
+    Newton chain's shared formula strings); p is one fixed double op
+    chain, so floor(p*10) bins identically; per-bin p/y sums
+    accumulate in DECIMAL(38,18); the ECE sum runs over 10 bin rows in
+    decimal.  Plan: ONE scoring scan -> 10-row hash agg (map-side
+    combinable), then bin-table arithmetic; the model comes from the
+    artifact store, so warm sessions pay only the scan.  At 100 TB the
+    scan is the whole cost — the calibration table is metadata."""
+    p_expr = f"1.0 / (1.0 + exp(-({_logreg_d_z()}))) AS p"
+    beta = _logreg_d_beta(spark, sf_dir)
+    scored = (_logreg_d_s_frame(spark, sf_dir)
+              .crossJoin(F.broadcast(beta)).selectExpr("*", p_expr))
+    d18 = lambda c: F.sum(c.cast("decimal(38,18)")).cast("double")  # noqa: E731
+    b = (scored.groupBy(
+            F.least(F.lit(_CALIB_BINS - 1),
+                    F.floor(F.col("p") * _CALIB_BINS).cast("int"))
+            .alias("bin"))
+         .agg(F.count("*").cast("bigint").alias("n"),
+              d18(F.col("p")).alias("sp"), d18(F.col("y")).alias("sy")))
+    tot = b.agg(F.sum("n").cast("bigint").alias("nt"))
+    g = (b.select("bin", "n", (F.col("sp") / F.col("n")).alias("avg_pred"),
+                  (F.col("sy") / F.col("n")).alias("frac_pos"))
+         .localCheckpoint(eager=True))         # 10 rows, feeds ece + output
+    e = (g.crossJoin(F.broadcast(tot))
+         .agg(d18((F.col("n").cast("double") / F.col("nt"))
+                  * F.abs(F.col("avg_pred") - F.col("frac_pos")))
+              .alias("ece")))
+    return (g.crossJoin(F.broadcast(e))
+            .select("bin", "n",
+                    F.round("avg_pred", 6).alias("avg_pred"),
+                    F.round("frac_pos", 6).alias("frac_pos"),
+                    F.round(F.abs(F.col("avg_pred") - F.col("frac_pos")), 6)
+                    .alias("gap"),
+                    F.round("ece", 6).alias("ece")))
+
+
+@query("stat_brier_decomposition", f"""
+    WITH {_logreg_d_train_ctes()},
+    {_logreg_d_scored_sql()},
+    b AS (SELECT LEAST({_CALIB_BINS - 1},
+                       CAST(floor(p * {_CALIB_BINS}) AS INTEGER)) AS bin,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(p AS DECIMAL(38,18))) AS DOUBLE) AS sp,
+                 CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy
+          FROM scored GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST((p - y) * (p - y) AS DECIMAL(38,18)))
+                        AS DOUBLE) AS sq
+            FROM scored),
+    parts AS (SELECT
+        CAST(SUM(CAST(CAST(b.n AS DOUBLE)
+             * ((b.sp / b.n) - (b.sy / b.n))
+             * ((b.sp / b.n) - (b.sy / b.n)) AS DECIMAL(38,18)))
+             AS DOUBLE) AS rel_num,
+        CAST(SUM(CAST(CAST(b.n AS DOUBLE)
+             * ((b.sy / b.n) - (tot.sy / tot.n))
+             * ((b.sy / b.n) - (tot.sy / tot.n)) AS DECIMAL(38,18)))
+             AS DOUBLE) AS res_num
+      FROM b CROSS JOIN tot)
+    SELECT tot.n,
+           round(tot.sq / tot.n, 6) AS brier,
+           round(parts.rel_num / tot.n, 6) AS reliability,
+           round(parts.res_num / tot.n, 6) AS resolution,
+           round((tot.sy / tot.n) * (1.0 - tot.sy / tot.n), 6)
+             AS uncertainty
+    FROM tot CROSS JOIN parts
+""")
+def stat_brier_decomposition(spark, sf_dir):
+    """Murphy (1973) decomposition of the Brier score for the Newton
+    trainer's predictions: BRIER (mean squared p-y), and its binned
+    RELIABILITY (how far each bin's mean forecast sits from its
+    observed rate — lower is better-calibrated), RESOLUTION (how much
+    the bins' observed rates spread around the base rate — higher
+    means the forecast actually discriminates) and UNCERTAINTY (the
+    base rate's own variance, the no-skill floor).  The classic
+    forecast-verification companion to ml_calibration_bins: ECE asks
+    "can I trust the score as a probability", this asks "does the
+    score also separate the classes".
+
+    Exactness: same fitted-beta / fixed-op-chain / decimal-sum recipe
+    as the calibration query; the three bin-table sums run over 10
+    rows in DECIMAL(38,18) and every division is a fixed double op.
+    Plan: one scoring scan -> 10-row bin agg + 1-row total (both
+    map-side combinable), then constant-size arithmetic — the scan is
+    the entire cost at any scale."""
+    p_expr = f"1.0 / (1.0 + exp(-({_logreg_d_z()}))) AS p"
+    beta = _logreg_d_beta(spark, sf_dir)
+    scored = (_logreg_d_s_frame(spark, sf_dir)
+              .crossJoin(F.broadcast(beta)).selectExpr("*", p_expr)
+              .localCheckpoint(eager=True))    # feeds bin agg + total
+    d18 = lambda c: F.sum(c.cast("decimal(38,18)")).cast("double")  # noqa: E731
+    b = (scored.groupBy(
+            F.least(F.lit(_CALIB_BINS - 1),
+                    F.floor(F.col("p") * _CALIB_BINS).cast("int"))
+            .alias("bin"))
+         .agg(F.count("*").cast("bigint").alias("n"),
+              d18(F.col("p")).alias("sp"), d18(F.col("y")).alias("sy")))
+    tot = scored.agg(
+        F.count("*").cast("bigint").alias("n"),
+        d18(F.col("y")).alias("sy"),
+        d18((F.col("p") - F.col("y")) * (F.col("p") - F.col("y")))
+        .alias("sq"))
+    pbar = F.col("sp") / F.col("n")
+    obar = F.col("sy") / F.col("n")
+    base = F.col("t_sy") / F.col("t_n")
+    parts = (b.crossJoin(F.broadcast(
+                tot.select(F.col("n").alias("t_n"),
+                           F.col("sy").alias("t_sy"))))
+             .agg(d18(F.col("n").cast("double")
+                      * (pbar - obar) * (pbar - obar)).alias("rel_num"),
+                  d18(F.col("n").cast("double")
+                      * (obar - base) * (obar - base)).alias("res_num")))
+    return (tot.crossJoin(F.broadcast(parts))
+            .select("n",
+                    F.round(F.col("sq") / F.col("n"), 6).alias("brier"),
+                    F.round(F.col("rel_num") / F.col("n"), 6)
+                    .alias("reliability"),
+                    F.round(F.col("res_num") / F.col("n"), 6)
+                    .alias("resolution"),
+                    F.round((F.col("sy") / F.col("n"))
+                            * (1.0 - F.col("sy") / F.col("n")), 6)
+                    .alias("uncertainty")))
+
+
+_LOGO_GRP_SQL = "CAST(user_id % 5 AS INTEGER)"
+
+
+def _logreg_logo_oracle_sql() -> str:
+    """LOGO influence oracle: train the full model, re-aggregate the
+    20 Newton sums at the fitted beta PER GROUP and in total, subtract
+    (exact decimal), and solve one Newton step per group over the
+    leave-that-group-out sums."""
+    z = _logreg_d_z("b.")
+    aggs_g = ",\n             ".join(
+        f"SUM(CAST({t} AS DECIMAL(38,18))) AS {nm}_g"
+        for nm, t in _logreg_d_agg_terms())
+    aggs_f = ",\n             ".join(
+        f"SUM(CAST({t} AS DECIMAL(38,18))) AS {nm}_f"
+        for nm, t in _logreg_d_agg_terms())
+    diffs = ", ".join(f"CAST({nm}_f - {nm}_g AS DOUBLE) AS {nm}"
+                      for nm, _ in _logreg_d_agg_terms())
+    solve = (f"SELECT lo.*, b.* FROM lo CROSS JOIN "
+             f"beta{_LOGREG_D_STEPS} b")
+    for stage in _gauss_stages(_LOGREG_D_N):
+        cols = ", ".join(f"{e} AS {nm}" for nm, e in stage)
+        solve = f"SELECT *, {cols} FROM ({solve})"
+    infl = ", ".join(
+        f"round(d{i}, 6) AS infl_b{i}" for i in range(_LOGREG_D_N))
+    logo = ", ".join(
+        f"round(b{i} + d{i}, 6) AS b{i}_logo" for i in range(_LOGREG_D_N))
+    feats = ", ".join(f"{e} AS {nm}" for nm, e in _logreg_d_features())
+    return f"""
+    WITH {_logreg_d_train_ctes()},
+    sg AS (SELECT {_LOGO_GRP_SQL} AS grp, {feats}
+           FROM events WHERE value IS NOT NULL),
+    sc AS (SELECT sg.*, 1.0 / (1.0 + exp(-({z}))) AS p
+           FROM sg CROSS JOIN beta{_LOGREG_D_STEPS} b),
+    mg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+             {aggs_g}
+           FROM sc GROUP BY grp),
+    mf AS (SELECT {aggs_f} FROM sc),
+    lo AS (SELECT grp, n_g, {diffs} FROM mg CROSS JOIN mf)
+    SELECT grp, n_g, {infl}, {logo}
+    FROM ({solve})
+"""
+
+
+@query("ml_influence_logo_newton", _logreg_logo_oracle_sql())
+def ml_influence_logo_newton(spark, sf_dir):
+    """Leave-one-group-out INFLUENCE over the Newton logreg trainer
+    (the datamodels/influence-function question — Koh & Liang 2017;
+    Ilyas et al. 2022 datamodels — instantiated at group granularity,
+    VERDICT r9 item 1's first candidate): for each user cohort
+    (user_id %% 5), how would the fitted model move if that cohort's
+    data vanished?  Computed WITHOUT refit scans: the 20 Newton
+    aggregates are SUMS over rows, so leave-one-out sums are the full
+    sums minus the cohort's sums — both sides re-aggregate ONCE at the
+    fitted beta, subtract exactly in DECIMAL(38,18), and solve one
+    Newton step per cohort (the one-step refit / infinitesimal
+    jackknife approximation, exact to first order because the full-
+    data gradient at the optimum is ~0).  infl_b{{i}} is the step
+    direction — the group's influence on each coefficient — and
+    b{{i}}_logo the one-step-refit model without the group.
+
+    Exactness: the per-cohort solve runs the SAME generated
+    elimination strings on a 5-row relation (each row an independent
+    1-row solve); decimal subtraction makes the LOGO sums exact, not
+    a double cancellation.  Plan: one scoring scan -> grouped 20-sum
+    agg (+1-row total), then #groups-sized algebra — influence for
+    EVERY group costs one scan total, the property that makes
+    group-level data attribution feasible at 100 TB (a refit per
+    group would be #groups full training runs)."""
+    z = _logreg_d_z()
+    beta = _logreg_d_beta(spark, sf_dir)
+    solve_exprs = [f"{e} AS {nm}"
+                   for stage in _gauss_stages(_LOGREG_D_N)
+                   for nm, e in stage]
+    sc = (_logreg_d_s_frame(spark, sf_dir,
+                            extra=(f"{_LOGO_GRP_SQL} AS grp",))
+          .crossJoin(F.broadcast(beta))
+          .selectExpr("*", f"1.0 / (1.0 + exp(-({z}))) AS p")
+          .localCheckpoint(eager=True))        # feeds mg + mf
+    dec = lambda t, a: F.expr(  # noqa: E731
+        f"SUM(CAST({t} AS DECIMAL(38,18)))").alias(a)
+    mg = sc.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        *[dec(t, f"{nm}_g") for nm, t in _logreg_d_agg_terms()])
+    mf = sc.agg(*[dec(t, f"{nm}_f") for nm, t in _logreg_d_agg_terms()])
+    lo = (mg.crossJoin(F.broadcast(mf))
+          .select("grp", "n_g",
+                  *[(F.col(f"{nm}_f") - F.col(f"{nm}_g")).cast("double")
+                    .alias(nm) for nm, _ in _logreg_d_agg_terms()]))
+    solved = (lo.crossJoin(F.broadcast(beta))
+              .selectExpr("*", *solve_exprs))
+    return solved.selectExpr(
+        "grp", "n_g",
+        *[f"round(d{i}, 6) AS infl_b{i}" for i in range(_LOGREG_D_N)],
+        *[f"round(b{i} + d{i}, 6) AS b{i}_logo"
+          for i in range(_LOGREG_D_N)])
+
+
+# --- ratio-metric delta method + sequential test (round 10) ----------------
+
+# shared scalar formula stages (Spark selectExpr == oracle SQL, so the
+# double op chains are bit-identical — the logreg/gauss convention)
+_DMR_STAGES = [
+    [("r0", "sy / sx"), ("xbar", "sx / CAST(n AS DOUBLE)")],
+    [("vy", "(syy - sy * sy / n) / (n - 1.0)"),
+     ("vx", "(sxx - sx * sx / n) / (n - 1.0)"),
+     ("vxy", "(sxy - sx * sy / n) / (n - 1.0)")],
+    [("se", "sqrt((vy - 2.0 * r0 * vxy + r0 * r0 * vx)"
+            " / (n * xbar * xbar))")],
+]
+
+
+def _dmr_oracle_sql() -> str:
+    sel = "SELECT * FROM m"
+    for stage in _DMR_STAGES:
+        cols = ", ".join(f"{e} AS {nm}" for nm, e in stage)
+        sel = f"SELECT *, {cols} FROM ({sel})"
+    return f"""
+    WITH u AS (SELECT CAST(user_id % 2 AS INTEGER) AS arm, user_id,
+                      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                        AS yu,
+                      CAST(count(*) AS BIGINT) AS nu
+               FROM events WHERE value IS NOT NULL
+               GROUP BY arm, user_id),
+    m AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(yu AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(CAST(nu AS DOUBLE) AS DECIMAL(38,18)))
+                      AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(yu * yu AS DECIMAL(38,18))) AS DOUBLE)
+                   AS syy,
+                 CAST(SUM(CAST(CAST(nu AS DOUBLE) * nu AS DECIMAL(38,18)))
+                      AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(yu * nu AS DECIMAL(38,18))) AS DOUBLE)
+                   AS sxy
+          FROM u GROUP BY arm)
+    SELECT arm, n AS n_users,
+           round(r0, 6) AS ratio,
+           round(se, 6) AS se,
+           round(r0 - 1.96 * se, 6) AS ci_lo,
+           round(r0 + 1.96 * se, 6) AS ci_hi
+    FROM ({sel})
+"""
+
+
+@query("stat_delta_method_ratio", _dmr_oracle_sql())
+def stat_delta_method_ratio(spark, sf_dir):
+    """Delta-method confidence interval for a RATIO metric under
+    cluster (per-user) randomization (Deng, Knoblich & Lu 2018,
+    'Applying the Delta Method in Metric Analytics'): the A/B metric
+    'revenue per event' is a ratio of two per-user sums, so its
+    variance is NOT a row-level variance — Var(Ȳ/X̄) is approximated
+    by the first-order expansion (var_y - 2R cov + R² var_x) /
+    (n x̄²) over USER-level aggregates, the correction every
+    experimentation platform applies before quoting a CI on ratio
+    metrics.  One row per arm (user_id %% 2): users, ratio, standard
+    error, 95%% CI.
+
+    Exactness: per-user sums are exact decimal; the six arm-level
+    moments accumulate the resulting doubles in DECIMAL(38,18); and
+    the variance/SE arithmetic evaluates the SAME formula strings
+    (_DMR_STAGES) via selectExpr and oracle SQL, so every
+    intermediate double is bit-identical.  Plan: one scan -> per-user
+    hash agg (map-side combinable) -> 2-row arm agg -> scalar algebra;
+    at 100 TB the user agg is the only shuffle and the delta-method
+    itself is free — the point of the method (no per-row resampling
+    needed, unlike the bootstrap)."""
+    u = (_t(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull())
+         .groupBy((F.col("user_id") % 2).cast("int").alias("arm"),
+                  "user_id")
+         .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+              .alias("yu"),
+              F.count("*").cast("bigint").alias("nu")))
+    d18 = lambda c: F.sum(c.cast("decimal(38,18)")).cast("double")  # noqa: E731
+    m = (u.groupBy("arm")
+         .agg(F.count("*").cast("bigint").alias("n"),
+              d18(F.col("yu")).alias("sy"),
+              d18(F.col("nu").cast("double")).alias("sx"),
+              d18(F.col("yu") * F.col("yu")).alias("syy"),
+              d18(F.col("nu").cast("double") * F.col("nu")).alias("sxx"),
+              d18(F.col("yu") * F.col("nu")).alias("sxy")))
+    out = m
+    for stage in _DMR_STAGES:
+        out = out.selectExpr("*", *[f"{e} AS {nm}" for nm, e in stage])
+    return out.selectExpr(
+        "arm", "n AS n_users",
+        "round(r0, 6) AS ratio", "round(se, 6) AS se",
+        "round(r0 - 1.96 * se, 6) AS ci_lo",
+        "round(r0 + 1.96 * se, 6) AS ci_hi")
+
+
+_SPRT_P0, _SPRT_P1 = 0.10, 0.12   # H0/H1 purchase rates
+_SPRT_CKPT = 1000                 # events per checkpoint
+# log-LR increments and Wald bound PRECOMPUTED as shortest-repr double
+# literals (strtod round-trips them identically on both engines) —
+# writing ln(0.88/0.90) inline would hit Spark's DECIMAL literal
+# division (scale-6 rounding) while DuckDB divides doubles, a 2e-7
+# constant skew that fails the hash
+_SPRT_C1 = f"CAST({_math.log(_SPRT_P1 / _SPRT_P0)!r} AS DOUBLE)"
+_SPRT_C0 = (f"CAST({_math.log((1.0 - _SPRT_P1) / (1.0 - _SPRT_P0))!r}"
+            " AS DOUBLE)")
+_SPRT_A = (f"CAST({_math.log(19.0)!r} AS DOUBLE)"
+           )                      # (1-beta)/alpha at alpha=beta=0.05
+
+
+@query("stat_sprt_ab", f"""
+    WITH e AS (SELECT event_id,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                        AS y
+               FROM events),
+    b AS (SELECT CAST(event_id // {_SPRT_CKPT} AS BIGINT) AS ckpt,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(y) AS BIGINT) AS k
+          FROM e GROUP BY 1),
+    c AS (SELECT ckpt,
+                 CAST(SUM(n) OVER (ORDER BY ckpt
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cum,
+                 CAST(SUM(k) OVER (ORDER BY ckpt
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS k_cum
+          FROM b),
+    s AS (SELECT ckpt, n_cum, k_cum,
+                 k_cum * {_SPRT_C1} + (n_cum - k_cum) * {_SPRT_C0} AS llr
+          FROM c),
+    fc AS (SELECT min(ckpt) AS f FROM s WHERE abs(llr) >= {_SPRT_A})
+    SELECT s.ckpt, s.n_cum, s.k_cum,
+           round(s.llr, 6) AS llr,
+           CASE WHEN s.llr >= {_SPRT_A} THEN 'accept_h1'
+                WHEN s.llr <= -{_SPRT_A} THEN 'accept_h0'
+                ELSE 'continue' END AS verdict,
+           CAST(CASE WHEN s.ckpt = fc.f THEN 1 ELSE 0 END AS INT)
+             AS first_decision
+    FROM s CROSS JOIN fc
+""")
+def stat_sprt_ab(spark, sf_dir):
+    """Wald's Sequential Probability Ratio Test over the event stream
+    (Wald 1945; the always-valid-inference motivation of Johari et
+    al. 2017 'Peeking at A/B Tests'): test H0: P(purchase) = 0.10 vs
+    H1: 0.12, evaluating the cumulative log-likelihood ratio at a
+    checkpoint every 1000 event ids — the peeking curve a sequential
+    experimentation platform exposes, with Wald bounds +-ln(19)
+    (alpha = beta = 0.05).  Per checkpoint: cumulative n/conversions,
+    llr, the boundary verdict, and a flag on the FIRST crossing (the
+    SPRT stopping time — later rows are the counterfactual curve).
+
+    Exactness: llr = k*ln(p1/p0) + (n-k)*ln((1-p1)/(1-p0)) is two
+    integer-scaled transcendentals of LITERAL constants — both
+    engines evaluate the identical expression strings, so the curve
+    and every boundary comparison agree bitwise.  Plan: one scan ->
+    per-checkpoint counts (map-side combinable), then the cumulative
+    sums run as the repo's TWO-PHASE running sum over the checkpoint
+    grid (range partition + per-partition window + P-row broadcast
+    offsets — no single-partition window), and the first-crossing is
+    a 1-row min-agg broadcast.  At 100 TB the checkpoint grid is
+    |events|/1000 rows — the two-phase pattern keeps even that
+    parallel."""
+    e = _t(spark, sf_dir, "events").selectExpr(
+        "event_id",
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y")
+    b = (e.groupBy(F.expr(f"CAST(event_id DIV {_SPRT_CKPT} AS BIGINT)")
+                   .alias("ckpt"))
+         .agg(F.count("*").cast("bigint").alias("n"),
+              F.sum("y").cast("bigint").alias("k")))
+    # two-phase global running sums over the checkpoint grid
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    with_pid = (b.repartitionByRange(n_parts, "ckpt")
+                .withColumn("pid", F.spark_partition_id())
+                .localCheckpoint())
+    wrun = (Window.partitionBy("pid").orderBy("ckpt")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    local = with_pid.select(
+        "pid", "ckpt",
+        F.sum("n").over(wrun).cast("bigint").alias("ln"),
+        F.sum("k").over(wrun).cast("bigint").alias("lk"))
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (with_pid.groupBy("pid")
+            .agg(F.sum("n").alias("pn"), F.sum("k").alias("pk"))
+            .select("pid",
+                    F.coalesce(F.sum("pn").over(woff), F.lit(0))
+                    .alias("offn"),
+                    F.coalesce(F.sum("pk").over(woff), F.lit(0))
+                    .alias("offk")))
+    s = (local.join(F.broadcast(offs), "pid")
+         .selectExpr("ckpt",
+                     "CAST(ln + offn AS BIGINT) AS n_cum",
+                     "CAST(lk + offk AS BIGINT) AS k_cum")
+         .selectExpr("ckpt", "n_cum", "k_cum",
+                     f"k_cum * {_SPRT_C1} + (n_cum - k_cum) * {_SPRT_C0}"
+                     " AS llr")
+         .localCheckpoint(eager=True))         # feeds fc + output
+    fc = s.filter(F.expr(f"abs(llr) >= {_SPRT_A}")) \
+        .agg(F.min("ckpt").alias("f"))
+    return (s.crossJoin(F.broadcast(fc))
+            .selectExpr("ckpt", "n_cum", "k_cum",
+                        "round(llr, 6) AS llr",
+                        f"CASE WHEN llr >= {_SPRT_A} THEN 'accept_h1' "
+                        f"WHEN llr <= -{_SPRT_A} THEN 'accept_h0' "
+                        "ELSE 'continue' END AS verdict",
+                        "CAST(CASE WHEN ckpt = f THEN 1 ELSE 0 END AS INT)"
+                        " AS first_decision"))

@@ -652,27 +652,34 @@ _BLOOM_SHINGLES_SQL = f"""
     train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0)
 """
 
+def _bloom_bit_sql_tpl(m: int, nibbles: int = 4) -> str:
+    """SQL template for bit position j of shingle s: fold ``nibbles``
+    md5 nibbles of (s || '#j') into an integer and reduce mod m (use
+    enough nibbles that 16^nibbles >= m)."""
+    terms = " + ".join(
+        f"(strpos('{_HEX}', substring(md5({{s}} || '#' || {{j}}), "
+        f"{p + 1}, 1)) - 1) * {16 ** (nibbles - 1 - p)}"
+        for p in range(nibbles))
+    return f"(({terms}) % {m})"
+
+
 # bit position j of shingle s: fold 4 md5 nibbles of (s || '#j').
-_BLOOM_BIT_SQL = (
-    "(((strpos('{hx}', substring(md5({{s}} || '#' || {{j}}), 1, 1)) - 1) * 4096"
-    " + (strpos('{hx}', substring(md5({{s}} || '#' || {{j}}), 2, 1)) - 1) * 256"
-    " + (strpos('{hx}', substring(md5({{s}} || '#' || {{j}}), 3, 1)) - 1) * 16"
-    " + strpos('{hx}', substring(md5({{s}} || '#' || {{j}}), 4, 1)) - 1)"
-    " % {m})").format(hx=_HEX, m=_BLOOM_M)
+_BLOOM_BIT_SQL = _bloom_bit_sql_tpl(_BLOOM_M, 4)
 
 
-def _bloom_bits(df: DataFrame, s_col: str) -> DataFrame:
+def _bloom_bits(df: DataFrame, s_col: str, m: int = _BLOOM_M,
+                nibbles: int = 4) -> DataFrame:
     """Explode each shingle into its _BLOOM_K bit positions."""
     out = df.select(
         "*", F.explode(F.array(*[F.lit(j) for j in range(_BLOOM_K)]))
         .alias("j"))
     h = F.md5(F.concat(F.col(s_col), F.lit("#"), F.col("j").cast("string")))
     bit = None
-    for p in range(4):
+    for p in range(nibbles):
         term = ((F.instr(F.lit(_HEX), F.substring(h, p + 1, 1)) - 1)
-                * (16 ** (3 - p)))
+                * (16 ** (nibbles - 1 - p)))
         bit = term if bit is None else bit + term
-    return out.withColumn("bit", (bit % _BLOOM_M).cast("int"))
+    return out.withColumn("bit", (bit % m).cast("int"))
 
 
 @query("sketch_bloom_decontam", f"""
@@ -745,6 +752,119 @@ def sketch_bloom_decontam(spark, sf_dir):
                 .join(F.broadcast(bench.withColumn("ex", F.lit(1))),
                       "shingle", "left")
                 .select("doc_id", "shingle",
+                        (F.coalesce("n_set", F.lit(0)) == _BLOOM_K)
+                        .cast("int").alias("bloom_pos"),
+                        F.coalesce("ex", F.lit(0)).alias("exact_pos")))
+    fp = F.sum(((F.col("bloom_pos") == 1) & (F.col("exact_pos") == 0))
+               .cast("int"))
+    return verdicts.agg(
+        F.count("*").cast("bigint").alias("n_train_grams"),
+        F.sum("bloom_pos").cast("bigint").alias("n_bloom_pos"),
+        F.sum("exact_pos").cast("bigint").alias("n_exact_pos"),
+        fp.cast("bigint").alias("n_false_pos"),
+        F.sum(((F.col("bloom_pos") == 0) & (F.col("exact_pos") == 1))
+              .cast("int")).cast("bigint").alias("n_false_neg"),
+        F.round(fp.cast("double") / F.count("*"), 6).alias("fp_rate"),
+        F.countDistinct(F.when(F.col("bloom_pos") == 1, F.col("doc_id")))
+        .cast("bigint").alias("n_docs_bloom"),
+        F.countDistinct(F.when(F.col("exact_pos") == 1, F.col("doc_id")))
+        .cast("bigint").alias("n_docs_exact"))
+
+
+# --- GPT-3-style 13-gram Bloom decontamination ----------------------------
+
+_NG13 = 13                # the GPT-3 Appendix C overlap window
+_NG13_BLOOM_M = 1 << 17   # bits (13-gram vocab >> 3-gram: bigger filter)
+_NG13_BIT_SQL = _bloom_bit_sql_tpl(_NG13_BLOOM_M, nibbles=5)
+
+_NG13_GRAMS_SQL = f"""
+    d AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+    g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+              range(1, len(toks) - {_NG13} + 2),
+              i -> md5(array_to_string(toks[i:i+{_NG13 - 1}], ' '))))) AS h
+          FROM d WHERE len(toks) >= {_NG13}),
+    bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 97 = 0),
+    train AS (SELECT doc_id, h FROM g WHERE doc_id % 97 <> 0)
+"""
+
+
+@query("decontam_ngram13_bloom", f"""
+    WITH {_NG13_GRAMS_SQL.format(toks=_TOKS_SQL)},
+    bbits AS (
+      SELECT DISTINCT {_NG13_BIT_SQL.format(s="b.h", j="j.j")} AS bit
+      FROM bench b CROSS JOIN (SELECT unnest(range({_BLOOM_K})) AS j) j),
+    probe AS (
+      SELECT t.doc_id, t.h,
+             {_NG13_BIT_SQL.format(s="t.h", j="j.j")} AS bit
+      FROM train t CROSS JOIN (SELECT unnest(range({_BLOOM_K})) AS j) j),
+    hits AS (
+      SELECT p.doc_id, p.h, COUNT(b.bit) AS n_set
+      FROM probe p LEFT JOIN bbits b ON b.bit = p.bit
+      GROUP BY p.doc_id, p.h),
+    verdicts AS (
+      SELECT t.doc_id,
+             CAST(coalesce(hi.n_set, 0) = {_BLOOM_K} AS INT) AS bloom_pos,
+             CAST(x.h IS NOT NULL AS INT) AS exact_pos
+      FROM train t
+      LEFT JOIN hits hi ON hi.doc_id = t.doc_id AND hi.h = t.h
+      LEFT JOIN bench x ON x.h = t.h)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_train_grams,
+           CAST(SUM(bloom_pos) AS BIGINT) AS n_bloom_pos,
+           CAST(SUM(exact_pos) AS BIGINT) AS n_exact_pos,
+           CAST(SUM(CASE WHEN bloom_pos = 1 AND exact_pos = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN bloom_pos = 0 AND exact_pos = 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg,
+           round(CAST(SUM(CASE WHEN bloom_pos = 1 AND exact_pos = 0
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS fp_rate,
+           CAST(COUNT(DISTINCT CASE WHEN bloom_pos = 1
+                      THEN doc_id END) AS BIGINT) AS n_docs_bloom,
+           CAST(COUNT(DISTINCT CASE WHEN exact_pos = 1
+                      THEN doc_id END) AS BIGINT) AS n_docs_exact
+    FROM verdicts
+""")
+def decontam_ngram13_bloom(spark, sf_dir):
+    """GPT-3-style 13-GRAM Bloom decontamination gate (Brown et al.
+    2020, Appendix C: training-set contamination was defined as a
+    13-gram overlap with any benchmark document; VERDICT r9 item 1's
+    third candidate).  The benchmark split's distinct 13-gram
+    fingerprints set k=3 bits (5-nibble md5 fold) in an m=2^17 filter
+    — larger than the 3-gram gate's 2^14 because the 13-gram
+    vocabulary is nearly corpus-sized (almost every window is unique),
+    exactly why GPT-3 chose it: a hit is a near-certain verbatim
+    overlap, not a common phrase.  Grams are md5 fingerprints of the
+    13-token window (split_leakage_audit's convention), so the
+    benchmark set broadcasts as fixed-width hashes, never strings.
+    n_false_neg is structurally 0; fp_rate is MEASURED against the
+    exact membership join, like the 3-gram parent.
+
+    At 100 TB: the filter stays a broadcast bitmap (2^17 bits here;
+    ~10 bits/gram at production benchmark sizes), probed map-side
+    during the training scan — only bloom-positives reach the exact
+    verify join, and the gram relation is ~1 row per corpus token
+    carrying a 32-char hash, the span-dedup shape."""
+    t = (_t(spark, sf_dir, "documents")
+         .select("doc_id", tokens_col().alias("toks"))
+         .filter(F.size("toks") >= _NG13))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - _NG13 + 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, _NG13))))
+    g = (t.select("doc_id",
+                  F.explode(F.array_distinct(grams)).alias("h"))
+         .localCheckpoint(eager=True))     # feeds bench + train + verdicts
+    bench = g.filter(F.col("doc_id") % 97 == 0).select("h").distinct()
+    train = g.filter(F.col("doc_id") % 97 != 0)
+    bbits = (_bloom_bits(bench, "h", m=_NG13_BLOOM_M, nibbles=5)
+             .select("bit").distinct())
+    probe = _bloom_bits(train, "h", m=_NG13_BLOOM_M, nibbles=5)
+    hits = (probe.join(F.broadcast(bbits), "bit", "left_semi")
+            .groupBy("doc_id", "h").agg(F.count("*").alias("n_set")))
+    verdicts = (train
+                .join(hits, ["doc_id", "h"], "left")
+                .join(F.broadcast(bench.withColumn("ex", F.lit(1))),
+                      "h", "left")
+                .select("doc_id",
                         (F.coalesce("n_set", F.lit(0)) == _BLOOM_K)
                         .cast("int").alias("bloom_pos"),
                         F.coalesce("ex", F.lit(0)).alias("exact_pos")))
@@ -1524,3 +1644,104 @@ def dq_profile_columns(spark, sf_dir):
                     F.round(F.abs(F.col("est") - F.col("ndv_exact"))
                             / F.col("ndv_exact"), 4).alias("ndv_rel_err"),
                     "min_str", "max_str"))
+
+
+# --- leave-one-group-out influence over the closed-form OLS ---------------
+
+# shared moment fragments: quantity in units, price in cents — exact
+# integer quantization, the ml_linreg_closed_form convention
+_OLS_QX = "CAST(floor(l_quantity + 0.5) AS BIGINT)"
+_OLS_QY = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+
+
+@query("ml_influence_linreg_logo", f"""
+    WITH m AS (
+      SELECT l_returnflag AS grp,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST({_OLS_QX} AS DECIMAL(38,0))) AS sx,
+             SUM(CAST({_OLS_QY} AS DECIMAL(38,0))) AS sy,
+             SUM(CAST({_OLS_QX} * {_OLS_QY} AS DECIMAL(38,0))) AS sxy,
+             SUM(CAST({_OLS_QX} * {_OLS_QX} AS DECIMAL(38,0))) AS sxx
+      FROM lineitem GROUP BY l_returnflag),
+    f AS (SELECT CAST(SUM(n) AS BIGINT) AS n,
+                 SUM(sx) AS sx, SUM(sy) AS sy,
+                 SUM(sxy) AS sxy, SUM(sxx) AS sxx
+          FROM m),
+    ff AS (SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_raw
+           FROM f),
+    lo AS (SELECT m.grp, CAST(f.n - m.n AS BIGINT) AS n_logo,
+                  f.sx - m.sx AS sx, f.sy - m.sy AS sy,
+                  f.sxy - m.sxy AS sxy, f.sxx - m.sxx AS sxx
+           FROM m CROSS JOIN f),
+    fl AS (SELECT grp, n_logo,
+                  CAST(n_logo * sxy - sx * sy AS DOUBLE)
+                  / CAST(n_logo * sxx - sx * sx AS DOUBLE) AS slope_raw,
+                  CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
+           FROM lo)
+    SELECT fl.grp, fl.n_logo,
+           round(ff.slope_raw / 100.0, 6) AS slope_full,
+           round(fl.slope_raw / 100.0, 6) AS slope_logo,
+           round((fl.slope_raw - ff.slope_raw) / 100.0, 6)
+             AS slope_delta,
+           round((fl.syd - fl.slope_raw * fl.sxd) / fl.n_logo / 100.0, 4)
+             AS intercept_logo
+    FROM fl CROSS JOIN ff
+""")
+def ml_influence_linreg_logo(spark, sf_dir):
+    """EXACT leave-one-group-out refits of the closed-form OLS (the
+    datamodels-style group-influence question answered with zero
+    approximation — the companion to ml_influence_logo_newton's
+    one-step refit): because the normal-equation moments (n, Σx, Σy,
+    Σxy, Σx²) are SUMS, the fit-without-group-g is a closed-form fit
+    over (full − group) moments — integer-exact DECIMAL(38,0)
+    subtraction, no second scan, no approximation.  Per l_returnflag:
+    the full slope, the refit slope without that group, the delta
+    (the group's exact influence on the price-vs-quantity trend), and
+    the refit intercept.
+
+    Exactness: every moment is an exact decimal integer over the
+    quantized inputs (quantity units, price cents — the
+    ml_linreg_closed_form convention), so the LOGO moments are exact
+    differences, and the slope/intercept are fixed double op chains
+    on exactly-equal inputs.  Plan: ONE grouped scan produces all
+    per-group moments; the full moments are a 1-row roll-up of the
+    group rows (NOT a second scan); influence for every group is then
+    #groups-sized algebra — group-level attribution at 100 TB for the
+    cost of the aggregation the fit needed anyway."""
+    q_x = F.expr(_OLS_QX)
+    q_y = F.expr(_OLS_QY)
+    m = (load_table(spark, sf_dir, "lineitem")
+         .groupBy(F.col("l_returnflag").alias("grp"))
+         .agg(F.count("*").cast("bigint").alias("n"),
+              F.sum(q_x.cast("decimal(38,0)")).alias("sx"),
+              F.sum(q_y.cast("decimal(38,0)")).alias("sy"),
+              F.sum((q_x * q_y).cast("decimal(38,0)")).alias("sxy"),
+              F.sum((q_x * q_x).cast("decimal(38,0)")).alias("sxx"))
+         .localCheckpoint(eager=True))         # feeds full roll-up + lo
+    f = m.agg(F.sum("n").cast("bigint").alias("fn"),
+              F.sum("sx").cast("decimal(38,0)").alias("fsx"),
+              F.sum("sy").cast("decimal(38,0)").alias("fsy"),
+              F.sum("sxy").cast("decimal(38,0)").alias("fsxy"),
+              F.sum("sxx").cast("decimal(38,0)").alias("fsxx"))
+    ff = f.selectExpr(
+        "CAST(fn * fsxy - fsx * fsy AS DOUBLE)"
+        " / CAST(fn * fsxx - fsx * fsx AS DOUBLE) AS full_slope_raw")
+    lo = (m.crossJoin(F.broadcast(f))
+          .selectExpr("grp", "CAST(fn - n AS BIGINT) AS n_logo",
+                      "fsx - sx AS sx", "fsy - sy AS sy",
+                      "fsxy - sxy AS sxy", "fsxx - sxx AS sxx"))
+    fl = lo.selectExpr(
+        "grp", "n_logo",
+        "CAST(n_logo * sxy - sx * sy AS DOUBLE)"
+        " / CAST(n_logo * sxx - sx * sx AS DOUBLE) AS slope_raw",
+        "CAST(sy AS DOUBLE) AS syd", "CAST(sx AS DOUBLE) AS sxd")
+    return (fl.crossJoin(F.broadcast(ff))
+            .selectExpr(
+                "grp", "n_logo",
+                "round(full_slope_raw / 100.0, 6) AS slope_full",
+                "round(slope_raw / 100.0, 6) AS slope_logo",
+                "round((slope_raw - full_slope_raw) / 100.0, 6)"
+                " AS slope_delta",
+                "round((syd - slope_raw * sxd) / n_logo / 100.0, 4)"
+                " AS intercept_logo"))

@@ -131,3 +131,254 @@ def test_media_decode_mulaw_query_matches_python(spark, sf_dir):
         r = rows[d.doc_id]
         assert (r.n_samples, r.sum_samples, r.peak_abs) == (
             m["n_samples"], m["sum_samples"], m["peak_abs"])
+
+
+# --- Self-BLEU ring (VERDICT r9 item 4) ------------------------------------
+
+def test_self_bleu_ring_catches_stride_hidden_collapse(spark, sf_dir):
+    """A corpus interleaved with period 7 hides its template collapse
+    from the ADJACENT pairing (neighbors always differ) but not from
+    the offset-7 ring (stride-7 pairs are identical docs) — the
+    robustness claim that motivates the ring variant."""
+    from mental_health_bigdata_project_spark.plans.textops import (
+        self_bleu_ring_core)
+
+    templates = [f"template {chr(97 + t)} body word{t} tail{t} end{t}"
+                 for t in range(7)]
+    docs = spark.createDataFrame(
+        [(i, templates[i % 7]) for i in range(35)],
+        "doc_id bigint, text string")
+    d = docs.select("doc_id", F.split("text", r"\s+").alias("toks"))
+    rows = {r.off: r for r in self_bleu_ring_core(d).collect()}
+    assert rows[7].avg_self_bleu2 > 0.99          # collapse exposed
+    assert rows[1].avg_self_bleu2 < 0.3           # adjacent is blind
+    assert rows[1].n_pairs == 34 and rows[7].n_pairs == 28
+
+
+def test_self_bleu_ring_matches_adjacent_at_offset_1(spark, sf_dir):
+    ring = {r.off: r for r in
+            QUERIES["text_self_bleu_ring"](spark, sf_dir).collect()}
+    adj = QUERIES["text_self_bleu_adjacent"](spark, sf_dir).collect()[0]
+    assert ring[1].n_pairs == adj.n_pairs
+    assert ring[1].avg_self_bleu2 == adj.avg_self_bleu2
+    assert ring[1].n_disjoint_pairs == adj.n_disjoint_pairs
+
+
+# --- DoReMi T=5 trajectory (VERDICT r9 item 5) -----------------------------
+
+def test_doremi_t5_weights_converge(spark, sf_dir):
+    rows = QUERIES["mixture_doremi_t5"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    for k in range(1, 6):
+        s = sum(r[f"weight_{k}"] for r in rows)
+        assert abs(s - 1.0) < 1e-4, (k, s)        # a distribution each step
+    first = max(abs(r.weight_2 - r.weight_1) for r in rows)
+    last = max(r.delta_last for r in rows)
+    assert last <= first + 1e-9                   # EG step sizes shrink
+    # step-1/2 weights agree with the 2-step trajectory query
+    traj = {r.lang: (r.weight_1, r.weight_2) for r in
+            QUERIES["mixture_doremi_trajectory"](spark, sf_dir).collect()}
+    for r in rows:
+        assert (r.weight_1, r.weight_2) == traj[r.lang]
+
+
+# --- tokenizer-compression Pareto -------------------------------------------
+
+def test_bpe_mixture_pareto_frontier_properties(spark, sf_dir):
+    rows = QUERIES["bpe_mixture_pareto"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.symbol_share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.compute_excess for r in rows)) < 1e-4
+    # the lowest-fertility language can never be dominated
+    best = min(rows, key=lambda r: r.fertility)
+    assert best.pareto_optimal == 1
+    # every dominated row really is dominated (brute-force check)
+    for a in rows:
+        dominated = any(o.fertility < a.fertility
+                        and o.token_share > a.token_share for o in rows)
+        assert a.pareto_optimal == (0 if dominated else 1)
+
+
+# --- 13-gram Bloom decontamination ------------------------------------------
+
+def test_decontam_ngram13_bloom_invariants(spark, sf_dir):
+    r = QUERIES["decontam_ngram13_bloom"](spark, sf_dir).collect()[0]
+    assert r.n_false_neg == 0                     # blooms never drop members
+    assert r.n_bloom_pos >= r.n_exact_pos
+    assert r.n_bloom_pos - r.n_exact_pos == r.n_false_pos
+    assert r.fp_rate < 0.05                       # 2^17 bits is sized for it
+    assert r.n_docs_bloom >= r.n_docs_exact
+
+
+# --- calibration / Brier / influence over the Newton trainer ---------------
+
+def _scored_numpy(spark, sf_dir):
+    import numpy as np
+
+    from mental_health_bigdata_project_spark.plans.quality import (
+        _logreg_d_beta, _logreg_d_s_frame, _logreg_d_z)
+
+    beta = _logreg_d_beta(spark, sf_dir).collect()[0]
+    b = np.array([beta[f"b{i}"] for i in range(5)])
+    rows = _logreg_d_s_frame(spark, sf_dir).collect()
+    X = np.array([[1.0, float(r.x1), float(r.x2), float(r.x3),
+                   float(r.x4)] for r in rows])
+    y = np.array([float(r.y) for r in rows])
+    p = 1.0 / (1.0 + np.exp(-(X @ b)))
+    return X, y, p, b
+
+
+def test_calibration_bins_match_numpy(spark, sf_dir):
+    import numpy as np
+
+    X, y, p, _ = _scored_numpy(spark, sf_dir)
+    bins = np.minimum(9, np.floor(p * 10).astype(int))
+    rows = QUERIES["ml_calibration_bins"](spark, sf_dir).collect()
+    assert sum(r.n for r in rows) == len(y)
+    ece = 0.0
+    for r in rows:
+        mask = bins == r.bin
+        assert r.n == int(mask.sum())
+        assert abs(r.avg_pred - p[mask].mean()) < 1e-6
+        assert abs(r.frac_pos - y[mask].mean()) < 1e-6
+        ece += (mask.sum() / len(y)) * abs(p[mask].mean() - y[mask].mean())
+    assert abs(rows[0].ece - ece) < 1e-5
+
+
+def test_brier_decomposition_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    _, y, p, _ = _scored_numpy(spark, sf_dir)
+    r = QUERIES["stat_brier_decomposition"](spark, sf_dir).collect()[0]
+    assert r.n == len(y)
+    assert abs(r.brier - np.mean((p - y) ** 2)) < 1e-6
+    ybar = y.mean()
+    assert abs(r.uncertainty - ybar * (1 - ybar)) < 1e-6
+    bins = np.minimum(9, np.floor(p * 10).astype(int))
+    rel = res = 0.0
+    for bv in np.unique(bins):
+        m = bins == bv
+        rel += m.sum() * (p[m].mean() - y[m].mean()) ** 2
+        res += m.sum() * (y[m].mean() - ybar) ** 2
+    assert abs(r.reliability - rel / len(y)) < 1e-6
+    assert abs(r.resolution - res / len(y)) < 1e-6
+    assert r.resolution >= 0 and r.reliability >= 0
+
+
+def test_influence_logo_newton_matches_numpy_refit_step(spark, sf_dir):
+    """infl_b == one Newton step from the fitted beta over data minus
+    the group, computed independently in numpy (LAPACK solve)."""
+    import numpy as np
+
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("event_type", "value", "user_id", "event_id").collect())
+    grp = np.array([r.user_id % 5 for r in ev])
+    y = np.array([1.0 if r.event_type == "purchase" else 0.0 for r in ev])
+    X = np.column_stack([
+        np.ones(len(ev)),
+        np.array([r.value / 100.0 for r in ev]),
+        np.array([(r.user_id % 97) / 97.0 for r in ev]),
+        np.array([(r.event_id % 11) / 11.0 for r in ev]),
+        np.array([1.0 if r.event_type == "click" else 0.0 for r in ev]),
+    ])
+    beta = np.zeros(5)
+    for _ in range(2):
+        p = 1.0 / (1.0 + np.exp(-(X @ beta)))
+        g = X.T @ (y - p)
+        H = (X * (p * (1.0 - p))[:, None]).T @ X
+        beta = beta + np.linalg.solve(H, g)
+    rows = {r.grp: r for r in
+            QUERIES["ml_influence_logo_newton"](spark, sf_dir).collect()}
+    assert set(rows) == set(range(5))
+    p = 1.0 / (1.0 + np.exp(-(X @ beta)))
+    w = p * (1.0 - p)
+    for gv in range(5):
+        m = grp != gv
+        assert rows[gv].n_g == int((~m).sum())
+        d = np.linalg.solve((X[m] * w[m][:, None]).T @ X[m],
+                            X[m].T @ (y[m] - p[m]))
+        for i in range(5):
+            assert abs(rows[gv][f"infl_b{i}"] - d[i]) < 1e-5, (gv, i)
+            assert abs(rows[gv][f"b{i}_logo"] - (beta[i] + d[i])) < 1e-5
+
+
+def test_influence_linreg_logo_matches_exact_refit(spark, sf_dir):
+    import numpy as np
+
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_returnflag", "l_quantity", "l_extendedprice")
+          .collect())
+    x = np.array([np.floor(r.l_quantity + 0.5) for r in li])
+    yv = np.array([np.floor(r.l_extendedprice * 100 + 0.5) for r in li])
+    flags = np.array([r.l_returnflag for r in li])
+    rows = {r.grp: r for r in
+            QUERIES["ml_influence_linreg_logo"](spark, sf_dir).collect()}
+    for g, r in rows.items():
+        m = flags != g
+        assert r.n_logo == int(m.sum())
+        n = m.sum()
+        sx, sy = x[m].sum(), yv[m].sum()
+        sxy, sxx = (x[m] * yv[m]).sum(), (x[m] * x[m]).sum()
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0
+        assert abs(r.slope_logo - slope) < 1e-4
+        assert abs(r.slope_delta - (r.slope_logo - r.slope_full)) < 2e-6
+
+
+# --- delta-method ratio + SPRT ----------------------------------------------
+
+def test_delta_method_ratio_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("user_id", "value").collect())
+    by_user = {}
+    for r in ev:
+        yu, nu = by_user.get(r.user_id, (0.0, 0))
+        by_user[r.user_id] = (yu + float(r.value), nu + 1)
+    rows = {r.arm: r for r in
+            QUERIES["stat_delta_method_ratio"](spark, sf_dir).collect()}
+    for arm in (0, 1):
+        ys = np.array([round(v[0], 2) for u, v in by_user.items()
+                       if u % 2 == arm])
+        ns = np.array([v[1] for u, v in by_user.items() if u % 2 == arm])
+        n = len(ys)
+        ratio = ys.sum() / ns.sum()
+        vy, vx = ys.var(ddof=1), ns.var(ddof=1)
+        vxy = np.cov(ys, ns, ddof=1)[0, 1]
+        se = float(np.sqrt((vy - 2 * ratio * vxy + ratio ** 2 * vx) / n)
+                   / ns.mean())
+        r = rows[arm]
+        assert r.n_users == n
+        assert abs(r.ratio - ratio) < 1e-5
+        assert abs(r.se - se) < 1e-5
+        assert abs(r.ci_lo - (ratio - 1.96 * se)) < 1e-4
+        assert abs(r.ci_hi - (ratio + 1.96 * se)) < 1e-4
+
+
+def test_sprt_curve_is_cumulative_and_flags_first_crossing(spark, sf_dir):
+    import math
+
+    rows = sorted(QUERIES["stat_sprt_ab"](spark, sf_dir).collect(),
+                  key=lambda r: r.ckpt)
+    assert rows, "at least one checkpoint"
+    c1 = math.log(0.12 / 0.10)
+    c0 = math.log((1.0 - 0.12) / (1.0 - 0.10))
+    bound = math.log(19.0)
+    prev_n = 0
+    crossed = [r.ckpt for r in rows if abs(r.llr) >= bound]
+    for r in rows:
+        assert r.n_cum > prev_n                       # strictly cumulative
+        prev_n = r.n_cum
+        expect = r.k_cum * c1 + (r.n_cum - r.k_cum) * c0
+        assert abs(r.llr - expect) < 1e-5
+        if r.llr >= bound:
+            assert r.verdict == "accept_h1"
+        elif r.llr <= -bound:
+            assert r.verdict == "accept_h0"
+        else:
+            assert r.verdict == "continue"
+        assert r.first_decision == (
+            1 if crossed and r.ckpt == min(crossed) else 0)
