@@ -180,6 +180,20 @@ HEADLINE = [
     # round-9 (late): watermark z-scan — pure explode+agg riding the
     # scan — and the adjacent-pair Self-BLEU diversity join
     "text_watermark_detect", "text_self_bleu_adjacent",
+    # round-10: the real float32/mu-law decodes through the same
+    # mapInPandas path, LOGO influence (one grouped 20-sum scan + per-
+    # group unrolled solves), calibration/Brier scoring scans, the
+    # 13-gram bloom gate (span-shaped gram explode + bitmap semi-join)
+    "media_decode_wav_float32", "media_decode_wav_mulaw",
+    "ml_influence_logo_newton", "ml_calibration_bins",
+    "stat_brier_decomposition", "decontam_ngram13_bloom",
+    # round-10 (late): ring Self-BLEU (2 offset joins over one bigram
+    # relation), T=5 DoReMi (5 vocab-shaped EG steps), the per-user
+    # delta-method agg, two-phase SPRT curve, fertility Pareto, and
+    # the exact moment-subtraction linreg LOGO
+    "text_self_bleu_ring", "mixture_doremi_t5", "bpe_mixture_pareto",
+    "stat_delta_method_ratio", "stat_sprt_ab",
+    "ml_influence_linreg_logo",
 ]
 
 # Queries per calibration group: a host-speed probe runs between
@@ -247,8 +261,16 @@ def main() -> None:
         c.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    # ONE probe estimator everywhere — median of 5 — for the pre/post
+    # brackets AND the inter-group probes (ADVICE r9: mixed
+    # median-of-3/median-of-5 gave group divisors unequal variance);
+    # the full sample lists are kept so each group carries a
+    # confidence BAND, not just a point divisor (VERDICT r9 item 8).
+    def _probe_samples() -> list[float]:
+        return sorted(_calibrate() for _ in range(5))
+
     _calibrate()  # warm its codegen
-    cal_pre_samples = sorted(_calibrate() for _ in range(5))
+    cal_pre_samples = _probe_samples()
     calibration_pre = round(cal_pre_samples[2], 3)
 
     # Two executions per query: the first (untimed beyond `cold`) pays
@@ -272,7 +294,7 @@ def main() -> None:
         _arts.artifact_root(), _arts._dataset_key(sf_dir),
         "*", "manifest.json")))
 
-    # Per-GROUP calibration (VERDICT r8 item 1): a median-of-3 probe
+    # Per-GROUP calibration (VERDICT r8 item 1): a median-of-5 probe
     # runs between every GROUP_SIZE queries, and each query's
     # normalized time divides by the mean of the two probes BRACKETING
     # its group — a local divisor that tracks intra-run host drift the
@@ -280,12 +302,9 @@ def main() -> None:
     # ~2x WITHIN one run).  The probe is the same fixed workload as
     # the run-level calibration, so group divisors and the run divisor
     # share units.
-    def _probe() -> float:
-        return sorted(_calibrate() for _ in range(3))[1]
-
     groups = [HEADLINE[i:i + GROUP_SIZE]
               for i in range(0, len(HEADLINE), GROUP_SIZE)]
-    group_probes: list[float] = [calibration_pre]   # pre-loop median-of-5
+    probe_samples: list[list[float]] = [cal_pre_samples]  # pre bracket
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     group_of: dict[str, int] = {}
@@ -302,9 +321,9 @@ def main() -> None:
             print(f"# {qid}: {timings[qid]:.3f}s (cold {cold[qid]:.3f}s)",
                   file=sys.stderr)
         if gi < len(groups) - 1:
-            group_probes.append(round(_probe(), 3))
+            probe_samples.append(_probe_samples())
             print(f"# calibration probe after group {gi}: "
-                  f"{group_probes[-1]:.3f}s", file=sys.stderr)
+                  f"{probe_samples[-1][2]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     # Host-normalized total (VERDICT r4 item 3): totals divided by the
@@ -322,28 +341,72 @@ def main() -> None:
     # (max-min)/median is recorded so a reader can tell a real
     # regression from probe noise — a common-query normalized delta
     # smaller than the spread is not attributable.
-    cal_post_samples = sorted(_calibrate() for _ in range(5))
+    cal_post_samples = _probe_samples()
     calibration_post = round(cal_post_samples[2], 3)
     cal_all = sorted(cal_pre_samples + cal_post_samples)
     calibration_sec = round((cal_all[4] + cal_all[5]) / 2, 3)
     calibration_spread = round(
         (cal_all[-1] - cal_all[0]) / calibration_sec, 3)
     normalized_total = round(total / calibration_sec, 1)
-    # per-group local divisors: mean of the two probes bracketing each
-    # group (the post-loop median-of-5 closes the last bracket).  A
-    # query's normalized time is dimensionless "multiples of the probe
-    # workload at the moment the query actually ran" — cross-round
-    # deltas in queries_normalized are attributable to code, not to
-    # when within the run the host slowed down.
-    group_probes.append(calibration_post)
+    # per-group local divisors: mean of the two probe MEDIANS
+    # bracketing each group (the post-loop probe closes the last
+    # bracket).  A query's normalized time is dimensionless "multiples
+    # of the probe workload at the moment the query actually ran" —
+    # cross-round deltas in queries_normalized are attributable to
+    # code, not to when within the run the host slowed down.
+    probe_samples.append(cal_post_samples)
+    group_probes = [round(s[2], 3) for s in probe_samples]
     group_div = [round((group_probes[i] + group_probes[i + 1]) / 2, 3)
                  for i in range(len(group_probes) - 1)]
+    # per-group confidence BAND (VERDICT r9 item 8): relative +- half-
+    # width of the bracketing probes' full sample range around the
+    # divisor.  A cross-round normalized delta smaller than the sum of
+    # the two rounds' bands is not attributable to code — the
+    # adjudication r8's three noise suspects needed, now mechanical.
+    group_band = [
+        round((max(max(probe_samples[i]), max(probe_samples[i + 1]))
+               - min(min(probe_samples[i]), min(probe_samples[i + 1])))
+              / (2 * group_div[i]), 3)
+        for i in range(len(group_div))]
     queries_normalized = {qid: round(t / group_div[group_of[qid]], 3)
                           for qid, t in timings.items()}
     normalized_total_grouped = round(sum(queries_normalized.values()), 1)
     probe_med = sorted(group_probes)[len(group_probes) // 2]
     calibration_group_spread = round(
         (max(group_probes) - min(group_probes)) / probe_med, 3)
+    # Cross-round swing annotation: against the PREVIOUS BENCH_LOCAL
+    # (if present), flag every common query whose normalized time
+    # moved >30% and say whether the move fits inside the two rounds'
+    # combined calibration bands — in_band swings are host noise by
+    # construction, out-of-band ones deserve a code look.
+    bench_local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    normalized_swings: dict[str, dict] = {}
+    try:
+        with open(bench_local_path) as fh:
+            prev = json.load(fh)
+        prev_norm = prev.get("queries_normalized", {})
+        prev_bands = prev.get("calibration_group_bands", {})
+        prev_group_of = prev.get("query_group", {})
+        for qid, now in queries_normalized.items():
+            was = prev_norm.get(qid)
+            if not was:
+                continue
+            delta = (now - was) / was
+            if abs(delta) <= 0.30:
+                continue
+            band_now = group_band[group_of[qid]]
+            band_prev = (prev_bands.get(str(prev_group_of.get(qid)))
+                         if isinstance(prev_bands, dict)
+                         else None) or band_now
+            normalized_swings[qid] = {
+                "prev": was, "now": now,
+                "delta_pct": round(100 * delta, 1),
+                "band_pct": round(100 * (band_now + band_prev), 1),
+                "in_band": abs(delta) <= band_now + band_prev,
+            }
+    except (OSError, ValueError):
+        pass                       # first run, or unreadable prior file
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     sf_val = float(sf) if sf else None
 
@@ -386,6 +449,11 @@ def main() -> None:
         "calibration_samples": [round(s, 3) for s in cal_all],
         "calibration_groups": group_probes,
         "calibration_group_spread": calibration_group_spread,
+        "probe_estimator": "median_of_5",
+        "calibration_group_bands": {str(i): b
+                                    for i, b in enumerate(group_band)},
+        "query_group": group_of,
+        "normalized_swings_vs_prev": normalized_swings,
         "group_size": GROUP_SIZE,
         "queries_normalized": queries_normalized,
         "normalized_total": normalized_total,
@@ -412,6 +480,7 @@ def main() -> None:
             "calibration_sec_median": calibration_sec,
             "calibration_spread": calibration_spread,
             "calibration_group_spread": calibration_group_spread,
+            "calibration_band_max": max(group_band),
             "normalized_total": normalized_total,
             # sum of per-query times each divided by its group's LOCAL
             # probe divisor — the drift-robust cross-round number

@@ -57,6 +57,14 @@ def coverage_batch(batch_df: DataFrame, batch_id: int, index_dir: str,
     rows fell inside the frozen interval — two integers per group."""
     spark = batch_df.sparkSession
     model = spark.read.parquet(os.path.join(artifact_dir, "model"))
+    if "qhat_marginal" not in model.columns:
+        # a model artifact from before the fairness arm (r9) cannot
+        # score covered_marginal — fail with the remedy instead of a
+        # missing-column resolution error mid-plan (ADVICE r9)
+        raise ValueError(
+            f"conformal model at {artifact_dir} predates the marginal-"
+            "quantile column (qhat_marginal); rebuild it with "
+            "build_conformal_artifact before streaming coverage")
     delta = (batch_df.filter(F.col(value_col).isNotNull())
              .select(F.col(type_col).alias("grp"),
                      F.col(value_col).alias("value"))
@@ -76,20 +84,53 @@ def coverage_batch(batch_df: DataFrame, batch_id: int, index_dir: str,
      .parquet(os.path.join(index_dir, "coverage")))
 
 
+def _tolerate_old_state(df: DataFrame) -> DataFrame:
+    """Backward-compatible read of the coverage state (ADVICE r9): a
+    state directory written before the fairness arm lacks
+    ``covered_marginal`` (and ``total_marginal``, the marginal BASIS
+    column compaction folds) — backfill them as NULL so the sums skip
+    those batches instead of failing column resolution.  Marginal
+    coverage is then reported over the batches that actually recorded
+    it (NULL when none have).  Caveat: Spark's plain parquet read does
+    not merge schemas, so a directory MIXING pre- and post-upgrade
+    delta files should be compacted once at migration (the transform
+    below writes the unified schema); the helper guarantees the
+    all-old and all-new layouts read correctly either way."""
+    for c in ("covered_marginal", "total_marginal"):
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(None).cast("bigint"))
+    return df
+
+
+def _marginal_basis():
+    """The rows' marginal-coverage denominator: the explicit folded
+    column when present, else this delta's total iff it recorded
+    marginal coverage at all."""
+    return F.coalesce(
+        F.col("total_marginal"),
+        F.when(F.col("covered_marginal").isNotNull(), F.col("total")))
+
+
 def serve_coverage(spark: SparkSession, artifact_dir: str,
                    index_dir: str) -> DataFrame:
     """(event_type, n_test, n_covered, coverage, alarm) over
     everything ingested so far."""
     from .compaction import read_live
 
-    cur = (read_live(spark, os.path.join(index_dir, "coverage"))
+    cur = (_tolerate_old_state(
+               read_live(spark, os.path.join(index_dir, "coverage")))
            .groupBy("grp")
            .agg(F.sum("covered").cast("bigint").alias("n_covered"),
                 F.sum("covered_marginal").cast("bigint")
                 .alias("n_covered_marginal"),
+                F.sum(_marginal_basis()).cast("bigint")
+                .alias("n_test_marginal"),
                 F.sum("total").cast("bigint").alias("n_test")))
     covg = F.col("n_covered").cast("double") / F.col("n_test")
-    covm = F.col("n_covered_marginal").cast("double") / F.col("n_test")
+    # marginal coverage only over batches that recorded it (pre-r9
+    # deltas lack the column — ADVICE r9); NULL when none have
+    covm = (F.col("n_covered_marginal").cast("double")
+            / F.col("n_test_marginal"))
     return cur.select(
         F.col("grp").alias("event_type"), "n_test", "n_covered",
         F.round(covg, 6).alias("coverage"),
@@ -101,15 +142,19 @@ def serve_coverage(spark: SparkSession, artifact_dir: str,
 def compact_coverage_state(spark: SparkSession, index_dir: str,
                            through: int) -> dict:
     """Sum-fold the per-batch coverage deltas — state stays one row
-    per group forever."""
+    per group forever.  Tolerates pre-fairness-arm deltas (ADVICE r9)
+    and writes the unified schema, carrying the marginal BASIS so the
+    served gap stays correct across mixed-era histories."""
     from .compaction import compact_index
 
     return compact_index(
         spark, os.path.join(index_dir, "coverage"), through,
-        transform=lambda live: live.groupBy("grp")
+        transform=lambda live: _tolerate_old_state(live).groupBy("grp")
         .agg(F.sum("covered").cast("bigint").alias("covered"),
              F.sum("covered_marginal").cast("bigint")
              .alias("covered_marginal"),
+             F.sum(_marginal_basis()).cast("bigint")
+             .alias("total_marginal"),
              F.sum("total").cast("bigint").alias("total")))
 
 

@@ -87,10 +87,20 @@ def main() -> None:
             results["factors"][str(factor)] = time_queries(spark, tmp)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
-    results["wall_ratio"] = {
-        q: round(results["factors"][str(factors[-1])][q]
-                 / max(results["factors"]["1"][q], 1e-9), 2)
-        for q in QIDS}
+    # ratio of the largest factor over the SMALLEST one run (ADVICE
+    # r9: indexing factors['1'] raised KeyError after all timing work
+    # when invoked as e.g. '10,100').  Note the asymmetry the ratio
+    # carries when the smallest factor is 1: factor 1 times the
+    # session-memoized base dir while scaled factors run from
+    # non-memoized tmp dirs, so ratios vs 1 include that cache edge.
+    lo, hi = str(min(factors)), str(max(factors))
+    if lo != hi:
+        results["wall_ratio_basis"] = {"lo": lo, "hi": hi,
+                                       "lo_is_memoized_base": lo == "1"}
+        results["wall_ratio"] = {
+            q: round(results["factors"][hi][q]
+                     / max(results["factors"][lo][q], 1e-9), 2)
+            for q in QIDS}
     print(json.dumps(results, separators=(",", ":")), flush=True)
     spark.stop()
 
