@@ -208,3 +208,40 @@ def test_no_hugeint_in_any_oracle_output():
                 bad.append(f"{qid}: column {name} is {typ}")
     assert not bad, ("oracle outputs with cross-engine-unsafe types "
                      "(cast to BIGINT/DOUBLE/VARCHAR):\n" + "\n".join(bad))
+
+
+def test_doc_count_claims_match_registry():
+    """Doc-count lint (VERDICT r9 item 6: a stale COVERAGE claim
+    survived two rounds): the CURRENT registry-size claims in
+    README.md, REGISTRY.md's generated header, and the LATEST
+    round section of COVERAGE.md must equal the live registry.
+    Historical per-round counts (earlier 'registry is now ...'
+    lines) are exempt — only the most recent claim is the contract."""
+    import re
+
+    from mental_health_bigdata_project_spark.plans import ORACLES, QUERIES
+
+    n_q, n_o = len(QUERIES), len(ORACLES)
+    problems = []
+
+    with open("/root/repo/README.md") as f:
+        m = re.search(r"the query registry: (\d+) queries, (\d+) with",
+                      f.read())
+    if m and (int(m.group(1)), int(m.group(2))) != (n_q, n_o):
+        problems.append(f"README.md claims {m.groups()}, registry is "
+                        f"({n_q}, {n_o})")
+
+    with open("/root/repo/REGISTRY.md") as f:
+        m = re.search(r"(\d+) queries, (\d+) oracle-backed", f.read())
+    if m and (int(m.group(1)), int(m.group(2))) != (n_q, n_o):
+        problems.append(f"REGISTRY.md claims {m.groups()}, registry is "
+                        f"({n_q}, {n_o})")
+
+    with open("/root/repo/COVERAGE.md") as f:
+        claims = re.findall(r"registry is now (\d+) queries /\s*(\d+)",
+                            f.read())
+    if claims and (int(claims[-1][0]), int(claims[-1][1])) != (n_q, n_o):
+        problems.append(f"COVERAGE.md latest claim {claims[-1]}, registry "
+                        f"is ({n_q}, {n_o})")
+
+    assert not problems, "\n".join(problems)
