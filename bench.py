@@ -194,6 +194,11 @@ HEADLINE = [
     "text_self_bleu_ring", "mixture_doremi_t5", "bpe_mixture_pareto",
     "stat_delta_method_ratio", "stat_sprt_ab",
     "ml_influence_linreg_logo",
+    # round-10 (batch 2): the budget knapsack's score-ordered two-phase
+    # cumsum, scan-riding code detect, two-gram-agg entropy rate, the
+    # grouped pass@k scan, and the windowed-pairs Bradley-Terry MM
+    "sample_quality_budget", "text_code_detect", "text_entropy_rate",
+    "eval_pass_at_k", "eval_bradley_terry",
 ]
 
 # Queries per calibration group: a host-speed probe runs between

@@ -208,6 +208,8 @@ _CONVERTED_FRONT = [
     "bpe_mixture_pareto", "text_self_bleu_ring",
     "mixture_doremi_t5", "stat_delta_method_ratio",
     "stat_sprt_ab", "ml_influence_linreg_logo",
+    "sample_quality_budget", "text_code_detect", "text_entropy_rate",
+    "eval_pass_at_k", "eval_bradley_terry",
     # --- round-10 adjacency: re-certify ---
     "media_decode_wav", "ml_logreg_newton_d",
     "ml_logreg_newton_portable", "sketch_bloom_decontam",

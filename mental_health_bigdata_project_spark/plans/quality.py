@@ -4006,3 +4006,214 @@ def stat_sprt_ab(spark, sf_dir):
                         "ELSE 'continue' END AS verdict",
                         "CAST(CASE WHEN ckpt = f THEN 1 ELSE 0 END AS INT)"
                         " AS first_decision"))
+
+
+# --- eval-pipeline estimators (round 10, batch 2) --------------------------
+
+def _pass_at_k_expr(k: int) -> str:
+    """The unbiased pass@k estimator 1 - C(n-c,k)/C(n,k) as one shared
+    formula string (Chen et al. 2021, Codex appendix): the binomial
+    ratio unrolled as a left-associated product of k integer-ratio
+    factors — both engines evaluate the identical double op chain.
+    When n - c < k the numerator binomial is 0 and pass@k is exactly
+    1 (some success is guaranteed in every size-k draw)."""
+    prod = " * ".join(
+        f"(CAST(n - c - {i} AS DOUBLE) / CAST(n - {i} AS DOUBLE))"
+        for i in range(k))
+    return f"CASE WHEN n - c < {k} THEN 1.0 ELSE 1.0 - {prod} END"
+
+
+@query("eval_pass_at_k", f"""
+    WITH s AS (SELECT user_id AS task,
+                      CAST(count(*) AS BIGINT) AS n,
+                      CAST(SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS c
+               FROM events GROUP BY user_id),
+    p AS (SELECT n, c,
+                 {_pass_at_k_expr(1)} AS p1,
+                 {_pass_at_k_expr(5)} AS p5
+          FROM s)
+    SELECT CAST(count(*) AS BIGINT) AS n_tasks_k1,
+           round(CAST(SUM(CAST(p1 AS DECIMAL(38,18))) AS DOUBLE)
+                 / count(*), 6) AS pass_at_1,
+           CAST(SUM(CASE WHEN n >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tasks_k5,
+           round(CAST(SUM(CASE WHEN n >= 5
+                          THEN CAST(p5 AS DECIMAL(38,18)) END) AS DOUBLE)
+                 / SUM(CASE WHEN n >= 5 THEN 1 ELSE 0 END), 6)
+             AS pass_at_5
+    FROM p
+""")
+def eval_pass_at_k(spark, sf_dir):
+    """The UNBIASED pass@k estimator (Chen et al. 2021, 'Evaluating
+    Large Language Models Trained on Code'): with n samples per task
+    of which c pass, the naive 1-(1-c/n)^k is biased; the paper's
+    estimator 1 - C(n-c,k)/C(n,k) is exact, and its numerically-stable
+    product form is what every eval harness computes.  Instantiated on
+    the events fixture (task = user, attempt = event, success =
+    purchase): per-task (n, c) in one grouped scan, the k=1 and k=5
+    estimators as unrolled integer-ratio products, averaged over the
+    tasks with n >= k (pass@k over fewer samples than k is undefined —
+    those tasks are excluded, their count visible via n_tasks_k1 -
+    n_tasks_k5).
+
+    Exactness: each factor (n-c-i)/(n-i) is a deterministic double of
+    exact integers, the product a fixed left-associated chain (shared
+    formula strings), and the task means accumulate in
+    DECIMAL(38,18).  Plan: ONE map-side-combinable grouped count scan
+    -> per-task scalar math -> 1-row mean.  At 100 TB: the eval-result
+    log scans once, everything after is task-cardinality-sized."""
+    s = (_t(spark, sf_dir, "events")
+         .groupBy(F.col("user_id").alias("task"))
+         .agg(F.count("*").cast("bigint").alias("n"),
+              F.sum(F.when(F.col("event_type") == "purchase", 1)
+                    .otherwise(0)).cast("bigint").alias("c")))
+    p = s.selectExpr("n", "c",
+                     f"{_pass_at_k_expr(1)} AS p1",
+                     f"{_pass_at_k_expr(5)} AS p5")
+    return p.selectExpr(
+        "CAST(count(*) AS BIGINT) AS n_tasks_k1",
+        "round(CAST(SUM(CAST(p1 AS DECIMAL(38,18))) AS DOUBLE)"
+        " / count(*), 6) AS pass_at_1",
+        "CAST(SUM(CASE WHEN n >= 5 THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_tasks_k5",
+        "round(CAST(SUM(CASE WHEN n >= 5"
+        " THEN CAST(p5 AS DECIMAL(38,18)) END) AS DOUBLE)"
+        " / SUM(CASE WHEN n >= 5 THEN 1 ELSE 0 END), 6) AS pass_at_5")
+
+
+_BT_STEPS = 3
+
+
+def _bt_step_sql(k: int) -> str:
+    """One Hunter-(2004) MM step for Bradley-Terry as CTEs: per-player
+    denominator sum_j n_ij / (w_i + w_j) (decimal-summed), raw update
+    W_i / denom, then normalization so the step is scale-pinned."""
+    return f"""
+    d{k} AS (SELECT dp.i AS ty,
+                    CAST(SUM(CAST(dp.n / GREATEST(wi.w + wj.w, 1e-12)
+                         AS DECIMAL(38,18))) AS DOUBLE) AS denom
+             FROM dp
+             JOIN w{k - 1} wi ON wi.ty = dp.i
+             JOIN w{k - 1} wj ON wj.ty = dp.j
+             GROUP BY dp.i),
+    r{k} AS (SELECT wins.ty, CAST(wins.wi AS DOUBLE) / d{k}.denom AS r
+             FROM wins JOIN d{k} ON d{k}.ty = wins.ty),
+    z{k} AS (SELECT CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS z
+             FROM r{k}),
+    w{k} AS (SELECT r{k}.ty, r{k}.r / z{k}.z AS w
+             FROM r{k} CROSS JOIN z{k})"""
+
+
+@query("eval_bradley_terry", f"""
+    WITH e AS (SELECT user_id, event_id, event_type, value
+               FROM events WHERE value IS NOT NULL),
+    m AS (SELECT user_id, event_id, event_type, value,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY event_id) AS pty,
+                 lag(value) OVER (PARTITION BY user_id
+                                  ORDER BY event_id) AS pval
+          FROM e),
+    pairs AS (SELECT CASE WHEN event_type < pty THEN event_type
+                          ELSE pty END AS lo,
+                     CASE WHEN event_type < pty THEN pty
+                          ELSE event_type END AS hi,
+                     CASE WHEN value > pval THEN event_type
+                          WHEN pval > value THEN pty
+                          WHEN event_type < pty THEN event_type
+                          ELSE pty END AS winner
+              FROM m WHERE pty IS NOT NULL AND event_type <> pty),
+    pc AS (SELECT lo, hi, CAST(count(*) AS BIGINT) AS n,
+                  CAST(SUM(CASE WHEN winner = lo THEN 1 ELSE 0 END)
+                       AS BIGINT) AS lo_wins
+           FROM pairs GROUP BY lo, hi),
+    dp AS (SELECT lo AS i, hi AS j, n FROM pc
+           UNION ALL SELECT hi, lo, n FROM pc),
+    wins AS (SELECT i AS ty, CAST(SUM(wi) AS BIGINT) AS wi FROM (
+               SELECT lo AS i, lo_wins AS wi FROM pc
+               UNION ALL SELECT hi, n - lo_wins FROM pc)
+             GROUP BY i),
+    w0 AS (SELECT ty, 1.0 AS w FROM wins),
+    {",".join(_bt_step_sql(k) for k in range(1, _BT_STEPS + 1))}
+    SELECT wins.ty AS event_type, wins.wi AS n_wins,
+           (SELECT CAST(SUM(n) AS BIGINT) FROM dp WHERE dp.i = wins.ty)
+             AS n_matches,
+           round(w{_BT_STEPS}.w, 6) AS bt_strength
+    FROM wins JOIN w{_BT_STEPS} ON w{_BT_STEPS}.ty = wins.ty
+""")
+def eval_bradley_terry(spark, sf_dir):
+    """Bradley-Terry preference-strength fit by Hunter's (2004) MM
+    algorithm — the model behind Chatbot-Arena-style pairwise
+    leaderboards and RLHF preference aggregation: each user's
+    consecutive events form a pairwise comparison between event types
+    (higher value wins; exact ties break to the lexicographically
+    smaller type, so every match has a deterministic winner), and
+    three unrolled MM steps w_i <- W_i / sum_j n_ij/(w_i + w_j)
+    (normalized each step) fit the strength vector from the 5x5 match
+    matrix.
+
+    Exactness: the match relation is a per-user lag window with a
+    deterministic order (event_id); all counts are exact integers;
+    each MM denominator sums <= #players decimal terms; the update is
+    a fixed scalar chain with a GREATEST(., 1e-12) floor so an
+    all-losses player cannot divide by zero — identical strings both
+    engines.  Plan: one user-partitioned window over the scan, one
+    grouped count to the #players^2 match matrix — the MM iterations
+    run on that tiny relation, the fixed-iteration unroll of the
+    PageRank/DoReMi family.  At 100 TB: the window rides the
+    per-user partitioning; everything after the first agg is
+    players-squared-sized."""
+    e = (_t(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull())
+         .select("user_id", "event_id", "event_type", "value"))
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    m = e.select("event_type", "value",
+                 F.lag("event_type").over(w).alias("pty"),
+                 F.lag("value").over(w).alias("pval"))
+    lo = F.when(F.col("event_type") < F.col("pty"), F.col("event_type")) \
+        .otherwise(F.col("pty"))
+    hi = F.when(F.col("event_type") < F.col("pty"), F.col("pty")) \
+        .otherwise(F.col("event_type"))
+    winner = (F.when(F.col("value") > F.col("pval"), F.col("event_type"))
+              .when(F.col("pval") > F.col("value"), F.col("pty"))
+              .otherwise(lo))
+    pairs = (m.filter(F.col("pty").isNotNull()
+                      & (F.col("event_type") != F.col("pty")))
+             .select(lo.alias("lo"), hi.alias("hi"),
+                     winner.alias("winner")))
+    pc = (pairs.groupBy("lo", "hi")
+          .agg(F.count("*").cast("bigint").alias("n"),
+               F.sum(F.when(F.col("winner") == F.col("lo"), 1)
+                     .otherwise(0)).cast("bigint").alias("lo_wins"))
+          .localCheckpoint(eager=True))        # feeds dp + wins
+    dp = (pc.selectExpr("lo AS i", "hi AS j", "n")
+          .unionByName(pc.selectExpr("hi AS i", "lo AS j", "n"))
+          .localCheckpoint(eager=True))        # feeds every MM step
+    wins = (pc.selectExpr("lo AS ty", "lo_wins AS wi")
+            .unionByName(pc.selectExpr("hi AS ty", "n - lo_wins AS wi"))
+            .groupBy("ty").agg(F.sum("wi").cast("bigint").alias("wi"))
+            .localCheckpoint(eager=True))
+    d18 = lambda c: F.sum(c.cast("decimal(38,18)")).cast("double")  # noqa: E731
+    wk = wins.select("ty", F.lit(1.0).alias("w"))
+    for _ in range(_BT_STEPS):
+        wi = wk.selectExpr("ty AS i_ty", "w AS wi_w")
+        wj = wk.selectExpr("ty AS j_ty", "w AS wj_w")
+        d = (dp.join(F.broadcast(wi), F.col("i") == F.col("i_ty"))
+             .join(F.broadcast(wj), F.col("j") == F.col("j_ty"))
+             .groupBy(F.col("i").alias("ty"))
+             .agg(d18(F.col("n") / F.greatest(
+                 F.col("wi_w") + F.col("wj_w"), F.lit(1e-12)))
+                 .alias("denom")))
+        r = (wins.join(F.broadcast(d), "ty")
+             .select("ty", (F.col("wi").cast("double") / F.col("denom"))
+                     .alias("r")))
+        z = r.agg(d18(F.col("r")).alias("z"))
+        wk = (r.crossJoin(F.broadcast(z))
+              .select("ty", (F.col("r") / F.col("z")).alias("w"))
+              .localCheckpoint(eager=True))    # #players-row model state
+    nm = dp.groupBy(F.col("i").alias("ty")) \
+        .agg(F.sum("n").cast("bigint").alias("n_matches"))
+    return (wins.join(nm, "ty").join(wk, "ty")
+            .select(F.col("ty").alias("event_type"),
+                    F.col("wi").alias("n_wins"), "n_matches",
+                    F.round("w", 6).alias("bt_strength")))

@@ -5252,3 +5252,290 @@ def mixture_doremi_t5(spark, sf_dir):
         F.round(F.abs(F.col(f"wt_{_DOREMI_T}")
                       - F.col(f"wt_{_DOREMI_T - 1}")), 6)
         .alias("delta_last"))
+
+
+# --- round 10, batch 2: curation selection / code detect / entropy rate ---
+
+_QB_FRACTION = 0.3      # token budget as a fraction of the corpus
+
+
+@query("sample_quality_budget", f"""
+    WITH t AS (SELECT doc_id, source, text, {_TOKS_SQL} AS toks
+               FROM documents WHERE length(text) > 0),
+    s AS (SELECT doc_id, source,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 round(0.5 * ((1.0 - (length(text) - length(regexp_replace(
+                          text, '[^a-zA-Z0-9 ]', '', 'g')))
+                       / CAST(length(text) AS DOUBLE))
+                       * LEAST(1.0, len(toks) / 50.0))
+                   + 0.3 * (1.0 - CASE WHEN len(toks) >= 3 THEN
+                       (SELECT CAST(len(g) - len(list_distinct(g))
+                               AS DOUBLE) / len(g)
+                        FROM (SELECT list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                          AS g))
+                     ELSE 0.0 END)
+                   + 0.2 * (CASE WHEN {_hits_sql(STOPWORDS)} > 0
+                            THEN 1.0 ELSE 0.0 END), 6) AS score
+          FROM t WHERE len(toks) > 0),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS corpus_tokens FROM s),
+    cum AS (SELECT doc_id, source, n_tokens, score,
+                   CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ctok
+            FROM s),
+    sel AS (SELECT cum.*, tot.corpus_tokens FROM cum CROSS JOIN tot
+            WHERE CAST(ctok AS DOUBLE)
+                  <= {_QB_FRACTION} * tot.corpus_tokens)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs_selected,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_selected,
+           round(CAST(SUM(n_tokens) AS DOUBLE)
+                 / any_value(corpus_tokens), 6) AS corpus_token_share,
+           round(min(score), 6) AS min_score_admitted
+    FROM sel GROUP BY source
+""")
+def sample_quality_budget(spark, sf_dir):
+    """Quality-ranked selection under a TOKEN BUDGET — the greedy
+    knapsack every curation run executes after scoring (take the
+    highest-quality documents until the compute budget is spent; the
+    quality-threshold counterpart of mixture_token_budget's per-source
+    recipe): rank the corpus by the ensemble quality score
+    (quality_ensemble_score's exact blend), admit documents in score
+    order while the cumulative token count stays within 30% of the
+    corpus, and report the admitted mass per source — which sources
+    dominate a quality-budgeted corpus, and the score the budget
+    clears (min_score_admitted, the effective quality threshold this
+    budget IMPLIES — the number FineWeb-style ablations sweep).
+
+    Exactness: the score is the parent query's 6dp-rounded blend
+    (identical doubles), ties broken by doc_id; the admission test
+    compares exact-integer cumulative tokens against a fixed double.
+    Plan: score rides the scan; the global score-ordered cumulative
+    sum runs as the repo's TWO-PHASE running sum (range exchange on
+    (score DESC, doc_id), per-partition window, P-row broadcast
+    offsets — no single-partition window over the corpus); the final
+    rollup is #sources-sized.  At 100 TB: one scan + one range
+    exchange, the same cost as writing the corpus sorted by quality —
+    which a curation run wants anyway."""
+    toks = tokens_col()
+    df = (_docs(spark, sf_dir)
+          .filter(F.length("text") > 0)
+          .select("doc_id", "source", "text", toks.alias("toks"))
+          .filter(F.size("toks") > 0))
+    n = F.size("toks")
+    punct = (F.length("text") - F.length(F.array_join(
+        F.regexp_extract_all("text", F.lit("[a-zA-Z0-9 ]+"), F.lit(0)), ""))) \
+        / F.length("text").cast("double")
+    q = (F.lit(1.0) - punct) * F.least(F.lit(1.0), n / F.lit(50.0))
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(" ", F.element_at("toks", i),
+                              F.element_at("toks", i + 1),
+                              F.element_at("toks", i + 2)))
+    rep = F.when(
+        n >= 3,
+        (F.size(grams) - F.size(F.array_distinct(grams))).cast("double")
+        / F.size(grams)).otherwise(F.lit(0.0))
+    stop_present = F.when(_hits(F.col("toks"), STOPWORDS) > 0, 1.0) \
+        .otherwise(0.0)
+    s = df.select(
+        "doc_id", "source", n.cast("bigint").alias("n_tokens"),
+        F.round(0.5 * q + 0.3 * (F.lit(1.0) - rep) + 0.2 * stop_present, 6)
+        .alias("score"))
+    tot = s.agg(F.sum("n_tokens").cast("bigint").alias("corpus_tokens"))
+    # two-phase global running sum in (score DESC, doc_id) order
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    with_pid = (s.repartitionByRange(n_parts, F.desc("score"), "doc_id")
+                .withColumn("pid", F.spark_partition_id())
+                .localCheckpoint())
+    wrun = (Window.partitionBy("pid").orderBy(F.desc("score"), "doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    local = with_pid.select(
+        "pid", "doc_id", "source", "n_tokens", "score",
+        F.sum("n_tokens").over(wrun).cast("bigint").alias("lt"))
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (with_pid.groupBy("pid")
+            .agg(F.sum("n_tokens").alias("pt"))
+            .select("pid", F.coalesce(F.sum("pt").over(woff), F.lit(0))
+                    .alias("offt")))
+    cum = (local.join(F.broadcast(offs), "pid")
+           .select("doc_id", "source", "n_tokens", "score",
+                   (F.col("lt") + F.col("offt")).cast("bigint")
+                   .alias("ctok")))
+    sel = (cum.crossJoin(F.broadcast(tot))
+           .filter(F.col("ctok").cast("double")
+                   <= _QB_FRACTION * F.col("corpus_tokens")))
+    return (sel.groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("n_docs_selected"),
+                 F.sum("n_tokens").cast("bigint").alias("tokens_selected"),
+                 F.round(F.sum("n_tokens").cast("double")
+                         / F.any_value("corpus_tokens"), 6)
+                 .alias("corpus_token_share"),
+                 F.round(F.min("score"), 6).alias("min_score_admitted")))
+
+
+_CODE_KEYWORDS = ["def", "class", "return", "import", "function", "var",
+                  "const", "void", "int", "public"]
+
+
+def code_detect_core(docs: DataFrame) -> DataFrame:
+    """DataFrame-level core of text_code_detect over a (doc_id, text)
+    relation — composable so the planted-code property test can prove
+    detection on a synthetic corpus."""
+    toks = tokens_col()
+    n_chars = F.length("text").cast("double")
+    sym = (F.length("text") - F.length(F.array_join(
+        F.regexp_extract_all("text", F.lit("[^{}();=\\[\\]<>]+"),
+                             F.lit(0)), ""))) / n_chars
+    lines = F.split("text", "\n")
+    indented = F.size(F.filter(lines, lambda ln: ln.rlike("^(  |\t)")))
+    indent_ratio = (indented.cast("double")
+                    / F.greatest(F.size(lines), F.lit(1)))
+    kw = _hits(toks, _CODE_KEYWORDS).cast("double") \
+        / F.greatest(F.size(toks), F.lit(1))
+    score = (F.least(F.lit(1.0), sym * 10.0)
+             + F.least(F.lit(1.0), indent_ratio * 2.0)
+             + F.least(F.lit(1.0), kw * 10.0)) / 3.0
+    return (docs.filter(F.length("text") > 0)
+            .select("doc_id",
+                    F.round(sym, 6).alias("symbol_ratio"),
+                    F.round(indent_ratio, 6).alias("indent_ratio"),
+                    F.round(kw, 6).alias("keyword_ratio"),
+                    F.round(score, 6).alias("code_score"),
+                    F.when(score >= 0.5, 1).otherwise(0).cast("int")
+                    .alias("is_code")))
+
+
+@query("text_code_detect", f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents
+               WHERE length(text) > 0),
+    m AS (SELECT doc_id,
+            (length(text) - length(list_aggregate(
+               regexp_extract_all(text, '[^{{}}();=\\[\\]<>]+'),
+               'string_agg', ''))) / CAST(length(text) AS DOUBLE) AS sym,
+            CAST(len(list_filter(string_split(text, chr(10)),
+                 ln -> regexp_matches(ln, '^(  |\t)'))) AS DOUBLE)
+              / GREATEST(len(string_split(text, chr(10))), 1)
+              AS indent_ratio,
+            CAST(len(list_filter(toks, x -> list_contains(
+                 [{", ".join("'" + w + "'" for w in _CODE_KEYWORDS)}], x)))
+                 AS DOUBLE) / GREATEST(len(toks), 1) AS kw
+          FROM t)
+    SELECT doc_id,
+           round(sym, 6) AS symbol_ratio,
+           round(indent_ratio, 6) AS indent_ratio,
+           round(kw, 6) AS keyword_ratio,
+           round((LEAST(1.0, sym * 10.0) + LEAST(1.0, indent_ratio * 2.0)
+                  + LEAST(1.0, kw * 10.0)) / 3.0, 6) AS code_score,
+           CAST(CASE WHEN (LEAST(1.0, sym * 10.0)
+                           + LEAST(1.0, indent_ratio * 2.0)
+                           + LEAST(1.0, kw * 10.0)) / 3.0 >= 0.5
+                     THEN 1 ELSE 0 END AS INT) AS is_code
+    FROM m
+""")
+def text_code_detect(spark, sf_dir):
+    """Code-vs-prose detection — the routing heuristic code-corpus
+    pipelines (CodeParrot; StarCoder's preprocessing; Chowdhery et
+    al.'s PaLM code split) apply before choosing a tokenizer/quality
+    battery, since Gopher-style prose rules mis-kill source code:
+    blend of code-symbol density ({{}}();=[]<>), indented-line ratio,
+    and reserved-word token hits, each saturating (LEAST) so one
+    signal cannot dominate; is_code at 0.5.  On THIS corpus (synthetic
+    prose) flags are ~0 — the honest negative control; the property
+    test plants a real code document via code_detect_core and the
+    score must cross the flag line.
+
+    Exactness: three per-row ratios of exact integers over fixed
+    double op chains, 6dp-rounded — no aggregation at all.  Plan: pure
+    scan-riding expression work (one regexp pass, one line split, one
+    token filter per row), embarrassingly parallel at any scale — the
+    cheapest possible curation shape, like quality_ensemble_score."""
+    return code_detect_core(
+        _docs(spark, sf_dir).select("doc_id", "text"))
+
+
+@query("text_entropy_rate", f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    uni AS (SELECT unnest(toks) AS w FROM tok),
+    uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w),
+    bg AS (SELECT unnest(list_transform(range(1, len(toks)),
+                   i -> struct_pack(w1 := toks[i], w2 := toks[i + 1])))
+             AS b
+           FROM tok WHERE len(toks) >= 2),
+    bc AS (SELECT b.w1 AS w1, b.w2 AS w2, CAST(count(*) AS BIGINT) AS c
+           FROM bg GROUP BY 1, 2),
+    nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uc),
+    nb AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM bc),
+    h1 AS (SELECT CAST(SUM(CAST(
+             -(CAST(uc.c AS DOUBLE) / nt.n)
+              * ln(CAST(uc.c AS DOUBLE) / nt.n)
+             AS DECIMAL(38,18))) AS DOUBLE) AS h
+           FROM uc CROSS JOIN nt),
+    h12 AS (SELECT CAST(SUM(CAST(
+              -(CAST(bc.c AS DOUBLE) / nb.n)
+               * ln(CAST(bc.c AS DOUBLE) / nb.n)
+              AS DECIMAL(38,18))) AS DOUBLE) AS h
+            FROM bc CROSS JOIN nb)
+    SELECT nt.n AS n_tokens,
+           (SELECT CAST(count(*) AS BIGINT) FROM uc) AS vocab_size,
+           nb.n AS n_bigrams,
+           round(h1.h, 6) AS unigram_entropy,
+           round(h12.h, 6) AS bigram_entropy,
+           round(h12.h - h1.h, 6) AS entropy_rate,
+           round(exp(h12.h - h1.h), 6) AS conditional_perplexity
+    FROM nt CROSS JOIN nb CROSS JOIN h1 CROSS JOIN h12
+""")
+def text_entropy_rate(spark, sf_dir):
+    """Corpus ENTROPY RATE under the empirical bigram model (Shannon
+    1951's entropy-of-English program; Brown et al. 1992's n-gram
+    upper-bound estimate): H(W2|W1) = H(W1,W2) - H(W1) in nats, plus
+    the unigram entropy and the conditional perplexity e^H — the
+    single-number compressibility/diversity readout that complements
+    text_char_entropy (characters) and text_bigram_lm_score (per-doc):
+    a templated or near-duplicate corpus shows a collapsed entropy
+    rate long before eyeballing catches it, and tokenizer/budget math
+    (bits per token) starts from exactly this number.
+
+    Exactness: each -p ln p term is a deterministic double from exact
+    integer counts with identical op order; both entropy sums
+    accumulate in DECIMAL(38,18) (the transcendental-sum convention),
+    and the subtraction/exp are fixed scalar ops on 1-row relations.
+    Plan: ONE corpus explode each for unigrams and bigrams, both
+    map-side-combinable hash aggs on Zipf-sized vocabularies; the
+    entropy sums are vocabulary-shaped scans with a broadcast 1-row
+    total.  At 100 TB nothing but (gram, count) pairs ever shuffles."""
+    t = _docs(spark, sf_dir).select("doc_id", tokens_col().alias("toks"))
+    uc = (t.select(F.explode("toks").alias("w"))
+          .groupBy("w").agg(F.count("*").cast("bigint").alias("c"))
+          .localCheckpoint(eager=True))        # feeds nt + vocab + h1
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.transform(F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at("toks", i).alias("w1"),
+                        F.element_at("toks", i + 1).alias("w2")))
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bc = (t.select(F.explode(bigrams).alias("b"))
+          .select("b.w1", "b.w2")
+          .groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c"))
+          .localCheckpoint(eager=True))        # feeds nb + h12
+    d18 = lambda c: F.sum(c.cast("decimal(38,18)")).cast("double")  # noqa: E731
+    nt = uc.agg(F.sum("c").cast("bigint").alias("n"),
+                F.count("*").cast("bigint").alias("vocab_size"))
+    nb = bc.agg(F.sum("c").cast("bigint").alias("n"))
+    p1 = F.col("c").cast("double") / F.col("n")
+    h1 = (uc.crossJoin(F.broadcast(nt.select("n")))
+          .agg(d18(-p1 * F.log(p1)).alias("h")))
+    h12 = (bc.crossJoin(F.broadcast(nb))
+           .agg(d18(-p1 * F.log(p1)).alias("h")))
+    return (nt.crossJoin(F.broadcast(nb.select(F.col("n").alias("nb"))))
+            .crossJoin(F.broadcast(h1.select(F.col("h").alias("h1"))))
+            .crossJoin(F.broadcast(h12.select(F.col("h").alias("h12"))))
+            .select(F.col("n").alias("n_tokens"), "vocab_size",
+                    F.col("nb").alias("n_bigrams"),
+                    F.round("h1", 6).alias("unigram_entropy"),
+                    F.round("h12", 6).alias("bigram_entropy"),
+                    F.round(F.col("h12") - F.col("h1"), 6)
+                    .alias("entropy_rate"),
+                    F.round(F.exp(F.col("h12") - F.col("h1")), 6)
+                    .alias("conditional_perplexity")))

@@ -382,3 +382,126 @@ def test_sprt_curve_is_cumulative_and_flags_first_crossing(spark, sf_dir):
             assert r.verdict == "continue"
         assert r.first_decision == (
             1 if crossed and r.ckpt == min(crossed) else 0)
+
+
+# --- batch 2: curation selection / code detect / entropy / eval ------------
+
+def test_quality_budget_respects_budget_and_fills_it(spark, sf_dir):
+    rows = QUERIES["sample_quality_budget"](spark, sf_dir).collect()
+    share = sum(r.corpus_token_share for r in rows)
+    assert share <= 0.3 + 1e-6                  # hard budget
+    assert share > 0.25                         # greedy fill, small docs
+    assert all(r.tokens_selected > 0 for r in rows)
+
+
+def test_code_detect_flags_planted_code_not_prose(spark, sf_dir):
+    from mental_health_bigdata_project_spark.plans.textops import (
+        code_detect_core)
+
+    code = ("def f(x):\n    return x * 2\n"
+            "class Foo:\n    def g(self):\n"
+            "        import os\n        var = {1: [2]};\n"
+            "        if (x == 2):\n            return os\n")
+    prose = ("the quick brown fox jumps over the lazy dog and then "
+             "wanders home to sleep through a warm afternoon of rest")
+    docs = spark.createDataFrame([(1, code), (2, prose)],
+                                 "doc_id bigint, text string")
+    rows = {r.doc_id: r for r in code_detect_core(docs).collect()}
+    assert rows[1].is_code == 1 and rows[2].is_code == 0
+    assert rows[1].code_score > 0.5 > rows[2].code_score
+    # the synthetic prose corpus is the negative control: ~no flags
+    q = QUERIES["text_code_detect"](spark, sf_dir)
+    flagged = q.agg(F.sum("is_code"), F.count("*")).collect()[0]
+    assert (flagged[0] or 0) / flagged[1] < 0.05
+
+
+def test_entropy_rate_matches_numpy_and_information_inequalities(
+        spark, sf_dir):
+    import math
+    from collections import Counter
+
+    r = QUERIES["text_entropy_rate"](spark, sf_dir).collect()[0]
+    assert 0.0 <= r.entropy_rate <= r.unigram_entropy  # conditioning helps
+    assert abs(r.conditional_perplexity - math.exp(r.entropy_rate)) < 1e-4
+    # independent recompute from raw tokens
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    uni, bi = Counter(), Counter()
+    for d in docs:
+        toks = [t for t in d.text.lower().split() if t]
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    nt, nb = sum(uni.values()), sum(bi.values())
+    h1 = -sum((c / nt) * math.log(c / nt) for c in uni.values())
+    h12 = -sum((c / nb) * math.log(c / nb) for c in bi.values())
+    assert r.n_tokens == nt and r.n_bigrams == nb
+    assert r.vocab_size == len(uni)
+    assert abs(r.unigram_entropy - h1) < 1e-4
+    assert abs(r.entropy_rate - (h12 - h1)) < 1e-4
+
+
+def test_pass_at_k_matches_comb_exact(spark, sf_dir):
+    import math
+
+    ev = (load_table(spark, sf_dir, "events")
+          .select("user_id", "event_type").collect())
+    tasks = {}
+    for r in ev:
+        n, c = tasks.get(r.user_id, (0, 0))
+        tasks[r.user_id] = (n + 1, c + (r.event_type == "purchase"))
+
+    def pak(n, c, k):
+        if n - c < k:
+            return 1.0
+        return 1.0 - math.comb(n - c, k) / math.comb(n, k)
+
+    r = QUERIES["eval_pass_at_k"](spark, sf_dir).collect()[0]
+    assert r.n_tasks_k1 == len(tasks)
+    p1 = sum(pak(n, c, 1) for n, c in tasks.values()) / len(tasks)
+    k5 = [(n, c) for n, c in tasks.values() if n >= 5]
+    p5 = sum(pak(n, c, 5) for n, c in k5) / len(k5)
+    assert r.n_tasks_k5 == len(k5)
+    assert abs(r.pass_at_1 - p1) < 1e-5
+    assert abs(r.pass_at_5 - p5) < 1e-5
+
+
+def test_bradley_terry_matches_python_mm(spark, sf_dir):
+    rows = {r.event_type: r for r in
+            QUERIES["eval_bradley_terry"](spark, sf_dir).collect()}
+    assert abs(sum(r.bt_strength for r in rows.values()) - 1.0) < 1e-4
+    # rebuild the match matrix + run 3 MM steps in pure Python
+    ev = sorted(
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "event_id", "event_type", "value").collect(),
+        key=lambda r: (r.user_id, r.event_id))
+    from collections import defaultdict
+    n_ij, wins = defaultdict(int), defaultdict(int)
+    prev = {}
+    for r in ev:
+        p = prev.get(r.user_id)
+        prev[r.user_id] = r
+        if p is None or p.event_type == r.event_type:
+            continue
+        a, b = r.event_type, p.event_type
+        if r.value > p.value:
+            w = a
+        elif p.value > r.value:
+            w = b
+        else:
+            w = min(a, b)
+        n_ij[(a, b)] += 1
+        n_ij[(b, a)] += 1
+        wins[w] += 1
+    players = sorted(wins)
+    wv = {t: 1.0 for t in players}
+    for _ in range(3):
+        raw = {}
+        for i in players:
+            denom = sum(n_ij[(i, j)] / max(wv[i] + wv[j], 1e-12)
+                        for j in players if j != i)
+            raw[i] = wins[i] / denom
+        z = sum(raw.values())
+        wv = {t: v / z for t, v in raw.items()}
+    for t in players:
+        assert rows[t].n_wins == wins[t]
+        assert abs(rows[t].bt_strength - wv[t]) < 1e-5, t
