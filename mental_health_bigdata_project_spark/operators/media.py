@@ -6,11 +6,12 @@ frame-sample at 100 TB (payload bytes never leave the executor, batches
 stream through Python via Arrow, output schema is explicit).
 
 Decode status (round 10): WAV is REAL for integer PCM (8/16-bit),
-IEEE float32 (format tag 3) and G.711 mu-law (format tag 7) —
+IEEE float32 (format tag 3), G.711 mu-law (format tag 7), G.711
+A-law (format tag 6) and IMA ADPCM (format tag 0x11) —
 ``decode_wav`` is a pure-Python container parser needing no codec
 library, wired into the same Arrow-batched path as the fakes and
-value-checked against stdlib ``wave`` fixtures.  COMPRESSED codecs
-(jpeg/mp3/h264, ADPCM, extensible WAV) remain stubbed:
+value-checked against stdlib ``wave``/``audioop`` fixtures.
+COMPRESSED codecs (jpeg/mp3/h264, extensible WAV) remain stubbed:
 ``decode_media`` raises NotImplementedError for those, and the
 generic feature extractor keeps its deterministic byte-statistics
 fake.  The Spark-side plumbing — schema, batch iteration,
@@ -64,6 +65,87 @@ def mulaw_expand(code: int) -> int:
     return 0x84 - t if u & 0x80 else t - 0x84
 
 
+def alaw_expand(code: int) -> int:
+    """G.711 A-law byte -> 16-bit linear sample, the standard pure-
+    integer expansion (ITU-T G.711; matches CPython's audioop): XOR
+    0x55, split sign/exponent/mantissa, rebuild the chord magnitude.
+    After the XOR, bit 7 SET means positive (the opposite of mu-law's
+    complemented convention).  Byte 0x55 -> -8, 0xD5 -> +8,
+    0x2A -> -32256 (negative full scale)."""
+    a = code ^ 0x55
+    sign = a & 0x80
+    a &= 0x7F
+    e = a >> 4
+    m = a & 0x0F
+    mag = (m << 4) + 8 if e == 0 else ((m << 4) + 0x108) << (e - 1)
+    return mag if sign else -mag
+
+
+# IMA/DVI ADPCM quantizer tables (IMA "Recommended Practices for
+# Enhancing Digital Audio Compatibility", rev 3.00, 1992 — the tables
+# every IMA decoder shares; pure integers, no codec library).
+IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767]
+IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def ima_adpcm_step(pred: int, idx: int, code: int) -> tuple[int, int]:
+    """One IMA ADPCM decode step: 4-bit ``code`` + carried
+    (predictor, step-index) state -> the next sample and state.  The
+    magnitude bits add step/8 (+step/4, +step/2, +step) per set bit,
+    bit 3 is the sign; predictor clamps to int16, index walks
+    IMA_INDEX_TABLE clamped to [0, 88]."""
+    step = IMA_STEP_TABLE[idx]
+    diff = step >> 3
+    if code & 1:
+        diff += step >> 2
+    if code & 2:
+        diff += step >> 1
+    if code & 4:
+        diff += step
+    if code & 8:
+        diff = -diff
+    pred = max(-32768, min(32767, pred + diff))
+    idx = max(0, min(88, idx + IMA_INDEX_TABLE[code & 7]))
+    return pred, idx
+
+
+def _adpcm_decode_blocks(data: bytes, block_align: int,
+                         samples_per_block: int | None) -> list:
+    """IMA ADPCM data-chunk decode: walk ``block_align``-sized blocks,
+    each a 4-byte header (int16 initial predictor — which IS the
+    block's first output sample — uint8 step index, reserved) followed
+    by packed 4-bit codes, LOW nibble first.  ``samples_per_block``
+    (from the fmt extension) caps each block's output so an odd code
+    count's pad nibble is dropped; the final block may be short."""
+    samples: list[int] = []
+    for off in range(0, len(data), block_align):
+        block = data[off:off + block_align]
+        if len(block) < 4:
+            raise ValueError(
+                f"short ADPCM block header: {len(block)} bytes, 4 required")
+        (pred,) = struct.unpack_from("<h", block, 0)
+        idx = block[2]
+        if idx > 88:
+            raise ValueError(f"ADPCM step index {idx} outside [0, 88]")
+        out = [pred]
+        for byte in block[4:]:
+            for code in (byte & 0x0F, byte >> 4):
+                pred, idx = ima_adpcm_step(pred, idx, code)
+                out.append(pred)
+        if samples_per_block is not None:
+            out = out[:samples_per_block]
+        samples.extend(out)
+    return samples
+
+
 def decode_wav(payload: bytes) -> dict:
     """Pure-Python RIFF WAV decode — a REAL container parse, no codec
     library: walks the RIFF chunk list (word-aligned, unknown chunks
@@ -75,14 +157,19 @@ def decode_wav(payload: bytes) -> dict:
     - IEEE float (format tag 3): 32-bit little-endian — float
       statistics (exact when samples are dyadic rationals, as the
       synthetic corpus guarantees);
-    - G.711 mu-law (format tag 7): 8-bit log-companded telephony
-      audio, expanded to 16-bit linear by ``mulaw_expand`` (a pure
-      integer table — no codec library) — exact integer statistics.
+    - G.711 mu-law (format tag 7) and A-law (format tag 6): 8-bit
+      log-companded telephony audio, expanded to 16-bit linear by
+      ``mulaw_expand`` / ``alaw_expand`` (pure integer tables — no
+      codec library) — exact integer statistics;
+    - IMA/DVI ADPCM (format tag 0x11): 4-bit adaptive-delta codes
+      decoded block-by-block via ``ima_adpcm_step`` (the genuinely
+      SEQUENTIAL sample recurrence — predictor + step-index state
+      carried code to code) — exact integer statistics.
 
     Returns container metadata plus per-payload sample statistics
-    (frame count, sum, peak magnitude).  Remaining formats (ADPCM,
-    A-law, extensible) raise NotImplementedError: that is the
-    compressed-codec boundary.  Malformed containers — a chunk whose
+    (frame count, sum, peak magnitude).  Remaining formats
+    (extensible, floating tags other than f32) raise
+    NotImplementedError: that is the compressed-codec boundary.  Malformed containers — a chunk whose
     declared size overruns the payload, or a short ``fmt `` body —
     raise ValueError so corrupt files fail loudly instead of yielding
     silently truncated statistics (ADVICE r9)."""
@@ -111,7 +198,7 @@ def decode_wav(payload: bytes) -> dict:
     if len(fmt_body) < 16:
         raise ValueError(
             f"short fmt chunk: {len(fmt_body)} bytes, 16 required")
-    (audio_format, n_channels, sample_rate, _byte_rate, _block_align,
+    (audio_format, n_channels, sample_rate, _byte_rate, block_align,
      bit_depth) = struct.unpack_from("<HHIIHH", fmt_body, 0)
     import array
     if audio_format == 1 and bit_depth == 16:
@@ -130,11 +217,22 @@ def decode_wav(payload: bytes) -> dict:
         samples = arr
     elif audio_format == 7 and bit_depth == 8:
         samples = [mulaw_expand(b) for b in data]
+    elif audio_format == 6 and bit_depth == 8:
+        samples = [alaw_expand(b) for b in data]
+    elif audio_format == 0x11 and bit_depth == 4:
+        if block_align < 4:
+            raise ValueError(
+                f"ADPCM block align {block_align} smaller than the "
+                "4-byte block header")
+        spb = (struct.unpack_from("<H", fmt_body, 18)[0]
+               if len(fmt_body) >= 20 else None)
+        samples = _adpcm_decode_blocks(data, block_align, spb)
     else:
         raise NotImplementedError(
             f"WAV format tag {audio_format} at {bit_depth}-bit is outside "
-            "the PCM-8/16, float32 and mu-law decode paths; other formats "
-            "need codec libraries not present in this environment")
+            "the PCM-8/16, float32, mu-law/A-law and IMA-ADPCM decode "
+            "paths; other formats need codec libraries not present in "
+            "this environment")
     n_frames = len(samples) // max(n_channels, 1)
     is_float = audio_format == 3
     return {
@@ -186,6 +284,43 @@ def encode_wav_mulaw(codes: bytes, sample_rate: int = 8000) -> bytes:
     """Mono G.711 mu-law WAV (format tag 7) around raw 8-bit companded
     codes — every byte value 0-255 is a valid mu-law code."""
     return _wav_container(7, 8, bytes(codes), sample_rate)
+
+
+def encode_wav_alaw(codes: bytes, sample_rate: int = 8000) -> bytes:
+    """Mono G.711 A-law WAV (format tag 6) around raw 8-bit companded
+    codes — every byte value 0-255 is a valid A-law code."""
+    return _wav_container(6, 8, bytes(codes), sample_rate)
+
+
+def encode_wav_adpcm(nibbles, sample_rate: int = 8000) -> bytes:
+    """Mono IMA ADPCM WAV (format tag 0x11) around a raw 4-bit code
+    sequence, as ONE block: 4-byte header (predictor 0, step index 0)
+    + codes packed LOW nibble first (an odd count pads a 0 nibble that
+    ``wSamplesPerBlock`` in the 20-byte fmt extension tells the
+    decoder to drop).  The container is real — fmt carries the ADPCM
+    cbSize/wSamplesPerBlock extension and nBlockAlign spans the whole
+    block — so ``decode_wav`` exercises the genuine block walk."""
+    nibbles = list(nibbles)
+    if any(c < 0 or c > 15 for c in nibbles):
+        raise ValueError("ADPCM codes must be 4-bit (0-15)")
+    packed = bytearray()
+    for i in range(0, len(nibbles) - 1, 2):
+        packed.append(nibbles[i] | (nibbles[i + 1] << 4))
+    if len(nibbles) % 2:
+        packed.append(nibbles[-1])
+    if nibbles:
+        data = struct.pack("<hBB", 0, 0, 0) + bytes(packed)
+    else:
+        data = b""                       # empty payload: no block at all
+    block_align = max(len(data), 4)
+    samples_per_block = 1 + len(nibbles) if nibbles else 0
+    byte_rate = (sample_rate * block_align
+                 // max(samples_per_block, 1))
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, sample_rate, byte_rate,
+                      block_align, 4, 2, samples_per_block)
+    return (b"RIFF" + struct.pack("<I", 28 + len(fmt) + len(data))
+            + b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
 
 
 WAV_FEATURE_SCHEMA = ("doc_id bigint, n_channels bigint, "

@@ -1,0 +1,167 @@
+"""Round-10 batch-B operator semantics: the A-law / IMA-ADPCM WAV
+decode paths and property checks for the second wave of round-10
+statistics / curation / trainer queries."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from mental_health_bigdata_project_spark.plans import QUERIES
+from mental_health_bigdata_project_spark.sources import load_table
+
+
+# --- G.711 A-law (format tag 6) -------------------------------------------
+
+def test_alaw_expand_matches_audioop_and_endpoints():
+    """The A-law expansion must agree with CPython's audioop over all
+    256 codes and hit the canonical chord endpoints."""
+    from mental_health_bigdata_project_spark.operators.media import (
+        alaw_expand, decode_wav, encode_wav_alaw)
+
+    assert alaw_expand(0x55) == -8        # negative minimum magnitude
+    assert alaw_expand(0xD5) == 8         # positive minimum magnitude
+    assert alaw_expand(0x2A) == -32256    # negative full scale
+    assert alaw_expand(0xAA) == 32256     # positive full scale
+
+    audioop = pytest.importorskip("audioop")
+    for c in range(256):
+        (want,) = struct.unpack("<h", audioop.alaw2lin(bytes([c]), 2))
+        assert alaw_expand(c) == want, c
+
+    m = decode_wav(encode_wav_alaw(bytes([0x55, 0xD5, 0x2A])))
+    assert m["audio_format"] == 6 and m["bit_depth"] == 8
+    assert m["n_samples"] == 3
+    assert m["sum_samples"] == -8 + 8 - 32256
+    assert m["peak_abs"] == 32256
+
+
+def test_media_decode_alaw_query_matches_python(spark, sf_dir):
+    rows = {r.doc_id: r for r in
+            QUERIES["media_decode_wav_alaw"](spark, sf_dir).collect()}
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.octet_length("text") == F.length("text"))
+            .select("doc_id", "text").limit(40).collect())
+    from mental_health_bigdata_project_spark.operators.media import (
+        decode_wav, encode_wav_alaw)
+    for d in docs:
+        m = decode_wav(encode_wav_alaw(d.text.encode("utf-8")))
+        r = rows[d.doc_id]
+        assert (r.n_samples, r.sum_samples, r.peak_abs) == (
+            m["n_samples"], m["sum_samples"], m["peak_abs"])
+
+
+# --- IMA ADPCM (format tag 0x11) ------------------------------------------
+
+def _reference_ima_decode(codes, pred=0, idx=0):
+    """Independent re-derivation of the IMA 1992 recurrence (coded
+    from the spec text, not from operators/media.py) — the sequential
+    ground truth the decoder must reproduce sample-for-sample.
+    NOTE: CPython's audioop.adpcm2lin intentionally differs (it is
+    the pre-IMA Intel/DVI variant with a multiply-form diff), so the
+    cross-check is against the spec tables, not audioop."""
+    st = [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+          34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+          130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371,
+          408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060,
+          1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749,
+          3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132,
+          7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818,
+          18500, 20350, 22385, 24623, 27086, 29794, 32767]
+    it = [-1, -1, -1, -1, 2, 4, 6, 8]
+    out = [pred]
+    for c in codes:
+        step = st[idx]
+        diff = step >> 3
+        if c & 1:
+            diff += step >> 2
+        if c & 2:
+            diff += step >> 1
+        if c & 4:
+            diff += step
+        if c & 8:
+            diff = -diff
+        pred = max(-32768, min(32767, pred + diff))
+        idx = max(0, min(88, idx + it[c & 7]))
+        out.append(pred)
+    return out
+
+
+def test_adpcm_decode_matches_spec_reference():
+    from mental_health_bigdata_project_spark.operators.media import (
+        decode_wav, encode_wav_adpcm)
+
+    # a code stream that sweeps all 16 codes, walks the index up into
+    # the big-step region, and forces both clamps
+    codes = (list(range(16)) * 8 + [7] * 40 + [15] * 40) * 2
+    ref = _reference_ima_decode(codes)
+    m = decode_wav(encode_wav_adpcm(codes))
+    assert m["audio_format"] == 0x11 and m["bit_depth"] == 4
+    assert m["n_samples"] == len(ref)
+    assert m["sum_samples"] == sum(ref)
+    assert m["peak_abs"] == max(abs(s) for s in ref)
+
+
+def test_adpcm_block_walk_and_odd_pad():
+    """Odd code counts pad a nibble that wSamplesPerBlock drops, and
+    a hand-built TWO-block payload (non-zero second header) decodes
+    block-by-block with state reset at each header."""
+    from mental_health_bigdata_project_spark.operators.media import (
+        decode_wav, encode_wav_adpcm)
+
+    m = decode_wav(encode_wav_adpcm([5, 3, 9]))
+    ref = _reference_ima_decode([5, 3, 9])
+    assert m["n_samples"] == 4 == len(ref)
+    assert m["sum_samples"] == sum(ref)
+
+    # two blocks, block_align = 4 + 2: second block restarts at
+    # predictor 100 / index 10 (state must NOT carry across blocks)
+    blk1 = struct.pack("<hBB", 0, 0, 0) + bytes([0x21, 0x43])
+    blk2 = struct.pack("<hBB", 100, 10, 0) + bytes([0x65, 0x87])
+    data = blk1 + blk2
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 8000, 6, 4, 2, 5)
+    payload = (b"RIFF" + struct.pack("<I", 28 + len(fmt) + len(data))
+               + b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+               + b"data" + struct.pack("<I", len(data)) + data)
+    m = decode_wav(payload)
+    ref = (_reference_ima_decode([1, 2, 3, 4])
+           + _reference_ima_decode([5, 6, 7, 8], pred=100, idx=10))
+    assert m["n_samples"] == len(ref) == 10
+    assert m["sum_samples"] == sum(ref)
+    assert m["peak_abs"] == max(abs(s) for s in ref)
+
+
+def test_adpcm_malformed_raises():
+    from mental_health_bigdata_project_spark.operators.media import (
+        decode_wav, encode_wav_adpcm)
+
+    good = bytearray(encode_wav_adpcm([1, 2, 3, 4]))
+    bad_idx = bytearray(good)
+    bad_idx[good.index(b"data") + 8 + 2] = 89      # step index out of range
+    with pytest.raises(ValueError):
+        decode_wav(bytes(bad_idx))
+
+    # block_align smaller than the 4-byte header
+    bad_ba = bytearray(good)
+    ba_off = good.index(b"fmt ") + 8 + 12
+    struct.pack_into("<H", bad_ba, ba_off, 2)
+    with pytest.raises(ValueError):
+        decode_wav(bytes(bad_ba))
+
+
+def test_media_decode_adpcm_query_matches_python(spark, sf_dir):
+    rows = {r.doc_id: r for r in
+            QUERIES["media_decode_wav_adpcm"](spark, sf_dir).collect()}
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.octet_length("text") == F.length("text"))
+            .select("doc_id", "text").limit(40).collect())
+    for d in docs:
+        codes = [c for b in d.text.encode("utf-8")
+                 for c in (b & 0x0F, b >> 4)]
+        ref = _reference_ima_decode(codes) if codes else []
+        r = rows[d.doc_id]
+        assert r.n_samples == len(ref)
+        assert r.sum_samples == sum(ref)
+        assert r.peak_abs == (max(abs(s) for s in ref) if ref else 0)
