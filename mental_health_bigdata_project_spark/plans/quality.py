@@ -4217,3 +4217,102 @@ def eval_bradley_terry(spark, sf_dir):
             .select(F.col("ty").alias("event_type"),
                     F.col("wi").alias("n_wins"), "n_matches",
                     F.round("w", 6).alias("bt_strength")))
+
+
+# --- classifier discrimination: ROC-AUC / Gini / KS (round 10, batch 3) ----
+
+# shared formula strings — identical double op chains on both engines
+_AUC_EXPR = ("((two_r1 - n1 * (n1 + 1)) / 2.0)"
+             " / (CAST(n1 AS DOUBLE) * n0)")
+_KS_TERM = ("abs(CAST(cpos AS DOUBLE) / n1"
+            " - CAST(cab - cpos AS DOUBLE) / n0)")
+
+
+@query("eval_auc_roc", f"""
+    WITH {_logreg_d_train_ctes()},
+    {_logreg_d_scored_sql()},
+    g AS (SELECT p, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS ca
+          FROM scored GROUP BY p),
+    t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n1,
+                 CAST(SUM(n - ca) AS BIGINT) AS n0 FROM g),
+    c AS (SELECT p, n, ca,
+                 CAST(SUM(n) OVER (ORDER BY p
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cab,
+                 CAST(SUM(ca) OVER (ORDER BY p
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cpos
+          FROM g),
+    r AS (SELECT CAST(SUM(ca * (2 * (cab - n) + n + 1)) AS BIGINT)
+            AS two_r1 FROM c),
+    k AS (SELECT max({_KS_TERM}) AS ks FROM c CROSS JOIN t)
+    SELECT t.n1 AS n_pos, t.n0 AS n_neg,
+           round({_AUC_EXPR}, 6) AS auc,
+           round(2.0 * ({_AUC_EXPR}) - 1.0, 6) AS gini,
+           round(k.ks, 6) AS ks_stat
+    FROM r CROSS JOIN t CROSS JOIN k
+""")
+def eval_auc_roc(spark, sf_dir):
+    """ROC-AUC (+ Gini and the Kolmogorov-Smirnov separation) of the
+    d-feature Newton model — the DISCRIMINATION readout beside
+    ml_calibration_bins' "can I trust it as a probability" and
+    stat_brier_decomposition's combined score: AUC via the tie-aware
+    midrank identity AUC = (R1 - n1(n1+1)/2) / (n1*n0) (Hanley &
+    McNeil 1982; the Mann-Whitney U correspondence), Gini = 2*AUC-1,
+    and KS = max_t |TPR(t) - FPR(t)| over the score grid (the
+    credit-scoring standard).  A quality classifier that ranks well
+    but is miscalibrated (or vice versa) shows up only when both
+    readouts exist — which is why eval suites report the pair.
+
+    Exactness: the scored p values are bit-identical (shared Newton
+    formula strings); rank sums are the SAME all-integer
+    distinct-value-grid identity stat_mann_whitney uses (2*R1 =
+    sum ca*(2*below + tied + 1)), so AUC's numerator is an exact
+    half-integer; KS terms are fixed double chains over exact integer
+    cumulatives, maxed — order-free.  Plan: one scoring scan -> hash
+    agg onto the distinct-score grid -> the repo's two-phase running
+    sum (range exchange, per-partition window, P-row broadcast
+    offsets) -> 1-row rollups.  At 100 TB the only wide exchange is
+    the range partition of the score grid — the same shape as the
+    repo's other rank statistics."""
+    p_expr = f"1.0 / (1.0 + exp(-({_logreg_d_z()}))) AS p"
+    beta = _logreg_d_beta(spark, sf_dir)
+    scored = (_logreg_d_s_frame(spark, sf_dir)
+              .crossJoin(F.broadcast(beta)).selectExpr("*", p_expr))
+    g = (scored.groupBy("p")
+         .agg(F.count("*").cast("bigint").alias("n"),
+              F.sum(F.col("y").cast("bigint")).cast("bigint").alias("ca")))
+    t = g.agg(F.sum("ca").cast("bigint").alias("n1"),
+              F.sum(F.col("n") - F.col("ca")).cast("bigint").alias("n0"))
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    with_pid = (g.repartitionByRange(n_parts, "p")
+                .withColumn("pid", F.spark_partition_id())
+                .localCheckpoint())
+    wrun = (Window.partitionBy("pid").orderBy("p")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    local = with_pid.select(
+        "p", "n", "ca", "pid",
+        F.sum("n").over(wrun).alias("lab"),
+        F.sum("ca").over(wrun).alias("lca"))
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (with_pid.groupBy("pid")
+            .agg(F.sum("n").alias("pn"), F.sum("ca").alias("pca"))
+            .select("pid",
+                    F.coalesce(F.sum("pn").over(woff), F.lit(0))
+                    .alias("offn"),
+                    F.coalesce(F.sum("pca").over(woff), F.lit(0))
+                    .alias("offca")))
+    c = (local.join(F.broadcast(offs), "pid")
+         .select("p", "n", "ca",
+                 (F.col("lab") + F.col("offn")).cast("bigint").alias("cab"),
+                 (F.col("lca") + F.col("offca")).cast("bigint")
+                 .alias("cpos")))
+    r = c.agg(F.sum(F.col("ca")
+                    * (2 * (F.col("cab") - F.col("n")) + F.col("n") + 1))
+              .cast("bigint").alias("two_r1"))
+    k = (c.crossJoin(F.broadcast(t))
+         .agg(F.max(F.expr(_KS_TERM)).alias("ks")))
+    return (r.crossJoin(F.broadcast(t)).crossJoin(F.broadcast(k))
+            .selectExpr("n1 AS n_pos", "n0 AS n_neg",
+                        f"round({_AUC_EXPR}, 6) AS auc",
+                        f"round(2.0 * ({_AUC_EXPR}) - 1.0, 6) AS gini",
+                        "round(ks, 6) AS ks_stat"))

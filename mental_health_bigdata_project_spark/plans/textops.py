@@ -5539,3 +5539,121 @@ def text_entropy_rate(spark, sf_dir):
                     .alias("entropy_rate"),
                     F.round(F.exp(F.col("h12") - F.col("h1")), 6)
                     .alias("conditional_perplexity")))
+
+
+# --- inter-filter agreement: Cohen's kappa (round 10, batch 3) -------------
+
+# shared formula strings over the 2x2 cell counts (exact integers) —
+# identical double op chains on both engines
+_KAPPA_PO = "CAST(n11 + n00 AS DOUBLE) / n"
+_KAPPA_PE = ("(CAST(n11 + n10 AS DOUBLE) * (n11 + n01)"
+             " + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))"
+             " / (CAST(n AS DOUBLE) * n)")
+_KAPPA_EXPR = (f"CASE WHEN 1.0 - ({_KAPPA_PE}) = 0.0 THEN 0.0 "
+               f"ELSE (({_KAPPA_PO}) - ({_KAPPA_PE}))"
+               f" / (1.0 - ({_KAPPA_PE})) END")
+
+
+@query("stat_cohens_kappa", f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents
+               WHERE len({_TOKS_SQL}) > 0),
+    m AS (SELECT doc_id,
+                 CAST(len(toks) AS INTEGER) AS n_words,
+                 round(CAST(list_sum(list_transform(toks, x -> len(x)))
+                            AS DOUBLE) / len(toks), 6) AS mean_word_len,
+                 round(CAST(len(list_filter(toks,
+                            x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                       / len(toks), 6) AS frac_alpha_words,
+                 CAST(len(list_intersect(list_distinct(toks),
+                      [{', '.join("'" + w + "'" for w in _GOPHER_STOPS)}]))
+                      AS INTEGER) AS n_stop_hits,
+                 round((len(regexp_extract_all(text, '#'))
+                        + len(regexp_extract_all(text, '\\.\\.\\.')))
+                       / CAST(len(toks) AS DOUBLE), 6) AS symbol_ratio,
+                 round(CAST(list_max(list_transform(list_distinct(toks),
+                            x -> len(list_filter(toks, y -> y = x))))
+                            AS DOUBLE) / len(toks), 6) AS top_token_frac
+          FROM t),
+    gop AS (SELECT doc_id,
+                   CASE WHEN (n_words BETWEEN 50 AND 100000)
+                         AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                         AND (frac_alpha_words >= 0.8)
+                         AND (n_stop_hits >= 2)
+                         AND (symbol_ratio < 0.1)
+                         AND (top_token_frac <= 0.2)
+                        THEN 1 ELSE 0 END AS ka
+            FROM m),
+    e AS (
+      SELECT doc_id,
+             (1.0 - (length(text) - length(regexp_replace(
+                      text, '[^a-zA-Z0-9 ]', '', 'g')))
+                 / CAST(length(text) AS DOUBLE))
+               * LEAST(1.0, len(toks) / 50.0) AS q,
+             CASE WHEN len(toks) >= 3 THEN
+               (SELECT CAST(len(g) - len(list_distinct(g)) AS DOUBLE)
+                       / len(g)
+                FROM (SELECT list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                      AS g))
+             ELSE 0.0 END AS rep,
+             CASE WHEN {_hits_sql(STOPWORDS)} > 0 THEN 1.0 ELSE 0.0 END
+               AS stop_present
+      FROM t),
+    ens AS (SELECT doc_id,
+                   CASE WHEN 0.5 * q + 0.3 * (1.0 - rep)
+                             + 0.2 * stop_present >= 0.5
+                        THEN 1 ELSE 0 END AS kb
+            FROM e),
+    j AS (SELECT ka, kb FROM gop JOIN ens USING (doc_id)),
+    c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(ka * kb) AS BIGINT) AS n11,
+                 CAST(SUM(ka * (1 - kb)) AS BIGINT) AS n10,
+                 CAST(SUM((1 - ka) * kb) AS BIGINT) AS n01,
+                 CAST(SUM((1 - ka) * (1 - kb)) AS BIGINT) AS n00
+          FROM j)
+    SELECT n, n11, n10, n01, n00,
+           round({_KAPPA_PO}, 6) AS po,
+           round({_KAPPA_PE}, 6) AS pe,
+           round({_KAPPA_EXPR}, 6) AS kappa
+    FROM c
+""")
+def stat_cohens_kappa(spark, sf_dir):
+    """Chance-corrected agreement (Cohen 1960) between the engine's
+    two INDEPENDENT document-quality raters — the Gopher rule battery
+    (text_gopher_rules' keep conjunction) and the ensemble-score gate
+    (quality_ensemble_score's keep at 0.5): the 2x2 confusion table,
+    observed agreement po, chance agreement pe from the marginals, and
+    kappa = (po - pe) / (1 - pe).  This is the standard inter-
+    annotator readout applied to curation filters: raw agreement
+    overstates consensus whenever both filters keep (or kill) almost
+    everything, and a curation stack whose gates agree only at chance
+    level is two different corpora pretending to be one pipeline —
+    exactly the audit LLM-data groups run before swapping one quality
+    gate for a cheaper one (kappa >= 0.6 "substantial" as the usual
+    swap bar).  The degenerate pe = 1 case (both raters constant)
+    reports 0 by convention, guarded identically on both engines.
+
+    Exactness: both keep verdicts re-evaluate their parent queries'
+    identical expression chains; cell counts are exact integers; po /
+    pe / kappa are shared formula strings over those integers.  Plan:
+    ONE corpus scan computes both raters (each is scan-riding HOF
+    work), a 4-cell hash agg, then 1-row arithmetic — at 100 TB this
+    audit costs the same single pass as either filter alone."""
+    gop = (gopher_rules_df(_docs(spark, sf_dir))
+           .select("doc_id",
+                   F.col("keep").cast("int").alias("ka")))
+    ens = (quality_ensemble_score(spark, sf_dir)
+           .select("doc_id", F.col("keep").alias("kb")))
+    j = gop.join(ens, "doc_id").select("ka", "kb")
+    c = j.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("ka") * F.col("kb")).cast("bigint").alias("n11"),
+        F.sum(F.col("ka") * (1 - F.col("kb"))).cast("bigint").alias("n10"),
+        F.sum((1 - F.col("ka")) * F.col("kb")).cast("bigint").alias("n01"),
+        F.sum((1 - F.col("ka")) * (1 - F.col("kb"))).cast("bigint")
+        .alias("n00"))
+    return c.selectExpr(
+        "n", "n11", "n10", "n01", "n00",
+        f"round({_KAPPA_PO}, 6) AS po",
+        f"round({_KAPPA_PE}, 6) AS pe",
+        f"round({_KAPPA_EXPR}, 6) AS kappa")

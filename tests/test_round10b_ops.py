@@ -165,3 +165,78 @@ def test_media_decode_adpcm_query_matches_python(spark, sf_dir):
         assert r.n_samples == len(ref)
         assert r.sum_samples == sum(ref)
         assert r.peak_abs == (max(abs(s) for s in ref) if ref else 0)
+
+
+# --- ROC-AUC / Gini / KS (round 10, batch 3) -------------------------------
+
+def test_auc_roc_matches_numpy_midranks(spark, sf_dir):
+    import numpy as np
+
+    from mental_health_bigdata_project_spark.plans.quality import (
+        _logreg_d_beta, _logreg_d_s_frame, _logreg_d_z)  # noqa: F401
+
+    beta = _logreg_d_beta(spark, sf_dir).collect()[0]
+    b = np.array([beta[f"b{i}"] for i in range(5)])
+    rows = _logreg_d_s_frame(spark, sf_dir).collect()
+    X = np.array([[1.0, float(r.x1), float(r.x2), float(r.x3),
+                   float(r.x4)] for r in rows])
+    y = np.array([float(r.y) for r in rows])
+    p = 1.0 / (1.0 + np.exp(-(X @ b)))
+
+    # midranks without scipy: sort, then average ranks within ties
+    order = np.argsort(p, kind="mergesort")
+    ranks = np.empty(len(p))
+    sp = p[order]
+    i = 0
+    while i < len(sp):
+        j = i
+        while j < len(sp) and sp[j] == sp[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0     # 1-based midrank
+        i = j
+    n1, n0 = int(y.sum()), int((1 - y).sum())
+    auc = (ranks[y == 1].sum() - n1 * (n1 + 1) / 2.0) / (n1 * n0)
+
+    # KS over the empirical score CDFs
+    grid = np.unique(p)
+    cpos = np.array([(p[y == 1] <= v).sum() for v in grid])
+    cneg = np.array([(p[y == 0] <= v).sum() for v in grid])
+    ks = np.max(np.abs(cpos / n1 - cneg / n0))
+
+    r = QUERIES["eval_auc_roc"](spark, sf_dir).collect()[0]
+    assert (r.n_pos, r.n_neg) == (n1, n0)
+    assert abs(r.auc - auc) < 1e-6
+    assert abs(r.gini - (2 * auc - 1)) < 1e-6
+    assert abs(r.ks_stat - ks) < 1e-6
+    assert 0.0 <= r.auc <= 1.0
+
+
+# --- Cohen's kappa between quality gates (round 10, batch 3) ---------------
+
+def test_cohens_kappa_cells_match_parent_gates(spark, sf_dir):
+    from mental_health_bigdata_project_spark.plans.textops import (
+        _docs, gopher_rules_df, quality_ensemble_score)
+
+    gop = {r.doc_id: int(r.keep)
+           for r in gopher_rules_df(_docs(spark, sf_dir)).collect()}
+    ens = {r.doc_id: int(r.keep)
+           for r in quality_ensemble_score(spark, sf_dir).collect()}
+    cells = {(1, 1): 0, (1, 0): 0, (0, 1): 0, (0, 0): 0}
+    for d, ka in gop.items():
+        if d in ens:
+            cells[(ka, ens[d])] += 1
+    n = sum(cells.values())
+
+    r = QUERIES["stat_cohens_kappa"](spark, sf_dir).collect()[0]
+    assert (r.n11, r.n10, r.n01, r.n00) == (
+        cells[(1, 1)], cells[(1, 0)], cells[(0, 1)], cells[(0, 0)])
+    assert r.n == n
+    po = (cells[(1, 1)] + cells[(0, 0)]) / n
+    pa = (cells[(1, 1)] + cells[(1, 0)]) / n
+    pb = (cells[(1, 1)] + cells[(0, 1)]) / n
+    pe = pa * pb + (1 - pa) * (1 - pb)
+    kappa = 0.0 if pe == 1.0 else (po - pe) / (1 - pe)
+    assert abs(r.po - po) < 1e-6
+    assert abs(r.pe - pe) < 1e-6
+    assert abs(r.kappa - kappa) < 1e-6
+    assert -1.0 <= r.kappa <= 1.0
