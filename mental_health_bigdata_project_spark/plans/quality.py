@@ -4316,3 +4316,209 @@ def eval_auc_roc(spark, sf_dir):
                         f"round({_AUC_EXPR}, 6) AS auc",
                         f"round(2.0 * ({_AUC_EXPR}) - 1.0, 6) AS gini",
                         "round(ks, 6) AS ks_stat"))
+
+
+# --- multiple testing: Benjamini-Hochberg FDR (round 10, batch 3) ----------
+
+_BH_Q = "CAST(0.1 AS DOUBLE)"      # FDR level
+
+
+def _norm_p2_sql(zabs: str) -> str:
+    """Two-sided normal p-value 1 - erf(|z|/sqrt(2)) via the
+    Abramowitz-Stegun 7.1.26 polynomial (|eps| < 1.5e-7) — a fixed
+    double op chain with every constant embedded as
+    CAST(<shortest-repr> AS DOUBLE) (Spark parses bare numeric
+    literals as DECIMAL; the cast round-trips identically on both
+    engines).  Deterministic by construction: both engines evaluate
+    the SAME approximation, so the decision thresholds agree
+    bitwise."""
+    x = f"({zabs} * CAST(0.7071067811865476 AS DOUBLE))"
+    t = f"(1.0 / (1.0 + CAST(0.3275911 AS DOUBLE) * {x}))"
+    poly = (f"((((CAST(1.061405429 AS DOUBLE) * {t}"
+            f" + CAST(-1.453152027 AS DOUBLE)) * {t}"
+            f" + CAST(1.421413741 AS DOUBLE)) * {t}"
+            f" + CAST(-0.284496736 AS DOUBLE)) * {t}"
+            f" + CAST(0.254829592 AS DOUBLE)) * {t}")
+    return f"({poly} * exp(-({x}) * ({x})))"
+
+
+_BH_Z = ("(mean1 - mean0) / sqrt(var1 / n1 + var0 / n0)")
+
+
+@query("stat_benjamini_hochberg", f"""
+    WITH s AS (SELECT event_type AS et,
+                      dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,
+                      CAST(user_id % 2 AS INTEGER) AS grp,
+                      CAST(value AS DECIMAL(28,12)) AS v,
+                      CAST(value * value AS DECIMAL(38,12)) AS v2
+               FROM events WHERE value IS NOT NULL),
+    g AS (SELECT et, dow, grp, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(v) AS DOUBLE) AS sv,
+                 CAST(SUM(v2) AS DOUBLE) AS sq
+          FROM s GROUP BY et, dow, grp),
+    m AS (SELECT et, dow, grp, n, sv / n AS mean,
+                 (sq - sv * sv / n) / (n - 1) AS var
+          FROM g WHERE n >= 2),
+    w AS (SELECT a.et, a.dow, a.n AS n0, b.n AS n1,
+                 a.mean AS mean0, b.mean AS mean1,
+                 a.var AS var0, b.var AS var1
+          FROM (SELECT * FROM m WHERE grp = 0) a
+          JOIN (SELECT * FROM m WHERE grp = 1) b
+            ON a.et = b.et AND a.dow = b.dow
+          WHERE a.var / a.n + b.var / b.n > 0),
+    pp AS (SELECT et, dow, n0, n1, {_BH_Z} AS z,
+                  {_norm_p2_sql(f"abs({_BH_Z})")} AS pv
+           FROM w),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS nh FROM pp),
+    rk AS (SELECT pp.*, CAST(row_number() OVER (ORDER BY pv, et, dow)
+                 AS BIGINT) AS rnk
+           FROM pp),
+    kk AS (SELECT CAST(max(CASE WHEN pv <= {_BH_Q} * rnk / nh
+                               THEN rnk ELSE 0 END) AS BIGINT) AS k
+           FROM rk CROSS JOIN tot),
+    adj AS (SELECT rk.*, nh,
+                   min(LEAST(1.0, nh * pv / rnk))
+                     OVER (ORDER BY rnk DESC ROWS UNBOUNDED PRECEDING)
+                     AS padj
+            FROM rk CROSS JOIN tot)
+    SELECT et AS event_type, CAST(dow AS INTEGER) AS dow, n0, n1,
+           round(z, 6) AS z_score,
+           round(pv, 6) AS p_value,
+           rnk AS p_rank,
+           round(padj, 6) AS p_adj,
+           CAST(CASE WHEN rnk <= kk.k THEN 1 ELSE 0 END AS INTEGER)
+             AS rejected
+    FROM adj CROSS JOIN kk
+""")
+def stat_benjamini_hochberg(spark, sf_dir):
+    """Benjamini-Hochberg FDR control (Benjamini & Hochberg 1995) over
+    a FAMILY of slice-level Welch z-tests — the metric-dashboard
+    problem: every (event_type x day-of-week) slice tests cohort A vs
+    cohort B (user_id parity) for a mean-value shift, and at 35 slices
+    some raw p < .05 are guaranteed false discoveries.  The query
+    reports each slice's z, raw p (A&S normal tail — both engines run
+    the identical polynomial), BH rank, the step-up ADJUSTED p
+    (monotone running min of nh*p/rank from the bottom), and the
+    reject verdict at FDR q = 0.1 (the largest k with p_(k) <=
+    q*k/nh rejects ranks 1..k).  This is the first gate any
+    many-metrics experiment readout needs before flagging slices.
+
+    Exactness: per-slice moments accumulate in DECIMAL (the Welch
+    convention); z / p / thresholds are fixed double chains with
+    decimal-parse-safe CAST'd constants; ranks tie-break on (et, dow).
+    Plan: one scan -> (et, dow, grp) hash agg (map-side combinable) ->
+    the rest is arithmetic on the ~35-row hypothesis table (windows
+    over metadata, not data).  At 100 TB the scan is the entire cost;
+    the hypothesis family never grows with rows, only with slices."""
+    s = (_t(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull())
+         .selectExpr("event_type AS et", "dayofweek(ts) AS dow",
+                     "CAST(user_id % 2 AS INTEGER) AS grp",
+                     "CAST(value AS DECIMAL(28,12)) AS v",
+                     "CAST(value * value AS DECIMAL(38,12)) AS v2"))
+    g = (s.groupBy("et", "dow", "grp")
+         .agg(F.count("*").cast("bigint").alias("n"),
+              F.sum("v").cast("double").alias("sv"),
+              F.sum("v2").cast("double").alias("sq")))
+    m = (g.filter(F.col("n") >= 2)
+         .selectExpr("et", "dow", "grp", "n", "sv / n AS mean",
+                     "(sq - sv * sv / n) / (n - 1) AS var"))
+    a = m.filter("grp = 0").selectExpr("et", "dow", "n AS n0",
+                                       "mean AS mean0", "var AS var0")
+    b = m.filter("grp = 1").selectExpr("et", "dow", "n AS n1",
+                                       "mean AS mean1", "var AS var1")
+    w = (a.join(b, ["et", "dow"])
+         .filter(F.expr("var0 / n0 + var1 / n1 > 0")))
+    pp = w.selectExpr("et", "dow", "n0", "n1", f"{_BH_Z} AS z",
+                      f"{_norm_p2_sql(f'abs({_BH_Z})')} AS pv") \
+        .localCheckpoint(eager=True)       # ~35-row hypothesis table
+    tot = pp.agg(F.count("*").cast("bigint").alias("nh"))
+    rk = pp.withColumn(
+        "rnk", F.row_number().over(Window.orderBy("pv", "et", "dow"))
+        .cast("bigint"))
+    kk = (rk.crossJoin(F.broadcast(tot))
+          .agg(F.max(F.expr(f"CASE WHEN pv <= {_BH_Q} * rnk / nh"
+                            " THEN rnk ELSE 0 END"))
+               .cast("bigint").alias("k")))
+    wmin = (Window.orderBy(F.desc("rnk"))
+            .rowsBetween(Window.unboundedPreceding, 0))
+    adj = (rk.crossJoin(F.broadcast(tot))
+           .withColumn("padj",
+                       F.min(F.expr("LEAST(1.0, nh * pv / rnk)"))
+                       .over(wmin)))
+    return (adj.crossJoin(F.broadcast(kk))
+            .selectExpr("et AS event_type", "CAST(dow AS INTEGER) AS dow",
+                        "n0", "n1",
+                        "round(z, 6) AS z_score",
+                        "round(pv, 6) AS p_value",
+                        "rnk AS p_rank",
+                        "round(padj, 6) AS p_adj",
+                        "CAST(CASE WHEN rnk <= k THEN 1 ELSE 0 END"
+                        " AS INTEGER) AS rejected"))
+
+
+# --- differential privacy: Laplace counts (round 10, batch 3) --------------
+
+# inverse-CDF Laplace draw from a uniform u in (0,1), scale b:
+#   noise = -b * sign(u - 1/2) * ln(1 - 2|u - 1/2|)
+# The uniform comes from the repo's md5 pattern (bootstrap/split
+# family): first 8 hex chars of md5('dp-' || key) / 2^32 — a
+# DETERMINISTIC derived draw, which is what makes the query
+# oracle-checkable and replayable.  A production release would swap
+# in a cryptographic RNG at exactly this expression (same plan
+# shape); with a seeded draw the output is NOT actually private —
+# this is the harness form, stated plainly.
+_DP_EPS = "CAST(1.0 AS DOUBLE)"            # epsilon (sensitivity 1)
+_DP_NOISE = ("-(1.0 / {eps}) * CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END"
+             " * ln(1.0 - 2.0 * abs(u - 0.5))")
+
+
+@query("privacy_dp_counts", f"""
+    WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS true_n
+               FROM events GROUP BY event_type),
+    u AS (SELECT event_type, true_n,
+                 CAST('0x' || substr(md5('dp-' || event_type), 1, 8)
+                      AS BIGINT) / 4294967296.0 AS u
+          FROM c),
+    z AS (SELECT event_type, true_n,
+                 {_DP_NOISE.format(eps=_DP_EPS)} AS noise
+          FROM u)
+    SELECT event_type, true_n,
+           round(true_n + noise, 6) AS noisy_n,
+           round(abs(noise), 6) AS abs_err,
+           {_DP_EPS} AS epsilon
+    FROM z
+""")
+def privacy_dp_counts(spark, sf_dir):
+    """Differentially-private group counts by the Laplace mechanism
+    (Dwork, McSherry, Nissim & Smith 2006): per event type, the true
+    count plus Laplace(1/epsilon) noise at sensitivity 1 (one user
+    event changes any count by at most 1), with the realized absolute
+    error as the utility readout — the canonical released-aggregate
+    shape for sharing corpus statistics without exposing individual
+    presence.  The noise draw is the repo's deterministic md5-uniform
+    through the Laplace inverse CDF, making the query replayable and
+    oracle-checkable; swapping the md5 hex slice for a crypto RNG (a
+    one-expression change) gives the production form — a seeded draw
+    is NOT private, and the docstring says so rather than pretending.
+
+    Exactness: true counts are exact integers; u is an exact dyadic
+    rational (32-bit hex / 2^32); sign/ln/scale is one fixed double
+    chain shared by both engines (ln bit-parity is the repo's
+    established transcendental convention).  Plan: one map-side-
+    combinable count agg, then per-group scalar arithmetic — at
+    100 TB the release costs the same as the count itself, and the
+    noise step is metadata-sized."""
+    c = (_t(spark, sf_dir, "events")
+         .groupBy("event_type")
+         .agg(F.count("*").cast("bigint").alias("true_n")))
+    u = c.selectExpr(
+        "event_type", "true_n",
+        "CAST(conv(substr(md5(concat('dp-', event_type)), 1, 8), 16, 10)"
+        " AS BIGINT) / 4294967296.0 AS u")
+    z = u.selectExpr("event_type", "true_n",
+                     f"{_DP_NOISE.format(eps=_DP_EPS)} AS noise")
+    return z.selectExpr("event_type", "true_n",
+                        "round(true_n + noise, 6) AS noisy_n",
+                        "round(abs(noise), 6) AS abs_err",
+                        f"{_DP_EPS} AS epsilon")

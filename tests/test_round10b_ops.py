@@ -240,3 +240,52 @@ def test_cohens_kappa_cells_match_parent_gates(spark, sf_dir):
     assert abs(r.pe - pe) < 1e-6
     assert abs(r.kappa - kappa) < 1e-6
     assert -1.0 <= r.kappa <= 1.0
+
+
+# --- Benjamini-Hochberg FDR (round 10, batch 3) ----------------------------
+
+def test_benjamini_hochberg_stepup_and_padj_equivalence(spark, sf_dir):
+    """Raw p agrees with math.erfc (the A&S polynomial is a <=1.5e-7
+    approximation), the reject set equals an independent Python
+    step-up, and the theorem 'rejected iff p_adj <= q' holds."""
+    import math
+
+    rows = QUERIES["stat_benjamini_hochberg"](spark, sf_dir).collect()
+    nh = len(rows)
+    assert nh >= 20                       # event_type x dow family
+    assert sorted(r.p_rank for r in rows) == list(range(1, nh + 1))
+    by_rank = sorted(rows, key=lambda r: r.p_rank)
+    for r in rows:
+        p_ref = math.erfc(abs(r.z_score) / math.sqrt(2))
+        assert abs(r.p_value - p_ref) < 1e-5, (r.event_type, r.dow)
+    # independent step-up at q = 0.1
+    k = max([r.p_rank for r in by_rank
+             if r.p_value <= 0.1 * r.p_rank / nh + 1e-9], default=0)
+    for r in rows:
+        assert r.rejected == (1 if r.p_rank <= k else 0)
+        assert r.rejected == (1 if r.p_adj <= 0.1 + 1e-9 else 0)
+    # adjusted p is monotone nondecreasing in rank and >= raw p
+    padj = [r.p_adj for r in by_rank]
+    assert padj == sorted(padj)
+    for r in rows:
+        assert r.p_adj >= r.p_value - 1e-9
+
+
+# --- DP Laplace counts (round 10, batch 3) ---------------------------------
+
+def test_privacy_dp_counts_matches_hashlib_replay(spark, sf_dir):
+    """The released counts equal true count + the Laplace inverse-CDF
+    of the md5-derived uniform, replayed driver-side with hashlib."""
+    import hashlib
+    import math
+
+    rows = QUERIES["privacy_dp_counts"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        u = int(hashlib.md5(f"dp-{r.event_type}".encode())
+                .hexdigest()[:8], 16) / 4294967296.0
+        noise = -(1.0) * math.copysign(1.0, u - 0.5) \
+            * math.log(1.0 - 2.0 * abs(u - 0.5))
+        assert abs(r.noisy_n - (r.true_n + noise)) < 1e-6, r.event_type
+        assert abs(r.abs_err - abs(noise)) < 1e-6
+        assert r.epsilon == 1.0
