@@ -1745,3 +1745,150 @@ def ml_influence_linreg_logo(spark, sf_dir):
                 " AS slope_delta",
                 "round((syd - slope_raw * sxd) / n_logo / 100.0, 4)"
                 " AS intercept_logo"))
+
+
+# --- cluster-robust (Liang-Zeger) standard errors (round 10, batch 3) ------
+#
+# Shared formula strings over the double-cast moment columns — both
+# engines evaluate the identical op chains.  Quantized scale: x in
+# quantity units, y in price cents (LINREG_X_EXPR / LINREG_Y_EXPR).
+_CR_BB = "cov_n / varx_n"
+_CR_SE_CLASSIC = ("sqrt(((vary_n - (cov_n / varx_n) * cov_n) / nd)"
+                  " * nd / ((nd - 2.0) * varx_n))")
+_CR_VARB = ("(sxd * sxd * m11 - 2.0 * nd * sxd * m12 + nd * nd * m22)"
+            " / (varx_n * varx_n)")
+_CR_CFACT = "(gd / (gd - 1.0)) * ((nd - 1.0) / (nd - 2.0))"
+_CR_SE_CLUSTER = f"sqrt({_CR_CFACT} * ({_CR_VARB}))"
+# per-cluster score sums from the cluster's double-cast moments at
+# the pooled fit (aa, bb)
+_CR_SEG = "(syg - ng * aa - bb * sxg)"
+_CR_SXEG = "(sxyg - aa * sxg - bb * sxxg)"
+
+
+@query("stat_cluster_robust_se", f"""
+    WITH q AS (SELECT l_orderkey,
+                      {LINREG_X_EXPR} AS x, {LINREG_Y_EXPR} AS y
+               FROM lineitem),
+    cm AS (SELECT l_orderkey,
+                  CAST(count(*) AS DECIMAL(38,0)) AS n,
+                  SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+                  SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+                  SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+                  SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+                  SUM(CAST(y * y AS DECIMAL(38,0))) AS syy
+          FROM q GROUP BY l_orderkey),
+    gm AS (SELECT CAST(SUM(n) AS DECIMAL(38,0)) AS n,
+                  CAST(SUM(sx) AS DECIMAL(38,0)) AS sx,
+                  CAST(SUM(sy) AS DECIMAL(38,0)) AS sy,
+                  CAST(SUM(sxy) AS DECIMAL(38,0)) AS sxy,
+                  CAST(SUM(sxx) AS DECIMAL(38,0)) AS sxx,
+                  CAST(SUM(syy) AS DECIMAL(38,0)) AS syy,
+                  CAST(count(*) AS BIGINT) AS g
+           FROM cm),
+    d AS (SELECT CAST(n AS BIGINT) AS n_obs, g,
+                 CAST(n AS DOUBLE) AS nd, CAST(g AS DOUBLE) AS gd,
+                 CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                 CAST(n * sxy - sx * sy AS DOUBLE) AS cov_n,
+                 CAST(n * sxx - sx * sx AS DOUBLE) AS varx_n,
+                 CAST(n * syy - sy * sy AS DOUBLE) AS vary_n
+          FROM gm),
+    fit AS (SELECT d.*, {_CR_BB} AS bb,
+                   (syd - ({_CR_BB}) * sxd) / nd AS aa
+            FROM d),
+    sc AS (SELECT f.bb, f.aa,
+                  CAST(cm.n AS DOUBLE) AS ng,
+                  CAST(cm.sx AS DOUBLE) AS sxg,
+                  CAST(cm.sy AS DOUBLE) AS syg,
+                  CAST(cm.sxy AS DOUBLE) AS sxyg,
+                  CAST(cm.sxx AS DOUBLE) AS sxxg
+           FROM cm CROSS JOIN fit f),
+    meat AS (SELECT
+        CAST(SUM(CAST({_CR_SEG} * {_CR_SEG} AS DECIMAL(38,18)))
+             AS DOUBLE) AS m11,
+        CAST(SUM(CAST({_CR_SEG} * {_CR_SXEG} AS DECIMAL(38,18)))
+             AS DOUBLE) AS m12,
+        CAST(SUM(CAST({_CR_SXEG} * {_CR_SXEG} AS DECIMAL(38,18)))
+             AS DOUBLE) AS m22
+      FROM sc)
+    SELECT f.n_obs, f.g AS n_clusters,
+           round(f.bb / 100.0, 6) AS slope,
+           round(({_CR_SE_CLASSIC}) / 100.0, 6) AS se_classic,
+           round(({_CR_SE_CLUSTER}) / 100.0, 6) AS se_cluster,
+           round(({_CR_SE_CLUSTER}) / ({_CR_SE_CLASSIC}), 6) AS se_ratio
+    FROM fit f CROSS JOIN meat
+""")
+def stat_cluster_robust_se(spark, sf_dir):
+    """Cluster-robust (Liang & Zeger 1986; CR1 correction, Cameron &
+    Miller 2015) standard errors for the pooled OLS slope, clustered
+    by order — the randomize-by-order / analyze-by-line-item problem
+    every experimentation platform hits: classic OLS SEs assume
+    independent rows, but line items within an order are correlated,
+    and the honest slope uncertainty needs the sandwich
+    (X'X)^-1 [sum_g X_g'e_g e_g'X_g] (X'X)^-1.  Reports both SEs and
+    their ratio (the "design effect" — how much the iid assumption
+    understates uncertainty).
+
+    The key identity making this ONE-SCAN exact: each cluster's score
+    sums need no residual rows —
+    sum_g(e) = sy_g - n_g*a - b*sx_g and sum_g(x*e) = sxy_g - a*sx_g
+    - b*sxx_g are algebra over the cluster's integer moments, so the
+    scan produces per-cluster DECIMAL(38,0) moments (map-side
+    combinable), the pooled fit comes from their exact total, and the
+    meat is a second #clusters-sized agg of double products
+    accumulated in DECIMAL(38,18).  Classic SE comes from the same
+    exact moment differences (SSE = (Syy - b*Sxy) algebra — no
+    residual pass).  At 100 TB: one wide shuffle onto cluster keys,
+    then metadata-sized reductions — the same shape as any per-entity
+    rollup, with zero extra passes for the sandwich."""
+    li = _t(spark, sf_dir, "lineitem")
+    xq = F.expr(LINREG_X_EXPR)
+    yc = F.expr(LINREG_Y_EXPR)
+    dec = "decimal(38,0)"
+    cm = (li.groupBy("l_orderkey")
+          .agg(F.count("*").cast(dec).alias("n"),
+               F.sum(xq.cast(dec)).alias("sx"),
+               F.sum(yc.cast(dec)).alias("sy"),
+               F.sum((xq * yc).cast(dec)).alias("sxy"),
+               F.sum((xq * xq).cast(dec)).alias("sxx"),
+               F.sum((yc * yc).cast(dec)).alias("syy"))
+          .localCheckpoint(eager=True))    # cluster moments feed fit + meat
+    gm = cm.agg(F.sum("n").cast(dec).alias("n"),
+                F.sum("sx").cast(dec).alias("sx"),
+                F.sum("sy").cast(dec).alias("sy"),
+                F.sum("sxy").cast(dec).alias("sxy"),
+                F.sum("sxx").cast(dec).alias("sxx"),
+                F.sum("syy").cast(dec).alias("syy"),
+                F.count("*").cast("bigint").alias("g"))
+    d = gm.selectExpr(
+        "CAST(n AS BIGINT) AS n_obs", "g",
+        "CAST(n AS DOUBLE) AS nd", "CAST(g AS DOUBLE) AS gd",
+        "CAST(sx AS DOUBLE) AS sxd", "CAST(sy AS DOUBLE) AS syd",
+        "CAST(n * sxy - sx * sy AS DOUBLE) AS cov_n",
+        "CAST(n * sxx - sx * sx AS DOUBLE) AS varx_n",
+        "CAST(n * syy - sy * sy AS DOUBLE) AS vary_n")
+    fit = d.selectExpr("*", f"{_CR_BB} AS bb",
+                       f"(syd - ({_CR_BB}) * sxd) / nd AS aa")
+    sc = (cm.crossJoin(F.broadcast(fit))
+          .selectExpr("bb", "aa",
+                      "CAST(n AS DOUBLE) AS ng",
+                      "CAST(sx AS DOUBLE) AS sxg",
+                      "CAST(sy AS DOUBLE) AS syg",
+                      "CAST(sxy AS DOUBLE) AS sxyg",
+                      "CAST(sxx AS DOUBLE) AS sxxg"))
+    d18 = "decimal(38,18)"
+    meat = sc.agg(
+        F.sum(F.expr(f"CAST({_CR_SEG} * {_CR_SEG} AS {d18})"))
+        .cast("double").alias("m11"),
+        F.sum(F.expr(f"CAST({_CR_SEG} * {_CR_SXEG} AS {d18})"))
+        .cast("double").alias("m12"),
+        F.sum(F.expr(f"CAST({_CR_SXEG} * {_CR_SXEG} AS {d18})"))
+        .cast("double").alias("m22"))
+    return (fit.crossJoin(F.broadcast(meat))
+            .selectExpr("n_obs", "g AS n_clusters",
+                        "round(bb / 100.0, 6) AS slope",
+                        f"round(({_CR_SE_CLASSIC}) / 100.0, 6)"
+                        " AS se_classic",
+                        f"round(({_CR_SE_CLUSTER}) / 100.0, 6)"
+                        " AS se_cluster",
+                        f"round(({_CR_SE_CLUSTER}) / ({_CR_SE_CLASSIC}), 6)"
+                        " AS se_ratio"))

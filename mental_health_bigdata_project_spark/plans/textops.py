@@ -5657,3 +5657,129 @@ def stat_cohens_kappa(spark, sf_dir):
         f"round({_KAPPA_PO}, 6) AS po",
         f"round({_KAPPA_PE}, 6) AS pe",
         f"round({_KAPPA_EXPR}, 6) AS kappa")
+
+
+# --- multinomial Naive Bayes language classifier (round 10, batch 3) -------
+
+# per-(test-token, class) log-likelihood term with add-one smoothing:
+# identical double chain on both engines; c = 0 for class-unseen
+# tokens makes the unseen default -ln(Nc + V) fall out of the same
+# expression.
+_NB_TERM = ("CAST(tf AS DOUBLE)"
+            " * (ln(CAST(c AS DOUBLE) + 1.0) - ln(nc + vocab))")
+
+
+@query("ml_naive_bayes", f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents
+               WHERE len({_TOKS_SQL}) > 0),
+    tr AS (SELECT doc_id, lang, toks FROM t WHERE doc_id % 5 <> 0),
+    te AS (SELECT doc_id, lang AS true_lang, toks FROM t
+           WHERE doc_id % 5 = 0),
+    trtok AS (SELECT lang, unnest(toks) AS tok FROM tr),
+    ctc AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+            FROM trtok GROUP BY lang, tok),
+    cls AS (SELECT lang, CAST(SUM(c) AS DOUBLE) AS nc
+            FROM ctc GROUP BY lang),
+    pri AS (SELECT lang, CAST(count(*) AS DOUBLE) AS dc
+            FROM tr GROUP BY lang),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS dt FROM tr),
+    voc AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vocab
+            FROM trtok),
+    tetok AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, unnest(toks) AS tok FROM te)
+              GROUP BY doc_id, tok),
+    cand AS (SELECT tt.doc_id, cls.lang, tt.tf, cls.nc,
+                    COALESCE(m.c, 0) AS c, voc.vocab
+             FROM tetok tt CROSS JOIN cls CROSS JOIN voc
+             LEFT JOIN ctc m ON m.lang = cls.lang AND m.tok = tt.tok),
+    sc AS (SELECT doc_id, lang,
+                  CAST(SUM(CAST({_NB_TERM} AS DECIMAL(38,18)))
+                       AS DOUBLE) AS ll
+           FROM cand GROUP BY doc_id, lang),
+    scored AS (SELECT sc.doc_id, sc.lang,
+                      sc.ll + (ln(pri.dc) - ln(tot.dt)) AS score
+               FROM sc JOIN pri ON pri.lang = sc.lang CROSS JOIN tot),
+    pred AS (SELECT doc_id, lang AS pred_lang FROM (
+               SELECT doc_id, lang,
+                      row_number() OVER (PARTITION BY doc_id
+                          ORDER BY score DESC, lang) AS rn
+               FROM scored) z
+             WHERE rn = 1),
+    conf AS (SELECT te.true_lang, p.pred_lang,
+                    CAST(count(*) AS BIGINT) AS n_docs
+             FROM te JOIN pred p ON p.doc_id = te.doc_id
+             GROUP BY te.true_lang, p.pred_lang),
+    acc AS (SELECT CAST(SUM(CASE WHEN true_lang = pred_lang
+                                 THEN n_docs ELSE 0 END) AS DOUBLE)
+                   / CAST(SUM(n_docs) AS DOUBLE) AS accuracy
+            FROM conf)
+    SELECT conf.true_lang, conf.pred_lang, conf.n_docs,
+           round(acc.accuracy, 6) AS accuracy
+    FROM conf CROSS JOIN acc
+""")
+def ml_naive_bayes(spark, sf_dir):
+    """Multinomial Naive Bayes text classifier (McCallum & Nigam 1998
+    — the mechanism behind fastText-style quality/language gates in
+    CCNet/GPT-3-era curation stacks) trained and evaluated inside the
+    engine: add-one-smoothed per-class token log-likelihoods from the
+    training split (doc_id % 5 != 0), argmax class per held-out doc,
+    and the test-split confusion matrix with overall accuracy — the
+    complete train/score/eval loop as ONE declarative plan, no
+    driver-side model state.  The class-unseen default falls out of
+    the same smoothing expression at c = 0, so there is exactly one
+    scoring formula.
+
+    Exactness: every log term is a fixed double chain over exact
+    integer counts (the repo's transcendental convention); per-(doc,
+    class) sums accumulate in DECIMAL(38,18); argmax tie-breaks on
+    (score DESC, lang).  Plan: train side is explode -> (class, token)
+    hash agg (vocabulary-shaped, Zipf-bounded); scoring joins test
+    tokens to the model on token (the only wide exchange — the model
+    is a posting-list-shaped relation, NOT corpus-sized), then a
+    per-doc 5-row window picks the argmax.  At 100 TB: both legs are
+    map-side-combinable aggs + one vocabulary join; nothing iterates
+    and nothing collects."""
+    t = (_docs(spark, sf_dir)
+         .select("doc_id", "lang", tokens_col().alias("toks"))
+         .filter(F.size("toks") > 0))
+    tr = t.filter("doc_id % 5 <> 0")
+    te = (t.filter("doc_id % 5 = 0")
+          .select("doc_id", F.col("lang").alias("true_lang"), "toks"))
+    trtok = tr.select("lang", F.explode("toks").alias("tok"))
+    ctc = (trtok.groupBy("lang", "tok")
+           .agg(F.count("*").cast("bigint").alias("c"))
+           .localCheckpoint(eager=True))     # the model relation
+    cls = ctc.groupBy("lang").agg(F.sum("c").cast("double").alias("nc"))
+    pri = tr.groupBy("lang").agg(F.count("*").cast("double").alias("dc"))
+    tot = tr.agg(F.count("*").cast("double").alias("dt"))
+    voc = (trtok.select("tok").distinct()
+           .agg(F.count("*").cast("double").alias("vocab")))
+    tetok = (te.select("doc_id", F.explode("toks").alias("tok"))
+             .groupBy("doc_id", "tok")
+             .agg(F.count("*").cast("bigint").alias("tf")))
+    cand = (tetok.crossJoin(F.broadcast(cls)).crossJoin(F.broadcast(voc))
+            .join(ctc.withColumnRenamed("lang", "mlang"),
+                  (F.col("mlang") == F.col("lang"))
+                  & (ctc["tok"] == tetok["tok"]), "left")
+            .select(tetok["doc_id"], "lang", "tf", "nc",
+                    F.coalesce(F.col("c"), F.lit(0)).alias("c"), "vocab"))
+    sc = (cand.groupBy("doc_id", "lang")
+          .agg(F.sum(F.expr(f"CAST({_NB_TERM} AS DECIMAL(38,18))"))
+               .cast("double").alias("ll")))
+    scored = (sc.join(F.broadcast(pri), "lang").crossJoin(F.broadcast(tot))
+              .selectExpr("doc_id", "lang",
+                          "ll + (ln(dc) - ln(dt)) AS score"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "lang")
+    pred = (scored.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select("doc_id", F.col("lang").alias("pred_lang")))
+    conf = (te.select("doc_id", "true_lang").join(pred, "doc_id")
+            .groupBy("true_lang", "pred_lang")
+            .agg(F.count("*").cast("bigint").alias("n_docs"))
+            .localCheckpoint(eager=True))    # feeds accuracy + output
+    acc = conf.agg(F.expr(
+        "CAST(SUM(CASE WHEN true_lang = pred_lang THEN n_docs ELSE 0 END)"
+        " AS DOUBLE) / CAST(SUM(n_docs) AS DOUBLE)").alias("accuracy"))
+    return (conf.crossJoin(F.broadcast(acc))
+            .select("true_lang", "pred_lang", "n_docs",
+                    F.round("accuracy", 6).alias("accuracy")))

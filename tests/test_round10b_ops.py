@@ -289,3 +289,80 @@ def test_privacy_dp_counts_matches_hashlib_replay(spark, sf_dir):
         assert abs(r.noisy_n - (r.true_n + noise)) < 1e-6, r.event_type
         assert abs(r.abs_err - abs(noise)) < 1e-6
         assert r.epsilon == 1.0
+
+
+# --- cluster-robust SE (round 10, batch 3) ---------------------------------
+
+def test_cluster_robust_se_matches_numpy_sandwich(spark, sf_dir):
+    import numpy as np
+
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey",
+        "CAST(floor(l_quantity + 0.5) AS BIGINT) AS x",
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y").collect()
+    x = np.array([r.x for r in li], dtype=float)
+    y = np.array([r.y for r in li], dtype=float)
+    g = np.array([r.l_orderkey for r in li])
+    X = np.column_stack([np.ones_like(x), x])
+    beta = np.linalg.lstsq(X, y, rcond=None)[0]
+    e = y - X @ beta
+    n, k = len(x), 2
+    xtx_inv = np.linalg.inv(X.T @ X)
+    sse = float(e @ e)
+    se_classic = np.sqrt(sse / (n - k) * xtx_inv[1, 1])
+    meat = np.zeros((2, 2))
+    for gid in np.unique(g):
+        s = (X[g == gid] * e[g == gid, None]).sum(axis=0)
+        meat += np.outer(s, s)
+    G = len(np.unique(g))
+    c = G / (G - 1) * (n - 1) / (n - k)
+    se_cluster = np.sqrt(c * (xtx_inv @ meat @ xtx_inv)[1, 1])
+
+    r = QUERIES["stat_cluster_robust_se"](spark, sf_dir).collect()[0]
+    assert r.n_obs == n and r.n_clusters == G
+    assert abs(r.slope - beta[1] / 100.0) < 1e-5
+    assert abs(r.se_classic - se_classic / 100.0) < 1e-5
+    assert abs(r.se_cluster - se_cluster / 100.0) < 1e-5
+    assert abs(r.se_ratio - se_cluster / se_classic) < 1e-4
+
+
+# --- multinomial Naive Bayes (round 10, batch 3) ---------------------------
+
+def test_naive_bayes_matches_pure_python(spark, sf_dir):
+    import math
+    from collections import Counter, defaultdict
+
+    docs = [(r.doc_id, r.lang, r.text.lower().split())
+            for r in load_table(spark, sf_dir, "documents").collect()
+            if r.text.lower().split()]
+    train = [(d, l, t) for d, l, t in docs if d % 5 != 0]
+    test = [(d, l, t) for d, l, t in docs if d % 5 == 0]
+    ctc = defaultdict(Counter)
+    dc = Counter()
+    vocab = set()
+    for _, lang, toks in train:
+        ctc[lang].update(toks)
+        dc[lang] += 1
+        vocab.update(toks)
+    V, dt = len(vocab), len(train)
+    nc = {lang: sum(cnt.values()) for lang, cnt in ctc.items()}
+    conf = Counter()
+    for _, true_lang, toks in test:
+        best = None
+        for lang in ctc:
+            s = math.log(dc[lang]) - math.log(dt)
+            tf = Counter(toks)
+            for tok, f in tf.items():
+                s += f * (math.log(ctc[lang].get(tok, 0) + 1.0)
+                          - math.log(nc[lang] + V))
+            # argmax with (score DESC, lang ASC) tiebreak
+            if best is None or s > best[0] + 1e-12 or (
+                    abs(s - best[0]) <= 1e-12 and lang < best[1]):
+                best = (s, lang)
+        conf[(true_lang, best[1])] += 1
+
+    rows = QUERIES["ml_naive_bayes"](spark, sf_dir).collect()
+    got = {(r.true_lang, r.pred_lang): r.n_docs for r in rows}
+    assert got == dict(conf)
+    acc = sum(v for (a, b), v in conf.items() if a == b) / len(test)
+    assert abs(rows[0].accuracy - acc) < 1e-6
