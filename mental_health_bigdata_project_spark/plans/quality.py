@@ -4522,3 +4522,191 @@ def privacy_dp_counts(spark, sf_dir):
                         "round(true_n + noise, 6) AS noisy_n",
                         "round(abs(noise), 6) AS abs_err",
                         f"{_DP_EPS} AS epsilon")
+
+
+# --- histogram GBDT: depth-1 L2 boosting (round 10, batch 3) ---------------
+
+_GBDT_BINS = 16
+_GBDT_ROUNDS = 2
+_GBDT_LR = "0.5"                 # exact dyadic literal
+# SSE reduction of splitting (left prefix vs rest); S is 0 after the
+# mean-removal but the general form is kept
+_GBDT_GAIN = ("(srl * srl / nl + (srt - srl) * (srt - srl) / (nt - nl)"
+              " - srt * srt / nt)")
+# with leaf shrinkage lr the realized SSE drop is (2lr - lr^2) * gain
+_GBDT_DROP = f"((2.0 * {_GBDT_LR} - {_GBDT_LR} * {_GBDT_LR}) * gain)"
+
+
+def _gbdt_feat_case(prefix: str = "") -> str:
+    """CASE mapping the chosen feature NAME back to its column — the
+    data-dependent split predicate both engines share."""
+    arms = " ".join(f"WHEN '{nm}' THEN {nm}"
+                    for nm, _ in _logreg_d_features()[1:])
+    return f"(CASE {prefix}feat {arms} END)"
+
+
+def _gbdt_round_sql(k: int) -> str:
+    """One unrolled boosting round as CTEs: histogram over (feature,
+    bin) with decimal residual sums, prefix-scan split search on the
+    64-row histogram, deterministic argmax, and the next residual
+    CTE.  ``resid{k-1}`` must exist (resid0 = y - mean)."""
+    arms = ", ".join(
+        f"('{nm}', LEAST({_GBDT_BINS - 1}, CAST(floor({nm} * {_GBDT_BINS})"
+        f" AS INTEGER)))" for nm, _ in _logreg_d_features()[1:])
+    union = " UNION ALL ".join(
+        f"SELECT '{nm}' AS feat, LEAST({_GBDT_BINS - 1},"
+        f" CAST(floor({nm} * {_GBDT_BINS}) AS INTEGER)) AS bin, r"
+        f" FROM resid{k - 1}"
+        for nm, _ in _logreg_d_features()[1:])
+    return f"""
+    h{k} AS (SELECT feat, bin, CAST(count(*) AS BIGINT) AS n,
+                    CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS sr
+             FROM ({union}) u GROUP BY feat, bin),
+    p{k} AS (SELECT feat, bin,
+                    CAST(SUM(n) OVER (PARTITION BY feat ORDER BY bin
+                         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS nl,
+                    SUM(sr) OVER (PARTITION BY feat ORDER BY bin
+                         ROWS UNBOUNDED PRECEDING) AS srl,
+                    CAST(SUM(n) OVER (PARTITION BY feat)
+                         AS DOUBLE) AS nt,
+                    SUM(sr) OVER (PARTITION BY feat) AS srt
+             FROM h{k}),
+    best{k} AS (SELECT feat, bin, nl, srl, nt, srt, {_GBDT_GAIN} AS gain,
+                       CAST(bin + 1 AS DOUBLE) / {_GBDT_BINS} AS thr,
+                       {_GBDT_LR} * srl / nl AS wl,
+                       {_GBDT_LR} * (srt - srl) / (nt - nl) AS wr
+                FROM p{k}
+                WHERE bin < {_GBDT_BINS - 1} AND nl > 0 AND nt - nl > 0
+                ORDER BY {_GBDT_GAIN} DESC, feat, bin LIMIT 1),
+    resid{k} AS (SELECT s.* EXCLUDE (r),
+                        r - (CASE WHEN LEAST({_GBDT_BINS - 1},
+                                 CAST(floor({_gbdt_feat_case('b.')}
+                                      * {_GBDT_BINS}) AS INTEGER))
+                                 <= b.bin
+                             THEN b.wl ELSE b.wr END) AS r
+                 FROM resid{k - 1} s CROSS JOIN best{k} b)"""
+
+
+def _gbdt_oracle_sql() -> str:
+    feats = ", ".join(f"{e} AS {nm}" for nm, e in _logreg_d_features())
+    rounds = ",".join(_gbdt_round_sql(k)
+                      for k in range(1, _GBDT_ROUNDS + 1))
+    out_rows = " UNION ALL ".join(
+        f"SELECT CAST({k} AS INTEGER) AS round, feat AS feature,"
+        f" CAST(bin AS INTEGER) AS bin_split, round(thr, 6) AS threshold,"
+        f" round(gain, 6) AS gain,"
+        f" round(mse0 - ("
+        + " + ".join(f"(SELECT {_GBDT_DROP} FROM best{j})"
+                     for j in range(1, k + 1))
+        + f") / (SELECT nt FROM mu), 6) AS mse_after"
+        f" FROM best{k}" for k in range(1, _GBDT_ROUNDS + 1))
+    return f"""
+    WITH s0 AS (SELECT {feats} FROM events WHERE value IS NOT NULL),
+    mu AS (SELECT CAST(count(*) AS DOUBLE) AS nt,
+                  CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+                  CAST(SUM(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy
+           FROM s0),
+    m0 AS (SELECT nt, sy / nt AS mean_y,
+                  (syy - sy * sy / nt) / nt AS mse0 FROM mu),
+    resid0 AS (SELECT s0.*, y - m.mean_y AS r
+               FROM s0 CROSS JOIN m0 m),
+    {rounds}
+    {out_rows.replace("mse0", "(SELECT mse0 FROM m0)")}
+"""
+
+
+@query("ml_gbdt_stumps", _gbdt_oracle_sql())
+def ml_gbdt_stumps(spark, sf_dir):
+    """Histogram-based gradient boosting, depth-1 (decision stumps),
+    two L2 rounds with shrinkage 0.5 — the LightGBM/XGBoost histogram
+    trick (Ke et al. 2017; Friedman 2001) expressed as a declarative
+    plan: each round's split search runs on a (4 features x 16 bins)
+    HISTOGRAM of residual moments, so the corpus-side cost per round
+    is one scan + one 64-row map-side-combinable agg, and the argmax/
+    leaf-weight/gain arithmetic happens on metadata.  Reports per
+    round the chosen feature, bin threshold, SSE-reduction gain and
+    the exact post-round training MSE (tracked algebraically: with
+    leaf shrinkage lr the realized drop is (2lr - lr^2) * gain — no
+    rescoring pass needed).
+
+    Exactness: residuals are fixed double chains off decimal-exact
+    global moments; per-bin residual sums accumulate in
+    DECIMAL(38,18); split argmax tie-breaks (gain DESC, feature, bin);
+    the round-2 residual applies the round-1 leaf weights through the
+    same CASE predicate on both engines.  Plan: per round ONE scan ->
+    64-row histogram; the prefix scan and argmax are windows over the
+    histogram, never the data.  At 100 TB this is the canonical
+    scalable GBDT shape — T rounds cost T scans, shuffle bytes are
+    O(features x bins) per round, and nothing ever collects rows."""
+    lr = float(_GBDT_LR)
+    s0 = _logreg_d_s_frame(spark, sf_dir)
+    mu = s0.agg(
+        F.count("*").cast("double").alias("nt"),
+        F.sum(F.col("y").cast("decimal(38,18)")).cast("double").alias("sy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,18)"))
+        .cast("double").alias("syy"))
+    m0 = mu.selectExpr("nt", "sy / nt AS mean_y",
+                       "(syy - sy * sy / nt) / nt AS mse0")
+    resid = (s0.crossJoin(F.broadcast(m0))
+             .selectExpr("*", "y - mean_y AS r"))
+    feat_names = [nm for nm, _ in _logreg_d_features()[1:]]
+    stack = ", ".join(
+        f"'{nm}', LEAST({_GBDT_BINS - 1}, CAST(floor({nm} * {_GBDT_BINS})"
+        f" AS INTEGER))" for nm in feat_names)
+    out_frames = []
+    drops = []
+    for k in range(1, _GBDT_ROUNDS + 1):
+        binned = resid.selectExpr(
+            f"stack({len(feat_names)}, {stack}) AS (feat, bin)", "r")
+        h = (binned.groupBy("feat", "bin")
+             .agg(F.count("*").cast("bigint").alias("n"),
+                  F.sum(F.expr("CAST(r AS DECIMAL(38,18))"))
+                  .cast("double").alias("sr"))
+             .localCheckpoint(eager=True))   # 64-row histogram
+        wp = (Window.partitionBy("feat").orderBy("bin")
+              .rowsBetween(Window.unboundedPreceding, 0))
+        wt = Window.partitionBy("feat")
+        p = h.select(
+            "feat", "bin",
+            F.sum("n").over(wp).cast("double").alias("nl"),
+            F.sum("sr").over(wp).alias("srl"),
+            F.sum("n").over(wt).cast("double").alias("nt"),
+            F.sum("sr").over(wt).alias("srt"))
+        best = (p.filter(f"bin < {_GBDT_BINS - 1} AND nl > 0"
+                         " AND nt - nl > 0")
+                .selectExpr("feat", "bin", "nl", "srl", "nt", "srt",
+                            f"{_GBDT_GAIN} AS gain",
+                            f"CAST(bin + 1 AS DOUBLE) / {_GBDT_BINS}"
+                            " AS thr",
+                            f"{_GBDT_LR} * srl / nl AS wl",
+                            f"{_GBDT_LR} * (srt - srl) / (nt - nl) AS wr")
+                .orderBy(F.desc("gain"), "feat", "bin").limit(1)
+                .localCheckpoint(eager=True))   # the round's stump
+        out_frames.append(best)
+        drops.append(best.selectExpr(f"{_GBDT_DROP} AS drop"))
+        resid = (resid.crossJoin(F.broadcast(
+                    best.selectExpr("feat", "bin AS sbin", "wl", "wr")))
+                 .selectExpr(
+                     *[c for c in resid.columns if c != "r"],
+                     f"r - (CASE WHEN LEAST({_GBDT_BINS - 1},"
+                     f" CAST(floor({_gbdt_feat_case()}"
+                     f" * {_GBDT_BINS}) AS INTEGER)) <= sbin"
+                     " THEN wl ELSE wr END) AS r"))
+    # assemble the per-round report with algebraically-tracked MSE
+    rows = None
+    cum = None
+    for k, (best, dr) in enumerate(zip(out_frames, drops), start=1):
+        cum = dr if cum is None else (
+            cum.crossJoin(dr.selectExpr("drop AS d2"))
+            .selectExpr("drop + d2 AS drop"))
+        row = (best.crossJoin(F.broadcast(m0))
+               .crossJoin(F.broadcast(mu.selectExpr("nt AS ntot")))
+               .crossJoin(F.broadcast(cum.selectExpr("drop AS cumdrop")))
+               .selectExpr(f"CAST({k} AS INTEGER) AS round",
+                           "feat AS feature",
+                           "CAST(bin AS INTEGER) AS bin_split",
+                           "round(thr, 6) AS threshold",
+                           "round(gain, 6) AS gain",
+                           "round(mse0 - cumdrop / ntot, 6) AS mse_after"))
+        rows = row if rows is None else rows.unionAll(row)
+    return rows

@@ -47,9 +47,12 @@ def test_query_runs(spark, sf_dir, qid):
 # Arrow-batched by design (mapInPandas / applyInPandas / MLlib fit):
 ARROW_QUERIES = {"sim_ann_lsh", "sim_ann_ivf", "grouped_zscore_by_user",
                  "multimodal_features", "multimodal_bytes",
-                 # real RIFF/PCM decode: synth + parse are mapInPandas
-                 # stages by design (round 9)
-                 "media_decode_wav",
+                 # real RIFF decode paths (PCM16 / float32 / mu-law /
+                 # A-law / IMA ADPCM): synth + parse are mapInPandas
+                 # stages by design (rounds 9-10)
+                 "media_decode_wav", "media_decode_wav_float32",
+                 "media_decode_wav_mulaw", "media_decode_wav_alaw",
+                 "media_decode_wav_adpcm",
                  "ml_tfidf_hashed", "ml_minhash_lsh",
                  "ml_kmeans_embeddings", "ml_classify_embeddings",
                  "dedup_cluster_components",

@@ -366,3 +366,49 @@ def test_naive_bayes_matches_pure_python(spark, sf_dir):
     assert got == dict(conf)
     acc = sum(v for (a, b), v in conf.items() if a == b) / len(test)
     assert abs(rows[0].accuracy - acc) < 1e-6
+
+
+# --- histogram GBDT stumps (round 10, batch 3) -----------------------------
+
+def test_gbdt_stumps_match_numpy_boosting(spark, sf_dir):
+    """Two depth-1 L2 boosting rounds replicated in numpy: same
+    histogram split search, same shrinkage, same tracked MSE."""
+    import numpy as np
+
+    from mental_health_bigdata_project_spark.plans.quality import (
+        _logreg_d_s_frame)
+
+    rows = _logreg_d_s_frame(spark, sf_dir).collect()
+    X = {nm: np.array([float(getattr(r, nm)) for r in rows])
+         for nm in ("x1", "x2", "x3", "x4")}
+    y = np.array([float(r.y) for r in rows])
+    r = y - y.mean()
+    lr, B = 0.5, 16
+    mse = float(((y - y.mean()) ** 2).mean())
+    got = {q.round: q for q in
+           QUERIES["ml_gbdt_stumps"](spark, sf_dir).collect()}
+    for rnd in (1, 2):
+        best = None
+        for nm in sorted(X):
+            bins = np.minimum(B - 1, np.floor(X[nm] * B).astype(int))
+            for b in range(B - 1):
+                left = bins <= b
+                nl, nr = int(left.sum()), int((~left).sum())
+                if nl == 0 or nr == 0:
+                    continue
+                sl, st = float(r[left].sum()), float(r.sum())
+                gain = (sl * sl / nl + (st - sl) ** 2 / nr
+                        - st * st / len(r))
+                if best is None or gain > best[0] + 1e-12:
+                    best = (gain, nm, b, left, sl, st, nl, nr)
+        gain, nm, b, left, sl, st, nl, nr = best
+        r = r - np.where(left, lr * sl / nl, lr * (st - sl) / nr)
+        mse -= (2 * lr - lr * lr) * gain / len(r)
+        q = got[rnd]
+        assert (q.feature, q.bin_split) == (nm, b), rnd
+        assert abs(q.gain - gain) < 1e-4
+        assert abs(q.threshold - (b + 1) / B) < 1e-9
+        assert abs(q.mse_after - mse) < 1e-6
+        # boosting must not increase training MSE
+        assert q.mse_after <= float(((y - y.mean()) ** 2).mean()) + 1e-9
+    assert got[2].mse_after <= got[1].mse_after + 1e-9
