@@ -1803,11 +1803,11 @@ _CR_SXEG = "(sxyg - aa * sxg - bb * sxxg)"
                   CAST(cm.sxx AS DOUBLE) AS sxxg
            FROM cm CROSS JOIN fit f),
     meat AS (SELECT
-        CAST(SUM(CAST({_CR_SEG} * {_CR_SEG} AS DECIMAL(38,18)))
+        CAST(SUM(CAST({_CR_SEG} * {_CR_SEG} AS DECIMAL(38,6)))
              AS DOUBLE) AS m11,
-        CAST(SUM(CAST({_CR_SEG} * {_CR_SXEG} AS DECIMAL(38,18)))
+        CAST(SUM(CAST({_CR_SEG} * {_CR_SXEG} AS DECIMAL(38,6)))
              AS DOUBLE) AS m12,
-        CAST(SUM(CAST({_CR_SXEG} * {_CR_SXEG} AS DECIMAL(38,18)))
+        CAST(SUM(CAST({_CR_SXEG} * {_CR_SXEG} AS DECIMAL(38,6)))
              AS DOUBLE) AS m22
       FROM sc)
     SELECT f.n_obs, f.g AS n_clusters,
@@ -1835,7 +1835,7 @@ def stat_cluster_robust_se(spark, sf_dir):
     scan produces per-cluster DECIMAL(38,0) moments (map-side
     combinable), the pooled fit comes from their exact total, and the
     meat is a second #clusters-sized agg of double products
-    accumulated in DECIMAL(38,18).  Classic SE comes from the same
+    accumulated in DECIMAL(38,6).  Classic SE comes from the same
     exact moment differences (SSE = (Syy - b*Sxy) algebra — no
     residual pass).  At 100 TB: one wide shuffle onto cluster keys,
     then metadata-sized reductions — the same shape as any per-entity
@@ -1875,7 +1875,7 @@ def stat_cluster_robust_se(spark, sf_dir):
                       "CAST(sy AS DOUBLE) AS syg",
                       "CAST(sxy AS DOUBLE) AS sxyg",
                       "CAST(sxx AS DOUBLE) AS sxxg"))
-    d18 = "decimal(38,18)"
+    d18 = "decimal(38,6)"
     meat = sc.agg(
         F.sum(F.expr(f"CAST({_CR_SEG} * {_CR_SEG} AS {d18})"))
         .cast("double").alias("m11"),
