@@ -199,6 +199,12 @@ HEADLINE = [
     # grouped pass@k scan, and the windowed-pairs Bradley-Terry MM
     "sample_quality_budget", "text_code_detect", "text_entropy_rate",
     "eval_pass_at_k", "eval_bradley_terry",
+    # round-10 (batch 3): the sequential IMA-ADPCM decode through the
+    # same mapInPandas path, the distinct-score-grid AUC/KS rank
+    # shape, the two-scan histogram GBDT, the vocabulary-join Naive
+    # Bayes loop, and the cluster-moment sandwich
+    "media_decode_wav_adpcm", "eval_auc_roc", "ml_gbdt_stumps",
+    "ml_naive_bayes", "stat_cluster_robust_se",
 ]
 
 # Queries per calibration group: a host-speed probe runs between

@@ -201,6 +201,11 @@ _MODULE_PRIORITY = [
 # driver re-certifies exactly the surface that moved; everything else
 # keeps its cumulative row.
 _CONVERTED_FRONT = [
+    # --- new in round 10, batch 3 (first-time driver rows) ---
+    "media_decode_wav_alaw", "media_decode_wav_adpcm",
+    "eval_auc_roc", "stat_cohens_kappa",
+    "stat_benjamini_hochberg", "privacy_dp_counts",
+    "stat_cluster_robust_se", "ml_naive_bayes", "ml_gbdt_stumps",
     # --- new in round 10 (first-time driver rows) ---
     "media_decode_wav_float32", "media_decode_wav_mulaw",
     "ml_influence_logo_newton", "ml_calibration_bins",
