@@ -205,6 +205,9 @@ HEADLINE = [
     # Bayes loop, and the cluster-moment sandwich
     "media_decode_wav_adpcm", "eval_auc_roc", "ml_gbdt_stumps",
     "ml_naive_bayes", "stat_cluster_robust_se",
+    # round-10 (batch 3, late): the audit->fix->re-audit Platt loop
+    # (3 calibration-split Newton scans + one dual-ECE eval scan)
+    "ml_platt_scaling",
 ]
 
 # Queries per calibration group: a host-speed probe runs between

@@ -4710,3 +4710,269 @@ def ml_gbdt_stumps(spark, sf_dir):
                            "round(mse0 - cumdrop / ntot, 6) AS mse_after"))
         rows = row if rows is None else rows.unionAll(row)
     return rows
+
+
+# --- equivalence testing: Schuirmann TOST (round 10, batch 3) --------------
+
+_TOST_DELTA = "CAST(5.0 AS DOUBLE)"       # equivalence margin, value units
+
+
+def _norm_p1_sql(z: str) -> str:
+    """One-sided upper-tail normal p-value P(Z > z) for arbitrary-sign
+    z, from the same A&S erf polynomial as _norm_p2_sql:
+    0.5*(1 - erf(|z|/sqrt2)) reflected for negative z."""
+    p2 = _norm_p2_sql(f"abs({z})")
+    return (f"CASE WHEN {z} >= 0.0 THEN 0.5 * {p2}"
+            f" ELSE 1.0 - 0.5 * {p2} END")
+
+
+@query("stat_tost_equivalence", f"""
+    WITH s AS (SELECT event_type AS grp,
+                      CAST(value AS DECIMAL(28,12)) AS v,
+                      CAST(value * value AS DECIMAL(38,12)) AS v2
+               FROM events
+               WHERE value IS NOT NULL
+                 AND event_type IN ('purchase', 'click')),
+    g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(v) AS DOUBLE) AS s,
+                 CAST(SUM(v2) AS DOUBLE) AS q
+          FROM s GROUP BY grp),
+    m AS (SELECT grp, n, s / n AS mean,
+                 (q - s * s / n) / (n - 1) AS var
+          FROM g),
+    w AS (SELECT a.n AS n_a, b.n AS n_b,
+                 a.mean - b.mean AS diff,
+                 sqrt(a.var / a.n + b.var / b.n) AS se
+          FROM (SELECT * FROM m WHERE grp = 'purchase') a
+          CROSS JOIN (SELECT * FROM m WHERE grp = 'click') b),
+    z AS (SELECT n_a, n_b, diff, se,
+                 (diff + {_TOST_DELTA}) / se AS z_lower,
+                 ({_TOST_DELTA} - diff) / se AS z_upper
+          FROM w),
+    p AS (SELECT z.*,
+                 {_norm_p1_sql('z_lower')} AS p_lower,
+                 {_norm_p1_sql('z_upper')} AS p_upper
+          FROM z)
+    SELECT n_a, n_b,
+           round(diff, 6) AS mean_diff,
+           round(se, 6) AS se,
+           {_TOST_DELTA} AS delta,
+           round(z_lower, 6) AS z_lower,
+           round(z_upper, 6) AS z_upper,
+           round(p_lower, 6) AS p_lower,
+           round(p_upper, 6) AS p_upper,
+           round(GREATEST(p_lower, p_upper), 6) AS p_tost,
+           CAST(CASE WHEN GREATEST(p_lower, p_upper)
+                          <= CAST(0.05 AS DOUBLE)
+                     THEN 1 ELSE 0 END AS INTEGER) AS equivalent
+    FROM p
+""")
+def stat_tost_equivalence(spark, sf_dir):
+    """Equivalence by two one-sided tests (Schuirmann 1987 — the
+    regulatory/non-inferiority standard): a nonsignificant difference
+    is NOT evidence of equivalence, so the practical question "are
+    purchase and click values the same to within +-5 units?" needs
+    both H0s (diff <= -delta, diff >= +delta) rejected.  Reports both
+    one-sided z/p pairs off the Welch moment machinery, the TOST p
+    (their max), and the verdict at alpha = .05 — the readout a
+    guardrail-metric review wants when "no change" is the success
+    criterion (swap-the-cheaper-quality-gate, infra migrations).
+
+    Exactness: the same decimal Welch moments as stat_welch_ttest;
+    one-sided tails reuse the A&S polynomial (_norm_p1_sql reflects
+    it for negative z), all fixed double chains.  Plan: one scan, one
+    2-group agg, then 1-row arithmetic — metadata-cost beyond the
+    scan at any scale."""
+    s = (_t(spark, sf_dir, "events")
+         .filter(F.col("event_type").isin("purchase", "click")
+                 & F.col("value").isNotNull())
+         .selectExpr("event_type AS grp",
+                     "CAST(value AS DECIMAL(28,12)) AS v",
+                     "CAST(value * value AS DECIMAL(38,12)) AS v2"))
+    g = (s.groupBy("grp")
+         .agg(F.count("*").cast("bigint").alias("n"),
+              F.sum("v").cast("double").alias("s"),
+              F.sum("v2").cast("double").alias("q")))
+    m = g.selectExpr("grp", "n", "s / n AS mean",
+                     "(q - s * s / n) / (n - 1) AS var")
+    a = m.filter("grp = 'purchase'").selectExpr(
+        "n AS n_a", "mean AS mean_a", "var AS var_a")
+    b = m.filter("grp = 'click'").selectExpr(
+        "n AS n_b", "mean AS mean_b", "var AS var_b")
+    w = (a.crossJoin(F.broadcast(b))
+         .selectExpr("n_a", "n_b", "mean_a - mean_b AS diff",
+                     "sqrt(var_a / n_a + var_b / n_b) AS se"))
+    z = w.selectExpr("*",
+                     f"(diff + {_TOST_DELTA}) / se AS z_lower",
+                     f"({_TOST_DELTA} - diff) / se AS z_upper")
+    p = z.selectExpr("*",
+                     f"{_norm_p1_sql('z_lower')} AS p_lower",
+                     f"{_norm_p1_sql('z_upper')} AS p_upper")
+    return p.selectExpr(
+        "n_a", "n_b",
+        "round(diff, 6) AS mean_diff",
+        "round(se, 6) AS se",
+        f"{_TOST_DELTA} AS delta",
+        "round(z_lower, 6) AS z_lower",
+        "round(z_upper, 6) AS z_upper",
+        "round(p_lower, 6) AS p_lower",
+        "round(p_upper, 6) AS p_upper",
+        "round(GREATEST(p_lower, p_upper), 6) AS p_tost",
+        "CAST(CASE WHEN GREATEST(p_lower, p_upper)"
+        " <= CAST(0.05 AS DOUBLE) THEN 1 ELSE 0 END AS INTEGER)"
+        " AS equivalent")
+
+
+# --- Platt recalibration of the Newton model (round 10, batch 3) -----------
+
+_PLATT_STEPS = 3
+_PLATT_SIG = "1.0 / (1.0 + exp(-(b.a0 + b.a1 * x)))"
+
+
+def _platt_step_sql(k: int) -> str:
+    """One unrolled Platt Newton step over the calibration split
+    ``pcal`` (columns y, x = the base model's linear predictor):
+    the 2x2 closed-form solve of _logreg_step_sql with renamed CTEs
+    so the chain composes with the d-feature trainer's beta CTEs."""
+    s = _PLATT_SIG
+    return f"""
+    pm{k} AS MATERIALIZED (
+      SELECT CAST(SUM(CAST((y - {s}) AS DECIMAL(38,18))) AS DOUBLE) AS g0,
+             CAST(SUM(CAST((y - {s}) * x AS DECIMAL(38,18)))
+                  AS DOUBLE) AS g1,
+             CAST(SUM(CAST(({s}) * (1.0 - {s}) AS DECIMAL(38,18)))
+                  AS DOUBLE) AS h00,
+             CAST(SUM(CAST(({s}) * (1.0 - {s}) * x AS DECIMAL(38,18)))
+                  AS DOUBLE) AS h01,
+             CAST(SUM(CAST(({s}) * (1.0 - {s}) * x * x
+                  AS DECIMAL(38,18))) AS DOUBLE) AS h11
+      FROM pcal CROSS JOIN pbeta{k - 1} b),
+    pbeta{k} AS (
+      SELECT b.a0 + (pm.h11 * pm.g0 - pm.h01 * pm.g1)
+                    / (pm.h00 * pm.h11 - pm.h01 * pm.h01) AS a0,
+             b.a1 + (pm.h00 * pm.g1 - pm.h01 * pm.g0)
+                    / (pm.h00 * pm.h11 - pm.h01 * pm.h01) AS a1
+      FROM pbeta{k - 1} b CROSS JOIN pm{k} pm)"""
+
+
+def _ece_sql(name: str, pcol: str) -> str:
+    """ECE-over-10-bins CTE pair for probability column ``pcol`` of
+    the eval-split scoring CTE ``pe`` — the ml_calibration_bins
+    formula, parameterized."""
+    return f"""
+    eb_{name} AS (SELECT LEAST({_CALIB_BINS - 1},
+                        CAST(floor({pcol} * {_CALIB_BINS}) AS INTEGER))
+                        AS bin,
+                        CAST(count(*) AS BIGINT) AS n,
+                        CAST(SUM(CAST({pcol} AS DECIMAL(38,18)))
+                             AS DOUBLE) AS sp,
+                        CAST(SUM(CAST(y AS DECIMAL(38,18)))
+                             AS DOUBLE) AS sy
+                  FROM pe GROUP BY 1),
+    ece_{name} AS (SELECT CAST(SUM(CAST(
+                     (CAST(n AS DOUBLE) / (SELECT SUM(n) FROM eb_{name}))
+                     * abs(sp / n - sy / n) AS DECIMAL(38,18)))
+                     AS DOUBLE) AS ece
+                   FROM eb_{name})"""
+
+
+@query("ml_platt_scaling", f"""
+    WITH {_logreg_d_train_ctes()},
+    ds AS (SELECT event_id, s.y AS y, {_logreg_d_z("b.")} AS x
+           FROM (SELECT event_id, {", ".join(f"{e} AS {nm}"
+                     for nm, e in _logreg_d_features())}
+                 FROM events WHERE value IS NOT NULL) s
+           CROSS JOIN beta{_LOGREG_D_STEPS} b),
+    pcal AS (SELECT y, x FROM ds WHERE event_id % 3 = 0),
+    peval AS (SELECT y, x FROM ds WHERE event_id % 3 <> 0),
+    pbeta0 AS (SELECT 0.0 AS a0, 0.0 AS a1),
+    {",".join(_platt_step_sql(k) for k in range(1, _PLATT_STEPS + 1))},
+    pe AS (SELECT y, 1.0 / (1.0 + exp(-x)) AS praw,
+                  {_PLATT_SIG} AS pcal_p
+           FROM peval CROSS JOIN pbeta{_PLATT_STEPS} b),
+    {_ece_sql("raw", "praw")},
+    {_ece_sql("cal", "pcal_p")}
+    SELECT CAST((SELECT count(*) FROM pcal) AS BIGINT) AS n_calib,
+           CAST((SELECT count(*) FROM peval) AS BIGINT) AS n_eval,
+           round(b.a0, 6) AS platt_a,
+           round(b.a1, 6) AS platt_b,
+           round((SELECT ece FROM ece_raw), 6) AS ece_raw,
+           round((SELECT ece FROM ece_cal), 6) AS ece_platt
+    FROM pbeta{_PLATT_STEPS} b
+""")
+def ml_platt_scaling(spark, sf_dir):
+    """Platt scaling (Platt 1999) — the FIX step that closes the
+    calibration loop ml_calibration_bins opens: fit sigmoid(a + b*z)
+    on the base Newton model's linear predictor over a held-out
+    calibration split (event_id % 3 = 0), by three unrolled 2x2
+    Newton steps (the _logreg_step_sql chain, renamed so it composes
+    with the d-feature trainer's CTEs), then report the eval-split
+    ECE before and after recalibration — audit, fix, re-audit in one
+    oracle-checked plan.  A perfectly calibrated base model fits
+    (a, b) ~ (0, 1) and the ECEs match; a miscalibrated one shows
+    ece_platt < ece_raw, which is the number that justifies shipping
+    the recalibrated scores to the sampling-weight pipeline.
+
+    Exactness: z is the trainer's bit-identical formula string;
+    every Platt gradient/Hessian sum accumulates in DECIMAL(38,18);
+    the 2x2 solve is a shared closed-form chain; ECEs follow the
+    calibration-bins decimal recipe on the eval split.  Plan: the
+    base chain's two scans + 3 calibration-split scans (5 aggregates
+    each) + one eval scoring scan into two 10-row bin aggs — every
+    stage map-side combinable, model state is 2 numbers.  At 100 TB
+    this is the cheapest possible recalibration: no sort, no join
+    wider than a 1-row broadcast."""
+    beta = _logreg_d_beta(spark, sf_dir)
+    ds = (_logreg_d_s_frame(spark, sf_dir, extra=("event_id",))
+          .crossJoin(F.broadcast(beta))
+          .selectExpr("event_id", "y", f"{_logreg_d_z()} AS x"))
+    pcal = ds.filter("event_id % 3 = 0").select("y", "x") \
+        .localCheckpoint(eager=True)       # 3 Newton scans reuse it
+    peval = ds.filter("event_id % 3 <> 0").select("y", "x")
+    pbeta = spark.createDataFrame([(0.0, 0.0)], "a0 double, a1 double")
+    s = _PLATT_SIG.replace("b.a0", "a0").replace("b.a1", "a1")
+    d18 = "DECIMAL(38,18)"
+    for _ in range(_PLATT_STEPS):
+        m = (pcal.crossJoin(F.broadcast(pbeta))
+             .agg(*[F.expr(f"CAST(SUM(CAST({t} AS {d18})) AS DOUBLE)")
+                    .alias(nm) for nm, t in [
+                        ("g0", f"(y - {s})"),
+                        ("g1", f"(y - {s}) * x"),
+                        ("h00", f"({s}) * (1.0 - {s})"),
+                        ("h01", f"({s}) * (1.0 - {s}) * x"),
+                        ("h11", f"({s}) * (1.0 - {s}) * x * x")]]))
+        pbeta = (pbeta.crossJoin(F.broadcast(m))
+                 .selectExpr(
+                     "a0 + (h11 * g0 - h01 * g1)"
+                     " / (h00 * h11 - h01 * h01) AS a0",
+                     "a1 + (h00 * g1 - h01 * g0)"
+                     " / (h00 * h11 - h01 * h01) AS a1")
+                 .localCheckpoint(eager=True))
+    pe = (peval.crossJoin(F.broadcast(pbeta))
+          .selectExpr("y", "1.0 / (1.0 + exp(-x)) AS praw",
+                      f"{s} AS pcal_p")
+          .localCheckpoint(eager=True))    # feeds both bin aggs
+    dsum = lambda c: F.sum(F.expr(f"CAST({c} AS {d18})")).cast("double")  # noqa: E731
+
+    def ece(pcol: str, alias: str):
+        b = (pe.groupBy(
+                F.expr(f"LEAST({_CALIB_BINS - 1},"
+                       f" CAST(floor({pcol} * {_CALIB_BINS}) AS INTEGER))")
+                .alias("bin"))
+             .agg(F.count("*").cast("bigint").alias("n"),
+                  dsum(pcol).alias("sp"), dsum("y").alias("sy")))
+        tot = b.agg(F.sum("n").alias("nt"))
+        return (b.crossJoin(F.broadcast(tot))
+                .agg(dsum("(CAST(n AS DOUBLE) / nt)"
+                          " * abs(sp / n - sy / n)").alias(alias)))
+    nc = pcal.agg(F.count("*").cast("bigint").alias("n_calib"))
+    ne = pe.agg(F.count("*").cast("bigint").alias("n_eval"))
+    return (nc.crossJoin(F.broadcast(ne))
+            .crossJoin(F.broadcast(pbeta))
+            .crossJoin(F.broadcast(ece("praw", "er")))
+            .crossJoin(F.broadcast(ece("pcal_p", "ec")))
+            .selectExpr("n_calib", "n_eval",
+                        "round(a0, 6) AS platt_a",
+                        "round(a1, 6) AS platt_b",
+                        "round(er, 6) AS ece_raw",
+                        "round(ec, 6) AS ece_platt"))

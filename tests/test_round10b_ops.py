@@ -412,3 +412,82 @@ def test_gbdt_stumps_match_numpy_boosting(spark, sf_dir):
         # boosting must not increase training MSE
         assert q.mse_after <= float(((y - y.mean()) ** 2).mean()) + 1e-9
     assert got[2].mse_after <= got[1].mse_after + 1e-9
+
+
+# --- TOST equivalence (round 10, batch 3) ----------------------------------
+
+def test_tost_matches_erfc_and_verdict(spark, sf_dir):
+    import math
+
+    ev = [(r.event_type, float(r.value)) for r in
+          load_table(spark, sf_dir, "events")
+          .filter("value IS NOT NULL AND event_type IN"
+                  " ('purchase', 'click')").collect()]
+    a = [v for t, v in ev if t == "purchase"]
+    b = [v for t, v in ev if t == "click"]
+
+    def mv(xs):
+        n = len(xs)
+        m = sum(xs) / n
+        return n, m, sum((x - m) ** 2 for x in xs) / (n - 1)
+
+    na, ma, va = mv(a)
+    nb, mb, vb = mv(b)
+    diff = ma - mb
+    se = math.sqrt(va / na + vb / nb)
+    zl, zu = (diff + 5.0) / se, (5.0 - diff) / se
+    pl = 0.5 * math.erfc(zl / math.sqrt(2))
+    pu = 0.5 * math.erfc(zu / math.sqrt(2))
+
+    r = QUERIES["stat_tost_equivalence"](spark, sf_dir).collect()[0]
+    assert (r.n_a, r.n_b) == (na, nb)
+    assert abs(r.mean_diff - diff) < 1e-4
+    assert abs(r.p_lower - pl) < 1e-5 and abs(r.p_upper - pu) < 1e-5
+    assert abs(r.p_tost - max(pl, pu)) < 1e-5
+    assert r.equivalent == (1 if max(pl, pu) <= 0.05 else 0)
+    assert r.delta == 5.0
+
+
+# --- Platt scaling (round 10, batch 3) -------------------------------------
+
+def test_platt_scaling_matches_numpy_newton(spark, sf_dir):
+    import numpy as np
+
+    from mental_health_bigdata_project_spark.plans.quality import (
+        _logreg_d_beta, _logreg_d_s_frame)
+
+    beta = _logreg_d_beta(spark, sf_dir).collect()[0]
+    bvec = np.array([beta[f"b{i}"] for i in range(5)])
+    rows = _logreg_d_s_frame(spark, sf_dir, extra=("event_id",)).collect()
+    eid = np.array([r.event_id for r in rows])
+    X = np.array([[1.0, float(r.x1), float(r.x2), float(r.x3),
+                   float(r.x4)] for r in rows])
+    y = np.array([float(r.y) for r in rows])
+    z = X @ bvec
+    cal, ev = eid % 3 == 0, eid % 3 != 0
+    a = np.zeros(2)
+    for _ in range(3):
+        q = 1.0 / (1.0 + np.exp(-(a[0] + a[1] * z[cal])))
+        g = np.array([(y[cal] - q).sum(), ((y[cal] - q) * z[cal]).sum()])
+        w = q * (1 - q)
+        H = np.array([[w.sum(), (w * z[cal]).sum()],
+                      [(w * z[cal]).sum(), (w * z[cal] ** 2).sum()]])
+        a = a + np.linalg.solve(H, g)
+
+    def ece(p, yy):
+        bins = np.minimum(9, np.floor(p * 10).astype(int))
+        tot = len(p)
+        out = 0.0
+        for bi in np.unique(bins):
+            m = bins == bi
+            out += m.sum() / tot * abs(p[m].mean() - yy[m].mean())
+        return out
+
+    praw = 1.0 / (1.0 + np.exp(-z[ev]))
+    pcal = 1.0 / (1.0 + np.exp(-(a[0] + a[1] * z[ev])))
+    r = QUERIES["ml_platt_scaling"](spark, sf_dir).collect()[0]
+    assert (r.n_calib, r.n_eval) == (int(cal.sum()), int(ev.sum()))
+    assert abs(r.platt_a - a[0]) < 1e-4
+    assert abs(r.platt_b - a[1]) < 1e-4
+    assert abs(r.ece_raw - ece(praw, y[ev])) < 1e-5
+    assert abs(r.ece_platt - ece(pcal, y[ev])) < 1e-5
