@@ -4976,3 +4976,200 @@ def ml_platt_scaling(spark, sf_dir):
                         "round(a1, 6) AS platt_b",
                         "round(er, 6) AS ece_raw",
                         "round(ec, 6) AS ece_platt"))
+
+
+# --- precision-recall AUC (round 10, batch 3) ------------------------------
+
+# tie-aware average precision over the distinct-score grid, scores
+# DESCENDING: at grid value v (cumulated from the top), tp/fp are the
+# inclusive positive/negative counts at scores >= v, and the step
+# adds (ca/n1) * precision(v) — sklearn's step-wise AP definition.
+_AP_TERM = ("(CAST(ca AS DOUBLE) / n1)"
+            " * (CAST(tp AS DOUBLE) / (tp + fp))")
+
+
+@query("eval_auc_pr", f"""
+    WITH {_logreg_d_train_ctes()},
+    {_logreg_d_scored_sql()},
+    g AS (SELECT p, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS ca
+          FROM scored GROUP BY p),
+    t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n1,
+                 CAST(SUM(n - ca) AS BIGINT) AS n0 FROM g),
+    c AS (SELECT p, n, ca,
+                 CAST(SUM(ca) OVER (ORDER BY p DESC
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+                 CAST(SUM(n - ca) OVER (ORDER BY p DESC
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
+          FROM g),
+    a AS (SELECT CAST(SUM(CAST({_AP_TERM} AS DECIMAL(38,18)))
+                 AS DOUBLE) AS ap
+          FROM c CROSS JOIN t WHERE ca > 0)
+    SELECT t.n1 AS n_pos, t.n0 AS n_neg,
+           round(CAST(t.n1 AS DOUBLE) / (t.n1 + t.n0), 6)
+             AS baseline_prevalence,
+           round(a.ap, 6) AS average_precision,
+           round(a.ap / (CAST(t.n1 AS DOUBLE) / (t.n1 + t.n0)), 6)
+             AS lift_over_random
+    FROM a CROSS JOIN t
+""")
+def eval_auc_pr(spark, sf_dir):
+    """Average precision (the area under the precision-recall curve,
+    step-wise/tie-aware — the definition sklearn implements, Su et
+    al. 2015 review) for the Newton model, plus the prevalence
+    baseline and lift: PR space is the honest view under class
+    imbalance, where ROC-AUC can look strong while precision at
+    useful recall is poor — exactly the regime of rare-positive
+    curation gates (contamination, policy hits).  A random scorer's
+    AP equals the positive prevalence, so lift_over_random is the
+    one-number summary.
+
+    Exactness: same bit-identical scores as eval_auc_roc; tp/fp are
+    exact integer cumulatives over the DESCENDING distinct-score grid
+    (the same two-phase running-sum pattern, opposite order); each
+    grid step's term is one fixed double chain accumulated in
+    DECIMAL(38,18).  Plan: scoring scan -> score-grid hash agg ->
+    range-exchange running sums -> 1-row rollup; identical cost shape
+    to the ROC readout."""
+    p_expr = f"1.0 / (1.0 + exp(-({_logreg_d_z()}))) AS p"
+    beta = _logreg_d_beta(spark, sf_dir)
+    scored = (_logreg_d_s_frame(spark, sf_dir)
+              .crossJoin(F.broadcast(beta)).selectExpr("*", p_expr))
+    g = (scored.groupBy("p")
+         .agg(F.count("*").cast("bigint").alias("n"),
+              F.sum(F.col("y").cast("bigint")).cast("bigint").alias("ca")))
+    t = g.agg(F.sum("ca").cast("bigint").alias("n1"),
+              F.sum(F.col("n") - F.col("ca")).cast("bigint").alias("n0"))
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    with_pid = (g.repartitionByRange(n_parts, F.desc("p"))
+                .withColumn("pid", F.spark_partition_id())
+                .localCheckpoint())
+    wrun = (Window.partitionBy("pid").orderBy(F.desc("p"))
+            .rowsBetween(Window.unboundedPreceding, 0))
+    local = with_pid.select(
+        "p", "n", "ca", "pid",
+        F.sum("ca").over(wrun).alias("ltp"),
+        F.sum(F.col("n") - F.col("ca")).over(wrun).alias("lfp"))
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (with_pid.groupBy("pid")
+            .agg(F.sum("ca").alias("pca"),
+                 F.sum(F.col("n") - F.col("ca")).alias("pcb"))
+            .select("pid",
+                    F.coalesce(F.sum("pca").over(woff), F.lit(0))
+                    .alias("otp"),
+                    F.coalesce(F.sum("pcb").over(woff), F.lit(0))
+                    .alias("ofp")))
+    c = (local.join(F.broadcast(offs), "pid")
+         .select("p", "n", "ca",
+                 (F.col("ltp") + F.col("otp")).cast("bigint").alias("tp"),
+                 (F.col("lfp") + F.col("ofp")).cast("bigint").alias("fp")))
+    a = (c.crossJoin(F.broadcast(t)).filter("ca > 0")
+         .agg(F.sum(F.expr(f"CAST({_AP_TERM} AS DECIMAL(38,18))"))
+              .cast("double").alias("ap")))
+    return (a.crossJoin(F.broadcast(t))
+            .selectExpr(
+                "n1 AS n_pos", "n0 AS n_neg",
+                "round(CAST(n1 AS DOUBLE) / (n1 + n0), 6)"
+                " AS baseline_prevalence",
+                "round(ap, 6) AS average_precision",
+                "round(ap / (CAST(n1 AS DOUBLE) / (n1 + n0)), 6)"
+                " AS lift_over_random"))
+
+
+# --- Mann-Kendall trend + Theil-Sen slope (round 10, batch 3) --------------
+
+_MK_Z = ("CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s) "
+         "WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s) "
+         "ELSE 0.0 END")
+
+
+@query("ts_trend_mann_kendall", f"""
+    WITH d AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                      CAST(SUM(CAST(value AS DECIMAL(28,12)))
+                           AS DOUBLE) AS v
+               FROM events WHERE value IS NOT NULL GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM d),
+    pr AS (SELECT a.v AS v1, b.v AS v2,
+                  date_diff('day', a.day, b.day) AS dd
+           FROM d a JOIN d b ON a.day < b.day),
+    s AS (SELECT CAST(SUM(CASE WHEN v2 > v1 THEN 1
+                               WHEN v2 < v1 THEN -1 ELSE 0 END)
+                      AS BIGINT) AS s_stat,
+                 CAST(count(*) AS BIGINT) AS m FROM pr),
+    ties AS (SELECT COALESCE(CAST(SUM(t * (t - 1) * (2 * t + 5))
+                    AS BIGINT), 0) AS tt
+             FROM (SELECT CAST(count(*) AS BIGINT) AS t
+                   FROM d GROUP BY v HAVING count(*) > 1) z),
+    vv AS (SELECT CAST(nd * (nd - 1) * (2 * nd + 5) - tt AS DOUBLE) / 18.0 AS var_s
+           FROM n CROSS JOIN ties),
+    med AS (SELECT slope AS sen FROM
+              (SELECT (v2 - v1) / dd AS slope,
+                      row_number() OVER (ORDER BY (v2 - v1) / dd) AS rn
+               FROM pr) q CROSS JOIN s
+            WHERE rn = (s.m + 1) // 2),
+    z AS (SELECT s.s_stat, vv.var_s, {_MK_Z} AS zs
+          FROM s CROSS JOIN vv)
+    SELECT n.nd AS n_days, z.s_stat,
+           round(z.var_s, 6) AS var_s,
+           round(z.zs, 6) AS z_score,
+           round({_norm_p2_sql("abs(zs)")}, 6) AS p_value,
+           round(med.sen, 6) AS sen_slope
+    FROM z CROSS JOIN n CROSS JOIN med
+""")
+def ts_trend_mann_kendall(spark, sf_dir):
+    """Nonparametric trend detection on the daily event-value series:
+    the Mann-Kendall S statistic with tie-corrected variance and
+    continuity-corrected z/p (Mann 1945; Kendall 1975), PAIRED with
+    the Theil-Sen slope (median of pairwise slopes — the robust
+    "how fast is it drifting" magnitude, Sen 1968).  This is the
+    standard monitoring pair for corpus/metric drift where
+    seasonality and outliers make OLS-on-time misleading: MK answers
+    "is there a monotone trend", Sen answers "how steep", neither
+    assumes a distribution.  The Sen estimate is the deterministic
+    LOWER median (row (m+1)//2 of the slope-ordered pair list).
+
+    Exactness: daily values come from decimal-exact sums (one double
+    each); the pair table lives on the DAY grid — bounded by the
+    calendar, not the corpus — so signs/slopes are fixed double
+    chains over exact values; p reuses the shared A&S polynomial.
+    Plan: one scan -> per-day hash agg (map-side combinable), then
+    ALL pairwise work happens on the ~30-row day grid (~435 pairs of
+    metadata).  At 100 TB the scan is the entire cost; the trend
+    arithmetic is constant-sized regardless of row count."""
+    d = (_t(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull())
+         .groupBy(F.col("ts").cast("date").alias("day"))
+         .agg(F.sum(F.col("value").cast("decimal(28,12)"))
+              .cast("double").alias("v"))
+         .localCheckpoint(eager=True))     # ~30-row day grid
+    n = d.agg(F.count("*").cast("bigint").alias("nd"))
+    a = d.selectExpr("day AS day1", "v AS v1")
+    b = d.selectExpr("day AS day2", "v AS v2")
+    pr = (a.join(b, F.col("day1") < F.col("day2"))
+          .selectExpr("v1", "v2", "datediff(day2, day1) AS dd"))
+    s = pr.agg(
+        F.sum(F.expr("CASE WHEN v2 > v1 THEN 1 WHEN v2 < v1 THEN -1"
+                     " ELSE 0 END")).cast("bigint").alias("s_stat"),
+        F.count("*").cast("bigint").alias("m"))
+    ties = (d.groupBy("v").agg(F.count("*").cast("bigint").alias("t"))
+            .filter("t > 1")
+            .agg(F.coalesce(
+                F.sum(F.expr("t * (t - 1) * (2 * t + 5)")), F.lit(0))
+                .cast("bigint").alias("tt")))
+    vv = (n.crossJoin(F.broadcast(ties))
+          .selectExpr("CAST(nd * (nd - 1) * (2 * nd + 5) - tt AS DOUBLE)"
+                      " / 18.0 AS var_s"))
+    wsl = Window.orderBy(F.expr("(v2 - v1) / dd"))
+    med = (pr.select(F.expr("(v2 - v1) / dd").alias("slope"),
+                     F.row_number().over(wsl).alias("rn"))
+           .crossJoin(F.broadcast(s))
+           .filter("rn = CAST((m + 1) / 2 AS BIGINT)")
+           .select(F.col("slope").alias("sen")))
+    z = (s.crossJoin(F.broadcast(vv))
+         .selectExpr("s_stat", "var_s", f"{_MK_Z} AS zs"))
+    return (z.crossJoin(F.broadcast(n)).crossJoin(F.broadcast(med))
+            .selectExpr("nd AS n_days", "s_stat",
+                        "round(var_s, 6) AS var_s",
+                        "round(zs, 6) AS z_score",
+                        f"round({_norm_p2_sql('abs(zs)')}, 6) AS p_value",
+                        "round(sen, 6) AS sen_slope"))

@@ -73,15 +73,27 @@ def test_no_python_row_udf_in_any_registry_plan(spark, sf_dir):
     """Sweeping invariant: every registry query compiles to a plan with
     NO row-at-a-time Python (BatchEvalPython) anywhere, and Arrow-batch
     nodes (ArrowEvalPython/MapInPandas/FlatMapGroupsInPandas) appear
-    only in the queries documented as Arrow paths."""
+    only in the queries documented as Arrow paths.  The same pass
+    lints the SPARK-side output schema of every oracle-backed query:
+    no DECIMAL or FLOAT32 output columns (the engine twin of the
+    DuckDB DESCRIBE lint — a bigint/decimal-literal division like
+    `x / 18.0` silently yields DECIMAL on Spark while the oracle
+    emits DOUBLE, a schema mismatch the value hash can mask; caught
+    live on ts_trend_mann_kendall's var_s)."""
     import __spark_entry__ as e
+    oracles = e.oracle_sql()
     for qid, fn in sorted(e.queries().items()):
         if qid in ARROW_QUERIES:
             continue
-        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan, f"{qid} uses a Python row UDF"
         for node in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
             assert node not in plan, f"{qid} unexpectedly uses {node}"
+        if qid in oracles:
+            bad = [(c, t) for c, t in df.dtypes
+                   if "decimal" in t or t == "float"]
+            assert not bad, f"{qid} emits decimal/float32 columns: {bad}"
 
 
 def test_entry_schema_stable(spark):

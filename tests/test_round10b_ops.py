@@ -491,3 +491,78 @@ def test_platt_scaling_matches_numpy_newton(spark, sf_dir):
     assert abs(r.platt_b - a[1]) < 1e-4
     assert abs(r.ece_raw - ece(praw, y[ev])) < 1e-5
     assert abs(r.ece_platt - ece(pcal, y[ev])) < 1e-5
+
+
+# --- average precision (round 10, batch 3) ---------------------------------
+
+def test_auc_pr_matches_numpy_stepwise_ap(spark, sf_dir):
+    import numpy as np
+
+    from mental_health_bigdata_project_spark.plans.quality import (
+        _logreg_d_beta, _logreg_d_s_frame)
+
+    beta = _logreg_d_beta(spark, sf_dir).collect()[0]
+    b = np.array([beta[f"b{i}"] for i in range(5)])
+    rows = _logreg_d_s_frame(spark, sf_dir).collect()
+    X = np.array([[1.0, float(r.x1), float(r.x2), float(r.x3),
+                   float(r.x4)] for r in rows])
+    y = np.array([float(r.y) for r in rows])
+    p = 1.0 / (1.0 + np.exp(-(X @ b)))
+    n1 = int(y.sum())
+    # step-wise AP over the descending distinct-score grid
+    ap = 0.0
+    tp = fp = 0
+    for v in sorted(set(p), reverse=True):
+        m = p == v
+        ca, cb = int(y[m].sum()), int((1 - y[m]).sum())
+        tp, fp = tp + ca, fp + cb
+        if ca:
+            ap += (ca / n1) * (tp / (tp + fp))
+    r = QUERIES["eval_auc_pr"](spark, sf_dir).collect()[0]
+    assert r.n_pos == n1
+    assert abs(r.average_precision - ap) < 1e-6
+    prev = n1 / len(y)
+    assert abs(r.baseline_prevalence - prev) < 1e-6
+    assert abs(r.lift_over_random - ap / prev) < 1e-4
+    assert prev <= r.average_precision <= 1.0    # better than random here
+
+
+# --- Mann-Kendall + Theil-Sen (round 10, batch 3) --------------------------
+
+def test_mann_kendall_matches_pure_python(spark, sf_dir):
+    import math
+    from collections import Counter, defaultdict
+
+    ev = load_table(spark, sf_dir, "events") \
+        .filter("value IS NOT NULL") \
+        .selectExpr("CAST(ts AS DATE) AS day", "value").collect()
+    daily = defaultdict(float)
+    from decimal import Decimal
+    dd = defaultdict(Decimal)
+    for r in ev:
+        dd[r.day] += Decimal(str(round(r.value, 12)))
+    days = sorted(dd)
+    v = [float(dd[d]) for d in days]
+    nd = len(days)
+    s_stat = sum((v[j] > v[i]) - (v[j] < v[i])
+                 for i in range(nd) for j in range(i + 1, nd))
+    tc = Counter(v)
+    tt = sum(t * (t - 1) * (2 * t + 5) for t in tc.values() if t > 1)
+    var_s = (nd * (nd - 1) * (2 * nd + 5) - tt) / 18.0
+    if s_stat > 0:
+        z = (s_stat - 1) / math.sqrt(var_s)
+    elif s_stat < 0:
+        z = (s_stat + 1) / math.sqrt(var_s)
+    else:
+        z = 0.0
+    slopes = sorted((v[j] - v[i]) / (days[j] - days[i]).days
+                    for i in range(nd) for j in range(i + 1, nd))
+    sen = slopes[(len(slopes) + 1) // 2 - 1]     # lower median, 1-based
+
+    r = QUERIES["ts_trend_mann_kendall"](spark, sf_dir).collect()[0]
+    assert r.n_days == nd
+    assert r.s_stat == s_stat
+    assert abs(r.var_s - var_s) < 1e-6
+    assert abs(r.z_score - z) < 1e-5
+    assert abs(r.p_value - math.erfc(abs(z) / math.sqrt(2))) < 1e-5
+    assert abs(r.sen_slope - sen) < 1e-4
