@@ -5173,3 +5173,165 @@ def ts_trend_mann_kendall(spark, sf_dir):
                         "round(zs, 6) AS z_score",
                         f"round({_norm_p2_sql('abs(zs)')}, 6) AS p_value",
                         "round(sen, 6) AS sen_slope"))
+
+
+# --- ACF + Ljung-Box portmanteau (round 10, batch 3) -----------------------
+
+_LB_LAGS = 6
+# chi-square upper tail at EVEN df = 2m has the elementary closed form
+# exp(-x/2) * sum_{k<m} (x/2)^k / k!  — for m = 3 (df = 6):
+_CHI2_SF_DF6 = ("exp(-(q) / 2.0) * (1.0 + (q) / 2.0"
+                " + ((q) / 2.0) * ((q) / 2.0) / 2.0)")
+
+
+@query("ts_acf_ljung_box", f"""
+    WITH d0 AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                       CAST(SUM(CAST(value AS DECIMAL(28,12)))
+                            AS DOUBLE) AS v
+                FROM events WHERE value IS NOT NULL GROUP BY 1),
+    d AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+                 v FROM d0),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+                 CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) AS sv
+          FROM d),
+    m AS (SELECT nd, sv / nd AS vbar FROM n),
+    c0 AS (SELECT CAST(SUM(CAST((v - m.vbar) * (v - m.vbar)
+                 AS DECIMAL(38,12))) AS DOUBLE) AS c0
+           FROM d CROSS JOIN m),
+    lags AS (SELECT CAST(k AS INTEGER) AS lag
+             FROM unnest(range(1, {_LB_LAGS} + 1)) z(k)),
+    ac AS (SELECT l.lag,
+                  CAST(SUM(CAST((a.v - m.vbar) * (b.v - m.vbar)
+                       AS DECIMAL(38,12))) AS DOUBLE)
+                    / any_value(c0.c0) AS acf
+           FROM lags l
+           JOIN d a ON TRUE
+           JOIN d b ON b.i = a.i + l.lag
+           CROSS JOIN m CROSS JOIN c0
+           GROUP BY l.lag),
+    q AS (SELECT CAST(SUM(CAST(acf * acf
+                 / (m.nd - ac.lag) AS DECIMAL(38,18))) AS DOUBLE)
+                 * (m.nd * (m.nd + 2)) AS q
+          FROM ac CROSS JOIN m GROUP BY m.nd)
+    SELECT ac.lag, round(ac.acf, 6) AS acf,
+           m.nd AS n_days,
+           round(q.q, 6) AS q_stat,
+           round({_CHI2_SF_DF6.replace("(q)", "(q.q)")}, 6) AS p_value
+    FROM ac CROSS JOIN q CROSS JOIN m
+""")
+def ts_acf_ljung_box(spark, sf_dir):
+    """Autocorrelation diagnostics of the daily event-value series:
+    the biased-estimator ACF at lags 1..6 plus the Ljung-Box (1978)
+    portmanteau Q = n(n+2) sum r_k^2/(n-k) and its p-value — "is this
+    series white noise?", the gate before any forecasting/trend model
+    and a corpus-drift tripwire (autocorrelated ingestion volumes
+    mean yesterday predicts today — batch effects, crawler cycles).
+    The chi-square tail needs NO special function at even df:
+    P(X > x) = exp(-x/2) * sum_(k<df/2) (x/2)^k/k! — an elementary
+    closed form both engines evaluate identically (df = 6 here).
+
+    Exactness: daily values are decimal-exact sums; mean/c0/lag
+    covariances accumulate double products in DECIMAL(38,12); the Q
+    sum runs over 6 lag rows in DECIMAL(38,18).  Plan: one scan ->
+    per-day agg, then EVERYTHING lives on the ~30-row day grid (lag
+    self-joins, 6-row reductions) — constant-sized beyond the scan
+    at any corpus scale."""
+    d0 = (_t(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .groupBy(F.col("ts").cast("date").alias("day"))
+          .agg(F.sum(F.col("value").cast("decimal(28,12)"))
+               .cast("double").alias("v")))
+    d = (d0.select(F.row_number().over(Window.orderBy("day"))
+                   .cast("bigint").alias("i"), "v")
+         .localCheckpoint(eager=True))     # ~30-row day grid
+    n = d.agg(F.count("*").cast("bigint").alias("nd"),
+              F.sum(F.col("v").cast("decimal(38,12)")).cast("double")
+              .alias("sv"))
+    m = n.selectExpr("nd", "sv / nd AS vbar")
+    c0 = (d.crossJoin(F.broadcast(m))
+          .agg(F.sum(F.expr("CAST((v - vbar) * (v - vbar)"
+                            " AS DECIMAL(38,12))"))
+               .cast("double").alias("c0")))
+    lags = spark.range(1, _LB_LAGS + 1).selectExpr(
+        "CAST(id AS INTEGER) AS lag")
+    a = d.selectExpr("i AS ia", "v AS va")
+    b = d.selectExpr("i AS ib", "v AS vb")
+    ac = (lags.crossJoin(a)
+          .join(b, F.col("ib") == F.col("ia") + F.col("lag"))
+          .crossJoin(F.broadcast(m)).crossJoin(F.broadcast(c0))
+          .groupBy("lag")
+          .agg((F.sum(F.expr("CAST((va - vbar) * (vb - vbar)"
+                             " AS DECIMAL(38,12))")).cast("double")
+                / F.any_value("c0")).alias("acf"))
+          .localCheckpoint(eager=True))    # 6-row lag table
+    q = (ac.crossJoin(F.broadcast(m))
+         .groupBy("nd")
+         .agg((F.sum(F.expr("CAST(acf * acf / (nd - lag)"
+                            " AS DECIMAL(38,18))")).cast("double")
+               * F.expr("any_value(nd * (nd + 2))")).alias("q"))
+         .select("q"))
+    return (ac.crossJoin(F.broadcast(q)).crossJoin(F.broadcast(m))
+            .selectExpr("lag", "round(acf, 6) AS acf",
+                        "nd AS n_days",
+                        "round(q, 6) AS q_stat",
+                        f"round({_CHI2_SF_DF6}, 6) AS p_value"))
+
+
+# --- Wilson score intervals (round 10, batch 3) ----------------------------
+
+_WILSON_Z = "CAST(1.959963984540054 AS DOUBLE)"     # Phi^-1(0.975)
+_WILSON_CTR = (f"(ph + {_WILSON_Z} * {_WILSON_Z} / (2.0 * nn))"
+               f" / (1.0 + {_WILSON_Z} * {_WILSON_Z} / nn)")
+_WILSON_HALF = (f"({_WILSON_Z} * sqrt(ph * (1.0 - ph) / nn"
+                f" + {_WILSON_Z} * {_WILSON_Z} / (4.0 * nn * nn)))"
+                f" / (1.0 + {_WILSON_Z} * {_WILSON_Z} / nn)")
+
+
+@query("stat_wilson_ci", f"""
+    WITH g AS (SELECT dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,
+                      CAST(count(*) AS BIGINT) AS n,
+                      CAST(SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS k
+               FROM events GROUP BY 1),
+    p AS (SELECT dow, n, k,
+                 CAST(k AS DOUBLE) / n AS ph,
+                 CAST(n AS DOUBLE) AS nn
+          FROM g)
+    SELECT CAST(dow AS INTEGER) AS dow, n, k,
+           round(ph, 6) AS p_hat,
+           round(GREATEST(0.0, {_WILSON_CTR} - {_WILSON_HALF}), 6)
+             AS ci_lo,
+           round(LEAST(1.0, {_WILSON_CTR} + {_WILSON_HALF}), 6)
+             AS ci_hi
+    FROM p
+""")
+def stat_wilson_ci(spark, sf_dir):
+    """Wilson score intervals (Wilson 1927 — the Brown, Cai &
+    DasGupta 2001 recommendation over the Wald interval, which
+    collapses at extreme p and small n) for the per-day-of-week
+    purchase share: the binomial-proportion CI every conversion /
+    defect-rate / filter-kill-rate dashboard should use.  The z
+    constant is the exact double for Phi^-1(0.975), embedded
+    decimal-parse-safe; center and half-width are the standard score
+    inversion, clamped to [0, 1].
+
+    Exactness: counts are exact integers; everything downstream is
+    one shared double chain per row.  Plan: one scan -> 7-row hash
+    agg (map-side combinable) -> per-row arithmetic; metadata-cost
+    beyond the scan at any scale."""
+    g = (_t(spark, sf_dir, "events")
+         .groupBy(F.expr("dayofweek(ts)").alias("dow"))
+         .agg(F.count("*").cast("bigint").alias("n"),
+              F.sum(F.expr("CASE WHEN event_type = 'purchase'"
+                           " THEN 1 ELSE 0 END")).cast("bigint")
+              .alias("k")))
+    p = g.selectExpr("dow", "n", "k",
+                     "CAST(k AS DOUBLE) / n AS ph",
+                     "CAST(n AS DOUBLE) AS nn")
+    return p.selectExpr(
+        "CAST(dow AS INTEGER) AS dow", "n", "k",
+        "round(ph, 6) AS p_hat",
+        f"round(GREATEST(0.0, {_WILSON_CTR} - {_WILSON_HALF}), 6)"
+        " AS ci_lo",
+        f"round(LEAST(1.0, {_WILSON_CTR} + {_WILSON_HALF}), 6)"
+        " AS ci_hi")

@@ -566,3 +566,56 @@ def test_mann_kendall_matches_pure_python(spark, sf_dir):
     assert abs(r.z_score - z) < 1e-5
     assert abs(r.p_value - math.erfc(abs(z) / math.sqrt(2))) < 1e-5
     assert abs(r.sen_slope - sen) < 1e-4
+
+
+# --- ACF + Ljung-Box (round 10, batch 3) -----------------------------------
+
+def test_acf_ljung_box_matches_numpy(spark, sf_dir):
+    import math
+
+    import numpy as np
+
+    ev = load_table(spark, sf_dir, "events") \
+        .filter("value IS NOT NULL") \
+        .selectExpr("CAST(ts AS DATE) AS day", "value").collect()
+    from collections import defaultdict
+    from decimal import Decimal
+    dd = defaultdict(Decimal)
+    for r in ev:
+        dd[r.day] += Decimal(str(round(r.value, 12)))
+    v = np.array([float(dd[d]) for d in sorted(dd)])
+    n = len(v)
+    c = v - v.mean()
+    c0 = float(c @ c)
+    acf = {k: float(c[:-k] @ c[k:]) / c0 for k in range(1, 7)}
+    q = n * (n + 2) * sum(acf[k] ** 2 / (n - k) for k in range(1, 7))
+    p = math.exp(-q / 2) * (1 + q / 2 + (q / 2) ** 2 / 2)   # chi2 sf df=6
+
+    rows = {r.lag: r for r in
+            QUERIES["ts_acf_ljung_box"](spark, sf_dir).collect()}
+    assert set(rows) == set(range(1, 7))
+    for k in range(1, 7):
+        assert abs(rows[k].acf - acf[k]) < 1e-6, k
+        assert abs(rows[k].q_stat - q) < 1e-4
+        assert abs(rows[k].p_value - p) < 1e-6
+        assert rows[k].n_days == n
+        assert -1.0 <= rows[k].acf <= 1.0
+
+
+# --- Wilson score intervals (round 10, batch 3) ----------------------------
+
+def test_wilson_ci_matches_closed_form_and_contains_phat(spark, sf_dir):
+    import math
+
+    rows = QUERIES["stat_wilson_ci"](spark, sf_dir).collect()
+    assert len(rows) == 7
+    z = 1.959963984540054
+    for r in rows:
+        ph, n = r.k / r.n, r.n
+        ctr = (ph + z * z / (2 * n)) / (1 + z * z / n)
+        half = (z * math.sqrt(ph * (1 - ph) / n + z * z / (4 * n * n))
+                / (1 + z * z / n))
+        assert abs(r.p_hat - ph) < 1e-6
+        assert abs(r.ci_lo - max(0.0, ctr - half)) < 1e-6
+        assert abs(r.ci_hi - min(1.0, ctr + half)) < 1e-6
+        assert r.ci_lo <= r.p_hat <= r.ci_hi
