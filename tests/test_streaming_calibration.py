@@ -1,0 +1,92 @@
+"""Streaming calibration monitor: streaming-equals-batch parity
+(against the oracle-checked ml_calibration_bins), exactly-once
+replay, sum-fold compaction, and the availableNow runner."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from mental_health_bigdata_project_spark.plans import QUERIES
+from mental_health_bigdata_project_spark.plans.quality import _logreg_d_beta
+from mental_health_bigdata_project_spark.sources import load_table
+from mental_health_bigdata_project_spark.streaming.calibmonitor import (
+    build_calibration_artifact, calibration_batch,
+    compact_calibration_index, run_incremental_calibration,
+    serve_calibration)
+
+N_BATCHES = 3
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def _setup(spark, sf_dir, tmp_path):
+    art = str(tmp_path / "art")
+    idx = str(tmp_path / "idx")
+    build_calibration_artifact(_logreg_d_beta(spark, sf_dir), art)
+    ev = _events(spark, sf_dir)
+    for b in range(N_BATCHES):
+        calibration_batch(
+            ev.filter(F.pmod("event_id", F.lit(N_BATCHES)) == b),
+            b, idx, art)
+    return art, idx, ev
+
+
+def _rows(df):
+    return sorted((r.bin, r.n, r.avg_pred, r.frac_pos, r.gap, r.ece)
+                  for r in df.collect())
+
+
+def test_streaming_equals_oracle_checked_batch(spark, sf_dir, tmp_path):
+    """Served reliability table == ml_calibration_bins bit-for-bit:
+    the bin deltas are decimal-exact partial sums, so the fold equals
+    the batch aggregation under any batch split."""
+    _, idx, _ = _setup(spark, sf_dir, tmp_path)
+    served = serve_calibration(spark, idx)
+    batch = QUERIES["ml_calibration_bins"](spark, sf_dir)
+    assert _rows(served) == _rows(batch)
+    assert all(r.ece_alarm in (0, 1) for r in served.collect())
+
+
+def test_replay_is_bit_identical(spark, sf_dir, tmp_path):
+    art, idx, ev = _setup(spark, sf_dir, tmp_path)
+    before = _rows(serve_calibration(spark, idx))
+    calibration_batch(                      # crash-retry of batch 1
+        ev.filter(F.pmod("event_id", F.lit(N_BATCHES)) == 1), 1, idx, art)
+    assert _rows(serve_calibration(spark, idx)) == before
+
+
+def test_compaction_sum_folds_and_preserves_table(spark, sf_dir, tmp_path):
+    _, idx, _ = _setup(spark, sf_dir, tmp_path)
+    before = _rows(serve_calibration(spark, idx))
+    path = os.path.join(idx, "calib_bins")
+    n_before = spark.read.parquet(path).count()
+
+    compact_calibration_index(spark, idx, through=N_BATCHES - 1)
+    assert _rows(serve_calibration(spark, idx)) == before
+
+    compacted = glob.glob(os.path.join(path, "_compacted_v*"))
+    assert len(compacted) == 1
+    folded = spark.read.parquet(compacted[0])
+    assert folded.count() < n_before
+    assert folded.groupBy("bin").count() \
+        .filter(F.col("count") > 1).count() == 0
+
+
+def test_streaming_runner_end_to_end(spark, sf_dir, tmp_path):
+    art = str(tmp_path / "art")
+    build_calibration_artifact(_logreg_d_beta(spark, sf_dir), art)
+    ev = _events(spark, sf_dir)
+    src = str(tmp_path / "src")
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = run_incremental_calibration(stream, str(tmp_path / "ckpt"),
+                                    str(tmp_path / "idx2"), art)
+    q.awaitTermination(120)
+    served = serve_calibration(spark, str(tmp_path / "idx2"))
+    batch = QUERIES["ml_calibration_bins"](spark, sf_dir)
+    assert _rows(served) == _rows(batch)
