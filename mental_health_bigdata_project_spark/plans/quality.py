@@ -5335,3 +5335,117 @@ def stat_wilson_ci(spark, sf_dir):
         " AS ci_lo",
         f"round(LEAST(1.0, {_WILSON_CTR} + {_WILSON_HALF}), 6)"
         " AS ci_hi")
+
+
+# --- Krippendorff's alpha, nominal (round 10, batch 3) ---------------------
+
+# units = user cohorts, raters = event types, rating = the unit's
+# modal value-bucket per rater (deterministic: count DESC, bucket ASC)
+_KRIPP_UNIT = "CAST(user_id % 40 AS INTEGER)"
+_KRIPP_CAT = "CAST(LEAST(3, CAST(floor(value / 25.0) AS INTEGER)) AS INTEGER)"
+
+
+@query("eval_krippendorff_alpha", f"""
+    WITH r0 AS (SELECT {_KRIPP_UNIT} AS unit, event_type AS rater,
+                       {_KRIPP_CAT} AS cat
+                FROM events WHERE value IS NOT NULL AND value >= 0),
+    votes AS (SELECT unit, rater, cat, CAST(count(*) AS BIGINT) AS cnt
+              FROM r0 GROUP BY unit, rater, cat),
+    rated AS (SELECT unit, rater, cat FROM (
+                SELECT unit, rater, cat,
+                       row_number() OVER (PARTITION BY unit, rater
+                           ORDER BY cnt DESC, cat) AS rn
+                FROM votes) z WHERE rn = 1),
+    nuc AS (SELECT unit, cat, CAST(count(*) AS BIGINT) AS n_uc
+            FROM rated GROUP BY unit, cat),
+    mu AS (SELECT unit, CAST(SUM(n_uc) AS BIGINT) AS m_u
+           FROM nuc GROUP BY unit),
+    keep AS (SELECT nuc.unit, nuc.cat, nuc.n_uc, mu.m_u
+             FROM nuc JOIN mu ON mu.unit = nuc.unit WHERE mu.m_u >= 2),
+    tot AS (SELECT CAST(SUM(n_uc) AS BIGINT) AS n FROM keep),
+    -- within-unit DISAGREEING pairable values, 1/(m_u - 1) weighted:
+    -- sum_c n_uc * (m_u - n_uc) counts each ordered cross-category
+    -- pair once per side
+    dobs AS (SELECT CAST(SUM(CAST(CAST(n_uc AS DOUBLE)
+                    * (m_u - n_uc) / (m_u - 1) AS DECIMAL(38,18)))
+                    AS DOUBLE) AS do_sum
+             FROM keep),
+    nc AS (SELECT cat, CAST(SUM(n_uc) AS BIGINT) AS n_c
+           FROM keep GROUP BY cat),
+    dexp AS (SELECT CAST(SUM(CAST(CAST(a.n_c AS DOUBLE) * b.n_c
+                    AS DECIMAL(38,18))) AS DOUBLE) AS de_num
+             FROM nc a JOIN nc b ON a.cat <> b.cat)
+    SELECT tot.n AS n_pairable,
+           CAST((SELECT count(*) FROM mu WHERE m_u >= 2) AS BIGINT)
+             AS n_units,
+           CAST((SELECT count(*) FROM nc) AS BIGINT) AS n_categories,
+           round(dobs.do_sum / tot.n, 6) AS d_observed,
+           round(dexp.de_num / (CAST(tot.n AS DOUBLE) * (tot.n - 1)), 6)
+             AS d_expected,
+           round(1.0 - (dobs.do_sum / tot.n)
+                 / (dexp.de_num / (CAST(tot.n AS DOUBLE) * (tot.n - 1))),
+                 6) AS alpha
+    FROM dobs CROSS JOIN dexp CROSS JOIN tot
+""")
+def eval_krippendorff_alpha(spark, sf_dir):
+    """Krippendorff's alpha for nominal data (Krippendorff 2011,
+    "Computing Krippendorff's Alpha-Reliability") — the multi-rater,
+    missing-data-tolerant generalization of Cohen's kappa, and THE
+    reliability statistic for RLHF/eval annotation pipelines (more
+    than two labelers, not every labeler rates every item): units are
+    user cohorts, raters are the five event types, and each (unit,
+    rater) rating is its deterministic modal value-bucket.  Reports
+    observed disagreement D_o (within-unit cross-category pairable
+    values, 1/(m_u - 1) weighted — the coincidence-matrix off-diagonal
+    mass over n), expected disagreement D_e (cross-category products
+    of the category totals over n(n-1)), and alpha = 1 - D_o/D_e.
+    Units with fewer than two ratings drop out, exactly as the
+    coincidence formulation prescribes.
+
+    Exactness: ratings are exact integer argmaxes (count DESC, cat
+    tiebreak); D_o/D_e sums accumulate fixed double terms in
+    DECIMAL(38,18); one shared division chain.  Plan: one scan ->
+    (unit, rater, cat) hash agg, then everything lives on the
+    units x categories grid (metadata-sized: 40 x 4 here; bounded by
+    the annotation design, not the corpus).  At 100 TB the scan is
+    the entire cost — reliability audits are free beside the labels
+    themselves."""
+    r0 = (_t(spark, sf_dir, "events")
+          .filter("value IS NOT NULL AND value >= 0")
+          .selectExpr(f"{_KRIPP_UNIT} AS unit", "event_type AS rater",
+                      f"{_KRIPP_CAT} AS cat"))
+    votes = (r0.groupBy("unit", "rater", "cat")
+             .agg(F.count("*").cast("bigint").alias("cnt")))
+    w = Window.partitionBy("unit", "rater").orderBy(F.desc("cnt"), "cat")
+    rated = (votes.withColumn("rn", F.row_number().over(w))
+             .filter("rn = 1").select("unit", "rater", "cat"))
+    nuc = (rated.groupBy("unit", "cat")
+           .agg(F.count("*").cast("bigint").alias("n_uc")))
+    mu = nuc.groupBy("unit").agg(F.sum("n_uc").cast("bigint").alias("m_u"))
+    keep = (nuc.join(mu, "unit").filter("m_u >= 2")
+            .localCheckpoint(eager=True))   # units x categories grid
+    tot = keep.agg(F.sum("n_uc").cast("bigint").alias("n"))
+    dobs = keep.agg(
+        F.sum(F.expr("CAST(CAST(n_uc AS DOUBLE) * (m_u - n_uc)"
+                     " / (m_u - 1) AS DECIMAL(38,18))"))
+        .cast("double").alias("do_sum"))
+    nc = keep.groupBy("cat").agg(F.sum("n_uc").cast("bigint").alias("n_c"))
+    a = nc.selectExpr("cat AS cat_a", "n_c AS nca")
+    b = nc.selectExpr("cat AS cat_b", "n_c AS ncb")
+    dexp = (a.join(b, F.col("cat_a") != F.col("cat_b"))
+            .agg(F.sum(F.expr("CAST(CAST(nca AS DOUBLE) * ncb"
+                              " AS DECIMAL(38,18))"))
+                 .cast("double").alias("de_num")))
+    n_units = mu.filter("m_u >= 2").agg(
+        F.count("*").cast("bigint").alias("n_units"))
+    n_cats = nc.agg(F.count("*").cast("bigint").alias("n_categories"))
+    return (dobs.crossJoin(F.broadcast(dexp)).crossJoin(F.broadcast(tot))
+            .crossJoin(F.broadcast(n_units)).crossJoin(F.broadcast(n_cats))
+            .selectExpr(
+                "n AS n_pairable", "n_units", "n_categories",
+                "round(do_sum / n, 6) AS d_observed",
+                "round(de_num / (CAST(n AS DOUBLE) * (n - 1)), 6)"
+                " AS d_expected",
+                "round(1.0 - (do_sum / n)"
+                " / (de_num / (CAST(n AS DOUBLE) * (n - 1))), 6)"
+                " AS alpha"))

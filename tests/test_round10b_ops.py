@@ -619,3 +619,49 @@ def test_wilson_ci_matches_closed_form_and_contains_phat(spark, sf_dir):
         assert abs(r.ci_lo - max(0.0, ctr - half)) < 1e-6
         assert abs(r.ci_hi - min(1.0, ctr + half)) < 1e-6
         assert r.ci_lo <= r.p_hat <= r.ci_hi
+
+
+# --- Krippendorff's alpha (round 10, batch 3) ------------------------------
+
+def test_krippendorff_alpha_matches_pair_enumeration(spark, sf_dir):
+    """Replicate alpha by literally enumerating pairable values —
+    structurally different from the query's coincidence algebra."""
+    from collections import Counter, defaultdict
+
+    ev = load_table(spark, sf_dir, "events") \
+        .filter("value IS NOT NULL AND value >= 0") \
+        .selectExpr("CAST(user_id % 40 AS INTEGER) AS unit",
+                    "event_type AS rater",
+                    "CAST(LEAST(3, CAST(floor(value / 25.0) AS INTEGER))"
+                    " AS INTEGER) AS cat").collect()
+    votes = Counter((r.unit, r.rater, r.cat) for r in ev)
+    rating = {}
+    for (u, rr, c), n in votes.items():
+        key = (u, rr)
+        # modal bucket, ties to the smaller category
+        if key not in rating or (n, -c) > (rating[key][1], -rating[key][0]):
+            rating[key] = (c, n)
+    units = defaultdict(list)
+    for (u, _), (c, _) in rating.items():
+        units[u].append(c)
+    units = {u: cs for u, cs in units.items() if len(cs) >= 2}
+    n = sum(len(cs) for cs in units.values())
+    do_sum = 0.0
+    for cs in units.values():
+        m = len(cs)
+        dis = sum(1 for i in range(m) for j in range(m)
+                  if i != j and cs[i] != cs[j])
+        do_sum += dis / (m - 1)
+    nc = Counter(c for cs in units.values() for c in cs)
+    de_num = sum(nc[a] * nc[b] for a in nc for b in nc if a != b)
+    d_o = do_sum / n
+    d_e = de_num / (n * (n - 1))
+    alpha = 1 - d_o / d_e
+
+    r = QUERIES["eval_krippendorff_alpha"](spark, sf_dir).collect()[0]
+    assert r.n_pairable == n
+    assert r.n_units == len(units)
+    assert abs(r.d_observed - d_o) < 1e-6
+    assert abs(r.d_expected - d_e) < 1e-6
+    assert abs(r.alpha - alpha) < 1e-5
+    assert r.alpha <= 1.0
