@@ -202,6 +202,7 @@ _MODULE_PRIORITY = [
 # keeps its cumulative row.
 _CONVERTED_FRONT = [
     # --- new in round 10, batch 3 (first-time driver rows) ---
+    "eval_auc_delong_ci", "stat_holm_bonferroni",
     "eval_krippendorff_alpha",
     "ts_acf_ljung_box", "stat_wilson_ci",
     "eval_auc_pr", "ts_trend_mann_kendall",

@@ -5449,3 +5449,248 @@ def eval_krippendorff_alpha(spark, sf_dir):
                 "round(1.0 - (do_sum / n)"
                 " / (de_num / (CAST(n AS DOUBLE) * (n - 1))), 6)"
                 " AS alpha"))
+
+
+# --- DeLong AUC confidence interval (round 10, batch 3) --------------------
+
+# per-grid-value structural components (ties at the grid value get
+# the half-credit of Mann-Whitney's psi kernel):
+#   v10 (for the ca positives here)  = (neg strictly below + cb/2)/n0
+#   v01 (for the cb negatives here)  = (pos strictly above + ca/2)/n1
+_DL_V10 = ("(CAST((cab - n) - (cpos - ca) AS DOUBLE)"
+           " + 0.5 * (n - ca)) / n0")
+_DL_V01 = ("(CAST(n1 - cpos AS DOUBLE) + 0.5 * ca) / n1")
+
+
+@query("eval_auc_delong_ci", f"""
+    WITH {_logreg_d_train_ctes()},
+    {_logreg_d_scored_sql()},
+    g AS (SELECT p, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS ca
+          FROM scored GROUP BY p),
+    t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n1,
+                 CAST(SUM(n - ca) AS BIGINT) AS n0 FROM g),
+    c AS (SELECT p, n, ca,
+                 CAST(SUM(n) OVER (ORDER BY p
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cab,
+                 CAST(SUM(ca) OVER (ORDER BY p
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cpos
+          FROM g),
+    v AS (SELECT CAST(SUM(CAST(ca * ({_DL_V10}) AS DECIMAL(38,18)))
+                      AS DOUBLE) AS s10_1,
+                 CAST(SUM(CAST(ca * ({_DL_V10}) * ({_DL_V10})
+                      AS DECIMAL(38,18))) AS DOUBLE) AS s10_2,
+                 CAST(SUM(CAST((n - ca) * ({_DL_V01})
+                      AS DECIMAL(38,18))) AS DOUBLE) AS s01_1,
+                 CAST(SUM(CAST((n - ca) * ({_DL_V01}) * ({_DL_V01})
+                      AS DECIMAL(38,18))) AS DOUBLE) AS s01_2
+          FROM c CROSS JOIN t),
+    a AS (SELECT t.n1, t.n0, v.s10_1 / t.n1 AS auc,
+                 (v.s10_2 - t.n1 * (v.s10_1 / t.n1)
+                          * (v.s10_1 / t.n1)) / (t.n1 - 1) AS s10,
+                 (v.s01_2 - t.n0 * (v.s01_1 / t.n0)
+                          * (v.s01_1 / t.n0)) / (t.n0 - 1) AS s01
+          FROM v CROSS JOIN t)
+    SELECT n1 AS n_pos, n0 AS n_neg,
+           round(auc, 6) AS auc,
+           round(sqrt(s10 / n1 + s01 / n0), 6) AS se_delong,
+           round(GREATEST(0.0, auc - {_WILSON_Z}
+                 * sqrt(s10 / n1 + s01 / n0)), 6) AS ci_lo,
+           round(LEAST(1.0, auc + {_WILSON_Z}
+                 * sqrt(s10 / n1 + s01 / n0)), 6) AS ci_hi
+    FROM a
+""")
+def eval_auc_delong_ci(spark, sf_dir):
+    """DeLong, DeLong & Clarke-Pearson (1988) standard error and 95%
+    CI for the ROC-AUC — the companion eval_auc_roc's point estimate
+    needs before two models can be COMPARED: the structural components
+    V10_i (per positive: fraction of negatives it outranks, half
+    credit for ties) and V01_j (per negative: fraction of positives
+    above it) have mean AUC, and Var(AUC) = s10/n1 + s01/n0 from
+    their sample variances — the nonparametric, distribution-free SE.
+    The usual quadratic-time formulation collapses onto the
+    distinct-score grid: every positive tied at score p shares ONE
+    v10 value, so the component moments are grid sums weighted by the
+    tie counts — exact, no per-pair work.
+
+    Exactness: the same bit-identical scores and integer cumulatives
+    as eval_auc_roc; v10/v01 are fixed double chains; component
+    moments accumulate in DECIMAL(38,18); the z constant is the exact
+    Phi^-1(.975) double.  Plan: scoring scan -> score-grid hash agg
+    -> the repo's two-phase running sums -> 1-row moment algebra; the
+    same cost shape as the AUC itself — the CI is free beside the
+    estimate."""
+    p_expr = f"1.0 / (1.0 + exp(-({_logreg_d_z()}))) AS p"
+    beta = _logreg_d_beta(spark, sf_dir)
+    scored = (_logreg_d_s_frame(spark, sf_dir)
+              .crossJoin(F.broadcast(beta)).selectExpr("*", p_expr))
+    g = (scored.groupBy("p")
+         .agg(F.count("*").cast("bigint").alias("n"),
+              F.sum(F.col("y").cast("bigint")).cast("bigint").alias("ca")))
+    t = g.agg(F.sum("ca").cast("bigint").alias("n1"),
+              F.sum(F.col("n") - F.col("ca")).cast("bigint").alias("n0"))
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    with_pid = (g.repartitionByRange(n_parts, "p")
+                .withColumn("pid", F.spark_partition_id())
+                .localCheckpoint())
+    wrun = (Window.partitionBy("pid").orderBy("p")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    local = with_pid.select(
+        "p", "n", "ca", "pid",
+        F.sum("n").over(wrun).alias("lab"),
+        F.sum("ca").over(wrun).alias("lca"))
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (with_pid.groupBy("pid")
+            .agg(F.sum("n").alias("pn"), F.sum("ca").alias("pca"))
+            .select("pid",
+                    F.coalesce(F.sum("pn").over(woff), F.lit(0))
+                    .alias("offn"),
+                    F.coalesce(F.sum("pca").over(woff), F.lit(0))
+                    .alias("offca")))
+    c = (local.join(F.broadcast(offs), "pid")
+         .select("p", "n", "ca",
+                 (F.col("lab") + F.col("offn")).cast("bigint").alias("cab"),
+                 (F.col("lca") + F.col("offca")).cast("bigint")
+                 .alias("cpos")))
+    d18 = "DECIMAL(38,18)"
+    v = (c.crossJoin(F.broadcast(t))
+         .agg(*[F.sum(F.expr(f"CAST({e} AS {d18})")).cast("double")
+                .alias(nm) for nm, e in [
+                    ("s10_1", f"ca * ({_DL_V10})"),
+                    ("s10_2", f"ca * ({_DL_V10}) * ({_DL_V10})"),
+                    ("s01_1", f"(n - ca) * ({_DL_V01})"),
+                    ("s01_2", f"(n - ca) * ({_DL_V01}) * ({_DL_V01})")]]))
+    a = (v.crossJoin(F.broadcast(t))
+         .selectExpr("n1", "n0", "s10_1 / n1 AS auc",
+                     "(s10_2 - n1 * (s10_1 / n1) * (s10_1 / n1))"
+                     " / (n1 - 1) AS s10",
+                     "(s01_2 - n0 * (s01_1 / n0) * (s01_1 / n0))"
+                     " / (n0 - 1) AS s01"))
+    return a.selectExpr(
+        "n1 AS n_pos", "n0 AS n_neg",
+        "round(auc, 6) AS auc",
+        "round(sqrt(s10 / n1 + s01 / n0), 6) AS se_delong",
+        f"round(GREATEST(0.0, auc - {_WILSON_Z}"
+        " * sqrt(s10 / n1 + s01 / n0)), 6) AS ci_lo",
+        f"round(LEAST(1.0, auc + {_WILSON_Z}"
+        " * sqrt(s10 / n1 + s01 / n0)), 6) AS ci_hi")
+
+
+# --- Holm-Bonferroni step-down FWER (round 10, batch 3) --------------------
+
+# the same 35-slice Welch z family as stat_benjamini_hochberg (copy of
+# its CTE prefix — the two queries must stay independently readable)
+_HOLM_FAMILY = f"""s AS (SELECT event_type AS et,
+                      dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,
+                      CAST(user_id % 2 AS INTEGER) AS grp,
+                      CAST(value AS DECIMAL(28,12)) AS v,
+                      CAST(value * value AS DECIMAL(38,12)) AS v2
+               FROM events WHERE value IS NOT NULL),
+    g AS (SELECT et, dow, grp, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(v) AS DOUBLE) AS sv,
+                 CAST(SUM(v2) AS DOUBLE) AS sq
+          FROM s GROUP BY et, dow, grp),
+    m AS (SELECT et, dow, grp, n, sv / n AS mean,
+                 (sq - sv * sv / n) / (n - 1) AS var
+          FROM g WHERE n >= 2),
+    w AS (SELECT a.et, a.dow, a.n AS n0, b.n AS n1,
+                 a.mean AS mean0, b.mean AS mean1,
+                 a.var AS var0, b.var AS var1
+          FROM (SELECT * FROM m WHERE grp = 0) a
+          JOIN (SELECT * FROM m WHERE grp = 1) b
+            ON a.et = b.et AND a.dow = b.dow
+          WHERE a.var / a.n + b.var / b.n > 0),
+    pp AS (SELECT et, dow, n0, n1, {_BH_Z} AS z,
+                  {_norm_p2_sql(f"abs({_BH_Z})")} AS pv
+           FROM w)"""
+
+_HOLM_ALPHA = "CAST(0.05 AS DOUBLE)"
+
+
+@query("stat_holm_bonferroni", f"""
+    WITH {_HOLM_FAMILY},
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS nh FROM pp),
+    rk AS (SELECT pp.*, CAST(row_number() OVER (ORDER BY pv, et, dow)
+                 AS BIGINT) AS rnk
+           FROM pp),
+    adj AS (SELECT rk.*, nh,
+                   max(LEAST(1.0, (nh - rnk + 1) * pv))
+                     OVER (ORDER BY rnk ROWS UNBOUNDED PRECEDING)
+                     AS padj
+            FROM rk CROSS JOIN tot),
+    kk AS (SELECT COALESCE(CAST(min(CASE WHEN pv > {_HOLM_ALPHA}
+                      / (nh - rnk + 1) THEN rnk END) AS BIGINT),
+                  CAST(9223372036854775807 AS BIGINT)) AS stop_rnk
+           FROM adj)
+    SELECT et AS event_type, CAST(dow AS INTEGER) AS dow, n0, n1,
+           round(z, 6) AS z_score,
+           round(pv, 6) AS p_value,
+           rnk AS p_rank,
+           round(padj, 6) AS p_holm,
+           CAST(CASE WHEN rnk < kk.stop_rnk THEN 1 ELSE 0 END
+                AS INTEGER) AS rejected
+    FROM adj CROSS JOIN kk
+""")
+def stat_holm_bonferroni(spark, sf_dir):
+    """Holm's (1979) step-down procedure over the SAME (event_type x
+    day-of-week) Welch z family as stat_benjamini_hochberg — the
+    FWER-controlling counterpart: BH bounds the expected FALSE-
+    DISCOVERY fraction (exploratory dashboards), Holm bounds the
+    probability of ANY false rejection (ship/no-ship decisions), and
+    a results review quotes both.  Step-down: reject ranks 1..k-1
+    where k is the FIRST rank with p_(k) > alpha/(m - k + 1) (every
+    rank from the first failure on is retained — monotone by
+    construction); the adjusted p is the running MAX of
+    min(1, (m - i + 1) p_(i)), uniformly dominating Bonferroni's m*p.
+
+    Exactness: identical family CTEs (decimal Welch moments, shared
+    A&S tails); the step-down scan and adjustment are windows over
+    the ~35-row hypothesis table; the no-failure case serves a
+    sentinel stop rank so every slice rejects.  Plan: one scan ->
+    slice hash agg -> metadata arithmetic, the BH cost shape
+    exactly."""
+    s = (_t(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull())
+         .selectExpr("event_type AS et", "dayofweek(ts) AS dow",
+                     "CAST(user_id % 2 AS INTEGER) AS grp",
+                     "CAST(value AS DECIMAL(28,12)) AS v",
+                     "CAST(value * value AS DECIMAL(38,12)) AS v2"))
+    g = (s.groupBy("et", "dow", "grp")
+         .agg(F.count("*").cast("bigint").alias("n"),
+              F.sum("v").cast("double").alias("sv"),
+              F.sum("v2").cast("double").alias("sq")))
+    m = (g.filter(F.col("n") >= 2)
+         .selectExpr("et", "dow", "grp", "n", "sv / n AS mean",
+                     "(sq - sv * sv / n) / (n - 1) AS var"))
+    a = m.filter("grp = 0").selectExpr("et", "dow", "n AS n0",
+                                       "mean AS mean0", "var AS var0")
+    b = m.filter("grp = 1").selectExpr("et", "dow", "n AS n1",
+                                       "mean AS mean1", "var AS var1")
+    w = (a.join(b, ["et", "dow"])
+         .filter(F.expr("var0 / n0 + var1 / n1 > 0")))
+    pp = w.selectExpr("et", "dow", "n0", "n1", f"{_BH_Z} AS z",
+                      f"{_norm_p2_sql(f'abs({_BH_Z})')} AS pv") \
+        .localCheckpoint(eager=True)       # ~35-row hypothesis table
+    tot = pp.agg(F.count("*").cast("bigint").alias("nh"))
+    rk = pp.withColumn(
+        "rnk", F.row_number().over(Window.orderBy("pv", "et", "dow"))
+        .cast("bigint"))
+    wmax = (Window.orderBy("rnk")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    adj = (rk.crossJoin(F.broadcast(tot))
+           .withColumn("padj",
+                       F.max(F.expr("LEAST(1.0, (nh - rnk + 1) * pv)"))
+                       .over(wmax)))
+    kk = adj.agg(F.coalesce(
+        F.min(F.expr(f"CASE WHEN pv > {_HOLM_ALPHA} / (nh - rnk + 1)"
+                     " THEN rnk END")).cast("bigint"),
+        F.lit(9223372036854775807).cast("bigint")).alias("stop_rnk"))
+    return (adj.crossJoin(F.broadcast(kk))
+            .selectExpr("et AS event_type", "CAST(dow AS INTEGER) AS dow",
+                        "n0", "n1",
+                        "round(z, 6) AS z_score",
+                        "round(pv, 6) AS p_value",
+                        "rnk AS p_rank",
+                        "round(padj, 6) AS p_holm",
+                        "CAST(CASE WHEN rnk < stop_rnk THEN 1 ELSE 0 END"
+                        " AS INTEGER) AS rejected"))

@@ -665,3 +665,72 @@ def test_krippendorff_alpha_matches_pair_enumeration(spark, sf_dir):
     assert abs(r.d_expected - d_e) < 1e-6
     assert abs(r.alpha - alpha) < 1e-5
     assert r.alpha <= 1.0
+
+
+# --- DeLong AUC CI (round 10, batch 3) -------------------------------------
+
+def test_delong_ci_matches_numpy_structural_components(spark, sf_dir):
+    import numpy as np
+
+    from mental_health_bigdata_project_spark.plans.quality import (
+        _logreg_d_beta, _logreg_d_s_frame)
+
+    beta = _logreg_d_beta(spark, sf_dir).collect()[0]
+    b = np.array([beta[f"b{i}"] for i in range(5)])
+    rows = _logreg_d_s_frame(spark, sf_dir).collect()
+    X = np.array([[1.0, float(r.x1), float(r.x2), float(r.x3),
+                   float(r.x4)] for r in rows])
+    y = np.array([float(r.y) for r in rows])
+    p = 1.0 / (1.0 + np.exp(-(X @ b)))
+    pos, neg = p[y == 1], p[y == 0]
+    n1, n0 = len(pos), len(neg)
+    # O(n1*n0) psi-kernel structural components (the definition)
+    psi = (pos[:, None] > neg[None, :]).astype(float) \
+        + 0.5 * (pos[:, None] == neg[None, :])
+    v10 = psi.mean(axis=1)
+    v01 = psi.mean(axis=0)
+    auc = psi.mean()
+    s10 = v10.var(ddof=1)
+    s01 = v01.var(ddof=1)
+    se = np.sqrt(s10 / n1 + s01 / n0)
+
+    r = QUERIES["eval_auc_delong_ci"](spark, sf_dir).collect()[0]
+    assert (r.n_pos, r.n_neg) == (n1, n0)
+    assert abs(r.auc - auc) < 1e-6
+    assert abs(r.se_delong - se) < 1e-6
+    z = 1.959963984540054
+    assert abs(r.ci_lo - max(0.0, auc - z * se)) < 1e-5
+    assert abs(r.ci_hi - min(1.0, auc + z * se)) < 1e-5
+    assert r.ci_lo <= r.auc <= r.ci_hi
+
+
+# --- Holm-Bonferroni (round 10, batch 3) -----------------------------------
+
+def test_holm_stepdown_matches_python_and_dominates_bh(spark, sf_dir):
+    rows = QUERIES["stat_holm_bonferroni"](spark, sf_dir).collect()
+    nh = len(rows)
+    by_rank = sorted(rows, key=lambda r: r.p_rank)
+    # independent step-down
+    stop = None
+    for r in by_rank:
+        if r.p_value > 0.05 / (nh - r.p_rank + 1) + 1e-9:
+            stop = r.p_rank
+            break
+    for r in rows:
+        want = 1 if (stop is None or r.p_rank < stop) else 0
+        assert r.rejected == want, (r.event_type, r.dow)
+    # adjusted p: running max of (m - i + 1) p_(i), monotone, >= raw
+    run = 0.0
+    for r in by_rank:
+        run = max(run, min(1.0, (nh - r.p_rank + 1) * r.p_value))
+        # p_value is 6dp-rounded output while the query adjusts the
+        # unrounded p: tolerance is the amplified rounding bound
+        assert abs(r.p_holm - run) < nh * 5e-7 + 1e-9
+        assert r.p_holm >= r.p_value - 1e-9
+    # FWER control is stricter than FDR: Holm rejections are a subset
+    # of BH's on the same family
+    bh = {(r.event_type, r.dow): r.rejected for r in
+          QUERIES["stat_benjamini_hochberg"](spark, sf_dir).collect()}
+    for r in rows:
+        if r.rejected:
+            assert bh[(r.event_type, r.dow)] == 1
