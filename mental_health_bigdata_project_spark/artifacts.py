@@ -77,6 +77,19 @@ def artifact_root() -> str:
     return os.environ.get(_ARTIFACT_ENV) or _DEFAULT_ROOT
 
 
+def persistence_enabled() -> bool:
+    """Disk persistence is OPT-IN (round 10): cross-run reuse of derived
+    tables keyed on a read-only dataset is an offline-index *feature*,
+    not something a benchmark may lean on — a bench/oracle invocation
+    must compute every declared query from the parquet inputs alone.
+    Only when ``$SPARK_GRAFT_ARTIFACT_DIR`` explicitly names a store
+    (tests, or a production deployment that schedules the index builds)
+    does ``read_or_build`` touch disk; otherwise it materializes the
+    relation once per session (eager localCheckpoint) and recomputes in
+    the next session."""
+    return bool(os.environ.get(_ARTIFACT_ENV))
+
+
 def _dataset_key(sf_dir: str) -> str:
     norm = os.path.normpath(sf_dir)
     slug = norm.strip(os.sep).replace(os.sep, "_")
@@ -184,7 +197,15 @@ def read_or_build(spark: SparkSession, sf_dir: str, name: str,
     the builder-code stamp — bump it when the build logic changes so a
     stale snapshot rebuilds instead of serving old-recipe rows.
     Callers layer their own SessionMemo in front so repeated calls
-    within a session hand out the same object."""
+    within a session hand out the same object.
+
+    With persistence disabled (no ``$SPARK_GRAFT_ARTIFACT_DIR`` — the
+    default, and the bench/oracle configuration) this neither reads nor
+    writes the store: the artifact is built from the parquet inputs and
+    pinned for THIS session only via an eager localCheckpoint, so every
+    invocation pays the real build cost exactly once."""
+    if not persistence_enabled():
+        return build().localCheckpoint(eager=True)
     hit = read_artifact(spark, sf_dir, name, tables, recipe_version)
     if hit is not None:
         return hit

@@ -112,6 +112,29 @@ if _np is not None:
     _ALAW_LUT = _np.array([alaw_expand(c) for c in range(256)],
                           dtype=_np.int64)
     _PCM8_LUT = _np.arange(256, dtype=_np.int64) - 128
+    # IMA ADPCM quantizer as (89 x 16) tables: signed sample delta and
+    # step-index walk per (step-index, code) — exactly ima_adpcm_step's
+    # arithmetic, materialized so the batch decoder below can advance
+    # MANY blocks one code per numpy step (the per-code state update is
+    # sequential WITHIN a block, but independent ACROSS blocks).
+
+
+    def _ima_diff(idx: int, code: int) -> int:
+        step = IMA_STEP_TABLE[idx]
+        diff = step >> 3
+        if code & 1:
+            diff += step >> 2
+        if code & 2:
+            diff += step >> 1
+        if code & 4:
+            diff += step
+        return -diff if code & 8 else diff
+
+    _IMA_DIFF_LUT = _np.array(
+        [[_ima_diff(i, c) for c in range(16)] for i in range(89)],
+        dtype=_np.int64)
+    _IMA_IDX_LUT = _np.array([IMA_INDEX_TABLE[c & 7] for c in range(16)],
+                             dtype=_np.int64)
 
 
 def _lut_decode(data: bytes, lut):
@@ -168,33 +191,12 @@ def _adpcm_decode_blocks(data: bytes, block_align: int,
     return samples
 
 
-def decode_wav(payload: bytes) -> dict:
-    """Pure-Python RIFF WAV decode — a REAL container parse, no codec
-    library: walks the RIFF chunk list (word-aligned, unknown chunks
-    skipped, declared sizes validated against the remaining payload),
-    reads the ``fmt `` descriptor, and decodes the ``data`` chunk for
-
-    - integer PCM (format tag 1): 8-bit (unsigned, centered at 128)
-      and 16-bit (signed little-endian) — exact integer statistics;
-    - IEEE float (format tag 3): 32-bit little-endian — float
-      statistics (exact when samples are dyadic rationals, as the
-      synthetic corpus guarantees);
-    - G.711 mu-law (format tag 7) and A-law (format tag 6): 8-bit
-      log-companded telephony audio, expanded to 16-bit linear by
-      ``mulaw_expand`` / ``alaw_expand`` (pure integer tables — no
-      codec library) — exact integer statistics;
-    - IMA/DVI ADPCM (format tag 0x11): 4-bit adaptive-delta codes
-      decoded block-by-block via ``ima_adpcm_step`` (the genuinely
-      SEQUENTIAL sample recurrence — predictor + step-index state
-      carried code to code) — exact integer statistics.
-
-    Returns container metadata plus per-payload sample statistics
-    (frame count, sum, peak magnitude).  Remaining formats
-    (extensible, floating tags other than f32) raise
-    NotImplementedError: that is the compressed-codec boundary.  Malformed containers — a chunk whose
-    declared size overruns the payload, or a short ``fmt `` body —
-    raise ValueError so corrupt files fail loudly instead of yielding
-    silently truncated statistics (ADVICE r9)."""
+def _parse_wav(payload: bytes) -> tuple:
+    """The RIFF container walk shared by decode_wav and the batch
+    decoder: validates the chunk list and the ``fmt `` body, returns
+    (audio_format, n_channels, sample_rate, block_align, bit_depth,
+    fmt_body, data).  All ValueErrors of the walk live here so both
+    entry points fail identically on malformed containers."""
     if (len(payload) < 12 or payload[:4] != b"RIFF"
             or payload[8:12] != b"WAVE"):
         raise ValueError("not a RIFF/WAVE payload")
@@ -222,6 +224,39 @@ def decode_wav(payload: bytes) -> dict:
             f"short fmt chunk: {len(fmt_body)} bytes, 16 required")
     (audio_format, n_channels, sample_rate, _byte_rate, block_align,
      bit_depth) = struct.unpack_from("<HHIIHH", fmt_body, 0)
+    return (audio_format, n_channels, sample_rate, block_align,
+            bit_depth, fmt_body, data)
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Pure-Python RIFF WAV decode — a REAL container parse, no codec
+    library: walks the RIFF chunk list (word-aligned, unknown chunks
+    skipped, declared sizes validated against the remaining payload),
+    reads the ``fmt `` descriptor, and decodes the ``data`` chunk for
+
+    - integer PCM (format tag 1): 8-bit (unsigned, centered at 128)
+      and 16-bit (signed little-endian) — exact integer statistics;
+    - IEEE float (format tag 3): 32-bit little-endian — float
+      statistics (exact when samples are dyadic rationals, as the
+      synthetic corpus guarantees);
+    - G.711 mu-law (format tag 7) and A-law (format tag 6): 8-bit
+      log-companded telephony audio, expanded to 16-bit linear by
+      ``mulaw_expand`` / ``alaw_expand`` (pure integer tables — no
+      codec library) — exact integer statistics;
+    - IMA/DVI ADPCM (format tag 0x11): 4-bit adaptive-delta codes
+      decoded block-by-block via ``ima_adpcm_step`` (the genuinely
+      SEQUENTIAL sample recurrence — predictor + step-index state
+      carried code to code) — exact integer statistics.
+
+    Returns container metadata plus per-payload sample statistics
+    (frame count, sum, peak magnitude).  Remaining formats
+    (extensible, floating tags other than f32) raise
+    NotImplementedError: that is the compressed-codec boundary.  Malformed containers — a chunk whose
+    declared size overruns the payload, or a short ``fmt `` body —
+    raise ValueError so corrupt files fail loudly instead of yielding
+    silently truncated statistics (ADVICE r9)."""
+    (audio_format, n_channels, sample_rate, block_align, bit_depth,
+     fmt_body, data) = _parse_wav(payload)
     import array
     if audio_format == 1 and bit_depth == 16:
         raw = data[:len(data) - (len(data) % 2)]
@@ -286,6 +321,132 @@ def decode_wav(payload: bytes) -> dict:
         "sum_samples": (float if is_float else int)(total),
         "peak_abs": (float if is_float else int)(peak),
     }
+
+
+def _adpcm_block_lanes(data: bytes, block_align: int,
+                       samples_per_block: int | None) -> list:
+    """One payload's data chunk as per-block decode LANES for the batch
+    kernel: (pred0, idx0, kept-codes uint8 array, keep_pred).  The
+    block walk, header validation and ``samples_per_block`` truncation
+    are exactly _adpcm_decode_blocks' — truncating the CODES up front
+    (kept samples = [pred0] + first spb-1 codes) replaces truncating
+    the decoded output, which is equivalent because sample i depends
+    only on codes 0..i."""
+    lanes = []
+    for off in range(0, len(data), block_align):
+        block = data[off:off + block_align]
+        if len(block) < 4:
+            raise ValueError(
+                f"short ADPCM block header: {len(block)} bytes, 4 required")
+        (pred,) = struct.unpack_from("<h", block, 0)
+        idx = block[2]
+        if idx > 88:
+            raise ValueError(f"ADPCM step index {idx} outside [0, 88]")
+        packed = _np.frombuffer(block, dtype=_np.uint8, offset=4)
+        codes = _np.empty(packed.size * 2, dtype=_np.uint8)
+        codes[0::2] = packed & 0x0F
+        codes[1::2] = packed >> 4
+        if samples_per_block is not None:
+            keep_pred = samples_per_block >= 1
+            codes = codes[:max(samples_per_block - 1, 0)]
+        else:
+            keep_pred = True
+        lanes.append((pred, idx, codes, keep_pred))
+    return lanes
+
+
+def _adpcm_run_lanes(lanes: list) -> tuple:
+    """Advance EVERY lane one code per step with vectorized state
+    (predictor, step-index) arrays — the IMA recurrence is sequential
+    within a block but independent across blocks, so a batch of B
+    blocks decodes in max(len) numpy steps instead of sum(len) Python
+    steps.  Arithmetic is ima_adpcm_step's, int64 with the same clamps
+    (table lookups + clip — bit-exact, no float anywhere).  Lanes are
+    processed longest-first so each step only touches the still-active
+    prefix.  Returns per-lane (n_samples, sum, peak) int64 arrays in
+    input order."""
+    n = len(lanes)
+    zero = _np.zeros(0, dtype=_np.int64)
+    if n == 0:
+        return zero, zero, zero
+    lens = _np.array([lane[2].size for lane in lanes], dtype=_np.int64)
+    order = _np.argsort(-lens, kind="stable")
+    lens_s = lens[order]
+    maxlen = int(lens_s[0])
+    codes2d = _np.zeros((n, maxlen), dtype=_np.uint8)
+    for r, oi in enumerate(order):
+        c = lanes[oi][2]
+        codes2d[r, :c.size] = c
+    preds = _np.array([lanes[oi][0] for oi in order], dtype=_np.int64)
+    idxs = _np.array([lanes[oi][1] for oi in order], dtype=_np.int64)
+    keep0 = _np.array([lanes[oi][3] for oi in order], dtype=bool)
+    sums = _np.where(keep0, preds, 0)
+    peaks = _np.where(keep0, _np.abs(preds), 0)
+    # lanes are sorted by length desc, so the active prefix at step t
+    # is the first (count of lens > t) rows
+    asc = lens_s[::-1]
+    for t in range(maxlen):
+        k = n - int(_np.searchsorted(asc, t, side="right"))
+        c = codes2d[:k, t]
+        _np.clip(preds[:k] + _IMA_DIFF_LUT[idxs[:k], c],
+                 -32768, 32767, out=preds[:k])
+        _np.clip(idxs[:k] + _IMA_IDX_LUT[c], 0, 88, out=idxs[:k])
+        sums[:k] += preds[:k]
+        _np.maximum(peaks[:k], _np.abs(preds[:k]), out=peaks[:k])
+    nsamp_s = keep0.astype(_np.int64) + lens_s
+    out_n = _np.empty(n, dtype=_np.int64)
+    out_s = _np.empty(n, dtype=_np.int64)
+    out_p = _np.empty(n, dtype=_np.int64)
+    out_n[order] = nsamp_s
+    out_s[order] = sums
+    out_p[order] = peaks
+    return out_n, out_s, out_p
+
+
+def decode_wav_batch(payloads) -> list:
+    """decode_wav over a whole batch of payloads, returning one stats
+    dict per payload in order.  Non-ADPCM formats already decode
+    through per-payload numpy LUT/frombuffer kernels, so they just
+    delegate; IMA ADPCM's per-CODE recurrence is instead advanced for
+    ALL the batch's blocks together (_adpcm_run_lanes), which turns
+    ~2 Python steps per byte into ~max-doc-length numpy steps per
+    batch (guide §4.2: hand whole batches to vectorized native code).
+    Bit-exact: same tables, same int arithmetic, same ValueErrors."""
+    if _np is None:                        # pragma: no cover - no numpy
+        return [decode_wav(p) for p in payloads]
+    out: list = [None] * len(payloads)
+    adpcm: list = []           # (payload row, n_channels, lane slice)
+    all_lanes: list = []
+    for i, payload in enumerate(payloads):
+        (audio_format, n_channels, sample_rate, block_align, bit_depth,
+         fmt_body, data) = _parse_wav(payload)
+        if not (audio_format == 0x11 and bit_depth == 4):
+            out[i] = decode_wav(payload)
+            continue
+        if block_align < 4:
+            raise ValueError(
+                f"ADPCM block align {block_align} smaller than the "
+                "4-byte block header")
+        spb = (struct.unpack_from("<H", fmt_body, 18)[0]
+               if len(fmt_body) >= 20 else None)
+        lanes = _adpcm_block_lanes(data, block_align, spb)
+        lo = len(all_lanes)
+        all_lanes.extend(lanes)
+        adpcm.append((i, n_channels, lo, len(all_lanes)))
+        out[i] = {
+            "n_channels": n_channels,
+            "sample_rate": sample_rate,
+            "bit_depth": bit_depth,
+            "audio_format": audio_format,
+        }
+    if adpcm:
+        ln, ls, lp = _adpcm_run_lanes(all_lanes)
+        for i, n_channels, lo, hi in adpcm:
+            total_samples = int(ln[lo:hi].sum())
+            out[i]["n_samples"] = total_samples // max(n_channels, 1)
+            out[i]["sum_samples"] = int(ls[lo:hi].sum())
+            out[i]["peak_abs"] = int(lp[lo:hi].max()) if hi > lo else 0
+    return out
 
 
 def encode_wav_pcm16(samples, sample_rate: int = 8000) -> bytes:
@@ -364,6 +525,26 @@ def encode_wav_adpcm(nibbles, sample_rate: int = 8000) -> bytes:
             + b"data" + struct.pack("<I", len(data)) + data)
 
 
+def encode_wav_adpcm_bytes(bs: bytes, sample_rate: int = 8000) -> bytes:
+    """``encode_wav_adpcm`` specialized to the nibble sequence
+    (b & 0xF, b >> 4) of every byte of ``bs`` — the ADPCM synth
+    corpus's encoding — without the per-byte nibble round-trip:
+    packing low-nibble-first reassembles each original byte, so the
+    block's code payload is ``bs`` verbatim.  Byte-identical output
+    (pinned by test)."""
+    if not bs:
+        return encode_wav_adpcm([], sample_rate)
+    data = struct.pack("<hBB", 0, 0, 0) + bs
+    block_align = max(len(data), 4)
+    samples_per_block = 1 + 2 * len(bs)
+    byte_rate = sample_rate * block_align // samples_per_block
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, sample_rate, byte_rate,
+                      block_align, 4, 2, samples_per_block)
+    return (b"RIFF" + struct.pack("<I", 28 + len(fmt) + len(data))
+            + b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
 WAV_FEATURE_SCHEMA = ("doc_id bigint, n_channels bigint, "
                       "sample_rate bigint, bit_depth bigint, "
                       "n_samples bigint, sum_samples bigint, "
@@ -389,8 +570,8 @@ def decode_wav_features_f64(payloads: DataFrame) -> DataFrame:
             out = {k: [] for k in ("doc_id", "n_channels", "sample_rate",
                                    "bit_depth", "n_samples", "sum_samples",
                                    "peak_abs")}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                m = decode_wav(bytes(payload))
+            metas = decode_wav_batch([bytes(p) for p in pdf["payload"]])
+            for doc_id, m in zip(pdf["doc_id"], metas):
                 out["doc_id"].append(doc_id)
                 for k in ("n_channels", "sample_rate", "bit_depth",
                           "n_samples"):
@@ -416,8 +597,8 @@ def decode_wav_features(payloads: DataFrame) -> DataFrame:
             out = {k: [] for k in ("doc_id", "n_channels", "sample_rate",
                                    "bit_depth", "n_samples", "sum_samples",
                                    "peak_abs")}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                m = decode_wav(bytes(payload))
+            metas = decode_wav_batch([bytes(p) for p in pdf["payload"]])
+            for doc_id, m in zip(pdf["doc_id"], metas):
                 out["doc_id"].append(doc_id)
                 for k in ("n_channels", "sample_rate", "bit_depth",
                           "n_samples", "sum_samples", "peak_abs"):

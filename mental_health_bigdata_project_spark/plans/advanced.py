@@ -1620,12 +1620,20 @@ def layout_zorder_skipping(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_linenumber").alias("ln"),
         F.col("l_partkey").alias("x"), F.col("l_suppkey").alias("y"))
+    # the 1-row domain aggregate feeds zt AND probes; the Morton frame
+    # feeds BOTH layout rankings — pin each once so lineitem is scanned
+    # twice total instead of re-deriving the curve per consumer (r9
+    # shape: ~5 scans + 2 Morton evaluations; guide §2.4/§5)
     mx = li.agg(F.max("x").alias("mx"), F.max("y").alias("my"),
-                F.count("*").alias("n"))
+                F.count("*").alias("n")).localCheckpoint(eager=True)
     zt = (li.crossJoin(F.broadcast(mx))
           .withColumn("x16", F.expr("x * 65536 div (mx + 1)"))
           .withColumn("y16", F.expr("y * 65536 div (my + 1)"))
-          .withColumn("z", F.expr(_morton_expr("x16", "y16", "spark"))))
+          .withColumn("z", F.expr(_morton_expr("x16", "y16", "spark")))
+          # project BEFORE the two range exchanges: x16/y16/mx/my are
+          # dead past this point, so don't shuffle them (guide §2.3)
+          .select("ok", "ln", "x", "y", "n", "z")
+          .localCheckpoint(eager=True))
     stats = None
     for name, cols in (("arrival", ["ok", "ln"]),
                        ("zorder", ["z", "x", "y", "ok", "ln"])):

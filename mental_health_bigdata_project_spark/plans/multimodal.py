@@ -143,17 +143,33 @@ def synth_wav_corpus(docs: DataFrame) -> DataFrame:
     of crashing executors, ADVICE r9), in a REAL canonical RIFF
     container (operators.media.encode_wav_pcm16).  The container bytes
     are real — only the audio content is synthetic — so decode_wav
-    downstream exercises the genuine parse path."""
-    from ..operators.media import encode_wav_pcm16
+    downstream exercises the genuine parse path.
+
+    The sample map runs vectorized (one numpy expression per doc, not
+    a per-byte list comprehension — guide §4.2); byte-identity with
+    encode_wav_pcm16 over the scalar map is pinned by test."""
+    from ..operators.media import _wav_container, encode_wav_pcm16
 
     def synth(batches):
         import pandas as pd
+        try:
+            import numpy as np
+        except ImportError:                # pragma: no cover - no numpy
+            np = None
 
         for pdf in batches:
-            payloads = [
-                encode_wav_pcm16([(b % 128 - 64) * 256
-                                  for b in text.encode("utf-8")])
-                for text in pdf["text"]]
+            if np is not None:
+                payloads = [
+                    _wav_container(1, 16, (
+                        (np.frombuffer(text.encode("utf-8"), np.uint8)
+                         .astype(np.int32) % 128 - 64) * 256)
+                        .astype("<i2").tobytes(), 8000)
+                    for text in pdf["text"]]
+            else:
+                payloads = [
+                    encode_wav_pcm16([(b % 128 - 64) * 256
+                                      for b in text.encode("utf-8")])
+                    for text in pdf["text"]]
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "payload": payloads})
 
@@ -222,16 +238,30 @@ def synth_wav_float32_corpus(docs: DataFrame) -> DataFrame:
     statistics are bit-deterministic even though the format is
     floating point.  Real format-tag-3 RIFF containers
     (operators.media.encode_wav_float32)."""
-    from ..operators.media import encode_wav_float32
+    from ..operators.media import _wav_container, encode_wav_float32
 
     def synth(batches):
         import pandas as pd
+        try:
+            import numpy as np
+        except ImportError:                # pragma: no cover - no numpy
+            np = None
 
         for pdf in batches:
-            payloads = [
-                encode_wav_float32([(b % 128 - 64) / 64.0
-                                    for b in text.encode("utf-8")])
-                for text in pdf["text"]]
+            if np is not None:
+                # vectorized sample map (byte-identical to the scalar
+                # encode_wav_float32 path — dyadic values cast exactly)
+                payloads = [
+                    _wav_container(3, 32, (
+                        (np.frombuffer(text.encode("utf-8"), np.uint8)
+                         .astype(np.float64) % 128 - 64) / 64.0)
+                        .astype("<f4").tobytes(), 8000)
+                    for text in pdf["text"]]
+            else:
+                payloads = [
+                    encode_wav_float32([(b % 128 - 64) / 64.0
+                                        for b in text.encode("utf-8")])
+                    for text in pdf["text"]]
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "payload": payloads})
 
@@ -478,7 +508,7 @@ def synth_wav_adpcm_corpus(docs: DataFrame) -> DataFrame:
     block (operators.media.encode_wav_adpcm: 4-byte header with
     predictor 0 / step index 0, fmt extension carrying
     wSamplesPerBlock)."""
-    from ..operators.media import encode_wav_adpcm
+    from ..operators.media import encode_wav_adpcm, encode_wav_adpcm_bytes
 
     def synth(batches):
         import pandas as pd
@@ -487,11 +517,16 @@ def synth_wav_adpcm_corpus(docs: DataFrame) -> DataFrame:
             payloads = []
             for text in pdf["text"]:
                 bs = text.encode("utf-8")
-                payloads.append(encode_wav_adpcm(
-                    [c for b in bs for c in (b & 0x0F, b >> 4)]))
+                # byte-for-byte the container encode_wav_adpcm builds
+                # for the (lo, hi) nibble pair of every byte — packing
+                # low-nibble-first reassembles bs itself, so the
+                # per-byte nibble round-trip is pure overhead
+                # (equality pinned by test_media_fixtures)
+                payloads.append(encode_wav_adpcm_bytes(bs))
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "payload": payloads})
 
+    _ = encode_wav_adpcm          # spec reference (tests pin equality)
     return (docs.select("doc_id", "text")
             .mapInPandas(synth, "doc_id bigint, payload binary"))
 

@@ -43,7 +43,7 @@ order, correctly-rounded IEEE ops) rounded before output.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from ..functions.vectors import to_double_array
@@ -667,6 +667,21 @@ def _bloom_bit_sql_tpl(m: int, nibbles: int = 4) -> str:
 _BLOOM_BIT_SQL = _bloom_bit_sql_tpl(_BLOOM_M, 4)
 
 
+def _bloom_bit_col(s_col: str, j: int, m: int = _BLOOM_M,
+                   nibbles: int = 4) -> Column:
+    """Bit position j of shingle column ``s_col`` — the same md5-nibble
+    fold as _bloom_bits but with j a LITERAL, so the probe side can
+    carry all K bit positions as plain columns on the un-exploded gram
+    row instead of tripling the relation through an explode."""
+    h = F.md5(F.concat(F.col(s_col), F.lit(f"#{j}")))
+    bit = None
+    for p in range(nibbles):
+        term = ((F.instr(F.lit(_HEX), F.substring(h, p + 1, 1)) - 1)
+                * (16 ** (nibbles - 1 - p)))
+        bit = term if bit is None else bit + term
+    return (bit % m).cast("int")
+
+
 def _bloom_bits(df: DataFrame, s_col: str, m: int = _BLOOM_M,
                 nibbles: int = 4) -> DataFrame:
     """Explode each shingle into its _BLOOM_K bit positions."""
@@ -680,6 +695,41 @@ def _bloom_bits(df: DataFrame, s_col: str, m: int = _BLOOM_M,
                 * (16 ** (nibbles - 1 - p)))
         bit = term if bit is None else bit + term
     return out.withColumn("bit", (bit % m).cast("int"))
+
+
+def _bloom_probe_verdicts(train: DataFrame, bench: DataFrame, s_col: str,
+                          m: int = _BLOOM_M, nibbles: int = 4) -> DataFrame:
+    """(train columns.., bloom_pos, exact_pos) via K BROADCAST joins on
+    the un-exploded gram relation — one row in, one row out.
+
+    The r9 formulation exploded every train gram K ways, semi-joined
+    the bit table, re-grouped on (doc_id, gram) to count set bits, and
+    sort-merge-joined that back onto train: two corpus-gram-sized
+    shuffles plus a 3x explode (guide §2.3/§2.4).  All the probe ever
+    needs is "is bit_j set" for K literal j's — each a hash lookup in
+    the broadcast bit table — so bloom_pos = AND over K broadcast
+    left-join hits, computed in the same stage as the scan.  Bit
+    values, and therefore every aggregate downstream, are unchanged."""
+    bbits = (_bloom_bits(bench, s_col, m=m, nibbles=nibbles)
+             .select("bit").distinct())
+    probe = train.select(
+        "*", *[_bloom_bit_col(s_col, j, m=m, nibbles=nibbles)
+               .alias(f"_bit{j}") for j in range(_BLOOM_K)])
+    for j in range(_BLOOM_K):
+        hit = (bbits.withColumnRenamed("bit", f"_bit{j}")
+               .withColumn(f"_hit{j}", F.lit(1)))
+        probe = probe.join(F.broadcast(hit), f"_bit{j}", "left")
+    bloom_pos = None
+    for j in range(_BLOOM_K):
+        c = F.col(f"_hit{j}").isNotNull()
+        bloom_pos = c if bloom_pos is None else (bloom_pos & c)
+    return (probe
+            .join(F.broadcast(bench.withColumn("_ex", F.lit(1))),
+                  s_col, "left")
+            .withColumn("bloom_pos", bloom_pos.cast("int"))
+            .withColumn("exact_pos", F.coalesce("_ex", F.lit(0)))
+            .drop("_ex", *[f"_bit{j}" for j in range(_BLOOM_K)],
+                  *[f"_hit{j}" for j in range(_BLOOM_K)]))
 
 
 @query("sketch_bloom_decontam", f"""
@@ -742,19 +792,11 @@ def sketch_bloom_decontam(spark, sf_dir):
     # (doc_id, shingle) is already distinct: sh explodes
     # array_distinct per doc — no dedup shuffle needed here
     train = sh.filter(F.col("doc_id") % 97 != 0)
-    bbits = _bloom_bits(bench, "shingle").select("bit").distinct()
-    probe = _bloom_bits(train, "shingle")
-    hits = (probe.join(F.broadcast(bbits), "bit", "left_semi")
-            .groupBy("doc_id", "shingle").agg(F.count("*").alias("n_set")))
-    # left join back: grams with zero set bits drop out of the semi-join
-    verdicts = (train
-                .join(hits, ["doc_id", "shingle"], "left")
-                .join(F.broadcast(bench.withColumn("ex", F.lit(1))),
-                      "shingle", "left")
-                .select("doc_id", "shingle",
-                        (F.coalesce("n_set", F.lit(0)) == _BLOOM_K)
-                        .cast("int").alias("bloom_pos"),
-                        F.coalesce("ex", F.lit(0)).alias("exact_pos")))
+    # bloom_pos/exact_pos ride the train scan through K+1 broadcast
+    # joins — no explode, no (doc_id, gram) re-group, no join-back
+    # (the r9 shape paid two corpus-gram shuffles; see
+    # _bloom_probe_verdicts for the equivalence argument)
+    verdicts = _bloom_probe_verdicts(train, bench, "shingle")
     fp = F.sum(((F.col("bloom_pos") == 1) & (F.col("exact_pos") == 0))
                .cast("int"))
     return verdicts.agg(
@@ -855,19 +897,11 @@ def decontam_ngram13_bloom(spark, sf_dir):
          .localCheckpoint(eager=True))     # feeds bench + train + verdicts
     bench = g.filter(F.col("doc_id") % 97 == 0).select("h").distinct()
     train = g.filter(F.col("doc_id") % 97 != 0)
-    bbits = (_bloom_bits(bench, "h", m=_NG13_BLOOM_M, nibbles=5)
-             .select("bit").distinct())
-    probe = _bloom_bits(train, "h", m=_NG13_BLOOM_M, nibbles=5)
-    hits = (probe.join(F.broadcast(bbits), "bit", "left_semi")
-            .groupBy("doc_id", "h").agg(F.count("*").alias("n_set")))
-    verdicts = (train
-                .join(hits, ["doc_id", "h"], "left")
-                .join(F.broadcast(bench.withColumn("ex", F.lit(1))),
-                      "h", "left")
-                .select("doc_id",
-                        (F.coalesce("n_set", F.lit(0)) == _BLOOM_K)
-                        .cast("int").alias("bloom_pos"),
-                        F.coalesce("ex", F.lit(0)).alias("exact_pos")))
+    # same broadcast-probe rewrite as the 3-gram parent: K bit columns
+    # on the un-exploded gram row + K broadcast hit joins replace the
+    # explode -> semi-join -> regroup -> join-back chain
+    verdicts = _bloom_probe_verdicts(train, bench, "h",
+                                     m=_NG13_BLOOM_M, nibbles=5)
     fp = F.sum(((F.col("bloom_pos") == 1) & (F.col("exact_pos") == 0))
                .cast("int"))
     return verdicts.agg(

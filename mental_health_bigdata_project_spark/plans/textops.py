@@ -3208,7 +3208,11 @@ def _span_frames(docs: DataFrame,
     (count, min(occ_key)) hash agg, NOT a row_number window over the
     fingerprint (hot boilerplate grams stay skew-safe)."""
     t = span_tokens_df(docs)
-    grams = span_grams_df(t, k)
+    # the gram relation feeds TWO consumers (the per-h stats agg and
+    # the dupw join-back); unpinned, Spark re-runs the tokenize +
+    # explode + per-window md5 for each — pin it once, it is the
+    # expensive projection of this whole family (guide §1.2 step 1)
+    grams = span_grams_df(t, k).localCheckpoint(eager=True)
     gstat = grams.groupBy("h").agg(F.count("*").alias("cnt"),
                                    F.min("occ_key").alias("first_key"))
     dupw = (grams.join(gstat, "h")
@@ -5342,12 +5346,16 @@ def sample_quality_budget(spark, sf_dir):
         "doc_id", "source", n.cast("bigint").alias("n_tokens"),
         F.round(0.5 * q + 0.3 * (F.lit(1.0) - rep) + 0.2 * stop_present, 6)
         .alias("score"))
-    tot = s.agg(F.sum("n_tokens").cast("bigint").alias("corpus_tokens"))
     # two-phase global running sum in (score DESC, doc_id) order
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     with_pid = (s.repartitionByRange(n_parts, F.desc("score"), "doc_id")
                 .withColumn("pid", F.spark_partition_id())
                 .localCheckpoint())
+    # corpus_tokens from the PINNED frame: deriving it from `s` re-ran
+    # the whole scoring scan (regexp + trigram array work) a second
+    # time just to add up one column (guide §1.2 step 1)
+    tot = with_pid.agg(F.sum("n_tokens").cast("bigint")
+                       .alias("corpus_tokens"))
     wrun = (Window.partitionBy("pid").orderBy(F.desc("score"), "doc_id")
             .rowsBetween(Window.unboundedPreceding, 0))
     local = with_pid.select(

@@ -29,6 +29,11 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     from mental_health_bigdata_project_spark import artifacts
+
+    # persistence is opt-in since round 10 (bench/oracle runs must
+    # compute from parquet); this script MEASURES the store, so turn
+    # it on explicitly for both phases
+    os.environ.setdefault(artifacts._ARTIFACT_ENV, artifacts._DEFAULT_ROOT)
     from mental_health_bigdata_project_spark.plans import (QUERIES,
                                                            similarity,
                                                            textops)
