@@ -1914,21 +1914,30 @@ def stat_spearman_rho(spark, sf_dir):
     invariance of Pearson absorbs the factor 2); one double division
     and sqrt at the end.
 
-    Plan: two value-grid aggregations (one per variable, each with the
-    repo's two-phase running sum instead of a single-partition window)
-    broadcast back onto the fact rows, then one 1-row decimal rollup.
-    At 100 TB the fact table shuffles ONCE per variable onto its
-    value grid; the grids themselves are value-cardinality-sized."""
-    # s feeds two grids + the final join, but it is a bare projection
-    # of the scan — re-reading parquet per consumer is cheaper than an
-    # eager checkpoint materialization (measured at sf0.1)
+    Plan: the fact table shuffles ONCE, onto the JOINT (x, y) value
+    grid; both marginal grids, the two-phase tie-rank running sums,
+    the rank joins and the final decimal moment rollup are all
+    grid-sized (each joint cell carries its row count c, which
+    multiplies every moment term exactly).  At 100 TB the single
+    fact-sized exchange is the whole data-volume cost; the quadratic-
+    looking rank work is value-cardinality-sized."""
+    # ONE fact-sized shuffle total: the scan collapses straight onto
+    # the JOINT (x, y) value grid, and everything after — per-variable
+    # marginals, both tie-aware rank grids, the rank joins, the moment
+    # rollup — is grid-sized.  The r9 shape shuffled the fact relation
+    # three more times (each marginal grid agg + the two rank
+    # join-backs); the moments are identical because each joint cell
+    # contributes its per-row term exactly c times and the decimal
+    # sums are exact and order-free (guide §2.3/§2.4).
     s = (_t(spark, sf_dir, "lineitem")
          .select(F.col("l_quantity").alias("x"),
                  F.col("l_extendedprice").alias("y")))
+    g2 = (s.groupBy("x", "y").agg(F.count("*").cast("bigint").alias("c"))
+          .localCheckpoint(eager=True))        # feeds both marginals + join
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     def ranks(col: str, out: str):
-        g = s.groupBy(col).agg(F.count("*").cast("bigint").alias("t"))
+        g = g2.groupBy(col).agg(F.sum("c").cast("bigint").alias("t"))
         with_pid = (g.repartitionByRange(n_parts, col)
                     .withColumn("pid", F.spark_partition_id())
                     .localCheckpoint())
@@ -1947,21 +1956,23 @@ def stat_spearman_rho(spark, sf_dir):
                         (2 * (F.col("lc") + F.col("off") - F.col("t"))
                          + F.col("t") + 1).cast("bigint").alias(out)))
 
-    j = (s.join(ranks("x", "r2x"), "x").join(ranks("y", "r2y"), "y"))
+    j = (g2.join(ranks("x", "r2x"), "x").join(ranks("y", "r2y"), "y"))
     dec = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
     # products form in decimal(19,0) x decimal(19,0) -> decimal(38,0),
     # NOT bigint: 2n-scaled ranks square to ~4n^2, which overflows
     # int64 beyond ~1.5e9 rows while decimal carries exactly to ~1e19
     # rows (and the decimal(38,0) running sum holds 4n^3 ~ 4e36 at a
-    # 1e12-row / 100 TB lineitem)
+    # 1e12-row / 100 TB lineitem); the joint-cell count c multiplies
+    # each term exactly, so cell sums == row sums digit for digit
     dx = F.col("r2x").cast("decimal(19,0)")
     dy = F.col("r2y").cast("decimal(19,0)")
-    m = j.agg(F.count("*").cast("bigint").alias("n"),
-              dec(F.col("r2x")).alias("sx"),
-              dec(F.col("r2y")).alias("sy"),
-              dec(dx * dy).alias("sxy"),
-              dec(dx * dx).alias("sxx"),
-              dec(dy * dy).alias("syy"))
+    dc = F.col("c").cast("decimal(19,0)")
+    m = j.agg(F.sum("c").cast("bigint").alias("n"),
+              dec(dc * dx).alias("sx"),
+              dec(dc * dy).alias("sy"),
+              dec(dc * (dx * dy)).alias("sxy"),
+              dec(dc * (dx * dx)).alias("sxx"),
+              dec(dc * (dy * dy)).alias("syy"))
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     num = n * F.col("sxy") - sx * sy
     den = F.sqrt((n * F.col("sxx") - sx * sx)
@@ -3784,14 +3795,19 @@ def ml_influence_logo_newton(spark, sf_dir):
     sc = (_logreg_d_s_frame(spark, sf_dir,
                             extra=(f"{_LOGO_GRP_SQL} AS grp",))
           .crossJoin(F.broadcast(beta))
-          .selectExpr("*", f"1.0 / (1.0 + exp(-({z}))) AS p")
-          .localCheckpoint(eager=True))        # feeds mg + mf
+          .selectExpr("*", f"1.0 / (1.0 + exp(-({z}))) AS p"))
     dec = lambda t, a: F.expr(  # noqa: E731
         f"SUM(CAST({t} AS DECIMAL(38,18)))").alias(a)
-    mg = sc.groupBy("grp").agg(
-        F.count("*").cast("bigint").alias("n_g"),
-        *[dec(t, f"{nm}_g") for nm, t in _logreg_d_agg_terms()])
-    mf = sc.agg(*[dec(t, f"{nm}_f") for nm, t in _logreg_d_agg_terms()])
+    mg = (sc.groupBy("grp").agg(
+              F.count("*").cast("bigint").alias("n_g"),
+              *[dec(t, f"{nm}_g") for nm, t in _logreg_d_agg_terms()])
+          .localCheckpoint(eager=True))        # feeds mf + lo
+    # full-corpus moments = the grouped moments re-summed: DECIMAL
+    # sums are exact and associative, so this is value-identical to a
+    # second scan — one scoring pass instead of two (plus no corpus-
+    # sized checkpoint; r9 pinned sc and scanned it twice)
+    mf = mg.agg(*[F.sum(f"{nm}_g").alias(f"{nm}_f")
+                  for nm, _ in _logreg_d_agg_terms()])
     lo = (mg.crossJoin(F.broadcast(mf))
           .select("grp", "n_g",
                   *[(F.col(f"{nm}_f") - F.col(f"{nm}_g")).cast("double")

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from ..artifacts import SessionMemo
 from ..functions.vectors import cosine_similarity, to_double_array
 from ..sources import load_table
 from .registry import query
@@ -130,22 +131,51 @@ def bm25_rank_df(qt: DataFrame, tf: DataFrame, dl: DataFrame,
         F.round("score", 6).alias("score"))
 
 
-def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(query_id, doc_id, rank, score) for the fixed query workload —
-    the shared sparse arm of sim_bm25_topk and rank_fusion_rrf."""
+_BM25_INDEX_MEMO = SessionMemo()
+
+
+def _bm25_index(spark: SparkSession, sf_dir: str) -> tuple:
+    """(tf, dl, stats): the postings index for the fixed query-term
+    workload — the session-memoized STORED-INDEX face of the BM25
+    family (sim_bm25_topk and rank_fusion_rrf each rebuilt it from the
+    raw corpus per call; the streaming twin streaming/bm25index.py
+    already persists exactly these relations).  Scoring itself stays
+    per-call: only the index is pinned."""
+    hit = _BM25_INDEX_MEMO.get(spark, sf_dir)
+    if hit is not None:
+        return hit
     docs = load_table(spark, sf_dir, "documents")
     qt = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
-    toks = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # doc length = token-array size on the UN-exploded row: identical
+    # to count-after-explode for every doc that produces tokens (the
+    # size() > 0 filter reproduces explode dropping empty docs), and
+    # it saves a full corpus explode + doc_id-keyed agg shuffle
+    # (guide §2.4 — the explode below then only feeds the pruned tf)
+    dl = (docs.select("doc_id", F.size(tokens_col()).alias("dl"))
+          .filter(F.col("dl") > 0)
+          .localCheckpoint(eager=True))
     stats = dl.agg(
         F.count("*").alias("n"),
         (F.sum(F.col("dl").cast("decimal(18,0)")).cast("double")
-         / F.count("*")).alias("avgdl"))
+         / F.count("*")).alias("avgdl")).localCheckpoint(eager=True)
     # Posting lists only for queried terms: the semi-join prunes the
     # token stream before the tf aggregation ever shuffles.
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
     qterms = qt.select("term").distinct()
     tf = (toks.join(F.broadcast(qterms), toks.token == qterms.term)
-          .groupBy("doc_id", "token").agg(F.count("*").alias("tf")))
+          .groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+          .localCheckpoint(eager=True))
+    hit = (tf, dl, stats)
+    _BM25_INDEX_MEMO.put(spark, sf_dir, hit)
+    return hit
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, rank, score) for the fixed query workload —
+    the shared sparse arm of sim_bm25_topk and rank_fusion_rrf:
+    per-call scoring over the session-pinned postings index."""
+    qt = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    tf, dl, stats = _bm25_index(spark, sf_dir)
     return bm25_rank_df(qt, tf, dl, stats)
 
 

@@ -3068,14 +3068,22 @@ def ngram_novelty_decay(spark, sf_dir):
     # (the raw-stream form executed the corpus-sized explode twice)
     per = (grams.select("decile", "h").distinct()
            .localCheckpoint(eager=True))
-    first_seen = per.groupBy("h").agg(F.min("decile").alias("first_decile"))
-    new_flag = F.when(F.col("first_decile") == F.col("decile"), 1).otherwise(0)
-    return (per.join(first_seen, "h")
-            .groupBy("decile")
-            .agg(F.count("*").cast("bigint").alias("n_distinct_grams"),
-                 F.sum(new_flag).cast("bigint").alias("n_new_grams"),
-                 (F.sum(new_flag).cast("double") / F.count("*"))
-                 .alias("novelty_rate")))
+    # no (h)-keyed join back: every first_seen gram h contributes
+    # exactly ONE `per` row with decile == first_decile, so the
+    # per-decile novel count is just first_seen regrouped — two
+    # vocab-sized aggregates and a 10-row broadcast join replace the
+    # r9 shape's vocab x vocab equi-join (guide §2.4)
+    n_per = (per.groupBy("decile")
+             .agg(F.count("*").cast("bigint").alias("n_distinct_grams")))
+    n_new = (per.groupBy("h").agg(F.min("decile").alias("decile"))
+             .groupBy("decile")
+             .agg(F.count("*").cast("bigint").alias("n_new_grams")))
+    return (n_per.join(F.broadcast(n_new), "decile", "left")
+            .select("decile", "n_distinct_grams",
+                    F.coalesce("n_new_grams", F.lit(0)).cast("bigint")
+                    .alias("n_new_grams"),
+                    (F.coalesce("n_new_grams", F.lit(0)).cast("double")
+                     / F.col("n_distinct_grams")).alias("novelty_rate")))
 
 
 _SPAN_K = 8  # tokens per window; published ExactSubstr uses 50 BPE tokens
