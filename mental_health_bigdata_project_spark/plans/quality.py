@@ -4656,13 +4656,18 @@ def ml_gbdt_stumps(spark, sf_dir):
     O(features x bins) per round, and nothing ever collects rows."""
     lr = float(_GBDT_LR)
     s0 = _logreg_d_s_frame(spark, sf_dir)
+    # pin the two 1-row global-moment frames: each broadcast reuse
+    # (every round's residual chain + every report row) otherwise
+    # re-runs the full events aggregation behind them (guide §5 —
+    # measured ~4 redundant scans at 2 rounds)
     mu = s0.agg(
         F.count("*").cast("double").alias("nt"),
         F.sum(F.col("y").cast("decimal(38,18)")).cast("double").alias("sy"),
         F.sum((F.col("y") * F.col("y")).cast("decimal(38,18)"))
-        .cast("double").alias("syy"))
+        .cast("double").alias("syy")).localCheckpoint(eager=True)
     m0 = mu.selectExpr("nt", "sy / nt AS mean_y",
-                       "(syy - sy * sy / nt) / nt AS mse0")
+                       "(syy - sy * sy / nt) / nt AS mse0") \
+        .localCheckpoint(eager=True)
     resid = (s0.crossJoin(F.broadcast(m0))
              .selectExpr("*", "y - mean_y AS r"))
     feat_names = [nm for nm, _ in _logreg_d_features()[1:]]
@@ -4939,12 +4944,16 @@ def ml_platt_scaling(spark, sf_dir):
     this is the cheapest possible recalibration: no sort, no join
     wider than a 1-row broadcast."""
     beta = _logreg_d_beta(spark, sf_dir)
+    # ONE scoring scan for both splits: pin the scored frame and slice
+    # it per split (r9 pinned only the calibration slice, so the eval
+    # split re-ran the whole scoring scan — guide §1.2 step 1)
     ds = (_logreg_d_s_frame(spark, sf_dir, extra=("event_id",))
           .crossJoin(F.broadcast(beta))
-          .selectExpr("event_id", "y", f"{_logreg_d_z()} AS x"))
-    pcal = ds.filter("event_id % 3 = 0").select("y", "x") \
-        .localCheckpoint(eager=True)       # 3 Newton scans reuse it
-    peval = ds.filter("event_id % 3 <> 0").select("y", "x")
+          .selectExpr("event_id % 3 AS fold", "y",
+                      f"{_logreg_d_z()} AS x")
+          .localCheckpoint(eager=True))
+    pcal = ds.filter("fold = 0").select("y", "x")
+    peval = ds.filter("fold <> 0").select("y", "x")
     pbeta = spark.createDataFrame([(0.0, 0.0)], "a0 double, a1 double")
     s = _PLATT_SIG.replace("b.a0", "a0").replace("b.a1", "a1")
     d18 = "DECIMAL(38,18)"
@@ -4971,12 +4980,15 @@ def ml_platt_scaling(spark, sf_dir):
     dsum = lambda c: F.sum(F.expr(f"CAST({c} AS {d18})")).cast("double")  # noqa: E731
 
     def ece(pcol: str, alias: str):
+        # pin the 10-row bin table: `tot` and the ECE sum both consume
+        # it, and unpinned each re-ran the eval-split aggregation
         b = (pe.groupBy(
                 F.expr(f"LEAST({_CALIB_BINS - 1},"
                        f" CAST(floor({pcol} * {_CALIB_BINS}) AS INTEGER))")
                 .alias("bin"))
              .agg(F.count("*").cast("bigint").alias("n"),
-                  dsum(pcol).alias("sp"), dsum("y").alias("sy")))
+                  dsum(pcol).alias("sp"), dsum("y").alias("sy"))
+             .localCheckpoint(eager=True))
         tot = b.agg(F.sum("n").alias("nt"))
         return (b.crossJoin(F.broadcast(tot))
                 .agg(dsum("(CAST(n AS DOUBLE) / nt)"
