@@ -168,14 +168,21 @@ def dedup_embeddings_against_index(batch_df: DataFrame, batch_id: int,
     partition overwrite on the accepted output; the index is
     partitioned by (cell, batch_id) so a retried batch rewrites only
     its own slices."""
-    from ..functions.vectors import cosine_similarity, to_double_array
+    from ..functions.vectors import dot_product, l2_norm, to_double_array
     from ..plans.similarity import embedding_cell_expr
 
     spark = batch_df.sparkSession
+    # per-VECTOR L2 norm computed once on each side of the cell joins
+    # (r10, guide §4.1 higher-order-function cost: cosine_similarity
+    # folds the arrays three times PER PAIR; norms hoisted to the row
+    # projections leave one dot fold per pair — sqrt(naa)*sqrt(nbb) is
+    # the same double expression, so accept/drop sets are unchanged,
+    # mirroring the batch twin's build_pairs)
     b = batch_df.select(
         F.col(id_col), F.col(vec_col),
         to_double_array(vec_col).alias("_emb"),
         embedding_cell_expr(vec_col).alias("cell"))
+    b = b.withColumn("_nrm", l2_norm(F.col("_emb")))
 
     idx = os.path.join(index_dir, "vectors")
     seen = _read_index(spark, idx,
@@ -183,8 +190,10 @@ def dedup_embeddings_against_index(batch_df: DataFrame, batch_id: int,
                        before_batch=batch_id)
 
     if seen is not None:
+        seen = seen.withColumn("_inrm", l2_norm(F.col("_iemb")))
         hit_prior = (b.join(seen, b.cell == F.col("_icell"))
-                     .filter(cosine_similarity(F.col("_emb"), F.col("_iemb"))
+                     .filter(dot_product(F.col("_emb"), F.col("_iemb"))
+                             / (F.col("_nrm") * F.col("_inrm"))
                              >= threshold)
                      .select(id_col).distinct())
         b = b.join(hit_prior, id_col, "left_anti")
@@ -192,13 +201,13 @@ def dedup_embeddings_against_index(batch_df: DataFrame, batch_id: int,
     # within-batch: a vector loses to any lower-id cell-mate above the
     # threshold (keep-min, mirroring the text path)
     lhs = b.select(F.col("cell").alias("_c"), F.col(id_col).alias("_ida"),
-                   F.col("_emb").alias("_ea"))
+                   F.col("_emb").alias("_ea"), F.col("_nrm").alias("_na"))
     rhs = b.select(F.col("cell").alias("_c2"), F.col(id_col).alias("_idb"),
-                   F.col("_emb").alias("_eb"))
+                   F.col("_emb").alias("_eb"), F.col("_nrm").alias("_nb"))
     losers = (lhs.join(rhs, (F.col("_c") == F.col("_c2"))
                        & (F.col("_ida") > F.col("_idb")))
-              .filter(cosine_similarity(F.col("_ea"), F.col("_eb"))
-                      >= threshold)
+              .filter(dot_product(F.col("_ea"), F.col("_eb"))
+                      / (F.col("_na") * F.col("_nb")) >= threshold)
               .select(F.col("_ida").alias(id_col)).distinct())
     kept = b.join(losers, id_col, "left_anti")
 
@@ -208,8 +217,15 @@ def dedup_embeddings_against_index(batch_df: DataFrame, batch_id: int,
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("batch_id")
      .parquet(os.path.join(out_dir, "accepted")))
+    # cluster the delta by cell before the write: unclustered, every
+    # shuffle task holding a few rows of each cell writes its own file
+    # into every (cell, batch_id) dir — measured 225 files for ONE
+    # 8k-vector batch, and each later batch re-lists and re-opens all
+    # of them (guide §6 small-files).  One exchange on cell makes it
+    # one file per touched cell per batch.
     (kept.select("cell", F.col("_emb").alias("_iemb"))
      .withColumn("batch_id", F.lit(batch_id))
+     .repartition("cell")
      .write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("cell", "batch_id")
