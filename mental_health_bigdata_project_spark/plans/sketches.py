@@ -732,6 +732,48 @@ def _bloom_probe_verdicts(train: DataFrame, bench: DataFrame, s_col: str,
                   *[f"_hit{j}" for j in range(_BLOOM_K)]))
 
 
+def _bloom_verdict_report(verdicts: DataFrame) -> DataFrame:
+    """The shared (n_train_grams .. n_docs_exact) rollup over a
+    per-gram verdict relation.
+
+    The direct form — one agg with two COUNT(DISTINCT doc_id) branches
+    — plans an Expand that TRIPLES the gram relation before its
+    exchange (guide §2.3: shuffle fewer bytes; the r10 `_before` plans
+    show Expand feeding the widest Exchange of both bloom gates).
+    Grouping by doc_id first reduces map-side to ~#docs rows (distinct-
+    doc flags become per-doc MAX, gram counters per-doc SUMs), then a
+    1-row total sums the per-doc partials — every output is the same
+    exact integer (sum of per-group integer sums == global sum;
+    COUNT(DISTINCT doc) == SUM over docs of MAX(flag)), so the oracle
+    hash is unchanged."""
+    fp_g = ((F.col("bloom_pos") == 1) & (F.col("exact_pos") == 0))
+    fn_g = ((F.col("bloom_pos") == 0) & (F.col("exact_pos") == 1))
+    per_doc = (verdicts.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("_n"),
+                    F.sum("bloom_pos").alias("_nb"),
+                    F.sum("exact_pos").alias("_nx"),
+                    F.sum(fp_g.cast("int")).alias("_nfp"),
+                    F.sum(fn_g.cast("int")).alias("_nfn"),
+                    F.max("bloom_pos").alias("_db"),
+                    F.max("exact_pos").alias("_dx")))
+    # COUNT(*)/COUNT(DISTINCT ..) are 0 on an empty relation while SUM
+    # is NULL — coalesce exactly those three so the empty-train edge
+    # (tiny fixtures) keeps the original/oracle values
+    return per_doc.agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("bigint")
+        .alias("n_train_grams"),
+        F.sum("_nb").cast("bigint").alias("n_bloom_pos"),
+        F.sum("_nx").cast("bigint").alias("n_exact_pos"),
+        F.sum("_nfp").cast("bigint").alias("n_false_pos"),
+        F.sum("_nfn").cast("bigint").alias("n_false_neg"),
+        F.round(F.sum("_nfp").cast("double") / F.sum("_n"), 6)
+        .alias("fp_rate"),
+        F.coalesce(F.sum("_db"), F.lit(0)).cast("bigint")
+        .alias("n_docs_bloom"),
+        F.coalesce(F.sum("_dx"), F.lit(0)).cast("bigint")
+        .alias("n_docs_exact"))
+
+
 @query("sketch_bloom_decontam", f"""
     WITH {_BLOOM_SHINGLES_SQL},
     bbits AS (
@@ -797,20 +839,9 @@ def sketch_bloom_decontam(spark, sf_dir):
     # (the r9 shape paid two corpus-gram shuffles; see
     # _bloom_probe_verdicts for the equivalence argument)
     verdicts = _bloom_probe_verdicts(train, bench, "shingle")
-    fp = F.sum(((F.col("bloom_pos") == 1) & (F.col("exact_pos") == 0))
-               .cast("int"))
-    return verdicts.agg(
-        F.count("*").cast("bigint").alias("n_train_grams"),
-        F.sum("bloom_pos").cast("bigint").alias("n_bloom_pos"),
-        F.sum("exact_pos").cast("bigint").alias("n_exact_pos"),
-        fp.cast("bigint").alias("n_false_pos"),
-        F.sum(((F.col("bloom_pos") == 0) & (F.col("exact_pos") == 1))
-              .cast("int")).cast("bigint").alias("n_false_neg"),
-        F.round(fp.cast("double") / F.count("*"), 6).alias("fp_rate"),
-        F.countDistinct(F.when(F.col("bloom_pos") == 1, F.col("doc_id")))
-        .cast("bigint").alias("n_docs_bloom"),
-        F.countDistinct(F.when(F.col("exact_pos") == 1, F.col("doc_id")))
-        .cast("bigint").alias("n_docs_exact"))
+    # per-doc pre-aggregation instead of the 2-countDistinct Expand
+    # (r10 round 2; see _bloom_verdict_report)
+    return _bloom_verdict_report(verdicts)
 
 
 # --- GPT-3-style 13-gram Bloom decontamination ----------------------------
@@ -902,20 +933,9 @@ def decontam_ngram13_bloom(spark, sf_dir):
     # explode -> semi-join -> regroup -> join-back chain
     verdicts = _bloom_probe_verdicts(train, bench, "h",
                                      m=_NG13_BLOOM_M, nibbles=5)
-    fp = F.sum(((F.col("bloom_pos") == 1) & (F.col("exact_pos") == 0))
-               .cast("int"))
-    return verdicts.agg(
-        F.count("*").cast("bigint").alias("n_train_grams"),
-        F.sum("bloom_pos").cast("bigint").alias("n_bloom_pos"),
-        F.sum("exact_pos").cast("bigint").alias("n_exact_pos"),
-        fp.cast("bigint").alias("n_false_pos"),
-        F.sum(((F.col("bloom_pos") == 0) & (F.col("exact_pos") == 1))
-              .cast("int")).cast("bigint").alias("n_false_neg"),
-        F.round(fp.cast("double") / F.count("*"), 6).alias("fp_rate"),
-        F.countDistinct(F.when(F.col("bloom_pos") == 1, F.col("doc_id")))
-        .cast("bigint").alias("n_docs_bloom"),
-        F.countDistinct(F.when(F.col("exact_pos") == 1, F.col("doc_id")))
-        .cast("bigint").alias("n_docs_exact"))
+    # per-doc pre-aggregation instead of the 2-countDistinct Expand
+    # (r10 round 2; see _bloom_verdict_report)
+    return _bloom_verdict_report(verdicts)
 
 
 # --- weighted reservoir sampling (Efraimidis–Spirakis A-ES) ---------------

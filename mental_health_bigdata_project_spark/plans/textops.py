@@ -4470,19 +4470,30 @@ def mixture_doremi_weights(spark, sf_dir):
     Exactness: per-(domain, word) KL terms are doubles computed from
     exact integer counts with identical op order on both engines,
     summed in DECIMAL(38,18) (the transcendental-sum convention); the
-    5-row softmax normalizer is likewise a decimal sum.  Plan: ONE
-    corpus scan -> (lang, word) hash agg; the word-marginal join is
-    grouped algebra on the distinct-word relation (Zipf-sized, far
-    smaller than the corpus), and the final reweighting is arithmetic
-    on a #domains-row relation.  At 100 TB: map-side partial counts
-    ride the scan; nothing but (lang, word) count pairs ever
-    shuffles, and the EG step moves #domains numbers."""
-    d = _docs(spark, sf_dir).select("lang", tokens_col().alias("toks"))
-    dg = (d.select("lang", F.explode("toks").alias("w"))
-          .groupBy("lang", "w")
-          .agg(F.count("*").cast("bigint").alias("c"))
-          .localCheckpoint(eager=True))        # feeds nd/gw/kl
-    return doremi_from_counts(dg)
+    5-row softmax normalizer is likewise a decimal sum — see the
+    _doremi_pivot block comment for the pivot-form equivalence
+    argument.  Plan (r10): ONE corpus scan -> per-word lang-PIVOTED
+    hash agg (pinned, shared by the trajectory/t5 twins); the KL pass
+    is a single shuffle-free aggregate over the pivot (the word
+    marginal is an in-row sum of the count columns), and the final
+    reweighting is arithmetic on a #domains-row frame.  At 100 TB:
+    map-side partial counts ride the scan; nothing but per-word count
+    vectors ever shuffle — once — and the EG step moves #domains
+    numbers."""
+    piv, langs, col_of, nd, tot = _doremi_pivot(spark, sf_dir)
+    if not langs:
+        return spark.createDataFrame(
+            [], "lang string, n_tokens bigint, token_share double, "
+                "excess_loss double, doremi_weight double")
+    (s1,) = _doremi_pivot_steps(piv, langs, col_of, nd, tot, 1)
+    out = spark.createDataFrame(
+        [(l, int(nd[l]), s1[l]["e"], s1[l]["wt"]) for l in langs],
+        "lang string, n_tokens bigint, e double, wt double")
+    share = F.col("n_tokens").cast("double") / F.lit(tot)
+    return out.select("lang", "n_tokens",
+                      F.round(share, 6).alias("token_share"),
+                      F.round("e", 6).alias("excess_loss"),
+                      F.round("wt", 6).alias("doremi_weight"))
 
 
 def doremi_from_counts(dg):
@@ -4516,6 +4527,154 @@ def doremi_from_counts(dg):
                     F.round("excess", 6).alias("excess_loss"),
                     F.round(F.col("r") / F.col("z"), 6)
                     .alias("doremi_weight")))
+
+
+# --- DoReMi over the lang-PIVOTED count table (r10 optimization) ----------
+#
+# The join-based EG step (doremi_from_counts / the unrolled CTE oracles)
+# pays TWO vocab-sized shuffles per step: the per-word reference-mixture
+# regroup (q_k = dg GROUP BY w) and the dg JOIN q_k re-join.  But with a
+# handful of domains the whole recurrence only ever needs, per word, the
+# count vector across domains — so pivot (w, lang, c) into one row per
+# word (w, c_0..c_D) ONCE, and every step becomes a single shuffle-free
+# aggregate over the pinned pivot: Q_{k-1}(w) is an in-row expression
+# over the count columns and the LITERAL step-(k-1) weights (#domains
+# doubles collected per step — the bounded-driver-reduction contract the
+# k-center/BPE loops already use).  At 100 TB: zero vocab shuffles per
+# step instead of two; the per-step data cost is one scan of the pivot.
+#
+# Exactness (the oracle SQL is unchanged, so this must be value-
+# identical): every decimal accumulation stays EXACT —
+#   * e_k per domain: the same CAST(p*ln(p/q) AS DECIMAL(38,18)) terms
+#     summed by F.sum (exact aggregate); words where a domain has no
+#     count contribute no term (F.when with no otherwise), exactly like
+#     the absent (lang, w) rows of dg.
+#   * Q_{k-1}(w): the oracle sums CAST(wt*p AS DECIMAL(38,18)) over the
+#     <= #domains rows of word w.  Here each term is CAST to
+#     DECIMAL(20,18) — identical digits for |x| < 100, and wt*p <= 1 —
+#     and the terms are added PAIRWISE (tree fold): decimal + keeps
+#     scale 18 and grows precision by 1 per tree LEVEL, so the sum is
+#     exact (never scale-reduced) up to 2^18 domains; absent domains
+#     coalesce to an exact decimal zero.  The decimal value equals the
+#     oracle's SUM digit for digit, so the CAST to DOUBLE agrees.
+#   * r/z/wt and all transcendentals (ln, exp) are computed by the SAME
+#     JVM expressions on #domains-row frames; weights cross steps as
+#     collected doubles re-embedded via F.lit (bit-exact round trip).
+
+_DOREMI_PIVOT_MEMO = SessionMemo()
+
+
+def _doremi_pivot(spark: SparkSession, sf_dir: str):
+    """(piv, langs, col_of, nd, tot): the per-word lang-pivoted count
+    table (w, c_0..c_D) pinned once per dataset — the stored
+    mixture-counts artifact all three DoReMi queries share (the same
+    relation streaming/mixturestate.py persists as its state), built
+    with ONE corpus-token shuffle.  ``langs`` are the ACTIVE domains
+    (>= 1 token; token-less langs have no dg rows and are absent from
+    the join-based outputs too), ``col_of`` maps lang -> pivot column,
+    ``nd``/``tot`` the exact per-domain/corpus token totals."""
+    got = _DOREMI_PIVOT_MEMO.get(spark, sf_dir)
+    if got is not None:
+        return got
+    d = _docs(spark, sf_dir).select("lang", tokens_col().alias("toks"))
+    all_langs = sorted(
+        r[0] for r in d.select("lang").distinct().collect())
+    if not all_langs:
+        got = (None, [], {}, {}, 0)
+        _DOREMI_PIVOT_MEMO.put(spark, sf_dir, got)
+        return got
+    cols = [f"c{i}" for i in range(len(all_langs))]
+    piv = (d.select("lang", F.explode("toks").alias("w"))
+           .groupBy("w").pivot("lang", all_langs)
+           .agg(F.count(F.lit(1)).cast("bigint"))
+           .toDF("w", *cols)
+           .localCheckpoint(eager=True))
+    tot_row = piv.agg(*[F.sum(c).cast("bigint").alias(c)
+                        for c in cols]).collect()[0]
+    nd = {l: tot_row[c] for l, c in zip(all_langs, cols) if tot_row[c]}
+    langs = sorted(nd)
+    col_of = {l: c for l, c in zip(all_langs, cols) if l in nd}
+    got = (piv, langs, col_of, nd, sum(nd.values()))
+    _DOREMI_PIVOT_MEMO.put(spark, sf_dir, got)
+    return got
+
+
+def _tree_sum(terms):
+    """Pairwise (tree) fold of a column list with ``+`` — for decimals
+    the result precision grows 1 per LEVEL instead of 1 per term, so
+    the sum stays exact far past any realistic domain count."""
+    while len(terms) > 1:
+        nxt = [a + b for a, b in zip(terms[0::2], terms[1::2])]
+        if len(terms) % 2:
+            nxt.append(terms[-1])
+        terms = nxt
+    return terms[0]
+
+
+def _doremi_pivot_steps(piv, langs, col_of, nd, tot, n_steps):
+    """Run the EG recurrence to ``n_steps`` over the pivoted count
+    table with exactly ONE Spark job per step: the per-domain KL sums
+    ride the single shuffle-free ``piv`` aggregate, and the EG update
+    (r, the decimal-sum normalizer z, wt = r/z) rides a global-frame
+    window over the #domains-row explode of that aggregate — a LINEAR
+    plan with no second branch, so nothing recomputes and nothing
+    needs a checkpoint or broadcast (the first cut's per-step
+    z-aggregate + crossJoin re-ran the piv aggregate for the broadcast
+    subtree unless checkpointed, ~3 extra jobs per step).  The window
+    SUM evaluates the same exact decimal Sum over the same #domains
+    terms as the oracle's z CTE, so wt is value-identical.  Each
+    step's (lang, e, wt) rows are collected — #domains doubles, the
+    bounded-driver-reduction contract — and the weights re-enter step
+    k+1 (and the callers' output frames) as exact literals."""
+
+    results: list[dict] = []
+    wt_prev: dict | None = None
+    for step in range(1, n_steps + 1):
+        if step == 1:
+            # reference = pooled mixture: per-word global count / total
+            cg = _tree_sum([F.coalesce(F.col(col_of[l]), F.lit(0))
+                            for l in langs])
+            q_expr = cg.cast("double") / F.lit(tot)
+        else:
+            # reference = last step's weighted mixture, in-row
+            zero = F.lit(0).cast("decimal(20,18)")
+            terms = []
+            for l in langs:
+                c = F.col(col_of[l])
+                p_d = c.cast("double") / F.lit(nd[l])
+                terms.append(F.coalesce(
+                    F.when(c > 0, (F.lit(float(wt_prev[l])) * p_d)
+                           .cast("decimal(20,18)")), zero))
+            q_expr = _tree_sum(terms).cast("double")
+        aggs = []
+        for i, l in enumerate(langs):
+            c = F.col(col_of[l])
+            p_d = c.cast("double") / F.lit(nd[l])
+            aggs.append(F.sum(F.when(c > 0,
+                                     (p_d * F.log(p_d / q_expr))
+                                     .cast("decimal(38,18)")))
+                        .cast("double").alias(f"e{i}"))
+        structs = [F.struct(
+            F.lit(l).alias("lang"),
+            F.lit(int(nd[l])).cast("bigint").alias("n"),
+            (F.lit(float(wt_prev[l])) if wt_prev is not None
+             else F.lit(None).cast("double")).alias("wt_prev"),
+            F.col(f"e{i}").alias("e")) for i, l in enumerate(langs)]
+        ef = (piv.agg(*aggs)
+              .select(F.explode(F.array(*structs)).alias("s"))
+              .select("s.*"))
+        if step == 1:
+            r = ((F.col("n").cast("double") / F.lit(tot))
+                 * F.exp(F.lit(1.0) * F.col("e")))
+        else:
+            r = F.col("wt_prev") * F.exp(F.lit(1.0) * F.col("e"))
+        z = (F.sum(r.cast("decimal(38,18)"))
+             .over(Window.partitionBy()).cast("double"))
+        rows = ef.select("lang", "e", (r / z).alias("wt")).collect()
+        results.append({row["lang"]: {"e": row["e"], "wt": row["wt"]}
+                        for row in rows})
+        wt_prev = {l: results[-1][l]["wt"] for l in langs}
+    return results
 
 
 @query("text_heaps_law", f"""
@@ -4794,57 +4953,28 @@ def mixture_doremi_trajectory(spark, sf_dir):
     terms in DECIMAL(38,18) (order-free exact accumulation — a plain
     double hash-agg would be partition-order-dependent); both KL
     passes and both normalizers use the same decimal-sum convention
-    as the parent.  Plan: the SAME one-explode (lang, word) relation
-    feeds every pass (checkpointed once); each EG step adds one
-    vocab-sized grouped join — no corpus re-scan, no dense grid; the
-    per-step driver state is #domains numbers, exactly the
-    fixed-iteration contract of the PageRank/BPE loops."""
-    d = _docs(spark, sf_dir).select("lang", tokens_col().alias("toks"))
-    dg = (d.select("lang", F.explode("toks").alias("w"))
-          .groupBy("lang", "w")
-          .agg(F.count("*").cast("bigint").alias("c"))
-          .localCheckpoint(eager=True))        # feeds every pass
-    nd = (dg.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n"))
-          .localCheckpoint(eager=True))
-    gw = dg.groupBy("w").agg(F.sum("c").cast("bigint").alias("cg"))
-    tot = dg.agg(F.sum("c").cast("bigint").alias("nt"))
-    d18 = lambda c: F.sum(c.cast("decimal(38,18)")).cast("double")  # noqa: E731
-    p_dw = F.col("c").cast("double") / F.col("n")
-    kl1 = (dg.join(F.broadcast(nd), "lang")
-           .join(gw, "w")
-           .crossJoin(F.broadcast(tot))
-           .groupBy("lang")
-           .agg(d18(p_dw * F.log(p_dw / (F.col("cg").cast("double")
-                                         / F.col("nt")))).alias("e1")))
-    r1 = (kl1.join(F.broadcast(nd), "lang")
-          .crossJoin(F.broadcast(tot))
-          .select("lang", "e1",
-                  ((F.col("n").cast("double") / F.col("nt"))
-                   * F.exp(F.lit(1.0) * F.col("e1"))).alias("r")))
-    z1 = r1.agg(d18(F.col("r")).alias("z"))
-    w1 = (r1.crossJoin(F.broadcast(z1))
-          .select("lang", "e1", (F.col("r") / F.col("z")).alias("wt"))
-          .localCheckpoint(eager=True))        # step-1 model state
-    q1 = (dg.join(F.broadcast(nd), "lang")
-          .join(F.broadcast(w1.select("lang", "wt")), "lang")
-          .groupBy("w")
-          .agg(d18(F.col("wt") * p_dw).alias("q")))
-    kl2 = (dg.join(F.broadcast(nd), "lang")
-           .join(q1, "w")
-           .groupBy("lang")
-           .agg(d18(p_dw * F.log(p_dw / F.col("q"))).alias("e2")))
-    r2 = (w1.join(F.broadcast(kl2), "lang")
-          .select("lang", "e1", "wt", "e2",
-                  (F.col("wt") * F.exp(F.lit(1.0) * F.col("e2")))
-                  .alias("r")))
-    z2 = r2.agg(d18(F.col("r")).alias("z"))
-    return (r2.crossJoin(F.broadcast(z2))
-            .select("lang",
-                    F.round("e1", 6).alias("excess_loss_1"),
-                    F.round("wt", 6).alias("weight_1"),
-                    F.round("e2", 6).alias("excess_loss_2"),
-                    F.round(F.col("r") / F.col("z"), 6)
-                    .alias("weight_2")))
+    as the parent.  Plan (r10, see the _doremi_pivot block comment):
+    the per-word lang-PIVOTED count table is pinned once and each EG
+    step is ONE shuffle-free aggregate over it — Q1 is an in-row
+    expression over the count columns and the literal step-1 weights;
+    no per-step vocab join, no corpus re-scan; the per-step driver
+    state is #domains numbers, exactly the fixed-iteration contract
+    of the PageRank/BPE loops."""
+    piv, langs, col_of, nd, tot = _doremi_pivot(spark, sf_dir)
+    if not langs:
+        return spark.createDataFrame(
+            [], "lang string, excess_loss_1 double, weight_1 double, "
+                "excess_loss_2 double, weight_2 double")
+    s1, s2 = _doremi_pivot_steps(piv, langs, col_of, nd, tot, 2)
+    out = spark.createDataFrame(
+        [(l, s1[l]["e"], s1[l]["wt"], s2[l]["e"], s2[l]["wt"])
+         for l in langs],
+        "lang string, e1 double, w1 double, e2 double, w2 double")
+    return out.select("lang",
+                      F.round("e1", 6).alias("excess_loss_1"),
+                      F.round("w1", 6).alias("weight_1"),
+                      F.round("e2", 6).alias("excess_loss_2"),
+                      F.round("w2", 6).alias("weight_2"))
 
 
 @query("text_watermark_detect", f"""
@@ -5202,61 +5332,26 @@ def mixture_doremi_t5(spark, sf_dir):
     Exactness: identical conventions to mixture_doremi_trajectory —
     Q's per-word mixture sum, both KL passes and every normalizer
     accumulate in DECIMAL(38,18); weights are ratios of those exact
-    sums, 6dp-rounded only at output.  Plan: ONE corpus explode feeds
-    every step (checkpointed (lang, word) counts); each step adds one
-    vocab-sized grouped join + one (lang, word) join-agg — T is a
-    fixed small constant, per-step driver state is #domains numbers.
-    At 100 TB: T map-side-combinable vocab-shaped shuffles, no corpus
-    re-scan."""
-    d = _docs(spark, sf_dir).select("lang", tokens_col().alias("toks"))
-    dg = (d.select("lang", F.explode("toks").alias("w"))
-          .groupBy("lang", "w")
-          .agg(F.count("*").cast("bigint").alias("c"))
-          .localCheckpoint(eager=True))        # feeds every pass
-    nd = (dg.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n"))
-          .localCheckpoint(eager=True))
-    gw = dg.groupBy("w").agg(F.sum("c").cast("bigint").alias("cg"))
-    tot = dg.agg(F.sum("c").cast("bigint").alias("nt"))
-    d18 = lambda c: F.sum(c.cast("decimal(38,18)")).cast("double")  # noqa: E731
-    p_dw = F.col("c").cast("double") / F.col("n")
-    kl1 = (dg.join(F.broadcast(nd), "lang")
-           .join(gw, "w")
-           .crossJoin(F.broadcast(tot))
-           .groupBy("lang")
-           .agg(d18(p_dw * F.log(p_dw / (F.col("cg").cast("double")
-                                         / F.col("nt")))).alias("e")))
-    r1 = (kl1.join(F.broadcast(nd), "lang")
-          .crossJoin(F.broadcast(tot))
-          .select("lang", ((F.col("n").cast("double") / F.col("nt"))
-                           * F.exp(F.lit(1.0) * F.col("e"))).alias("r")))
-    z1 = r1.agg(d18(F.col("r")).alias("z"))
-    w_steps = [(r1.crossJoin(F.broadcast(z1))
-                .select("lang", (F.col("r") / F.col("z")).alias("wt"))
-                .localCheckpoint(eager=True))]  # 5-row model state / step
-    for _ in range(2, _DOREMI_T + 1):
-        prev = w_steps[-1]
-        q = (dg.join(F.broadcast(nd), "lang")
-             .join(F.broadcast(prev), "lang")
-             .groupBy("w")
-             .agg(d18(F.col("wt") * p_dw).alias("q")))
-        kl = (dg.join(F.broadcast(nd), "lang")
-              .join(q, "w")
-              .groupBy("lang")
-              .agg(d18(p_dw * F.log(p_dw / F.col("q"))).alias("e")))
-        r = (prev.join(F.broadcast(kl), "lang")
-             .select("lang",
-                     (F.col("wt") * F.exp(F.lit(1.0) * F.col("e")))
-                     .alias("r")))
-        z = r.agg(d18(F.col("r")).alias("z"))
-        w_steps.append(
-            r.crossJoin(F.broadcast(z))
-            .select("lang", (F.col("r") / F.col("z")).alias("wt"))
-            .localCheckpoint(eager=True))
-    out = w_steps[0].select("lang", F.col("wt").alias("wt_1"))
-    for k in range(2, _DOREMI_T + 1):
-        out = out.join(
-            w_steps[k - 1].select("lang", F.col("wt").alias(f"wt_{k}")),
-            "lang")
+    sums, 6dp-rounded only at output.  Plan (r10, see the
+    _doremi_pivot block comment): the per-word lang-PIVOTED count
+    table is pinned once and each EG step is ONE shuffle-free
+    aggregate over it — Q_{k-1} is an in-row expression over the
+    count columns and the literal step-(k-1) weights; T is a fixed
+    small constant, per-step driver state is #domains numbers.  At
+    100 TB: ONE vocab-shaped shuffle total (the pivot build), no
+    per-step shuffle, no corpus re-scan."""
+    piv, langs, col_of, nd, tot = _doremi_pivot(spark, sf_dir)
+    if not langs:
+        return spark.createDataFrame(
+            [], "lang string, "
+                + ", ".join(f"weight_{k} double"
+                            for k in range(1, _DOREMI_T + 1))
+                + ", delta_last double")
+    steps = _doremi_pivot_steps(piv, langs, col_of, nd, tot, _DOREMI_T)
+    out = spark.createDataFrame(
+        [tuple([l] + [s[l]["wt"] for s in steps]) for l in langs],
+        "lang string, " + ", ".join(f"wt_{k} double"
+                                    for k in range(1, _DOREMI_T + 1)))
     return out.select(
         "lang",
         *[F.round(f"wt_{k}", 6).alias(f"weight_{k}")

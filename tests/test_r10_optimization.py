@@ -153,3 +153,170 @@ def test_read_or_build_is_session_local_without_store_env(
     assert not os.path.isdir(os.path.join(artifacts.artifact_root(),
                                           artifacts._dataset_key(sf_dir),
                                           "t_opt_in"))
+
+
+# --- round-2 of the r10 optimization pass ---------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _write_docs(spark, tmp_path, rows):
+    """rows: (doc_id, lang, text)."""
+    df = spark.createDataFrame(
+        [(i, t, lg, "src0", len(t)) for i, lg, t in rows],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint")
+    d = str(tmp_path / "docs")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_doremi_pivot_weights_match_join_form(spark, tmp_path):
+    """mixture_doremi_weights (lang-pivot + shuffle-free KL aggregate)
+    must be value-identical to the r9 join-based algebra
+    (doremi_from_counts, still the streaming monitor's path) — and a
+    token-less lang must stay absent from the output, exactly like the
+    join form where it has no (lang, word) rows."""
+    from mental_health_bigdata_project_spark.plans import QUERIES
+    from mental_health_bigdata_project_spark.plans.textops import (
+        doremi_from_counts, tokens_col)
+    from mental_health_bigdata_project_spark.sources import load_table
+
+    d = _write_docs(spark, tmp_path, [
+        (1, "en", "aa bb bb cc dd dd dd"),
+        (2, "en", "aa aa ee"),
+        (3, "fr", "bb bb bb ff gg"),
+        (4, "zh", "aa cc cc hh hh hh hh"),
+        (5, "xx", "   "),                      # token-less domain
+    ])
+    got = {r["lang"]: r for r in
+           QUERIES["mixture_doremi_weights"](spark, d).collect()}
+    dg = (load_table(spark, d, "documents")
+          .select("lang", F.explode(tokens_col()).alias("w"))
+          .groupBy("lang", "w")
+          .agg(F.count("*").cast("bigint").alias("c")))
+    want = {r["lang"]: r for r in doremi_from_counts(dg).collect()}
+    assert got == want
+    assert "xx" not in got
+
+
+def test_doremi_pivot_t5_matches_join_recurrence(spark, tmp_path):
+    """mixture_doremi_t5 via the pivoted table must reproduce the r9
+    join-based unrolled recurrence (re-implemented here verbatim as
+    the reference) on every step's weights, bit-for-bit after the 6dp
+    output rounding."""
+    from mental_health_bigdata_project_spark.plans import QUERIES
+    from mental_health_bigdata_project_spark.plans.textops import (
+        _DOREMI_T, tokens_col)
+    from mental_health_bigdata_project_spark.sources import load_table
+
+    d = _write_docs(spark, tmp_path, [
+        (1, "en", "aa bb bb cc dd dd dd aa bb"),
+        (2, "en", "aa aa ee ff"),
+        (3, "fr", "bb bb bb ff gg gg hh"),
+        (4, "zh", "aa cc cc hh hh hh hh ii"),
+        (5, "de", "jj jj kk"),
+    ])
+    got = {r["lang"]: r for r in
+           QUERIES["mixture_doremi_t5"](spark, d).collect()}
+
+    # r9 reference: the join-form recurrence (the shape the unrolled
+    # CTE oracle mirrors), copied from the pre-pivot implementation
+    dg = (load_table(spark, d, "documents")
+          .select("lang", F.explode(tokens_col()).alias("w"))
+          .groupBy("lang", "w")
+          .agg(F.count("*").cast("bigint").alias("c"))
+          .localCheckpoint(eager=True))
+    nd = (dg.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n"))
+          .localCheckpoint(eager=True))
+    gw = dg.groupBy("w").agg(F.sum("c").cast("bigint").alias("cg"))
+    tot = dg.agg(F.sum("c").cast("bigint").alias("nt"))
+    d18 = lambda c: F.sum(c.cast("decimal(38,18)")).cast("double")  # noqa: E731
+    p_dw = F.col("c").cast("double") / F.col("n")
+    kl1 = (dg.join(F.broadcast(nd), "lang")
+           .join(gw, "w")
+           .crossJoin(F.broadcast(tot))
+           .groupBy("lang")
+           .agg(d18(p_dw * F.log(p_dw / (F.col("cg").cast("double")
+                                         / F.col("nt")))).alias("e")))
+    r1 = (kl1.join(F.broadcast(nd), "lang")
+          .crossJoin(F.broadcast(tot))
+          .select("lang", ((F.col("n").cast("double") / F.col("nt"))
+                           * F.exp(F.lit(1.0) * F.col("e"))).alias("r")))
+    z1 = r1.agg(d18(F.col("r")).alias("z"))
+    w_steps = [(r1.crossJoin(F.broadcast(z1))
+                .select("lang", (F.col("r") / F.col("z")).alias("wt"))
+                .localCheckpoint(eager=True))]
+    for _ in range(2, _DOREMI_T + 1):
+        prev = w_steps[-1]
+        q = (dg.join(F.broadcast(nd), "lang")
+             .join(F.broadcast(prev), "lang")
+             .groupBy("w")
+             .agg(d18(F.col("wt") * p_dw).alias("q")))
+        kl = (dg.join(F.broadcast(nd), "lang")
+              .join(q, "w")
+              .groupBy("lang")
+              .agg(d18(p_dw * F.log(p_dw / F.col("q"))).alias("e")))
+        r = (prev.join(F.broadcast(kl), "lang")
+             .select("lang",
+                     (F.col("wt") * F.exp(F.lit(1.0) * F.col("e")))
+                     .alias("r")))
+        z = r.agg(d18(F.col("r")).alias("z"))
+        w_steps.append(
+            r.crossJoin(F.broadcast(z))
+            .select("lang", (F.col("r") / F.col("z")).alias("wt"))
+            .localCheckpoint(eager=True))
+    out = w_steps[0].select("lang", F.col("wt").alias("wt_1"))
+    for k in range(2, _DOREMI_T + 1):
+        out = out.join(
+            w_steps[k - 1].select("lang", F.col("wt").alias(f"wt_{k}")),
+            "lang")
+    want = {r["lang"]: r for r in out.select(
+        "lang",
+        *[F.round(f"wt_{k}", 6).alias(f"weight_{k}")
+          for k in range(1, _DOREMI_T + 1)],
+        F.round(F.abs(F.col(f"wt_{_DOREMI_T}")
+                      - F.col(f"wt_{_DOREMI_T - 1}")), 6)
+        .alias("delta_last")).collect()}
+    assert got == want
+
+
+def test_bloom_verdict_report_matches_direct_agg(spark):
+    """_bloom_verdict_report (per-doc pre-aggregation, no Expand) must
+    equal the direct 2-countDistinct aggregate on mixed flags and on
+    the empty relation."""
+    from mental_health_bigdata_project_spark.plans.sketches import (
+        _bloom_verdict_report)
+
+    def direct(verdicts):
+        fp = F.sum(((F.col("bloom_pos") == 1) & (F.col("exact_pos") == 0))
+                   .cast("int"))
+        return verdicts.agg(
+            F.count("*").cast("bigint").alias("n_train_grams"),
+            F.sum("bloom_pos").cast("bigint").alias("n_bloom_pos"),
+            F.sum("exact_pos").cast("bigint").alias("n_exact_pos"),
+            fp.cast("bigint").alias("n_false_pos"),
+            F.sum(((F.col("bloom_pos") == 0) & (F.col("exact_pos") == 1))
+                  .cast("int")).cast("bigint").alias("n_false_neg"),
+            F.round(fp.cast("double") / F.count("*"), 6).alias("fp_rate"),
+            F.countDistinct(F.when(F.col("bloom_pos") == 1,
+                                   F.col("doc_id")))
+            .cast("bigint").alias("n_docs_bloom"),
+            F.countDistinct(F.when(F.col("exact_pos") == 1,
+                                   F.col("doc_id")))
+            .cast("bigint").alias("n_docs_exact"))
+
+    schema = ("doc_id bigint, shingle string, bloom_pos int, "
+              "exact_pos int")
+    rows = [
+        (1, "a b c", 1, 1), (1, "b c d", 1, 0), (1, "c d e", 0, 0),
+        (2, "a b c", 1, 1), (2, "x y z", 0, 0),
+        (3, "p q r", 0, 0), (3, "q r s", 0, 0),
+        (4, "m n o", 1, 0),
+    ]
+    v = spark.createDataFrame(rows, schema)
+    assert (_bloom_verdict_report(v).collect()
+            == direct(v).collect())
+    empty = spark.createDataFrame([], schema)
+    assert (_bloom_verdict_report(empty).collect()
+            == direct(empty).collect())
