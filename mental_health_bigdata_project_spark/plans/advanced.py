@@ -1630,20 +1630,64 @@ def layout_zorder_skipping(spark, sf_dir):
           .withColumn("x16", F.expr("x * 65536 div (mx + 1)"))
           .withColumn("y16", F.expr("y * 65536 div (my + 1)"))
           .withColumn("z", F.expr(_morton_expr("x16", "y16", "spark")))
-          # project BEFORE the two range exchanges: x16/y16/mx/my are
+          # project BEFORE the range exchange: x16/y16/mx/my are
           # dead past this point, so don't shuffle them (guide §2.3)
           .select("ok", "ln", "x", "y", "n", "z")
           .localCheckpoint(eager=True))
-    stats = None
-    for name, cols in (("arrival", ["ok", "ln"]),
-                       ("zorder", ["z", "x", "y", "ok", "ln"])):
-        ranked = _two_phase_global_rank(spark, zt, cols)
-        s = (ranked.withColumn("f", F.expr("(rn - 1) * 64 div n"))
-             .groupBy("f")
+    # ONE tagged range exchange ranks BOTH layouts (r10 round 2): each
+    # zt row enters twice under a layout tag with a composite bigint
+    # key whose within-tag order is exactly that layout's sort —
+    # arrival (ok, ln, 0, 0, 0), zorder (z, x, y, ok, ln).  Both are
+    # UNIQUE total orders (lineitem (ok, ln) is the PK), so each
+    # row's rank — hence its file and the per-file min/max — is
+    # determined by the order alone, identical to two separate ranks;
+    # the fusion halves the barrier count (1 range sample + exchange +
+    # pinned pid frame + window sort over 2N rows instead of 2 of
+    # each over N).  Same two-phase shape as _two_phase_global_rank:
+    # no single-partition window anywhere.
+    ks = [f"k{i}" for i in range(1, 6)]
+    zero = F.lit(0).cast("bigint")
+    u = (zt.select(F.lit("arrival").alias("layout"),
+                   F.col("ok").cast("bigint").alias("k1"),
+                   F.col("ln").cast("bigint").alias("k2"),
+                   zero.alias("k3"), zero.alias("k4"), zero.alias("k5"),
+                   "x", "y", "n")
+         .unionByName(
+             zt.select(F.lit("zorder").alias("layout"),
+                       F.col("z").cast("bigint").alias("k1"),
+                       F.col("x").cast("bigint").alias("k2"),
+                       F.col("y").cast("bigint").alias("k3"),
+                       F.col("ok").cast("bigint").alias("k4"),
+                       F.col("ln").cast("bigint").alias("k5"),
+                       "x", "y", "n")))
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    keyed = u.repartitionByRange(n_parts, "layout", *ks)
+    # pid-stamped frame pinned so the rank and offset branches observe
+    # identical RangePartitioner boundaries (assign_contiguous_ids
+    # rationale)
+    with_pid = (keyed.withColumn("pid", F.spark_partition_id())
+                .localCheckpoint())
+    local = with_pid.withColumn(
+        "_lrank", F.row_number().over(
+            Window.partitionBy("pid", "layout").orderBy(*ks)))
+    offsets = (with_pid.groupBy("layout", "pid")
+               .agg(F.count("*").alias("_pn"))
+               .withColumn(
+                   "_off",
+                   F.coalesce(
+                       F.sum("_pn").over(
+                           Window.partitionBy("layout").orderBy("pid")
+                           .rowsBetween(Window.unboundedPreceding, -1)),
+                       F.lit(0))))
+    ranked = (local.join(F.broadcast(offsets.select("layout", "pid",
+                                                    "_off")),
+                         ["layout", "pid"])
+              .withColumn("rn", (F.col("_off") + F.col("_lrank"))
+                          .cast("bigint")))
+    stats = (ranked.withColumn("f", F.expr("(rn - 1) * 64 div n"))
+             .groupBy("layout", "f")
              .agg(F.min("x").alias("mnx"), F.max("x").alias("mxx"),
-                  F.min("y").alias("mny"), F.max("y").alias("mxy"))
-             .withColumn("layout", F.lit(name)))
-        stats = s if stats is None else stats.unionByName(s)
+                  F.min("y").alias("mny"), F.max("y").alias("mxy")))
     probes = (spark.range(0, 8).select(F.col("id").alias("k"))
               .crossJoin(F.broadcast(mx))
               .select(F.col("k").cast("int").alias("query_id"),

@@ -320,3 +320,73 @@ def test_bloom_verdict_report_matches_direct_agg(spark):
     empty = spark.createDataFrame([], schema)
     assert (_bloom_verdict_report(empty).collect()
             == direct(empty).collect())
+
+
+def test_zorder_fused_rank_matches_per_layout_ranks(spark, tmp_path):
+    """layout_zorder_skipping's single tagged range exchange must give
+    every row the same file as the r9 per-layout _two_phase_global_rank
+    passes (both sort keys are unique total orders, so ranks are
+    order-determined) — pinned by comparing the full query output
+    against a reference built from two independent rank passes."""
+    from mental_health_bigdata_project_spark.plans import QUERIES
+    from mental_health_bigdata_project_spark.plans.advanced import (
+        _morton_expr, _two_phase_global_rank)
+
+    rows = [(ok, ln, (ok * 37 + ln * 11) % 97, (ok * 13 + ln * 7) % 53)
+            for ok in range(1, 130) for ln in (1, 2, 3)]
+    df = spark.createDataFrame(
+        rows, "l_orderkey bigint, l_linenumber int, l_partkey bigint, "
+              "l_suppkey bigint")
+    d = str(tmp_path / "zc")
+    df.coalesce(2).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+
+    got = sorted(tuple(r) for r in
+                 QUERIES["layout_zorder_skipping"](spark, d).collect())
+
+    # r9 reference: one _two_phase_global_rank per layout
+    li = (spark.read.parquet(f"{d}/lineitem.parquet")
+          .select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_linenumber").alias("ln"),
+                  F.col("l_partkey").alias("x"),
+                  F.col("l_suppkey").alias("y")))
+    mx = li.agg(F.max("x").alias("mx"), F.max("y").alias("my"),
+                F.count("*").alias("n")).localCheckpoint(eager=True)
+    zt = (li.crossJoin(F.broadcast(mx))
+          .withColumn("x16", F.expr("x * 65536 div (mx + 1)"))
+          .withColumn("y16", F.expr("y * 65536 div (my + 1)"))
+          .withColumn("z", F.expr(_morton_expr("x16", "y16", "spark")))
+          .select("ok", "ln", "x", "y", "n", "z")
+          .localCheckpoint(eager=True))
+    stats = None
+    for name, cols in (("arrival", ["ok", "ln"]),
+                       ("zorder", ["z", "x", "y", "ok", "ln"])):
+        ranked = _two_phase_global_rank(spark, zt, cols)
+        s = (ranked.withColumn("f", F.expr("(rn - 1) * 64 div n"))
+             .groupBy("f")
+             .agg(F.min("x").alias("mnx"), F.max("x").alias("mxx"),
+                  F.min("y").alias("mny"), F.max("y").alias("mxy"))
+             .withColumn("layout", F.lit(name)))
+        stats = s if stats is None else stats.unionByName(s)
+    probes = (spark.range(0, 8).select(F.col("id").alias("k"))
+              .crossJoin(F.broadcast(mx))
+              .select(F.col("k").cast("int").alias("query_id"),
+                      F.expr("mx * (2 * k) div 16").alias("xlo"),
+                      F.expr("mx * (2 * k + 1) div 16").alias("xhi"),
+                      F.expr("my * (2 * k) div 16").alias("ylo"),
+                      F.expr("my * (2 * k + 1) div 16").alias("yhi")))
+    scanned = F.when((F.col("mxx") < F.col("xlo"))
+                     | (F.col("mnx") > F.col("xhi"))
+                     | (F.col("mxy") < F.col("ylo"))
+                     | (F.col("mny") > F.col("yhi")), 0).otherwise(1)
+    want = sorted(tuple(r) for r in
+                  (stats.crossJoin(F.broadcast(probes))
+                   .select("layout", "query_id", scanned.alias("scanned"))
+                   .groupBy("layout", "query_id")
+                   .agg(F.sum("scanned").cast("bigint")
+                        .alias("files_scanned"))
+                   .select("layout", "query_id", "files_scanned",
+                           F.lit(64).cast("int").alias("files_total"),
+                           (F.lit(1.0)
+                            - F.col("files_scanned").cast("double")
+                            / F.lit(64)).alias("skip_frac"))).collect())
+    assert got == want
