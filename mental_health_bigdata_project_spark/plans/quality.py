@@ -4953,55 +4953,84 @@ def ml_platt_scaling(spark, sf_dir):
                       f"{_logreg_d_z()} AS x")
           .localCheckpoint(eager=True))
     pcal = ds.filter("fold = 0").select("y", "x")
-    peval = ds.filter("fold <> 0").select("y", "x")
-    pbeta = spark.createDataFrame([(0.0, 0.0)], "a0 double, a1 double")
-    s = _PLATT_SIG.replace("b.a0", "a0").replace("b.a1", "a1")
+    peval = ds.filter("fold <> 0")
     d18 = "DECIMAL(38,18)"
-    for _ in range(_PLATT_STEPS):
-        m = (pcal.crossJoin(F.broadcast(pbeta))
-             .agg(*[F.expr(f"CAST(SUM(CAST({t} AS {d18})) AS DOUBLE)")
-                    .alias(nm) for nm, t in [
-                        ("g0", f"(y - {s})"),
-                        ("g1", f"(y - {s}) * x"),
-                        ("h00", f"({s}) * (1.0 - {s})"),
-                        ("h01", f"({s}) * (1.0 - {s}) * x"),
-                        ("h11", f"({s}) * (1.0 - {s}) * x * x")]]))
-        pbeta = (pbeta.crossJoin(F.broadcast(m))
-                 .selectExpr(
-                     "a0 + (h11 * g0 - h01 * g1)"
-                     " / (h00 * h11 - h01 * h01) AS a0",
-                     "a1 + (h00 * g1 - h01 * g0)"
-                     " / (h00 * h11 - h01 * h01) AS a1")
-                 .localCheckpoint(eager=True))
-    pe = (peval.crossJoin(F.broadcast(pbeta))
-          .selectExpr("y", "1.0 / (1.0 + exp(-x)) AS praw",
-                      f"{s} AS pcal_p")
-          .localCheckpoint(eager=True))    # feeds both bin aggs
+    # Newton steps with the 2-number model as collected driver floats
+    # (r10 round 2): the update a' = a + (H^-1 g) is pure IEEE binary64
+    # *,-,/ arithmetic — no transcendental — so evaluating it in Python
+    # on the collected sums is bit-identical to the 1-row Spark chain
+    # it replaces (which needed a checkpoint + crossJoin broadcast per
+    # step); the sigmoid itself stays in the JVM, with the weights
+    # re-embedded as CAST('<repr>' AS DOUBLE) literals (strtod
+    # round-trips shortest-repr exactly).  The calibration-split count
+    # rides the step-1 aggregate instead of its own job.
+    emb = (lambda v: "CAST(NULL AS DOUBLE)" if v is None
+           else f"CAST('{v!r}' AS DOUBLE)")
+    a0, a1 = 0.0, 0.0
+    nc = None
+    for step in range(_PLATT_STEPS):
+        s = (_PLATT_SIG.replace("b.a0", emb(a0))
+             .replace("b.a1", emb(a1)))
+        aggs = [F.expr(f"CAST(SUM(CAST({t} AS {d18})) AS DOUBLE)")
+                .alias(nm) for nm, t in [
+                    ("g0", f"(y - {s})"),
+                    ("g1", f"(y - {s}) * x"),
+                    ("h00", f"({s}) * (1.0 - {s})"),
+                    ("h01", f"({s}) * (1.0 - {s}) * x"),
+                    ("h11", f"({s}) * (1.0 - {s}) * x * x")]]
+        if step == 0:
+            aggs.append(F.count("*").cast("bigint").alias("nc"))
+        row = pcal.agg(*aggs).collect()[0]
+        if step == 0:
+            nc = row["nc"]
+        if row["g0"] is None:                    # empty calib split
+            a0 = a1 = None
+            continue
+        det = row["h00"] * row["h11"] - row["h01"] * row["h01"]
+        a0 = a0 + (row["h11"] * row["g0"]
+                   - row["h01"] * row["g1"]) / det
+        a1 = a1 + (row["h00"] * row["g1"]
+                   - row["h01"] * row["g0"]) / det
+    s = (_PLATT_SIG.replace("b.a0", emb(a0)).replace("b.a1", emb(a1)))
+    # BOTH ECE bin tables from ONE eval scan (r10 round 2): group on
+    # the (raw bin, calibrated bin) pair — <= bins^2 rows — keeping the
+    # per-cell sums in exact DECIMAL(38,18); each ECE's 10-row bin
+    # table is then a regroup of the grid (decimal partial sums re-sum
+    # exactly, so sp/sy/n equal the direct per-bin aggregation digit
+    # for digit).  Replaces two eval-split aggregation passes + their
+    # checkpoints with one pass + a pinned ~100-row grid.
+    bexpr = (lambda pcol: f"LEAST({_CALIB_BINS - 1},"
+             f" CAST(floor({pcol} * {_CALIB_BINS}) AS INTEGER))")
+    grid = (peval.selectExpr("y", "1.0 / (1.0 + exp(-x)) AS praw",
+                             f"{s} AS pcal_p")
+            .groupBy(F.expr(bexpr("praw")).alias("br"),
+                     F.expr(bexpr("pcal_p")).alias("bc"))
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.sum(F.expr(f"CAST(praw AS {d18})")).alias("sp_r"),
+                 F.sum(F.expr(f"CAST(pcal_p AS {d18})")).alias("sp_c"),
+                 F.sum(F.expr(f"CAST(y AS {d18})")).alias("sy"))
+            .localCheckpoint(eager=True))
     dsum = lambda c: F.sum(F.expr(f"CAST({c} AS {d18})")).cast("double")  # noqa: E731
+    # COUNT(*) is 0 on an empty eval split while SUM is NULL
+    tot = grid.agg(F.sum("n").alias("nt"),
+                   F.coalesce(F.sum("n"), F.lit(0)).cast("bigint")
+                   .alias("n_eval"))
 
-    def ece(pcol: str, alias: str):
-        # pin the 10-row bin table: `tot` and the ECE sum both consume
-        # it, and unpinned each re-ran the eval-split aggregation
-        b = (pe.groupBy(
-                F.expr(f"LEAST({_CALIB_BINS - 1},"
-                       f" CAST(floor({pcol} * {_CALIB_BINS}) AS INTEGER))")
-                .alias("bin"))
-             .agg(F.count("*").cast("bigint").alias("n"),
-                  dsum(pcol).alias("sp"), dsum("y").alias("sy"))
-             .localCheckpoint(eager=True))
-        tot = b.agg(F.sum("n").alias("nt"))
-        return (b.crossJoin(F.broadcast(tot))
+    def ece(bin_col: str, sp_col: str, alias: str):
+        b = (grid.groupBy(F.col(bin_col).alias("bin"))
+             .agg(F.sum("n").alias("n"),
+                  F.sum(sp_col).cast("double").alias("sp"),
+                  F.sum("sy").cast("double").alias("sy")))
+        return (b.crossJoin(F.broadcast(tot.select("nt")))
                 .agg(dsum("(CAST(n AS DOUBLE) / nt)"
                           " * abs(sp / n - sy / n)").alias(alias)))
-    nc = pcal.agg(F.count("*").cast("bigint").alias("n_calib"))
-    ne = pe.agg(F.count("*").cast("bigint").alias("n_eval"))
-    return (nc.crossJoin(F.broadcast(ne))
-            .crossJoin(F.broadcast(pbeta))
-            .crossJoin(F.broadcast(ece("praw", "er")))
-            .crossJoin(F.broadcast(ece("pcal_p", "ec")))
-            .selectExpr("n_calib", "n_eval",
-                        "round(a0, 6) AS platt_a",
-                        "round(a1, 6) AS platt_b",
+
+    return (tot.select("n_eval")
+            .crossJoin(F.broadcast(ece("br", "sp_r", "er")))
+            .crossJoin(F.broadcast(ece("bc", "sp_c", "ec")))
+            .selectExpr(f"CAST({nc} AS BIGINT) AS n_calib", "n_eval",
+                        f"round({emb(a0)}, 6) AS platt_a",
+                        f"round({emb(a1)}, 6) AS platt_b",
                         "round(er, 6) AS ece_raw",
                         "round(ec, 6) AS ece_platt"))
 

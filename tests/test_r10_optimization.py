@@ -390,3 +390,101 @@ def test_zorder_fused_rank_matches_per_layout_ranks(spark, tmp_path):
                             - F.col("files_scanned").cast("double")
                             / F.lit(64)).alias("skip_frac"))).collect())
     assert got == want
+
+
+def test_platt_newton_driver_matches_spark_chain(spark):
+    """ml_platt_scaling's Newton update moved to collected driver
+    floats: the 2x2 solve is pure IEEE *,-,/ (no transcendental), so
+    Python must reproduce the 1-row Spark chain bit for bit across all
+    three steps, with the sigmoid (the only exp) staying in the JVM."""
+    rows = [((i * 7) % 3 == 0 and 1.0 or 0.0, ((i * 13) % 29) / 7.0)
+            for i in range(1, 400)]
+    pcal = spark.createDataFrame(rows, "y double, x double")
+    d18 = "DECIMAL(38,18)"
+    sig = "1.0 / (1.0 + exp(-({a0} + {a1} * x)))"
+
+    def sums(a0e, a1e):
+        s = sig.format(a0=a0e, a1=a1e)
+        return pcal.agg(*[
+            F.expr(f"CAST(SUM(CAST({t} AS {d18})) AS DOUBLE)").alias(nm)
+            for nm, t in [("g0", f"(y - {s})"), ("g1", f"(y - {s}) * x"),
+                          ("h00", f"({s}) * (1.0 - {s})"),
+                          ("h01", f"({s}) * (1.0 - {s}) * x"),
+                          ("h11", f"({s}) * (1.0 - {s}) * x * x")]])
+
+    # r9 reference: 1-row Spark chain
+    pbeta = spark.createDataFrame([(0.0, 0.0)], "a0 double, a1 double")
+    for _ in range(3):
+        m = (pcal.crossJoin(F.broadcast(pbeta))
+             .agg(*[F.expr(f"CAST(SUM(CAST({t} AS {d18})) AS DOUBLE)")
+                    .alias(nm) for nm, t in [
+                 ("g0", "(y - (1.0 / (1.0 + exp(-(a0 + a1 * x)))))"),
+                 ("g1", "(y - (1.0 / (1.0 + exp(-(a0 + a1 * x))))) * x"),
+                 ("h00", "(1.0 / (1.0 + exp(-(a0 + a1 * x))))"
+                  " * (1.0 - (1.0 / (1.0 + exp(-(a0 + a1 * x)))))"),
+                 ("h01", "(1.0 / (1.0 + exp(-(a0 + a1 * x))))"
+                  " * (1.0 - (1.0 / (1.0 + exp(-(a0 + a1 * x))))) * x"),
+                 ("h11", "(1.0 / (1.0 + exp(-(a0 + a1 * x))))"
+                  " * (1.0 - (1.0 / (1.0 + exp(-(a0 + a1 * x)))))"
+                  " * x * x")]]))
+        pbeta = (pbeta.crossJoin(F.broadcast(m))
+                 .selectExpr("a0 + (h11 * g0 - h01 * g1)"
+                             " / (h00 * h11 - h01 * h01) AS a0",
+                             "a1 + (h00 * g1 - h01 * g0)"
+                             " / (h00 * h11 - h01 * h01) AS a1")
+                 .localCheckpoint(eager=True))
+    want = pbeta.collect()[0]
+
+    # r10 form: collected sums, driver-side IEEE update, literal embeds
+    emb = lambda v: f"CAST('{v!r}' AS DOUBLE)"  # noqa: E731
+    a0, a1 = 0.0, 0.0
+    for _ in range(3):
+        row = sums(emb(a0), emb(a1)).collect()[0]
+        det = row["h00"] * row["h11"] - row["h01"] * row["h01"]
+        a0 = a0 + (row["h11"] * row["g0"] - row["h01"] * row["g1"]) / det
+        a1 = a1 + (row["h00"] * row["g1"] - row["h01"] * row["g0"]) / det
+    assert (a0, a1) == (want["a0"], want["a1"])
+
+
+def test_platt_grid_ece_matches_direct_bins(spark):
+    """Both ECE bin tables from one (raw-bin x cal-bin) grid of exact
+    decimal partials must equal the direct per-bin aggregations."""
+    rows = [(float((i * 3) % 2), ((i * 17) % 101) / 101.0,
+             ((i * 29) % 89) / 89.0) for i in range(1, 500)]
+    pe = spark.createDataFrame(rows, "y double, praw double, pcal_p double")
+    d18 = "DECIMAL(38,18)"
+    dsum = lambda c: F.sum(F.expr(f"CAST({c} AS {d18})")).cast("double")  # noqa: E731
+    bexpr = lambda p: f"LEAST(9, CAST(floor({p} * 10) AS INTEGER))"  # noqa: E731
+
+    def direct(pcol):
+        b = (pe.groupBy(F.expr(bexpr(pcol)).alias("bin"))
+             .agg(F.count("*").cast("bigint").alias("n"),
+                  dsum(pcol).alias("sp"), dsum("y").alias("sy"))
+             .localCheckpoint(eager=True))
+        tot = b.agg(F.sum("n").alias("nt"))
+        return (b.crossJoin(F.broadcast(tot))
+                .agg(dsum("(CAST(n AS DOUBLE) / nt)"
+                          " * abs(sp / n - sy / n)").alias("e"))
+                .collect()[0]["e"])
+
+    grid = (pe.groupBy(F.expr(bexpr("praw")).alias("br"),
+                       F.expr(bexpr("pcal_p")).alias("bc"))
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.sum(F.expr(f"CAST(praw AS {d18})")).alias("sp_r"),
+                 F.sum(F.expr(f"CAST(pcal_p AS {d18})")).alias("sp_c"),
+                 F.sum(F.expr(f"CAST(y AS {d18})")).alias("sy"))
+            .localCheckpoint(eager=True))
+    tot = grid.agg(F.sum("n").alias("nt"))
+
+    def via_grid(bin_col, sp_col):
+        b = (grid.groupBy(F.col(bin_col).alias("bin"))
+             .agg(F.sum("n").alias("n"),
+                  F.sum(sp_col).cast("double").alias("sp"),
+                  F.sum("sy").cast("double").alias("sy")))
+        return (b.crossJoin(F.broadcast(tot))
+                .agg(dsum("(CAST(n AS DOUBLE) / nt)"
+                          " * abs(sp / n - sy / n)").alias("e"))
+                .collect()[0]["e"])
+
+    assert via_grid("br", "sp_r") == direct("praw")
+    assert via_grid("bc", "sp_c") == direct("pcal_p")
