@@ -62,10 +62,14 @@ def rewrite_batch_against_index(batch_df: DataFrame, batch_id: int,
     # collapse map-side instead of piling into one window partition)
     firsts = flat.groupBy("fp").agg(
         F.min(F.struct("doc_id", "chunk_idx")).alias("first"))
+    # pin the retained chunks once: the rebuilt-text write and the
+    # index-delta write both consume `kept`, and unpinned each re-ran
+    # the fingerprint scan + index probe + first-occurrence join
     kept = (flat.join(firsts, "fp")
             .filter((F.col("doc_id") == F.col("first.doc_id"))
                     & (F.col("chunk_idx") == F.col("first.chunk_idx")))
-            .select("doc_id", "chunk_idx", "chunk", "fp"))
+            .select("doc_id", "chunk_idx", "chunk", "fp")
+            .localCheckpoint(eager=True))
 
     rebuilt = (kept.groupBy("doc_id")
                .agg(F.array_join(

@@ -233,13 +233,25 @@ def compact_index(spark, table_path: str, through: int,
 
 def compact_vector_index(spark, index_dir: str, through: int) -> dict:
     """Compact the streaming embedding-dedup vector index
-    (``neardup.dedup_embeddings_against_index``'s ``vectors`` table,
-    partitioned ``(cell, batch_id)``).  The consolidated store keeps
-    the ``cell`` partitioning so per-batch probes stay partition-pruned
-    after compaction; superseded nested ``cell=X/batch_id=N`` dirs and
-    any emptied ``cell=X`` shells are garbage-collected."""
-    return compact_index(spark, os.path.join(index_dir, "vectors"),
-                         through, partition_by=["cell"])
+    (``neardup.dedup_embeddings_against_index``'s ``vectors`` table).
+
+    r10 stores are partitioned ``(batch_id, bucket)`` (fixed dir count
+    — see ``neardup._vec_bucket``) and keep the ``bucket``
+    partitioning through compaction so probe pruning survives.  A
+    LEGACY ``(cell, batch_id)`` store stays cell-partitioned — a store
+    NEVER changes layout (live deltas keep landing in the old layout,
+    and a bucketed compacted dir beside cell-partitioned deltas would
+    make every union read fail on the missing column, the half-
+    migrated poison pill the setsim shim exists for; migrating a
+    legacy vector store means rebuilding it).  Superseded nested
+    ``cell=X/batch_id=N`` dirs and any emptied ``cell=X`` shells are
+    garbage-collected."""
+    path = os.path.join(index_dir, "vectors")
+    legacy = bool(glob.glob(os.path.join(path, "cell=*"))
+                  or glob.glob(os.path.join(path, "_compacted_v*",
+                                            "cell=*")))
+    return compact_index(spark, path, through,
+                         partition_by=["cell"] if legacy else ["bucket"])
 
 
 def compact_bm25_index(spark, index_dir: str, through: int,

@@ -132,7 +132,11 @@ def dedup_batch_against_index(batch_df: DataFrame, batch_id: int,
     losers = (bands.join(winners, "band_key")
               .filter(F.col(id_col) != F.col("_win"))
               .select(id_col).distinct())
-    kept_bands = bands.join(losers, id_col, "left_anti")
+    # pin the surviving bands once: the accepted write (via kept_ids)
+    # and the index-delta write both consume them, and unpinned each
+    # re-ran the prior-index probe + winner join chain
+    kept_bands = (bands.join(losers, id_col, "left_anti")
+                  .localCheckpoint(eager=True))
     kept_ids = (kept_bands.select(id_col).distinct()
                 .unionByName(bandless))
 
@@ -151,6 +155,49 @@ def dedup_batch_against_index(batch_df: DataFrame, batch_id: int,
      .parquet(idx))
 
 
+N_VEC_BUCKETS = 16      # fixed partition-dir count of the vector index
+
+
+def _vec_bucket(cell_col):
+    """Partition bucket of a sign-cell id: its low sign bits.  Purely
+    a STORAGE layout (values never depend on it) — a fixed dir count
+    per batch replaces the per-CELL dynamic partitions whose
+    dynamic-overwrite commit paid ~25 ms per directory per batch
+    (measured 5-9 s for a 500-row delta at ~200 touched cells, vs
+    0.4 s bucketed) and whose dir count grows with 2^cell_bits at
+    scale.  Probe pruning survives, one level coarser: the prior read
+    prunes to the buckets the batch's own cells touch."""
+    return F.pmod(cell_col, F.lit(N_VEC_BUCKETS)).cast("int")
+
+
+def _read_vector_index(spark, idx: str, batch_id: int):
+    """Read the prior vector index, returning ``(df_or_None, legacy)``
+    with its ``bucket`` partition column.  Stores written before the
+    bucketed layout are partitioned ``(cell, batch_id)`` and carry no
+    ``bucket`` column — detected by the unresolved-column failure and
+    re-read with bucket DERIVED from cell (identical values; only the
+    partition pruning is lost).  The caller must keep delta writes in
+    the detected layout (mixed partition-column lists break the root
+    read); a legacy store stays legacy for its lifetime — the layouts
+    never mix, so the half-migrated ambiguity the setsim shim handles
+    cannot arise here."""
+    from pyspark.errors import AnalysisException
+
+    from .setsimdedup import _is_missing_bucket
+
+    cols = [F.col("cell").alias("_icell"), F.col("_iemb")]
+    try:
+        return (_read_index(spark, idx, cols + [F.col("bucket")],
+                            before_batch=batch_id), False)
+    except AnalysisException as e:
+        if not _is_missing_bucket(e):
+            raise
+    legacy = _read_index(spark, idx, cols, before_batch=batch_id)
+    if legacy is not None:
+        legacy = legacy.withColumn("bucket", _vec_bucket(F.col("_icell")))
+    return legacy, True
+
+
 def dedup_embeddings_against_index(batch_df: DataFrame, batch_id: int,
                                    out_dir: str, index_dir: str,
                                    id_col: str = "vec_id",
@@ -161,13 +208,16 @@ def dedup_embeddings_against_index(batch_df: DataFrame, batch_id: int,
     threshold (plans/similarity.dedup_embedding_cells is the batch
     oracle-checked twin; embedding_cell_expr is shared).  Unlike the
     text path the index must store the vectors themselves, so it is
-    partitioned by cell: the per-batch probe joins only against the
-    cells the batch touches (partition-pruned read at scale), and
-    within a cell compares pairwise — the same intra-cell-only cost
-    model as the batch query.  Replay-idempotent via batch_id dynamic
-    partition overwrite on the accepted output; the index is
-    partitioned by (cell, batch_id) so a retried batch rewrites only
-    its own slices."""
+    partitioned by a FIXED set of cell buckets (r10: N_VEC_BUCKETS
+    dirs — see _vec_bucket; per-cell dirs made every delta commit pay
+    per-directory filesystem cost): the per-batch probe prunes the
+    read to the buckets the batch's cells touch, then joins on cell —
+    the same intra-cell-only cost model as the batch query.
+    Replay-idempotent via batch_id dynamic partition overwrite on the
+    accepted output; the index is partitioned by (batch_id, bucket)
+    so a retried batch rewrites only its own slices.  Stores written
+    under the pre-r10 (cell, batch_id) layout are detected and kept
+    legacy for their lifetime (_read_vector_index)."""
     from ..functions.vectors import dot_product, l2_norm, to_double_array
     from ..plans.similarity import embedding_cell_expr
 
@@ -185,12 +235,19 @@ def dedup_embeddings_against_index(batch_df: DataFrame, batch_id: int,
     b = b.withColumn("_nrm", l2_norm(F.col("_emb")))
 
     idx = os.path.join(index_dir, "vectors")
-    seen = _read_index(spark, idx,
-                       [F.col("cell").alias("_icell"), F.col("_iemb")],
-                       before_batch=batch_id)
+    seen, legacy_layout = _read_vector_index(spark, idx, batch_id)
 
     if seen is not None:
-        seen = seen.withColumn("_inrm", l2_norm(F.col("_iemb")))
+        # candidates need cell EQUALITY with a batch vector, so prior
+        # rows outside the batch's cell buckets can't match: prune the
+        # (bucket-partitioned) read to touched buckets — bounded by
+        # N_VEC_BUCKETS; the collect is a tiny-batch-frame reduction
+        touched = sorted(r[0] for r in b.select(
+            _vec_bucket(F.col("cell")).alias("bucket"))
+            .distinct().collect())
+        seen = (seen.filter(F.col("bucket").isin(touched))
+                .drop("bucket")
+                .withColumn("_inrm", l2_norm(F.col("_iemb"))))
         hit_prior = (b.join(seen, b.cell == F.col("_icell"))
                      .filter(dot_product(F.col("_emb"), F.col("_iemb"))
                              / (F.col("_nrm") * F.col("_inrm"))
@@ -209,7 +266,11 @@ def dedup_embeddings_against_index(batch_df: DataFrame, batch_id: int,
               .filter(dot_product(F.col("_ea"), F.col("_eb"))
                       / (F.col("_na") * F.col("_nb")) >= threshold)
               .select(F.col("_ida").alias(id_col)).distinct())
-    kept = b.join(losers, id_col, "left_anti")
+    # pin the survivors once: BOTH writes below consume `kept`, and
+    # unpinned each re-ran the index read + prior probe + within-batch
+    # pair join (measured ~2x per-batch wall at sf0.1 batch sizes;
+    # the setsim twin already pins its `kept`)
+    kept = b.join(losers, id_col, "left_anti").localCheckpoint(eager=True)
 
     (kept.select(id_col, vec_col)
      .withColumn("batch_id", F.lit(batch_id))
@@ -217,19 +278,27 @@ def dedup_embeddings_against_index(batch_df: DataFrame, batch_id: int,
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("batch_id")
      .parquet(os.path.join(out_dir, "accepted")))
-    # cluster the delta by cell before the write: unclustered, every
-    # shuffle task holding a few rows of each cell writes its own file
-    # into every (cell, batch_id) dir — measured 225 files for ONE
-    # 8k-vector batch, and each later batch re-lists and re-opens all
-    # of them (guide §6 small-files).  One exchange on cell makes it
-    # one file per touched cell per batch.
-    (kept.select("cell", F.col("_emb").alias("_iemb"))
-     .withColumn("batch_id", F.lit(batch_id))
-     .repartition("cell")
-     .write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("cell", "batch_id")
-     .parquet(idx))
+    # fixed-bucket delta layout (r10 round 2; see _vec_bucket): cluster
+    # by bucket so each of the <= N_VEC_BUCKETS dirs gets one file per
+    # batch (guide §6 small-files), and the dynamic-overwrite commit
+    # touches a BOUNDED dir count instead of one dir per cell.  A
+    # LEGACY (cell, batch_id) store keeps receiving legacy-layout
+    # deltas — mixing partition-column lists breaks the root read.
+    delta = (kept.select("cell", F.col("_emb").alias("_iemb"))
+             .withColumn("batch_id", F.lit(batch_id)))
+    if legacy_layout:
+        (delta.repartition("cell")
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("cell", "batch_id")
+         .parquet(idx))
+    else:
+        (delta.withColumn("bucket", _vec_bucket(F.col("cell")))
+         .repartition("bucket")
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id", "bucket")
+         .parquet(idx))
 
 
 def run_incremental_near_dedup(stream: DataFrame, out_dir: str,

@@ -52,7 +52,10 @@ def rewrite_spans_batch_against_index(batch_df: DataFrame, batch_id: int,
     if gate is not None:
         batch_df = gate(batch_df)
     t = span_tokens_df(batch_df)
-    grams = span_grams_df(t)
+    # pin the overlapping-gram relation (~1 row per token) once: it
+    # feeds the prior-hit semi-join, the fresh anti-join (both writes)
+    # and the index delta — the same pin the batch _span_frames uses
+    grams = span_grams_df(t).localCheckpoint(eager=True)
 
     from .neardup import _read_index
     idx = _index_path(index_dir)
