@@ -1608,11 +1608,12 @@ def layout_zorder_skipping(spark, sf_dir):
     the entire reason layout rewrites are worth one sort at 100 TB.
 
     Scale shape: the Morton code is a per-row native bit expression
-    riding the scan; each layout's file assignment is a TWO-PHASE
-    global rank (range exchange + P-row offset broadcast —
-    _two_phase_global_rank, no single-partition window anywhere);
-    stats are one 64-row agg, and the skipping evaluation is a
-    64x8 metadata-only cross join.  Coordinates are rescaled to a
+    riding the scan; BOTH layouts' file assignments come from ONE
+    layout-tagged two-phase global rank (r10: one range exchange +
+    per-(layout, pid) offset broadcast — the _two_phase_global_rank
+    pattern fused across the two unique total orders; no
+    single-partition window anywhere); stats are one 128-row agg, and
+    the skipping evaluation is a 128x8 metadata-only cross join.  Coordinates are rescaled to a
     16-bit grid (x * 65536 div (max+1)) so the curve is
     domain-independent; file count is the 64-file literal both
     engines share.  All comparisons are integer; the one double
