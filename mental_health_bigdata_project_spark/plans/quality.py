@@ -4578,15 +4578,19 @@ def _gbdt_round_sql(k: int) -> str:
     h{k} AS (SELECT feat, bin, CAST(count(*) AS BIGINT) AS n,
                     CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS sr
              FROM ({union}) u GROUP BY feat, bin),
-    p{k} AS (SELECT feat, bin,
+    rs{k} AS (SELECT feat, bin,
                     CAST(SUM(n) OVER (PARTITION BY feat ORDER BY bin
                          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS nl,
                     SUM(sr) OVER (PARTITION BY feat ORDER BY bin
                          ROWS UNBOUNDED PRECEDING) AS srl,
                     CAST(SUM(n) OVER (PARTITION BY feat)
-                         AS DOUBLE) AS nt,
-                    SUM(sr) OVER (PARTITION BY feat) AS srt
-             FROM h{k}),
+                         AS DOUBLE) AS nt
+              FROM h{k}),
+    p{k} AS (SELECT feat, bin, nl, srl, nt,
+                    LAST_VALUE(srl) OVER (PARTITION BY feat ORDER BY bin
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING) AS srt
+             FROM rs{k}),
     best{k} AS (SELECT feat, bin, nl, srl, nt, srt, {_GBDT_GAIN} AS gain,
                        CAST(bin + 1 AS DOUBLE) / {_GBDT_BINS} AS thr,
                        {_GBDT_LR} * srl / nl AS wl,
@@ -4649,88 +4653,92 @@ def ml_gbdt_stumps(spark, sf_dir):
     global moments; per-bin residual sums accumulate in
     DECIMAL(38,18); split argmax tie-breaks (gain DESC, feature, bin);
     the round-2 residual applies the round-1 leaf weights through the
-    same CASE predicate on both engines.  Plan: per round ONE scan ->
-    64-row histogram; the prefix scan and argmax are windows over the
-    histogram, never the data.  At 100 TB this is the canonical
-    scalable GBDT shape — T rounds cost T scans, shuffle bytes are
-    O(features x bins) per round, and nothing ever collects rows."""
-    lr = float(_GBDT_LR)
+    same CASE predicate on both engines.  Plan (r11): per round ONE
+    scan -> 64-row histogram COLLECTED to the driver; the prefix scan,
+    argmax and leaf-weight/gain arithmetic run on those 64 numbers in
+    Python (the Platt/driver-literal pattern) with the accumulation
+    order PINNED to bin order on both engines — the oracle's running
+    sums are ORDER BY bin folds and its srt is LAST_VALUE of that fold
+    (not an unordered re-sum), so the Python left-fold is the same
+    IEEE op sequence; weights re-enter the next residual as
+    CAST('<repr>' AS DOUBLE) literals (strtod round-trips exactly).
+    Replaces two window passes + per-round checkpoints + the
+    crossJoin report assembly (~10 jobs) with one collect per round
+    (~4 jobs).  At 100 TB this is the canonical scalable GBDT shape —
+    T rounds cost T scans, shuffle bytes are O(features x bins) per
+    round, and the driver only ever holds the 64-row histogram."""
     s0 = _logreg_d_s_frame(spark, sf_dir)
-    # pin the two 1-row global-moment frames: each broadcast reuse
-    # (every round's residual chain + every report row) otherwise
-    # re-runs the full events aggregation behind them (guide §5 —
-    # measured ~4 redundant scans at 2 rounds)
-    mu = s0.agg(
+    murow = s0.agg(
         F.count("*").cast("double").alias("nt"),
         F.sum(F.col("y").cast("decimal(38,18)")).cast("double").alias("sy"),
         F.sum((F.col("y") * F.col("y")).cast("decimal(38,18)"))
-        .cast("double").alias("syy")).localCheckpoint(eager=True)
-    m0 = mu.selectExpr("nt", "sy / nt AS mean_y",
-                       "(syy - sy * sy / nt) / nt AS mse0") \
-        .localCheckpoint(eager=True)
-    resid = (s0.crossJoin(F.broadcast(m0))
-             .selectExpr("*", "y - mean_y AS r"))
+        .cast("double").alias("syy")).collect()[0]
+    out_schema = ("round int, feature string, bin_split int, "
+                  "threshold double, gain double, mse_after double")
+    if murow["sy"] is None:        # empty events: the old chain's empty
+        return spark.createDataFrame([], out_schema)   # best -> 0 rows
+    ntot_d, sy, syy = murow["nt"], murow["sy"], murow["syy"]
+    mean_y = sy / ntot_d
+    mse0 = (syy - sy * sy / ntot_d) / ntot_d
+    emb = (lambda v: f"CAST('{v!r}' AS DOUBLE)")
+    resid = s0.selectExpr("*", f"y - {emb(mean_y)} AS r")
     feat_names = [nm for nm, _ in _logreg_d_features()[1:]]
     stack = ", ".join(
         f"'{nm}', LEAST({_GBDT_BINS - 1}, CAST(floor({nm} * {_GBDT_BINS})"
         f" AS INTEGER))" for nm in feat_names)
-    out_frames = []
-    drops = []
+    lr = float(_GBDT_LR)           # 0.5: exact dyadic
+    out_rows = []
+    cum = None
     for k in range(1, _GBDT_ROUNDS + 1):
         binned = resid.selectExpr(
             f"stack({len(feat_names)}, {stack}) AS (feat, bin)", "r")
-        h = (binned.groupBy("feat", "bin")
-             .agg(F.count("*").cast("bigint").alias("n"),
-                  F.sum(F.expr("CAST(r AS DECIMAL(38,18))"))
-                  .cast("double").alias("sr"))
-             .localCheckpoint(eager=True))   # 64-row histogram
-        wp = (Window.partitionBy("feat").orderBy("bin")
-              .rowsBetween(Window.unboundedPreceding, 0))
-        wt = Window.partitionBy("feat")
-        p = h.select(
-            "feat", "bin",
-            F.sum("n").over(wp).cast("double").alias("nl"),
-            F.sum("sr").over(wp).alias("srl"),
-            F.sum("n").over(wt).cast("double").alias("nt"),
-            F.sum("sr").over(wt).alias("srt"))
-        best = (p.filter(f"bin < {_GBDT_BINS - 1} AND nl > 0"
-                         " AND nt - nl > 0")
-                .selectExpr("feat", "bin", "nl", "srl", "nt", "srt",
-                            f"{_GBDT_GAIN} AS gain",
-                            f"CAST(bin + 1 AS DOUBLE) / {_GBDT_BINS}"
-                            " AS thr",
-                            f"{_GBDT_LR} * srl / nl AS wl",
-                            f"{_GBDT_LR} * (srt - srl) / (nt - nl) AS wr")
-                .orderBy(F.desc("gain"), "feat", "bin").limit(1)
-                .localCheckpoint(eager=True))   # the round's stump
-        out_frames.append(best)
-        drops.append(best.selectExpr(f"{_GBDT_DROP} AS drop"))
-        resid = (resid.crossJoin(F.broadcast(
-                    best.selectExpr("feat", "bin AS sbin", "wl", "wr")))
-                 .selectExpr(
-                     *[c for c in resid.columns if c != "r"],
-                     f"r - (CASE WHEN LEAST({_GBDT_BINS - 1},"
-                     f" CAST(floor({_gbdt_feat_case()}"
-                     f" * {_GBDT_BINS}) AS INTEGER)) <= sbin"
-                     " THEN wl ELSE wr END) AS r"))
-    # assemble the per-round report with algebraically-tracked MSE
-    rows = None
-    cum = None
-    for k, (best, dr) in enumerate(zip(out_frames, drops), start=1):
-        cum = dr if cum is None else (
-            cum.crossJoin(dr.selectExpr("drop AS d2"))
-            .selectExpr("drop + d2 AS drop"))
-        row = (best.crossJoin(F.broadcast(m0))
-               .crossJoin(F.broadcast(mu.selectExpr("nt AS ntot")))
-               .crossJoin(F.broadcast(cum.selectExpr("drop AS cumdrop")))
-               .selectExpr(f"CAST({k} AS INTEGER) AS round",
-                           "feat AS feature",
-                           "CAST(bin AS INTEGER) AS bin_split",
-                           "round(thr, 6) AS threshold",
-                           "round(gain, 6) AS gain",
-                           "round(mse0 - cumdrop / ntot, 6) AS mse_after"))
-        rows = row if rows is None else rows.unionAll(row)
-    return rows
+        hrows = (binned.groupBy("feat", "bin")
+                 .agg(F.count("*").cast("bigint").alias("n"),
+                      F.sum(F.expr("CAST(r AS DECIMAL(38,18))"))
+                      .cast("double").alias("sr"))
+                 .collect())       # <= 64 rows: the histogram
+        by_feat: dict = {}
+        for hr in hrows:
+            by_feat.setdefault(hr["feat"], {})[hr["bin"]] = \
+                (hr["n"], hr["sr"])
+        cands = []
+        for feat in by_feat:
+            bins = sorted(by_feat[feat])
+            nt_i = sum(by_feat[feat][b][0] for b in bins)  # exact int
+            nl_i, srl = 0, 0.0     # left fold in bin order == the
+            for b in bins:         # ORDER BY bin running-sum frames
+                n_b, sr_b = by_feat[feat][b]
+                nl_i += n_b
+                srl = srl + sr_b
+                if b < _GBDT_BINS - 1 and nl_i > 0 and nt_i - nl_i > 0:
+                    cands.append((feat, b, float(nl_i), srl, float(nt_i)))
+            by_feat[feat] = (nt_i, srl)      # srt = the fold's last value
+        if not cands:              # empty residual frame: the old
+            break                  # chain's empty best emptied the rest
+        scored = []
+        for feat, b, nl, srl, nt in cands:
+            srt = by_feat[feat][1]
+            gain = (srl * srl / nl + (srt - srl) * (srt - srl) / (nt - nl)
+                    - srt * srt / nt)
+            scored.append((feat, b, nl, srl, nt, srt, gain))
+        feat, b, nl, srl, nt, srt, gain = min(
+            scored, key=lambda c: (-c[6], c[0], c[1]))
+        thr = float(b + 1) / _GBDT_BINS
+        wl = lr * srl / nl
+        wr = lr * (srt - srl) / (nt - nl)
+        resid = resid.selectExpr(
+            *[c for c in resid.columns if c != "r"],
+            f"r - (CASE WHEN LEAST({_GBDT_BINS - 1},"
+            f" CAST(floor({feat} * {_GBDT_BINS}) AS INTEGER))"
+            f" <= {b} THEN {emb(wl)} ELSE {emb(wr)} END) AS r")
+        drop = (2.0 * lr - lr * lr) * gain
+        cum = drop if cum is None else cum + drop
+        out_rows.append((k, feat, b, thr, gain, mse0 - cum / ntot_d))
+    out = spark.createDataFrame(out_rows, out_schema)
+    return out.select("round", "feature", "bin_split",
+                      F.round("threshold", 6).alias("threshold"),
+                      F.round("gain", 6).alias("gain"),
+                      F.round("mse_after", 6).alias("mse_after"))
 
 
 # --- equivalence testing: Schuirmann TOST (round 10, batch 3) --------------
@@ -4987,6 +4995,13 @@ def ml_platt_scaling(spark, sf_dir):
             a0 = a1 = None
             continue
         det = row["h00"] * row["h11"] - row["h01"] * row["h01"]
+        if det == 0.0:
+            # singular Hessian (constant-x or 1-row split): the 1-row
+            # Spark chain this replaced divided by zero -> NULL (non-ANSI)
+            # and propagated NULLs; match that instead of raising
+            # ZeroDivisionError (ADVICE r10)
+            a0 = a1 = None
+            continue
         a0 = a0 + (row["h11"] * row["g0"]
                    - row["h01"] * row["g1"]) / det
         a1 = a1 + (row["h00"] * row["g1"]

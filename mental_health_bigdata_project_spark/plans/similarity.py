@@ -845,16 +845,12 @@ N_MINHASH = 16
 BAND_SIZE = 4
 
 
-@query("dedup_minhash_near")  # rows-only: xxhash64 signatures are engine-specific
-def dedup_minhash_near(spark, sf_dir):
-    """MinHash + LSH banding near-dup candidates over token 3-gram
-    shingles: shingle -> 16 minhashes (xxhash64 with per-function salt)
-    -> 4 bands of 4 -> band-bucket join -> estimated Jaccard =
-    fraction of agreeing minhashes >= 0.5.
-
-    This is the scale path for dedup_ngram_jaccard: the only shuffle
-    keys are (band_idx, band_hash), so co-bucketed docs are compared
-    without the all-pairs co-shingle join."""
+def _fast_pairs_with_estimates(spark, sf_dir) -> DataFrame:
+    """UNFILTERED xxhash64-family LSH candidate pairs with their
+    16-minhash Jaccard estimates — the shared build behind
+    dedup_minhash_near and dedup_cluster_components (r11: the cluster
+    query used to re-run this whole chain on top of the pair query's
+    own run — one signature/pair build per session now, guide §1.2)."""
     from .textops import corpus_shingles
     # hash each shingle string ONCE; derive the 16 minhash functions by
     # re-hashing the resulting 8-byte long with a seed column — 16
@@ -868,8 +864,10 @@ def dedup_minhash_near(spark, sf_dir):
         for s in range(N_MINHASH)
     ])
     sig = mins.select("doc_id", F.array(*[f"h{s}" for s in range(N_MINHASH)]).alias("sig"))
+    # narrow band rows: only (band struct, doc_id) reach the self-join
+    # exchange; signatures re-join after the pair dedup (§2.3)
     bands = sig.select(
-        "doc_id", "sig",
+        "doc_id",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("band_idx"),
                      F.hash(F.slice("sig", i * BAND_SIZE + 1, BAND_SIZE)).alias("band_hash"))
@@ -888,10 +886,46 @@ def dedup_minhash_near(spark, sf_dir):
     )
     est = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
                           lambda z: z)) / F.lit(float(N_MINHASH))
-    return (
-        pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
-        .filter(F.col("est_jaccard") >= 0.5)
-    )
+    return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
+
+
+# xxhash64-flavor pair memo (r11, VERDICT r10 item 3): the unfiltered
+# candidate pairs with estimates, materialized once per (session,
+# dataset) exactly like the portable flavor's _NEARDUP_PAIRS_MEMO —
+# dedup_minhash_near and dedup_cluster_components both consume it, so
+# the signature/band build runs once per session instead of once per
+# consumer.
+_NEARDUP_FAST_MEMO = SessionMemo()
+
+
+def corpus_neardup_fast_pairs(spark, sf_dir) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard) xxhash64 LSH candidate pairs over
+    the sf documents corpus, materialized once per dataset."""
+    p = _NEARDUP_FAST_MEMO.get(spark, sf_dir)
+    if p is None:
+        def build():
+            return _fast_pairs_with_estimates(spark, sf_dir)
+        if _memoizable(sf_dir):
+            p = read_or_build(spark, sf_dir, "corpus_neardup_fast_pairs",
+                              ("documents",), build)
+        else:
+            p = build().localCheckpoint(eager=True)
+        _NEARDUP_FAST_MEMO.put(spark, sf_dir, p)
+    return p
+
+
+@query("dedup_minhash_near")  # rows-only: xxhash64 signatures are engine-specific
+def dedup_minhash_near(spark, sf_dir):
+    """MinHash + LSH banding near-dup candidates over token 3-gram
+    shingles: shingle -> 16 minhashes (xxhash64 with per-function salt)
+    -> 4 bands of 4 -> band-bucket join -> estimated Jaccard =
+    fraction of agreeing minhashes >= 0.5.
+
+    This is the scale path for dedup_ngram_jaccard: the only shuffle
+    keys are (band_idx, band_hash), so co-bucketed docs are compared
+    without the all-pairs co-shingle join."""
+    return (corpus_neardup_fast_pairs(spark, sf_dir)
+            .filter(F.col("est_jaccard") >= 0.5))
 
 
 _SHINGLE_SQL = (
@@ -1362,10 +1396,13 @@ def dedup_cluster_components(spark, sf_dir):
     candidate-pair output, not the corpus; each pass shuffles edges
     once on the label key.  Checkpoint-per-iteration (localCheckpoint)
     truncates the growing lineage."""
-    pairs = (
-        dedup_minhash_near(spark, sf_dir)
-        .select("doc_a", "doc_b").distinct()
-    )
+    # the shared session-pinned pair build (r11): same ≥0.5 pair set
+    # dedup_minhash_near returns; its (doc_a, doc_b) rows are already
+    # distinct (the band join dedups before the signature re-join), so
+    # the old .distinct() was a redundant exchange
+    pairs = (corpus_neardup_fast_pairs(spark, sf_dir)
+             .filter(F.col("est_jaccard") >= 0.5)
+             .select("doc_a", "doc_b"))
     return _components_report(_min_label_components(pairs))
 
 

@@ -4480,7 +4480,15 @@ def mixture_doremi_weights(spark, sf_dir):
     map-side partial counts ride the scan; nothing but per-word count
     vectors ever shuffle — once — and the EG step moves #domains
     numbers."""
-    piv, langs, col_of, nd, tot = _doremi_pivot(spark, sf_dir)
+    try:
+        piv, langs, col_of, nd, tot = _doremi_pivot(spark, sf_dir)
+    except DoremiDomainOverflow:
+        # join-based step-1 equivalent — same algebra, no pivot width
+        dg = (_docs(spark, sf_dir)
+              .select("lang", F.explode(tokens_col()).alias("w"))
+              .groupBy("lang", "w")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+        return doremi_from_counts(dg)
     if not langs:
         return spark.createDataFrame(
             [], "lang string, n_tokens bigint, token_share double, "
@@ -4563,6 +4571,21 @@ def doremi_from_counts(dg):
 
 _DOREMI_PIVOT_MEMO = SessionMemo()
 
+# Domain-count bound for the pivot form (ADVICE r10): one pivot column +
+# per-domain codegen expressions per distinct lang means the plan
+# degrades (wide rows, huge expression trees) at large domain counts,
+# hard-fails past spark.sql.pivotMaxValues (10000), and the
+# DECIMAL(20,18) tree-sum exactness argument holds to 2^18 terms.  4096
+# sits comfortably under all three; DoReMi domain mixtures are
+# O(10)-O(100) in practice (language/source buckets).
+DOREMI_MAX_DOMAINS = 4096
+
+
+class DoremiDomainOverflow(ValueError):
+    """Raised when the corpus has more distinct domains than the
+    pivot-form DoReMi recurrence supports; callers with a join-based
+    equivalent (``doremi_from_counts``) fall back to it."""
+
 
 def _doremi_pivot(spark: SparkSession, sf_dir: str):
     """(piv, langs, col_of, nd, tot): the per-word lang-pivoted count
@@ -4583,6 +4606,11 @@ def _doremi_pivot(spark: SparkSession, sf_dir: str):
         got = (None, [], {}, {}, 0)
         _DOREMI_PIVOT_MEMO.put(spark, sf_dir, got)
         return got
+    if len(all_langs) > DOREMI_MAX_DOMAINS:
+        raise DoremiDomainOverflow(
+            f"{len(all_langs)} distinct domains exceed the pivot-form "
+            f"bound ({DOREMI_MAX_DOMAINS}); use the join-based "
+            "doremi_from_counts recurrence for this corpus")
     cols = [f"c{i}" for i in range(len(all_langs))]
     piv = (d.select("lang", F.explode("toks").alias("w"))
            .groupBy("w").pivot("lang", all_langs)
