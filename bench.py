@@ -307,6 +307,17 @@ def main() -> None:
     artifacts_prebuilt = len(_glob.glob(os.path.join(
         _arts.artifact_root(), _arts._dataset_key(sf_dir),
         "*", "manifest.json")))
+    # Guard (VERDICT r10 item 9): without an explicit artifact store the
+    # bench must COMPUTE every index in-run — a nonzero count here means
+    # a regression re-enabled cross-run caching, and printing a bench
+    # line over prebuilt indexes would be silent gaming.  Refuse loudly
+    # (a raise, not assert: assert vanishes under -O).
+    if not _arts.persistence_enabled() and artifacts_prebuilt:
+        raise RuntimeError(
+            f"{artifacts_prebuilt} prebuilt artifact manifest(s) found "
+            "under the default store while $SPARK_GRAFT_ARTIFACT_DIR is "
+            "unset — the bench must compute from the parquet inputs; "
+            "delete .artifact_store or set the env var explicitly")
 
     # Per-GROUP calibration (VERDICT r8 item 1): a median-of-5 probe
     # runs between every GROUP_SIZE queries, and each query's

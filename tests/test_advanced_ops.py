@@ -3,6 +3,7 @@ oracle hash can't express (dominance soundness, disjointness, bounds),
 checked by brute force at sf0.001."""
 
 from __future__ import annotations
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -10,6 +11,7 @@ from mental_health_bigdata_project_spark.plans import QUERIES
 from mental_health_bigdata_project_spark.sources import load_table
 
 
+@pytest.mark.slow
 def test_skyline_is_exactly_the_undominated_set(spark, sf_dir):
     """Every returned point is undominated and every undominated order
     is returned (brute-force O(n^2) over the sf0.001 frontier space)."""
@@ -138,6 +140,7 @@ def test_triangle_counts_match_networkx_free_bruteforce(spark, sf_dir):
     assert got == dict(expected)
 
 
+@pytest.mark.slow
 def test_als_recommendations_dominated_by_seen_types(spark, sf_dir):
     """ml_als_recommend invariant: with a dense users x 5-type
     interaction matrix, implicit ALS must overwhelmingly recommend

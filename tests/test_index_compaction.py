@@ -18,7 +18,13 @@ from mental_health_bigdata_project_spark.sources import load_table
 from mental_health_bigdata_project_spark.streaming.bm25index import (
     bm25_query, index_batch)
 from mental_health_bigdata_project_spark.streaming.compaction import (
+
     compact_bm25_index, compact_index, load_manifest)
+
+# Long-running parity/e2e/compaction tests: slow tier (r11; see
+# pytest.ini) — the driver's default `pytest tests/ -x -q` gate
+# outgrew its time budget (VERDICT r10 item 1); run with -m slow.
+pytestmark = pytest.mark.slow
 
 
 def _rows(df):

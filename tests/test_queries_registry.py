@@ -24,7 +24,20 @@ def test_entry_smoke(spark):
     assert {"lang", "n_docs", "avg_risk", "high_risk"} <= set(df.columns)
 
 
-@pytest.mark.parametrize("qid", sorted(entry_mod.queries()))
+# The handful of registry queries whose sf0.001 run alone costs 5-20 s
+# (md5-replicate bootstrap, HLL register builds, conformal dual
+# quantiles, PQ residual sweep): slow tier — the oracle gate
+# (scripts/check_oracles.py and the driver's own CORRECTNESS run)
+# still covers their results; the fast tier keeps the other ~390.
+_SLOW_QUERY_RUNS = {"stat_bootstrap_ci", "source_overlap_hll",
+                    "sketch_hll_setops", "stat_conformal_group_gap",
+                    "vec_pq_residual_mse"}
+
+
+@pytest.mark.parametrize(
+    "qid",
+    [pytest.param(q, marks=pytest.mark.slow) if q in _SLOW_QUERY_RUNS
+     else q for q in sorted(entry_mod.queries())])
 def test_query_runs(spark, sf_dir, qid):
     df = entry_mod.queries()[qid](spark, sf_dir)
     assert df.columns  # schema resolves
@@ -69,6 +82,7 @@ ARROW_QUERIES = {"sim_ann_lsh", "sim_ann_ivf", "grouped_zscore_by_user",
                  "text_token_count_iter", "multimodal_bytes_arrow"}
 
 
+@pytest.mark.slow
 def test_no_python_row_udf_in_any_registry_plan(spark, sf_dir):
     """Sweeping invariant: every registry query compiles to a plan with
     NO row-at-a-time Python (BatchEvalPython) anywhere, and Arrow-batch

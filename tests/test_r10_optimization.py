@@ -200,6 +200,7 @@ def test_doremi_pivot_weights_match_join_form(spark, tmp_path):
     assert "xx" not in got
 
 
+@pytest.mark.slow
 def test_doremi_pivot_t5_matches_join_recurrence(spark, tmp_path):
     """mixture_doremi_t5 via the pivoted table must reproduce the r9
     join-based unrolled recurrence (re-implemented here verbatim as

