@@ -19,7 +19,8 @@ import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+import os as _os
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -78,15 +79,16 @@ def main() -> None:
         fn = qs[qid]
 
         def run() -> float:
-            df = fn(spark, sf_dir)
-            # the query wrapper's ensure_runtime_confs resets
-            # shuffle.partitions on every call; re-apply the
-            # experiment's confs between plan build and the action
-            # (SQL confs are read at execution, not DataFrame build)
+            # bench methodology: the clock covers DataFrame build AND
+            # the action (queries with eager checkpoints do their work
+            # at build time).  Experiment confs are (re-)applied first
+            # — the query wrapper's ensure_runtime_confs resets
+            # shuffle.partitions on every call, so shuffle-partition
+            # experiments must ride $SPARK_GRAFT_CPUS instead.
             for k, v in applied.items():
                 spark.conf.set(k, v)
             t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             return time.perf_counter() - t0
 
         cold = run()
