@@ -130,7 +130,8 @@ def compact_index(spark, table_path: str, through: int,
                   partition_by: list[str] | None = None,
                   transform=None,
                   reconcile_schema: bool = False,
-                  transform_keeps_batch: bool = False) -> dict:
+                  transform_keeps_batch: bool = False,
+                  manifest_extra: dict | None = None) -> dict:
     """Consolidate every live row with batch_id <= ``through`` into a
     new ``_compacted_v{k}`` store, commit the manifest, then garbage-
     collect superseded delta partitions and older compacted versions.
@@ -152,7 +153,11 @@ def compact_index(spark, table_path: str, through: int,
     the live view with NULL backfill for delta-missing columns (see
     ``read_live``) — pass it ONLY together with a ``transform`` that
     recomputes those columns from content, or the NULLs land in the
-    consolidated store.  Returns the new manifest."""
+    consolidated store.  ``manifest_extra`` merges caller-owned keys
+    into the committed manifest ATOMICALLY with the store flip (the
+    setsim epoch pointer rides this: the prefix store's element order
+    and the pointer to that order must never be readable separately).
+    Returns the new manifest."""
     m = load_manifest(table_path)
     if m is not None and through < m["through"]:
         raise ValueError(
@@ -208,6 +213,8 @@ def compact_index(spark, table_path: str, through: int,
     writer.parquet(os.path.join(table_path, dest_name))
 
     manifest = {"version": version, "dir": dest_name, "through": through}
+    if manifest_extra:
+        manifest.update(manifest_extra)
     tmp = _manifest_path(table_path) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f)

@@ -87,18 +87,64 @@ def _arrs_path(index_dir: str) -> str:
     return os.path.join(index_dir, "arrs")
 
 
+def _dforder_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "dforder")
+
+
+def _load_dforder(spark, index_dir: str) -> DataFrame | None:
+    """The current epoch's (shingle, dfreq) order snapshot, or None for
+    a store that has never been re-sorted (md5 order).  The POINTER
+    lives in the prefix store's compaction manifest (``dforder_dir``),
+    committed atomically with the re-sorted prefix rows — a reader can
+    never observe the order and the store separately."""
+    from .compaction import load_manifest
+
+    m = load_manifest(_prefix_path(index_dir))
+    if not m or "dforder_dir" not in m:
+        return None
+    return spark.read.parquet(
+        os.path.join(_dforder_path(index_dir), m["dforder_dir"]))
+
+
 def setsim_arrays(df: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
-    """(id, arr, sz): per-doc element arrays sorted in the FIXED
-    md5-content order (not corpus df — see module docstring).  Docs
-    with no shingles (<3 tokens) produce no row."""
+                  text_col: str = "text",
+                  dforder: DataFrame | None = None) -> DataFrame:
+    """(id, arr, sz): per-doc element arrays sorted in the store's
+    current EPOCH order — (document frequency, md5(shingle), shingle)
+    ascending, with df defaulting to 0 for shingles absent from the
+    epoch's df snapshot.  With no snapshot (``dforder=None``, the
+    pre-epoch store state) every df is 0 and the order reduces
+    EXACTLY to the original fixed md5-content order, so legacy stores
+    behave bit-identically.  With a snapshot (written by
+    ``compact_setsim_index``'s re-sort), rare shingles sort into the
+    prefix — the batch twin's rarest-first pruning order — and unseen
+    (hence rare) shingles sort first by construction.  Docs with no
+    shingles (<3 tokens) produce no row."""
     d = df.select(F.col(id_col).alias("doc_id"),
                   tokens_col(text_col).alias("toks"))
     sh = setsim_shingles(d)
-    return (sh.groupBy("doc_id")
+    return _arrays_from_shingles(sh, dforder)
+
+
+def _arrays_from_shingles(sh: DataFrame,
+                          dforder: DataFrame | None,
+                          key_col: str = "doc_id") -> DataFrame:
+    """(key, arr, sz) from a (key, shingle) relation under the epoch
+    order (df, md5, shingle); df coalesces to 0 when ``dforder`` is
+    None or misses the shingle."""
+    if dforder is not None:
+        sh = sh.join(
+            dforder.select("shingle", F.col("dfreq").alias("_dfreq")),
+            "shingle", "left")
+        dkey = F.coalesce(F.col("_dfreq"), F.lit(0).cast("bigint"))
+    else:
+        dkey = F.lit(0).cast("bigint")
+    return (sh.groupBy(key_col)
             .agg(F.transform(
                 F.sort_array(F.collect_list(
-                    F.struct(F.md5("shingle").alias("h"), F.col("shingle")))),
+                    F.struct(dkey.alias("d"),
+                             F.md5("shingle").alias("h"),
+                             F.col("shingle")))),
                 lambda s: s["shingle"]).alias("arr"))
             .withColumn("sz", F.size("arr")))
 
@@ -189,31 +235,132 @@ def _read_prefix_index(spark, index_dir: str, batch_id: int):
             True)
 
 
-def compact_setsim_index(spark, index_dir: str, through: int) -> dict:
+def _resort_arrays(arrs: DataFrame, dforder: DataFrame) -> DataFrame:
+    """Re-sort every (doc_id, arr, sz) row's elements under the given
+    df order.  Rows are keyed by a transient surrogate id, NOT doc_id —
+    the log-structured contract allows the same doc_id accepted twice
+    with different content, and a doc_id regroup would merge them."""
+    # pin BEFORE branching: monotonically_increasing_id is
+    # nondeterministic across re-executions, and the two consumers
+    # below would otherwise re-derive different rids
+    keyed = (arrs.withColumn("_rid", F.monotonically_increasing_id())
+             .localCheckpoint(eager=True))
+    sh = keyed.select("_rid", F.explode("arr").alias("shingle"))
+    resorted = _arrays_from_shingles(sh, dforder, key_col="_rid")
+    return (keyed.select("_rid", "doc_id")
+            .join(resorted, "_rid")
+            .select("doc_id", "arr", "sz"))
+
+
+def compact_setsim_index(spark, index_dir: str, through: int,
+                         t: float = _T, reorder: bool = True) -> dict:
     """Compact both setsim index tables through ``through``.
 
     The prefix store MUST keep ``partition_by=["bucket"]`` (the probe's
     partition pruning — and the path that re-buckets a legacy store);
-    this helper exists so callers can't forget it."""
-    from .compaction import compact_index
+    this helper exists so callers can't forget it.
 
-    return {
+    **Epoch re-sort (r11, VERDICT r10 item 4)**: when ``through`` is
+    the NEWEST live batch of both tables (no surviving deltas — the
+    normal offline-compaction case, and the only one where the whole
+    index can change order atomically), the element order is re-sorted
+    RAREST-FIRST by document frequency over the compacted corpus — the
+    batch twin's optimal pruning order, vs the md5 order whose
+    candidate count grows with the aging index.  Soundness across the
+    flip: prefix filtering is lossless under any SINGLE total order,
+    so the commit protocol keeps order and store inseparable —
+
+    1. the (shingle, dfreq) snapshot dir is written (invisible: no
+       pointer yet);
+    2. the prefix store is REBUILT from the re-sorted arrays and its
+       manifest — carrying the ``dforder_dir`` pointer — is committed
+       atomically (``os.replace``): probes flip from (old rows, old
+       order) to (new rows, new order) in one step;
+    3. the arrs store is rewritten re-sorted.  A crash between 2 and 3
+       is benign: verification reads arrays order-independently
+       (``array_intersect`` + sizes), and the next compaction re-sorts
+       whatever remained.
+
+    ``t`` must equal the stream's threshold (prefix lengths depend on
+    it).  With surviving deltas above ``through`` (or
+    ``reorder=False``) the store compacts under its CURRENT order and
+    keeps its existing epoch pointer — deltas written under the old
+    order stay sound against it."""
+    from .compaction import (_batch_dirs, _batch_id_of, compact_index,
+                             load_manifest, read_live)
+
+    prefix_path, arrs_path = _prefix_path(index_dir), _arrs_path(index_dir)
+    prev = load_manifest(prefix_path) or {}
+
+    def _newest(table_path: str) -> int | None:
+        ids = [b for b in map(_batch_id_of, _batch_dirs(table_path))
+               if b is not None]
+        m = load_manifest(table_path)
+        if m is not None:
+            ids.append(m["through"])
+        return max(ids) if ids else None
+
+    newest = [_newest(prefix_path), _newest(arrs_path)]
+    can_reorder = (reorder and all(n is not None and n <= through
+                                   for n in newest))
+    if not can_reorder:
+        extra = ({"dforder_dir": prev["dforder_dir"]}
+                 if "dforder_dir" in prev else None)
+        return {
+            "prefix": compact_index(
+                spark, prefix_path, through,
+                partition_by=["bucket"],
+                # recompute from shingle: identical where bucket
+                # already exists, and it adds the column when folding a
+                # legacy (pre-bucketed-layout) store — which is also
+                # what makes reconcile_schema safe here: a HALF-migrated
+                # store reads with NULL-backfilled bucket, and this
+                # transform overwrites every NULL before the write
+                transform=lambda df: df.withColumn(
+                    "bucket", _bucket(F.col("shingle"))),
+                reconcile_schema=True,
+                manifest_extra=extra),
+            "arrs": compact_index(spark, arrs_path, through),
+        }
+
+    # --- epoch re-sort path ---
+    import glob as _glob
+    import shutil as _shutil
+
+    arrs_live = read_live(spark, arrs_path).filter(
+        F.col("batch_id") <= F.lit(through)).select("doc_id", "arr", "sz")
+    epoch_dir = f"epoch_v{prev.get('version', 0) + 1}"
+    dford_out = os.path.join(_dforder_path(index_dir), epoch_dir)
+    (arrs_live.select(F.explode("arr").alias("shingle"))
+     .groupBy("shingle")
+     .agg(F.count("*").cast("bigint").alias("dfreq"))
+     .coalesce(max(1, N_BUCKETS // 4))
+     .write.mode("overwrite").parquet(dford_out))
+    dford = spark.read.parquet(dford_out)
+
+    resorted = _resort_arrays(arrs_live, dford).localCheckpoint(eager=True)
+    out = {
         "prefix": compact_index(
-            spark, _prefix_path(index_dir), through,
+            spark, prefix_path, through,
             partition_by=["bucket"],
-            # recompute from shingle: identical where bucket already
-            # exists, and it adds the column when folding a legacy
-            # (pre-bucketed-layout) store — which is also what makes
-            # reconcile_schema safe here: a HALF-migrated store
-            # (bucketed compacted dir + legacy deltas from a prior
-            # partial-horizon compaction) reads with NULL-backfilled
-            # bucket, and this transform overwrites every NULL before
-            # the write
-            transform=lambda df: df.withColumn(
-                "bucket", _bucket(F.col("shingle"))),
-            reconcile_schema=True),
-        "arrs": compact_index(spark, _arrs_path(index_dir), through),
+            # the old prefix rows' POSITIONS are wrong under the new
+            # order: rebuild the whole store from the re-sorted arrays
+            transform=lambda _live: (
+                setsim_prefix_rows(resorted, t)
+                .withColumn("bucket", _bucket(F.col("shingle")))),
+            reconcile_schema=True,
+            manifest_extra={"dforder_dir": epoch_dir}),
+        "arrs": compact_index(
+            spark, arrs_path, through,
+            transform=lambda live: _resort_arrays(live, dford)),
     }
+    # GC superseded epoch snapshots (readers resolve only the pointer
+    # committed above; a crash here leaves harmless litter)
+    for d in _glob.glob(os.path.join(_dforder_path(index_dir), "epoch_v*")):
+        if os.path.basename(d) != epoch_dir:
+            _shutil.rmtree(d, ignore_errors=True)
+    out["dforder"] = {"dir": epoch_dir}
+    return out
 
 
 def dedup_setsim_batch_against_index(batch_df: DataFrame, batch_id: int,
@@ -224,9 +371,14 @@ def dedup_setsim_batch_against_index(batch_df: DataFrame, batch_id: int,
     """One micro-batch of incremental exact setsim dedup (the
     foreachBatch body, callable directly for tests / backfills)."""
     spark = batch_df.sparkSession
+    # the store's current element-order epoch (None = md5 order): the
+    # batch MUST sort its arrays under the same total order the index
+    # was written in or prefix filtering loses its no-false-negative
+    # guarantee (see compact_setsim_index's re-sort commit protocol)
+    dforder = _load_dforder(spark, index_dir)
     # the shingle->sort pipeline feeds the prefix probe, both index
     # deltas, and the verify joins — materialize once
-    arrs = setsim_arrays(batch_df, id_col, text_col) \
+    arrs = setsim_arrays(batch_df, id_col, text_col, dforder=dforder) \
         .localCheckpoint(eager=True)
     # feeds the prior probe AND the touched-bucket collect below
     pre = setsim_prefix_rows(arrs, t).localCheckpoint(eager=True)
