@@ -202,13 +202,23 @@ def sketch_hll_portable(spark, sf_dir):
     At 100 TB: the fact scan reduces to m-row register partials per
     group — the groupBy shuffles kilobytes, and the same registers
     merge up any rollup without re-scanning (sketch_hll_merge measures
-    exactly that)."""
+    exactly that).
+
+    r11: ONE fact scan feeds both legs — registers and the exact
+    count both derive from the pinned distinct (yr, custkey) set.
+    Equivalent by construction: duplicate keys map to identical
+    (idx, rho) so the register max is unchanged, and the exact leg's
+    COUNT(DISTINCT custkey) is COUNT(*) of the distinct pairs; md5 now
+    runs once per distinct key instead of once per order row."""
     o = _t(spark, sf_dir, "orders")
-    keyed = o.select(F.year("o_orderdate").cast("int").alias("yr"),
-                     F.md5(F.col("o_custkey").cast("string")).alias("h"))
+    dk = (o.select(F.year("o_orderdate").cast("int").alias("yr"),
+                   "o_custkey")
+          .distinct().localCheckpoint(eager=True))
+    keyed = dk.select(
+        "yr", F.md5(F.col("o_custkey").cast("string")).alias("h"))
     est = _hll_estimate(_hll_registers(keyed, ["yr"]), ["yr"])
-    exact = o.groupBy(F.year("o_orderdate").cast("int").alias("yr")).agg(
-        F.countDistinct("o_custkey").cast("bigint").alias("n_exact"))
+    exact = dk.groupBy("yr").agg(
+        F.count("*").cast("bigint").alias("n_exact"))
     rel = F.round(F.abs(F.col("est") - F.col("n_exact")) / F.col("n_exact"), 4)
     return est.join(exact, "yr").select(
         "yr", "harmonic_s", "n_zero_regs", "est", "n_exact",
@@ -254,11 +264,21 @@ def sketch_hll_merge(spark, sf_dir):
     addition of monthly distinct counts overcounts returning customers;
     register merge doesn't.  The shuffle carries at most m = 64 rows
     per (year, month) — the merge agg is metadata-sized regardless of
-    fact-table volume."""
+    fact-table volume.
+
+    r11: ONE fact scan — the pinned distinct (yr, mo, custkey) set
+    feeds the monthly registers, the month count, AND the direct
+    year-level build (still an independent register build, exactly as
+    before — both were already fed from the same ``keyed`` projection;
+    duplicate keys map to identical (idx, rho), so every register max
+    is unchanged).  Before: three aggregation chains re-scanned
+    orders."""
     o = _t(spark, sf_dir, "orders")
-    keyed = o.select(F.year("o_orderdate").cast("int").alias("yr"),
-                     F.month("o_orderdate").alias("mo"),
-                     F.md5(F.col("o_custkey").cast("string")).alias("h"))
+    dk = (o.select(F.year("o_orderdate").cast("int").alias("yr"),
+                   F.month("o_orderdate").alias("mo"), "o_custkey")
+          .distinct().localCheckpoint(eager=True))
+    keyed = dk.select(
+        "yr", "mo", F.md5(F.col("o_custkey").cast("string")).alias("h"))
     monthly = _hll_registers(keyed, ["yr", "mo"])
     merged = monthly.groupBy("yr", "idx").agg(F.max("mx").alias("mx"))
 
