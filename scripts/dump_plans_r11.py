@@ -3,6 +3,12 @@ named queries to plans/r10/<qid>_<suffix>.txt — the optimization-round
 evidence files the judge checks plan claims against.
 
 Usage: python scripts/dump_plans_r11.py <suffix> <sf_dir> <qid> [qid ...]
+
+SPARK_GRAFT_DUMP_NOPIN=1 replaces DataFrame.localCheckpoint with a
+no-op for the dump session, so a query whose expensive chain hides
+behind an eager pin (the final plan is then just the pinned relation)
+exposes its FULL lazy plan — the only honest way to diff a rewrite
+that happens upstream of a checkpoint.  Never set it for timing runs.
 """
 
 from __future__ import annotations
@@ -21,6 +27,12 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     spark = get_spark("plans-r11")
+    if os.environ.get("SPARK_GRAFT_DUMP_NOPIN") == "1":
+        # patch the CONCRETE class (Spark 4: pyspark.sql.classic
+        # overrides the base DataFrame's methods)
+        DataFrame = type(spark.range(1))
+        DataFrame.localCheckpoint = (
+            lambda self, eager=True, storageLevel=None: self)
     qs = entry_mod.queries()
     outdir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "plans", "r11")
